@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (reference A1-A3, stockify.cu:135-138, 556-562, 599-605).
+  *
+  * The reference's global SUM is an `atomicAdd` from every GPU thread into
+  * one cell (stockify.cu:137) with a host-side final re-reduce
+  * (stockify.cu:498-501); MIN/MAX exist as CPU scalar scans. That
+  * per-thread-partial + final-reduce shape is exactly Spark's partial→final
+  * `HashAggregateExec` (map-side combine, then exchange of ONE row per
+  * partition, then final merge) — so a global aggregate over 100 TB moves
+  * only #partitions rows through the shuffle, never the data.
+  *
+  * Grouped aggregation, grouping sets and distinct counts don't exist in the
+  * reference (SURVEY §2.7); they are the natural generalization and come
+  * from the same partial/final machinery with the group key as shuffle key.
+  *
+  * Float discipline: sums/avgs are rounded on both engine and oracle side so
+  * accumulation order (which Spark does not fix across partitions) cannot
+  * flip the differential check — the reference's exact-float `==` checks
+  * (stockify.cu:502) are a bug we deliberately do not reproduce.
+  */
+object Aggregates {
+
+  /** Global aggregate helpers — the A-family surface. */
+  def globalSum(df: DataFrame, c: String): DataFrame = df.agg(sum(col(c)))
+  def globalMin(df: DataFrame, c: String): DataFrame = df.agg(min(col(c)))
+  def globalMax(df: DataFrame, c: String): DataFrame = df.agg(max(col(c)))
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+    // A1 (stockify.cu:135-138): global SUM(low) -> sum(l_extendedprice).
+    QueryDef("a1_sum_global",
+      """SELECT CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      li(s, dir).agg(
+        round(sum("l_extendedprice"), 2).cast("double").as("sum_price"),
+        round(sum("l_quantity"), 2).cast("double").as("sum_qty"))
+    },
+
+    // A2 (stockify.cu:556-562): global MIN(low) -> min(l_extendedprice).
+    QueryDef("a2_min_global",
+      """SELECT min(l_extendedprice) AS min_price, min(l_quantity) AS min_qty
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      li(s, dir).agg(
+        min("l_extendedprice").as("min_price"),
+        min("l_quantity").as("min_qty"))
+    },
+
+    // A3 (stockify.cu:599-605): global MAX(high) -> max(l_extendedprice).
+    QueryDef("a3_max_global",
+      """SELECT max(l_extendedprice) AS max_price, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      li(s, dir).agg(
+        max("l_extendedprice").as("max_price"),
+        max("l_quantity").as("max_qty"))
+    },
+
+    // A4: count / avg / stddev — obvious completions of the A-family.
+    QueryDef("a4_stats_global",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+        |       CAST(round(stddev_samp(l_extendedprice), 4) AS DOUBLE) AS sd_price
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      li(s, dir).agg(
+        count(lit(1)).as("n"),
+        round(avg("l_extendedprice"), 4).cast("double").as("avg_price"),
+        round(stddev_samp("l_extendedprice"), 4).cast("double").as("sd_price"))
+    },
+
+    // A5: grouped aggregation (TPC-H Q1 shape) — the flagship query.
+    QueryDef("a5_group_flag_status",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+        |       CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+        |       CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+        |       CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(q1TpchStyle),
+
+    // A6: per-day grouped roll-up — the reference's single-instrument
+    // time-series generalized to grouped-by-date OHLC-style stats.
+    QueryDef("a6_group_by_day",
+      """SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(l_extendedprice) AS lo,
+        |       max(l_extendedprice) AS hi,
+        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY ship_day""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"),
+          round(sum("l_quantity"), 2).cast("double").as("sum_qty"))
+        .orderBy("ship_day")
+    },
+
+    // A7: exact distinct counts (expand-based, shuffles on the distinct key
+    // — scale path is a8's approx sketch).
+    QueryDef("a7_count_distinct",
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    },
+
+    // A8: HLL approximate distinct — the 100 TB path for distinct counts
+    // (mergeable sketch, one pass, no expand). Engine-specific estimate, so
+    // no cross-engine oracle; AggregateSpec asserts accuracy vs exact.
+    QueryDef.unoracled("a8_approx_distinct") { (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"))
+        .orderBy("l_returnflag")
+    },
+
+    // A9: grouping sets via ROLLUP — free generalization of grouped aggs
+    // (SURVEY §2.7). NULLS FIRST pinned on both sides (DuckDB defaults
+    // NULLS LAST on ASC; Spark defaults NULLS FIRST).
+    QueryDef("a9_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }
+  )
+
+  /** TPC-H Q1 shape, also exposed as `SparkEntry.entry` (flagship). */
+  def q1TpchStyle(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).cast("double").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).cast("double").as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+        round(avg("l_quantity"), 4).cast("double").as("avg_qty"),
+        round(avg("l_extendedprice"), 4).cast("double").as("avg_price"),
+        round(avg("l_discount"), 4).cast("double").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Selection operators (reference F1-F6, stockify.cu:89-122).
+  *
+  * The reference instantiates six thread-per-row predicate kernels (five
+  * single-column `>=` filters and one two-way AND), but its comment block
+  * (stockify.cu:74-83) declares the intended query class: arbitrary
+  * conjunctions of column-vs-constant comparisons over {=, >, >=, <, <=, !=}.
+  * We implement the full declared class as a tiny predicate-builder that
+  * compiles to Catalyst comparison expressions, so every predicate is
+  * codegen'd and pushed into the Parquet scan (visible as PushedFilters in
+  * the physical plan) — the distributed analogue of the reference's
+  * "evaluate predicate on device-resident data" with data skipping on top.
+  *
+  * Scale note: these filters shuffle nothing; cost is a single pushdown scan
+  * regardless of table size, so the shape is already 100 TB-safe.
+  */
+object Filters {
+
+  sealed trait CmpOp
+  case object Eq extends CmpOp
+  case object Ne extends CmpOp
+  case object Gt extends CmpOp
+  case object Ge extends CmpOp
+  case object Lt extends CmpOp
+  case object Le extends CmpOp
+
+  /** One column-vs-constant comparison (the atom of stockify.cu:74-83). */
+  final case class Pred(column: String, op: CmpOp, value: Any) {
+    def toColumn: Column = {
+      val c = col(column)
+      op match {
+        case Eq => c === lit(value)
+        case Ne => c =!= lit(value)
+        case Gt => c > lit(value)
+        case Ge => c >= lit(value)
+        case Lt => c < lit(value)
+        case Le => c <= lit(value)
+      }
+    }
+  }
+
+  /** Conjunction of atoms — `WHERE p1 AND p2 AND ...`. */
+  def conjunction(preds: Seq[Pred]): Column =
+    preds.map(_.toColumn).reduce(_ && _)
+
+  /** Compacting filter: keep matching rows (standard SQL WHERE). */
+  def filterRows(df: DataFrame, preds: Pred*): DataFrame =
+    df.filter(conjunction(preds))
+
+  /** Non-compacting selection vector — the reference's exact output shape:
+    * every kernel writes `results[i] = predicate(row_i)` into a bool array
+    * without compacting (stockify.cu:89-122, late materialization). */
+  def selectionVector(df: DataFrame, flag: String, preds: Pred*): DataFrame =
+    df.withColumn(flag, conjunction(preds))
+
+  // ---------------------------------------------------------------- queries
+  // Reference filters transposed onto lineitem (FIXTURES.md §B): the five
+  // single-column >= kernels (volume/close/open/high/low >= k,
+  // stockify.cu:89-116) map to lineitem's numeric columns; the conjunction
+  // kernel (:119-122) and the declared full predicate class follow.
+
+  private val keys = Seq("l_orderkey", "l_linenumber").map(col)
+  private def li(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+    // F1 (stockify.cu:89-92): volume >= k  ->  l_quantity >= 45
+    QueryDef("f1_filter_ge_quantity",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      filterRows(li(s, dir), Pred("l_quantity", Ge, 45))
+        .select(keys :+ col("l_quantity"): _*)
+        .orderBy(keys: _*)
+    },
+
+    // F2 (stockify.cu:95-98): close >= k  ->  l_extendedprice >= 90000
+    QueryDef("f2_filter_ge_extendedprice",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_extendedprice >= 90000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      filterRows(li(s, dir), Pred("l_extendedprice", Ge, 90000))
+        .select(keys :+ col("l_extendedprice"): _*)
+        .orderBy(keys: _*)
+    },
+
+    // F3 (stockify.cu:101-104): open >= k  ->  l_discount >= 0.08
+    QueryDef("f3_filter_ge_discount",
+      """SELECT l_orderkey, l_linenumber, l_discount
+        |FROM lineitem WHERE l_discount >= 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      filterRows(li(s, dir), Pred("l_discount", Ge, 0.08))
+        .select(keys :+ col("l_discount"): _*)
+        .orderBy(keys: _*)
+    },
+
+    // F4 (stockify.cu:107-110): high >= k  ->  l_tax >= 0.06
+    QueryDef("f4_filter_ge_tax",
+      """SELECT l_orderkey, l_linenumber, l_tax
+        |FROM lineitem WHERE l_tax >= 0.06
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      filterRows(li(s, dir), Pred("l_tax", Ge, 0.06))
+        .select(keys :+ col("l_tax"): _*)
+        .orderBy(keys: _*)
+    },
+
+    // F5 (stockify.cu:113-116): low >= k  ->  l_partkey >= 150
+    QueryDef("f5_filter_ge_partkey",
+      """SELECT l_orderkey, l_linenumber, l_partkey
+        |FROM lineitem WHERE l_partkey >= 150
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      filterRows(li(s, dir), Pred("l_partkey", Ge, 150L))
+        .select(keys :+ col("l_partkey"): _*)
+        .orderBy(keys: _*)
+    },
+
+    // F6 (stockify.cu:119-122): high >= a AND low >= b
+    QueryDef("f6_filter_conjunction",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem WHERE l_extendedprice >= 50000 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      filterRows(li(s, dir),
+        Pred("l_extendedprice", Ge, 50000), Pred("l_discount", Ge, 0.05))
+        .select(keys ++ Seq(col("l_extendedprice"), col("l_discount")): _*)
+        .orderBy(keys: _*)
+    },
+
+    // F7: the FULL declared predicate class (stockify.cu:74-83) — one atom
+    // per comparison operator, conjoined.
+    QueryDef("f7_predicate_class",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 10 AND l_discount >= 0.02
+        |  AND l_linenumber <= 4 AND l_extendedprice < 80000 AND l_tax <> 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      filterRows(li(s, dir),
+        Pred("l_returnflag", Eq, "R"), Pred("l_quantity", Gt, 10),
+        Pred("l_discount", Ge, 0.02), Pred("l_linenumber", Le, 4),
+        Pred("l_extendedprice", Lt, 80000), Pred("l_tax", Ne, 0.02))
+        .select(keys ++ Seq(col("l_quantity"), col("l_tax")): _*)
+        .orderBy(keys: _*)
+    },
+
+    // F8: the reference's literal output shape — a non-compacting boolean
+    // selection vector over ALL rows (stockify.cu:89-92 writes bool per row).
+    QueryDef("f8_selection_vector",
+      """SELECT l_orderkey, l_linenumber, (l_quantity >= 45) AS pass
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      selectionVector(
+        li(s, dir).select(keys :+ col("l_quantity"): _*),
+        "pass", Pred("l_quantity", Ge, 45))
+        .select(keys :+ col("pass"): _*)
+        .orderBy(keys: _*)
+    },
+
+    // Projection (reference has none — every query is SELECT *; SURVEY §2.2):
+    // explicit column pruning, reaches the scan as ReadSchema. Per-row IEEE
+    // arithmetic is deterministic, so no rounding (round() here would DIVERGE:
+    // Spark rounds half-up, DuckDB half-even, and 2dp×2dp products sit
+    // exactly on .xx5 boundaries).
+    QueryDef("p1_projection",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .select(keys :+
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"): _*)
+        .orderBy(keys: _*)
+    }
+  )
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sources (reference S1-S4, stockify.cu:32-71, 209-212, 647-657).
+  *
+  * The reference's one table is a fixed-schema in-memory row vector loaded
+  * from CSV; queries run against a device-resident mirror. Here every table
+  * is columnar Parquet read through Spark's vectorized reader, so "load once,
+  * query many" becomes predicate-pushdown scans (plus `.persist()` when a
+  * caller genuinely reuses a table across many queries).
+  */
+object Tables {
+
+  /** Reference row type (stockify.cu:21-28): date string + five float32
+    * fields in CSV order date, close, volume, open, high, low
+    * (stockify.cu:44-63). We widen to DATE + double per SURVEY §1.2. */
+  val stockSchema: StructType = StructType(Seq(
+    StructField("date", DateType, nullable = false),
+    StructField("close", DoubleType, nullable = false),
+    StructField("volume", DoubleType, nullable = false),
+    StructField("open", DoubleType, nullable = false),
+    StructField("high", DoubleType, nullable = false),
+    StructField("low", DoubleType, nullable = false)))
+
+  /** CSV loader replicating reference S1 (stockify.cu:32-71) with an
+    * explicit compiled-in schema (no inference pass over 247 MB) and
+    * WITHOUT the header-skip bug (stockify.cu:37-38 silently drops the
+    * first data row of a headerless file). */
+  def stocksCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(stockSchema).option("header", "false").csv(path)
+
+  /** Generic testdata table: one Parquet file/dir per table name. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Reference S4 (stockify.cu:647-657): 10 M rand()-based synthetic OHLCV
+    * rows used only by the index experiments. Distributed equivalent: a
+    * `spark.range` seeded-rand generator — test/bench fixture only. */
+  def syntheticStocks(spark: SparkSession, rows: Long, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(rows).select(
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 18).cast("int")).as("date"),
+      (rand(seed) * 170 + 500).as("close"),
+      (floor(rand(seed + 1) * 1700000) + 1200000).cast("double").as("volume"),
+      (rand(seed + 2) * 170 + 450).as("open"),
+      (rand(seed + 3) * 170 + 510).as("high"),
+      (rand(seed + 4) * 170 + 440).as("low"))
+  }
+}
