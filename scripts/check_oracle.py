@@ -50,6 +50,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = n_noracle = 0
+    # A query that crashed in Verify writes no output dir — count it as a
+    # failure instead of silently shrinking coverage.
+    dirs = {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
+    for name in sorted(set(oracles) - dirs):
+        print(f"  ✗ {name}: MISSING spark output (Verify failed?)")
+        n_fail += 1
     for d in sorted(Path(out_dir).iterdir()):
         if not d.is_dir():
             continue

@@ -32,20 +32,30 @@ object Bench {
 
     val results = SparkEntry.allDefs.map { d =>
       val t0 = System.nanoTime()
-      try d.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
-      }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { d.run(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+            false
+        }
+      (d.name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // Locale-pinned formatting: JVM-default locales with comma decimals
+    // would otherwise emit invalid JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // Failed queries report -1 and are excluded from the total, so the
+    // driver gets a machine-readable failure signal instead of a
+    // time-to-crash silently inflating the metric.
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,7 +12,9 @@ object SparkEntry {
   /** All registered operators, grouped by family (SURVEY §2 inventory). */
   def allDefs: Seq[QueryDef] =
     operators.Filters.defs ++
-    operators.Aggregates.defs
+    operators.Aggregates.defs ++
+    operators.Windows.defs ++
+    operators.Joins.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → grouped partial/final agg → tiny sort. */

@@ -137,6 +137,25 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // A8b: oracle-able companion to a8 — emits whether the HLL estimate is
+    // within its configured error envelope of the exact count, so the
+    // cross-engine check can validate the sketch without requiring DuckDB
+    // to reproduce Spark's HLL bits (the oracle's exact TRUE per group is
+    // matched iff Spark's approx really is within tolerance).
+    QueryDef("a8b_approx_distinct_tol",
+      """SELECT l_returnflag, TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
+          countDistinct(col("l_partkey")).as("exact_part"))
+        .select(col("l_returnflag"),
+          (abs(col("approx_part") - col("exact_part")) <=
+            col("exact_part") * 0.05).as("within_tol"))
+        .orderBy("l_returnflag")
+    },
+
     // A9: grouping sets via ROLLUP — free generalization of grouped aggs
     // (SURVEY §2.7). NULLS FIRST pinned on both sides (DuckDB defaults
     // NULLS LAST on ASC; Spark defaults NULLS FIRST).

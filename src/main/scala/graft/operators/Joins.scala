@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Joins over the star-schema testdata. The reference has no joins at all
+  * (SURVEY §2.7) — this is the extension surface §7.1 step 5 commits to,
+  * and the capability no analytics engine can ship without.
+  *
+  * Scale design, per join:
+  *   - dimension joins (customer/supplier/nation/region) are explicitly
+  *     `broadcast()` — the dim ships to every executor, the 100 TB fact
+  *     table never shuffles for them;
+  *   - fact-fact joins (lineitem ⨝ orders) are shuffle joins on the join
+  *     key; j5 pins the sort-merge strategy with a `merge` hint, which is
+  *     the right plan when both sides are far beyond broadcast size;
+  *   - semi/anti joins use Spark's left_semi / left_anti (no payload
+  *     duplication, early-out probing), never a join + distinct.
+  * Every query reduces to a grouped/top-k result, so nothing scales with
+  * the fact-table row count on the output side.
+  */
+object Joins {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+    // J1: TPC-H Q3 shape — selective dim filter broadcast into two fact
+    // joins, grouped revenue, top-k by revenue.
+    QueryDef("j1_broadcast_q3",
+      """SELECT l_orderkey,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |       CAST(o_orderdate AS DATE) AS odate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "odate")
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(20)
+    },
+
+    // J2: TPC-H Q5 shape — six-table star join; nation/region broadcast,
+    // the c_nationkey = s_nationkey condition closes the snowflake.
+    QueryDef("j2_star_q5",
+      """SELECT n_name,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // J3: semi join — orders containing at least one near-max-quantity line.
+    // left_semi probes and short-circuits; no lineitem payload crosses the
+    // join, no post-join distinct needed.
+    QueryDef("j3_semi_join",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").limit(1000)
+    },
+
+    // J4: anti join — customers with no high-value order.
+    QueryDef("j4_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice >= 400000)
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") >= 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey").limit(1000)
+    },
+
+    // J5: fact-fact equi-join pinned to sort-merge (`merge` hint) — the
+    // 100 TB plan for two tables that both exceed broadcast size: shuffle
+    // both on the join key, sort, streamed merge. Integral quantity sums
+    // are exact in doubles, no rounding needed.
+    QueryDef("j5_sortmerge_factfact",
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").hint("merge")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // J6: left outer join with a selective right side — match accounting per
+    // order status (count(col) vs count(*) exposes the null-extension rows).
+    QueryDef("j6_outer_join",
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(l.l_orderkey) AS BIGINT) AS matched
+        |FROM orders
+        |LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+        |  ON o_orderkey = l.l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), count(col("l_orderkey")).as("matched"))
+        .orderBy("o_orderstatus")
+    }
+  )
+}

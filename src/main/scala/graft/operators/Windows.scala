@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Rolling-window operators — the reference's signature family (W1-W3,
+  * stockify.cu:142-193). The kernels themselves are buggy (shadowed loop
+  * index at stockify.cu:146,157-158; missing shared-memory halo at :186-189),
+  * so the implemented semantics are the CPU oracle's intent
+  * (stockify.cu:513-521): for row i, aggregate rows i..i+w-1 in time order —
+  * i.e. `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`.
+  *
+  * Divergence, by design (SURVEY §7.3): the reference oracle leaves the last
+  * w-1 rows unset (loop guard `i < size-10`, stockify.cu:515); standard SQL
+  * windows shrink at the tail. We implement the standard shrinking window and
+  * pin that in the oracle SQL so both engines agree.
+  *
+  * Scale design: an unpartitioned `Window.orderBy` collapses to a SINGLE
+  * partition sort — fatal at 100 TB. Every helper therefore takes a
+  * `partitionBy`; the oracled w1-w7 queries partition by a real key
+  * (supplier / returnflag — at scale: ticker, user, shard), which shuffles
+  * once on the partition key and sorts per partition. The literal
+  * reference semantics (one global unpartitioned series) ships only as
+  * `w0_moving_avg_compat`, explicitly marked compat-mode.
+  *
+  * Determinism discipline (what makes the cross-engine diff exact):
+  *   - the window ORDER BY is a verified TOTAL order per partition —
+  *     (shipdate, orderkey, linenumber) alone is NOT unique in this data, so
+  *     partkey + extendedprice are appended; an ambiguous in-window order
+  *     would make the frame contents themselves engine-dependent;
+  *   - row dumps are top-k (TakeOrderedAndProject, no global sort) ordered
+  *     by EVERY emitted column, so tied prefixes cannot reorder across
+  *     engines;
+  *   - windowed avg is rounded to 4 digits on both sides — accumulation
+  *     orders differ (Spark recomputes each sliding frame, DuckDB uses a
+  *     segment tree), and 2-digit rounding would sit ON the .xx5 grid that
+  *     averaging 2-decimal prices over 10 rows produces (real flake seen in
+  *     dev: 53196.745 → .74 vs .75). At 4 digits the rounding boundaries
+  *     (k*1e-4 + 5e-5) are disjoint from the value grid (k*1e-3). Windowed
+  *     min/max/count/lag/lead and BIGINT running sums are exact, unrounded.
+  */
+object Windows {
+
+  /** partitionBy-capable rolling frame: rows [lo, hi] around the current row
+    * in `order` within `parts` (reference frame = rolling(0, w-1)). */
+  def rolling(parts: Seq[Column], order: Seq[Column], lo: Long, hi: Long): WindowSpec = {
+    val base = if (parts.isEmpty) Window.partitionBy() else Window.partitionBy(parts: _*)
+    base.orderBy(order: _*).rowsBetween(lo, hi)
+  }
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+
+  // Time axis within each supplier's series: ship date, tie-broken all the
+  // way to a total order (verified unique at sf0.001/0.01/0.1).
+  private val series = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+    col("l_partkey"), col("l_extendedprice"))
+  private val bySupp = Seq(col("l_suppkey"))
+  private val idCols = Seq(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  private val DumpK = 2000
+
+  private val overSql = "PARTITION BY l_suppkey ORDER BY " +
+    "l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice"
+
+  /** Top-k dump ordered by every emitted column (total order ⇒ the k rows
+    * and their order agree across engines even when id columns tie). */
+  private def dump(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*).limit(DumpK)
+
+  private def dumpSql(cols: String): String = s"ORDER BY $cols LIMIT $DumpK"
+
+  val defs: Seq[QueryDef] = Seq(
+    // W1 (stockify.cu:142-149; oracle :513-521): 10-row forward moving avg,
+    // partitioned per supplier (the scale-safe form of the reference's
+    // single global series).
+    QueryDef("w1_moving_avg",
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(round(avg(l_extendedprice) OVER ($overSql
+        |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING), 4) AS DOUBLE) AS mov_avg
+        |FROM lineitem
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
+      dump(li(s, dir)
+        .select(idCols :+
+          round(avg("l_extendedprice").over(rolling(bySupp, series, 0, 9)), 4)
+            .cast("double").as("mov_avg"): _*))
+    },
+
+    // W2 (stockify.cu:153-162): 10-row rolling MIN — exact, unrounded.
+    QueryDef("w2_rolling_min",
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       min(l_extendedprice) OVER ($overSql
+        |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS roll_min
+        |FROM lineitem
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, roll_min")}""".stripMargin) { (s, dir) =>
+      dump(li(s, dir)
+        .select(idCols :+
+          min("l_extendedprice").over(rolling(bySupp, series, 0, 9)).as("roll_min"): _*))
+    },
+
+    // W3 (stockify.cu:170-193, the shared-memory-tiled kernel): 10-row
+    // rolling MAX — exact, unrounded. Spark's WindowExec handles the frame
+    // boundary the kernel's missing halo (:186-189) got wrong.
+    QueryDef("w3_rolling_max",
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       max(l_extendedprice) OVER ($overSql
+        |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS roll_max
+        |FROM lineitem
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, roll_max")}""".stripMargin) { (s, dir) =>
+      dump(li(s, dir)
+        .select(idCols :+
+          max("l_extendedprice").over(rolling(bySupp, series, 0, 9)).as("roll_max"): _*))
+    },
+
+    // W0: the reference's literal shape — ONE unpartitioned global series
+    // (stockify.cu:513-521). COMPAT MODE ONLY: this is a single-partition
+    // sort; at 100 TB use w1's partitioned form.
+    QueryDef("w0_moving_avg_compat",
+      s"""SELECT l_orderkey, l_linenumber,
+        |       CAST(round(avg(l_extendedprice) OVER (
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING), 4) AS DOUBLE) AS mov_avg
+        |FROM lineitem
+        |${dumpSql("l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
+      dump(li(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(avg("l_extendedprice").over(rolling(Nil, series, 0, 9)), 4)
+            .cast("double").as("mov_avg")))
+    },
+
+    // W4: lag/lead + first-difference — same machinery, no accumulation, so
+    // values are exact column copies / one IEEE subtraction.
+    QueryDef("w4_lag_lead",
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       lag(l_extendedprice, 1) OVER ($overSql) AS prev_price,
+        |       lead(l_extendedprice, 1) OVER ($overSql) AS next_price,
+        |       l_extendedprice - lag(l_extendedprice, 1) OVER ($overSql) AS delta
+        |FROM lineitem
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, prev_price, next_price, delta")}""".stripMargin) { (s, dir) =>
+      // lag/lead ignore the frame; only the partition+order spec matters.
+      val wo = Window.partitionBy(bySupp: _*).orderBy(series: _*)
+      dump(li(s, dir)
+        .select(idCols ++ Seq(
+          lag("l_extendedprice", 1).over(wo).as("prev_price"),
+          lead("l_extendedprice", 1).over(wo).as("next_price"),
+          (col("l_extendedprice") - lag("l_extendedprice", 1).over(wo)).as("delta")): _*))
+    },
+
+    // W5: ranking family. rank/dense_rank/percent_rank depend only on the
+    // order VALUES (deterministic under ties); row_number/ntile need a total
+    // order, so they rank over the fully tie-broken spec.
+    QueryDef("w5_rank_family",
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+        |       dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
+        |       CAST(round(percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC), 6) AS DOUBLE) AS prnk,
+        |       row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_partkey, l_extendedprice) AS rn,
+        |       ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_partkey, l_extendedprice) AS quartile
+        |FROM lineitem
+        |ORDER BY l_returnflag, rn LIMIT $DumpK""".stripMargin) { (s, dir) =>
+      val byVal = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
+      val total = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
+      li(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          rank().over(byVal).as("rnk"),
+          dense_rank().over(byVal).as("drnk"),
+          round(percent_rank().over(byVal), 6).cast("double").as("prnk"),
+          row_number().over(total).as("rn"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy(col("l_returnflag"), col("rn")).limit(DumpK)
+    },
+
+    // W6: value-RANGE frame (quantity within 5 below current) — the frame is
+    // a value set, so count/min over it are tie-order-independent and exact.
+    QueryDef("w6_range_frame",
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       count(*) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_in_range,
+        |       min(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS min_in_range
+        |FROM lineitem
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, n_in_range, min_in_range")}""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity")).rangeBetween(-5, 0)
+      dump(li(s, dir)
+        .select(idCols ++ Seq(
+          count(lit(1)).over(w).as("n_in_range"),
+          min("l_extendedprice").over(w).as("min_in_range")): _*))
+    },
+
+    // W7: cumulative (running) aggregates — BIGINT running sum of the
+    // integral quantity column: exact at any depth, no FP accumulation
+    // hazard, which is how a running total should be verified cross-engine.
+    QueryDef("w7_cumulative",
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       sum(CAST(l_quantity AS BIGINT)) OVER ($overSql
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+        |       count(*) OVER ($overSql
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |FROM lineitem
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, cum_qty, cum_n")}""".stripMargin) { (s, dir) =>
+      val w = rolling(bySupp, series, Window.unboundedPreceding, Window.currentRow)
+      dump(li(s, dir)
+        .select(idCols ++ Seq(
+          sum(col("l_quantity").cast("long")).over(w).as("cum_qty"),
+          count(lit(1)).over(w).as("cum_n")): _*))
+    }
+  )
+}

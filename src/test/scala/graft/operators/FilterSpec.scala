@@ -9,11 +9,7 @@ class FilterSpec extends SparkSpec {
 
   private lazy val li = Tables.lineitem(spark, sf).cache()
 
-  test("entry flagship query returns rows") {
-    assert(graft.SparkEntry.entry(spark).count() > 0)
-  }
-
-  test("every registered query runs and (filters) matches a direct filter") {
+  test("predicate builder matches a direct filter") {
     val direct = li.filter(col("l_quantity") >= 45).count()
     val viaBuilder = filterRows(li, Pred("l_quantity", Ge, 45)).count()
     assert(direct === viaBuilder)

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class WindowSpec extends SparkSpec {
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+
+  test("rolling frame aggregates rows i..i+9 (reference oracle intent, stockify.cu:513-521)") {
+    import spark.implicits._
+    val df = Seq.tabulate(20)(i => (1, i, i.toDouble)).toDF("g", "pos", "v")
+    val w = Windows.rolling(Seq(col("g")), Seq(col("pos")), 0, 9)
+    val got = df.select(col("pos"), avg("v").over(w).as("ma"))
+      .orderBy("pos").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // row 0 averages 0..9 = 4.5; row 5 averages 5..14 = 9.5
+    assert(got(0)._2 === 4.5)
+    assert(got(5)._2 === 9.5)
+    // shrinking tail (divergence from the reference's unset tail,
+    // stockify.cu:515): last row averages only itself
+    assert(got(19)._2 === 19.0)
+    // rolling min/max bound the avg pointwise
+    val mins = df.select(min("v").over(w).as("m")).collect().map(_.getDouble(0))
+    val maxs = df.select(max("v").over(w).as("m")).collect().map(_.getDouble(0))
+    val avgs = df.select(avg("v").over(w).as("m")).collect().map(_.getDouble(0))
+    mins.lazyZip(avgs).lazyZip(maxs).foreach { (lo, mid, hi) =>
+      assert(lo <= mid && mid <= hi)
+    }
+  }
+
+  test("partitioned rolling == global rolling restricted to one partition") {
+    val one = li.filter(col("l_suppkey") === 1)
+    val global = one.select(col("l_orderkey"), col("l_linenumber"),
+      avg("l_extendedprice").over(Windows.rolling(Nil,
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice")), 0, 9)).as("ma"))
+    val parted = one.select(col("l_orderkey"), col("l_linenumber"),
+      avg("l_extendedprice").over(Windows.rolling(Seq(col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice")), 0, 9)).as("ma"))
+    assert(global.exceptAll(parted).count() === 0)
+    assert(parted.exceptAll(global).count() === 0)
+  }
+
+  test("partitioned window plan has no single-partition global sort") {
+    val plan = li.select(avg("l_extendedprice").over(
+      Windows.rolling(Seq(col("l_suppkey")), Seq(col("l_shipdate")), 0, 9)))
+      .queryExecution.executedPlan.toString
+    // partitioned windows hash-partition on the key; only the compat-mode
+    // w0 may use SinglePartition
+    assert(plan.contains("hashpartitioning(l_suppkey"), s"plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+  }
+
+  test("running sum is monotone within its partition and ends at partition total") {
+    import spark.implicits._
+    val w = Windows.rolling(Seq(col("g")), Seq(col("pos")),
+      Long.MinValue, 0)
+    val df = Seq((1, 0, 2L), (1, 1, 3L), (1, 2, 5L), (2, 0, 7L)).toDF("g", "pos", "v")
+    val got = df.select(col("g"), col("pos"), sum("v").over(w).as("cum"))
+      .orderBy("g", "pos").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq === Seq((1, 2L), (1, 5L), (1, 10L), (2, 7L)))
+  }
+}
