@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Filters.defs ++
     operators.Aggregates.defs ++
     operators.Windows.defs ++
-    operators.Joins.defs
+    operators.Joins.defs ++
+    operators.IndexPath.defs ++
+    streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → grouped partial/final agg → tiny sort. */

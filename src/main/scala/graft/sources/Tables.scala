@@ -42,7 +42,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+    * outright (ParquetSchemaConverter.illegalType). Read it as raw nanos
+    * (`nanosAsLong`) and materialize both an exact integer-microsecond
+    * column `ts_us` (what cross-engine checks compare on) and a proper
+    * TimestampType `ts` (truncated ns→µs; truncation always rounds down,
+    * so hour/minute windowing agrees with an engine that windows native
+    * ns timestamps). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time operators over the `events` table (SURVEY §7.1 step 6 — the
+  * reference has no streaming at all; this is the Structured Streaming
+  * extension surface).
+  *
+  * Batch and stream share the SAME transformations: `tumbling`/`sliding`/
+  * `sessionize` take any DataFrame with (ts, ts_us, user_id, event_type,
+  * value), so the oracled batch entries below and the micro-batch streaming
+  * tests (StreamingSpec) exercise one code path — which is the point of the
+  * DataFrame-unified model.
+  *
+  * Scale design: windowed aggregation keys are (window, type) — the shuffle
+  * is by window bucket, bounded state; with `withWatermark` the stream
+  * variant evicts state after 1 hour of lateness. Sessionization in batch is
+  * a per-user window (shuffle on user_id, sort within user); the streaming
+  * form of the same thing is flatMapGroupsWithState keyed by user — both
+  * partition by user, never a global order.
+  *
+  * Cross-engine determinism: all window arithmetic is integer math on
+  * epoch MICROSECONDS (`ts_us`, exact BIGINT) — window starts are
+  * `(ts_us div window_us) * window_s` — so Spark and the oracle compute
+  * bit-identical keys; per-row `floor(value*100)` is IEEE-deterministic and
+  * its BIGINT sum commutes.
+  */
+object Streams {
+
+  private val HourUs = 3600L * 1000000L
+  private val HalfHourUs = 1800L * 1000000L
+
+  /** Tumbling 1-hour event-time windows per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("ck_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("n"), col("ck_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("ck_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"), col("n"), col("ck_value"))
+
+  /** 30-minute-gap sessionization per user (batch form: lag + running sum
+    * of session breaks — same semantics the stateful streaming variant in
+    * StreamingSpec implements with flatMapGroupsWithState). */
+  def sessionize(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("brk",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > HalfHourUs, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg((sum("brk") + 1).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // E1: tumbling event-time window — the stream-native form of the
+    // reference's "per time bucket" analytics.
+    QueryDef("e1_tumbling_window",
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS ck_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      tumbling(Tables.events(s, dir)).orderBy("win_start", "event_type")
+    },
+
+    // E2: sliding window, 1h length / 30m slide — the oracle reproduces
+    // Spark's epoch-aligned window set as two tumbling half-hour grids.
+    QueryDef("e2_sliding_window",
+      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |w AS (
+        |  SELECT (us // 1800000000) * 1800 AS win_start, value FROM e
+        |  UNION ALL
+        |  SELECT (us // 1800000000) * 1800 - 1800 AS win_start, value FROM e)
+        |SELECT win_start, CAST(count(*) AS BIGINT) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS ck_value
+        |FROM w GROUP BY win_start
+        |ORDER BY win_start""".stripMargin) { (s, dir) =>
+      sliding(Tables.events(s, dir)).orderBy("win_start")
+    },
+
+    // E3: per-user 30-minute-gap sessionization — the batch twin of
+    // stateful streaming session windows.
+    QueryDef("e3_sessionize",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |x AS (SELECT user_id,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                  > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e)
+        |SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      sessionize(Tables.events(s, dir)).orderBy("user_id")
+    }
+  )
+
+  /** Streaming source: an arriving-files DIRECTORY of events parquet (the
+    * file stream source requires a directory, not a single file) with the
+    * same projected schema as the batch loader (ts_us BIGINT +
+    * ts TIMESTAMP), so batch and stream share every transformation above. */
+  def eventsStream(s: SparkSession, filesDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(raw).parquet(filesDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+}

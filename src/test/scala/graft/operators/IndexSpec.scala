@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** I-family: the sorted layout must actually SKIP data (row-group min/max
+  * pruning), not just pass the same filter. Uses the reference's synthetic
+  * generator shape (S4, stockify.cu:647-657) as the fixture — volume
+  * uniform in [1.2e6, 2.9e6] — probing the reference cutoff region. */
+class IndexSpec extends SparkSpec {
+
+  private val base = "/root/repo/target/graft-idx-test"
+
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+  }
+
+  test("sorted layout prunes row groups; linear scan reads everything") {
+    val rows = 200000L
+    val synth = Tables.syntheticStocks(spark, rows)
+    synth.write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString).parquet(s"$base/unsorted")
+    synth.sort("volume").write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString).parquet(s"$base/sorted")
+
+    val cutoff = 2.6e6 // ~18% tail of [1.2e6, 2.9e6]
+    val sorted = spark.read.parquet(s"$base/sorted").filter(col("volume") >= cutoff)
+    val unsorted = spark.read.parquet(s"$base/unsorted").filter(col("volume") >= cutoff)
+
+    // identical answers ...
+    val a = sorted.count()
+    val b = unsorted.count()
+    assert(a === b && a > 0)
+
+    // ... but the sorted layout's scan emits far fewer rows: the pushed
+    // range predicate skips row groups whose [min,max] lies under the
+    // cutoff. This is the lower_bound-vs-linear-scan effect
+    // (stockify.cu:672-696) expressed as data skipping.
+    val sortedRead = scanOutputRows(sorted)
+    val unsortedRead = scanOutputRows(unsorted)
+    assert(sortedRead < unsortedRead / 2,
+      s"expected row-group skipping: sorted read $sortedRead vs unsorted $unsortedRead")
+  }
+
+  test("i2 and i5 compute identical results (layout cannot change semantics)") {
+    val probe = IndexPath.defs.map(d => d.name -> d).toMap
+    val i2 = probe("i2_index_range_scan").run(spark, sf).collect()
+    val i5 = probe("i5_linear_scan_baseline").run(spark, sf).collect()
+    assert(i2.toSeq === i5.toSeq)
+  }
+
+  test("map-index dedup keeps exactly one row per key (stockify.cu:711-714 quirk)") {
+    val deduped = IndexPath.defs.find(_.name == "i3_map_index_dedup").get.run(spark, sf)
+    val keys = deduped.select("l_partkey").collect().map(_.getLong(0))
+    assert(keys.distinct.length === keys.length)
+    val nKeys = Tables.lineitem(spark, sf).select("l_partkey").distinct().count()
+    assert(keys.length === math.min(nKeys, 2000))
+  }
+}

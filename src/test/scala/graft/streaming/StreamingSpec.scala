@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming micro-batch tests: the same transformations used by
+  * the oracled batch entries, run through readStream → writeStream with
+  * watermarks, must converge to the batch answer once the file source is
+  * exhausted (Trigger.AvailableNow). */
+class StreamingSpec extends SparkSpec {
+
+  /** The file stream source wants a directory of arriving files; stage the
+    * read-only single-file testdata into one. */
+  private lazy val stageDir: String = {
+    val d = new java.io.File(s"/root/repo/target/stream-events-${System.nanoTime()}")
+    d.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"${d.getAbsolutePath}/batch-0.parquet"))
+    d.getAbsolutePath
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", s"/root/repo/target/chk/$name-${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream did not finish")
+  }
+
+  test("streaming tumbling window with watermark == batch tumbling window") {
+    val stream = Streams.eventsStream(spark, stageDir).withWatermark("ts", "1 hour")
+    runToMemory(Streams.tumbling(stream), "tumbling_out", "append")
+    val got = spark.table("tumbling_out")
+      .orderBy("win_start", "event_type").collect()
+    // append mode only emits windows the watermark has closed; every emitted
+    // row must match the batch computation exactly, and most windows close.
+    val want = Streams.tumbling(Tables.events(spark, sf))
+      .orderBy("win_start", "event_type").collect()
+    val wantMap = want.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got.nonEmpty, "watermark emitted no closed windows")
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      assert(wantMap.contains(k), s"unexpected window $k")
+      assert(wantMap(k) === r)
+    }
+    assert(got.length >= want.length - 5, // at most the tail windows open
+      s"too few closed windows: ${got.length} vs batch ${want.length}")
+  }
+
+  test("streaming stateful dedup (dropDuplicates on event_id) keeps batch-distinct count") {
+    val stream = Streams.eventsStream(spark, stageDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    runToMemory(stream, "dedup_out", "complete")
+    val got = spark.table("dedup_out").collect()(0).getLong(0)
+    val want = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(got === want)
+  }
+}
