@@ -16,6 +16,10 @@ object SparkEntry {
     operators.Windows.defs ++
     operators.Joins.defs ++
     operators.IndexPath.defs ++
+    operators.TextAnalysis.defs ++
+    operators.Dedup.defs ++
+    operators.Similarity.defs ++
+    Seq(operators.Similarity.annDef) ++
     streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

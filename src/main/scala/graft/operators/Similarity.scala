@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim) —
+  * north-star extension surface.
+  *
+  * Cosine is built from higher-order functions (`zip_with` + `aggregate`,
+  * SURVEY §4.3): a left-to-right double fold, bit-reproducible across
+  * engines when the oracle mirrors the same element order and double
+  * casts. No UDFs — the lambdas compile to Catalyst expressions and stay
+  * in codegen.
+  *
+  * Scale paths:
+  *   - sim1/sim2 are the BRUTE-FORCE baselines: one broadcast of the tiny
+  *     query side, a narrow map over the big side, top-k via
+  *     TakeOrderedAndProject / per-query window — O(n·q·d) with no
+  *     all-pairs shuffle; correct at any n, cost linear in the corpus.
+  *   - sim3 (IVF) is the sub-linear path: a coarse quantizer (deterministic
+  *     seed vectors), inverted lists bucketed by nearest seed, probe the
+  *     nprobe closest lists only. Unoracled (pruning is approximate);
+  *     SimilaritySpec pins recall@20 >= 0.8 vs sim1's exact answer.
+  *   - d5 (embedding near-dup) joins only WITHIN a blocking key — the
+  *     standard blocked-dedup shape: cost Σ b², never n².
+  */
+object Similarity {
+
+  /** Dot product of two float vectors as an ordered double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity = dot / (||a|| * ||b||), all in doubles. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB rendering of the same fold (list_sum over an in-order list of
+    * per-element double products) — kept textually adjacent to the Scala
+    * so the two trees stay in lockstep. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+    // SIM1: brute-force cosine top-k against one query vector (vec_id 0).
+    // The exact baseline every ANN variant is judged against.
+    QueryDef("sim1_cosine_topk",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       CAST(round(${cosSql("embedding", "qv")}, 6) AS DOUBLE) AS cos
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 6).cast("double").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+    },
+
+    // SIM2: batch kNN join — 10 query vectors × top-5 neighbors each, via a
+    // broadcast of the query side and a per-query ranking window. Ranking
+    // uses the ROUNDED score so tie order is engine-independent.
+    QueryDef("sim2_knn_join",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |         CAST(round(${cosSql("embedding", "qv")}, 6) AS DOUBLE) AS cos
+        |  FROM embeddings, q WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+      val scored = e.crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 6).cast("double").as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    },
+
+    // D5: embedding-cosine near-dup pairs within a blocking key (label) —
+    // the blocked-exact dedup shape: pairs are only formed inside a block,
+    // so the join is keyed (shuffle on label), cost Σ block², never n².
+    QueryDef("d5_embedding_neardup",
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       CAST(round(${cosSql("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("av"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("bv"))
+      a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(cosine(col("av"), col("bv")) >= 0.35)
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("av"), col("bv")), 6).cast("double").as("cos"))
+        .orderBy("a_id", "b_id")
+    }
+  )
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic coarse centroids: every 50th vector (no RNG — resumable
+    * and cross-run stable; a k-means refinement would drop in here). */
+  def seeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+
+  /** IVF build: assign every vector to its nearest seed (inverted lists). */
+  def ivfAssign(e: DataFrame): DataFrame = {
+    val s = broadcast(seeds(e))
+    e.crossJoin(s)
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("sim"), col("c_id"))).as("list_id"),
+        first(col("embedding")).as("embedding"))
+  }
+
+  /** IVF probe: search only the `nprobe` lists closest to the query. The
+    * approximate counterpart of sim1 — SimilaritySpec measures its recall. */
+  def ivfTopK(e: DataFrame, queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv")))
+    val probed = broadcast(seeds(e).crossJoin(q)
+      .select(col("c_id"), cosine(col("cv"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
+      .select(col("c_id").as("list_id")))
+    ivfAssign(e)
+      .join(probed, "list_id") // prune to probed inverted lists
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).cast("double").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** SIM3 as a registered (unoracled) query — approximate result set. */
+  val annDef: QueryDef = QueryDef.unoracled("sim3_ann_ivf") { (s, dir) =>
+    ivfTopK(emb(s, dir), queryVecId = 0L, k = 20, nprobe = 4)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (north star; absent from the reference, which never touches
+  * strings beyond CSV parsing). Everything here is built from codegen'd
+  * built-ins (split / higher-order filter / regexp_* / explode): no UDFs,
+  * so every expression stays inside WholeStageCodegen and the only
+  * shuffles are the final grouped aggregations.
+  *
+  * Cross-engine determinism: token counts and regexp match counts are
+  * integers; ratio/score arithmetic is written with the identical
+  * expression tree on both sides (per-row IEEE doubles are bit-equal),
+  * rounded to 6 digits only at the end.
+  *
+  * Scale: per-document work is embarrassingly parallel (narrow,
+  * partition-local); the grouped profiles shuffle one row per group. The
+  * token histogram is the only explode — its shuffle is (token, partial
+  * count) pairs after map-side combine, not raw tokens.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Stopword list used by quality scoring + language ID. */
+  private val Stops = Seq("the", "a", "of", "and", "is")
+  private val stopsSql = Stops.map(s => s"'$s'").mkString(", ")
+
+  private def toks: Column = split(col("text"), " ")
+  private def nTok: Column = size(toks).cast("long")
+
+  private def countIn(words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words: _*))).cast("long")
+
+  // BPE-ish pre-tokenizer: runs of letters, runs of digits, or a single
+  // non-alphanumeric non-space symbol — the classic byte-pair-encoding
+  // pre-split shape.
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  val defs: Seq[QueryDef] = Seq(
+    // T1: per-language corpus profile.
+    QueryDef("t1_lang_profile",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       sum(n_chars) AS sum_chars,
+        |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_toks,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(nTok).as("sum_toks"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // T2: per-document token counting — whitespace tokens and a BPE-ish
+    // regex pre-tokenization count.
+    QueryDef("t2_token_stats",
+      s"""SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          nTok.as("n_ws_tokens"),
+          regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("len_chars"))
+        .orderBy("doc_id").limit(2000)
+    },
+
+    // T3: quality scoring — length score, stopword ratio, punctuation
+    // ratio, combined into one filterable score (the standard pre-training
+    // corpus-cleaning gate).
+    QueryDef("t3_quality_score",
+      s"""SELECT doc_id,
+        |       CAST(round(
+        |         0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |       + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+        |                     x -> x IN ($stopsSql))) AS DOUBLE)
+        |                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |       + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |                      / CAST(length(text) AS DOUBLE)), 6) AS DOUBLE) AS quality,
+        |       (len(string_split(text, ' ')) >= 20) AS len_ok
+        |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      val lenScore = lit(0.5) * least(nTok.cast("double") / lit(100.0), lit(1.0))
+      val stopScore = lit(0.3) *
+        (countIn(Stops).cast("double") / nTok.cast("double"))
+      val punctScore = lit(0.2) * (lit(1.0) -
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
+          length(col("text")).cast("double"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          round(lenScore + stopScore + punctScore, 6).cast("double").as("quality"),
+          (nTok >= 20).as("len_ok"))
+        .orderBy("doc_id").limit(2000)
+    },
+
+    // T4: marker-token language ID (n-gram-heuristic family) emitted as a
+    // lang × predicted confusion matrix. The argmax tie-break is a pinned
+    // CASE chain so both engines choose identically.
+    QueryDef("t4_langid_confusion",
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('the','and','is'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('el','la','que'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('der','und','die'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('le','les','des'))) AS s_fr
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |            WHEN s_de >= s_fr THEN 'de'
+        |            ELSE 'fr' END AS predicted,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin) { (s, dir) =>
+      val sEn = countIn(Seq("the", "and", "is"))
+      val sEs = countIn(Seq("el", "la", "que"))
+      val sDe = countIn(Seq("der", "und", "die"))
+      val sFr = countIn(Seq("le", "les", "des"))
+      docs(s, dir)
+        .select(col("lang"),
+          when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+            .when(sEs >= sDe && sEs >= sFr, "es")
+            .when(sDe >= sFr, "de")
+            .otherwise("fr").as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // T5: document fingerprints — order-insensitive token-bag hash (md5 of
+    // the sorted distinct token list) plus the raw content hash; the pair
+    // distinguishes reorderings from verbatim copies.
+    QueryDef("t5_fingerprint",
+      """SELECT doc_id,
+        |       md5(text) AS content_fp,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+        |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_fp"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary")).as("bag_fp"))
+        .orderBy("doc_id").limit(2000)
+    },
+
+    // T6: corpus token histogram (top 50) — explode + map-side-combined
+    // count, the canonical vocabulary-building step.
+    QueryDef("t6_token_histogram",
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(50)
+    }
+  )
+}

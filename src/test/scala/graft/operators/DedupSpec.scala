@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exact dedup keeps one survivor per duplicated content") {
+    // corpus has no byte-identical dups; duplicate it to create some
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    val survivors = Dedup.keepFirstBy(doubled, md5(col("text").cast("binary")))
+    assert(survivors.count() === docs.count())
+    // lowest doc_id wins
+    assert(survivors.filter(col("doc_id") >= 1000000).count() === 0)
+  }
+
+  test("normalization collapses case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val variants = Seq("Hello,  World!", "hello world", "HELLO   WORLD.")
+      .toDF("text")
+    val norm = variants.select(Dedup.normalized(col("text")).as("n"))
+      .distinct().collect()
+    assert(norm.length === 1 && norm(0).getString(0) === "hello world")
+  }
+
+  test("LSH finds EXACTLY the exact-Jaccard pair set at tau (100% recall, verified precision)") {
+    val sh = Dedup.shingles(docs).cache()
+    // ground truth: all-pairs exact jaccard via shingle self-join
+    val a = sh.select(col("doc_id").as("a_id"), col("g"))
+    val b = sh.select(col("doc_id").as("b_id"), col("g"))
+    val allPairs = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val truth = Dedup.exactJaccard(sh, allPairs)
+      .filter(col("jac") >= 0.7).select("a_id", "b_id")
+    // pipeline under test
+    val lsh = Dedup.exactJaccard(sh, Dedup.lshCandidates(Dedup.minhashSignature(sh)))
+      .filter(col("jac") >= 0.7).select("a_id", "b_id")
+    assert(truth.exceptAll(lsh).count() === 0, "LSH missed true pairs")
+    assert(lsh.exceptAll(truth).count() === 0, "LSH emitted false pairs")
+    assert(truth.count() > 0, "fixture should contain near-dup pairs")
+  }
+
+  test("LSH candidate set is O(n·bands), not O(n²)") {
+    val n = docs.count()
+    val cand = Dedup.lshCandidates(Dedup.minhashSignature(Dedup.shingles(docs))).count()
+    val allPairs = n * (n - 1) / 2
+    // 500 docs → 124,750 possible pairs; candidates must be a sliver
+    assert(cand < n, s"candidate pairs $cand should be << n=$n (all pairs: $allPairs)")
+  }
+
+  test("minhash similarity estimates jaccard (signature agreement tracks true jaccard)") {
+    val sh = Dedup.shingles(docs).cache()
+    val sig = Dedup.minhashSignature(sh)
+    // signature agreement between the first true near-dup pair
+    val pair = Dedup.exactJaccard(sh,
+      Dedup.lshCandidates(sig)).filter(col("jac") >= 0.7)
+      .orderBy("a_id", "b_id").limit(1).collect()
+    assert(pair.nonEmpty)
+    val (aId, bId, jac) = (pair(0).getLong(0), pair(0).getLong(1), pair(0).getDouble(2))
+    val sa = sig.filter(col("doc_id") === aId).select("slot", "mh")
+    val sb = sig.filter(col("doc_id") === bId).select("slot", "mh")
+    val agree = sa.join(sb, Seq("slot", "mh")).count().toDouble / 64
+    assert(math.abs(agree - jac) < 0.35, s"minhash est $agree vs true $jac")
+  }
+}
