@@ -18,6 +18,7 @@ object SparkEntry {
     operators.IndexPath.defs ++
     operators.TextAnalysis.defs ++
     operators.Dedup.defs ++
+    operators.Multimodal.defs ++
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef) ++
     streaming.Streams.defs

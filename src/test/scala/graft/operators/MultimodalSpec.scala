@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMedia(spark, sf).cache()
+
+  test("decode roundtrip: every synthetic record decodes with consistent metadata") {
+    val meta = Multimodal.decodeMeta(media).cache()
+    assert(meta.count() === media.count())
+    assert(meta.filter(!col("ok")).count() === 0)
+    // dims follow the deterministic fixture law
+    val bad = meta.filter(col("width") =!= (lit(16) + col("media_id") % 64)).count()
+    assert(bad === 0)
+  }
+
+  test("corrupt payloads surface as ok=false rows, not task failures") {
+    import spark.implicits._
+    val corrupt = Seq(
+      Multimodal.MediaFile(1L, "image", Array[Byte](1, 2, 3)),
+      Multimodal.MediaFile(2L, "image",
+        Multimodal.FakeCodec.encode("image", 8, 8, 0, "x".getBytes))).toDS()
+    val meta = Multimodal.decodeMeta(corrupt).collect().sortBy(_.media_id)
+    assert(!meta(0).ok && meta(1).ok)
+  }
+
+  test("frame sampling emits every k-th frame id for videos only") {
+    val meta = Multimodal.decodeMeta(media)
+    val sampled = Multimodal.sampleFrames(meta, step = 5)
+    val row = sampled.join(meta.select(col("media_id"), col("frames")), "media_id")
+      .collect()
+    assert(row.nonEmpty)
+    row.foreach { r =>
+      val ids = r.getAs[scala.collection.Seq[Int]]("frame_ids")
+      val frames = r.getAs[Int]("frames")
+      assert(ids.head === 0 && ids.forall(i => i < frames && i % 5 == 0))
+    }
+    // only videos have frames
+    val nonVideo = sampled.join(meta.filter(col("kind") =!= "video"), "media_id").count()
+    assert(nonVideo === 0)
+  }
+
+  test("byte-histogram features are L1-normalized 64-vectors usable by cosine") {
+    val feats = Multimodal.byteHistogram(media).cache()
+    val sums = feats.select(aggregate(col("feature"), lit(0.0), _ + _).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    // identical payloads → identical features → cosine 1 via Similarity
+    val self = feats.limit(10)
+      .select(Similarity.cosine(col("feature"), col("feature")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("resize scales metadata deterministically and stays decodable") {
+    val resized = Multimodal.decodeMeta(Multimodal.resize(media, 0.5)).cache()
+    assert(resized.filter(!col("ok")).count() === 0)
+    val orig = Multimodal.decodeMeta(media)
+      .select(col("media_id"), col("width").as("w0"))
+    val cmp = resized.join(orig, "media_id")
+      .filter(col("width") =!= floor(col("w0") / 2).cast("int") &&
+        col("width") =!= greatest(floor(col("w0") / 2), lit(1)).cast("int"))
+    assert(cmp.count() === 0)
+  }
+}
