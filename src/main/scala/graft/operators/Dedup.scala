@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * sized for: 16 bands × 4 rows ⇒ P(miss | j=0.9) = (1-0.9⁴)¹⁶ ≈ 4e-8,
   * and this corpus's planted near-dups all sit at j ≥ 0.9 with a clean
   * gap below (verified in DedupSpec at multiple scale factors).
-  * d4's oracle instead mirrors the algorithm itself (md5-nibble signs),
-  * which is engine-replicable string arithmetic.
+  * d4's oracle instead mirrors the algorithm itself (md5-derived integer
+  * bit votes), which both engines compute identically.
   */
 object Dedup {
 
@@ -62,31 +62,48 @@ object Dedup {
   private val Tau = 0.7
 
   /** Distinct word 3-gram shingles per document (1-indexed to mirror the
-    * oracle SQL; docs shorter than the shingle width drop out). */
+    * oracle SQL; docs shorter than the shingle width drop out).
+    *
+    * The corpus arrives as few/one parquet file(s) — repartition on doc_id
+    * BEFORE the per-row shingling so extraction and hashing use the whole
+    * cluster instead of the input file count (single-partition per-row
+    * pipelines were the top bench cost before this). */
   def shingles(d: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    d.filter(size(w) >= Shingle)
+    d.repartition(col("doc_id"))
+      .filter(size(w) >= Shingle)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(w) - (Shingle - 1)),
           i => concat_ws(" ",
             element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))).as("g"))
   }
 
-  /** MinHash signatures: NumHash independent hash slots via xxhash64(slot,
-    * shingle); one (doc, slot) min survives per group. */
-  def minhashSignature(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("g"),
-        explode(sequence(lit(0), lit(NumHash - 1))).as("slot"))
-      .groupBy("doc_id", "slot")
-      .agg(min(xxhash64(col("slot"), col("g"))).as("mh"))
+  /** MinHash signatures as one 64-long array per doc: each shingle row
+    * carries its 64 slot hashes as an array (computed inline, no row
+    * explosion), and the per-doc signature is an element-wise-min fold.
+    * The shuffle moves one array per (doc, shingle) instead of 64 rows —
+    * at 100 TB that is the difference between a 64× exploded exchange and
+    * a plain grouped aggregate. */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    // hash the shingle STRING once; the 64 slot hashes re-hash the cheap
+    // 64-bit value, not the string
+    val g64 = xxhash64(col("g"))
+    val slotHashes = transform(sequence(lit(0), lit(NumHash - 1)),
+      i => xxhash64(g64, i))
+    sh.select(col("doc_id"), slotHashes.as("hs"))
+      .groupBy("doc_id")
+      .agg(aggregate(collect_list("hs"),
+        array_repeat(lit(Long.MaxValue), NumHash),
+        (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
+  }
 
   /** LSH bands: hash each run of `Rows` signature slots; docs sharing any
     * (band, band_hash) bucket become candidate pairs. */
   def lshCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig
-      .withColumn("band", (col("slot") / Rows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(sort_array(collect_list(struct(col("slot"), col("mh"))))).as("bh"))
+    val bandHashes = transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(slice(col("sig"), b * Rows + 1, lit(Rows))))
+    val bands = sig.select(col("doc_id"),
+      posexplode(bandHashes).as(Seq("band", "bh")))
     bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
       .join(bands.select(col("band"), col("bh"), col("doc_id").as("b_id")),
         Seq("band", "bh"))
@@ -164,23 +181,24 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
-    // D4: SimHash (Charikar) — 32 nibble-sign bits, frequency-weighted:
-    // every token OCCURRENCE votes ±1 per bit position from its md5
-    // nibbles, so the fingerprint reflects the term-frequency profile, not
-    // just the token set (this corpus's vocabulary is ~31 words — an
-    // unweighted set-simhash collides almost everywhere). Docs with
-    // IDENTICAL fingerprints pair up (hamming-0 buckets). The oracle
-    // replicates the fingerprint arithmetic itself — string + CASE math
-    // both engines compute identically.
+    // D4: SimHash (Charikar) — 32-bit, frequency-weighted: every token
+    // OCCURRENCE votes ±1 per bit position, bits drawn from the first 32
+    // bits of the token's md5 (hex parsed to an integer ONCE per token;
+    // the per-bit vote is then two integer ops, not a substring — the
+    // 32-substring form was the top bench cost and its codegen was
+    // unstable). Docs with IDENTICAL fingerprints pair up (hamming-0
+    // buckets, a keyed self-join — no all-pairs). The oracle replicates
+    // the fingerprint arithmetic itself: integer shifts both engines
+    // compute identically.
     QueryDef("d4_simhash_pairs", {
       val sums = (0 until 32).map(p =>
-        s"sum(CASE WHEN substr(h, ${p + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$p")
+        s"sum(((v >> $p) & 1) * 2 - 1) AS b$p")
         .mkString(",\n        |        ")
       val fp = (0 until 32).map(p => s"(CASE WHEN b$p >= 0 THEN '1' ELSE '0' END)")
         .mkString(" || ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |             FROM documents),
-        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v FROM tok),
         |s AS (SELECT doc_id,
         |        $sums
         |      FROM h GROUP BY doc_id),
@@ -190,11 +208,12 @@ object Dedup {
         |ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
       val tok = docs(s, dir)
+        .repartition(col("doc_id")) // parallelize past the single input file
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("h", md5(col("t").cast("binary")))
-      val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+        .withColumn("v",
+          conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"))
       val sums = (0 until 32).map(p =>
-        sum(when(substring(col("h"), p + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$p"))
+        sum(shiftright(col("v"), p).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$p"))
       val fp = concat((0 until 32).map(p =>
         when(col(s"b$p") >= 0, "1").otherwise("0")): _*)
       val f = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)

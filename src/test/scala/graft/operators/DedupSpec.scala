@@ -60,9 +60,11 @@ class DedupSpec extends SparkSpec {
       .orderBy("a_id", "b_id").limit(1).collect()
     assert(pair.nonEmpty)
     val (aId, bId, jac) = (pair(0).getLong(0), pair(0).getLong(1), pair(0).getDouble(2))
-    val sa = sig.filter(col("doc_id") === aId).select("slot", "mh")
-    val sb = sig.filter(col("doc_id") === bId).select("slot", "mh")
-    val agree = sa.join(sb, Seq("slot", "mh")).count().toDouble / 64
+    def sigOf(id: Long): Seq[Long] =
+      sig.filter(col("doc_id") === id).collect()(0)
+        .getAs[scala.collection.Seq[Long]]("sig").toSeq
+    val (sa, sb) = (sigOf(aId), sigOf(bId))
+    val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
     assert(math.abs(agree - jac) < 0.35, s"minhash est $agree vs true $jac")
   }
 }
