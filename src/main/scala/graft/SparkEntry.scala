@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.Multimodal.defs ++
     operators.Similarity.defs ++
-    Seq(operators.Similarity.annDef) ++
+    Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
+    operators.SqlSurface.defs ++
     streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

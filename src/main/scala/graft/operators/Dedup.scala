@@ -181,6 +181,44 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // D6: exact n-gram Jaccard via the shingle INVERTED-INDEX join (no
+    // LSH): pairs sharing any shingle meet in the index, intersection
+    // counts are grouped, sizes close the formula. Exact and complete at
+    // any threshold — but the index join inherits hot-shingle skew, which
+    // is exactly why d3's LSH is the 100 TB path; this is the precise
+    // sibling for moderate corpora and the oracle-shape ground truth.
+    QueryDef("d6_ngram_jaccard",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM ws, generate_series(1, 200) s(i)
+        |       WHERE len(w) >= $Shingle AND i <= len(w) - ${Shingle - 1}),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
+        |          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON a_id = sa.doc_id
+        |JOIN sz sb ON b_id = sb.doc_id
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingles(docs(s, dir)).cache()
+      val inter = sh.select(col("doc_id").as("a_id"), col("g"))
+        .join(sh.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.3)
+        .select(col("a_id"), col("b_id"),
+          round(col("jac"), 6).cast("double").as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
     // D4: SimHash (Charikar) — 32-bit, frequency-weighted: every token
     // OCCURRENCE votes ±1 per bit position, bits drawn from the first 32
     // bits of the token's md5 (hex parsed to an integer ONCE per token;

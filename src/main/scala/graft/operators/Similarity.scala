@@ -172,4 +172,26 @@ object Similarity {
   val annDef: QueryDef = QueryDef.unoracled("sim3_ann_ivf") { (s, dir) =>
     ivfTopK(emb(s, dir), queryVecId = 0L, k = 20, nprobe = 4)
   }
+
+  /** SIM4: identical semantics to sim1 through the NATIVE codegen'd
+    * expression (graft.functions.CosineSimilarity) — same oracle, same
+    * bits, one fused loop inside WholeStageCodegen instead of three
+    * interpreted HOF passes. The bench pair sim1/sim4 quantifies the
+    * native-expression speedup on the same plan shape. */
+  val nativeDef: QueryDef = QueryDef("sim4_cosine_topk_native",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |       CAST(round(${cosSql("embedding", "qv")}, 6) AS DOUBLE) AS cos
+      |FROM embeddings, q
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.CosineNative.register(s)
+    val e = emb(s, dir)
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(expr("cosine_native(embedding, qv)"), 6).cast("double").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+  }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SQL-string surface plus relational-algebra completions the reference
+  * lacks entirely (SURVEY §2.7): set operations, CUBE grouping sets, scalar
+  * date/string/math functions, and explicit top-k. Everything compiles to
+  * the same Catalyst plans as the DataFrame entries — `spark.sql` is just
+  * another frontend — so pushdown/pruning/codegen behavior is identical.
+  */
+object SqlSurface {
+
+  private def viewsReady(s: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      Tables.table(s, dir, t).createOrReplaceTempView(t)
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+    // SQL1: the flagship Q1 shape submitted as a SQL STRING — proves the
+    // engine's `spark.sql` frontend reaches the same operators (and the
+    // same plan) as the DataFrame API.
+    QueryDef("sql1_q1_via_sql",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      viewsReady(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+              |       CAST(count(*) AS BIGINT) AS n
+              |FROM lineitem
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // SET1: union / intersect / except with exact grouped checksums —
+    // the set-algebra completions (distinct semantics per ANSI).
+    QueryDef("set1_union_intersect_except",
+      """WITH hi AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 40),
+        |     lo AS (SELECT l_orderkey FROM lineitem WHERE l_extendedprice < 20000)
+        |SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck
+        |FROM (SELECT l_orderkey FROM hi UNION SELECT l_orderkey FROM lo)
+        |UNION ALL
+        |SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck
+        |FROM (SELECT l_orderkey FROM hi INTERSECT SELECT l_orderkey FROM lo)
+        |UNION ALL
+        |SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck
+        |FROM (SELECT l_orderkey FROM hi EXCEPT SELECT l_orderkey FROM lo)
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val hi = li.filter(col("l_quantity") >= 40).select("l_orderkey")
+      val lo = li.filter(col("l_extendedprice") < 20000).select("l_orderkey")
+      def ck(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"), sum("l_orderkey").as("ck"))
+          .select(lit(tag).as("op"), col("n"), col("ck"))
+      ck("union", hi.union(lo).distinct())
+        .union(ck("intersect", hi.intersect(lo)))
+        .union(ck("except", hi.except(lo)))
+        .orderBy("op")
+    },
+
+    // CUBE1: full grouping-set lattice (CUBE = every subset of the keys).
+    QueryDef("cube1_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // FN1: scalar date/string/math function library over the fact table —
+    // the per-row function surface the reference never had (dates stayed
+    // strings end-to-end there, SURVEY §2.7).
+    QueryDef("fn1_scalar_functions",
+      """SELECT CAST(year(l_shipdate) AS INT) AS y,
+        |       CAST(quarter(l_shipdate) AS INT) AS q,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       sum(CAST(floor(abs(l_extendedprice - l_quantity * 1000) * 100) AS BIGINT)) AS ck_gap,
+        |       min(upper(l_returnflag) || '-' || CAST(l_linenumber AS VARCHAR)) AS min_tag
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY y, q""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(year(col("l_shipdate")).as("y"), quarter(col("l_shipdate")).as("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(abs(col("l_extendedprice") - col("l_quantity") * 1000) * 100)
+            .cast("long")).as("ck_gap"),
+          min(concat(upper(col("l_returnflag")), lit("-"),
+            col("l_linenumber").cast("string"))).as("min_tag"))
+        .orderBy("y", "q")
+    },
+
+    // TOP1: explicit top-k as an operator (global ORDER BY + LIMIT plans as
+    // TakeOrderedAndProject: per-partition heaps + one k-row merge, the
+    // scale-safe top-k — never a full global sort).
+    QueryDef("top1_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }
+  )
+}

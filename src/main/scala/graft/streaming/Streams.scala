@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.QueryDef
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -108,6 +108,45 @@ object Streams {
       sessionize(Tables.events(s, dir)).orderBy("user_id")
     }
   )
+
+  /** Per-user session state carried across micro-batches. */
+  final case class SessionAgg(lastTsUs: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState — the
+    * custom-state API (KeyValueGroupedDataset) the windowed built-ins can't
+    * express: a per-user 30-minute-gap session counter whose state
+    * (last-seen timestamp + running counts) survives across micro-batches.
+    *
+    * Emits the updated per-user totals on every batch (OutputMode.Update).
+    * Within a batch, events are sorted by event time; across batches the
+    * counter assumes in-order arrival per user (the production variant
+    * would add a watermark + out-of-order buffer in the state).
+    * StreamingSpec pins this against the batch `sessionize` on one pass. */
+  def sessionizeStateful(events: DataFrame): Dataset[UserSessions] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("ts_us").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          val prev = state.getOption.getOrElse(SessionAgg(Long.MinValue, 0L, 0L))
+          var last = prev.lastTsUs
+          var sessions = prev.sessions
+          var n = prev.events
+          sorted.foreach { ts =>
+            if (last == Long.MinValue || ts - last > HalfHourUs) sessions += 1
+            last = ts
+            n += 1
+          }
+          state.update(SessionAgg(last, sessions, n))
+          Iterator(UserSessions(uid, sessions, n))
+      }
+  }
 
   /** Streaming source: an arriving-files DIRECTORY of events parquet (the
     * file stream source requires a directory, not a single file) with the

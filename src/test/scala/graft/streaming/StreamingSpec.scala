@@ -53,6 +53,21 @@ class StreamingSpec extends SparkSpec {
       s"too few closed windows: ${got.length} vs batch ${want.length}")
   }
 
+  test("flatMapGroupsWithState sessionization == batch sessionize after one pass") {
+    val stream = Streams.sessionizeStateful(Streams.eventsStream(spark, stageDir))
+    runToMemory(stream.toDF(), "sessions_out", "update")
+    // Update mode re-emits per batch; AvailableNow over one file = one batch
+    val got = spark.table("sessions_out")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Streams.sessionize(Tables.events(spark, sf))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("streaming stateful dedup (dropDuplicates on event_id) keeps batch-distinct count") {
     val stream = Streams.eventsStream(spark, stageDir)
       .withWatermark("ts", "1 hour")
