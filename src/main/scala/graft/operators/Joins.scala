@@ -25,6 +25,27 @@ object Joins {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** Salted equi-join for skewed keys: the big side scatters each (possibly
+    * hot) key across `salts` sub-keys; the small side replicates each row
+    * once per salt. The shuffle then distributes a hot key over `salts`
+    * reducers instead of melting one. (AQE's skew-join split handles the
+    * sort-merge case automatically; this is the explicit form for when the
+    * optimizer can't see the skew — e.g. aggregation-free pipelines.)
+    * Requires `left.key === right.key` equi-semantics; result equals the
+    * plain join exactly (JoinSpec asserts it). */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(bigKey), monotonically_increasing_id()), lit(salts)).cast("int"))
+    val explodedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(explodedSmall,
+        saltedBig(bigKey) === explodedSmall(smallKey) &&
+          saltedBig("__salt") === explodedSmall("__salt"))
+      .drop("__salt")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // J1: TPC-H Q3 shape — selective dim filter broadcast into two fact
     // joins, grouped revenue, top-k by revenue.
