@@ -156,6 +156,30 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // A10: exact interpolated percentiles. Computed over the INTEGER-valued
+    // quantity column on purpose: interpolation fractions are quarters, so
+    // every possible output (k + {0, .25, .5, .75}) is binary-exact and the
+    // engines' differing interpolation formulas cannot produce different
+    // bits. (Percentiles of arbitrary doubles would need tolerance, not
+    // hash, comparison.) Requires one full sort of the group — the approx
+    // sketch (a8-style) is the 100 TB path for percentiles too.
+    QueryDef("a10_percentiles",
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.50) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       min(l_quantity) AS lo, max(l_quantity) AS hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.50)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+        .orderBy("l_returnflag")
+    },
+
     // A9: grouping sets via ROLLUP — free generalization of grouped aggs
     // (SURVEY §2.7). NULLS FIRST pinned on both sides (DuckDB defaults
     // NULLS LAST on ASC; Spark defaults NULLS FIRST).

@@ -101,6 +101,39 @@ object SqlSurface {
         .orderBy("y", "q")
     },
 
+    // JSON1: semi-structured column handling — events.props is a JSON
+    // string; extract + aggregate a field. At scale this is the schema-on-
+    // read path for property bags (get_json_object stays in codegen).
+    QueryDef("json1_extract",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    // PIVOT1: grouped pivot (wide per-category columns) — oracle mirrors
+    // it as per-category conditional sums (NULL when a cell has no rows,
+    // matching pivot semantics). Exact integer cells.
+    QueryDef("pivot1_events", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cells = types.map(t =>
+        s"sum(CASE WHEN event_type = '$t' THEN CAST(floor(value * 100) AS BIGINT) END) AS $t")
+        .mkString(",\n        |       ")
+      s"""SELECT user_id % 10 AS cohort,
+        |       $cells
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+    }) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(floor(col("value") * 100).cast("long")))
+        .orderBy("cohort")
+    },
+
     // TOP1: explicit top-k as an operator (global ORDER BY + LIMIT plans as
     // TakeOrderedAndProject: per-partition heaps + one k-row merge, the
     // scale-safe top-k — never a full global sort).

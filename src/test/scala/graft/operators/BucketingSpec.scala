@@ -12,6 +12,16 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed fact-fact join plans without shuffle exchanges") {
     val buckets = 8
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dir persists — clear both so saveAsTable can recreate
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     Tables.lineitem(spark, sf).write.mode("overwrite")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")

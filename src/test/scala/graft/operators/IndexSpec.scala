@@ -50,6 +50,20 @@ class IndexSpec extends SparkSpec {
       s"expected row-group skipping: sorted read $sortedRead vs unsorted $unsortedRead")
   }
 
+  test("partitionBy layout + filter → partition pruning at the scan") {
+    val out = s"$base/by-flag"
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(out)
+    val df = spark.read.parquet(out).filter(col("l_returnflag") === "R")
+    // the predicate becomes a PartitionFilter — non-matching directories
+    // are never listed, the strongest form of data skipping
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"expected partition pruning in plan:\n$plan")
+    assert(df.count() ===
+      Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count())
+  }
+
   test("i2 and i5 compute identical results (layout cannot change semantics)") {
     val probe = IndexPath.defs.map(d => d.name -> d).toMap
     val i2 = probe("i2_index_range_scan").run(spark, sf).collect()
