@@ -41,6 +41,16 @@ class JoinSpec extends SparkSpec {
     assert(joined.select("o_orderkey").distinct().count() === orders.count())
   }
 
+  test("registered j2 star join broadcasts every dimension (single fact-fact shuffle at most)") {
+    val q = Joins.defs.find(_.name == "j2_star_q5").get.run(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast dim joins, got $nBroadcast:\n$plan")
+    // nation/region/supplier/customer must never shuffle the fact table
+    val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(nSmj <= 1, s"at most the lineitem-orders join may sort-merge:\n$plan")
+  }
+
   test("inner join row count equals sum of per-key products") {
     val n = li.join(orders, col("l_orderkey") === col("o_orderkey")).count()
     // orders has unique o_orderkey, so inner join count == lineitems with a
