@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
     operators.SqlSurface.defs ++
+    operators.Typed.defs ++
     streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

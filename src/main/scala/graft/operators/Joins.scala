@@ -152,6 +152,25 @@ object Joins {
         .orderBy("o_orderpriority")
     },
 
+    // J7: TPC-H Q6 shape — the pure scan-side query: three pushed range
+    // predicates, no join, no group key, one global sum. The classic
+    // "how fast can you move bytes" probe; every predicate must reach the
+    // parquet reader as a PushedFilter.
+    QueryDef("j7_q6_revenue",
+      """SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // J6: left outer join with a selective right side — match accounting per
     // order status (count(col) vs count(*) exposes the null-extension rows).
     QueryDef("j6_outer_join",

@@ -150,6 +150,40 @@ object TextAnalysis {
         .orderBy("doc_id").limit(2000)
     },
 
+    // T7: winnowing fingerprints (the MOSS scheme): hash every 8-char
+    // k-gram, take the minimum hash in each sliding window of 4, keep the
+    // distinct minima. Robust local fingerprints for plagiarism/overlap
+    // detection — guaranteed to share fingerprints with any document that
+    // shares a sufficiently long substring. Emitted as per-doc fingerprint
+    // profile (count + extremes) for compact verification.
+    QueryDef("t7_winnowing",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, length(text) - 7),
+        |                        i -> md5(substr(text, i, 8))) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(hs) - 3),
+        |                        j -> list_min(hs[j:j+3])) AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS n_fps,
+        |       list_min(fps) AS min_fp, list_aggregate(fps, 'max') AS max_fp
+        |FROM f ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .repartition(col("doc_id")) // parallelize past the single input file
+        .filter(length(col("text")) >= 11)
+        .withColumn("hs",
+          expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))"))
+        .withColumn("fps",
+          expr("transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"))
+        .select(col("doc_id"),
+          size(array_distinct(col("fps"))).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id").limit(2000)
+    },
+
     // T6: corpus token histogram (top 50) — explode + map-side-combined
     // count, the canonical vocabulary-building step.
     QueryDef("t6_token_histogram",
