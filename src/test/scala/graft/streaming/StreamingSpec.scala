@@ -68,6 +68,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("stream-stream interval join (click→view within 24 h) matches batch self-join") {
+    val clicks = Streams.eventsStream(spark, stageDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 days")
+    val views = Streams.eventsStream(spark, stageDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      .withWatermark("v_ts", "2 days")
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+      .select("c_id", "v_id")
+    runToMemory(joined, "ssjoin_out", "append")
+    val got = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.events(spark, sf)
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_us"), col("event_id").as("c_id"))
+    val bv = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_us").as("v_us"), col("event_id").as("v_id"))
+    val want = bc.join(bv,
+      col("user_id") === col("v_user") &&
+        col("v_us") >= col("c_us") &&
+        col("v_us") <= col("c_us") + 86400L * 1000000L)
+      .select("c_id", "v_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming stateful dedup (dropDuplicates on event_id) keeps batch-distinct count") {
     val stream = Streams.eventsStream(spark, stageDir)
       .withWatermark("ts", "1 hour")
