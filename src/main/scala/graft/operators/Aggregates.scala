@@ -36,12 +36,13 @@ object Aggregates {
   val defs: Seq[QueryDef] = Seq(
     // A1 (stockify.cu:135-138): global SUM(low) -> sum(l_extendedprice).
     QueryDef("a1_sum_global",
-      """SELECT CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
-        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin) { (s, dir) =>
       li(s, dir).agg(
-        round(sum("l_extendedprice"), 2).cast("double").as("sum_price"),
-        round(sum("l_quantity"), 2).cast("double").as("sum_qty"))
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .cast("double").as("sum_price"),
+        sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"))
     },
 
     // A2 (stockify.cu:556-562): global MIN(low) -> min(l_extendedprice).
@@ -75,15 +76,20 @@ object Aggregates {
     },
 
     // A5: grouped aggregation (TPC-H Q1 shape) — the flagship query.
+    // Money sums are computed as EXACT integer-scaled sums then divided
+    // back (per-row round of a near-integer double is deterministic; BIGINT
+    // sums commute), so both engines round the SAME double — a plain
+    // round(sum(4-decimal products), 2) can land exactly on a .xx5 decimal
+    // boundary where independent accumulation noise flips the last digit.
     QueryDef("a5_group_flag_status",
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-        |       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-        |       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
-        |       CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
-        |       CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
-        |       CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS sum_charge,
+        |       CAST(round(sum(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS avg_qty,
+        |       CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS avg_price,
+        |       CAST(round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -96,7 +102,7 @@ object Aggregates {
         |       CAST(count(*) AS BIGINT) AS n,
         |       min(l_extendedprice) AS lo,
         |       max(l_extendedprice) AS hi,
-        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY ship_day""".stripMargin) { (s, dir) =>
@@ -106,7 +112,7 @@ object Aggregates {
           count(lit(1)).as("n"),
           min("l_extendedprice").as("lo"),
           max("l_extendedprice").as("hi"),
-          round(sum("l_quantity"), 2).cast("double").as("sum_qty"))
+          sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"))
         .orderBy("ship_day")
     },
 
@@ -199,20 +205,27 @@ object Aggregates {
     }
   )
 
-  /** TPC-H Q1 shape, also exposed as `SparkEntry.entry` (flagship). */
-  def q1TpchStyle(s: SparkSession, dir: String): DataFrame =
+  /** TPC-H Q1 shape, also exposed as `SparkEntry.entry` (flagship).
+    * Monetary aggregates go through exact integer-scaled sums (see a5
+    * comment) so the cross-engine compare rounds identical doubles. */
+  def q1TpchStyle(s: SparkSession, dir: String): DataFrame = {
+    val qtyL = col("l_quantity").cast("long")
+    val price100 = round(col("l_extendedprice") * 100).cast("long")
+    val disc100 = round(col("l_discount") * 100).cast("long")
+    val net1e4 = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")
+    val charge1e6 = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * (lit(1) + col("l_tax")) * 1000000).cast("long")
     li(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).cast("double").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).cast("double").as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .cast("double").as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
-        round(avg("l_quantity"), 4).cast("double").as("avg_qty"),
-        round(avg("l_extendedprice"), 4).cast("double").as("avg_price"),
-        round(avg("l_discount"), 4).cast("double").as("avg_disc"),
+        sum(qtyL).cast("double").as("sum_qty"),
+        (sum(price100) / 100.0).cast("double").as("sum_base_price"),
+        round(sum(net1e4) / 10000.0, 2).cast("double").as("sum_disc_price"),
+        round(sum(charge1e6) / 1000000.0, 2).cast("double").as("sum_charge"),
+        round(sum(qtyL) / count(lit(1)).cast("double"), 4).cast("double").as("avg_qty"),
+        round(sum(price100) / 100.0 / count(lit(1)).cast("double"), 4).cast("double").as("avg_price"),
+        round(sum(disc100) / 100.0 / count(lit(1)).cast("double"), 4).cast("double").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 }

@@ -51,7 +51,7 @@ object Joins {
     // joins, grouped revenue, top-k by revenue.
     QueryDef("j1_broadcast_q3",
       """SELECT l_orderkey,
-        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS revenue,
         |       CAST(o_orderdate AS DATE) AS odate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -66,8 +66,8 @@ object Joins {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .cast("double").as("revenue"))
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0, 2).cast("double").as("revenue"))
         .select("l_orderkey", "revenue", "odate")
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(20)
     },
@@ -76,7 +76,7 @@ object Joins {
     // the c_nationkey = s_nationkey condition closes the snowflake.
     QueryDef("j2_star_q5",
       """SELECT n_name,
-        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -98,8 +98,8 @@ object Joins {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .cast("double").as("revenue"))
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0, 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -157,7 +157,7 @@ object Joins {
     // "how fast can you move bytes" probe; every predicate must reach the
     // parquet reader as a PushedFilter.
     QueryDef("j7_q6_revenue",
-      """SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+      """SELECT CAST(round(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -166,8 +166,8 @@ object Joins {
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-          .cast("double").as("revenue"),
+        .agg(round(sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+          .cast("long")) / 10000.0, 2).cast("double").as("revenue"),
           count(lit(1)).as("n"))
     },
 

@@ -34,13 +34,13 @@ import org.apache.spark.sql.functions._
   *   - row dumps are top-k (TakeOrderedAndProject, no global sort) ordered
   *     by EVERY emitted column, so tied prefixes cannot reorder across
   *     engines;
-  *   - windowed avg is rounded to 4 digits on both sides — accumulation
-  *     orders differ (Spark recomputes each sliding frame, DuckDB uses a
-  *     segment tree), and 2-digit rounding would sit ON the .xx5 grid that
-  *     averaging 2-decimal prices over 10 rows produces (real flake seen in
-  *     dev: 53196.745 → .74 vs .75). At 4 digits the rounding boundaries
-  *     (k*1e-4 + 5e-5) are disjoint from the value grid (k*1e-3). Windowed
-  *     min/max/count/lag/lead and BIGINT running sums are exact, unrounded.
+  *   - the moving average is computed from an EXACT integer-scaled window
+  *     sum (round(price*100) per row → BIGINT window sum → /100/count):
+  *     engines' window-aggregation strategies differ (Spark recomputes
+  *     each sliding frame, DuckDB uses a segment tree), but integer sums
+  *     are order-independent, so both engines round the SAME double (a
+  *     plain avg flipped a 2-digit rounding in dev: 53196.745 → .74/.75).
+  *     Windowed min/max/count/lag/lead and BIGINT running sums are exact.
   */
 object Windows {
 
@@ -77,14 +77,17 @@ object Windows {
     // single global series).
     QueryDef("w1_moving_avg",
       s"""SELECT l_suppkey, l_orderkey, l_linenumber,
-        |       CAST(round(avg(l_extendedprice) OVER ($overSql
-        |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING), 4) AS DOUBLE) AS mov_avg
+        |       CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER ($overSql
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) / 100.0
+        |         / (count(*) OVER ($overSql
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)), 4) AS DOUBLE) AS mov_avg
         |FROM lineitem
         |${dumpSql("l_suppkey, l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
+      val w = rolling(bySupp, series, 0, 9)
       dump(li(s, dir)
         .select(idCols :+
-          round(avg("l_extendedprice").over(rolling(bySupp, series, 0, 9)), 4)
-            .cast("double").as("mov_avg"): _*))
+          round(sum(round(col("l_extendedprice") * 100).cast("long")).over(w) / 100.0
+            / count(lit(1)).over(w), 4).cast("double").as("mov_avg"): _*))
     },
 
     // W2 (stockify.cu:153-162): 10-row rolling MIN — exact, unrounded.
@@ -118,15 +121,19 @@ object Windows {
     // sort; at 100 TB use w1's partitioned form.
     QueryDef("w0_moving_avg_compat",
       s"""SELECT l_orderkey, l_linenumber,
-        |       CAST(round(avg(l_extendedprice) OVER (
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
-        |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING), 4) AS DOUBLE) AS mov_avg
+        |       CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) / 100.0
+        |         / (count(*) OVER (
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)), 4) AS DOUBLE) AS mov_avg
         |FROM lineitem
         |${dumpSql("l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
+      val w = rolling(Nil, series, 0, 9)
       dump(li(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(avg("l_extendedprice").over(rolling(Nil, series, 0, 9)), 4)
-            .cast("double").as("mov_avg")))
+          round(sum(round(col("l_extendedprice") * 100).cast("long")).over(w) / 100.0
+            / count(lit(1)).over(w), 4).cast("double").as("mov_avg")))
     },
 
     // W4: lag/lead + first-difference — same machinery, no accumulation, so
