@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle mirror — elements left to right, float widened to double,
   * dot/(sqrt(na)*sqrt(nb)) — so all three produce bit-identical doubles
   * (CosineNativeSpec asserts exact equality against the HOF fold).
+  *
+  * Totality: this expression divides in JVM doubles, so a zero-norm vector
+  * yields NaN (filterable); the HOF form goes through Catalyst's Divide,
+  * which under ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO instead —
+  * EdgeCaseSpec pins both behaviors.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

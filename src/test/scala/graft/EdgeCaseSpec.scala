@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Empty-input and degenerate-input behavior — the cases the reference
+  * never handles (no error handling anywhere in stockify.cu; SURVEY §5.2
+  * item 2). Operators must return empty/neutral results, not throw. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+  private lazy val empty = li.filter(lit(false)).cache()
+
+  test("filters, windows, and aggregates over an empty table") {
+    assert(Filters.filterRows(empty, Filters.Pred("l_quantity", Filters.Ge, 0)).count() === 0)
+    val spec = Windows.rolling(Seq(col("l_suppkey")),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), 0, 9)
+    assert(empty.select(avg("l_extendedprice").over(spec)).count() === 0)
+    val r = empty.agg(sum("l_quantity"), count(lit(1)), min("l_quantity")).collect()(0)
+    assert(r.isNullAt(0) && r.getLong(1) === 0L && r.isNullAt(2))
+  }
+
+  test("dedup pipeline over empty and single-doc corpora") {
+    val docs = Tables.documents(spark, sf)
+    val none = docs.filter(lit(false))
+    assert(Dedup.shingles(none).count() === 0)
+    assert(Dedup.lshCandidates(Dedup.minhashSignature(Dedup.shingles(none))).count() === 0)
+    // one doc → shingles but zero candidate pairs
+    val one = docs.limit(1)
+    val sh1 = Dedup.shingles(one)
+    assert(sh1.count() > 0)
+    assert(Dedup.lshCandidates(Dedup.minhashSignature(sh1)).count() === 0)
+  }
+
+  test("document shorter than the shingle width drops out instead of crashing") {
+    import spark.implicits._
+    val tiny = Seq((1L, "only two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(tiny)
+    assert(sh.filter(col("doc_id") === 1).count() === 0)
+    assert(sh.filter(col("doc_id") === 2).count() === 2) // 4 words → 2 trigrams
+  }
+
+  test("joins with an empty side behave per join type") {
+    val orders = Tables.orders(spark, sf)
+    val noLines = li.filter(lit(false))
+    assert(orders.join(noLines, col("o_orderkey") === col("l_orderkey")).count() === 0)
+    assert(orders.join(noLines, col("o_orderkey") === col("l_orderkey"), "left_semi").count() === 0)
+    assert(orders.join(noLines, col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+      === orders.count())
+    assert(orders.join(noLines, col("o_orderkey") === col("l_orderkey"), "left").count()
+      === orders.count())
+  }
+
+  test("zero-vector cosine: native expression is total (NaN); HOF follows ANSI divide") {
+    import spark.implicits._
+    graft.functions.CosineNative.register(spark)
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    // the SQL-expression form inherits ANSI division semantics: 0/0 errors
+    // under spark.sql.ansi.enabled (Spark 4 default)
+    val hofFails = intercept[Exception] {
+      df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    }
+    assert(hofFails.getMessage.contains("DIVIDE_BY_ZERO"))
+    // the native expression computes in JVM doubles: total function, NaN out
+    val viaNative = df.select(expr("cosine_native(a, b)").as("c")).collect()(0).getDouble(0)
+    assert(viaNative.isNaN)
+    assert(df.select(expr("cosine_native(a, b)").as("c"))
+      .filter(!isnan(col("c"))).count() === 0)
+  }
+}
