@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * reference (SURVEY §2.7); they are the natural generalization and come
   * from the same partial/final machinery with the group key as shuffle key.
   *
-  * Float discipline: sums/avgs are rounded on both engine and oracle side so
+  * Float discipline: grid-aligned money sums/avgs go through EXACT
+  * integer-scaled sums (per-row round(x*scale) → BIGINT sum → divide), so
   * accumulation order (which Spark does not fix across partitions) cannot
-  * flip the differential check — the reference's exact-float `==` checks
+  * flip the differential check; irrational-valued aggregates (stddev) are
+  * rounded instead. The reference's exact-float `==` checks
   * (stockify.cu:502) are a bug we deliberately do not reproduce.
   */
 object Aggregates {
