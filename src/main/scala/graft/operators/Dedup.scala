@@ -250,6 +250,11 @@ object Dedup {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .withColumn("v",
           conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"))
+      // 32 codegen'd integer-vote sums. (An array-fold variant — one
+      // aggregate over per-token ±1 vectors — was tried and is ~10× slower:
+      // the interpreted zip_with fold allocates per token. The wide
+      // generated aggregate pays a one-time JIT compile on first run and
+      // then executes at full codegen speed.)
       val sums = (0 until 32).map(p =>
         sum(shiftright(col("v"), p).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$p"))
       val fp = concat((0 until 32).map(p =>

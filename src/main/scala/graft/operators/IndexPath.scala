@@ -45,6 +45,10 @@ object IndexPath {
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       Tables.lineitem(s, dir)
         .sort("l_partkey")
+        // coalesce AFTER the range sort: adjacent sorted ranges concatenate,
+        // so files stay key-clustered (pruning keeps working) without the
+        // per-file task overhead of one file per shuffle partition
+        .coalesce(4)
         .write.mode("overwrite")
         .option("parquet.block.size", (1 << 20).toString)
         .parquet(out)
