@@ -34,13 +34,18 @@ import org.apache.spark.sql.functions._
   *   - row dumps are top-k (TakeOrderedAndProject, no global sort) ordered
   *     by EVERY emitted column, so tied prefixes cannot reorder across
   *     engines;
-  *   - the moving average is computed from an EXACT integer-scaled window
-  *     sum (round(price*100) per row → BIGINT window sum → /100/count):
-  *     engines' window-aggregation strategies differ (Spark recomputes
-  *     each sliding frame, DuckDB uses a segment tree), but integer sums
-  *     are order-independent, so both engines round the SAME double (a
-  *     plain avg flipped a 2-digit rounding in dev: 53196.745 → .74/.75).
-  *     Windowed min/max/count/lag/lead and BIGINT running sums are exact.
+  *   - the moving average is quantized by exact INTEGER arithmetic:
+  *     BIGINT window sum of round(price*100), times 100, integer-divided
+  *     by the window count, /10000.0 — no round() call at all. Engines'
+  *     window-aggregation strategies differ (Spark recomputes each frame,
+  *     DuckDB uses a segment tree), and even round()-on-identical-doubles
+  *     diverges when a shrink-tail window's true mean sits exactly on the
+  *     half-grid (Spark rounds the shortest decimal representation, DuckDB
+  *     multiplies then rounds — observed at sf0.001: 50802.62125 → .6213
+  *     vs .6212). Integer division has one answer. Windowed
+  *     min/max/count/lag/lead and BIGINT running sums are exact;
+  *     dump ORDER BY pins NULLS FIRST where emitted columns are nullable
+  *     (DuckDB defaults ASC NULLS LAST, Spark NULLS FIRST).
   */
 object Windows {
 
@@ -77,17 +82,18 @@ object Windows {
     // single global series).
     QueryDef("w1_moving_avg",
       s"""SELECT l_suppkey, l_orderkey, l_linenumber,
-        |       CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER ($overSql
-        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) / 100.0
-        |         / (count(*) OVER ($overSql
-        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)), 4) AS DOUBLE) AS mov_avg
+        |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER ($overSql
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) * 100
+        |         // (count(*) OVER ($overSql
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING))) / 10000.0 AS DOUBLE) AS mov_avg
         |FROM lineitem
         |${dumpSql("l_suppkey, l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
       val w = rolling(bySupp, series, 0, 9)
       dump(li(s, dir)
+        .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
         .select(idCols :+
-          round(sum(round(col("l_extendedprice") * 100).cast("long")).over(w) / 100.0
-            / count(lit(1)).over(w), 4).cast("double").as("mov_avg"): _*))
+          (expr("ws * 100 div wn") / 10000.0).cast("double").as("mov_avg"): _*))
     },
 
     // W2 (stockify.cu:153-162): 10-row rolling MIN — exact, unrounded.
@@ -121,19 +127,20 @@ object Windows {
     // sort; at 100 TB use w1's partitioned form.
     QueryDef("w0_moving_avg_compat",
       s"""SELECT l_orderkey, l_linenumber,
-        |       CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
+        |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
         |           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
-        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) / 100.0
-        |         / (count(*) OVER (
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) * 100
+        |         // (count(*) OVER (
         |           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
-        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)), 4) AS DOUBLE) AS mov_avg
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING))) / 10000.0 AS DOUBLE) AS mov_avg
         |FROM lineitem
         |${dumpSql("l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
       val w = rolling(Nil, series, 0, 9)
       dump(li(s, dir)
+        .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(sum(round(col("l_extendedprice") * 100).cast("long")).over(w) / 100.0
-            / count(lit(1)).over(w), 4).cast("double").as("mov_avg")))
+          (expr("ws * 100 div wn") / 10000.0).cast("double").as("mov_avg")))
     },
 
     // W4: lag/lead + first-difference — same machinery, no accumulation, so
@@ -144,7 +151,9 @@ object Windows {
         |       lead(l_extendedprice, 1) OVER ($overSql) AS next_price,
         |       l_extendedprice - lag(l_extendedprice, 1) OVER ($overSql) AS delta
         |FROM lineitem
-        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, prev_price, next_price, delta")}""".stripMargin) { (s, dir) =>
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber,
+        |         prev_price ASC NULLS FIRST, next_price ASC NULLS FIRST,
+        |         delta ASC NULLS FIRST LIMIT $DumpK""".stripMargin) { (s, dir) =>
       // lag/lead ignore the frame; only the partition+order spec matters.
       val wo = Window.partitionBy(bySupp: _*).orderBy(series: _*)
       dump(li(s, dir)
