@@ -23,6 +23,7 @@ object SparkEntry {
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
     operators.SqlSurface.defs ++
     operators.Typed.defs ++
+    operators.AsOfJoin.defs ++
     streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
