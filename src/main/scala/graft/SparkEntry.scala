@@ -24,6 +24,7 @@ object SparkEntry {
     operators.SqlSurface.defs ++
     operators.Typed.defs ++
     operators.AsOfJoin.defs ++
+    operators.RangeJoin.defs ++
     streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

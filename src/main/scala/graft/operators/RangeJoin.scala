@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: rows join intervals containing their value —
+  * `point ∈ [lo, hi)`. Spark plans a raw inequality join as a broadcast
+  * nested loop (O(n·m) compares); the scalable form BUCKETIZES: each
+  * interval explodes to the fixed-width buckets it overlaps, each point
+  * maps to its bucket, and the join becomes an EQUI-join on bucket id
+  * followed by the exact interval filter. Cost: one hash shuffle on
+  * bucket, candidates limited to same-bucket pairs — the standard
+  * spatial-binning trick, linear in points + interval-bucket expansions.
+  *
+  * The oracle runs the same semantics as a plain theta join (DuckDB's
+  * IEJoin evaluates it natively), so the bucketing is verified to change
+  * the PLAN, not the result.
+  */
+object RangeJoin {
+
+  /** Bucketized interval join: `points` rows joined to `intervals` rows
+    * whose [lo, hi) contains the point value. Bucket width trades
+    * expansion factor (wide intervals → more buckets) against candidate
+    * density; pass ~ the median interval width. */
+  def rangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    val pBucket = floor(col(pointCol) / bucketWidth).cast("long")
+    val iv = intervals.withColumn("__b",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+    points.withColumn("__b", pBucket)
+      .join(iv, Seq("__b"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // RANGE1: lineitem prices against 100 irregular, overlapping price
+    // bands derived from supplier balances; per-band membership counts +
+    // exact checksums. The oracle states the same join as a plain
+    // inequality predicate.
+    QueryDef("range1_interval_join",
+      """WITH bands AS (
+        |  SELECT s_suppkey AS band_id,
+        |         s_acctbal * 10 AS lo,
+        |         s_acctbal * 10 + 30000 AS hi
+        |  FROM supplier)
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ck_price
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin) { (s, dir) =>
+      val bands = Tables.supplier(s, dir).select(
+        col("s_suppkey").as("band_id"),
+        (col("s_acctbal") * 10).as("lo"),
+        (col("s_acctbal") * 10 + 30000).as("hi"))
+      val points = Tables.lineitem(s, dir).select("l_extendedprice")
+      rangeJoin(points, "l_extendedprice", bands, "lo", "hi", bucketWidth = 30000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("ck_price"))
+        .orderBy("band_id")
+    }
+  )
+}
