@@ -46,7 +46,7 @@ object RangeJoin {
       """WITH bands AS (
         |  SELECT s_suppkey AS band_id,
         |         s_acctbal * 10 AS lo,
-        |         s_acctbal * 10 + 30000 AS hi
+        |         s_acctbal * 10 + 3000 AS hi
         |  FROM supplier)
         |SELECT band_id, CAST(count(*) AS BIGINT) AS n,
         |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ck_price
@@ -57,9 +57,9 @@ object RangeJoin {
       val bands = Tables.supplier(s, dir).select(
         col("s_suppkey").as("band_id"),
         (col("s_acctbal") * 10).as("lo"),
-        (col("s_acctbal") * 10 + 30000).as("hi"))
+        (col("s_acctbal") * 10 + 3000).as("hi"))
       val points = Tables.lineitem(s, dir).select("l_extendedprice")
-      rangeJoin(points, "l_extendedprice", bands, "lo", "hi", bucketWidth = 30000.0)
+      rangeJoin(points, "l_extendedprice", bands, "lo", "hi", bucketWidth = 3000.0)
         .groupBy("band_id")
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("ck_price"))

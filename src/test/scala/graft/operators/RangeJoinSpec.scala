@@ -10,10 +10,10 @@ class RangeJoinSpec extends SparkSpec {
     val bands = Tables.supplier(spark, sf).select(
       col("s_suppkey").as("band_id"),
       (col("s_acctbal") * 10).as("lo"),
-      (col("s_acctbal") * 10 + 30000).as("hi"))
+      (col("s_acctbal") * 10 + 3000).as("hi"))
     val points = Tables.lineitem(spark, sf).select("l_extendedprice")
     val bucketized = RangeJoin.rangeJoin(points, "l_extendedprice",
-      bands, "lo", "hi", bucketWidth = 30000.0)
+      bands, "lo", "hi", bucketWidth = 3000.0)
       .groupBy("band_id").agg(count(lit(1)).as("n"))
     val plain = points.join(bands,
       col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
@@ -26,10 +26,10 @@ class RangeJoinSpec extends SparkSpec {
     val bands = Tables.supplier(spark, sf).select(
       col("s_suppkey").as("band_id"),
       (col("s_acctbal") * 10).as("lo"),
-      (col("s_acctbal") * 10 + 30000).as("hi"))
+      (col("s_acctbal") * 10 + 3000).as("hi"))
     val points = Tables.lineitem(spark, sf).select("l_extendedprice")
     val plan = RangeJoin.rangeJoin(points, "l_extendedprice",
-      bands, "lo", "hi", 30000.0).queryExecution.executedPlan.toString
+      bands, "lo", "hi", 3000.0).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), s"plan:\n$plan")
     // and the plain inequality form IS the nested loop we avoid
