@@ -126,6 +126,34 @@ object Dedup {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
   }
 
+  /** Connected components by iterative min-label propagation: each node
+    * adopts the smallest label among itself and its neighbors until
+    * fixpoint. Each round is one join + grouped min (distributed); rounds
+    * needed = component diameter (near-dup clusters are tiny cliques, so
+    * 2-3 rounds). The canonical transitive-closure step that turns a
+    * pair list into dedup CLUSTERS with one surviving representative. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .cache()
+    var labels = nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNbr = sym.join(labels, "u")
+        .groupBy(col("v").as("u")).agg(min("lbl").as("nbrLbl"))
+      val next = labels.join(viaNbr, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // D1: exact dedup on the content hash — survivors, lowest doc_id wins.
     QueryDef("d1_exact_dedup",
@@ -179,6 +207,45 @@ object Dedup {
         .select(col("a_id"), col("b_id"),
           round(col("jac"), 6).cast("double").as("jaccard"))
         .orderBy("a_id", "b_id")
+    },
+
+    // D7: dedup clusters — transitive closure over the near-dup pair list
+    // (LSH candidates verified at tau), every document labeled with its
+    // cluster's canonical (minimum) doc_id. This is the step that turns
+    // pairwise similarity into an actual dedup decision: keep doc_id ==
+    // cluster_id, drop the rest. The oracle computes the same closure with
+    // a recursive CTE over the exact-Jaccard edge list.
+    QueryDef("d7_dedup_clusters",
+      s"""WITH RECURSIVE
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM ws, generate_series(1, 200) s(i)
+        |       WHERE len(w) >= $Shingle AND i <= len(w) - ${Shingle - 1}),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
+        |          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $Tau),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id,
+        |       (u = min(v)) AS is_canonical
+        |FROM reach GROUP BY u
+        |ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val sh = shingles(d).cache()
+      val pairs = exactJaccard(sh, lshCandidates(minhashSignature(sh)))
+        .filter(col("jac") >= Tau).select("a_id", "b_id")
+      connectedComponents(d.select("doc_id"), pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id").limit(2000)
     },
 
     // D6: exact n-gram Jaccard via the shingle INVERTED-INDEX join (no

@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
     assert(cand < n, s"candidate pairs $cand should be << n=$n (all pairs: $allPairs)")
   }
 
+  test("connected components: chains close transitively, singletons stay canonical") {
+    import spark.implicits._
+    // chain 1-2-3-4, pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("minhash similarity estimates jaccard (signature agreement tracks true jaccard)") {
     val sh = Dedup.shingles(docs).cache()
     val sig = Dedup.minhashSignature(sh)
