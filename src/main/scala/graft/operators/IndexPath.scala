@@ -56,6 +56,19 @@ object IndexPath {
     out
   }
 
+  /** Z-order (Morton) value: interleave the low `bits` of two bucketized
+    * non-negative ints. Sorting the layout by this key clusters BOTH
+    * dimensions at once, so row-group min/max stats prune range filters on
+    * EITHER column — what a single-column sort can only do for its own
+    * column. The multi-dimensional generalization of I1's sorted layout
+    * (IndexSpec proves the two-sided skipping on synthetic OHLCV data). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
   /** Deterministic load-order rank for last-write-wins dedup: the map key
     * quirk needs "last row inserted" — (orderkey, linenumber) is the load
     * order but is not unique in this data, so quantity is folded in; rows

@@ -50,6 +50,35 @@ class IndexSpec extends SparkSpec {
       s"expected row-group skipping: sorted read $sortedRead vs unsorted $unsortedRead")
   }
 
+  test("z-ordered layout prunes row groups on BOTH dimensions; single-sort only on its own") {
+    val rows = 200000L
+    val synth = Tables.syntheticStocks(spark, rows)
+    val zbits = 8
+    val zcol = IndexPath.zValue(
+      floor((col("volume") - 1200000) / 6641).cast("long"),   // ~256 buckets
+      floor((col("close") - 500) / 0.67).cast("long"), zbits) // ~256 buckets
+    synth.withColumn("__z", zcol).sort("__z").drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString).parquet(s"$base/zorder")
+    synth.sort("volume").write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString).parquet(s"$base/vol-sorted")
+
+    def readRows(path: String, c: String, cutoff: Double): Long =
+      scanOutputRows(spark.read.parquet(path).filter(col(c) >= cutoff))
+
+    val volCut = 2.6e6  // ~18% tail
+    val closeCut = 640.0 // ~18% tail
+    // volume probe: both layouts skip
+    assert(readRows(s"$base/zorder", "volume", volCut) < rows / 2)
+    assert(readRows(s"$base/vol-sorted", "volume", volCut) < rows / 2)
+    // close probe: ONLY the z-ordered layout skips; the volume-sorted
+    // layout has no close clustering and reads everything
+    val zClose = readRows(s"$base/zorder", "close", closeCut)
+    val vClose = readRows(s"$base/vol-sorted", "close", closeCut)
+    assert(zClose < rows / 2, s"z-order should skip on close: read $zClose")
+    assert(vClose > (rows * 9) / 10, s"volume-sort cannot skip on close: read $vClose")
+  }
+
   test("partitionBy layout + filter → partition pruning at the scan") {
     val out = s"$base/by-flag"
     Tables.lineitem(spark, sf).write.mode("overwrite")
