@@ -148,6 +148,7 @@ object Dedup {
         .cache()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
         .filter(col("lbl") < col("old")).count()
+      labels.unpersist() // superseded generation
       labels = next
       rounds += 1
     }

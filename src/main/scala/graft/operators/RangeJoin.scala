@@ -28,7 +28,10 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     val pBucket = floor(col(pointCol) / bucketWidth).cast("long")
-    val iv = intervals.withColumn("__b",
+    // empty/inverted intervals ([hi <= lo]) match nothing; dropping them
+    // also keeps `sequence` ascending (it would silently count DOWN for
+    // an inverted range and fabricate buckets)
+    val iv = intervals.filter(col(hiCol) > col(loCol)).withColumn("__b",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
         floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
     points.withColumn("__b", pBucket)

@@ -39,12 +39,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.contains("BroadcastNestedLoopJoin"), s"plan:\n$naive")
   }
 
-  test("boundary semantics: lo inclusive, hi exclusive") {
+  test("boundary semantics: lo inclusive, hi exclusive; degenerate intervals match nothing") {
     import spark.implicits._
     val pts = Seq(10.0, 20.0, 19.999999).toDF("p")
     val iv = Seq((1L, 10.0, 20.0)).toDF("band_id", "lo", "hi")
     val got = RangeJoin.rangeJoin(pts, "p", iv, "lo", "hi", 5.0)
       .select("p").collect().map(_.getDouble(0)).sorted
     assert(got.toSeq === Seq(10.0, 19.999999))
+    // empty and inverted intervals contribute no matches (and must not
+    // fabricate descending bucket sequences)
+    val bad = Seq((2L, 15.0, 15.0), (3L, 30.0, 1.0)).toDF("band_id", "lo", "hi")
+    assert(RangeJoin.rangeJoin(pts, "p", bad, "lo", "hi", 5.0).count() === 0)
   }
 }
