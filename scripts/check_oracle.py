@@ -76,6 +76,17 @@ def main(sf_dir, out_dir):
             print(f"  ✗ {name}: SCHEMA {sorted(g_cols)} != {sorted(w_cols)}")
             n_fail += 1
             continue
+        # STRICT arrow-type comparison: the driver's exact hash is
+        # type-sensitive (DuckDB sum(int)->HUGEINT vs Spark BIGINT shipped
+        # 16 red rows in round 2 because this harness only compared values).
+        g_types = {c: str(got.schema.field(c).type) for c in g_cols}
+        w_types = {c: str(want.schema.field(c).type) for c in w_cols}
+        bad_t = {c: (g_types[c], w_types[c]) for c in g_types
+                 if g_types[c] != w_types[c]}
+        if bad_t:
+            print(f"  ✗ {name}: TYPE drift (spark vs duckdb): {bad_t}")
+            n_fail += 1
+            continue
         g_rows, _ = canon([list(r.values()) for r in got.to_pylist()], g_cols)
         w_rows, _ = canon([list(r.values()) for r in want.to_pylist()], w_cols)
         if len(g_rows) != len(w_rows):

@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join — THE time-series operator a stock-analytics engine is asked
   * for first, and one Spark lacks natively. For each left (probe) row,
@@ -28,25 +29,39 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** General composition: returns `left` plus `asof_<valueCol>` = the last
-    * `right.valueCol` at-or-before the left row's time within `key`. */
+    * `right.valueCol` at-or-before the left row's time within `key`.
+    *
+    * State is the whole right ROW (a (time, value) struct), not the bare
+    * value: `last(value, ignoreNulls)` would SKIP a right row whose value
+    * is NULL and attach an older non-null one, whereas as-of semantics
+    * (and DuckDB's ASOF JOIN) match the latest row and return its NULL.
+    * The struct is non-null for every right row, so ignoreNulls only skips
+    * the interleaved LEFT rows. Ties among rights at equal (key, time)
+    * resolve deterministically to the greatest value (the `__r` order key);
+    * engines with arbitrary tie-break may differ there — keep right-side
+    * (key, time) unique if exact cross-engine parity matters. */
   def asofJoin(left: DataFrame, right: DataFrame,
       key: String, time: String, valueCol: String): DataFrame = {
     val leftCols = left.columns
     val payload = struct(leftCols.map(left(_)): _*)
+    val rStruct = StructType(Seq(
+      StructField("t", right.schema(time).dataType),
+      StructField("v", right.schema(valueCol).dataType)))
     val lPart = left.select(col(key), col(time),
-      lit(null).cast(right.schema(valueCol).dataType).as("__rv"),
+      lit(null).cast(rStruct).as("__r"),
       lit(1).as("__side"), payload.as("__l"))
-    val rPart = right.select(col(key), col(time), col(valueCol).as("__rv"),
+    val rPart = right.select(col(key), col(time),
+      struct(col(time).as("t"), col(valueCol).as("v")).as("__r"),
       lit(0).as("__side"),
       lit(null).cast(lPart.schema("__l").dataType).as("__l"))
     val w = Window.partitionBy(key)
-      .orderBy(col(time), col("__side"), col("__rv"))
+      .orderBy(col(time), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPart.union(rPart)
-      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) :+
-        col("__asof").as(s"asof_$valueCol"): _*)
+        col("__asof.v").as(s"asof_$valueCol"): _*)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -78,23 +78,24 @@ object Dedup {
             element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))).as("g"))
   }
 
-  /** MinHash signatures as one 64-long array per doc: each shingle row
-    * carries its 64 slot hashes as an array (computed inline, no row
-    * explosion), and the per-doc signature is an element-wise-min fold.
-    * The shuffle moves one array per (doc, shingle) instead of 64 rows —
-    * at 100 TB that is the difference between a 64× exploded exchange and
-    * a plain grouped aggregate. */
+  /** MinHash signatures as one 64-long array per doc, built by a STREAMING
+    * grouped aggregate: 64 independent `min(xxhash64(g64, slot))` columns,
+    * re-assembled into the signature array after the agg. Per-group state is
+    * exactly 64 longs regardless of document size (a `collect_list` fold —
+    * the previous form — materializes every per-shingle hash array in
+    * memory: O(#shingles × 64) per doc, an executor OOM on a giant doc),
+    * and the wide generated aggregate gets map-side partial combine, so
+    * the shuffle moves one 64-long state per (doc, partition) — strictly
+    * less than one array per shingle. */
   def minhashSignature(sh: DataFrame): DataFrame = {
     // hash the shingle STRING once; the 64 slot hashes re-hash the cheap
     // 64-bit value, not the string
-    val g64 = xxhash64(col("g"))
-    val slotHashes = transform(sequence(lit(0), lit(NumHash - 1)),
-      i => xxhash64(g64, i))
-    sh.select(col("doc_id"), slotHashes.as("hs"))
-      .groupBy("doc_id")
-      .agg(aggregate(collect_list("hs"),
-        array_repeat(lit(Long.MaxValue), NumHash),
-        (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
+    val withG = sh.select(col("doc_id"), xxhash64(col("g")).as("g64"))
+    val mins = (0 until NumHash).map(i =>
+      min(xxhash64(col("g64"), lit(i))).as(s"m$i"))
+    withG.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHash).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH bands: hash each run of `Rows` signature slots; docs sharing any
@@ -132,6 +133,9 @@ object Dedup {
     * needed = component diameter (near-dup clusters are tiny cliques, so
     * 2-3 rounds). The canonical transitive-closure step that turns a
     * pair list into dedup CLUSTERS with one surviving representative. */
+  private val MaxCcRounds = 50
+  private val CcCheckpointEvery = 5
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -139,19 +143,35 @@ object Dedup {
     var labels = nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl")).cache()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < MaxCcRounds) {
       val viaNbr = sym.join(labels, "u")
         .groupBy(col("v").as("u")).agg(min("lbl").as("nbrLbl"))
-      val next = labels.join(viaNbr, Seq("u"), "left")
+      val nextPlan = labels.join(viaNbr, Seq("u"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
-        .cache()
+      // truncate lineage periodically: without it each generation's plan
+      // nests the previous one, so recomputation (cache eviction, task
+      // retry) costs O(rounds) joins and the plan itself grows unboundedly
+      // on chain-shaped components
+      val next =
+        if ((rounds + 1) % CcCheckpointEvery == 0) nextPlan.localCheckpoint()
+        else nextPlan.cache()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
         .filter(col("lbl") < col("old")).count()
       labels.unpersist() // superseded generation
       labels = next
       rounds += 1
     }
+    sym.unpersist()
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxCcRounds rounds " +
+          "(component diameter exceeds the cap); raise MaxCcRounds")
+    }
+    // final generation is materialized (the convergence count ran it); the
+    // returned frame reads those blocks. Callers doing many downstream
+    // passes may labels.unpersist() via .unpersist() on this frame's child.
     labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -188,8 +208,8 @@ object Dedup {
     QueryDef("d3_minhash_lsh",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |       FROM ws, generate_series(1, 200) s(i)
-        |       WHERE len(w) >= $Shingle AND i <= len(w) - ${Shingle - 1}),
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${Shingle - 1})) AS i
+        |             FROM ws WHERE len(w) >= $Shingle)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
         |          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -220,8 +240,8 @@ object Dedup {
       s"""WITH RECURSIVE
         |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |       FROM ws, generate_series(1, 200) s(i)
-        |       WHERE len(w) >= $Shingle AND i <= len(w) - ${Shingle - 1}),
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${Shingle - 1})) AS i
+        |             FROM ws WHERE len(w) >= $Shingle)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
         |          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -258,8 +278,8 @@ object Dedup {
     QueryDef("d6_ngram_jaccard",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |       FROM ws, generate_series(1, 200) s(i)
-        |       WHERE len(w) >= $Shingle AND i <= len(w) - ${Shingle - 1}),
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${Shingle - 1})) AS i
+        |             FROM ws WHERE len(w) >= $Shingle)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
         |          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -313,27 +333,91 @@ object Dedup {
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
-      val tok = docs(s, dir)
-        .repartition(col("doc_id")) // parallelize past the single input file
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("v",
-          conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"))
-      // 32 codegen'd integer-vote sums. (An array-fold variant — one
-      // aggregate over per-token ±1 vectors — was tried and is ~10× slower:
-      // the interpreted zip_with fold allocates per token. The wide
-      // generated aggregate pays a one-time JIT compile on first run and
-      // then executes at full codegen speed.)
-      val sums = (0 until 32).map(p =>
-        sum(shiftright(col("v"), p).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$p"))
       val fp = concat((0 until 32).map(p =>
         when(col(s"b$p") >= 0, "1").otherwise("0")): _*)
-      val f = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), fp.as("fp"))
+      val f = simhashVotes(docs(s, dir)).select(col("doc_id"), fp.as("fp"))
       f.select(col("fp"), col("doc_id").as("a_id"))
         .join(f.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("fp"))
         .orderBy("a_id", "b_id")
+    },
+
+    // D4B: SimHash NEAR-dedup — hamming distance ≤ 3, the fuzzy tier d4's
+    // hamming-0 buckets can't see. Pigeonhole banding: split the 32-bit
+    // fingerprint into 4 8-bit blocks; a pair within hamming 3 differs in
+    // at most 3 blocks, so it must AGREE on at least one — equi-join on
+    // (block index, block value) yields the candidates (keyed, never
+    // all-pairs), then `bit_count(xor)` verifies exact hamming on
+    // candidates only. The oracle is a genuinely independent
+    // implementation: full O(n²) pair scan in DuckDB over the same
+    // fingerprint arithmetic — at oracle scale that's cheap, and it proves
+    // the banding loses nothing.
+    QueryDef("d4b_simhash_hamming", {
+      val sums = (0 until 32).map(p =>
+        s"sum(((v >> $p) & 1) * 2 - 1) AS b$p")
+        .mkString(",\n        |        ")
+      val fpInt = (0 until 32).map(p =>
+        s"(CASE WHEN b$p >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v FROM tok),
+        |s AS (SELECT doc_id,
+        |        $sums
+        |      FROM h GROUP BY doc_id),
+        |f AS (SELECT doc_id, $fpInt AS fp FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
+      simhashHammingPairs(docs(s, dir), maxHamming = 3)
+        .orderBy("a_id", "b_id")
     }
   )
+
+  /** Per-document SimHash bit votes b0..b31 (sum of ±1 per token
+    * occurrence, bit p drawn from the token's md5-derived 32-bit value).
+    * 32 codegen'd integer-vote sums. (An array-fold variant — one
+    * aggregate over per-token ±1 vectors — was tried and is ~10× slower:
+    * the interpreted zip_with fold allocates per token. The wide
+    * generated aggregate pays a one-time JIT compile on first run and
+    * then executes at full codegen speed.) */
+  def simhashVotes(d: DataFrame): DataFrame = {
+    val tok = d
+      .repartition(col("doc_id")) // parallelize past the single input file
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("v",
+        conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val sums = (0 until 32).map(p =>
+      sum(shiftright(col("v"), p).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$p"))
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+  }
+
+  /** Candidate generation + exact verify for hamming ≤ `maxHamming` over
+    * the integer SimHash fingerprint, banded into `maxHamming + 1` blocks
+    * (pigeonhole: a qualifying pair agrees on at least one block). */
+  def simhashHammingPairs(d: DataFrame, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bits = 32 / nBlocks
+    val mask = (1L << bits) - 1
+    val fpInt = (0 until 32).map(p =>
+      when(col(s"b$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val f = simhashVotes(d).select(col("doc_id"), fpInt.as("fp"))
+    val blocks = f.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftright(col("fp"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("blk", "bv")))
+    blocks.select(col("blk"), col("bv"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
+      .join(blocks.select(col("blk"), col("bv"), col("doc_id").as("b_id"), col("fp").as("b_fp")),
+        Seq("blk", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several blocks
+  }
 }

@@ -93,9 +93,11 @@ object Filters {
       .select(lit(tag).as("pred"), col("n"), col("ck_okey"), col("ck_line"), col("ck_val"))
 
   private def checksumSql(tag: String, where: String, valueCol: String, scale: Int): String =
-    s"""SELECT '$tag' AS pred, count(*) AS n, sum(l_orderkey) AS ck_okey,
-       |       sum(CAST(l_linenumber AS BIGINT)) AS ck_line,
-       |       sum(CAST(floor($valueCol * $scale) AS BIGINT)) AS ck_val
+    // DuckDB sum() over integers returns HUGEINT (INT128); CAST back to
+    // BIGINT so the oracle's arrow type matches Spark's LongType exactly.
+    s"""SELECT '$tag' AS pred, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS ck_okey,
+       |       CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ck_line,
+       |       CAST(sum(CAST(floor($valueCol * $scale) AS BIGINT)) AS BIGINT) AS ck_val
        |FROM lineitem WHERE $where""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -182,7 +184,7 @@ object Filters {
     // count below (exact over all rows), not a 100%-of-table dump.
     QueryDef("f8_selection_vector",
       """SELECT (l_quantity >= 45) AS pass, count(*) AS n,
-        |       sum(l_orderkey) AS ck_okey
+        |       CAST(sum(l_orderkey) AS BIGINT) AS ck_okey
         |FROM lineitem GROUP BY 1 ORDER BY pass""".stripMargin) { (s, dir) =>
       selectionVector(li(s, dir), "pass", Pred("l_quantity", Ge, 45))
         .groupBy("pass")

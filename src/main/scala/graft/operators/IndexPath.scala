@@ -98,8 +98,8 @@ object IndexPath {
     // the result is layout-independent and comparable to the oracle over
     // the original table.
     QueryDef("i2_index_range_scan",
-      s"""SELECT CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck_okey,
-        |       sum(l_partkey) AS ck_pk
+      s"""SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS ck_okey,
+        |       CAST(sum(l_partkey) AS BIGINT) AS ck_pk
         |FROM lineitem WHERE l_partkey >= $ProbeKey""".stripMargin) { (s, dir) =>
       val out = buildSortedLayout(s, dir)
       s.read.parquet(out)
@@ -112,8 +112,8 @@ object IndexPath {
     // probe over the UNSORTED original layout. Same oracle by construction;
     // Bench shows the sorted/unsorted timing pair (the exp-3 comparison).
     QueryDef("i5_linear_scan_baseline",
-      s"""SELECT CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck_okey,
-        |       sum(l_partkey) AS ck_pk
+      s"""SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS ck_okey,
+        |       CAST(sum(l_partkey) AS BIGINT) AS ck_pk
         |FROM lineitem WHERE l_partkey >= $ProbeKey""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_partkey") >= ProbeKey)
@@ -140,7 +140,7 @@ object IndexPath {
     // surviving (one-per-key) rows.
     QueryDef("i4_map_range_scan",
       s"""SELECT CAST(count(*) AS BIGINT) AS n_keys,
-        |       sum(CAST(kept_qty AS BIGINT)) AS ck_qty, sum(last_rk) AS ck_rk
+        |       CAST(sum(CAST(kept_qty AS BIGINT)) AS BIGINT) AS ck_qty, CAST(sum(last_rk) AS BIGINT) AS ck_rk
         |FROM (SELECT l_partkey, max_by(l_quantity, $rkSql) AS kept_qty,
         |             max($rkSql) AS last_rk
         |      FROM lineitem GROUP BY l_partkey)

@@ -140,7 +140,7 @@ object Joins {
     QueryDef("j5_sortmerge_factfact",
       """SELECT o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n_lines,
-        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>

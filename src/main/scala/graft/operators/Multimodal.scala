@@ -135,10 +135,15 @@ object Multimodal {
     * payload bytes; at scale this column is the raw image/audio blob). */
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm1_binary_metadata",
+      // byte-based throughout: encode() is UTF-8 VARCHAR→BLOB (a direct
+      // CAST AS BLOB errors on non-ASCII text), and head_hex slices the
+      // HEX of the blob (16 hex chars = 8 bytes) because DuckDB 1.0 has no
+      // substr over BLOB — a character-based substr would diverge from
+      // Spark's binary substring on any multi-byte leading codepoint.
       """SELECT doc_id,
-        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,
-        |       hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex
+        |       substr(hex(encode(text)), 1, 16) AS head_hex
         |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .withColumn("bin", col("text").cast("binary"))

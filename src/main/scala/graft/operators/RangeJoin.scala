@@ -31,9 +31,13 @@ object RangeJoin {
     // empty/inverted intervals ([hi <= lo]) match nothing; dropping them
     // also keeps `sequence` ascending (it would silently count DOWN for
     // an inverted range and fabricate buckets)
+    // upper bucket uses floor(hi/width) directly: when hi sits exactly on a
+    // boundary this only ADDS the (empty for an exclusive endpoint) boundary
+    // bucket — the exact interval filter below removes false candidates,
+    // whereas an epsilon-shifted floor could silently DROP a genuine match.
     val iv = intervals.filter(col(hiCol) > col(loCol)).withColumn("__b",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
-        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+        floor(col(hiCol) / bucketWidth).cast("long"))))
     points.withColumn("__b", pBucket)
       .join(iv, Seq("__b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
@@ -52,7 +56,7 @@ object RangeJoin {
         |         s_acctbal * 10 + 3000 AS hi
         |  FROM supplier)
         |SELECT band_id, CAST(count(*) AS BIGINT) AS n,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ck_price
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck_price
         |FROM lineitem JOIN bands
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY band_id

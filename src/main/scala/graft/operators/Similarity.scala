@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   *     query side, a narrow map over the big side, top-k via
   *     TakeOrderedAndProject / per-query window — O(n·q·d) with no
   *     all-pairs shuffle; correct at any n, cost linear in the corpus.
-  *   - sim3 (IVF) is the sub-linear path: a coarse quantizer (deterministic
-  *     seed vectors), inverted lists bucketed by nearest seed, probe the
-  *     nprobe closest lists only. Unoracled (pruning is approximate);
-  *     SimilaritySpec pins recall@20 >= 0.8 vs sim1's exact answer.
+  *   - sim3 (IVF) is the sub-linear path: a CONSTANT-k coarse quantizer
+  *     (hash-sampled seeds + one k-means sweep), inverted lists bucketed
+  *     by nearest centroid, probe the nprobe closest lists only. Unoracled
+  *     (pruning is approximate); SimilaritySpec pins recall@20 >= 0.8 vs
+  *     sim1's exact answer. Note the synthetic corpus is near-uniform in
+  *     embedding space, so recall here is bounded by fraction-scanned
+  *     (nprobe/k); on real clustered embeddings IVF's recall/scan ratio is
+  *     far better — the structural property that matters at 100 TB is that
+  *     build cost is O(k·n) with a constant-size broadcast, never O(n²).
   *   - d5 (embedding near-dup) joins only WITHIN a blocking key — the
   *     standard blocked-dedup shape: cost Σ b², never n².
   */
@@ -80,7 +85,7 @@ object Similarity {
         |  FROM embeddings, q WHERE vec_id <> q_id),
         |ranked AS (
         |  SELECT q_id, vec_id, cos,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rn
         |  FROM scored)
         |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
@@ -132,30 +137,61 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Deterministic coarse centroids: every 50th vector (no RNG — resumable
-    * and cross-run stable; a k-means refinement would drop in here). */
+  /** Number of coarse centroids — CONSTANT, independent of corpus size.
+    * (The earlier form sampled every 50th vector, so the centroid set —
+    * and with it the assignment join and its broadcast — grew linearly
+    * with n, making "ANN" assignment O(n²/50). A fixed k keeps assignment
+    * O(k·n) with a constant-size broadcast at any corpus scale; a k-means
+    * refinement sweep would drop in between seeds() and ivfAssign().) */
+  val IvfK = 16
+
+  /** Deterministic pseudo-random k-vector centroid sample: order by a hash
+    * of the id, keep the first k. Plans as TakeOrderedAndProject (per-
+    * partition k-heaps + one k-row merge — no global sort, no RNG, so
+    * builds are resumable and cross-run stable). */
   def seeds(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 50 === 0)
+    e.select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
 
-  /** IVF build: assign every vector to its nearest seed (inverted lists). */
-  def ivfAssign(e: DataFrame): DataFrame = {
-    val s = broadcast(seeds(e))
+  /** Assign every vector to its nearest centroid in `cs` (c_id, cv). */
+  private def assignTo(e: DataFrame, cs: DataFrame): DataFrame =
     e.repartition(col("vec_id")) // parallelize past the single input file
-      .crossJoin(s)
+      .crossJoin(broadcast(cs))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         cosine(col("embedding"), col("cv")).as("sim"))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("sim"), col("c_id"))).as("list_id"),
         first(col("embedding")).as("embedding"))
-  }
+
+  /** One k-means refinement sweep: assign to the current centroids, then
+    * re-center each list on its member mean (element-wise: posexplode →
+    * per-(list, dim) avg with map-side combine → re-assemble; k·dim groups
+    * total, independent of corpus size). Lists that lose all members keep
+    * their sampled seed position implicitly absent (fine — probe skips
+    * empty lists). */
+  def refineCentroids(e: DataFrame, cs: DataFrame): DataFrame =
+    assignTo(e, cs)
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("list_id", "pos").agg(avg("x").as("m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id").as("c_id"),
+        transform(col("pm"), p => p("m").cast("float")).as("cv"))
+
+  /** Final centroids: sampled seeds + one k-means sweep. */
+  def centroids(e: DataFrame): DataFrame = refineCentroids(e, seeds(e))
+
+  /** IVF build: assign every vector to its nearest centroid (inverted
+    * lists). */
+  def ivfAssign(e: DataFrame): DataFrame = assignTo(e, centroids(e))
 
   /** IVF probe: search only the `nprobe` lists closest to the query. The
     * approximate counterpart of sim1 — SimilaritySpec measures its recall. */
   def ivfTopK(e: DataFrame, queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
     val q = broadcast(e.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv")))
-    val probed = broadcast(seeds(e).crossJoin(q)
+    val probed = broadcast(centroids(e).crossJoin(q)
       .select(col("c_id"), cosine(col("cv"), col("qv")).as("csim"))
       .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
       .select(col("c_id").as("list_id")))
@@ -170,7 +206,7 @@ object Similarity {
 
   /** SIM3 as a registered (unoracled) query — approximate result set. */
   val annDef: QueryDef = QueryDef.unoracled("sim3_ann_ivf") { (s, dir) =>
-    ivfTopK(emb(s, dir), queryVecId = 0L, k = 20, nprobe = 4)
+    ivfTopK(emb(s, dir), queryVecId = 0L, k = 20, nprobe = 8)
   }
 
   /** SIM4: identical semantics to sim1 through the NATIVE codegen'd

@@ -43,13 +43,13 @@ object SqlSurface {
     QueryDef("set1_union_intersect_except",
       """WITH hi AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 40),
         |     lo AS (SELECT l_orderkey FROM lineitem WHERE l_extendedprice < 20000)
-        |SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck
+        |SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS ck
         |FROM (SELECT l_orderkey FROM hi UNION SELECT l_orderkey FROM lo)
         |UNION ALL
-        |SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck
+        |SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS ck
         |FROM (SELECT l_orderkey FROM hi INTERSECT SELECT l_orderkey FROM lo)
         |UNION ALL
-        |SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n, sum(l_orderkey) AS ck
+        |SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS ck
         |FROM (SELECT l_orderkey FROM hi EXCEPT SELECT l_orderkey FROM lo)
         |ORDER BY op""".stripMargin) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -86,7 +86,7 @@ object SqlSurface {
       """SELECT CAST(year(l_shipdate) AS INT) AS y,
         |       CAST(quarter(l_shipdate) AS INT) AS q,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       sum(CAST(floor(abs(l_extendedprice - l_quantity * 1000) * 100) AS BIGINT)) AS ck_gap,
+        |       CAST(sum(CAST(floor(abs(l_extendedprice - l_quantity * 1000) * 100) AS BIGINT)) AS BIGINT) AS ck_gap,
         |       min(upper(l_returnflag) || '-' || CAST(l_linenumber AS VARCHAR)) AS min_tag
         |FROM lineitem
         |GROUP BY 1, 2
@@ -106,7 +106,7 @@ object SqlSurface {
     // read path for property bags (get_json_object stays in codegen).
     QueryDef("json1_extract",
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
@@ -121,7 +121,7 @@ object SqlSurface {
     QueryDef("pivot1_events", {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val cells = types.map(t =>
-        s"sum(CASE WHEN event_type = '$t' THEN CAST(floor(value * 100) AS BIGINT) END) AS $t")
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS $t")
         .mkString(",\n        |       ")
       s"""SELECT user_id % 10 AS cohort,
         |       $cells

@@ -45,8 +45,8 @@ object TextAnalysis {
     // T1: per-language corpus profile.
     QueryDef("t1_lang_profile",
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |       sum(n_chars) AS sum_chars,
-        |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_toks,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       docs(s, dir)

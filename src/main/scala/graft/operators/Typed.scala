@@ -38,7 +38,7 @@ object Typed {
     // class, JVM lambda logic, encode back).
     QueryDef("ty1_typed_fold",
       """SELECT l_returnflag,
-        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS ck_net,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS ck_net,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem WHERE l_quantity >= 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>

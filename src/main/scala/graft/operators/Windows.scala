@@ -168,11 +168,11 @@ object Windows {
     // order, so they rank over the fully tie-broken spec.
     QueryDef("w5_rank_family",
       s"""SELECT l_orderkey, l_linenumber, l_returnflag,
-        |       rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
-        |       dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
+        |       CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS INT) AS rnk,
+        |       CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS INT) AS drnk,
         |       CAST(round(percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC), 6) AS DOUBLE) AS prnk,
-        |       row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_partkey, l_extendedprice) AS rn,
-        |       ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_partkey, l_extendedprice) AS quartile
+        |       CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_partkey, l_extendedprice) AS INT) AS rn,
+        |       CAST(ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_partkey, l_extendedprice) AS INT) AS quartile
         |FROM lineitem
         |ORDER BY l_returnflag, rn LIMIT $DumpK""".stripMargin) { (s, dir) =>
       val byVal = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
@@ -212,8 +212,8 @@ object Windows {
     // hazard, which is how a running total should be verified cross-engine.
     QueryDef("w7_cumulative",
       s"""SELECT l_suppkey, l_orderkey, l_linenumber,
-        |       sum(CAST(l_quantity AS BIGINT)) OVER ($overSql
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) OVER ($overSql
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qty,
         |       count(*) OVER ($overSql
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
         |FROM lineitem

@@ -71,7 +71,7 @@ object Streams {
     QueryDef("e1_tumbling_window",
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS ck_value
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS ck_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
@@ -87,7 +87,7 @@ object Streams {
         |  UNION ALL
         |  SELECT (us // 1800000000) * 1800 - 1800 AS win_start, value FROM e)
         |SELECT win_start, CAST(count(*) AS BIGINT) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS ck_value
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS ck_value
         |FROM w GROUP BY win_start
         |ORDER BY win_start""".stripMargin) { (s, dir) =>
       sliding(Tables.events(s, dir)).orderBy("win_start")

@@ -28,6 +28,21 @@ class AsOfJoinSpec extends SparkSpec {
       "d" -> Some(120.0), "e" -> Some(200.0), "f" -> None))
   }
 
+  test("as-of join matches the latest right ROW even when its value is NULL") {
+    import spark.implicits._
+    // quote at t=20 has a NULL value: as-of semantics (and DuckDB's ASOF
+    // JOIN) attach THAT row's NULL, not the older non-null quote at t=10
+    val quotes = Seq(
+      (1L, 10L, Some(100.0)), (1L, 20L, None), (1L, 30L, Some(120.0))
+    ).toDF("k", "t", "v")
+    val trades = Seq((1L, 25L, "x"), (1L, 35L, "y")).toDF("k", "t", "id")
+    val got = AsOfJoin.asofJoin(trades, quotes, "k", "t", "v")
+      .select("id", "asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map("x" -> None, "y" -> Some(120.0)))
+  }
+
   test("as-of join keeps every left row exactly once (left-join cardinality)") {
     val ev = graft.sources.Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")

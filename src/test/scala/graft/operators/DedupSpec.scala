@@ -62,6 +62,47 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: 20-deep chain converges (checkpointed lineage)") {
+    import spark.implicits._
+    // a pure chain is the worst case for label propagation: diameter 20
+    // forces ~20 rounds, crossing several localCheckpoint boundaries
+    val n = 21L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n.toInt)
+    assert(got.values.forall(_ === 0L), s"all labels should collapse to 0: $got")
+  }
+
+  test("simhash hamming<=3 banding finds planted bit-flip near-dups (and exact dups)") {
+    import spark.implicits._
+    // plant: 9000/9001 differ by ONE rare token -> fingerprints differ in
+    // a few bits; 9002 is byte-identical to 9000 -> hamming 0. The banding
+    // must surface the (9000,9002) pair, and agree exactly with a direct
+    // all-pairs hamming scan over the same fingerprints (no pair lost).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val planted = Seq(
+      (9000L, base + "lambda"),
+      (9001L, base + "mu"),
+      (9002L, base + "lambda")
+    ).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").union(planted)
+    val banded = Dedup.simhashHammingPairs(corpus, maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.contains((9000L, 9002L)), s"identical planted pair missing")
+    // cross-check vs brute force over fingerprints
+    val fpInt = (0 until 32).map(p =>
+      when(col(s"b$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val f = Dedup.simhashVotes(corpus).select(col("doc_id"), fpInt.as("fp"))
+    val brute = f.select(col("doc_id").as("a_id"), col("fp").as("a_fp"))
+      .crossJoin(f.select(col("doc_id").as("b_id"), col("fp").as("b_fp")))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute, "pigeonhole banding must equal brute-force hamming scan")
+  }
+
   test("minhash similarity estimates jaccard (signature agreement tracks true jaccard)") {
     val sh = Dedup.shingles(docs).cache()
     val sig = Dedup.minhashSignature(sh)

@@ -29,20 +29,30 @@ class SimilaritySpec extends SparkSpec {
   test("IVF ANN recall@20 >= 0.8 vs brute force, scanning a fraction of the corpus") {
     val brute = Similarity.defs.find(_.name == "sim1_cosine_topk").get
       .run(spark, sf).select("vec_id").collect().map(_.getLong(0)).toSet
-    val ann = Similarity.ivfTopK(emb, queryVecId = 0L, k = 20, nprobe = 4)
+    val ann = Similarity.ivfTopK(emb, queryVecId = 0L, k = 20, nprobe = 8)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = brute.intersect(ann).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall")
     // and it really prunes: probed lists hold well under the full corpus
     val probedFrac = {
-      val assign = Similarity.ivfAssign(emb).cache()
-      val total = assign.count().toDouble
       val seedsSims = Similarity.seeds(emb).count()
       assert(seedsSims > 1)
-      val probedLists = 4.0
+      val probedLists = 8.0
       probedLists / seedsSims.toDouble // lists probed / lists total
     }
     assert(probedFrac < 0.6, s"IVF probes too much: $probedFrac of lists")
+  }
+
+  test("IVF centroid count is constant — independent of corpus size") {
+    val n1 = Similarity.seeds(emb).count()
+    // double the corpus: seed count must NOT grow (the round-2 every-50th-
+    // vector sampling made centroids — and the assignment crossJoin —
+    // scale linearly with n, i.e. O(n²) total assignment work)
+    val doubled = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    val n2 = Similarity.seeds(doubled).count()
+    assert(n1 === Similarity.IvfK.toLong)
+    assert(n2 === n1, s"seed count grew with corpus: $n1 -> $n2")
   }
 
   test("blocked near-dup join never leaves its block (label equality holds on every pair)") {
