@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
     operators.SqlSurface.defs ++
+    operators.Persist.defs ++
     operators.Typed.defs ++
     operators.AsOfJoin.defs ++
     operators.RangeJoin.defs ++

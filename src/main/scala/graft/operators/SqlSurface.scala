@@ -134,6 +134,31 @@ object SqlSurface {
         .orderBy("cohort")
     },
 
+    // SUB1: correlated scalar subquery (TPC-H Q17 shape) — each lineitem
+    // row compared against an aggregate over ITS OWN part's rows. Catalyst
+    // decorrelates this into a grouped aggregate joined back on l_partkey
+    // (SubquerySpec pins the rewrite: no per-row subquery execution, one
+    // Aggregate + one equi-join — the only plan that survives at 100 TB).
+    // Determinism: l_quantity is integral, so sum(double) is exact at any
+    // accumulation order and avg = exact_sum / exact_count is bit-identical
+    // across engines; the 0.2× threshold compare therefore never straddles
+    // an engine-dependent last bit.
+    QueryDef("sub1_correlated_scalar",
+      """SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS ck_okey,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck_price
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, dir) =>
+      viewsReady(s, dir)
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_small,
+              |       CAST(sum(l_orderkey) AS BIGINT) AS ck_okey,
+              |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck_price
+              |FROM lineitem l1
+              |WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+              |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    },
+
     // TOP1: explicit top-k as an operator (global ORDER BY + LIMIT plans as
     // TakeOrderedAndProject: per-partition heaps + one k-row merge, the
     // scale-safe top-k — never a full global sort).
