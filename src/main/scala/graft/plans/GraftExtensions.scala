@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Catalyst extension surface (SURVEY §4.3 path (c): LogicalPlan rule
+  * registered through SparkSessionExtensions — the mechanism a library
+  * uses to teach Spark's optimizer new tricks without forking it).
+  *
+  * Injected rule: [[BucketizeRangeJoin]]. Spark plans a pure inequality
+  * join (`point >= lo AND point < hi`, no equi-key) as a broadcast
+  * nested-loop join — O(n·m) comparisons, the classic 100 TB cliff. The
+  * rule rewrites the logical join into the bucketized form the
+  * RangeJoin operator builds by hand (measured 65× on the bench): each
+  * interval explodes to the fixed-width buckets it overlaps, the point
+  * side maps to its bucket, and the join becomes hash-partitioned
+  * equality on bucket id with the original predicate kept as the exact
+  * filter. Same result set, shuffle-partitioned plan.
+  *
+  * Usage:
+  *   spark.sql.extensions=graft.plans.GraftExtensions   (session config)
+  * or for an existing session:
+  *   spark.experimental.extraOptimizations ++= Seq(BucketizeRangeJoin)
+  *
+  * Bucket width: spark.graft.range.bucketWidth (default 1000.0) — set to
+  * roughly the median interval width.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => BucketizeRangeJoin)
+}
+
+object BucketizeRangeJoin extends Rule[LogicalPlan] {
+
+  private def width: Double =
+    SQLConf.get.getConfString("spark.graft.range.bucketWidth", "1000.0").toDouble
+
+  /** floor(e / width) as BIGINT. */
+  private def bucketOf(e: Expression, w: Double): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(w))), LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // conservative match: inner join whose ENTIRE condition is
+    // p >= lo AND p < hi with p from one side and both bounds from the
+    // other, all DoubleType. (After this fires the condition gains an
+    // equality conjunct, so the rewrite can never re-match itself.)
+    case j @ Join(left, right, Inner,
+        Some(And(GreaterThanOrEqual(p, lo), LessThan(p2, hi))), hint)
+        if p.semanticEquals(p2) &&
+          Seq(p, lo, hi).forall(_.dataType == DoubleType) &&
+          p.references.subsetOf(left.outputSet) &&
+          lo.references.subsetOf(right.outputSet) &&
+          hi.references.subsetOf(right.outputSet) &&
+          p.deterministic && lo.deterministic && hi.deterministic =>
+      val w = width
+      // p's bucket on the probe side
+      val pb = Alias(bucketOf(p, w), "__graft_pb")()
+      val leftB = Project(left.output :+ pb, left)
+      // interval side: degenerate ranges (hi <= lo) match nothing and
+      // would make the bucket sequence descend — drop them first. The
+      // upper bound uses floor(hi/w) directly: on an exact boundary that
+      // only ADDS an empty candidate bucket (exclusive endpoint), which
+      // the exact predicate below filters out.
+      val guarded = Filter(And(And(IsNotNull(lo), IsNotNull(hi)),
+        GreaterThan(hi, lo)), right)
+      val bAttr = AttributeReference("__graft_b", LongType, nullable = false)()
+      val gen = Generate(
+        // Sequence is TimeZoneAware even for integral sequences — an empty
+        // timeZoneId leaves the optimized plan UNRESOLVED and fails
+        // Spark's rule-batch plan validation
+        Explode(Sequence(bucketOf(lo, w), bucketOf(hi, w),
+          Some(Literal(1L)), Some(SQLConf.get.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(bAttr), child = guarded)
+      val cond = And(EqualTo(pb.toAttribute, bAttr), j.condition.get)
+      Project(j.output, Join(leftB, gen, Inner, Some(cond), hint))
+  }
+}
