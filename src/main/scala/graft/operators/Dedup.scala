@@ -307,6 +307,56 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // D8: tf-WEIGHTED Jaccard — the weighted sibling of d6 for corpora
+    // where repetition matters (boilerplate spam repeats its shingles; set
+    // semantics can't see that). J_w = Σ_g min(tf_a, tf_b) / Σ_g
+    // max(tf_a, tf_b), computed via the identity Σmax = tot_a + tot_b −
+    // Σmin so only SHARED shingles ever join (same inverted-index shape
+    // and cost as d6, integer arithmetic end-to-end — engine-exact).
+    QueryDef("d8_weighted_jaccard",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${Shingle - 1})) AS i
+        |             FROM ws WHERE len(w) >= $Shingle)),
+        |tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM sh GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                 CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS m
+        |          FROM tf a JOIN tf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(round(CAST(m AS DOUBLE) / (ta.tot + tb.tot - m), 6) AS DOUBLE) AS wjac
+        |FROM inter
+        |JOIN tot ta ON a_id = ta.doc_id
+        |JOIN tot tb ON b_id = tb.doc_id
+        |WHERE CAST(m AS DOUBLE) / (ta.tot + tb.tot - m) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val w = split(col("text"), " ")
+      val sh = docs(s, dir).repartition(col("doc_id"))
+        .filter(size(w) >= Shingle)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(w) - (Shingle - 1)),
+            i => concat_ws(" ",
+              element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))).as("g"))
+      // tf feeds three consumers (both join sides + totals) — cache it or
+      // the shingle explosion and (doc, g) shuffle run three times
+      val tf = sh.groupBy("doc_id", "g").agg(count(lit(1)).as("tf")).cache()
+      val tot = tf.groupBy("doc_id").agg(sum("tf").as("tot"))
+      val inter = tf.select(col("doc_id").as("a_id"), col("g"), col("tf").as("ta"))
+        .join(tf.select(col("doc_id").as("b_id"), col("g"), col("tf").as("tb")), Seq("g"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(sum(least(col("ta"), col("tb"))).as("m"))
+      inter
+        .join(tot.select(col("doc_id").as("a_id"), col("tot").as("tota")), "a_id")
+        .join(tot.select(col("doc_id").as("b_id"), col("tot").as("totb")), "b_id")
+        .withColumn("wj",
+          col("m").cast("double") / (col("tota") + col("totb") - col("m")))
+        .filter(col("wj") >= 0.3)
+        .select(col("a_id"), col("b_id"),
+          round(col("wj"), 6).cast("double").as("wjac"))
+        .orderBy("a_id", "b_id")
+    },
+
     // D4: SimHash (Charikar) — 32-bit, frequency-weighted: every token
     // OCCURRENCE votes ±1 per bit position, bits drawn from the first 32
     // bits of the token's md5 (hex parsed to an integer ONCE per token;

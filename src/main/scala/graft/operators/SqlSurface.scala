@@ -159,6 +159,36 @@ object SqlSurface {
               |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
     },
 
+    // SUB2: TPC-H Q22 shape — uncorrelated scalar subquery (global average
+    // as a one-row broadcast) + NOT EXISTS (decorrelated to a left-anti
+    // join). Complements sub1: Catalyst's OTHER two subquery rewrites.
+    // Determinism: the average is taken over integer-scaled balances
+    // (floor(bal*100) as BIGINT), so its value is exact in both engines and
+    // the > threshold can't straddle an accumulation-order bit.
+    QueryDef("sub2_exists_global_avg",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS ck_bal
+        |FROM customer c
+        |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) >
+        |      (SELECT avg(CAST(floor(c_acctbal * 100) AS BIGINT))
+        |       FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      viewsReady(s, dir)
+      s.sql("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+              |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS ck_bal
+              |FROM customer c
+              |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) >
+              |      (SELECT avg(CAST(floor(c_acctbal * 100) AS BIGINT))
+              |       FROM customer WHERE c_acctbal > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+              |GROUP BY c_nationkey
+              |ORDER BY c_nationkey""".stripMargin)
+    },
+
     // TOP1: explicit top-k as an operator (global ORDER BY + LIMIT plans as
     // TakeOrderedAndProject: per-partition heaps + one k-row merge, the
     // scale-safe top-k — never a full global sort).
