@@ -39,6 +39,11 @@ object Bench {
             System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
             false
         }
+      // drop caches a query left behind (s2 persists lineitem; the dedup
+      // pipelines persist shingle/tf frames) so each timing reads its own
+      // sources — without this, every query after s2 scans the in-memory
+      // mirror and the i2/i5 layout comparison stops measuring layouts
+      spark.catalog.clearCache()
       (d.name, (System.nanoTime() - t0) / 1e9, ok)
     }
 

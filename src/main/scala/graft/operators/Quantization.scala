@@ -89,9 +89,12 @@ object Quantization {
 
   /** Final codebooks: hash-sampled seeds + two k-means sweeps (the second
     * sweep buys ~5 recall points on the synthetic corpus; further sweeps
-    * plateau). */
-  def codebooks(e: DataFrame): DataFrame =
-    refineCodebooks(e, refineCodebooks(e, seedCodebooks(e)))
+    * plateau). Training runs over a BOUNDED hash sample — at scale only
+    * the encode pass reads the full corpus. */
+  def codebooks(e: DataFrame): DataFrame = {
+    val t = Similarity.trainSample(e, Similarity.TrainN)
+    refineCodebooks(t, refineCodebooks(t, seedCodebooks(t)))
+  }
 
   /** Encode every vector as ONE packed int: 4 bits per subspace code
     * (nearest codebook entry by L2 in that subspace). */

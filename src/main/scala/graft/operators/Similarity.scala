@@ -179,8 +179,21 @@ object Similarity {
       .select(col("list_id").as("c_id"),
         transform(col("pm"), p => p("m").cast("float")).as("cv"))
 
-  /** Final centroids: sampled seeds + one k-means sweep. */
-  def centroids(e: DataFrame): DataFrame = refineCentroids(e, seeds(e))
+  /** Constant-size deterministic training sample (hash-ordered top-n):
+    * k-means refinement never touches more than `n` vectors regardless of
+    * corpus scale — at 100 TB you train the quantizer on a bounded sample
+    * and only the ASSIGNMENT pass reads the full corpus. */
+  def trainSample(e: DataFrame, n: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(n)
+      .select(col("vec_id"), col("embedding"))
+
+  val TrainN = 1024
+
+  /** Final centroids: sampled seeds + one k-means sweep over a bounded
+    * training sample. */
+  def centroids(e: DataFrame): DataFrame =
+    refineCentroids(trainSample(e, TrainN), seeds(e))
 
   /** IVF build: assign every vector to its nearest centroid (inverted
     * lists). */
