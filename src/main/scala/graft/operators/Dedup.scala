@@ -137,8 +137,13 @@ object Dedup {
   private val CcCheckpointEvery = 5
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+    // symmetrize in ONE pass over the edge list (explode of both
+    // directions) — a union of two selects evaluates the upstream edge
+    // pipeline twice, and here that pipeline is the whole LSH+verify run
+    val sym = edges.select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .cache()
     var labels = nodes.select(col("doc_id").as("u"), col("doc_id").as("lbl")).cache()
     var changed = 1L

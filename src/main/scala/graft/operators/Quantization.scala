@@ -92,7 +92,9 @@ object Quantization {
     * plateau). Training runs over a BOUNDED hash sample — at scale only
     * the encode pass reads the full corpus. */
   def codebooks(e: DataFrame): DataFrame = {
-    val t = Similarity.trainSample(e, Similarity.TrainN)
+    // cache the sample: it feeds the seed draw plus both k-means sweeps,
+    // each of which would otherwise re-run the corpus-wide TakeOrdered
+    val t = Similarity.trainSample(e, Similarity.TrainN).cache()
     refineCodebooks(t, refineCodebooks(t, seedCodebooks(t)))
   }
 
