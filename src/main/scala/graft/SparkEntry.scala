@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Typed.defs ++
     operators.AsOfJoin.defs ++
     operators.RangeJoin.defs ++
+    plans.TopKPerKey.defs ++
     streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

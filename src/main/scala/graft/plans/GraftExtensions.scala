@@ -31,8 +31,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * roughly the median interval width.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BucketizeRangeJoin)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object BucketizeRangeJoin extends Rule[LogicalPlan] {
