@@ -33,7 +33,7 @@ object Quantization {
 
   /** Unit-normalized copy of the embeddings (PQ of unit vectors
     * approximates cosine via plain dot products). */
-  private def normalized(e: DataFrame): DataFrame = {
+  def normalized(e: DataFrame): DataFrame = {
     val nrm = sqrt(aggregate(transform(col("embedding"),
       x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
     e.select(col("vec_id"),
@@ -57,8 +57,13 @@ object Quantization {
   /** Seed codebooks: per subspace, the subvectors of K hash-sampled
     * vectors (constant size M·K regardless of corpus scale). Output:
     * (sub, c_id 0..K-1, cv). */
-  def seedCodebooks(e: DataFrame): DataFrame = {
-    val sample = normalized(e)
+  def seedCodebooks(e: DataFrame): DataFrame =
+    seedCodebooksV(normalized(e))
+
+  /** [[seedCodebooks]] over already-normalized/residual (vec_id, u)
+    * vectors. */
+  def seedCodebooksV(vs: DataFrame): DataFrame = {
+    val sample = vs
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(K)
       .withColumn("c_id",
@@ -74,7 +79,12 @@ object Quantization {
     * groups total — constant, corpus-size independent). Halves the
     * quantization distortion of the raw sample on this corpus. */
   def refineCodebooks(e: DataFrame, books: DataFrame): DataFrame =
-    subvectors(normalized(e).repartition(col("vec_id")))
+    refineCodebooksV(normalized(e).repartition(col("vec_id")), books)
+
+  /** [[refineCodebooks]] over already-normalized/residual (vec_id, u)
+    * vectors. */
+  def refineCodebooksV(vs: DataFrame, books: DataFrame): DataFrame =
+    subvectors(vs)
       .join(broadcast(books), "sub")
       .select(col("vec_id"), col("sub"), col("sv"), col("c_id"),
         l2sq(col("sv"), col("cv")).as("d"))
@@ -98,10 +108,19 @@ object Quantization {
     refineCodebooks(t, refineCodebooks(t, seedCodebooks(t)))
   }
 
+  /** [[codebooks]] over already-normalized/residual (vec_id, u) vectors
+    * (caller bounds + caches the training set). */
+  def codebooksFor(vs: DataFrame): DataFrame =
+    refineCodebooksV(vs, refineCodebooksV(vs, seedCodebooksV(vs)))
+
   /** Encode every vector as ONE packed int: 4 bits per subspace code
     * (nearest codebook entry by L2 in that subspace). */
   def encode(e: DataFrame, books: DataFrame): DataFrame =
-    subvectors(normalized(e).repartition(col("vec_id")))
+    encodeVectors(normalized(e).repartition(col("vec_id")), books)
+
+  /** [[encode]] over already-normalized/residual (vec_id, u) vectors. */
+  def encodeVectors(vs: DataFrame, books: DataFrame): DataFrame =
+    subvectors(vs.select(col("vec_id"), col("u")))
       .join(broadcast(books), "sub")
       .select(col("vec_id"), col("sub"), col("c_id"),
         l2sq(col("sv"), col("cv")).as("d"))
@@ -150,11 +169,103 @@ object Quantization {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
-  /** SIM5 as a registered (unoracled) query — approximate result set;
-    * QuantizationSpec pins recall and compression. */
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ (the composed FAISS-style ANN architecture): the constant-k
+    * IVF coarse quantizer prunes the corpus to `nprobe` inverted lists,
+    * and within the lists vectors are ranked from 4-byte PQ codes of their
+    * RESIDUALS (x_u − centroid) via per-list ADC tables, with an exact
+    * rerank of the survivors. dot(q,x) = dot(q,c) + dot(q, x−c): the first
+    * term is the per-list bias, the second is Σ_s table[list][s][code].
+    *
+    * This is the 100 TB shape both tiers exist for: the coarse quantizer
+    * bounds COMPUTE (scan nprobe/k of the corpus), the PQ codes bound
+    * MEMORY (4 bytes/vector + constant codebooks + nprobe·M·K broadcast
+    * tables), and raw vectors are touched only for `rerank` candidates.
+    * Residual PQ beats plain PQ (sim5) because residuals concentrate near
+    * 0 with far less variance than raw vectors, so the same 4-bit budget
+    * quantizes finer. QuantizationSpec pins recall and the constant sizes.
+    */
+  def ivfpqTopK(e: DataFrame, queryVecId: Long, k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    // centroids, unit-normalized into cosine space: (list_id, cu)
+    val csU = Similarity.centroids(e)
+      .select(col("c_id").as("list_id"),
+        transform(col("cv"), x => x.cast("double") /
+          sqrt(aggregate(transform(col("cv"),
+            y => y.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v)))
+          .as("cu"))
+      .cache()
+
+    // assign every unit vector to its nearest centroid (max dot = cosine)
+    val assigned = normalized(e).repartition(col("vec_id"))
+      .crossJoin(broadcast(csU))
+      .select(col("vec_id"), col("u"), col("list_id"),
+        dotArr(col("u"), col("cu")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("list_id"), col("u")),
+        struct(col("sim"), col("list_id"))).as("a"))
+      .select(col("vec_id"), col("a.list_id").as("list_id"), col("a.u").as("u"))
+
+    // residuals r = u − cu, and PQ codebooks trained on a BOUNDED residual
+    // sample (same discipline as codebooks(): train small, encode all)
+    val res = assigned.join(broadcast(csU), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("u"), col("cu"), (x, y) => x - y).as("u"))
+    val trainRes = res
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(Similarity.TrainN)
+      .select("vec_id", "u").cache()
+    val books = codebooksFor(trainRes).cache()
+
+    // packed 32-bit residual codes, re-keyed by their inverted list
+    val codes = encodeVectors(res, books)
+      .join(res.select("vec_id", "list_id"), "vec_id")
+
+    // query: probed lists = nprobe nearest centroids; per-list ADC table
+    // over the residual query qr = qu − cu, plus the dot(q,c) bias
+    val qU = normalized(e.filter(col("vec_id") === queryVecId))
+      .select(col("u").as("qu"))
+    val tables = csU.crossJoin(broadcast(qU))
+      .select(col("list_id"), dotArr(col("qu"), col("cu")).as("bias"),
+        zip_with(col("qu"), col("cu"), (x, y) => x - y).as("qr"))
+      .orderBy(col("bias").desc, col("list_id")).limit(nprobe)
+      .crossJoin(books)
+      .select(col("list_id"), col("bias"), col("sub"), col("c_id"),
+        dotArr(slice(col("qr"), col("sub") * SubDim + 1, lit(SubDim)), col("cv"))
+          .as("t"))
+
+    // ADC scan: only vectors in probed lists, scored purely from codes
+    val cand = codes
+      .select(col("vec_id"), col("list_id"), posexplode(
+        array((0 until M).map(s =>
+          shiftright(col("codes"), s * CodeBits).bitwiseAND(lit(K - 1L)).cast("int")): _*))
+        .as(Seq("sub", "c_id")))
+      .join(broadcast(tables), Seq("list_id", "sub", "c_id"))
+      .groupBy("vec_id").agg((first("bias") + sum("t")).as("approx"))
+      .filter(col("vec_id") =!= queryVecId)
+      .orderBy(col("approx").desc, col("vec_id")).limit(rerank)
+
+    // exact rerank of the survivors only
+    val q = broadcast(e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv")))
+    e.join(broadcast(cand.select("vec_id")), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 6)
+          .cast("double").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** SIM5/SIM6 as registered (unoracled) queries — approximate result
+    * sets; QuantizationSpec pins recall and compression. */
   val defs: Seq[QueryDef] = Seq(
     QueryDef.unoracled("sim5_pq_topk") { (s, dir) =>
       pqTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 20, rerank = 100)
+    },
+    QueryDef.unoracled("sim6_ivfpq_topk") { (s, dir) =>
+      ivfpqTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 20,
+        nprobe = 8, rerank = 200)
     }
   )
 }

@@ -39,6 +39,32 @@ class QuantizationSpec extends SparkSpec {
     assert(n2 === n1, s"codebook grew with corpus: $n1 -> $n2")
   }
 
+  test("IVF-PQ + exact rerank: recall@20 >= 0.75 vs brute force") {
+    val brute = Similarity.defs.find(_.name == "sim1_cosine_topk").get
+      .run(spark, sf).select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Quantization.ivfpqTopK(emb, queryVecId = 0L, k = 20,
+      nprobe = 8, rerank = 200)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    // bounded below by the IVF probe coverage (nprobe/k lists of a
+    // near-uniform corpus — same bound SimilaritySpec documents for sim3);
+    // the PQ+rerank stage must not lose candidates the probe found
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
+  test("IVF-PQ auxiliary state is constant-size (codebooks, ADC tables)") {
+    // residual codebooks: M*K entries regardless of corpus size — reuse
+    // the generic trainer the IVF-PQ path calls internally
+    val n1 = Quantization.codebooksFor(
+      Quantization.normalized(emb).limit(200).cache()).count()
+    assert(n1 === (Quantization.M * Quantization.K).toLong)
+    // a doubled corpus yields the same IVF centroid count (the coarse
+    // quantizer the per-list ADC tables are keyed by)
+    val doubled = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    assert(Similarity.centroids(doubled).count() <= Similarity.IvfK.toLong)
+  }
+
   test("ADC approximation correlates with exact cosine (sanity on ordering quality)") {
     val books = Quantization.codebooks(emb).cache()
     val qNorm = emb.filter(col("vec_id") === 0)
