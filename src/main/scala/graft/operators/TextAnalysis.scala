@@ -195,6 +195,57 @@ object TextAnalysis {
         .groupBy("token")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(50)
+    },
+
+    // T8: redaction / PII scrub — the masking pass every training-data
+    // pipeline runs before release: first mask email-shaped spans, then a
+    // blocklist term, counting what was hit. Pure regexp_replace /
+    // regexp_count (codegen'd, narrow, no shuffle beyond the dump); the
+    // oracle runs the identical RE2-compatible patterns with the 'g' flag.
+    // On this synthetic corpus the email pattern matches nothing (by
+    // construction) and the blocklist term fires often — both paths are
+    // exercised and the zero-match case proves replace is not a no-op-
+    // mangler.
+    QueryDef("t8_redact", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      s"""SELECT doc_id,
+        |       regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
+        |                      '\\bcustomer\\b', '[MASKED]', 'g') AS red,
+        |       CAST(len(regexp_extract_all(text, '\\bcustomer\\b')) AS BIGINT) AS n_masked,
+        |       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails
+        |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin
+    }) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+            "\\bcustomer\\b", "[MASKED]").as("red"),
+          regexp_count(col("text"), lit("\\bcustomer\\b")).cast("long").as("n_masked"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_emails"))
+        .orderBy("doc_id").limit(2000)
+    },
+
+    // T9: heavy hitters via Count-Min sketch — the sub-linear-memory
+    // sibling of t6's exact histogram. The sketch is built DISTRIBUTED
+    // (per-partition sketches merged associatively — Spark's stat
+    // function runs a treeAggregate under the hood) and is a few KB
+    // regardless of corpus size: at 100 TB the exact histogram's
+    // (token, count) shuffle state grows with the vocabulary, the CMS
+    // does not. Probes are a fixed vocabulary list; estimates carry the
+    // CMS guarantee exact ≤ est ≤ exact + ε·N (TextSketchSpec pins both
+    // bounds against the exact counts). Unoracled: the estimate depends
+    // on the engine's hash family.
+    QueryDef.unoracled("t9_cms_heavy_hitters") { (s, dir) =>
+      val tok = docs(s, dir).select(explode(toks).as("token"))
+      val sketch = tok.stat.countMinSketch(
+        "token", eps = 0.001, confidence = 0.99, seed = 42)
+      val est = CmsProbes.map(t => (t, sketch.estimateCount(t)))
+      s.createDataFrame(est).toDF("token", "est_n").orderBy("token")
     }
   )
+
+  /** Fixed probe vocabulary for the CMS heavy-hitter estimates. */
+  val CmsProbes: Seq[String] =
+    Seq("table", "the", "data", "spark", "join", "window", "batch",
+      "customer", "vector", "zzz_absent")
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch heavy hitters (t9): the estimates must carry the CMS
+  * guarantee — never an undercount, overcount bounded by ε·N — against the
+  * exact token histogram, and the redaction pass (t8) must mask exactly
+  * the blocklist occurrences. */
+class TextSketchSpec extends SparkSpec {
+
+  private lazy val tok = Tables.documents(spark, sf)
+    .select(explode(split(col("text"), " ")).as("token")).cache()
+
+  test("CMS estimates: exact <= est <= exact + eps*N for every probe") {
+    val eps = 0.001
+    val sketch = tok.stat.countMinSketch("token", eps, 0.99, 42)
+    val n = tok.count()
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    TextAnalysis.CmsProbes.foreach { t =>
+      val est = sketch.estimateCount(t)
+      val ex = exact.getOrElse(t, 0L)
+      assert(est >= ex, s"CMS undercounted '$t': $est < $ex")
+      assert(est <= ex + (eps * n).toLong + 1,
+        s"CMS overcount beyond eps*N for '$t': $est vs $ex (N=$n)")
+    }
+    // the absent probe exercises the pure-collision path
+    assert(exact.get("zzz_absent").isEmpty)
+  }
+
+  test("redaction masks exactly the counted occurrences and nothing else") {
+    val red = TextAnalysis.defs.find(_.name == "t8_redact").get.run(spark, sf)
+    val bad = red.filter(
+      // every counted hit became a [MASKED] marker...
+      size(split(col("red"), "\\[MASKED\\]")) - 1 =!= col("n_masked") ||
+        // ...and no unmasked blocklist occurrence survives
+        col("red").rlike("\\bcustomer\\b"))
+    assert(bad.count() === 0)
+    // this corpus genuinely exercises the masking path
+    assert(red.agg(sum("n_masked")).collect()(0).getLong(0) > 0)
+    assert(red.agg(sum("n_emails")).collect()(0).getLong(0) === 0)
+  }
+}
