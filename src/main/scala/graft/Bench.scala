@@ -30,7 +30,11 @@ object Bench {
     // footers) so per-query numbers measure the queries, not session startup.
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
 
-    val results = SparkEntry.allDefs.map { d =>
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 benches a subset in isolation
+    // (diagnosing one query's time without the rest of the suite's JVM).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val defs = SparkEntry.allDefs.filter(d => only.forall(_.contains(d.name)))
+    val results = defs.map { d =>
       val t0 = System.nanoTime()
       val ok =
         try { d.run(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler (not part of the driver contract): times the
+  * sub-stages of the heavy pipelines in isolation to localize cost. */
+object Diag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-diag")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[diag] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    import graft.operators.Dedup
+    import graft.sources.Tables
+
+    val d3 = SparkEntry.allDefs.find(_.name == "d3_minhash_lsh").get
+    t("d3 full COLD")(d3.run(spark, sfDir).write.mode("overwrite").format("noop").save())
+    spark.catalog.clearCache()
+    t("d3 full WARM")(d3.run(spark, sfDir).write.mode("overwrite").format("noop").save())
+    spark.catalog.clearCache()
+
+    val d = Tables.documents(spark, sfDir)
+    t("docs count")(d.count())
+    val sh = Dedup.shingles(d)
+    t("shingles count")(sh.count())
+    val shc = sh.cache()
+    t("shingles cache count")(shc.count())
+    val sig = Dedup.minhashSignature(shc)
+    t("signatures count")(sig.count())
+    val cand = Dedup.lshCandidates(sig)
+    t("candidates count")(cand.count())
+    val jac = Dedup.exactJaccard(shc, cand)
+    t("exact jaccard count")(jac.count())
+    t("full d3 second pass")(
+      Dedup.exactJaccard(shc, Dedup.lshCandidates(Dedup.minhashSignature(shc)))
+        .filter(col("jac") >= 0.7).count())
+    spark.stop()
+  }
+}

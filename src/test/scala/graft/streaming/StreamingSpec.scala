@@ -152,6 +152,53 @@ class StreamingSpec extends SparkSpec {
     assert(want.exceptAll(out).count() === 0)
   }
 
+  test("dropDuplicatesWithinWatermark survives restart: re-delivered events emit once") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = s"/root/repo/target/sdedup-${System.nanoTime()}"
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val chk = s"$base/chk"
+    new java.io.File(inDir).mkdirs()
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+
+    def addBatch(filter: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = s"$base/tmp-$name"
+      raw.filter(filter).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+
+    def runOnce(): Unit = {
+      val q = Streams.eventsStream(spark, inDir)
+        // watermark far beyond the corpus time span: dedup state is kept for
+        // the whole test (the operator's point is it would EVICT state once
+        // event-time passes ts+delay — bounded state at scale, unlike plain
+        // dropDuplicates whose state grows forever)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "stream did not finish")
+    }
+
+    addBatch(col("event_id") % 2 === 0, "a") // first delivery: even half
+    runOnce()
+    // second delivery: the odd half PLUS a re-delivery of every 4th event
+    // (at-least-once upstream): the dedup state restored from the
+    // checkpoint must swallow the re-delivered rows
+    addBatch(col("event_id") % 2 === 1 || col("event_id") % 4 === 0, "b")
+    runOnce()
+
+    val out = spark.read.parquet(outDir)
+    val nAll = raw.select("event_id").distinct().count()
+    assert(out.count() === nAll, "re-delivered duplicates leaked into the sink")
+    assert(out.distinct().count() === nAll)
+  }
+
   test("streaming stateful dedup (dropDuplicates on event_id) keeps batch-distinct count") {
     val stream = Streams.eventsStream(spark, stageDir)
       .withWatermark("ts", "1 hour")
