@@ -164,7 +164,7 @@ object Quantization {
     e.join(broadcast(cand.select("vec_id")), "vec_id")
       .crossJoin(q)
       .select(col("vec_id"),
-        round(Similarity.cosine(col("embedding"), col("qv")), 6)
+        round(Similarity.cosineFast(e.sparkSession, "embedding", "qv"), 6)
           .cast("double").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
@@ -252,7 +252,7 @@ object Quantization {
     e.join(broadcast(cand.select("vec_id")), "vec_id")
       .crossJoin(q)
       .select(col("vec_id"),
-        round(Similarity.cosine(col("embedding"), col("qv")), 6)
+        round(Similarity.cosineFast(e.sparkSession, "embedding", "qv"), 6)
           .cast("double").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }

@@ -43,6 +43,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** The native codegen'd cosine (one fused loop, bit-identical to
+    * [[cosine]] — CosineNativeSpec asserts exact equality). The HOF form
+    * stays as the readable baseline and the sim1/sim4 bench pair; every
+    * hot pairwise loop below uses this one. Args are column NAMES (the
+    * expression resolves through the registered function). */
+  def cosineFast(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.CosineNative.register(s)
+    expr(s"cosine_native($a, $b)")
+  }
+
   /** DuckDB rendering of the same fold (list_sum over an in-order list of
     * per-element double products) — kept textually adjacent to the Scala
     * so the two trees stay in lockstep. */
@@ -95,7 +105,7 @@ object Similarity {
       val scored = e.crossJoin(q)
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(cosine(col("embedding"), col("qv")), 6).cast("double").as("cos"))
+          round(cosineFast(s, "embedding", "qv"), 6).cast("double").as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -112,22 +122,22 @@ object Similarity {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      // Norms are computed ONCE per vector before pairing (same value the
-      // oracle's per-pair sqrt(dot(x,x)) yields, ~3× less fold work inside
-      // the quadratic block join).
-      val e = emb(s, dir).select(col("label"), col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      // Per-pair scoring runs through the native fused expression — one
+      // codegen'd loop computing dot + both norms per pair (the earlier
+      // precomputed-norm HOF variant still paid an interpreted fold per
+      // pair, which dominated the bench inside the quadratic block join).
+      val e = emb(s, dir)
       val a = e.select(col("label"), col("vec_id").as("a_id"),
-        col("embedding").as("av"), col("nrm").as("na"))
+        col("embedding").as("av"))
       val b = e.select(col("label"), col("vec_id").as("b_id"),
-        col("embedding").as("bv"), col("nrm").as("nb"))
+        col("embedding").as("bv"))
       a.join(b, Seq("label"))
         .filter(col("a_id") < col("b_id"))
         // the block join keys on `label` (few, possibly skewed partitions);
         // respread the PAIRS before the per-pair fold so the similarity
         // compute uses full parallelism, not one task per block
         .repartition(col("a_id"), col("b_id"))
-        .withColumn("cosv", dot(col("av"), col("bv")) / (col("na") * col("nb")))
+        .withColumn("cosv", cosineFast(s, "av", "bv"))
         .filter(col("cosv") >= 0.35)
         .select(col("a_id"), col("b_id"),
           round(col("cosv"), 6).cast("double").as("cos"))
@@ -159,7 +169,7 @@ object Similarity {
     e.repartition(col("vec_id")) // parallelize past the single input file
       .crossJoin(broadcast(cs))
       .select(col("vec_id"), col("embedding"), col("c_id"),
-        cosine(col("embedding"), col("cv")).as("sim"))
+        cosineFast(e.sparkSession, "embedding", "cv").as("sim"))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("sim"), col("c_id"))).as("list_id"),
         first(col("embedding")).as("embedding"))
@@ -202,10 +212,11 @@ object Similarity {
   /** IVF probe: search only the `nprobe` lists closest to the query. The
     * approximate counterpart of sim1 — SimilaritySpec measures its recall. */
   def ivfTopK(e: DataFrame, queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
+    val s = e.sparkSession
     val q = broadcast(e.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv")))
     val probed = broadcast(centroids(e).crossJoin(q)
-      .select(col("c_id"), cosine(col("cv"), col("qv")).as("csim"))
+      .select(col("c_id"), cosineFast(s, "cv", "qv").as("csim"))
       .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
       .select(col("c_id").as("list_id")))
     ivfAssign(e)
@@ -213,7 +224,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(q)
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qv")), 6).cast("double").as("cos"))
+        round(cosineFast(s, "embedding", "qv"), 6).cast("double").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
