@@ -133,10 +133,68 @@ object Quantization {
       // binary — the 64x compression is unchanged)
       .agg(sum(expr(s"shiftleft(CAST(code AS BIGINT), sub * $CodeBits)")).as("codes"))
 
+  /** Codebooks flattened into ONE row-major array<double> row
+    * (`books_flat`, indexed [(sub*K + c_id)*SubDim + pos]) for the native
+    * kernels — attached to data rows via a one-row broadcast join, so the
+    * pipeline stays lazy and distributed. */
+  def flatBooks(books: DataFrame): DataFrame = {
+    // dense (sub, c_id, pos) grid: a k-means sweep can drop an entry whose
+    // cluster emptied, and a missing slot would silently shift every later
+    // flat index. Absent entries fill with 1e300 — a distance no subvector
+    // can win, so the encoder never emits their code.
+    val grid = books.sparkSession.range(M * K * SubDim).select(
+      (col("id") / (K * SubDim)).cast("int").as("sub"),
+      ((col("id") / SubDim) % K).cast("int").as("c_id"),
+      (col("id") % SubDim).cast("int").as("pos"))
+    val entries = books.select(col("sub"), col("c_id"),
+      posexplode(col("cv")).as(Seq("pos", "x")))
+    grid.join(entries, Seq("sub", "c_id", "pos"), "left")
+      .agg(array_sort(collect_list(struct(col("sub"), col("c_id"), col("pos"),
+        coalesce(col("x"), lit(1e300)).as("x")))).as("e"))
+      .select(transform(col("e"), t => t("x")).as("books_flat"))
+  }
+
+  /** [[encodeVectors]] through the native fused kernel
+    * (graft.functions.PqNative.PqEncode): ONE narrow codegen'd pass per
+    * vector — no n·M·K row inflation, no argmin shuffles. `carry` columns
+    * (e.g. the IVF list id) ride along for free since nothing aggregates.
+    * PqNativeSpec pins code-for-code equality with the algebraic form. */
+  def encodeVectorsNative(vs: DataFrame, books: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    graft.functions.PqNative.register(vs.sparkSession)
+    vs.crossJoin(broadcast(flatBooks(books)))
+      .select(col("vec_id") +: carry.map(col) :+
+        expr(s"pq_encode(u, books_flat, $M, $K)").as("codes"): _*)
+  }
+
+  /** [[adcScores]] through the native kernel: the 128-entry table flattens
+    * to one broadcast row and every packed-codes row scores in a fused
+    * loop — replaces the explode + join + re-aggregate round trip. */
+  def adcScoresNative(encoded: DataFrame, books: DataFrame,
+      qNorm: DataFrame): DataFrame = {
+    graft.functions.PqNative.register(encoded.sparkSession)
+    // same dense-grid discipline as flatBooks (slot for every (sub, c_id));
+    // absent entries contribute 0 and are unreachable from the encoder
+    val grid = encoded.sparkSession.range(M * K).select(
+      (col("id") / K).cast("int").as("sub"), (col("id") % K).cast("int").as("c_id"))
+    val t = books.crossJoin(broadcast(qNorm))
+      .select(col("sub"), col("c_id"),
+        dotArr(col("cv"), slice(col("qu"), col("sub") * SubDim + 1, lit(SubDim)))
+          .as("t"))
+    val tableFlat = grid.join(t, Seq("sub", "c_id"), "left")
+      .agg(array_sort(collect_list(struct(col("sub"), col("c_id"),
+        coalesce(col("t"), lit(0.0)).as("t")))).as("e"))
+      .select(transform(col("e"), x => x("t")).as("table_flat"))
+    encoded.crossJoin(broadcast(tableFlat))
+      .select(col("vec_id"),
+        expr(s"pq_adc(codes, table_flat, $M, $K)").as("approx"))
+  }
+
   /** ADC scan: approx dot(query, x) = Σ_s table[s][code_s(x)], where the
     * 128-entry table holds dot(q_sub, centroid) per (sub, c_id). Returns
     * (vec_id, approx) for every encoded vector — one narrow pass over the
-    * packed codes, raw vectors untouched. */
+    * packed codes, raw vectors untouched. (Algebraic reference twin of
+    * [[adcScoresNative]].) */
   def adcScores(encoded: DataFrame, books: DataFrame, qNorm: DataFrame): DataFrame = {
     val table = books.crossJoin(broadcast(qNorm))
       .select(col("sub"), col("c_id"),
@@ -150,13 +208,17 @@ object Quantization {
       .groupBy("vec_id").agg(sum("t").as("approx"))
   }
 
+  /** [[encode]] through the native kernel (narrow, shuffle-free). */
+  def encodeNative(e: DataFrame, books: DataFrame): DataFrame =
+    encodeVectorsNative(normalized(e).repartition(col("vec_id")), books)
+
   /** PQ top-k with exact rerank: ADC-rank the whole corpus from the packed
     * codes, keep `rerank` candidates, then score those few exactly. */
   def pqTopK(e: DataFrame, queryVecId: Long, k: Int, rerank: Int): DataFrame = {
     val books = codebooks(e).cache()
     val qNorm = normalized(e.filter(col("vec_id") === queryVecId))
       .select(col("u").as("qu"))
-    val cand = adcScores(encode(e, books), books, qNorm)
+    val cand = adcScoresNative(encodeNative(e, books), books, qNorm)
       .filter(col("vec_id") =!= queryVecId)
       .orderBy(col("approx").desc, col("vec_id")).limit(rerank)
     val q = broadcast(e.filter(col("vec_id") === queryVecId)
@@ -197,15 +259,23 @@ object Quantization {
           .as("cu"))
       .cache()
 
-    // assign every unit vector to its nearest centroid (max dot = cosine)
-    val assigned = normalized(e).repartition(col("vec_id"))
-      .crossJoin(broadcast(csU))
-      .select(col("vec_id"), col("u"), col("list_id"),
-        dotArr(col("u"), col("cu")).as("sim"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("list_id"), col("u")),
-        struct(col("sim"), col("list_id"))).as("a"))
-      .select(col("vec_id"), col("a.list_id").as("list_id"), col("a.u").as("u"))
+    // assign every vector to its nearest centroid via the native fused
+    // argmax (cosine is scale-invariant, so assigning the RAW embedding
+    // against the normalized centroids lands in the same list) — one
+    // narrow pass, no n×k inflation, no argmax shuffle
+    graft.functions.PqNative.register(e.sparkSession)
+    val csFlat = csU.select(col("list_id"), posexplode(col("cu")).as(Seq("pos", "x")))
+      .agg(array_sort(collect_list(struct(col("list_id"), col("pos"), col("x")))).as("fe"),
+        array_sort(collect_set(col("list_id"))).as("ids"))
+      .select(transform(col("fe"), t => t("x")).as("cents_flat"), col("ids"))
+    val nrm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    val assigned = e.repartition(col("vec_id"))
+      .crossJoin(broadcast(csFlat))
+      .select(col("vec_id"),
+        element_at(col("ids"),
+          expr("nearest_centroid(embedding, cents_flat)") + 1).as("list_id"),
+        transform(col("embedding"), x => x.cast("double") / nrm).as("u"))
 
     // residuals r = u − cu, and PQ codebooks trained on a BOUNDED residual
     // sample (same discipline as codebooks(): train small, encode all)
@@ -218,31 +288,38 @@ object Quantization {
       .select("vec_id", "u").cache()
     val books = codebooksFor(trainRes).cache()
 
-    // packed 32-bit residual codes, re-keyed by their inverted list
-    val codes = encodeVectors(res, books)
-      .join(res.select("vec_id", "list_id"), "vec_id")
+    // packed 32-bit residual codes: ONE narrow codegen'd pass, the list
+    // id riding along (nothing aggregates on the native path)
+    val codes = encodeVectorsNative(res, books, carry = Seq("list_id"))
 
-    // query: probed lists = nprobe nearest centroids; per-list ADC table
-    // over the residual query qr = qu − cu, plus the dot(q,c) bias
+    // query: probed lists = nprobe nearest centroids; per-list flat ADC
+    // table over the residual query qr = qu − cu, plus the dot(q,c) bias
     val qU = normalized(e.filter(col("vec_id") === queryVecId))
       .select(col("u").as("qu"))
-    val tables = csU.crossJoin(broadcast(qU))
+    val probed = csU.crossJoin(broadcast(qU))
       .select(col("list_id"), dotArr(col("qu"), col("cu")).as("bias"),
         zip_with(col("qu"), col("cu"), (x, y) => x - y).as("qr"))
       .orderBy(col("bias").desc, col("list_id")).limit(nprobe)
-      .crossJoin(books)
+    val grid = e.sparkSession.range(M * K).select(
+      (col("id") / K).cast("int").as("sub"), (col("id") % K).cast("int").as("c_id"))
+    val tables = probed
+      .crossJoin(grid) // every (sub, c_id) slot for every probed list
+      .join(books, Seq("sub", "c_id"), "left")
       .select(col("list_id"), col("bias"), col("sub"), col("c_id"),
-        dotArr(slice(col("qr"), col("sub") * SubDim + 1, lit(SubDim)), col("cv"))
-          .as("t"))
+        coalesce(dotArr(
+          slice(col("qr"), col("sub") * SubDim + 1, lit(SubDim)), col("cv")),
+          lit(0.0)).as("t"))
+      .groupBy("list_id", "bias")
+      .agg(array_sort(collect_list(struct(col("sub"), col("c_id"), col("t")))).as("fe"))
+      .select(col("list_id"), col("bias"),
+        transform(col("fe"), x => x("t")).as("table_flat"))
 
-    // ADC scan: only vectors in probed lists, scored purely from codes
+    // ADC scan: the broadcast join on list_id both prunes to probed lists
+    // and delivers each row its table; scoring is one fused loop per row
     val cand = codes
-      .select(col("vec_id"), col("list_id"), posexplode(
-        array((0 until M).map(s =>
-          shiftright(col("codes"), s * CodeBits).bitwiseAND(lit(K - 1L)).cast("int")): _*))
-        .as(Seq("sub", "c_id")))
-      .join(broadcast(tables), Seq("list_id", "sub", "c_id"))
-      .groupBy("vec_id").agg((first("bias") + sum("t")).as("approx"))
+      .join(broadcast(tables), "list_id")
+      .select(col("vec_id"),
+        (col("bias") + expr(s"pq_adc(codes, table_flat, $M, $K)")).as("approx"))
       .filter(col("vec_id") =!= queryVecId)
       .orderBy(col("approx").desc, col("vec_id")).limit(rerank)
 

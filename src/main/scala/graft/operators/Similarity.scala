@@ -164,15 +164,29 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
 
-  /** Assign every vector to its nearest centroid in `cs` (c_id, cv). */
-  private def assignTo(e: DataFrame, cs: DataFrame): DataFrame =
+  /** Flatten a centroid frame (c_id, cv) into ONE row: `cents_flat` (the
+    * centroid vectors row-major in c_id order, doubles) + `ids` (sorted
+    * c_ids, aligning flat index i with ids[i]). Attached to every vector
+    * row via a one-row broadcast so nearest-centroid assignment becomes a
+    * NARROW codegen'd map — no n×k row inflation, no argmax shuffle. */
+  private def flatCentroids(cs: DataFrame): DataFrame =
+    cs.select(col("c_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("pos"), col("x")))).as("e"),
+        array_sort(collect_set(col("c_id"))).as("ids"))
+      .select(transform(col("e"), t => t("x").cast("double")).as("cents_flat"),
+        col("ids"))
+
+  /** Assign every vector to its nearest centroid in `cs` (c_id, cv) via
+    * the native fused argmax kernel (graft.functions.PqNative). */
+  private def assignTo(e: DataFrame, cs: DataFrame): DataFrame = {
+    graft.functions.PqNative.register(e.sparkSession)
     e.repartition(col("vec_id")) // parallelize past the single input file
-      .crossJoin(broadcast(cs))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        cosineFast(e.sparkSession, "embedding", "cv").as("sim"))
-      .groupBy("vec_id")
-      .agg(max_by(col("c_id"), struct(col("sim"), col("c_id"))).as("list_id"),
-        first(col("embedding")).as("embedding"))
+      .crossJoin(broadcast(flatCentroids(cs)))
+      .select(col("vec_id"),
+        element_at(col("ids"),
+          expr("nearest_centroid(embedding, cents_flat)") + 1).as("list_id"),
+        col("embedding"))
+  }
 
   /** One k-means refinement sweep: assign to the current centroids, then
     * re-center each list on its member mean (element-wise: posexplode →
