@@ -28,6 +28,17 @@ object Diag {
     import graft.operators.Dedup
     import graft.sources.Tables
 
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      import graft.operators.Quantization
+      val e = Tables.embeddings(spark, sfDir)
+      val books = Quantization.codebooks(e)
+      println("=== encodeNative plan ===")
+      Quantization.encodeNative(e, books).explain("formatted")
+      println("=== ivfAssign (nearest_centroid) plan ===")
+      graft.operators.Similarity.ivfAssign(e).explain("formatted")
+      spark.stop(); return
+    }
+
     val d3 = SparkEntry.allDefs.find(_.name == "d3_minhash_lsh").get
     t("d3 full COLD")(d3.run(spark, sfDir).write.mode("overwrite").format("noop").save())
     spark.catalog.clearCache()
