@@ -78,18 +78,31 @@ object Dedup {
             element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))).as("g"))
   }
 
-  /** MinHash signatures as one 64-long array per doc, built by a STREAMING
-    * grouped aggregate: 64 independent `min(xxhash64(g64, slot))` columns,
-    * re-assembled into the signature array after the agg. Per-group state is
-    * exactly 64 longs regardless of document size (a `collect_list` fold —
-    * the previous form — materializes every per-shingle hash array in
-    * memory: O(#shingles × 64) per doc, an executor OOM on a giant doc),
-    * and the wide generated aggregate gets map-side partial combine, so
-    * the shuffle moves one 64-long state per (doc, partition) — strictly
-    * less than one array per shingle. */
+  /** MinHash signatures as one 64-long array per doc via the custom
+    * `minhash_agg` TypedImperativeAggregate (graft.functions.MinHashAgg):
+    * a STREAMING fold whose per-group state is exactly 64 longs at every
+    * stage — update, partial shuffle, merge — regardless of document size
+    * (a `collect_list` fold materializes every per-shingle hash array:
+    * O(#shingles × 64) per doc, an executor OOM on a giant doc). Partial
+    * aggregation applies as with built-ins, so the shuffle moves one
+    * 64-long buffer per (doc, partition). The single custom aggregate
+    * also keeps codegen size independent of the signature width — the
+    * equivalent 64 `min(xxhash64(...))` columns generate a 64-field
+    * aggregate whose first-run janino compile is a real cost
+    * (MinHashAggSpec pins slot-for-slot equality with that form). */
   def minhashSignature(sh: DataFrame): DataFrame = {
+    graft.functions.MinHashAgg.register(sh.sparkSession)
     // hash the shingle STRING once; the 64 slot hashes re-hash the cheap
     // 64-bit value, not the string
+    sh.select(col("doc_id"), xxhash64(col("g")).as("g64"))
+      .groupBy("doc_id")
+      .agg(expr(s"minhash_agg(g64, $NumHash)").as("sig"))
+  }
+
+  /** The n-wide built-in-aggregate twin of [[minhashSignature]] (64
+    * `min(xxhash64(g64, slot))` columns) — kept as the reference
+    * implementation MinHashAggSpec verifies the custom aggregate against. */
+  def minhashSignatureWide(sh: DataFrame): DataFrame = {
     val withG = sh.select(col("doc_id"), xxhash64(col("g")).as("g64"))
     val mins = (0 until NumHash).map(i =>
       min(xxhash64(col("g64"), lit(i))).as(s"m$i"))
