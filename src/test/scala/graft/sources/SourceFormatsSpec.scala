@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format completeness beyond parquet + the reference CSV
+  * (StocksCompatSpec): JSON-lines round-trips with an explicit schema, and
+  * the partitioned layout supports idempotent partition backfill — the
+  * "re-run one day" operation every batch pipeline needs. */
+class SourceFormatsSpec extends SparkSpec {
+
+  test("JSON-lines round-trip preserves the documents table exactly") {
+    val dir = s"/root/repo/target/jsonl-${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf)
+    docs.write.json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // explicit schema: schema-on-read without an inference pass (at 100 TB
+    // inference is a full extra scan)
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
+
+  test("dynamic partition overwrite backfills ONE partition, leaves the rest") {
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      val dir = s"/root/repo/target/backfill-${System.nanoTime()}"
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      ev.write.partitionBy("day").parquet(dir)
+      val days = ev.select("day").distinct().collect().map(_.getString(0)).sorted
+      assert(days.length >= 2, s"need >=2 partitions, got ${days.toSeq}")
+      val target = days.head
+
+      // backfill one day with corrected values; mode=overwrite + dynamic
+      // partition overwrite replaces ONLY partitions present in the write
+      ev.filter(col("day") === target)
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+      val after = spark.read.parquet(dir)
+      // untouched partitions: bit-identical
+      assert(after.filter(col("day") =!= target).exceptAll(
+        ev.filter(col("day") =!= target)).count() === 0)
+      // backfilled partition: the corrected rows, same count
+      val want = ev.filter(col("day") === target).withColumn("value", col("value") * 2)
+      assert(after.filter(col("day") === target).exceptAll(want).count() === 0)
+      assert(after.count() === ev.count())
+    }
+  }
+}
