@@ -188,6 +188,28 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // A11: approximate percentiles (the sketch tier a10's scaladoc points
+    // to): percentile_approx is a mergeable quantile sketch — bounded
+    // memory per group and ONE pass, vs a10's full per-group sort, which
+    // is the difference at 100 TB. Same cross-engine shape as a8b: Spark
+    // checks its own sketch against its own exact percentiles (rank
+    // tolerance ±0.05, far looser than the sketch's guarantee at
+    // accuracy=1000), the oracle's constant TRUE matches iff the bound
+    // really held.
+    QueryDef("a11_approx_percentile_tol",
+      """SELECT l_returnflag, TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap"),
+          percentile(col("l_extendedprice"), lit(0.45)).as("lo"),
+          percentile(col("l_extendedprice"), lit(0.55)).as("hi"))
+        .select(col("l_returnflag"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_tol"))
+        .orderBy("l_returnflag")
+    },
+
     // A9: grouping sets via ROLLUP — free generalization of grouped aggs
     // (SURVEY §2.7). NULLS FIRST pinned on both sides (DuckDB defaults
     // NULLS LAST on ASC; Spark defaults NULLS FIRST).
