@@ -39,6 +39,23 @@ object Diag {
       spark.stop(); return
     }
 
+    if (sys.env.contains("SPARK_GRAFT_D7")) {
+      import graft.operators.Dedup
+      val d7 = SparkEntry.allDefs.find(_.name == "d7_dedup_clusters").get
+      t("d7 full COLD")(d7.run(spark, sfDir).write.mode("overwrite").format("noop").save())
+      spark.catalog.clearCache()
+      t("d7 full WARM")(d7.run(spark, sfDir).write.mode("overwrite").format("noop").save())
+      spark.catalog.clearCache()
+      val d = Tables.documents(spark, sfDir)
+      val sh = Dedup.shingles(d).cache()
+      val pairs = Dedup.exactJaccard(sh, Dedup.lshCandidates(Dedup.minhashSignature(sh)))
+        .filter(col("jac") >= 0.7).select("a_id", "b_id")
+      t("pairs build+count")(pairs.count())
+      t("connectedComponents")(
+        Dedup.connectedComponents(d.select("doc_id"), pairs).count())
+      spark.stop(); return
+    }
+
     val d3 = SparkEntry.allDefs.find(_.name == "d3_minhash_lsh").get
     t("d3 full COLD")(d3.run(spark, sfDir).write.mode("overwrite").format("noop").save())
     spark.catalog.clearCache()

@@ -39,6 +39,21 @@ class PqNativeSpec extends SparkSpec {
     enc.unpersist(); books.unpersist()
   }
 
+  test("native kernels are null-safe (null vector -> null result, no crash)") {
+    import spark.implicits._
+    PqNative.register(spark)
+    val df = Seq(
+      (1L, Some(Array(1.0f, 0.0f))),
+      (2L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+      .withColumn("cents", typedLit(Array(1.0, 0.0, 0.0, 1.0)))
+    val got = df.selectExpr("vec_id", "nearest_centroid(embedding, cents) AS c")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(got(1L) === Some(0))
+    assert(got(2L) === None)
+  }
+
   test("nearest_centroid == algebraic argmax-cosine assignment") {
     val cs = Similarity.centroids(emb).cache()
     val nat = Similarity.ivfAssign(emb).select("vec_id", "list_id")
