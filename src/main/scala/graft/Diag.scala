@@ -36,6 +36,9 @@ object Diag {
       Quantization.encodeNative(e, books).explain("formatted")
       println("=== ivfAssign (nearest_centroid) plan ===")
       graft.operators.Similarity.ivfAssign(e).explain("formatted")
+      println("=== d3 plan ===")
+      SparkEntry.allDefs.find(_.name == "d3_minhash_lsh").get
+        .run(spark, sfDir).explain()
       spark.stop(); return
     }
 
