@@ -171,6 +171,33 @@ object Joins {
           count(lit(1)).as("n"))
     },
 
+    // J8: TPC-H Q18 shape (large-volume customers) — a HAVING filter over a
+    // high-cardinality groupBy feeding the probe side of a join: aggregate
+    // lineitem per order, keep orders whose total quantity clears the
+    // threshold, decorate with order/customer attributes. The scale shape:
+    // the big aggregate happens FIRST and the surviving key set (tiny) is
+    // what joins — never the raw fact table against customer. Integral
+    // quantities make the HAVING threshold exact in both engines.
+    QueryDef("j8_q18_having",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       CAST(q.sum_qty AS BIGINT) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS BIGINT)) > 210) q
+        |JOIN orders o ON q.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 210)
+      q.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+    },
+
     // J6: left outer join with a selective right side — match accounting per
     // order status (count(col) vs count(*) exposes the null-extension rows).
     QueryDef("j6_outer_join",
