@@ -78,6 +78,34 @@ object Dedup {
             element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))).as("g"))
   }
 
+  /** Document-frequency cap for the inverted-index family (d6/d8). The
+    * index join's cost is Σ_g df(g)² — one boilerplate shingle shared by
+    * k documents contributes k² join rows, so an uncapped join is a
+    * quadratic bomb at corpus scale (a viral footer in 1M docs = 10¹²
+    * rows). Dropping shingles with df > cap bounds the join at
+    * cap · Σ_g df(g) = O(cap · postings) — linear in the corpus — and is
+    * the standard stopword-shingle guard every production near-dedup
+    * runs. Semantics: capped shingles leave BOTH the intersection and the
+    * sizes (Jaccard over the capped sets); the oracle applies the same
+    * cap, so the differential check covers the capped semantics exactly.
+    * A shingle this common carries no identity signal — it is a stopword
+    * of the corpus — so dropping it barely moves near-dup Jaccard
+    * (both members of a near-dup pair lose the same hot shingles).
+    * DedupSpec pins the join-input bound under a planted hot shingle. */
+  val DfCap = 64
+
+  /** Drop rows whose shingle `g` appears in more than `cap` documents.
+    * `sh` must hold at most one row per (doc, g) — true for both d6's
+    * distinct shingles and d8's tf frame — so rows-per-g IS the df.
+    * The HOT set (df > cap) is at most postings/cap shingles —
+    * broadcastable at any corpus size — so the guard is one broadcast
+    * LEFT ANTI join, not a second shuffle of the postings. */
+  def dfCapped(sh: DataFrame, cap: Int = DfCap): DataFrame = {
+    val hot = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("g")
+    sh.join(broadcast(hot), Seq("g"), "left_anti")
+  }
+
   /** MinHash signatures as one 64-long array per doc via the custom
     * `minhash_agg` TypedImperativeAggregate (graft.functions.MinHashAgg):
     * a STREAMING fold whose per-group state is exactly 64 longs at every
@@ -140,14 +168,15 @@ object Dedup {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
   }
 
-  /** Connected components by iterative min-label propagation: each node
-    * adopts the smallest label among itself and its neighbors until
-    * fixpoint. Each round is one join + grouped min (distributed); rounds
-    * needed = component diameter (near-dup clusters are tiny cliques, so
-    * 2-3 rounds). The canonical transitive-closure step that turns a
-    * pair list into dedup CLUSTERS with one surviving representative. */
+  /** Connected components by iterative min-label propagation PLUS pointer
+    * halving: each round every node adopts the smallest label among
+    * itself, its neighbors, and its label's label. Each round is two
+    * keyed joins + a grouped min (distributed); rounds needed =
+    * O(log diameter) — near-dup cliques converge in 2-3 rounds, and even
+    * a 10k-node chain (diameter 10⁴) converges in ~15 (DedupSpec pins
+    * it). The canonical transitive-closure step that turns a pair list
+    * into dedup CLUSTERS with one surviving representative. */
   private val MaxCcRounds = 50
-  private val CcCheckpointEvery = 5
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // symmetrize in ONE pass over the edge list (explode of both
@@ -164,18 +193,35 @@ object Dedup {
     while (changed > 0 && rounds < MaxCcRounds) {
       val viaNbr = sym.join(labels, "u")
         .groupBy(col("v").as("u")).agg(min("lbl").as("nbrLbl"))
-      val nextPlan = labels.join(viaNbr, Seq("u"), "left")
+      // cached: it feeds both sides of the halving self-join below, and
+      // uncached the neighbor join + grouped min would run twice per round
+      val prop = labels.join(viaNbr, Seq("u"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
-      // truncate lineage periodically: without it each generation's plan
-      // nests the previous one, so recomputation (cache eviction, task
-      // retry) costs O(rounds) joins and the plan itself grows unboundedly
-      // on chain-shaped components
-      val next =
-        if ((rounds + 1) % CcCheckpointEvery == 0) nextPlan.localCheckpoint()
-        else nextPlan.cache()
+        .cache()
+      // pointer halving: every label is itself a node id, so in the same
+      // round also adopt the label OF the label — lbl(lbl(u)). Neighbor
+      // propagation alone needs diameter rounds (a 10k-node chain = 10k
+      // rounds, far past any sane cap); with halving the label graph's
+      // depth halves each round, so chains collapse in O(log diameter).
+      // Safe: labels only ever decrease, and only to ids inside the same
+      // component (prop's labels are; so are their labels), so the
+      // fixpoint — per-component min — is unchanged, reached faster.
+      val nextPlan = prop.join(
+          prop.select(col("u").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+      // truncate lineage EVERY round: the halving self-join embeds `prop`
+      // twice, so an unchecked plan doubles per round (2^k growth between
+      // periodic checkpoints OOMed the analyzer on a 10k chain — the plan
+      // string alone exhausted the heap). localCheckpoint materializes the
+      // generation, which the convergence count below needs anyway, so the
+      // truncation is effectively free and the per-round plan is constant.
+      val next = nextPlan.localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
         .filter(col("lbl") < col("old")).count()
+      prop.unpersist()
       labels.unpersist() // superseded generation
       labels = next
       rounds += 1
@@ -290,14 +336,18 @@ object Dedup {
     // D6: exact n-gram Jaccard via the shingle INVERTED-INDEX join (no
     // LSH): pairs sharing any shingle meet in the index, intersection
     // counts are grouped, sizes close the formula. Exact and complete at
-    // any threshold — but the index join inherits hot-shingle skew, which
-    // is exactly why d3's LSH is the 100 TB path; this is the precise
+    // any threshold over the df-CAPPED shingle sets (see [[dfCapped]]) —
+    // the cap is what bounds the index join's Σ df² under hot-shingle
+    // skew; d3's LSH stays the preferred 100 TB path, this is the precise
     // sibling for moderate corpora and the oracle-shape ground truth.
     QueryDef("d6_ngram_jaccard",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${Shingle - 1})) AS i
         |             FROM ws WHERE len(w) >= $Shingle)),
+        |sh AS (SELECT doc_id, g FROM (
+        |         SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM sh0)
+        |       WHERE df <= $DfCap),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
         |          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -309,7 +359,7 @@ object Dedup {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = shingles(docs(s, dir)).cache()
+      val sh = dfCapped(shingles(docs(s, dir))).cache()
       val inter = sh.select(col("doc_id").as("a_id"), col("g"))
         .join(sh.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
         .filter(col("a_id") < col("b_id"))
@@ -330,13 +380,18 @@ object Dedup {
     // semantics can't see that). J_w = Σ_g min(tf_a, tf_b) / Σ_g
     // max(tf_a, tf_b), computed via the identity Σmax = tot_a + tot_b −
     // Σmin so only SHARED shingles ever join (same inverted-index shape
-    // and cost as d6, integer arithmetic end-to-end — engine-exact).
+    // and cost as d6 — including the same df cap bounding Σ df², applied
+    // to the tf frame where rows-per-g = df; integer arithmetic
+    // end-to-end — engine-exact).
     QueryDef("d8_weighted_jaccard",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${Shingle - 1})) AS i
         |             FROM ws WHERE len(w) >= $Shingle)),
-        |tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM sh GROUP BY 1, 2),
+        |tf0 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM sh GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, g, tf FROM (
+        |         SELECT doc_id, g, tf, count(*) OVER (PARTITION BY g) AS df FROM tf0)
+        |       WHERE df <= $DfCap),
         |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |                 CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS m
@@ -358,7 +413,8 @@ object Dedup {
               element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))).as("g"))
       // tf feeds three consumers (both join sides + totals) — cache it or
       // the shingle explosion and (doc, g) shuffle run three times
-      val tf = sh.groupBy("doc_id", "g").agg(count(lit(1)).as("tf")).cache()
+      val tf = dfCapped(
+        sh.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))).cache()
       val tot = tf.groupBy("doc_id").agg(sum("tf").as("tot"))
       val inter = tf.select(col("doc_id").as("a_id"), col("g"), col("tf").as("ta"))
         .join(tf.select(col("doc_id").as("b_id"), col("g"), col("tf").as("tb")), Seq("g"))
@@ -412,25 +468,31 @@ object Dedup {
     },
 
     // D4B: SimHash NEAR-dedup — hamming distance ≤ 3, the fuzzy tier d4's
-    // hamming-0 buckets can't see. Pigeonhole banding: split the 32-bit
-    // fingerprint into 4 8-bit blocks; a pair within hamming 3 differs in
+    // hamming-0 buckets can't see. Pigeonhole banding: split the 64-bit
+    // fingerprint into 4 16-bit blocks; a pair within hamming 3 differs in
     // at most 3 blocks, so it must AGREE on at least one — equi-join on
     // (block index, block value) yields the candidates (keyed, never
-    // all-pairs), then `bit_count(xor)` verifies exact hamming on
-    // candidates only. The oracle is a genuinely independent
-    // implementation: full O(n²) pair scan in DuckDB over the same
-    // fingerprint arithmetic — at oracle scale that's cheap, and it proves
-    // the banding loses nothing.
+    // all-pairs; 65,536 values per block keep buckets sparse as n grows),
+    // then `bit_count(xor)` verifies exact hamming on candidates only.
+    // The oracle is a genuinely independent implementation: full O(n²)
+    // pair scan in DuckDB over the same fingerprint arithmetic — at
+    // oracle scale that's cheap, and it proves the banding loses nothing.
     QueryDef("d4b_simhash_hamming", {
-      val sums = (0 until 32).map(p =>
-        s"sum(((v >> $p) & 1) * 2 - 1) AS b$p")
-        .mkString(",\n        |        ")
-      val fpInt = (0 until 32).map(p =>
-        s"(CASE WHEN b$p >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
+      val sums = (0 until 64).map { p =>
+        val (v, sh) = if (p < 32) ("v1", p) else ("v2", p - 32)
+        s"sum((($v >> $sh) & 1) * 2 - 1) AS b$p"
+      }.mkString(",\n        |        ")
+      // bit 63 = Long.MinValue: spelled as (-MAX - 1) so the literal never
+      // overflows a BIGINT parse; disjoint bit positions make the sum exact
+      val fpInt = (0 until 64).map { p =>
+        val v = if (p == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"CAST(${1L << p} AS BIGINT)"
+        s"(CASE WHEN b$p >= 0 THEN $v ELSE 0 END)"
+      }.mkString(" + ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |             FROM documents),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v FROM tok),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v1,
+        |             ('0x' || substr(md5(t), 9, 8))::BIGINT AS v2 FROM tok),
         |s AS (SELECT doc_id,
         |        $sums
         |      FROM h GROUP BY doc_id),
@@ -446,35 +508,63 @@ object Dedup {
     }
   )
 
-  /** Per-document SimHash bit votes b0..b31 (sum of ±1 per token
-    * occurrence, bit p drawn from the token's md5-derived 32-bit value).
-    * 32 codegen'd integer-vote sums. (An array-fold variant — one
+  /** Per-document SimHash bit votes b0..b{nBits-1} (sum of ±1 per token
+    * occurrence, bit p drawn from the token's md5-derived value).
+    * nBits codegen'd integer-vote sums. (An array-fold variant — one
     * aggregate over per-token ±1 vectors — was tried and is ~10× slower:
     * the interpreted zip_with fold allocates per token. The wide
     * generated aggregate pays a one-time JIT compile on first run and
-    * then executes at full codegen speed.) */
-  def simhashVotes(d: DataFrame): DataFrame = {
+    * then executes at full codegen speed.)
+    *
+    * The md5 hex parses as two 32-bit halves (bits 0-31 from chars 1-8,
+    * 32-63 from chars 9-16): `conv` returns a STRING, and a 16-hex-digit
+    * value above Long.MaxValue casts to NULL — a single 64-bit parse
+    * would silently drop half the token space. Callers that only need 32
+    * bits (d4) leave `v2` unused and Catalyst prunes it. */
+  def simhashVotes(d: DataFrame, nBits: Int = 32): DataFrame = {
+    require(nBits == 32 || nBits == 64, s"unsupported SimHash width $nBits")
     val tok = d
       .repartition(col("doc_id")) // parallelize past the single input file
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("v",
-        conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"))
-    val sums = (0 until 32).map(p =>
-      sum(shiftright(col("v"), p).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$p"))
+      .withColumn("h", md5(col("t").cast("binary")))
+      .withColumn("v", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("v2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    val sums = (0 until nBits).map { p =>
+      val (src, sh) = if (p < 32) (col("v"), p) else (col("v2"), p - 32)
+      sum(shiftright(src, sh).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$p")
+    }
     tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
   }
 
-  /** Candidate generation + exact verify for hamming ≤ `maxHamming` over
-    * the integer SimHash fingerprint, banded into `maxHamming + 1` blocks
-    * (pigeonhole: a qualifying pair agrees on at least one block). */
-  def simhashHammingPairs(d: DataFrame, maxHamming: Int): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val bits = 32 / nBlocks
-    val mask = (1L << bits) - 1
-    val fpInt = (0 until 32).map(p =>
+  /** SimHash fingerprint width for the hamming tier. 64-bit (not 32): the
+    * banding below buckets on (block index, block value), so the bucket
+    * space per block is 2^(bits/nBlocks). At 32 bits / 4 blocks that is
+    * only 256 values — buckets hold n/256 docs and candidates grow
+    * O(n²/1024), a scale-killer. At 64 bits / 4 blocks each block has
+    * 65,536 values: buckets stay sparse 256× longer, and the wider
+    * fingerprint also discriminates better (fewer random hamming-3
+    * collisions). The pigeonhole proof is width-independent. */
+  val SimHashBits = 64
+
+  /** (doc_id, fp): the 64-bit integer SimHash fingerprint per document. */
+  def simhashFingerprints(d: DataFrame): DataFrame = {
+    // bit 63's value is Long.MinValue; summing stays exact because the
+    // terms occupy disjoint bit positions (sum == bitwise OR, no carries)
+    val fpInt = (0 until SimHashBits).map(p =>
       when(col(s"b$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val f = simhashVotes(d).select(col("doc_id"), fpInt.as("fp"))
+    simhashVotes(d, SimHashBits).select(col("doc_id"), fpInt.as("fp"))
+  }
+
+  /** Banded candidate pairs for hamming ≤ `maxHamming` (pre-verify): the
+    * fingerprint splits into `maxHamming + 1` blocks and docs sharing any
+    * (block index, block value) bucket pair up — pigeonhole: a qualifying
+    * pair agrees on at least one block. Keyed equi-join, never all-pairs;
+    * DedupSpec pins candidate sparsity on a 10× corpus. */
+  def simhashCandidates(f: DataFrame, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bits = SimHashBits / nBlocks
+    val mask = (1L << bits) - 1
     val blocks = f.select(col("doc_id"), col("fp"),
       posexplode(array((0 until nBlocks).map(b =>
         shiftright(col("fp"), b * bits).bitwiseAND(lit(mask))): _*))
@@ -483,9 +573,14 @@ object Dedup {
       .join(blocks.select(col("blk"), col("bv"), col("doc_id").as("b_id"), col("fp").as("b_fp")),
         Seq("blk", "bv"))
       .filter(col("a_id") < col("b_id"))
+  }
+
+  /** Candidate generation + exact `bit_count(xor)` verify for hamming ≤
+    * `maxHamming` over the integer SimHash fingerprint. */
+  def simhashHammingPairs(d: DataFrame, maxHamming: Int): DataFrame =
+    simhashCandidates(simhashFingerprints(d), maxHamming)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair can agree on several blocks
-  }
 }

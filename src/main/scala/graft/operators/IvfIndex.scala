@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — the build-once / probe-many split the reference's
+  * index path teaches (stockify.cu:659-684: sort ONCE, then every probe is
+  * a lower_bound; ditto the map index :711-727). The previous inline
+  * sim3/sim6 rebuilt centroids and re-assigned the entire corpus per
+  * query — fine in a fused benchmark plan, architecturally wrong at
+  * 100 TB, where assignment alone is a full-corpus pass.
+  *
+  * BUILD (once per corpus) writes Parquet artifacts under an index dir:
+  *   centroids/   constant-size coarse quantizer (k rows)
+  *   lists/       (vec_id, embedding) partitioned by list_id      [IVF]
+  *   books/       residual PQ codebooks (M·K rows)                [IVF-PQ]
+  *   codes/       (vec_id, codes) partitioned by list_id          [IVF-PQ]
+  *   meta/        corpus row count — the staleness key
+  *
+  * PROBE reads the k-row centroid table, picks the `nprobe` nearest
+  * lists, and scans ONLY those list directories: the literal
+  * `list_id IN (...)` filter on a partitionBy(list_id) layout becomes
+  * directory-level partition pruning, so probe I/O ≈ nprobe/k of the
+  * corpus — IvfIndexSpec pins this with scan metrics. Collecting the
+  * nprobe probed ids to the driver is constant-size index metadata (the
+  * moral equivalent of reading the sorted index's fence pointers), not a
+  * data collect.
+  *
+  * The registered sim3/sim6 queries build lazily into
+  * /root/repo/target/graft-index/<kind>-<sf> on first use and rebuild
+  * only when the corpus row count changes — the testdata is regenerated
+  * deterministically per scale factor, so count is a sufficient staleness
+  * key here; a production index would carry a snapshot/version id.
+  */
+object IvfIndex {
+
+  /** Root for the lazily-built per-scale-factor indexes (gitignored). */
+  val DefaultRoot = "/root/repo/target/graft-index"
+
+  private def pathFor(kind: String, sfDir: String): String =
+    s"$DefaultRoot/$kind-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  // one build at a time per JVM: registered queries can be invoked
+  // concurrently (parallel test suites) against the same index dir
+  private val buildLock = new Object
+
+  private def writeMeta(e: DataFrame, idx: String): Unit =
+    e.select(count(lit(1)).as("n")).write.mode("overwrite").parquet(s"$idx/meta")
+
+  private def isFresh(e: DataFrame, idx: String): Boolean =
+    new java.io.File(s"$idx/meta").isDirectory && {
+      try {
+        val n = e.sparkSession.read.parquet(s"$idx/meta").collect()(0).getLong(0)
+        n == e.count()
+      } catch { case _: Exception => false }
+    }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Build the flat-IVF index: centroids + raw-vector inverted lists. */
+  def buildIvf(e: DataFrame, idx: String): Unit = {
+    val cs = Similarity.centroids(e).cache()
+    cs.write.mode("overwrite").parquet(s"$idx/centroids")
+    Similarity.assignTo(e, cs)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/lists")
+    cs.unpersist()
+    writeMeta(e, idx)
+  }
+
+  /** Probe the flat-IVF index at `idx`: top-`k` by cosine against the
+    * one-row query frame `q` (column `qv`), scanning only the `nprobe`
+    * nearest lists. */
+  def probeIvf(spark: SparkSession, idx: String, q: DataFrame, k: Int,
+      nprobe: Int, excludeVecId: Long): DataFrame = {
+    val cs = spark.read.parquet(s"$idx/centroids")
+    val probed = cs.crossJoin(broadcast(q))
+      .select(col("c_id"), Similarity.cosineFast(spark, "cv", "qv").as("csim"))
+      .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
+      .select("c_id").collect().map(_.getLong(0))
+    spark.read.parquet(s"$idx/lists")
+      .filter(col("list_id").isin(probed: _*)) // directory pruning
+      .filter(col("vec_id") =!= excludeVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Similarity.cosineFast(spark, "embedding", "qv"), 6)
+          .cast("double").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** sim3 through the persisted index: lazy build, then probe-only. */
+  def ivfTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
+      k: Int, nprobe: Int): DataFrame = {
+    val idx = pathFor("ivf", sfDir)
+    buildLock.synchronized { if (!isFresh(e, idx)) buildIvf(e, idx) }
+    val q = broadcast(e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv")))
+    probeIvf(e.sparkSession, idx, q, k, nprobe, excludeVecId = queryVecId)
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Build the IVF-PQ index: centroids + residual codebooks + packed
+    * 4-bit-per-subspace codes partitioned by list (Quantization.ivfpqBuild
+    * does the algebra; this persists it). */
+  def buildIvfPq(e: DataFrame, idx: String): Unit = {
+    val (csU, books, codes) = Quantization.ivfpqBuild(e)
+    csU.write.mode("overwrite").parquet(s"$idx/centroids")
+    books.write.mode("overwrite").parquet(s"$idx/books")
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/codes")
+    writeMeta(e, idx)
+  }
+
+  /** sim6 through the persisted index: lazy build, then probe-only — the
+    * ranking pass reads centroids (k rows), books (M·K rows), and the
+    * probed code directories (4 bytes/vector); raw vectors are touched
+    * only for the query row and the `rerank` survivors. */
+  def ivfpqTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val idx = pathFor("ivfpq", sfDir)
+    buildLock.synchronized { if (!isFresh(e, idx)) buildIvfPq(e, idx) }
+    val s = e.sparkSession
+    Quantization.ivfpqProbe(e,
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$idx/books"),
+      s.read.parquet(s"$idx/codes"),
+      queryVecId, k, nprobe, rerank)
+  }
+}

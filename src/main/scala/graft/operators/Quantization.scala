@@ -250,6 +250,15 @@ object Quantization {
     */
   def ivfpqTopK(e: DataFrame, queryVecId: Long, k: Int, nprobe: Int,
       rerank: Int): DataFrame = {
+    val (csU, books, codes) = ivfpqBuild(e)
+    ivfpqProbe(e, csU, books, codes, queryVecId, k, nprobe, rerank)
+  }
+
+  /** IVF-PQ BUILD: everything probe-independent — the part a persisted
+    * index (graft.operators.IvfIndex) writes once per corpus. Returns
+    * (centroids (list_id, cu) unit-normalized, residual codebooks
+    * (sub, c_id, cv), packed residual codes (vec_id, list_id, codes)). */
+  def ivfpqBuild(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // centroids, unit-normalized into cosine space: (list_id, cu)
     val csU = Similarity.centroids(e)
       .select(col("c_id").as("list_id"),
@@ -291,7 +300,20 @@ object Quantization {
     // packed 32-bit residual codes: ONE narrow codegen'd pass, the list
     // id riding along (nothing aggregates on the native path)
     val codes = encodeVectorsNative(res, books, carry = Seq("list_id"))
+    (csU, books, codes)
+  }
 
+  /** IVF-PQ PROBE over prebuilt (or freshly built) index state. `e` is
+    * only touched for the query vector and the exact rerank of `rerank`
+    * survivors — the ranking itself reads nothing but centroids, books,
+    * and the packed codes. The probed list ids are collected to the
+    * driver (nprobe values — constant-size index metadata) so the code
+    * scan carries a LITERAL list_id filter: against a
+    * partitionBy(list_id) Parquet layout that is directory-level
+    * partition pruning, the persisted-index contract. */
+  def ivfpqProbe(e: DataFrame, csU: DataFrame, books: DataFrame,
+      codes: DataFrame, queryVecId: Long, k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
     // query: probed lists = nprobe nearest centroids; per-list flat ADC
     // table over the residual query qr = qu − cu, plus the dot(q,c) bias
     val qU = normalized(e.filter(col("vec_id") === queryVecId))
@@ -300,6 +322,8 @@ object Quantization {
       .select(col("list_id"), dotArr(col("qu"), col("cu")).as("bias"),
         zip_with(col("qu"), col("cu"), (x, y) => x - y).as("qr"))
       .orderBy(col("bias").desc, col("list_id")).limit(nprobe)
+      .cache() // tiny (nprobe rows); feeds the id collect + the tables
+    val probedIds = probed.select("list_id").collect().map(_.getLong(0))
     val grid = e.sparkSession.range(M * K).select(
       (col("id") / K).cast("int").as("sub"), (col("id") % K).cast("int").as("c_id"))
     val tables = probed
@@ -314,9 +338,11 @@ object Quantization {
       .select(col("list_id"), col("bias"),
         transform(col("fe"), x => x("t")).as("table_flat"))
 
-    // ADC scan: the broadcast join on list_id both prunes to probed lists
-    // and delivers each row its table; scoring is one fused loop per row
+    // ADC scan: the literal isin prunes the scan to probed lists (directory
+    // pruning on a partitioned layout); the broadcast join delivers each
+    // row its table; scoring is one fused loop per row
     val cand = codes
+      .filter(col("list_id").isin(probedIds: _*))
       .join(broadcast(tables), "list_id")
       .select(col("vec_id"),
         (col("bias") + expr(s"pq_adc(codes, table_flat, $M, $K)")).as("approx"))
@@ -335,14 +361,16 @@ object Quantization {
   }
 
   /** SIM5/SIM6 as registered (unoracled) queries — approximate result
-    * sets; QuantizationSpec pins recall and compression. */
+    * sets; QuantizationSpec pins recall and compression. sim6 runs
+    * through the PERSISTED index (build once per corpus, probe by
+    * partition-pruned code reads); [[ivfpqTopK]] is the inline twin. */
   val defs: Seq[QueryDef] = Seq(
     QueryDef.unoracled("sim5_pq_topk") { (s, dir) =>
       pqTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 20, rerank = 100)
     },
     QueryDef.unoracled("sim6_ivfpq_topk") { (s, dir) =>
-      ivfpqTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 20,
-        nprobe = 8, rerank = 200)
+      IvfIndex.ivfpqTopKPersisted(Tables.embeddings(s, dir), dir,
+        queryVecId = 0L, k = 20, nprobe = 8, rerank = 200)
     }
   )
 }

@@ -178,7 +178,7 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid in `cs` (c_id, cv) via
     * the native fused argmax kernel (graft.functions.PqNative). */
-  private def assignTo(e: DataFrame, cs: DataFrame): DataFrame = {
+  private[operators] def assignTo(e: DataFrame, cs: DataFrame): DataFrame = {
     graft.functions.PqNative.register(e.sparkSession)
     e.repartition(col("vec_id")) // parallelize past the single input file
       .crossJoin(broadcast(flatCentroids(cs)))
@@ -223,8 +223,14 @@ object Similarity {
     * lists). */
   def ivfAssign(e: DataFrame): DataFrame = assignTo(e, centroids(e))
 
-  /** IVF probe: search only the `nprobe` lists closest to the query. The
-    * approximate counterpart of sim1 — SimilaritySpec measures its recall. */
+  /** IVF build+probe FUSED in one plan: search only the `nprobe` lists
+    * closest to the query. The approximate counterpart of sim1 —
+    * SimilaritySpec measures its recall. NOTE this inline form re-assigns
+    * the corpus on every call; it exists as the algebraic reference twin
+    * and for one-shot queries. The build-once/probe-many path — the one
+    * the registered sim3 query runs, and the only sane shape at 100 TB —
+    * is [[IvfIndex]]: lists persisted to Parquet partitioned by list_id,
+    * probes read only the probed directories. */
   def ivfTopK(e: DataFrame, queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
     val s = e.sparkSession
     val q = broadcast(e.filter(col("vec_id") === queryVecId)
@@ -242,9 +248,12 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
-  /** SIM3 as a registered (unoracled) query — approximate result set. */
+  /** SIM3 as a registered (unoracled) query — approximate result set.
+    * Runs through the PERSISTED index (build once per corpus, probe by
+    * partition-pruned reads); [[ivfTopK]] is the inline reference twin. */
   val annDef: QueryDef = QueryDef.unoracled("sim3_ann_ivf") { (s, dir) =>
-    ivfTopK(emb(s, dir), queryVecId = 0L, k = 20, nprobe = 8)
+    IvfIndex.ivfTopKPersisted(emb(s, dir), dir, queryVecId = 0L, k = 20,
+      nprobe = 8)
   }
 
   /** SIM4: identical semantics to sim1 through the NATIVE codegen'd

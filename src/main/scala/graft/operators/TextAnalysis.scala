@@ -41,6 +41,13 @@ object TextAnalysis {
   // pre-split shape.
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Fixed probe vocabulary for the CMS heavy-hitter estimates.
+    * (Declared before `defs`: t9b's oracle SQL interpolates it at
+    * object-init time.) */
+  val CmsProbes: Seq[String] =
+    Seq("table", "the", "data", "spark", "join", "window", "batch",
+      "customer", "vector", "zzz_absent")
+
   val defs: Seq[QueryDef] = Seq(
     // T1: per-language corpus profile.
     QueryDef("t1_lang_profile",
@@ -241,11 +248,36 @@ object TextAnalysis {
         "token", eps = 0.001, confidence = 0.99, seed = 42)
       val est = CmsProbes.map(t => (t, sketch.estimateCount(t)))
       s.createDataFrame(est).toDF("token", "est_n").orderBy("token")
+    },
+
+    // T9B: the ORACLED tolerance companion of t9 (the a8→a8b pattern):
+    // recompute the exact probe counts next to the CMS estimates and emit
+    // only the engine-independent verdict — the one-sided CMS guarantee
+    // exact ≤ est ≤ exact + ε·N — which the oracle states as constant
+    // TRUE per probe. A broken sketch build or merge flips a row to false
+    // and fails the hash compare; the estimates themselves stay unoracled
+    // in t9 (they depend on the engine's hash family).
+    QueryDef("t9b_cms_error_bound", {
+      val probeList = CmsProbes.sorted.map(t => s"'$t'").mkString(", ")
+      s"""SELECT t.token, TRUE AS within_bound
+        |FROM (SELECT unnest([$probeList]) AS token) t
+        |ORDER BY token""".stripMargin
+    }) { (s, dir) =>
+      val tok = docs(s, dir).select(explode(toks).as("token")).cache()
+      val n = tok.count()
+      val sketch = tok.stat.countMinSketch(
+        "token", eps = 0.001, confidence = 0.99, seed = 42)
+      val exact = tok.filter(col("token").isin(CmsProbes: _*))
+        .groupBy("token").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      tok.unpersist()
+      val slack = math.ceil(0.001 * n).toLong // ε·N, ε = the sketch's eps
+      val rows = CmsProbes.map { t =>
+        val e = exact.getOrElse(t, 0L)
+        val est = sketch.estimateCount(t)
+        (t, est >= e && est <= e + slack)
+      }
+      s.createDataFrame(rows).toDF("token", "within_bound").orderBy("token")
     }
   )
-
-  /** Fixed probe vocabulary for the CMS heavy-hitter estimates. */
-  val CmsProbes: Seq[String] =
-    Seq("table", "the", "data", "spark", "join", "window", "batch",
-      "customer", "vector", "zzz_absent")
 }

@@ -91,16 +91,74 @@ class DedupSpec extends SparkSpec {
     val banded = Dedup.simhashHammingPairs(corpus, maxHamming = 3)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded.contains((9000L, 9002L)), s"identical planted pair missing")
-    // cross-check vs brute force over fingerprints
-    val fpInt = (0 until 32).map(p =>
-      when(col(s"b$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
-    val f = Dedup.simhashVotes(corpus).select(col("doc_id"), fpInt.as("fp"))
+    // cross-check vs brute force over the same 64-bit fingerprints
+    val f = Dedup.simhashFingerprints(corpus)
     val brute = f.select(col("doc_id").as("a_id"), col("fp").as("a_fp"))
       .crossJoin(f.select(col("doc_id").as("b_id"), col("fp").as("b_fp")))
       .filter(col("a_id") < col("b_id"))
       .filter(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= 3)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded === brute, "pigeonhole banding must equal brute-force hamming scan")
+  }
+
+  test("simhash banding: candidate buckets stay sparse on a 10x corpus (64-bit blocks)") {
+    import spark.implicits._
+    // 10 copies of the corpus with every token salted by its OWN doc id —
+    // disjoint vocabularies, so the 5000 fingerprints are independent and
+    // bucket collisions measure pure banding density. With 16-bit blocks
+    // that is ~C(n,2)·4/65536 ≈ 0.15·n rows; the old 8-bit blocks put
+    // ~n/256 docs in every bucket (~40·n rows here) and blow past n.
+    val copies = (0 until 10).map { i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$i/"), col("doc_id"))), " ").as("text"))
+    }.reduce(_ union _)
+    val n = copies.count()
+    val cand = Dedup.simhashCandidates(
+      Dedup.simhashFingerprints(copies), maxHamming = 3).count()
+    assert(cand < n, s"bucket join produced $cand candidate rows for n=$n")
+  }
+
+  test("df cap bounds the inverted-index join under a planted hot shingle") {
+    import spark.implicits._
+    // 200 docs share ONE viral shingle; everything else is per-doc unique.
+    // Uncapped, that single shingle alone contributes C(200,2) join rows —
+    // the quadratic bomb. Capped, the join input is empty.
+    val n = 200
+    val hot = (0 until n).map(i =>
+      (50000L + i, s"xx yy zz u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(hot).cache()
+    def joinRows(s: org.apache.spark.sql.DataFrame): Long =
+      s.select(col("doc_id").as("a_id"), col("g"))
+        .join(s.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+        .filter(col("a_id") < col("b_id")).count()
+    assert(joinRows(sh) === n.toLong * (n - 1) / 2)
+    val capped = Dedup.dfCapped(sh, cap = 10)
+    assert(joinRows(capped) === 0L)
+    // survivors all honor the cap, and per-doc unique shingles survive
+    val maxDf = capped.groupBy("g").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf <= 10)
+    assert(capped.count() === sh.count() - n) // only the viral one dropped
+    sh.unpersist()
+  }
+
+  test("connected components: 10k-node chain converges via pointer halving (O(log n) rounds)") {
+    // diameter 10,000 >> the 50-round cap: plain neighbor propagation
+    // CANNOT converge here — reaching the fixpoint at all proves the
+    // halving step works; the wall clock bound guards plan blow-up
+    val n = 10000L
+    val nodes = spark.range(n).toDF("doc_id")
+    val edges = spark.range(n - 1)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val t0 = System.nanoTime()
+    val got = Dedup.connectedComponents(nodes, edges).cache()
+    assert(got.count() === n)
+    assert(got.filter(col("cluster_id") =!= 0L).count() === 0L,
+      "all labels must collapse to node 0")
+    got.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 300.0, f"10k chain took $secs%.1f s — plan blow-up?")
   }
 
   test("minhash similarity estimates jaccard (signature agreement tracks true jaccard)") {

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN index must honor the reference's build-once /
+  * probe-many contract (stockify.cu:659-684): a probe may only READ the
+  * probed inverted lists — proven here with scan metrics, not plan
+  * strings — and must return exactly what the inline (fused build+probe)
+  * form returns, so every recall pin on the inline path transfers. */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+  }
+
+  test("IVF probe scans only the probed lists (partition pruning) and matches the inline result") {
+    val base = "/root/repo/target/graft-ivfidx-test/ivf"
+    IvfIndex.buildIvf(emb, base)
+    val n = emb.count()
+    val q = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+
+    // nprobe=4 of 16 lists: every leaf scan of the probe plan together
+    // (pruned lists + the 1-row query lookup) must emit well under half
+    // the corpus — the directory pruning is real, not cosmetic
+    val probe4 = IvfIndex.probeIvf(spark, base, q, k = 20, nprobe = 4,
+      excludeVecId = 0L)
+    val read = scanOutputRows(probe4)
+    assert(read < n / 2, s"probe read $read of $n rows — lists not pruned")
+
+    // probe-from-disk ≡ inline fused build+probe, row for row (same
+    // deterministic quantizer, same algebra) — recall pins transfer
+    val persisted = IvfIndex.probeIvf(spark, base, q, k = 20, nprobe = 8,
+      excludeVecId = 0L).collect().toSeq
+    val inline = Similarity.ivfTopK(emb, queryVecId = 0L, k = 20, nprobe = 8)
+      .collect().toSeq
+    assert(persisted === inline)
+  }
+
+  test("IVF-PQ probe prunes the code scan and matches the inline result") {
+    val base = "/root/repo/target/graft-ivfidx-test/ivfpq"
+    IvfIndex.buildIvfPq(emb, base)
+    val n = emb.count()
+
+    val persisted = IvfIndex.ivfpqTopKPersisted(emb, sf, queryVecId = 0L,
+      k = 20, nprobe = 8, rerank = 200)
+    val inline = Quantization.ivfpqTopK(emb, queryVecId = 0L, k = 20,
+      nprobe = 8, rerank = 200)
+    assert(persisted.collect().toSeq === inline.collect().toSeq)
+
+    // the ranking scan reads codes from the probed list directories only:
+    // nprobe=2 of 16 lists → the code rows entering ADC are a sliver
+    val codes = spark.read.parquet(s"$base/codes")
+    val probedScan = codes.filter(col("list_id").isin(0L, 1L))
+    assert(scanOutputRows(probedScan) < n / 2,
+      "literal list_id filter must prune the partitioned code layout")
+  }
+
+  test("persisted index rebuilds when the corpus changes (staleness key)") {
+    import spark.implicits._
+    val tiny = emb.limit(64).select("vec_id", "embedding").cache()
+    val dirTag = "/tmp-ivf-staleness" // distinct sfDir → distinct index dir
+    val r1 = IvfIndex.ivfTopKPersisted(tiny, dirTag, queryVecId = 0L,
+      k = 5, nprobe = 16).collect()
+    assert(r1.nonEmpty)
+    // grow the corpus: the meta row count changes, the index must rebuild
+    // and the new vectors become findable
+    val grown = tiny.unionByName(tiny
+      .withColumn("vec_id", col("vec_id") + 5000L))
+    val r2 = IvfIndex.ivfTopKPersisted(grown, dirTag, queryVecId = 0L,
+      k = 200, nprobe = 16).collect()
+    assert(r2.map(_.getLong(0)).exists(_ >= 5000L),
+      "rebuild after corpus change must index the new vectors")
+    tiny.unpersist()
+  }
+}
