@@ -39,6 +39,13 @@ object Diag {
       println("=== d3 plan ===")
       SparkEntry.allDefs.find(_.name == "d3_minhash_lsh").get
         .run(spark, sfDir).explain()
+      println("=== IvfIndex persisted probe plan (sim3) ===")
+      graft.operators.IvfIndex
+        .ivfTopKPersisted(e, sfDir, queryVecId = 0L, k = 20, nprobe = 8)
+        .explain()
+      println("=== d6 df-capped inverted-index plan ===")
+      SparkEntry.allDefs.find(_.name == "d6_ngram_jaccard").get
+        .run(spark, sfDir).explain()
       spark.stop(); return
     }
 

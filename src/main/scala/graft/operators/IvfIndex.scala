@@ -97,6 +97,34 @@ object IvfIndex {
     probeIvf(e.sparkSession, idx, q, k, nprobe, excludeVecId = queryVecId)
   }
 
+  // ------------------------------------------------------------- flat PQ
+
+  /** Build the flat-PQ index: trained codebooks + one packed 32-bit code
+    * row per vector (no list partitioning — flat PQ's ranking pass scans
+    * every code by design; the bytes it reads are 64× smaller than the
+    * raw vectors). */
+  def buildPq(e: DataFrame, idx: String): Unit = {
+    val books = Quantization.codebooks(e).cache()
+    books.write.mode("overwrite").parquet(s"$idx/books")
+    Quantization.encodeNative(e, books)
+      .write.mode("overwrite").parquet(s"$idx/codes")
+    books.unpersist()
+    writeMeta(e, idx)
+  }
+
+  /** sim5 through the persisted index: codebook training and the encode
+    * pass happen once per corpus; per query only the ADC scan over the
+    * stored codes + the exact rerank run. */
+  def pqTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
+      k: Int, rerank: Int): DataFrame = {
+    val idx = pathFor("pq", sfDir)
+    buildLock.synchronized { if (!isFresh(e, idx)) buildPq(e, idx) }
+    val s = e.sparkSession
+    Quantization.pqProbe(e,
+      s.read.parquet(s"$idx/books"), s.read.parquet(s"$idx/codes"),
+      queryVecId, k, rerank)
+  }
+
   // --------------------------------------------------------------- IVF-PQ
 
   /** Build the IVF-PQ index: centroids + residual codebooks + packed

@@ -213,12 +213,25 @@ object Quantization {
     encodeVectorsNative(normalized(e).repartition(col("vec_id")), books)
 
   /** PQ top-k with exact rerank: ADC-rank the whole corpus from the packed
-    * codes, keep `rerank` candidates, then score those few exactly. */
+    * codes, keep `rerank` candidates, then score those few exactly. Fused
+    * build+probe — the persisted-index twin writes books + codes once
+    * (graft.operators.IvfIndex) and calls [[pqProbe]] per query. */
   def pqTopK(e: DataFrame, queryVecId: Long, k: Int, rerank: Int): DataFrame = {
     val books = codebooks(e).cache()
+    pqProbe(e, books, encodeNative(e, books), queryVecId, k, rerank)
+  }
+
+  /** PQ PROBE over prebuilt codebooks + packed codes: the ranking pass
+    * reads only the 4-byte codes (ADC against a broadcast 128-entry
+    * table); raw vectors are touched for the query row and the `rerank`
+    * survivors. Flat PQ scans every code on purpose — that is its
+    * memory/compute trade (compute bounded by code width, not vector
+    * width); the list-pruned variant is IVF-PQ. */
+  def pqProbe(e: DataFrame, books: DataFrame, codes: DataFrame,
+      queryVecId: Long, k: Int, rerank: Int): DataFrame = {
     val qNorm = normalized(e.filter(col("vec_id") === queryVecId))
       .select(col("u").as("qu"))
-    val cand = adcScoresNative(encodeNative(e, books), books, qNorm)
+    val cand = adcScoresNative(codes, books, qNorm)
       .filter(col("vec_id") =!= queryVecId)
       .orderBy(col("approx").desc, col("vec_id")).limit(rerank)
     val q = broadcast(e.filter(col("vec_id") === queryVecId)
@@ -361,12 +374,14 @@ object Quantization {
   }
 
   /** SIM5/SIM6 as registered (unoracled) queries — approximate result
-    * sets; QuantizationSpec pins recall and compression. sim6 runs
-    * through the PERSISTED index (build once per corpus, probe by
-    * partition-pruned code reads); [[ivfpqTopK]] is the inline twin. */
+    * sets; QuantizationSpec pins recall and compression. Both run
+    * through the PERSISTED index (train/encode once per corpus; sim5
+    * probes the stored codes, sim6 additionally prunes to probed lists);
+    * [[pqTopK]]/[[ivfpqTopK]] are the inline twins. */
   val defs: Seq[QueryDef] = Seq(
     QueryDef.unoracled("sim5_pq_topk") { (s, dir) =>
-      pqTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 20, rerank = 100)
+      IvfIndex.pqTopKPersisted(Tables.embeddings(s, dir), dir,
+        queryVecId = 0L, k = 20, rerank = 100)
     },
     QueryDef.unoracled("sim6_ivfpq_topk") { (s, dir) =>
       IvfIndex.ivfpqTopKPersisted(Tables.embeddings(s, dir), dir,

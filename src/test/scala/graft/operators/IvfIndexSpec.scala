@@ -67,6 +67,14 @@ class IvfIndexSpec extends SparkSpec {
       "literal list_id filter must prune the partitioned code layout")
   }
 
+  test("persisted flat-PQ probe matches the inline build+probe result") {
+    val persisted = IvfIndex.pqTopKPersisted(emb, sf, queryVecId = 0L,
+      k = 20, rerank = 100)
+    val inline = Quantization.pqTopK(emb, queryVecId = 0L, k = 20,
+      rerank = 100)
+    assert(persisted.collect().toSeq === inline.collect().toSeq)
+  }
+
   test("persisted index rebuilds when the corpus changes (staleness key)") {
     import spark.implicits._
     val tiny = emb.limit(64).select("vec_id", "embedding").cache()
