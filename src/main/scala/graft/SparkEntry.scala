@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Multimodal.defs ++
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
+    operators.SrpLsh.defs ++
     operators.Quantization.defs ++
     operators.SqlSurface.defs ++
     operators.Persist.defs ++

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Signed-random-projection (hyperplane) LSH for cosine similarity — the
+  * LSH-bucketed ANN variant (Charikar 2002, the same theory SimHash uses,
+  * applied to real-valued embeddings instead of token bags).
+  *
+  * Fingerprint: bit i = sign(dot(v, r_i)) for NBits deterministic
+  * pseudo-random hyperplanes r_i. P(bit agrees) = 1 − θ/π, so banding the
+  * fingerprint buckets similar vectors together. Search:
+  *
+  *   - fingerprint pass: one NARROW map over the corpus (the hyperplanes
+  *     ride along as a one-row broadcast; each bit is one fused
+  *     `cosine_native` loop — sign(cos) = sign(dot)) — no shuffle;
+  *   - probe: the query's band values are constant-size metadata; the
+  *     candidate filter `OR_b band_b(fp) = q_b` is a narrow predicate —
+  *     no join at all for single-query probes (a batch probe would
+  *     equi-join on (band, value) exactly like Dedup.lshCandidates);
+  *   - exact cosine rerank on candidates only.
+  *
+  * Scale: the fingerprint is write-once (persist next to the corpus like
+  * IvfIndex's lists; NBits bits/vector), probes touch raw vectors only
+  * for candidates. On this synthetic near-uniform corpus the candidate
+  * fraction is large (like sim3, recall is bounded by fraction scanned on
+  * uniform data — SimilaritySpec documents the same caveat); on real
+  * clustered embeddings the same banding prunes far harder. The
+  * structural property that matters at 100 TB: fingerprinting is linear
+  * and narrow, candidates come from bucket equality, and nothing is ever
+  * O(n²).
+  *
+  * Determinism: hyperplane component (i, d) derives from a pure integer
+  * mix (splitmix64-style), so fingerprints are reproducible across runs
+  * and engines — no RNG state anywhere.
+  */
+object SrpLsh {
+
+  val NBits = 12      // 6 bands × 2 bits
+  val Bands = 6
+  val BitsPerBand = NBits / Bands
+  private val BandMask = (1L << BitsPerBand) - 1
+
+  /** Deterministic hyperplanes: splitmix64 finalizer over (i·dim + d),
+    * mapped to [-1, 1]. */
+  def hyperplane(i: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      var z = (i.toLong * dim + d) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // top 53 bits → [0, 1) → [-1, 1)
+      ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+    }
+
+  /** One-row frame carrying all hyperplanes (columns r0..r{NBits-1}),
+    * broadcast onto the corpus so the fingerprint map stays narrow. */
+  private def planesFrame(s: SparkSession, dim: Int): DataFrame = {
+    import s.implicits._
+    val row = (0 until NBits).map(i => hyperplane(i, dim).toSeq)
+    Seq(Tuple1(row)).toDF("rs")
+      .select((0 until NBits).map(i => element_at(col("rs"), i + 1).as(s"r$i")): _*)
+  }
+
+  /** (…, fp): attach the NBits-bit SRP fingerprint to every row of `e`. */
+  def fingerprints(e: DataFrame, dim: Int = 64): DataFrame = {
+    val s = e.sparkSession
+    graft.functions.CosineNative.register(s)
+    val bits = (0 until NBits).map(i =>
+      when(expr(s"cosine_native(embedding, r$i)") >= 0, lit(1L << i))
+        .otherwise(lit(0L)))
+    e.repartition(col("vec_id")) // parallelize past the single input file
+      .crossJoin(broadcast(planesFrame(s, dim)))
+      .select(col("vec_id"), col("embedding"),
+        bits.reduce(_ + _).as("fp"))
+  }
+
+  private def band(fp: Column, b: Int): Column =
+    shiftright(fp, b * BitsPerBand).bitwiseAND(lit(BandMask))
+
+  /** Predicate: the row's `fp` agrees with `qfp` on at least one band —
+    * the bucket-membership test, a narrow codegen'd expression. */
+  def sharesBandWith(qfp: Long): Column =
+    (0 until Bands)
+      .map(b => band(col("fp"), b) === lit((qfp >> (b * BitsPerBand)) & BandMask))
+      .reduce(_ || _)
+
+  /** Single-query probe: candidates share ≥1 fingerprint band with the
+    * query (narrow OR-filter — bucket equality without a join), then
+    * exact cosine ranks the candidates. */
+  def srpTopK(e: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val s = e.sparkSession
+    val fps = fingerprints(e)
+    // the query's band values: constant-size probe metadata (one row)
+    val qfp = fps.filter(col("vec_id") === queryVecId)
+      .select("fp").collect()(0).getLong(0)
+    val q = broadcast(e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv")))
+    fps.filter(sharesBandWith(qfp))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(Similarity.cosineFast(s, "embedding", "qv"), 6)
+          .cast("double").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** SIM7 as a registered (unoracled) query — approximate result set;
+    * SrpLshSpec pins recall vs sim1 and candidate pruning. */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.unoracled("sim7_ann_srp") { (s, dir) =>
+      srpTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 20)
+    }
+  )
+}
