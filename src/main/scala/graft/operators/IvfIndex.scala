@@ -97,6 +97,30 @@ object IvfIndex {
     probeIvf(e.sparkSession, idx, q, k, nprobe, excludeVecId = queryVecId)
   }
 
+  // ------------------------------------------------------------ SRP-LSH
+
+  /** Build the SRP-LSH index: the corpus with its hyperplane fingerprint
+    * attached (the fingerprint pass — NBits fused dot products per
+    * vector — runs once here instead of per probe; the hyperplanes are
+    * pure functions, so nothing else needs storing). */
+  def buildSrp(e: DataFrame, idx: String): Unit = {
+    SrpLsh.fingerprints(e)
+      .write.mode("overwrite").parquet(s"$idx/fps")
+    writeMeta(e, idx)
+  }
+
+  /** sim7 through the persisted index: probe = read the stored
+    * fingerprints, apply the band-membership filter (pushed to the scan
+    * as a data filter), exact-rerank the candidates. */
+  def srpTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
+      k: Int): DataFrame = {
+    val idx = pathFor("srp", sfDir)
+    buildLock.synchronized { if (!isFresh(e, idx)) buildSrp(e, idx) }
+    val s = e.sparkSession
+    val fps = s.read.parquet(s"$idx/fps")
+    SrpLsh.probe(e, fps, queryVecId, k)
+  }
+
   // ------------------------------------------------------------- flat PQ
 
   /** Build the flat-PQ index: trained codebooks + one packed 32-bit code

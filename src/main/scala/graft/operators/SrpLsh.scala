@@ -87,12 +87,13 @@ object SrpLsh {
       .map(b => band(col("fp"), b) === lit((qfp >> (b * BitsPerBand)) & BandMask))
       .reduce(_ || _)
 
-  /** Single-query probe: candidates share ≥1 fingerprint band with the
-    * query (narrow OR-filter — bucket equality without a join), then
+  /** Single-query probe over a prebuilt fingerprint frame
+    * (vec_id, embedding, fp): candidates share ≥1 fingerprint band with
+    * the query (narrow OR-filter — bucket equality without a join), then
     * exact cosine ranks the candidates. */
-  def srpTopK(e: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+  def probe(e: DataFrame, fps: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val s = e.sparkSession
-    val fps = fingerprints(e)
+    graft.functions.CosineNative.register(s)
     // the query's band values: constant-size probe metadata (one row)
     val qfp = fps.filter(col("vec_id") === queryVecId)
       .select("fp").collect()(0).getLong(0)
@@ -107,11 +108,19 @@ object SrpLsh {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
-  /** SIM7 as a registered (unoracled) query — approximate result set;
-    * SrpLshSpec pins recall vs sim1 and candidate pruning. */
+  /** Fused fingerprint+probe in one call — the inline twin of the
+    * persisted path (IvfIndex.srpTopKPersisted), which fingerprints once
+    * per corpus instead of per query. */
+  def srpTopK(e: DataFrame, queryVecId: Long, k: Int): DataFrame =
+    probe(e, fingerprints(e), queryVecId, k)
+
+  /** SIM7 as a registered (unoracled) query — approximate result set,
+    * served from the PERSISTED fingerprint frame; SrpLshSpec pins recall
+    * vs sim1, pruning, and persisted≡inline. */
   val defs: Seq[QueryDef] = Seq(
     QueryDef.unoracled("sim7_ann_srp") { (s, dir) =>
-      srpTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 20)
+      IvfIndex.srpTopKPersisted(Tables.embeddings(s, dir), dir,
+        queryVecId = 0L, k = 20)
     }
   )
 }

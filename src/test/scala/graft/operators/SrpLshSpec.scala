@@ -31,6 +31,12 @@ class SrpLshSpec extends SparkSpec {
     fps.unpersist()
   }
 
+  test("persisted SRP probe matches the inline fingerprint+probe result") {
+    val persisted = IvfIndex.srpTopKPersisted(emb, sf, queryVecId = 0L, k = 20)
+    val inline = SrpLsh.srpTopK(emb, queryVecId = 0L, k = 20)
+    assert(persisted.collect().toSeq === inline.collect().toSeq)
+  }
+
   test("fingerprints are deterministic (pure hyperplanes, no RNG state)") {
     val a = SrpLsh.fingerprints(emb).select("vec_id", "fp")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
