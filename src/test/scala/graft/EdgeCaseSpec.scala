@@ -41,6 +41,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sh.filter(col("doc_id") === 2).count() === 2) // 4 words → 2 trigrams
   }
 
+  test("round-4 guards degrade gracefully on empty/degenerate inputs") {
+    val docs = Tables.documents(spark, sf)
+    val none = docs.filter(lit(false))
+    // df cap over empty postings: empty in, empty out (no hot set to drop)
+    assert(Dedup.dfCapped(Dedup.shingles(none)).count() === 0)
+    // SimHash hamming banding: empty and single-doc corpora yield no pairs
+    assert(Dedup.simhashHammingPairs(none, maxHamming = 3).count() === 0)
+    assert(Dedup.simhashHammingPairs(docs.limit(1), maxHamming = 3).count() === 0)
+    // connected components with no edges: every node is its own canonical
+    // cluster, converging in one detection round
+    val nodes = docs.limit(5).select("doc_id")
+    val noEdges = none.select(col("doc_id").as("a_id"), col("doc_id").as("b_id"))
+    val labels = Dedup.connectedComponents(nodes, noEdges).collect()
+    assert(labels.length === 5 && labels.forall(r => r.getLong(0) === r.getLong(1)))
+    // SRP probe on a single-vector corpus: the query matches only itself,
+    // so the candidate set (and the result) is empty — no crash
+    val e1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+    assert(SrpLsh.srpTopK(e1, queryVecId = 0L, k = 5).count() === 0)
+  }
+
   test("joins with an empty side behave per join type") {
     val orders = Tables.orders(spark, sf)
     val noLines = li.filter(lit(false))
