@@ -331,11 +331,13 @@ object Quantization {
     // table over the residual query qr = qu − cu, plus the dot(q,c) bias
     val qU = normalized(e.filter(col("vec_id") === queryVecId))
       .select(col("u").as("qu"))
+    // tiny (nprobe rows); feeds the id collect AND the tables below —
+    // recomputing it is two k-row jobs, cheaper than a cache entry that
+    // would outlive the query in a long-running session
     val probed = csU.crossJoin(broadcast(qU))
       .select(col("list_id"), dotArr(col("qu"), col("cu")).as("bias"),
         zip_with(col("qu"), col("cu"), (x, y) => x - y).as("qr"))
       .orderBy(col("bias").desc, col("list_id")).limit(nprobe)
-      .cache() // tiny (nprobe rows); feeds the id collect + the tables
     val probedIds = probed.select("list_id").collect().map(_.getLong(0))
     val grid = e.sparkSession.range(M * K).select(
       (col("id") / K).cast("int").as("sub"), (col("id") % K).cast("int").as("c_id"))
