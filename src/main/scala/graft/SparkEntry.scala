@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
     operators.SrpLsh.defs ++
+    operators.IvfIndex.defs ++
     operators.Quantization.defs ++
     operators.SqlSurface.defs ++
     operators.Persist.defs ++

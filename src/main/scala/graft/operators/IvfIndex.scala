@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted ANN index — the build-once / probe-many split the reference's
@@ -97,6 +98,49 @@ object IvfIndex {
     probeIvf(e.sparkSession, idx, q, k, nprobe, excludeVecId = queryVecId)
   }
 
+  /** BATCH kNN join through the persisted IVF index — the many-queries
+    * retrieval shape (sim2 is its exact brute-force twin): every query
+    * probes its `nprobe` nearest lists, the (list_id, q_id) probe pairs
+    * broadcast onto the pruned list scan (so each stored vector is scored
+    * only against the queries probing its list), and a per-query window
+    * keeps top-`k`. The union of probed lists carries a LITERAL isin too,
+    * so the scan still directory-prunes when the batch doesn't touch
+    * every list. Scale: probe fan-out is |q|·nprobe rows (broadcastable
+    * for any sane batch; a corpus-sized query set would flip to an
+    * equi-join on list_id — same plan shape without the broadcast). */
+  def knnJoinPersisted(e: DataFrame, sfDir: String, nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val idx = pathFor("ivf", sfDir)
+    buildLock.synchronized { if (!isFresh(e, idx)) buildIvf(e, idx) }
+    val s = e.sparkSession
+    val cs = s.read.parquet(s"$idx/centroids")
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("csim").desc, col("list_id"))
+    val probes = cs.crossJoin(broadcast(qs))
+      .select(col("c_id").as("list_id"), col("q_id"),
+        Similarity.cosineFast(s, "cv", "qv").as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select("list_id", "q_id")
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0)) // ≤ k lists — constant index metadata
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    s.read.parquet(s"$idx/lists")
+      .filter(col("list_id").isin(probedIds: _*)) // directory pruning
+      .join(broadcast(probes), "list_id") // fan vectors to probing queries
+      .join(broadcast(qs), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosineFast(s, "embedding", "qv"), 6)
+          .cast("double").as("cos"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   // ------------------------------------------------------------ SRP-LSH
 
   /** Build the SRP-LSH index: the corpus with its hyperplane fingerprint
@@ -161,6 +205,16 @@ object IvfIndex {
     codes.write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/codes")
     writeMeta(e, idx)
   }
+
+  /** SIM8 as a registered (unoracled) query — approximate batch kNN over
+    * the persisted lists; IvfIndexSpec pins recall vs sim2's exact kNN
+    * join and result-shape parity. */
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef.unoracled("sim8_knn_join_ivf") { (s, dir) =>
+      knnJoinPersisted(graft.sources.Tables.embeddings(s, dir), dir,
+        nQueries = 10, k = 5, nprobe = 8)
+    }
+  )
 
   /** sim6 through the persisted index: lazy build, then probe-only — the
     * ranking pass reads centroids (k rows), books (M·K rows), and the

@@ -67,6 +67,23 @@ class IvfIndexSpec extends SparkSpec {
       "literal list_id filter must prune the partitioned code layout")
   }
 
+  test("batch kNN join via persisted lists: recall vs the exact kNN join") {
+    // exact twin: sim2 (brute kNN join, 10 queries × top-5)
+    val exact = Similarity.defs.find(_.name == "sim2_knn_join").get
+      .run(spark, sf).select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = IvfIndex.knnJoinPersisted(emb, sf, nQueries = 10, k = 5,
+      nprobe = 8).select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet === exact.keySet, "every query must produce rows")
+    assert(approx.values.forall(_.size == 5), "top-5 per query")
+    val recalls = exact.map { case (q, t) =>
+      t.intersect(approx(q)).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@5 over 10 queries = $mean%.2f")
+    assert(mean >= 0.7, s"mean recall $mean")
+  }
+
   test("persisted flat-PQ probe matches the inline build+probe result") {
     val persisted = IvfIndex.pqTopKPersisted(emb, sf, queryVecId = 0L,
       k = 20, rerank = 100)
