@@ -143,6 +143,30 @@ class DedupSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("df-capped jaccard drops hot shingles from BOTH intersection and sizes") {
+    import spark.implicits._
+    // real testdata never trips the cap (max df 25 at sf0.1), so pin the
+    // binding-cap semantics on a constructed corpus: 12 docs share the
+    // viral trigram "h1 h2 h3" (df=12 > cap=10 → dropped); docs 1 and 2
+    // share a 4-token tail. Capped sets: 4 shingles each, 3 shared →
+    // J = 3/5 = 0.6 exactly. Uncapped it would be 4 of 5 → 2/3: a 0.6
+    // result proves the SIZES are post-cap, not just the intersection.
+    val fillers = (3 to 12).map(i => (i.toLong, s"h1 h2 h3 u${i}a u${i}b u${i}c"))
+    val corpus = (Seq(
+      (1L, "h1 h2 h3 s1 s2 s3 a1"),
+      (2L, "h1 h2 h3 s1 s2 s3 b1")) ++ fillers).toDF("doc_id", "text")
+    val sh = Dedup.dfCapped(Dedup.shingles(corpus), cap = 10).cache()
+    val cand = sh.select(col("doc_id").as("a_id"), col("g"))
+      .join(sh.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
+    val pairs = Dedup.exactJaccard(sh, cand).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (1L, 2L))
+    assert(math.abs(pairs(0).getDouble(2) - 0.6) < 1e-12,
+      s"capped jaccard should be 3/5, got ${pairs(0).getDouble(2)}")
+    sh.unpersist()
+  }
+
   test("connected components: 10k-node chain converges via pointer halving (O(log n) rounds)") {
     // diameter 10,000 >> the 50-round cap: plain neighbor propagation
     // CANNOT converge here — reaching the fixpoint at all proves the
