@@ -101,6 +101,25 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    // the canonical streaming enrichment: micro-batches join a slowly
+    // changing dimension re-read per batch; broadcast keeps it shuffle-free
+    // on the stream side (no watermark needed — the static side never ages)
+    val tiers = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int"))
+    val enriched = Streams.eventsStream(spark, stageDir)
+      .join(broadcast(tiers), "user_id")
+      .groupBy("tier", "event_type").count()
+    runToMemory(enriched, "enrich_out", "complete")
+    val got = spark.table("enrich_out")
+      .orderBy("tier", "event_type").collect()
+    val want = Tables.events(spark, sf).join(tiers, "user_id")
+      .groupBy("tier", "event_type").count()
+      .orderBy("tier", "event_type").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("parquet sink + checkpoint: restart recovers exactly-once (no dupes, no losses)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = s"/root/repo/target/eo-${System.nanoTime()}"
