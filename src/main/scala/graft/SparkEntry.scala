@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Joins.defs ++
     operators.IndexPath.defs ++
     operators.TextAnalysis.defs ++
+    operators.Curation.defs ++
     operators.Dedup.defs ++
     operators.Multimodal.defs ++
     operators.Similarity.defs ++

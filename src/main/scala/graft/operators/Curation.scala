@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` — the data-mixing /
+  * filtering / decontamination tier of a training-data pipeline (north
+  * star; absent from the reference, which stops at numeric scans). These
+  * are the decisions a 100 TB corpus build actually runs AFTER dedup
+  * (Dedup.scala) and quality scoring (TextAnalysis.scala): drop
+  * repetitive documents, carve reproducible samples and per-source
+  * quotas, hit a target language mixture, and scrub benchmark
+  * contamination before anything reaches a trainer.
+  *
+  * Cross-engine determinism: all sampling decisions come from a LEHMER
+  * hash (x → x·48271 mod 2³¹−1) written as plain BIGINT arithmetic so
+  * DuckDB computes bit-identical buckets — no engine RNG, no seed state,
+  * re-runs and backfills select the exact same rows. The doc_id is
+  * reduced mod 2³¹−1 BEFORE the multiply so the product stays far from
+  * BIGINT overflow for any 64-bit id.
+  *
+  * Scale shapes:
+  *  - repetition profile: explode bigrams behind a doc_id repartition,
+  *    two keyed aggregations (map-side combined) — linear, no self-join.
+  *  - hash sample / mixture: narrow codegen'd filter, ZERO shuffle — the
+  *    shape that makes sampling free at any corpus size.
+  *  - source quota: one hash shuffle on the quota key + per-partition
+  *    rank; the 100 TB variant swaps the window for plans.TopKPerKey's
+  *    partial-heap exec when K ≪ group size.
+  *  - decontamination: the eval benchmark is small and FIXED (the whole
+  *    point of decon) — its distinct-gram set broadcasts; the corpus side
+  *    stays a narrow scan + broadcast semi-join + per-doc count. Never
+  *    shuffles the corpus n-grams.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Lehmer / MINSTD hash bucket in [0, 100): deterministic, engine-
+    * portable, overflow-safe (doc_id folded mod 2³¹−1 first). */
+  private val M = 2147483647L
+  private def hashBucket(id: Column): Column =
+    ((id % M) * 48271L) % M % 100L
+
+  private val hashBucketSql =
+    "((doc_id % 2147483647) * 48271) % 2147483647 % 100"
+
+  /** Word n-gram helper (1-indexed, mirrors the oracle's generate_series).
+    *
+    * The token array is BOUND ONCE as a projected column below the
+    * explode: referencing `split(text)` directly inside the transform
+    * lambda re-tokenizes the document for every element_at at every gram
+    * position (n × positions splits per doc — ~750 re-tokenizations per
+    * 100-token doc at n=8; measured 12 s → ~1 s at sf0.1). Projects don't
+    * collapse across Generate, so the array materializes per-row. */
+  private def grams(d: DataFrame, n: Int): DataFrame = {
+    val w = col("w")
+    d.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(w) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))).as("g"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // CUR1: Gopher-style repetition profile — the fraction of a document
+    // covered by its most frequent word bigram (top2_frac) and by ALL
+    // bigrams that occur more than once (dup2_frac). High values flag the
+    // keyword-stuffed / looping documents a quality filter drops. Counts
+    // are integers; the two divisions use the identical expression tree in
+    // both engines, rounded once at the end.
+    QueryDef("cur1_repetition_profile",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS total, w[i] || ' ' || w[i+1] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM ws WHERE len(w) >= 2)),
+        |cnt AS (SELECT doc_id, total, g, count(*) AS c FROM bg GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |       CAST(round(CAST(max(c) AS DOUBLE) / total, 6) AS DOUBLE) AS top2_frac,
+        |       CAST(round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / total, 6) AS DOUBLE) AS dup2_frac
+        |FROM cnt GROUP BY doc_id, total
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = col("w")
+      val bg = docs(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize ONCE (see grams)
+        .filter(size(w) >= 2)
+        .select(col("doc_id"), (size(w) - 1).cast("long").as("total"),
+          explode(transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("g"))
+      bg.groupBy("doc_id", "total", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "total")
+        .agg(max("c").as("mx"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+        .select(col("doc_id"),
+          round(col("mx").cast("double") / col("total"), 6).cast("double").as("top2_frac"),
+          round(col("dup").cast("double") / col("total"), 6).cast("double").as("dup2_frac"))
+        .orderBy("doc_id")
+    },
+
+    // CUR2: reproducible Bernoulli sample (10%) — the "give me the same
+    // 10% every run, on every engine, with zero shuffle" primitive behind
+    // held-out splits and debug slices. A narrow filter: at 100 TB this
+    // costs one scan, no state, and a backfilled partition samples the
+    // exact same rows it would have on day one.
+    QueryDef("cur2_hash_sample",
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE $hashBucketSql < 10
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .filter(hashBucket(col("doc_id")) < 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // CUR3: per-source quota — keep at most K documents per source,
+    // chosen by hash order (deterministic, unbiased within the source).
+    // This is the per-domain cap a web-scale corpus applies so one crawl
+    // host can't dominate training. One shuffle on `source`; rank order is
+    // (hash, doc_id) so ties are impossible and both engines agree.
+    QueryDef("cur3_source_quota",
+      s"""SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY $hashBucketSql, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy("source")
+        .orderBy(hashBucket(col("doc_id")).asc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("rn", row_number().over(win).cast("long"))
+        .filter(col("rn") <= 10)
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    },
+
+    // CUR4: target language mixture — per-language keep rates (en 80%,
+    // de 50%, rest 25%) applied with the same Lehmer buckets, reported as
+    // kept-vs-total counts per language. The mixing step of corpus
+    // assembly: same zero-shuffle filter shape as cur2 plus one tiny
+    // grouped count.
+    QueryDef("cur4_lang_mixture",
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN $hashBucketSql <
+        |             (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 25 END)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val rate = when(col("lang") === "en", 80L)
+        .when(col("lang") === "de", 50L).otherwise(25L)
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(hashBucket(col("doc_id")) < rate, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // CUR5: benchmark decontamination — flag training documents sharing
+    // any 8-gram with the eval set (here: doc_id % 10 == 0 stands in for
+    // the benchmark; in production it's a fixed external table). 8 words
+    // is the usual decon window (long enough that coincidental overlap is
+    // noise, short enough to catch paraphrase-free leakage). The eval
+    // gram set is SMALL by construction → broadcast; the corpus side never
+    // shuffles its n-grams, so the 100 TB cost is one scan + map-side
+    // semi-join + per-doc count.
+    QueryDef("cur5_decontaminate",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |              w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |             FROM ws WHERE len(w) >= 8)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM sh s JOIN ev ON s.g = ev.g
+        |WHERE s.doc_id % 10 <> 0
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      // both join sides derive from the same gram frame — cache it so the
+      // corpus is shingled once, not once per side
+      val sh = grams(docs(s, dir), 8).cache()
+      val ev = sh.filter(col("doc_id") % 10 === 0).select("g").distinct()
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(ev), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .orderBy("doc_id")
+    }
+  )
+}

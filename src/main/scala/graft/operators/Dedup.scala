@@ -69,8 +69,13 @@ object Dedup {
     * cluster instead of the input file count (single-partition per-row
     * pipelines were the top bench cost before this). */
   def shingles(d: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
+    // tokenize ONCE per row (projected column): referencing split(text)
+    // inside the transform lambda re-splits the document at every
+    // element_at of every position (3 × ~100 splits per doc); Projects
+    // don't collapse across Generate, so the bound array materializes
+    val w = col("w")
     d.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(w) >= Shingle)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(w) - (Shingle - 1)),
@@ -404,8 +409,9 @@ object Dedup {
         |JOIN tot tb ON b_id = tb.doc_id
         |WHERE CAST(m AS DOUBLE) / (ta.tot + tb.tot - m) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val w = split(col("text"), " ")
+      val w = col("w")
       val sh = docs(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize ONCE (see shingles)
         .filter(size(w) >= Shingle)
         .select(col("doc_id"), explode(
           transform(sequence(lit(1), size(w) - (Shingle - 1)),
