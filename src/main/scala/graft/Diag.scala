@@ -46,6 +46,12 @@ object Diag {
       println("=== d6 df-capped inverted-index plan ===")
       SparkEntry.allDefs.find(_.name == "d6_ngram_jaccard").get
         .run(spark, sfDir).explain()
+      println("=== d9 line-dedup plan (round 4) ===")
+      SparkEntry.allDefs.find(_.name == "d9_line_dedup").get
+        .run(spark, sfDir).explain()
+      println("=== j10 scalar-max decoration plan (round 4) ===")
+      SparkEntry.allDefs.find(_.name == "j10_q15_top_supplier").get
+        .run(spark, sfDir).explain()
       spark.stop(); return
     }
 

@@ -99,6 +99,12 @@ object Dedup {
     * DedupSpec pins the join-input bound under a planted hot shingle. */
   val DfCap = 64
 
+  /** d9 line-dedup knobs: "line" width in words (stand-in for '\n'
+    * splitting — this corpus has none) and the corpus-frequency cap above
+    * which a line is boilerplate and cut everywhere. */
+  val LineWords = 10
+  val LineDfCap = 2
+
   /** Drop rows whose shingle `g` appears in more than `cap` documents.
     * `sh` must hold at most one row per (doc, g) — true for both d6's
     * distinct shingles and d8's tf frame — so rows-per-g IS the df.
@@ -269,6 +275,83 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(md5(normalized(col("text")).cast("binary"))).as("n_uniq"))
         .orderBy("lang")
+    },
+
+    // D9: line-level corpus dedup (the RefinedWeb/C4 pass): any "line"
+    // repeated more than LineDfCap times ACROSS THE WHOLE CORPUS is
+    // boilerplate (nav bars, cookie banners, license footers) and is cut
+    // from every document that carries it, leaving the rest of the
+    // document intact — document-level dedup (d1/d3) can't catch a shared
+    // footer inside otherwise-distinct pages. This corpus has no newlines,
+    // so the "line" unit is a fixed 10-word chunk (real corpora split on
+    // '\n'; the pipeline shape is identical).
+    //
+    // Scale shape: chunks explode behind a doc_id repartition (narrow);
+    // corpus-wide frequency is ONE shuffle of 16-byte md5s (not chunk
+    // text); the hot set (freq > cap) is at most total_chunks/cap rows —
+    // broadcastable at any corpus size, same argument as dfCapped — so
+    // tagging is a broadcast left join, and the rebuild groupBy(doc_id)
+    // reuses the repartition's partitioning (no second corpus shuffle).
+    QueryDef("d9_line_dedup",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, i,
+        |              array_to_string(w[(i-1)*$LineWords+1:i*$LineWords], ' ') AS chunk
+        |       FROM (SELECT doc_id, w,
+        |                    unnest(generate_series(1, CAST(ceil(len(w) / $LineWords.0) AS BIGINT))) AS i
+        |             FROM ws)),
+        |hot AS (SELECT chunk, 1 AS is_hot FROM ch GROUP BY chunk HAVING count(*) > $LineDfCap),
+        |m AS (SELECT c.doc_id, c.i, c.chunk, h.is_hot FROM ch c LEFT JOIN hot h USING (chunk))
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS total_chunks,
+        |       CAST(sum(CASE WHEN is_hot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |       md5(coalesce(array_to_string(list(chunk ORDER BY i) FILTER (WHERE is_hot IS NULL), ' '), '')) AS clean_fp
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = col("w")
+      val ch = docs(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), ceil(size(w) / lit(LineWords.toDouble)).cast("int")),
+          i => struct(i.as("i"),
+            concat_ws(" ", slice(w, (i - 1) * LineWords + 1, lit(LineWords))).as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.i").as("i"), col("c.chunk").as("chunk"),
+          md5(col("c.chunk").cast("binary")).as("h"))
+      val hot = ch.groupBy("h").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") > LineDfCap)
+        .select(col("h"), lit(1).as("is_hot"))
+      ch.join(broadcast(hot), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total_chunks"),
+          sum(when(col("is_hot").isNull, 1L).otherwise(0L)).as("kept_chunks"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when(col("is_hot").isNull,
+              struct(col("i"), col("chunk"))))),
+            c => c.getField("chunk"))).cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
+    // D10: keep-best-copy dedup — duplicates grouped on NORMALIZED text,
+    // but the survivor is the LONGEST raw copy (ties → lowest doc_id),
+    // not the first seen: when duplicates differ by truncation or
+    // stripped markup, the pipeline should keep the most complete copy.
+    // Same keyed window shape as d1 (shuffle on the hash, rank, filter) —
+    // only the ORDER BY policy changes, which is the point: survivor
+    // policy is orthogonal to the dedup kernel.
+    QueryDef("d10_keep_best_copy",
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (
+        |           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      val w = Window
+        .partitionBy(md5(normalized(col("text")).cast("binary")))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id").limit(2000)
     },
 
     // D3: MinHash-LSH near-dedup, verified by exact Jaccard. Oracle = the

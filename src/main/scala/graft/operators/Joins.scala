@@ -215,6 +215,119 @@ object Joins {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), count(col("l_orderkey")).as("matched"))
         .orderBy("o_orderstatus")
+    },
+
+    // J9: TPC-H Q13 shape (customer distribution) — LEFT join customer →
+    // filtered orders, per-customer order count (null-extended rows count
+    // 0), then the distribution of those counts. Two aggregations, both
+    // keyed; the second one's domain is tiny (distinct counts), so the
+    // heavy lifting is one shuffle of (custkey) pairs. Customers with no
+    // orders must survive to the c_count=0 bucket — the outer join is the
+    // semantics, not a fallback.
+    QueryDef("j9_q13_custdist",
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c
+        |      LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |        ON c.c_custkey = o.o_custkey
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // J10: TPC-H Q15 shape (top supplier) — revenue per supplier over a
+    // quarter, keep the supplier(s) hitting the MAX. The max comes from a
+    // scalar subquery over the same aggregate: Spark computes the
+    // aggregate once (cached), takes the one-row max, and broadcast-joins
+    // it back — the 100 TB shape is "aggregate once, decorate with a
+    // scalar", never a second scan. Fixed-point revenue arithmetic as j1.
+    QueryDef("j10_q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0, 2).cast("double").as("total_revenue"))
+        .cache()
+      val top = rev.agg(max("total_revenue").as("mx"))
+      rev.join(broadcast(top), col("total_revenue") === col("mx"))
+        .join(t(s, dir, "supplier"), col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // J11: TPC-H Q22 shape (global sales opportunity) — customers with
+    // above-average balance and no URGENT orders, rolled up per nation
+    // (every customer in this data has SOME order, so the textbook
+    // "no orders at all" predicate matches nothing — the filtered anti
+    // side keeps the result non-empty without changing the shape). Three
+    // primitives composed: a scalar aggregate (the positive-balance
+    // average) broadcast into a filter, a left ANTI join against the
+    // filtered orders (never a join+distinct), and a final tiny group.
+    // The fact side is probed once; the scalar is one row.
+    QueryDef("j11_q22_no_orders",
+      """WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey,
+        |       CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS DOUBLE) AS totacctbal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(round(col("c_acctbal") * 100).cast("long")) / 100.0, 2)
+            .cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    // J12: TPC-H Q14 shape (promo effect) — broadcast dim join feeding a
+    // conditional-sum ratio: what share of a month's revenue came from
+    // PROMO parts. The filter prunes lineitem at the scan; part broadcasts;
+    // the ratio is two sums in ONE aggregate pass (never two scans).
+    QueryDef("j12_q14_promo_share",
+      """SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |         THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |         ELSE 0 END)
+        |       / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)), 6) AS DOUBLE) AS promo_share,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin) { (s, dir) =>
+      val fixedRev = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01") &&
+          col("l_shipdate") < lit("1996-10-01"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) * sum(when(col("p_type") === "PROMO", fixedRev).otherwise(0L))
+            / sum(fixedRev), 6).cast("double").as("promo_share"),
+          count(lit(1)).as("n"))
     }
   )
 }

@@ -65,7 +65,48 @@ object Streams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Interval join: every click paired with EVERY view of the same user
+    * that it follows within 30 minutes — the stream-stream join shape
+    * (vs AsOfJoin's latest-match-only). The time-range condition is on
+    * the event-time TIMESTAMP columns, which is exactly what lets
+    * Structured Streaming bound join state: with a watermark on both
+    * sides, a buffered view can be evicted once the click-side watermark
+    * passes v_ts + 30min. Batch and stream run this same function
+    * (StreamingSpec pins stream == batch on one pass). */
+  def clickViewIntervalJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+    val c = clicks.select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    c.join(v, col("c_uid") === col("v_uid") &&
+      col("c_ts") >= col("v_ts") &&
+      col("c_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // E4: batch twin of the stream-stream interval join — per-user pair
+    // count + id checksum keeps the oracled result compact while pinning
+    // the full pair multiset (each pair contributes click_id + view_id).
+    QueryDef("e4_interval_join",
+      """SELECT c.user_id,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(c.event_id + v.event_id) AS BIGINT) AS ck
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND epoch_us(c.ts) >= epoch_us(v.ts)
+        | AND epoch_us(c.ts) < epoch_us(v.ts) + 1800000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      clickViewIntervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
+        .groupBy(col("c_uid").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("click_id") + col("view_id")).as("ck"))
+        .orderBy("user_id")
+    },
+
     // E1: tumbling event-time window — the stream-native form of the
     // reference's "per time bucket" analytics.
     QueryDef("e1_tumbling_window",

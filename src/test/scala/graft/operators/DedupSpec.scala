@@ -201,4 +201,57 @@ class DedupSpec extends SparkSpec {
     val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
     assert(math.abs(agree - jac) < 0.35, s"minhash est $agree vs true $jac")
   }
+
+  test("d9 line dedup cuts a planted boilerplate chunk from every carrier, keeps the rest") {
+    import spark.implicits._
+    // 40 docs: unique 10-word payload + the SAME 10-word footer; 3 docs
+    // with no footer. LineDfCap=2 ⇒ the footer (freq 40) is boilerplate,
+    // every unique payload chunk (freq 1) survives.
+    val footer = (1 to 10).map(i => s"footer$i").mkString(" ")
+    val rows = (0 until 40).map { d =>
+      (d.toLong, (1 to 10).map(i => s"w${d}_$i").mkString(" ") + " " + footer)
+    } ++ (40 until 43).map { d =>
+      (d.toLong, (1 to 10).map(i => s"w${d}_$i").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    // reuse the registered query body via a temp dir? Simpler: replicate the
+    // kernel inline with the same constants (the oracled entry covers the
+    // registered body; this test pins the SEMANTICS on a constructed corpus).
+    val w = col("w")
+    val ch = df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), ceil(size(w) / lit(Dedup.LineWords.toDouble)).cast("int")),
+        i => struct(i.as("i"),
+          concat_ws(" ", slice(w, (i - 1) * Dedup.LineWords + 1,
+            lit(Dedup.LineWords))).as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk").as("chunk"))
+    val freq = ch.groupBy("chunk").agg(count(lit(1)).as("f"))
+    val hot = freq.filter(col("f") > Dedup.LineDfCap).collect()
+    assert(hot.length === 1 && hot(0).getString(0) === footer,
+      "exactly the planted footer must be flagged as boilerplate")
+    // every doc keeps exactly its unique payload chunk
+    val kept = ch.join(freq.filter(col("f") <= Dedup.LineDfCap), Seq("chunk"), "left_semi")
+    assert(kept.count() === 43L)
+    assert(kept.select("doc_id").distinct().count() === 43L,
+      "no document may lose its unique payload chunk")
+  }
+
+  test("d10 keep-best-copy keeps the LONGEST duplicate, not the first") {
+    import spark.implicits._
+    // three copies of one normalized text, different raw lengths/ids: the
+    // longest (doc 30, punctuated = longer raw form) must win over the
+    // earlier-id shorter copies.
+    val df = Seq(
+      (10L, "alpha beta gamma", 16L),
+      (20L, "Alpha beta GAMMA", 16L),
+      (30L, "Alpha, beta... GAMMA!", 21L),
+      (99L, "something else", 14L)
+    ).toDF("doc_id", "text", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(Dedup.normalized(col("text")).cast("binary")))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(30L, 99L))
+  }
 }

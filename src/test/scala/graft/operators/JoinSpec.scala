@@ -59,4 +59,39 @@ class JoinSpec extends SparkSpec {
       col("l_orderkey") === col("o_orderkey"), "left_semi").count()
     assert(n === matched)
   }
+
+  test("j9 distribution conserves customers and counts null-extension as zero orders") {
+    val custdist = Joins.defs.find(_.name == "j9_q13_custdist").get.run(spark, sf)
+      .collect()
+    val nCust = graft.sources.Tables.table(spark, sf, "customer").count()
+    // every customer lands in exactly one bucket
+    assert(custdist.map(_.getLong(1)).sum === nCust)
+    // the left join must keep customers whose only orders are URGENT ⇒
+    // they appear in the c_count=0 bucket iff such customers exist
+    val zeroBucketCustomers = graft.sources.Tables.table(spark, sf, "customer")
+      .join(graft.sources.Tables.table(spark, sf, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    val zeroBucket = custdist.find(_.getLong(0) === 0L).map(_.getLong(1)).getOrElse(0L)
+    assert(zeroBucket === zeroBucketCustomers,
+      "outer-join zero bucket must equal the anti-join survivor count")
+  }
+
+  test("j10 emits exactly the argmax suppliers and computes max once (broadcast decoration)") {
+    val top = Joins.defs.find(_.name == "j10_q15_top_supplier").get.run(spark, sf)
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length === 1, "all emitted suppliers must share the max revenue")
+    val plan = top.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"the one-row max must broadcast, not shuffle:\n$plan")
+  }
+
+  test("j12 promo share is a true percentage of the joined window") {
+    val r = Joins.defs.find(_.name == "j12_q14_promo_share").get.run(spark, sf).collect()(0)
+    val share = r.getDouble(0)
+    assert(share >= 0.0 && share <= 100.0, s"promo share $share out of range")
+    assert(r.getLong(1) > 0, "date window must select rows at this sf")
+  }
 }

@@ -26,6 +26,23 @@ class SourceFormatsSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("ORC round-trip preserves the documents table exactly (predicate pushdown intact)") {
+    val dir = s"/root/repo/target/orc-${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf)
+    docs.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+    // ORC scans must push filters like parquet scans do — the interchange
+    // format changes, the scan contract doesn't
+    val plan = back.filter(col("n_chars") >= 300)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,300)]")
+      || plan.contains("GreaterThanOrEqual(n_chars,300)"),
+      s"expected n_chars pushdown in ORC scan:\n$plan")
+  }
+
   test("dynamic partition overwrite backfills ONE partition, leaves the rest") {
     withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
       val dir = s"/root/repo/target/backfill-${System.nanoTime()}"
