@@ -89,11 +89,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineNative {
   val Name = "cosine_native"
 
+  /** (identifier, info, builder) — consumed by both session-state
+    * registration below and GraftExtensions.injectFunction. */
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(Name),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, Name),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+
   /** Register into the session's function registry so `expr`/SQL resolve
     * it like a built-in (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, Name),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+      registration._1, registration._2, registration._3)
 }

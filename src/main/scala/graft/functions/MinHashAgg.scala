@@ -102,10 +102,10 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
-  /** Register as `minhash_agg(col, n)` (n a literal int; idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_agg"),
+  /** (identifier, info, builder) — consumed by both session-state
+    * registration below and GraftExtensions.injectFunction. */
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (cs: Seq[Expression]) => {
         val n = cs(1).eval(null) match {
@@ -115,4 +115,9 @@ object MinHashAgg {
         }
         MinHashAgg(cs(0), n)
       })
+
+  /** Register as `minhash_agg(col, n)` (n a literal int; idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      registration._1, registration._2, registration._3)
 }

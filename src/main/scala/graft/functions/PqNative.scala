@@ -229,16 +229,23 @@ object PqNative {
       copy(first = f, second = sec, third = t, fourth = fo)
   }
 
+  /** (identifier, info, builder) triples — consumed by both session-state
+    * registration below and GraftExtensions.injectFunction. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq[(String, Class[_], Seq[Expression] => Expression)](
+      ("nearest_centroid", classOf[NearestCentroid],
+        cs => NearestCentroid(cs(0), cs(1))),
+      ("pq_encode", classOf[PqEncode],
+        cs => PqEncode(cs(0), cs(1), cs(2), cs(3))),
+      ("pq_adc", classOf[PqAdc],
+        cs => PqAdc(cs(0), cs(1), cs(2), cs(3)))
+    ).map { case (name, clazz, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+    }
+
   /** Register all three into the session function registry (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    def reg(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
-    reg("nearest_centroid", classOf[NearestCentroid],
-      cs => NearestCentroid(cs(0), cs(1)))
-    reg("pq_encode", classOf[PqEncode],
-      cs => PqEncode(cs(0), cs(1), cs(2), cs(3)))
-    reg("pq_adc", classOf[PqAdc],
-      cs => PqAdc(cs(0), cs(1), cs(2), cs(3)))
-  }
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

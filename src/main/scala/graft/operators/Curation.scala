@@ -58,12 +58,57 @@ object Curation {
     * collapse across Generate, so the array materializes per-row. */
   private def grams(d: DataFrame, n: Int): DataFrame = {
     val w = col("w")
-    d.repartition(col("doc_id"))
+    Par.spread(d, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(w) >= n)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(w) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))).as("g"))
+  }
+
+  /** Token budget per packed training sequence (cur6). (Declared before
+    * `defs`: the oracle SQL interpolates it at object-init time.) */
+  val PackBudget = 512L
+
+  /** Sequence-packing core (cur6, pipe1): global token prefix sum over
+    * (doc_id, n_tok) rows WITHOUT a global sort — range-repartition, per-
+    * partition windowed cumsum, driver-side exclusive prefix over the
+    * ≤ #partitions per-partition totals (bounded collect), broadcast
+    * offsets back. Returns one row per 512-token training bin. */
+  def packSequences(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    val base = toks.select(col("doc_id"), col("n_tok"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    // tiny: one row per partition; exclusive prefix on the driver
+    val totals = base.groupBy("pid").agg(sum("n_tok").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.tail.zip(totals).map { case ((pid, cumIncl), (_, tot)) => (pid, cumIncl - tot) }
+    val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+    base.join(broadcast(offDf), Seq("pid"))
+      .withColumn("cb", sum("n_tok").over(w) - col("n_tok") + col("off"))
+      .withColumn("bin", (col("cb") / lit(PackBudget)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
+  /** Per-language bottom-quartile cut (cur7, pipe1): rank-based, integer-
+    * exact in both engines. Keeps (doc_id, lang, text, quality). */
+  def qualityFloorExact(d: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    val cnt = Window.partitionBy("lang")
+    d.select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.qualityCol.as("quality"))
+      .withColumn("rn", row_number().over(byLang))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .filter(col("rn") > floor(col("n") / 4))
+      .drop("rn", "n")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -86,7 +131,7 @@ object Curation {
         |FROM cnt GROUP BY doc_id, total
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val w = col("w")
-      val bg = docs(s, dir).repartition(col("doc_id"))
+      val bg = Par.spread(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize ONCE (see grams)
         .filter(size(w) >= 2)
         .select(col("doc_id"), (size(w) - 1).cast("long").as("total"),
@@ -188,6 +233,113 @@ object Curation {
         .join(broadcast(ev), Seq("g"))
         .groupBy("doc_id").agg(count(lit(1)).as("hits"))
         .orderBy("doc_id")
+    },
+
+    // CUR6: sequence packing — assign documents (in doc_id order) to
+    // fixed-token-budget training sequences: each doc lands in the bin
+    // where its first token falls, bin = cum_tokens_before / 512. The
+    // interesting part is the GLOBAL prefix sum without a global sort:
+    // range-repartition by doc_id, per-partition running sums under a
+    // (pid)-keyed window, then each partition's base offset comes from a
+    // tiny per-partition total (one row per partition — driver-side
+    // exclusive prefix over ≤ #partitions values, the same bounded
+    // collect d7 uses for convergence). No single-partition window
+    // anywhere; the corpus shuffles ONCE (the range partitioning).
+    QueryDef("cur6_sequence_packing",
+      s"""WITH t AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |            FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |             sum(n_tok) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cb
+        |      FROM t)
+        |SELECT CAST(cb // $PackBudget AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      packSequences(docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")))
+    },
+
+    // CUR7: quality-floor cut — drop the bottom quartile of documents PER
+    // LANGUAGE by the shared t3 quality score (a relative threshold per
+    // stratum, the standard way to avoid one language's score distribution
+    // starving another). Rank-based (row_number vs floor(n/4)) so the cut
+    // is integer-exact in both engines — an interpolated-percentile
+    // threshold would compare against engine-specific float interpolation.
+    // Shape: one shuffle on lang + per-partition sort. At corpus scale the
+    // per-lang FULL sort is the expensive exact form; the production path
+    // computes an approx_percentile threshold (one pass, mergeable sketch)
+    // and broadcast-filters — CurationSpec pins the approx variant against
+    // this exact cut.
+    QueryDef("cur7_quality_floor",
+      s"""WITH q AS (SELECT doc_id, lang, ${TextAnalysis.qualitySql} AS quality
+        |            FROM documents),
+        |r AS (SELECT doc_id, lang, quality,
+        |             row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |      FROM q)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+        |       CAST(min(quality) AS DOUBLE) AS min_kept_quality
+        |FROM r WHERE rn > n // 4
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      qualityFloorExact(docs(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"), min("quality").as("min_kept_quality"))
+        .orderBy("lang")
+    },
+
+    // PIPE1: the composed corpus build — the product story in one query:
+    // quality-floor cut (cur7) → exact dedup over the survivors (d1's
+    // kernel) → sequence packing of the cleaned corpus (cur6's core).
+    // Each stage is individually oracled above; this entry pins that they
+    // COMPOSE — survivors of one stage feed the next with no impedance
+    // (same doc_id/text frame), and the pipeline's total shuffle budget is
+    // the sum of its stages (lang window + hash window + range partition),
+    // nothing multiplicative.
+    QueryDef("pipe1_corpus_build",
+      s"""WITH q AS (SELECT doc_id, lang, text, ${TextAnalysis.qualitySql} AS quality
+        |            FROM documents),
+        |r AS (SELECT doc_id, lang, text, quality,
+        |             row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |      FROM q),
+        |keep AS (SELECT doc_id, text FROM r WHERE rn > n // 4),
+        |ded AS (SELECT doc_id, text FROM (
+        |          SELECT doc_id, text,
+        |                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dn
+        |          FROM keep) WHERE dn = 1),
+        |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM ded),
+        |c AS (SELECT doc_id, n_tok,
+        |             sum(n_tok) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cb
+        |      FROM t)
+        |SELECT CAST(cb // $PackBudget AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val kept = qualityFloorExact(docs(s, dir)).select("doc_id", "text")
+      val deduped = Dedup.keepFirstBy(kept, md5(col("text").cast("binary")))
+      packSequences(deduped
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")))
     }
   )
+
+  /** Approximate quality-floor cut — the 100 TB form of cur7: per-lang
+    * threshold from `approx_percentile` (one pass, mergeable sketch,
+    * bounded error) broadcast back as a filter; no per-lang sort of the
+    * corpus. CurationSpec pins its kept-set against the exact cut. */
+  def qualityFloorApprox(d: DataFrame): DataFrame = {
+    val thr = d.select(col("lang"), TextAnalysis.qualityCol.as("quality"))
+      .groupBy("lang")
+      .agg(expr("approx_percentile(quality, 0.25, 10000)").as("thr"))
+    d.select(col("doc_id"), col("lang"), TextAnalysis.qualityCol.as("quality"))
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("quality") >= col("thr"))
+  }
 }

@@ -74,7 +74,7 @@ object Dedup {
     // element_at of every position (3 × ~100 splits per doc); Projects
     // don't collapse across Generate, so the bound array materializes
     val w = col("w")
-    d.repartition(col("doc_id"))
+    Par.spread(d, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(w) >= Shingle)
       .select(col("doc_id"), explode(array_distinct(
@@ -307,7 +307,7 @@ object Dedup {
         |       md5(coalesce(array_to_string(list(chunk ORDER BY i) FILTER (WHERE is_hot IS NULL), ' '), '')) AS clean_fp
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val w = col("w")
-      val ch = docs(s, dir).repartition(col("doc_id"))
+      val ch = Par.spread(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), ceil(size(w) / lit(LineWords.toDouble)).cast("int")),
@@ -493,7 +493,7 @@ object Dedup {
         |WHERE CAST(m AS DOUBLE) / (ta.tot + tb.tot - m) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val w = col("w")
-      val sh = docs(s, dir).repartition(col("doc_id"))
+      val sh = Par.spread(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("w")) // tokenize ONCE (see shingles)
         .filter(size(w) >= Shingle)
         .select(col("doc_id"), explode(

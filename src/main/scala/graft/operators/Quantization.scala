@@ -79,7 +79,7 @@ object Quantization {
     * groups total — constant, corpus-size independent). Halves the
     * quantization distortion of the raw sample on this corpus. */
   def refineCodebooks(e: DataFrame, books: DataFrame): DataFrame =
-    refineCodebooksV(normalized(e).repartition(col("vec_id")), books)
+    refineCodebooksV(Par.spread(normalized(e), col("vec_id")), books)
 
   /** [[refineCodebooks]] over already-normalized/residual (vec_id, u)
     * vectors. */
@@ -116,7 +116,7 @@ object Quantization {
   /** Encode every vector as ONE packed int: 4 bits per subspace code
     * (nearest codebook entry by L2 in that subspace). */
   def encode(e: DataFrame, books: DataFrame): DataFrame =
-    encodeVectors(normalized(e).repartition(col("vec_id")), books)
+    encodeVectors(Par.spread(normalized(e), col("vec_id")), books)
 
   /** [[encode]] over already-normalized/residual (vec_id, u) vectors. */
   def encodeVectors(vs: DataFrame, books: DataFrame): DataFrame =
@@ -210,7 +210,7 @@ object Quantization {
 
   /** [[encode]] through the native kernel (narrow, shuffle-free). */
   def encodeNative(e: DataFrame, books: DataFrame): DataFrame =
-    encodeVectorsNative(normalized(e).repartition(col("vec_id")), books)
+    encodeVectorsNative(Par.spread(normalized(e), col("vec_id")), books)
 
   /** PQ top-k with exact rerank: ADC-rank the whole corpus from the packed
     * codes, keep `rerank` candidates, then score those few exactly. Fused
@@ -292,7 +292,7 @@ object Quantization {
       .select(transform(col("fe"), t => t("x")).as("cents_flat"), col("ids"))
     val nrm = sqrt(aggregate(transform(col("embedding"),
       x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
-    val assigned = e.repartition(col("vec_id"))
+    val assigned = Par.spread(e, col("vec_id"))
       .crossJoin(broadcast(csFlat))
       .select(col("vec_id"),
         element_at(col("ids"),

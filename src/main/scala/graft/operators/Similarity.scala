@@ -136,7 +136,7 @@ object Similarity {
         // the block join keys on `label` (few, possibly skewed partitions);
         // respread the PAIRS before the per-pair fold so the similarity
         // compute uses full parallelism, not one task per block
-        .repartition(col("a_id"), col("b_id"))
+        .transform(Par.spread(_, col("a_id"), col("b_id")))
         .withColumn("cosv", cosineFast(s, "av", "bv"))
         .filter(col("cosv") >= 0.35)
         .select(col("a_id"), col("b_id"),
@@ -180,7 +180,7 @@ object Similarity {
     * the native fused argmax kernel (graft.functions.PqNative). */
   private[operators] def assignTo(e: DataFrame, cs: DataFrame): DataFrame = {
     graft.functions.PqNative.register(e.sparkSession)
-    e.repartition(col("vec_id")) // parallelize past the single input file
+    Par.spread(e, col("vec_id")) // parallelize past the single input file
       .crossJoin(broadcast(flatCentroids(cs)))
       .select(col("vec_id"),
         element_at(col("ids"),

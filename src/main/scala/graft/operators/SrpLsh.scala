@@ -71,7 +71,7 @@ object SrpLsh {
     val bits = (0 until NBits).map(i =>
       when(expr(s"cosine_native(embedding, r$i)") >= 0, lit(1L << i))
         .otherwise(lit(0L)))
-    e.repartition(col("vec_id")) // parallelize past the single input file
+    Par.spread(e, col("vec_id")) // parallelize past the single input file
       .crossJoin(broadcast(planesFrame(s, dim)))
       .select(col("vec_id"), col("embedding"),
         bits.reduce(_ + _).as("fp"))

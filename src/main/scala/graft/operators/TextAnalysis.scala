@@ -41,6 +41,25 @@ object TextAnalysis {
   // pre-split shape.
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** The t3 quality score, exposed for reuse (cur7's percentile cut uses
+    * the identical expression so the two operators can never drift). */
+  def qualityCol: Column = round(
+    lit(0.5) * least(nTok.cast("double") / lit(100.0), lit(1.0))
+      + lit(0.3) * (countIn(Stops).cast("double") / nTok.cast("double"))
+      + lit(0.2) * (lit(1.0) -
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
+          length(col("text")).cast("double")), 6).cast("double")
+
+  /** DuckDB form of [[qualityCol]] (same expression tree, same rounding). */
+  val qualitySql: String =
+    s"""CAST(round(
+       |  0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |+ 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+       |              x -> x IN ($stopsSql))) AS DOUBLE)
+       |         / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |+ 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |               / CAST(length(text) AS DOUBLE)), 6) AS DOUBLE)""".stripMargin
+
   /** Fixed probe vocabulary for the CMS heavy-hitter estimates.
     * (Declared before `defs`: t9b's oracle SQL interpolates it at
     * object-init time.) */
@@ -87,24 +106,12 @@ object TextAnalysis {
     // corpus-cleaning gate).
     QueryDef("t3_quality_score",
       s"""SELECT doc_id,
-        |       CAST(round(
-        |         0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-        |       + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
-        |                     x -> x IN ($stopsSql))) AS DOUBLE)
-        |                / CAST(len(string_split(text, ' ')) AS DOUBLE))
-        |       + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-        |                      / CAST(length(text) AS DOUBLE)), 6) AS DOUBLE) AS quality,
+        |       $qualitySql AS quality,
         |       (len(string_split(text, ' ')) >= 20) AS len_ok
         |FROM documents ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
-      val lenScore = lit(0.5) * least(nTok.cast("double") / lit(100.0), lit(1.0))
-      val stopScore = lit(0.3) *
-        (countIn(Stops).cast("double") / nTok.cast("double"))
-      val punctScore = lit(0.2) * (lit(1.0) -
-        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
-          length(col("text")).cast("double"))
       docs(s, dir)
         .select(col("doc_id"),
-          round(lenScore + stopScore + punctScore, 6).cast("double").as("quality"),
+          qualityCol.as("quality"),
           (nTok >= 20).as("len_ok"))
         .orderBy("doc_id").limit(2000)
     },
@@ -178,8 +185,22 @@ object TextAnalysis {
         |       list_min(fps) AS min_fp, list_aggregate(fps, 'max') AS max_fp
         |FROM f ORDER BY doc_id LIMIT 2000""".stripMargin) { (s, dir) =>
       docs(s, dir)
-        .repartition(col("doc_id")) // parallelize past the single input file
-        .filter(length(col("text")) >= 11)
+        // the result is ORDER BY doc_id LIMIT 2000, so only the 2000
+        // smallest doc_ids can survive — take them FIRST (cheap: narrow
+        // TakeOrdered on (doc_id, text)) and winnow only those, instead of
+        // md5-ing every k-gram of the whole corpus and discarding most of
+        // it. The repartition after the limit re-spreads the survivors so
+        // the per-gram hashing still uses every core.
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 11) // filter FIRST: the limit is over the filtered set
+        .orderBy("doc_id").limit(2000)
+        // EXPLICIT partition count: repartition(col) alone is an AQE-
+        // coalescable shuffle, and 2000 docs are only ~1 MB — AQE merges
+        // them onto 1-2 partitions and the per-gram hashing (CPU-bound,
+        // not byte-bound) serializes. Pinning the count keeps every core
+        // busy; "cheap bytes, expensive rows" defeats byte-based
+        // coalescing heuristics.
+        .repartition(64, col("doc_id"))
         .withColumn("hs",
           expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))"))
         .withColumn("fps",

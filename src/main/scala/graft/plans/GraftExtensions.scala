@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BucketizeRangeJoin)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // the native function library: a session built with these extensions
+    // resolves cosine_native / minhash_agg / nearest_centroid / pq_encode
+    // / pq_adc in SQL without any per-session register() call
+    (graft.functions.CosineNative.registration +:
+      graft.functions.MinHashAgg.registration +:
+      graft.functions.PqNative.registrations)
+      .foreach(ext.injectFunction)
   }
 }
 

@@ -100,6 +100,61 @@ class CurationSpec extends SparkSpec {
     assert(rows.toSeq === Seq((3L, 2L)))
   }
 
+  test("cur6 distributed prefix sum == single-partition reference cumsum") {
+    // the partitioned-offsets machinery must reproduce the trivially
+    // correct one-partition global window exactly
+    val got = q("cur6_sequence_packing").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val one = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
+    val ref = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .coalesce(1)
+      .withColumn("cb", sum("n_tok").over(one) - col("n_tok"))
+      .withColumn("bin", (col("cb") / lit(Curation.PackBudget)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === ref.toSeq)
+    // bins are contiguous from 0 and every doc is packed exactly once
+    assert(got.map(_._1).toSeq === got.indices.map(_.toLong))
+    val totalDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(got.map(_._2).sum === totalDocs)
+  }
+
+  test("cur6 packing plan contains no single-partition window over the corpus") {
+    val plan = q("cur6_sequence_packing").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // a global-window shape would show Exchange SinglePartition feeding a
+    // Window; the partitioned form must not
+    assert(!plan.matches("(?s).*Exchange SinglePartition.*Window.*"),
+      s"corpus window must stay partitioned:\n$plan")
+  }
+
+  test("cur7 approx quality floor tracks the exact rank cut (>=90% agreement per lang)") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val approxKept = Curation.qualityFloorApprox(d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact kept set: same rank machinery as the registered cur7
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("quality", "doc_id")
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val exactKept = d
+      .select(col("doc_id"), col("lang"), TextAnalysis.qualityCol.as("quality"))
+      .withColumn("rn", row_number().over(byLang))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .filter(col("rn") > floor(col("n") / 4))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inter = (approxKept & exactKept).size.toDouble
+    assert(inter / exactKept.size >= 0.9,
+      f"approx cut diverges: overlap ${inter / exactKept.size}%.3f")
+    // and the approx form must not sort the corpus per language
+    val plan = Curation.qualityFloorApprox(d).queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile") || plan.contains("ApproximatePercentile"),
+      s"threshold must come from the sketch:\n$plan")
+  }
+
   test("cur5 keeps the eval gram set on the broadcast side (corpus never shuffles grams)") {
     val df = q("cur5_decontaminate").run(spark, sf)
     df.count() // materialize so AQE settles on the final physical plan

@@ -54,6 +54,31 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("extensions wiring: GraftExtensions injects the native function library into SQL") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      // no register() call anywhere — resolution must come from injectFunction
+      val r = s2.sql(
+        """SELECT cosine_native(cast(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |                     cast(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+        .collect()
+      assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+      val mh = s2.sql(
+        "SELECT minhash_agg(xxhash64(x), 8) AS sig FROM VALUES ('a'), ('b') AS t(x)")
+        .collect()
+      assert(mh(0).getAs[scala.collection.Seq[Long]]("sig").length === 8)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("extensions wiring: a session built with GraftExtensions applies the rule") {
     val old = spark
     SparkSession.clearActiveSession()
