@@ -463,6 +463,48 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // D11: shingle CONTAINMENT — the asymmetric sibling of d6's Jaccard:
+    // C = |A∩B| / min(|A|,|B|), i.e. how much of the SMALLER document's
+    // shingle set lives inside the other. Catches wholesale inclusion
+    // (a quoted article inside a longer page, a doc plus appended junk)
+    // that symmetric Jaccard dilutes below any sane threshold when the
+    // size ratio is large. Identical inverted-index shape and df-cap
+    // guard as d6 — only the denominator changes.
+    QueryDef("d11_containment",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${Shingle - 1})) AS i
+        |             FROM ws WHERE len(w) >= $Shingle)),
+        |sh AS (SELECT doc_id, g FROM (
+        |         SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM sh0)
+        |       WHERE df <= $DfCap),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
+        |          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS DOUBLE) AS containment
+        |FROM inter
+        |JOIN sz sa ON a_id = sa.doc_id
+        |JOIN sz sb ON b_id = sb.doc_id
+        |WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = dfCapped(shingles(docs(s, dir))).cache()
+      val inter = sh.select(col("doc_id").as("a_id"), col("g"))
+        .join(sh.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("cont", col("c").cast("double") / least(col("na"), col("nb")))
+        .filter(col("cont") >= 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("cont"), 6).cast("double").as("containment"))
+        .orderBy("a_id", "b_id")
+    },
+
     // D8: tf-WEIGHTED Jaccard — the weighted sibling of d6 for corpora
     // where repetition matters (boilerplate spam repeats its shingles; set
     // semantics can't see that). J_w = Σ_g min(tf_a, tf_b) / Σ_g

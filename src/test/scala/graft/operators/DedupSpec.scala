@@ -236,6 +236,28 @@ class DedupSpec extends SparkSpec {
       "no document may lose its unique payload chunk")
   }
 
+  test("d11 containment flags full inclusion that symmetric Jaccard dilutes away") {
+    import spark.implicits._
+    // doc 1's shingle set is wholly inside doc 2 (doc 2 = doc 1 + 30
+    // extra tokens): containment = 1.0 but jaccard ≈ 8/38 < d6's 0.3
+    // threshold — the asymmetric measure catches what the symmetric one
+    // structurally cannot.
+    val small = (1 to 10).map(i => s"a$i").mkString(" ")
+    val big = small + " " + (1 to 30).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d11").toString
+    Seq((1L, small, "en", "s", small.length.toLong),
+        (2L, big, "en", "s", big.length.toLong),
+        (3L, (1 to 12).map(i => s"q$i").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d11 = Dedup.defs.find(_.name == "d11_containment").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(d11.toSeq === Seq((1L, 2L, 1.0)))
+    val d6 = Dedup.defs.find(_.name == "d6_ngram_jaccard").get.run(spark, dir)
+      .filter(col("a_id") === 1 && col("b_id") === 2).count()
+    assert(d6 === 0L, "jaccard at 0.3 must NOT see the inclusion pair")
+  }
+
   test("d10 keep-best-copy keeps the LONGEST duplicate, not the first") {
     import spark.implicits._
     // three copies of one normalized text, different raw lengths/ids: the
