@@ -88,6 +88,27 @@ object IvfIndex {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
+  /** Incremental maintenance: fold a batch of NEW vectors into an
+    * existing flat-IVF index without a rebuild. The new vectors are
+    * assigned with the SAVED centroids (one narrow pass over the batch,
+    * never the corpus) and appended to the list partitions — dynamic
+    * partition append touches only the directories the batch lands in.
+    * The coarse quantizer stays fixed: standard IVF maintenance, since
+    * centroids drift slowly and probe quality degrades gracefully; the
+    * staleness meta is advanced so probes accept the grown corpus, and a
+    * full rebuild remains the policy lever for when drift accumulates
+    * (IvfIndexSpec pins append ≡ assigning the full corpus against the
+    * original centroids, plus an unchanged recall floor). */
+  def appendIvf(newVecs: DataFrame, idx: String): Unit = buildLock.synchronized {
+    val s = newVecs.sparkSession
+    val prev = s.read.parquet(s"$idx/meta").collect()(0).getLong(0)
+    val cs = s.read.parquet(s"$idx/centroids")
+    Similarity.assignTo(newVecs, cs)
+      .write.mode("append").partitionBy("list_id").parquet(s"$idx/lists")
+    s.range(1).select((lit(prev) + lit(newVecs.count())).cast("long").as("n"))
+      .write.mode("overwrite").parquet(s"$idx/meta")
+  }
+
   /** sim3 through the persisted index: lazy build, then probe-only. */
   def ivfTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
       k: Int, nprobe: Int): DataFrame = {

@@ -61,6 +61,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(SrpLsh.srpTopK(e1, queryVecId = 0L, k = 5).count() === 0)
   }
 
+  test("d9 rebuild of an all-boilerplate document is the empty-text fingerprint, not NULL") {
+    import spark.implicits._
+    // 4 copies of one single-chunk doc: every chunk is hot (freq 4 > cap 2)
+    // → kept_chunks 0 and clean_fp = md5("") on BOTH engines (the oracle
+    // coalesces DuckDB's NULL-on-empty list aggregate)
+    val text = (1 to 10).map(i => s"b$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d9-edge").toString
+    (0 until 4).map(i => (i.toLong, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.defs.find(_.name == "d9_line_dedup").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(rows.length === 4)
+    rows.foreach { case (_, total, kept, fp) =>
+      assert(total === 1L && kept === 0L && fp === emptyMd5)
+    }
+  }
+
+  test("cur6 packing: a document longer than the whole budget still lands in ONE bin") {
+    import spark.implicits._
+    // doc-atomic packing: a 1300-token doc overhangs its bin; the next doc
+    // starts in the bin where its own first token falls
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur6-edge").toString
+    Seq(
+      (0L, (1 to 1300).map(i => s"t$i").mkString(" ")),
+      (1L, (1 to 100).map(i => s"u$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.defs.find(_.name == "cur6_sequence_packing").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0 starts at offset 0 → bin 0 (alone, 1300 tokens);
+    // doc 1 starts at offset 1300 → bin 2 (1300/512 = 2)
+    assert(rows.toSeq === Seq((0L, 1L, 1300L), (2L, 1L, 100L)))
+  }
+
   test("joins with an empty side behave per join type") {
     val orders = Tables.orders(spark, sf)
     val noLines = li.filter(lit(false))

@@ -48,6 +48,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(persisted === inline)
   }
 
+  test("incremental append folds new vectors into the persisted lists without a rebuild") {
+    val base = "/root/repo/target/graft-ivfidx-test/ivf-append"
+    val n = emb.count()
+    val oldHalf = emb.filter(col("vec_id") % 2 === 0)
+    val newHalf = emb.filter(col("vec_id") % 2 =!= 0)
+    IvfIndex.buildIvf(oldHalf, base)
+    IvfIndex.appendIvf(newHalf, base)
+
+    // list contents == assigning the FULL corpus against the ORIGINAL
+    // (half-built) centroids — append must not move anything already there
+    val cs = spark.read.parquet(s"$base/centroids")
+    val want = Similarity.assignTo(emb, cs)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(s"$base/lists")
+      // partition-dir column comes back type-inferred (int) — normalize
+      .select(col("vec_id"), col("list_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+
+    // staleness meta advanced: the grown corpus now reads as fresh
+    assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === n)
+
+    // probe quality over the appended index: recall@10 vs brute force
+    val q = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")))
+    val approx = IvfIndex.probeIvf(spark, base, q, k = 10, nprobe = 8,
+      excludeVecId = 0L).collect().map(_.getLong(0)).toSet
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(q)
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall after append: $recall")
+  }
+
   test("IVF-PQ probe prunes the code scan and matches the inline result") {
     val base = "/root/repo/target/graft-ivfidx-test/ivfpq"
     IvfIndex.buildIvfPq(emb, base)

@@ -68,6 +68,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("built-in session_window agrees with the hand-rolled gap sessionization") {
+    // cross-validation: Spark's native session_window (30-min gap) must
+    // produce exactly as many sessions per user as Streams.sessionize's
+    // lag/running-sum form — two independent formulations of the same
+    // semantics (and the built-in is the streaming-native path with
+    // watermarked state eviction)
+    val ev = Tables.events(spark, sf)
+    val native = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val handRolled = Streams.sessionize(ev)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(native.toSeq === handRolled.toSeq)
+  }
+
   test("stream-stream interval join (click→view within 24 h) matches batch self-join") {
     val clicks = Streams.eventsStream(spark, stageDir)
       .filter(col("event_type") === "click")
