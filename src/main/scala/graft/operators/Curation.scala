@@ -49,6 +49,8 @@ object Curation {
     "((doc_id % 2147483647) * 48271) % 2147483647 % 100"
 
   /** Word n-gram helper (1-indexed, mirrors the oracle's generate_series).
+    * Shared with Dedup.shingles (= grams(d, 3)) so the tokenize-once and
+    * spread disciplines live in exactly one place.
     *
     * The token array is BOUND ONCE as a projected column below the
     * explode: referencing `split(text)` directly inside the transform
@@ -56,7 +58,7 @@ object Curation {
     * position (n × positions splits per doc — ~750 re-tokenizations per
     * 100-token doc at n=8; measured 12 s → ~1 s at sf0.1). Projects don't
     * collapse across Generate, so the array materializes per-row. */
-  private def grams(d: DataFrame, n: Int): DataFrame = {
+  private[operators] def grams(d: DataFrame, n: Int): DataFrame = {
     val w = col("w")
     Par.spread(d, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))

@@ -62,26 +62,10 @@ object Dedup {
   private val Tau = 0.7
 
   /** Distinct word 3-gram shingles per document (1-indexed to mirror the
-    * oracle SQL; docs shorter than the shingle width drop out).
-    *
-    * The corpus arrives as few/one parquet file(s) — repartition on doc_id
-    * BEFORE the per-row shingling so extraction and hashing use the whole
-    * cluster instead of the input file count (single-partition per-row
-    * pipelines were the top bench cost before this). */
-  def shingles(d: DataFrame): DataFrame = {
-    // tokenize ONCE per row (projected column): referencing split(text)
-    // inside the transform lambda re-splits the document at every
-    // element_at of every position (3 × ~100 splits per doc); Projects
-    // don't collapse across Generate, so the bound array materializes
-    val w = col("w")
-    Par.spread(d, col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(w) >= Shingle)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(w) - (Shingle - 1)),
-          i => concat_ws(" ",
-            element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))).as("g"))
-  }
+    * oracle SQL; docs shorter than the shingle width drop out). Delegates
+    * to the shared n-gram kernel — ONE home for the tokenize-once and
+    * Par.spread disciplines (see Curation.grams scaladoc). */
+  def shingles(d: DataFrame): DataFrame = Curation.grams(d, Shingle)
 
   /** Document-frequency cap for the inverted-index family (d6/d8). The
     * index join's cost is Σ_g df(g)² — one boilerplate shingle shared by
@@ -112,9 +96,31 @@ object Dedup {
     * broadcastable at any corpus size — so the guard is one broadcast
     * LEFT ANTI join, not a second shuffle of the postings. */
   def dfCapped(sh: DataFrame, cap: Int = DfCap): DataFrame = {
-    val hot = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    // cache the INPUT: it feeds both the hot-set aggregation and the
+    // anti-join probe below — uncached, the whole upstream shingle
+    // explosion would execute twice per query (the callers' caches cover
+    // only the capped OUTPUT). Freed by the harnesses' per-query
+    // clearCache; long-lived callers unpersist via sparkSession.catalog.
+    val in = sh.cache()
+    val hot = in.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("g")
-    sh.join(broadcast(hot), Seq("g"), "left_anti")
+    in.join(broadcast(hot), Seq("g"), "left_anti")
+  }
+
+  /** Shared inverted-index pair kernel (d6 Jaccard, d11 containment):
+    * every a<b pair sharing at least one shingle of the (already
+    * df-capped, already cached) frame `sh`, with intersection count `c`
+    * and both set sizes `na`/`nb` — the measures differ only in how they
+    * combine these three numbers. */
+  private def shinglePairSizes(sh: DataFrame): DataFrame = {
+    val inter = sh.select(col("doc_id").as("a_id"), col("g"))
+      .join(sh.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
   }
 
   /** MinHash signatures as one 64-long array per doc via the custom
@@ -226,10 +232,17 @@ object Dedup {
       // truncate lineage EVERY round: the halving self-join embeds `prop`
       // twice, so an unchecked plan doubles per round (2^k growth between
       // periodic checkpoints OOMed the analyzer on a 10k chain — the plan
-      // string alone exhausted the heap). localCheckpoint materializes the
-      // generation, which the convergence count below needs anyway, so the
-      // truncation is effectively free and the per-round plan is constant.
-      val next = nextPlan.localCheckpoint()
+      // string alone exhausted the heap). Rebuilding the frame from its
+      // RDD gives a LogicalRDD leaf (constant per-round LOGICAL plan —
+      // what the analyzer sees) while staying a NORMAL cached dataset, so
+      // the superseded generation below is freed deterministically by
+      // unpersist() — a localCheckpoint'd frame persists its RDD outside
+      // the cache manager, where Dataset.unpersist() is a silent no-op
+      // and ~diameter corpus-sized generations would pile up in block
+      // storage until driver GC. (RDD lineage still grows, but it is a
+      // few cheap stages per round, bounded by MaxCcRounds — no analyzer
+      // involvement.)
+      val next = prop.sparkSession.createDataFrame(nextPlan.rdd, nextPlan.schema).cache()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
         .filter(col("lbl") < col("old")).count()
       prop.unpersist()
@@ -315,6 +328,9 @@ object Dedup {
             concat_ws(" ", slice(w, (i - 1) * LineWords + 1, lit(LineWords))).as("chunk")))).as("c"))
         .select(col("doc_id"), col("c.i").as("i"), col("c.chunk").as("chunk"),
           md5(col("c.chunk").cast("binary")).as("h"))
+        // cached: feeds the frequency aggregation AND the tagging join —
+        // uncached, the chunk explosion + per-chunk md5 runs twice
+        .cache()
       val hot = ch.groupBy("h").agg(count(lit(1)).as("freq"))
         .filter(col("freq") > LineDfCap)
         .select(col("h"), lit(1).as("is_hot"))
@@ -447,15 +463,7 @@ object Dedup {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = dfCapped(shingles(docs(s, dir))).cache()
-      val inter = sh.select(col("doc_id").as("a_id"), col("g"))
-        .join(sh.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      shinglePairSizes(dfCapped(shingles(docs(s, dir))).cache())
         .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jac") >= 0.3)
         .select(col("a_id"), col("b_id"),
@@ -489,15 +497,7 @@ object Dedup {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = dfCapped(shingles(docs(s, dir))).cache()
-      val inter = sh.select(col("doc_id").as("a_id"), col("g"))
-        .join(sh.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      shinglePairSizes(dfCapped(shingles(docs(s, dir))).cache())
         .withColumn("cont", col("c").cast("double") / least(col("na"), col("nb")))
         .filter(col("cont") >= 0.8)
         .select(col("a_id"), col("b_id"),

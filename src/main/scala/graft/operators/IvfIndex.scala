@@ -135,8 +135,13 @@ object IvfIndex {
     buildLock.synchronized { if (!isFresh(e, idx)) buildIvf(e, idx) }
     val s = e.sparkSession
     val cs = s.read.parquet(s"$idx/centroids")
+    // both small frames are CACHED: each feeds the eager probed-id
+    // collect AND the returned plan's broadcasts — uncached, the query-
+    // side corpus filter and the probe ranking would evaluate twice per
+    // call. Freed by the harnesses' per-query clearCache.
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .cache()
     val probeW = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("list_id"))
     val probes = cs.crossJoin(broadcast(qs))
@@ -145,8 +150,9 @@ object IvfIndex {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select("list_id", "q_id")
+      .cache()
     val probedIds = probes.select("list_id").distinct()
-      .collect().map(_.getLong(0)) // ≤ k lists — constant index metadata
+      .collect().map(_.getLong(0)) // ≤ min(|q|·nprobe, #lists) — index metadata
     val rankW = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id"))
     s.read.parquet(s"$idx/lists")

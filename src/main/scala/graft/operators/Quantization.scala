@@ -327,17 +327,24 @@ object Quantization {
   def ivfpqProbe(e: DataFrame, csU: DataFrame, books: DataFrame,
       codes: DataFrame, queryVecId: Long, k: Int, nprobe: Int,
       rerank: Int): DataFrame = {
+    // register here, not just in the build path: a probe against a warm
+    // on-disk index in a fresh session skips the build entirely, and the
+    // pq_adc scoring below must still resolve
+    graft.functions.PqNative.register(e.sparkSession)
     // query: probed lists = nprobe nearest centroids; per-list flat ADC
     // table over the residual query qr = qu − cu, plus the dot(q,c) bias
     val qU = normalized(e.filter(col("vec_id") === queryVecId))
       .select(col("u").as("qu"))
-    // tiny (nprobe rows); feeds the id collect AND the tables below —
-    // recomputing it is two k-row jobs, cheaper than a cache entry that
-    // would outlive the query in a long-running session
+    // tiny (nprobe rows) but CACHED: it feeds the id collect AND the
+    // tables below, and its lineage includes the query-vector lookup and
+    // — on the inline path — the whole centroid pipeline; re-evaluating
+    // that for a second nprobe-row job is the expensive form of cheap.
+    // Freed by the harnesses' per-query clearCache.
     val probed = csU.crossJoin(broadcast(qU))
       .select(col("list_id"), dotArr(col("qu"), col("cu")).as("bias"),
         zip_with(col("qu"), col("cu"), (x, y) => x - y).as("qr"))
       .orderBy(col("bias").desc, col("list_id")).limit(nprobe)
+      .cache()
     val probedIds = probed.select("list_id").collect().map(_.getLong(0))
     val grid = e.sparkSession.range(M * K).select(
       (col("id") / K).cast("int").as("sub"), (col("id") % K).cast("int").as("c_id"))

@@ -273,11 +273,15 @@ object TextAnalysis {
 
     // T9B: the ORACLED tolerance companion of t9 (the a8→a8b pattern):
     // recompute the exact probe counts next to the CMS estimates and emit
-    // only the engine-independent verdict — the one-sided CMS guarantee
-    // exact ≤ est ≤ exact + ε·N — which the oracle states as constant
-    // TRUE per probe. A broken sketch build or merge flips a row to false
-    // and fails the hash compare; the estimates themselves stay unoracled
-    // in t9 (they depend on the engine's hash family).
+    // only the engine-independent verdict, which the oracle states as
+    // constant TRUE per probe. The lower bound (est ≥ exact) is
+    // UNCONDITIONAL for count-min; the upper bound uses 4× the sketch's
+    // ε·N — the textbook ε·N bound only holds with prob. ≥ 0.99 per
+    // probe (a-priori ~10% that one of 10 probes breaks it on some
+    // corpus), while Markov per row gives P(over > 4ε·N) ≤ (1/4e)^depth
+    // ≈ 1e-5 per probe, so the verdict is stable across testdata
+    // regenerations instead of frozen-by-seed. A broken sketch build or
+    // merge still flips a row to false and fails the hash compare.
     QueryDef("t9b_cms_error_bound", {
       val probeList = CmsProbes.sorted.map(t => s"'$t'").mkString(", ")
       s"""SELECT t.token, TRUE AS within_bound
@@ -292,7 +296,7 @@ object TextAnalysis {
         .groupBy("token").agg(count(lit(1)).as("c")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       tok.unpersist()
-      val slack = math.ceil(0.001 * n).toLong // ε·N, ε = the sketch's eps
+      val slack = 4L * math.ceil(0.001 * n).toLong // 4·ε·N (see scaladoc)
       val rows = CmsProbes.map { t =>
         val e = exact.getOrElse(t, 0L)
         val est = sketch.estimateCount(t)

@@ -126,9 +126,10 @@ class CurationSpec extends SparkSpec {
   test("cur6 packing plan contains no single-partition window over the corpus") {
     val plan = q("cur6_sequence_packing").run(spark, sf)
       .queryExecution.executedPlan.toString
-    // a global-window shape would show Exchange SinglePartition feeding a
-    // Window; the partitioned form must not
-    assert(!plan.matches("(?s).*Exchange SinglePartition.*Window.*"),
+    // a global-window shape would print as a Window node OVER an Exchange
+    // SinglePartition child (plans print parent-first) — that's the order
+    // the guard must match or it can never fire
+    assert(!plan.matches("(?s).*Window.*Exchange SinglePartition.*"),
       s"corpus window must stay partitioned:\n$plan")
   }
 

@@ -23,8 +23,11 @@ class TextSketchSpec extends SparkSpec {
       val est = sketch.estimateCount(t)
       val ex = exact.getOrElse(t, 0L)
       assert(est >= ex, s"CMS undercounted '$t': $est < $ex")
-      assert(est <= ex + (eps * n).toLong + 1,
-        s"CMS overcount beyond eps*N for '$t': $est vs $ex (N=$n)")
+      // 4x slack as in t9b: the 1x eps*N bound is only a 0.99-probability
+      // guarantee per probe — fine on today's frozen seed/data, flaky
+      // across testdata regenerations
+      assert(est <= ex + 4 * (eps * n).toLong + 1,
+        s"CMS overcount beyond 4*eps*N for '$t': $est vs $ex (N=$n)")
     }
     // the absent probe exercises the pure-collision path
     assert(exact.get("zzz_absent").isEmpty)
