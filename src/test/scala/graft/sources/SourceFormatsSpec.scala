@@ -26,6 +26,20 @@ class SourceFormatsSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("CSV sink round-trip preserves documents (header + explicit schema read-back)") {
+    val dir = s"/root/repo/target/csvsink-${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf)
+    docs.write.option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
+
   test("ORC round-trip preserves the documents table exactly (predicate pushdown intact)") {
     val dir = s"/root/repo/target/orc-${System.nanoTime()}"
     val docs = Tables.documents(spark, sf)
