@@ -306,6 +306,63 @@ object Joins {
         .orderBy("c_nationkey")
     },
 
+    // J13: TPC-H Q10 shape (returned items) — revenue lost to returns per
+    // customer: selective fact filter (returnflag = 'R' + a quarter),
+    // fact-fact join to orders, broadcast customer decoration, top 20.
+    // The filters sit ON THE SCAN (PushedFilters), the grouped aggregate
+    // runs before the row count can re-inflate, and only the 20 survivors
+    // order globally.
+    QueryDef("j13_q10_returns",
+      """SELECT c.c_custkey, c.c_name,
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS revenue,
+        |       c.c_nationkey
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1996-07-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0, 2).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_nationkey"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // J14: TPC-H Q19 shape (disjunctive predicate) — an OR of three
+    // (brand, size-range, quantity-range) conjuncts across the join. The
+    // planner must still push the per-table parts of the disjunction to
+    // the scans (brand/size prune part, the quantity hull prunes
+    // lineitem) and broadcast the shrunken part side; a naive engine
+    // evaluates the OR after a full join.
+    QueryDef("j14_q19_disjunctive",
+      """SELECT CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin) { (s, dir) =>
+      val pre = (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 35))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(pre)
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0, 2).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // J12: TPC-H Q14 shape (promo effect) — broadcast dim join feeding a
     // conditional-sum ratio: what share of a month's revenue came from
     // PROMO parts. The filter prunes lineitem at the scan; part broadcasts;

@@ -88,6 +88,23 @@ class JoinSpec extends SparkSpec {
       s"the one-row max must broadcast, not shuffle:\n$plan")
   }
 
+  test("j14 pushes single-table hulls of the cross-table disjunction to BOTH scans") {
+    // this suite caches lineitem; a cached relation swallows PushedFilters
+    // (InMemoryTableScan), so assert against fresh scans and restore after
+    spark.catalog.clearCache()
+    try {
+      val plan = Joins.defs.find(_.name == "j14_q19_disjunctive").get.run(spark, sf)
+        .queryExecution.executedPlan.toString
+      // Catalyst must extract the part-only and lineitem-only implications
+      // of the OR-of-ANDs and push them below the join — a naive plan
+      // evaluates the disjunction after joining everything
+      assert(plan.contains("Or(Or(And(EqualTo(p_brand,Brand#1)"),
+        s"part scan must carry the brand/size hull:\n$plan")
+      assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+        s"lineitem scan must carry the quantity hull:\n$plan")
+    } finally { li.cache(); orders.cache() }
+  }
+
   test("j12 promo share is a true percentage of the joined window") {
     val r = Joins.defs.find(_.name == "j12_q14_promo_share").get.run(spark, sf).collect()(0)
     val share = r.getDouble(0)
