@@ -87,6 +87,41 @@ class PropertiesSpec extends SparkSpec {
     assert(self.filter(col("jac") =!= 1.0).count() === 0)
   }
 
+  test("dedup survivor selection is idempotent (dedup(dedup(x)) == dedup(x))") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val key = md5(col("text").cast("binary"))
+    val once = Dedup.keepFirstBy(docs, key)
+    val twice = Dedup.keepFirstBy(once, key)
+    assert(twice.exceptAll(once).count() === 0)
+    assert(once.exceptAll(twice).count() === 0)
+  }
+
+  test("dfCapped with a cap above the max df is the identity") {
+    val sh = Dedup.shingles(graft.sources.Tables.documents(spark, sf)).cache()
+    val maxDf = sh.groupBy("g").count().agg(max("count")).collect()(0).getLong(0)
+    val capped = Dedup.dfCapped(sh, maxDf.toInt)
+    assert(capped.count() === sh.count())
+    sh.unpersist()
+  }
+
+  test("containment dominates jaccard for every shared-shingle pair (C >= J)") {
+    // c/min(na,nb) >= c/(na+nb-c) holds because na+nb-c >= max(na,nb);
+    // the implementation must not break the algebra (e.g. by computing
+    // the measures over different capped frames)
+    val d6 = Dedup.defs.find(_.name == "d6_ngram_jaccard").get.run(spark, sf)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val d11 = Dedup.defs.find(_.name == "d11_containment").get.run(spark, sf)
+      .select(col("a_id"), col("b_id"), col("containment"))
+    // every pair d6 emits at >= 0.8 jaccard must be in d11 (threshold 0.8)
+    // with containment >= its jaccard
+    val joined = d6.filter(col("jaccard") >= 0.8)
+      .join(d11, Seq("a_id", "b_id"), "left")
+    assert(joined.filter(col("containment").isNull).count() === 0,
+      "high-jaccard pair missing from containment output")
+    assert(joined.filter(col("containment") < col("jaccard")).count() === 0,
+      "containment must dominate jaccard")
+  }
+
   test("topK(k) is a prefix of topK(k') for k < k'") {
     forAll(Gen.choose(1, 50)) { k =>
       val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
