@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Apples-to-apples throughput run against the reference's ACTUAL dataset
+  * and experiment list (stockify.cu main(): 6 filters, sum, 3 rolling
+  * windows over the 5,613,299-row stocks table) — the reference prints
+  * its CPU/GPU ms at runtime on this exact data, so this main produces
+  * the directly comparable numbers for our side. Not part of the driver
+  * contract; emits one JSON line like Bench.
+  *
+  * Methodology mirrors the reference's: the table is loaded once into
+  * memory (its host vector + device snapshot ≈ our cached DataFrame,
+  * materialized before timing), then each experiment is timed over the
+  * in-memory data. Filters/aggregates use all cores (the reference's GPU
+  * kernels are also data-parallel); the three w-experiments keep the
+  * reference's single global row order (stockify.cu:517-615 index the one
+  * load-ordered array), which on Spark is the documented single-partition
+  * compat window — the honest equivalent, not a partitioned rewrite.
+  */
+object StocksBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stocks-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val csvPath = ensureCsv()
+    // load once; materialize the cache BEFORE timing (the reference times
+    // kernels against the already-loaded table, not the CSV parse)
+    val df = sources.Tables.stocksCsv(spark, csvPath)
+      .withColumn("rid", monotonically_increasing_id())
+      .cache()
+    val n = df.count()
+
+    // min of two runs — the reference times its kernels after the JVM-free
+    // CUDA context is warm; min-of-2 is our equivalent steady-state read
+    // (first run carries codegen compile + JIT)
+    def time(f: => Unit): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = once; val b = once; math.min(a, b)
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // experiment 1: the six filters (stockify.cu:229-452)
+    val filters = Seq(
+      "filter_volume_ge_1m" -> (col("volume") >= 1000000L),
+      "filter_close_ge_100" -> (col("close") >= 100.0),
+      "filter_open_ge_100" -> (col("open") >= 100.0),
+      "filter_high_ge_100" -> (col("high") >= 100.0),
+      "filter_low_ge_100" -> (col("low") >= 100.0),
+      "filter_high_and_low" -> (col("high") >= 100.0 && col("low") >= 100.0))
+    filters.foreach { case (name, pred) =>
+      results(name) = time(df.filter(pred).agg(count(lit(1))).collect())
+    }
+
+    // experiment 2: global sum + the three 10-row rolling windows
+    // (stockify.cu:476-621); single global order = the reference's layout
+    results("sum_low") = time(df.agg(sum("low")).collect())
+    val w = Window.orderBy("rid").rowsBetween(0, 9)
+    Seq("moving_avg_close" -> avg(col("close")).over(w),
+        "rolling_min_low" -> min(col("low")).over(w),
+        "rolling_max_high" -> max(col("high")).over(w))
+      .foreach { case (name, e) =>
+        results(name) = time(
+          df.select(e.as("x")).agg(sum(col("x").cast("double"))).collect())
+      }
+
+    val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+    println(s"""{"metric":"stocks_total","value":${f"${results.values.sum}%.3f"},"unit":"sec","rows":$n,"queries":{$qs}}""")
+    spark.stop()
+  }
+
+  /** Unzip the reference's stocks.csv.zip into target/ once (same logic
+    * as StocksCompatSpec — read-only access to the reference archive). */
+  private def ensureCsv(): String = {
+    val out = new java.io.File("/root/repo/target/stocks-csv")
+    val f = new java.io.File(out, "stocks.csv")
+    if (!f.exists()) {
+      out.mkdirs()
+      val zip = new java.util.zip.ZipFile("/root/reference/stocks.csv.zip")
+      try {
+        val entry = zip.getEntry("stocks.csv")
+        java.nio.file.Files.copy(zip.getInputStream(entry), f.toPath)
+      } finally zip.close()
+    }
+    f.getAbsolutePath
+  }
+}

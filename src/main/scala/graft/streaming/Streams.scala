@@ -107,6 +107,81 @@ object Streams {
         .orderBy("user_id")
     },
 
+    // E5: OHLC bar resampling — THE stock-engine operation (the reference
+    // is a stock analytics program; its users downsample ticks to bars).
+    // open/close are the first/last value per hour bucket in (ts,
+    // event_id) order — expressed as rank-1 rows under two window passes
+    // over the SAME bucket shuffle (no min_by-on-packed-rank overflow
+    // games, deterministic in both engines); high/low/volume are plain
+    // aggregates. One shuffle on the bucket; integer checksums off the
+    // float grid.
+    QueryDef("e5_ohlc_bars",
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+        |                  epoch_us(ts) AS us, event_id, value
+        |           FROM events),
+        |r AS (SELECT bucket, value,
+        |             row_number() OVER (PARTITION BY bucket ORDER BY us, event_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY bucket ORDER BY us DESC, event_id DESC) AS rn_d
+        |      FROM b)
+        |SELECT bucket,
+        |       CAST(max(CASE WHEN rn_a = 1 THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS open_ck,
+        |       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS high_ck,
+        |       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS low_ck,
+        |       CAST(max(CASE WHEN rn_d = 1 THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS close_ck,
+        |       CAST(count(*) AS BIGINT) AS volume
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select((col("ts_us") - pmod(col("ts_us"), lit(HourUs))).as("us0"),
+          col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("ck"))
+        .withColumn("bucket", (col("us0") / 1000000L).cast("long"))
+      val asc = Window.partitionBy("bucket").orderBy(col("ts_us").asc, col("event_id").asc)
+      val desc = Window.partitionBy("bucket").orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("bucket")
+        .agg(max(when(col("rn_a") === 1, col("ck"))).as("open_ck"),
+          max(col("ck")).as("high_ck"),
+          min(col("ck")).as("low_ck"),
+          max(when(col("rn_d") === 1, col("ck"))).as("close_ck"),
+          count(lit(1)).as("volume"))
+        .orderBy("bucket")
+    },
+
+    // E6: calendar gap-fill — the dense hour spine (over ALL events' time
+    // range) left-joined against the per-hour PURCHASE counts, so silent
+    // hours surface as explicit zero rows (resampling's other half: a bar
+    // chart or forward-fill needs the empty buckets to EXIST; purchases
+    // are sparse enough here that 47 of 720 hours are genuinely empty —
+    // the gap path is exercised, not vacuously green). The spine is
+    // sequence+explode off a one-row min/max aggregate — generated, never
+    // scanned.
+    QueryDef("e6_gap_fill",
+      """WITH bounds AS (SELECT (min(epoch_us(ts)) // 3600000000) * 3600 AS lo,
+        |                      (max(epoch_us(ts)) // 3600000000) * 3600 AS hi
+        |               FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS bucket FROM bounds),
+        |cnt AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT s.bucket, coalesce(c.n, 0) AS n, (c.n IS NULL) AS is_gap
+        |FROM spine s LEFT JOIN cnt c USING (bucket)
+        |ORDER BY s.bucket""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(((col("ts_us") - pmod(col("ts_us"), lit(HourUs))) / 1000000L)
+          .cast("long").as("bucket"), col("event_type"))
+      val bounds = ev.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val spine = bounds.select(explode(
+        sequence(col("lo"), col("hi"), lit(3600L))).as("bucket"))
+      val cnt = ev.filter(col("event_type") === "purchase")
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      spine.join(cnt, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("is_gap"))
+        .orderBy("bucket")
+    },
+
     // E1: tumbling event-time window — the stream-native form of the
     // reference's "per time bucket" analytics.
     QueryDef("e1_tumbling_window",
