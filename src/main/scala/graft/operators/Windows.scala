@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,60 @@ object Windows {
   def rolling(parts: Seq[Column], order: Seq[Column], lo: Long, hi: Long): WindowSpec = {
     val base = if (parts.isEmpty) Window.partitionBy() else Window.partitionBy(parts: _*)
     base.orderBy(order: _*).rowsBetween(lo, hi)
+  }
+
+  /** Dense 0-based global ordinal over an arbitrary total order WITHOUT a
+    * single-partition sort: range-repartition on the order key, sort and
+    * row_number within each partition, then add each partition's base
+    * offset (exclusive prefix over ≤ #partitions per-partition counts —
+    * the same bounded driver-side collect as Curation.packSequences).
+    * The output column `__ord` is what [[blockRolling]] blocks on. */
+  def globalOrdinal(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val s = df.sparkSession
+    val parts = s.sparkContext.defaultParallelism * 2
+    val p = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = p.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.tail.zip(counts).map { case ((pid, cumIncl), (_, c)) => (pid, cumIncl - c) }
+    val offDf = s.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    p.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__ord", row_number().over(w).cast("long") + col("__off") - 1L)
+      .drop("__pid", "__off")
+  }
+
+  /** EXACT distributed single-series forward rolling window via
+    * BLOCK-CARRY: rows are bucketed into contiguous `blockSize`-row blocks
+    * of the dense ordinal `ordCol`; each block also receives a CARRY copy
+    * of the next block's first `frameEnd` rows, so every in-block frame
+    * `ROWS BETWEEN CURRENT AND frameEnd FOLLOWING` is complete; carried
+    * rows are dropped after the window evaluates. The unpartitioned
+    * global sort (w0's single-partition collapse — the reference's literal
+    * shape) becomes a hash-partitioned window over n/blockSize blocks at
+    * full parallelism, bit-identical to the global window (oracled in
+    * w8 against the same global-window SQL as w0; WindowSpec pins
+    * block ≡ single-partition row-for-row).
+    *
+    * `ordCol` must be DENSE (0,1,2,…) — precisely what [[globalOrdinal]]
+    * produces — otherwise "next frameEnd rows" and "next frameEnd
+    * ordinals" diverge and boundary frames silently truncate. */
+  def blockRolling(df: DataFrame, ordCol: String, frameEnd: Int,
+      blockSize: Long)(build: (DataFrame, WindowSpec) => DataFrame): DataFrame = {
+    require(blockSize > frameEnd, "blockSize must exceed the frame length")
+    val blk = (col(ordCol) / blockSize).cast("long")
+    val base = df.withColumn("__blk", blk).withColumn("__carry", lit(false))
+    val carry = df.filter(pmod(col(ordCol), lit(blockSize)) < frameEnd)
+      .withColumn("__blk", blk - 1)
+      .filter(col("__blk") >= 0)
+      .withColumn("__carry", lit(true))
+    val u = base.unionByName(carry)
+    val w = Window.partitionBy("__blk").orderBy(col(ordCol))
+      .rowsBetween(0, frameEnd)
+    build(u, w).filter(!col("__carry")).drop("__blk", "__carry")
   }
 
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
@@ -141,6 +195,32 @@ object Windows {
         .withColumn("wn", count(lit(1)).over(w))
         .select(col("l_orderkey"), col("l_linenumber"),
           (expr("ws * 100 div wn") / 10000.0).cast("double").as("mov_avg")))
+    },
+
+    // W8: w0's EXACT semantics (one global unpartitioned series) computed
+    // scale-safe: dense ordinal via the distributed prefix trick, then the
+    // block-carry window — same oracle SQL shape as w0 (the global
+    // window), so DuckDB certifies block-carry ≡ global series while the
+    // Spark plan never collapses to one partition. This retires the
+    // "compat mode only" caveat: the reference's literal single-series
+    // semantics ARE reachable at corpus scale.
+    QueryDef("w8_block_rolling",
+      s"""SELECT l_orderkey, l_linenumber,
+        |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) * 100
+        |         // (count(*) OVER (
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING))) / 10000.0 AS DOUBLE) AS mov_avg
+        |FROM lineitem
+        |${dumpSql("l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
+      val ord = globalOrdinal(li(s, dir), series)
+      val res = blockRolling(ord, "__ord", frameEnd = 9, blockSize = 4096) { (u, w) =>
+        u.withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
+          .withColumn("wn", count(lit(1)).over(w))
+      }
+      dump(res.select(col("l_orderkey"), col("l_linenumber"),
+        (expr("ws * 100 div wn") / 10000.0).cast("double").as("mov_avg")))
     },
 
     // W4: lag/lead + first-difference — same machinery, no accumulation, so

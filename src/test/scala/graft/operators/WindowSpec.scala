@@ -53,6 +53,58 @@ class WindowSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
   }
 
+  test("globalOrdinal is a dense 0..n-1 permutation honoring the total order") {
+    val li = Tables.lineitem(spark, sf)
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_extendedprice"))
+    val o = Windows.globalOrdinal(li, order).cache()
+    val n = li.count()
+    assert(o.count() === n)
+    assert(o.agg(min("__ord"), max("__ord")).collect()(0).toSeq === Seq(0L, n - 1))
+    assert(o.select("__ord").distinct().count() === n, "ordinal must be dense/unique")
+    // the ordinal order IS the total order: single-partition row_number
+    // over the same keys agrees everywhere
+    val ref = li.withColumn("__ref",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long") - 1L)
+    val joined = o.join(ref, Seq("l_orderkey", "l_linenumber", "l_shipdate",
+      "l_partkey", "l_extendedprice"))
+    assert(joined.filter(col("__ord") =!= col("__ref")).count() === 0)
+    o.unpersist()
+  }
+
+  test("blockRolling == the single-partition global window, row for row") {
+    val li = Tables.lineitem(spark, sf)
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_extendedprice"))
+    val ord = Windows.globalOrdinal(li, order)
+    // tiny blocks so sf0.001 still crosses MANY boundaries — the carry
+    // path is exercised hundreds of times, not once
+    val got = Windows.blockRolling(ord, "__ord", frameEnd = 9, blockSize = 64) {
+      (u, w) => u.withColumn("ws",
+        sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+    }.select(col("__ord"), col("ws"), col("wn"))
+      .orderBy("__ord").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .orderBy(order: _*).rowsBetween(0, 9)
+    val want = li
+      .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(wGlobal))
+      .withColumn("wn", count(lit(1)).over(wGlobal))
+      .withColumn("__ord",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+          .cast("long") - 1L)
+      .select(col("__ord"), col("ws"), col("wn"))
+      .orderBy("__ord").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+    // and the distributed form must never collapse to one partition
+    val plan = Windows.blockRolling(ord, "__ord", 9, 64) { (u, w) =>
+      u.withColumn("x", count(lit(1)).over(w))
+    }.queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Window.*Exchange SinglePartition.*"),
+      s"block window must stay partitioned:\n$plan")
+  }
+
   test("running sum is monotone within its partition and ends at partition total") {
     import spark.implicits._
     val w = Windows.rolling(Seq(col("g")), Seq(col("pos")),
