@@ -28,11 +28,12 @@ object StocksBench {
       .appName("graft-stocks-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver memory cannot be set here (local mode = this JVM,
+      // -Xmx is fixed at launch); size the launcher's heap via SBT_OPTS
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val csvPath = ensureCsv()
+    val csvPath = sources.Tables.ensureStocksCsv()
     // load once; materialize the cache BEFORE timing (the reference times
     // kernels against the already-loaded table, not the CSV parse)
     val df = sources.Tables.stocksCsv(spark, csvPath)
@@ -91,24 +92,11 @@ object StocksBench {
     block("block_rolling_max_high", max, "high")
     ord.unpersist()
 
-    val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
-    println(s"""{"metric":"stocks_total","value":${f"${results.values.sum}%.3f"},"unit":"sec","rows":$n,"queries":{$qs}}""")
+    // locale-pinned formatting, as in Bench: a comma-decimal JVM default
+    // locale would emit invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+    println(s"""{"metric":"stocks_total","value":${fmt(results.values.sum)},"unit":"sec","rows":$n,"queries":{$qs}}""")
     spark.stop()
-  }
-
-  /** Unzip the reference's stocks.csv.zip into target/ once (same logic
-    * as StocksCompatSpec — read-only access to the reference archive). */
-  private def ensureCsv(): String = {
-    val out = new java.io.File("/root/repo/target/stocks-csv")
-    val f = new java.io.File(out, "stocks.csv")
-    if (!f.exists()) {
-      out.mkdirs()
-      val zip = new java.util.zip.ZipFile("/root/reference/stocks.csv.zip")
-      try {
-        val entry = zip.getEntry("stocks.csv")
-        java.nio.file.Files.copy(zip.getInputStream(entry), f.toPath)
-      } finally zip.close()
-    }
-    f.getAbsolutePath
   }
 }

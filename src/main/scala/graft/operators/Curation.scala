@@ -78,21 +78,13 @@ object Curation {
     * ≤ #partitions per-partition totals (bounded collect), broadcast
     * offsets back. Returns one row per 512-token training bin. */
   def packSequences(toks: DataFrame): DataFrame = {
-    val s = toks.sparkSession
-    val base = toks.select(col("doc_id"), col("n_tok"))
-      .repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .cache()
-    // tiny: one row per partition; exclusive prefix on the driver
-    val totals = base.groupBy("pid").agg(sum("n_tok").as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
-      (pid, acc + tot)
-    }.tail.zip(totals).map { case ((pid, cumIncl), (_, tot)) => (pid, cumIncl - tot) }
-    val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
-    val w = Window.partitionBy("pid").orderBy("doc_id")
-    base.join(broadcast(offDf), Seq("pid"))
-      .withColumn("cb", sum("n_tok").over(w) - col("n_tok") + col("off"))
+    // shared distributed-prefix kernel (Par.rangeWithOffsets); its cache
+    // pins one boundary sampling — load-bearing, see the helper's scaladoc
+    val (base, offDf) = Par.rangeWithOffsets(
+      toks.select(col("doc_id"), col("n_tok")), Seq(col("doc_id")), col("n_tok"))
+    val w = Window.partitionBy("__pid").orderBy("doc_id")
+    base.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cb", sum("n_tok").over(w) - col("n_tok") + col("__off"))
       .withColumn("bin", (col("cb") / lit(PackBudget)).cast("long"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),

