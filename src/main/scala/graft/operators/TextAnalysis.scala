@@ -253,6 +253,66 @@ object TextAnalysis {
         .orderBy("doc_id").limit(2000)
     },
 
+    // T10: BM25 relevance scoring — the classic retrieval ranking over
+    // the corpus for a fixed query ("table data spark"), top 20 docs.
+    // RATIONAL idf variant: the textbook ln((N−df+.5)/(df+.5)+1) is a
+    // MONOTONE transform of the rational term inside it, and ln's last-ulp
+    // rounding is libm-specific — so the score uses the rational idf
+    // directly and every operation is IEEE +,·,/ on identical expression
+    // trees, bit-equal across engines (the t3 discipline). Shape: doc
+    // length + per-term tf are narrow per-doc work; per-term df is a
+    // 3-row aggregate; avg doclen is one row — both broadcast; ranking is
+    // TakeOrdered top-k. Nothing shuffles the corpus.
+    QueryDef("t10_bm25", {
+      val terms = Seq("table", "data", "spark")
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val tfSql = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val scoreSql = terms.indices.map { i =>
+        s"""((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+           | * (CAST(tf$i AS DOUBLE) * 2.2)
+           | / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))""".stripMargin
+      }.mkString(" + ")
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, $tfSql FROM ws),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |                 CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |                 CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |                 CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |          FROM t)
+        |SELECT doc_id, CAST(round($scoreSql, 6) AS DOUBLE) AS bm25
+        |FROM t, stats
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val terms = Seq("table", "data", "spark")
+      val w = col("w")
+      val t = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id") +: size(w).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (tm, i) =>
+            size(filter(w, x => x === tm)).cast("long").as(s"tf$i")
+          }: _*)
+      val stats = t.agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"),
+        sum(when(col("tf0") > 0, 1).otherwise(0)).cast("long").as("df0"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).cast("long").as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).cast("long").as("df2"))
+      val score = terms.indices.map { i =>
+        (((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5))) *
+          (col(s"tf$i").cast("double") * lit(2.2)) /
+          (col(s"tf$i").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      }.reduce(_ + _)
+      t.crossJoin(broadcast(stats))
+        .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+        .select(col("doc_id"), round(score, 6).cast("double").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    },
+
     // T9: heavy hitters via Count-Min sketch — the sub-linear-memory
     // sibling of t6's exact histogram. The sketch is built DISTRIBUTED
     // (per-partition sketches merged associatively — Spark's stat

@@ -45,4 +45,23 @@ class TextSketchSpec extends SparkSpec {
     assert(red.agg(sum("n_masked")).collect()(0).getLong(0) > 0)
     assert(red.agg(sum("n_emails")).collect()(0).getLong(0) === 0)
   }
+
+  test("bm25 ranks higher term frequency above lower at equal length (planted pair)") {
+    import spark.implicits._
+    // identical length and df contribution; doc 1 has tf(table)=3 vs
+    // doc 2's tf=1 -> strictly higher score. doc 3 has no query terms and
+    // must be absent.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Seq(
+      (1L, "table table table x1 x2 x3 x4 x5 x6 x7"),
+      (2L, "table y1 y2 y3 y4 y5 y6 y7 y8 y9"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.defs.find(_.name == "t10_bm25").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L), s"got ${rows.toSeq}")
+    assert(rows(0)._2 > rows(1)._2)
+  }
 }
