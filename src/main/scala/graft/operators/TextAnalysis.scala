@@ -253,19 +253,24 @@ object TextAnalysis {
         .orderBy("doc_id").limit(2000)
     },
 
-    // T10: BM25 relevance scoring — the classic retrieval ranking over
-    // the corpus for a fixed query ("table data spark"), top 20 docs.
-    // RATIONAL idf variant: the textbook ln((N−df+.5)/(df+.5)+1) is a
-    // MONOTONE transform of the rational term inside it, and ln's last-ulp
-    // rounding is libm-specific — so the score uses the rational idf
-    // directly and every operation is IEEE +,·,/ on identical expression
-    // trees, bit-equal across engines (the t3 discipline). Shape: doc
-    // length + per-term tf are narrow per-doc work; per-term df is a
-    // 3-row aggregate; avg doclen is one row — both broadcast; ranking is
-    // TakeOrdered top-k. Nothing shuffles the corpus.
+    // T10: BM25-shaped relevance scoring — retrieval ranking over the
+    // corpus for a fixed query ("table data spark"), top 20 docs, with a
+    // RATIONAL idf: idf' = (N−df+½)/(df+½), i.e. the inner term of the
+    // textbook ln(idf'+1), used directly because ln's last-ulp rounding
+    // is libm-specific and would break the cross-engine bit equality
+    // every oracled float here relies on (the t3 discipline: identical
+    // IEEE +,·,/ trees only). DELIBERATE SEMANTIC TRADE, stated plainly:
+    // for a SINGLE-term query the substitution is a monotone transform
+    // (rank-identical to BM25); for multi-term SUMS it up-weights rare
+    // terms more sharply than the logarithmic form (a df=1 term weighs
+    // ~N, not ln N), so rankings can differ from textbook BM25 when rare
+    // and common terms compete. The tf saturation and length
+    // normalization (k1 = 1.2, b = 0.75) are textbook. Shape: doc length
+    // + per-term tf are narrow per-doc work; the stats side is ONE global
+    // aggregate row (n_docs, avgdl, df per term) broadcast into the scan;
+    // ranking is TakeOrdered top-k. Nothing shuffles the corpus.
     QueryDef("t10_bm25", {
       val terms = Seq("table", "data", "spark")
-      val termList = terms.map(t => s"'$t'").mkString(", ")
       val tfSql = terms.zipWithIndex.map { case (t, i) =>
         s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(", ")
       val scoreSql = terms.indices.map { i =>
@@ -288,12 +293,15 @@ object TextAnalysis {
     }) { (s, dir) =>
       val terms = Seq("table", "data", "spark")
       val w = col("w")
+      // cached: feeds the stats aggregate AND the scored scan — uncached,
+      // the per-doc tokenize + three list filters run twice per query
       val t = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id") +: size(w).cast("long").as("dl") +:
           terms.zipWithIndex.map { case (tm, i) =>
             size(filter(w, x => x === tm)).cast("long").as(s"tf$i")
           }: _*)
+        .cache()
       val stats = t.agg(
         count(lit(1)).as("n_docs"),
         avg(col("dl").cast("double")).as("avgdl"),

@@ -51,7 +51,7 @@ class TextSketchSpec extends SparkSpec {
     // identical length and df contribution; doc 1 has tf(table)=3 vs
     // doc 2's tf=1 -> strictly higher score. doc 3 has no query terms and
     // must be absent.
-    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val dir = s"/root/repo/target/bm25-fixture-${System.nanoTime()}"
     Seq(
       (1L, "table table table x1 x2 x3 x4 x5 x6 x7"),
       (2L, "table y1 y2 y3 y4 y5 y6 y7 y8 y9"),
