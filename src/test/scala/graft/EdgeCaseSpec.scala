@@ -98,6 +98,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.toSeq === Seq((0L, 1L, 1300L), (2L, 1L, 100L)))
   }
 
+  test("globalOrdinal and blockRolling degrade gracefully on empty and tiny inputs") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val none = docs.filter(lit(false))
+    assert(Windows.globalOrdinal(none, Seq(col("doc_id"))).count() === 0)
+    // single row: one block, no carry, frame shrinks to the row itself
+    val one = Windows.globalOrdinal(docs.limit(1), Seq(col("doc_id")))
+    val got = Windows.blockRolling(one, "__ord", frameEnd = 9, blockSize = 64) {
+      (u, w) => u.withColumn("n", count(lit(1)).over(w))
+    }.select("n").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+    // blockSize must exceed the frame, loudly
+    intercept[IllegalArgumentException] {
+      Windows.blockRolling(one, "__ord", frameEnd = 9, blockSize = 9)((u, _) => u)
+    }
+  }
+
   test("joins with an empty side behave per join type") {
     val orders = Tables.orders(spark, sf)
     val noLines = li.filter(lit(false))
