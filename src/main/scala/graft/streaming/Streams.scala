@@ -149,6 +149,50 @@ object Streams {
         .orderBy("bucket")
     },
 
+    // E7: per-instrument OHLC — e5's bars keyed by (event_type, hour):
+    // the multi-instrument form (§2.7's "per-date grouped OHLC"), where
+    // event_type stands in for the ticker. Same two-window rank-1
+    // open/close trick; the shuffle key just widens to (type, bucket), so
+    // at scale each instrument's bars build independently — no
+    // single-series bottleneck anywhere.
+    QueryDef("e7_ohlc_by_instrument",
+      """WITH b AS (SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+        |                  epoch_us(ts) AS us, event_id, value
+        |           FROM events),
+        |r AS (SELECT event_type, bucket, value,
+        |             row_number() OVER (PARTITION BY event_type, bucket ORDER BY us, event_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY event_type, bucket ORDER BY us DESC, event_id DESC) AS rn_d
+        |      FROM b)
+        |SELECT event_type, bucket,
+        |       CAST(max(CASE WHEN rn_a = 1 THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS open_ck,
+        |       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS high_ck,
+        |       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS low_ck,
+        |       CAST(max(CASE WHEN rn_d = 1 THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS close_ck,
+        |       CAST(count(*) AS BIGINT) AS volume
+        |FROM r GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("ts_us") - pmod(col("ts_us"), lit(HourUs))).as("us0"),
+          col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("ck"))
+        .withColumn("bucket", (col("us0") / 1000000L).cast("long"))
+      val asc = Window.partitionBy("event_type", "bucket")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val desc = Window.partitionBy("event_type", "bucket")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("event_type", "bucket")
+        .agg(max(when(col("rn_a") === 1, col("ck"))).as("open_ck"),
+          max(col("ck")).as("high_ck"),
+          min(col("ck")).as("low_ck"),
+          max(when(col("rn_d") === 1, col("ck"))).as("close_ck"),
+          count(lit(1)).as("volume"))
+        .orderBy("event_type", "bucket")
+    },
+
     // E6: calendar gap-fill — the dense hour spine (over ALL events' time
     // range) left-joined against the per-hour PURCHASE counts, so silent
     // hours surface as explicit zero rows (resampling's other half: a bar
