@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Multimodal.defs ++
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
+    operators.RecallVerdict.defs ++
     operators.SrpLsh.defs ++
     operators.IvfIndex.defs ++
     operators.Quantization.defs ++

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native codegen'd kernels for the vector-quantization tier
@@ -104,6 +104,104 @@ object PqNative {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Top-`r` centroid indices by cosine over the same flat row-major
+    * centroid array as [[NearestCentroid]], in rank order (element 0 ==
+    * nearest_centroid; ties keep the lowest index at every rank). One
+    * fused pass with an r-slot insertion buffer — r is a small constant
+    * (the IVF multi-assignment replication factor), so the buffer is
+    * register-sized. Returns min(r, k) indices. Args:
+    * (vec array<float>, cents array<double>, r INT). */
+  case class TopCentroids(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "top_centroids"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(DoubleType, _), IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<double>, int), got $t")
+      }
+
+    override def nullSafeEval(a: Any, b: Any, rv: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cs = b.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val k = cs.numElements() / dim
+      val r = math.min(rv.asInstanceOf[Int], k)
+      var vn = 0.0
+      var i = 0
+      while (i < dim) { val x = v.getFloat(i).toDouble; vn += x * x; i += 1 }
+      val bs = Array.fill(r)(Double.NegativeInfinity)
+      val bi = new Array[Int](r)
+      var c = 0
+      while (c < k) {
+        var dot = 0.0; var cn = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = v.getFloat(d).toDouble
+          val y = cs.getDouble(c * dim + d)
+          dot += x * y; cn += y * y; d += 1
+        }
+        val sim = dot / (math.sqrt(vn) * math.sqrt(cn))
+        var p = r
+        while (p > 0 && sim > bs(p - 1)) p -= 1
+        if (p < r) {
+          var j = r - 1
+          while (j > p) { bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1 }
+          bs(p) = sim; bi(p) = c
+        }
+        c += 1
+      }
+      new GenericArrayData(bi)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, rv) => {
+        val dim = ctx.freshName("dim"); val k = ctx.freshName("k")
+        val r = ctx.freshName("r"); val vn = ctx.freshName("vn")
+        val bs = ctx.freshName("bs"); val bi = ctx.freshName("bi")
+        val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+        val cn = ctx.freshName("cn"); val d = ctx.freshName("d")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val sim = ctx.freshName("sim"); val p = ctx.freshName("p")
+        val j = ctx.freshName("j")
+        s"""
+           |int $dim = $a.numElements();
+           |int $k = $b.numElements() / $dim;
+           |int $r = java.lang.Math.min($rv, $k);
+           |double $vn = 0.0;
+           |for (int $d = 0; $d < $dim; $d++) {
+           |  double $x = (double) $a.getFloat($d); $vn += $x * $x;
+           |}
+           |double[] $bs = new double[$r];
+           |int[] $bi = new int[$r];
+           |java.util.Arrays.fill($bs, Double.NEGATIVE_INFINITY);
+           |for (int $c = 0; $c < $k; $c++) {
+           |  double $dot = 0.0; double $cn = 0.0;
+           |  for (int $d = 0; $d < $dim; $d++) {
+           |    double $x = (double) $a.getFloat($d);
+           |    double $y = $b.getDouble($c * $dim + $d);
+           |    $dot += $x * $y; $cn += $y * $y;
+           |  }
+           |  double $sim = $dot / (java.lang.Math.sqrt($vn) * java.lang.Math.sqrt($cn));
+           |  int $p = $r;
+           |  while ($p > 0 && $sim > $bs[$p - 1]) $p--;
+           |  if ($p < $r) {
+           |    for (int $j = $r - 1; $j > $p; $j--) { $bs[$j] = $bs[$j - 1]; $bi[$j] = $bi[$j - 1]; }
+           |    $bs[$p] = $sim; $bi[$p] = $c;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression,
+        sec: Expression, t: Expression): Expression =
+      copy(first = f, second = sec, third = t)
   }
 
   /** PQ-encode a (residual) vector against flat row-major codebooks
@@ -235,6 +333,8 @@ object PqNative {
     Seq[(String, Class[_], Seq[Expression] => Expression)](
       ("nearest_centroid", classOf[NearestCentroid],
         cs => NearestCentroid(cs(0), cs(1))),
+      ("top_centroids", classOf[TopCentroids],
+        cs => TopCentroids(cs(0), cs(1), cs(2))),
       ("pq_encode", classOf[PqEncode],
         cs => PqEncode(cs(0), cs(1), cs(2), cs(3))),
       ("pq_adc", classOf[PqAdc],
@@ -243,7 +343,7 @@ object PqNative {
       (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
     }
 
-  /** Register all three into the session function registry (idempotent). */
+  /** Register all kernels into the session function registry (idempotent). */
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)

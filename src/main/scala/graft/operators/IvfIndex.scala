@@ -45,24 +45,37 @@ object IvfIndex {
   // concurrently (parallel test suites) against the same index dir
   private val buildLock = new Object
 
+  /** Physical-layout version stamped into every index meta. Bump when the
+    * on-disk shape changes so pre-existing indexes (whose corpus count
+    * still matches) rebuild instead of being probed with wrong
+    * assumptions. v2 = R-way multi-assigned IVF lists/codes
+    * (Similarity.AssignR); v3 = 64-bit PQ codes (M=16×4-dim subspaces). */
+  private val LayoutVersion = 3L
+
+  private def writeMetaCount(s: SparkSession, n: Long, idx: String): Unit =
+    s.range(1).select(lit(n).as("n"), lit(LayoutVersion).as("v"))
+      .write.mode("overwrite").parquet(s"$idx/meta")
+
   private def writeMeta(e: DataFrame, idx: String): Unit =
-    e.select(count(lit(1)).as("n")).write.mode("overwrite").parquet(s"$idx/meta")
+    writeMetaCount(e.sparkSession, e.count(), idx)
 
   private def isFresh(e: DataFrame, idx: String): Boolean =
     new java.io.File(s"$idx/meta").isDirectory && {
       try {
-        val n = e.sparkSession.read.parquet(s"$idx/meta").collect()(0).getLong(0)
-        n == e.count()
-      } catch { case _: Exception => false }
+        val m = e.sparkSession.read.parquet(s"$idx/meta").collect()(0)
+        m.getAs[Long]("n") == e.count() && m.getAs[Long]("v") == LayoutVersion
+      } catch { case _: Exception => false } // unreadable/old-layout meta -> rebuild
     }
 
   // ------------------------------------------------------------------ IVF
 
-  /** Build the flat-IVF index: centroids + raw-vector inverted lists. */
+  /** Build the flat-IVF index: centroids + multi-assigned raw-vector
+    * inverted lists (each vector in its AssignR nearest lists — see
+    * Similarity.AssignR for the recall/space trade). */
   def buildIvf(e: DataFrame, idx: String): Unit = {
     val cs = Similarity.centroids(e).cache()
     cs.write.mode("overwrite").parquet(s"$idx/centroids")
-    Similarity.assignTo(e, cs)
+    Similarity.assignTo(e, cs, Similarity.AssignR)
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/lists")
     cs.unpersist()
     writeMeta(e, idx)
@@ -83,8 +96,11 @@ object IvfIndex {
       .filter(col("vec_id") =!= excludeVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(Similarity.cosineFast(spark, "embedding", "qv"), 6)
-          .cast("double").as("cos"))
+        Similarity.cosineFast(spark, "embedding", "qv").as("cosv"))
+      // collapse multi-assigned copies (identical scores; max is the
+      // deterministic pick) — grouping runs over scored candidates only
+      .groupBy("vec_id").agg(max("cosv").as("cosv"))
+      .select(col("vec_id"), round(col("cosv"), 6).cast("double").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
@@ -102,11 +118,22 @@ object IvfIndex {
   def appendIvf(newVecs: DataFrame, idx: String): Unit = buildLock.synchronized {
     val s = newVecs.sparkSession
     val prev = s.read.parquet(s"$idx/meta").collect()(0).getLong(0)
-    val cs = s.read.parquet(s"$idx/centroids")
-    Similarity.assignTo(newVecs, cs)
+    // materialize the batch ONCE before any write: the lists append and
+    // the meta count must see the same rows even if `newVecs` is
+    // non-deterministic between jobs (the cache pins one evaluation)
+    val nv = newVecs.cache()
+    val nNew = nv.count()
+    // precondition (single-writer contract): batch vec_ids must be
+    // disjoint from the index, or the meta count silently diverges from
+    // the distinct vectors in the lists. One semi-join against the index
+    // — bounded by index size, the price of an actual integrity check.
+    val dup = nv.join(s.read.parquet(s"$idx/lists").select("vec_id"),
+      Seq("vec_id"), "left_semi").limit(1).count()
+    require(dup == 0, s"appendIvf($idx): batch contains vec_ids already in the index")
+    Similarity.assignTo(nv, s.read.parquet(s"$idx/centroids"), Similarity.AssignR)
       .write.mode("append").partitionBy("list_id").parquet(s"$idx/lists")
-    s.range(1).select((lit(prev) + lit(newVecs.count())).cast("long").as("n"))
-      .write.mode("overwrite").parquet(s"$idx/meta")
+    writeMetaCount(s, prev + nNew, idx)
+    nv.unpersist()
   }
 
   /** sim3 through the persisted index: lazy build, then probe-only. */
@@ -161,8 +188,12 @@ object IvfIndex {
       .join(broadcast(qs), "q_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Similarity.cosineFast(s, "embedding", "qv"), 6)
-          .cast("double").as("cos"))
+        Similarity.cosineFast(s, "embedding", "qv").as("cosv"))
+      // a multi-assigned vector can reach the same query via 2 probed
+      // lists — collapse copies before ranking (scored candidates only)
+      .groupBy("q_id", "vec_id").agg(max("cosv").as("cosv"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("cosv"), 6).cast("double").as("cos"))
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
@@ -194,9 +225,9 @@ object IvfIndex {
 
   // ------------------------------------------------------------- flat PQ
 
-  /** Build the flat-PQ index: trained codebooks + one packed 32-bit code
+  /** Build the flat-PQ index: trained codebooks + one packed 64-bit code
     * row per vector (no list partitioning — flat PQ's ranking pass scans
-    * every code by design; the bytes it reads are 64× smaller than the
+    * every code by design; the bytes it reads are 32× smaller than the
     * raw vectors). */
   def buildPq(e: DataFrame, idx: String): Unit = {
     val books = Quantization.codebooks(e).cache()
@@ -245,7 +276,7 @@ object IvfIndex {
 
   /** sim6 through the persisted index: lazy build, then probe-only — the
     * ranking pass reads centroids (k rows), books (M·K rows), and the
-    * probed code directories (4 bytes/vector); raw vectors are touched
+    * probed code directories (8 bytes/vector); raw vectors are touched
     * only for the query row and the `rerank` survivors. */
   def ivfpqTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
       k: Int, nprobe: Int, rerank: Int): DataFrame = {

@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
 /** Product quantization (PQ) — the memory-compression tier of the
   * similarity stack (Jégou et al., "Product Quantization for Nearest
   * Neighbor Search", TPAMI 2011). A 64-dim float vector (256 bytes) is
-  * split into M=8 contiguous 8-dim subvectors; each subspace gets a
-  * K=16-entry codebook, so a vector encodes as 8 four-bit codes — packed
-  * here into ONE 32-bit int (64× smaller than the raw floats). At 100 TB
+  * split into M=16 contiguous 4-dim subvectors; each subspace gets a
+  * K=16-entry codebook, so a vector encodes as 16 four-bit codes — packed
+  * here into ONE 64-bit BIGINT (32× smaller than the raw floats). At 100 TB
   * of embeddings this is the difference between "the index fits in
   * cluster memory" and "it does not": scans rank by code lookups against
   * a per-query distance table (ADC — asymmetric distance computation),
@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Quantization {
 
-  val M = 8          // subspaces
-  val SubDim = 8     // dims per subspace (64-dim embeddings)
+  // M·CodeBits must stay ≤ 64 (codes pack into one BIGINT). M=16×4-dim
+  // subspaces (not 8×8): halving the subspace dimension roughly halves
+  // per-dim quantization distortion at the same K, which is what keeps
+  // the ADC ordering informative on this near-uniform corpus — measured
+  // at sf0.1, the exact top-20's ADC ranks move from ~worse-than-200th
+  // (8×8: recall@rerank=300 ≈ 0.7) into the top ~100 (16×4: ≈ 1.0).
+  // Codes are 8 bytes/vector: 32× smaller than the 256-byte raw floats.
+  val M = 16         // subspaces
+  val SubDim = 4     // dims per subspace (64-dim embeddings)
   val K = 16         // centroids per subspace -> 4-bit codes
   private val CodeBits = 4
 
@@ -127,10 +134,10 @@ object Quantization {
       .groupBy("vec_id", "sub")
       .agg(min_by(col("c_id"), struct(col("d"), col("c_id"))).as("code"))
       .groupBy("vec_id")
-      // 32 bits used of a BIGINT column (a signed int32 can't hold code7>=8
-      // without two's-complement games, and shiftleft on INT wraps at 32
-      // bits; a production sink would emit the low 4 bytes as fixed-width
-      // binary — the 64x compression is unchanged)
+      // all 64 bits of the BIGINT: M·CodeBits disjoint 4-bit fields, so
+      // the sum of shifted terms IS the bitwise OR (no carries). The top
+      // field can set the sign bit — consumers mask after shifting
+      // ((codes >> s·4) & 15), so the sign is just data.
       .agg(sum(expr(s"shiftleft(CAST(code AS BIGINT), sub * $CodeBits)")).as("codes"))
 
   /** Codebooks flattened into ONE row-major array<double> row
@@ -255,7 +262,7 @@ object Quantization {
     *
     * This is the 100 TB shape both tiers exist for: the coarse quantizer
     * bounds COMPUTE (scan nprobe/k of the corpus), the PQ codes bound
-    * MEMORY (4 bytes/vector + constant codebooks + nprobe·M·K broadcast
+    * MEMORY (8 bytes/vector + constant codebooks + nprobe·M·K broadcast
     * tables), and raw vectors are touched only for `rerank` candidates.
     * Residual PQ beats plain PQ (sim5) because residuals concentrate near
     * 0 with far less variance than raw vectors, so the same 4-bit budget
@@ -292,25 +299,34 @@ object Quantization {
       .select(transform(col("fe"), t => t("x")).as("cents_flat"), col("ids"))
     val nrm = sqrt(aggregate(transform(col("embedding"),
       x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    // multi-assignment (Similarity.AssignR copies per vector, each with
+    // its OWN residual vs its own list centroid); `rnk` keeps the
+    // assignment rank so training can stay on primary residuals
     val assigned = Par.spread(e, col("vec_id"))
       .crossJoin(broadcast(csFlat))
       .select(col("vec_id"),
-        element_at(col("ids"),
-          expr("nearest_centroid(embedding, cents_flat)") + 1).as("list_id"),
+        posexplode(expr(s"top_centroids(embedding, cents_flat, ${Similarity.AssignR})"))
+          .as(Seq("rnk", "ci")),
+        col("embedding"), col("ids"))
+      .select(col("vec_id"), col("rnk"),
+        element_at(col("ids"), col("ci") + 1).as("list_id"),
         transform(col("embedding"), x => x.cast("double") / nrm).as("u"))
 
     // residuals r = u − cu, and PQ codebooks trained on a BOUNDED residual
-    // sample (same discipline as codebooks(): train small, encode all)
+    // sample (same discipline as codebooks(): train small, encode all).
+    // Training uses PRIMARY (rank-1) residuals only: one residual per
+    // vector keeps the hash-ordered draw deterministic and the training
+    // distribution matched to the dominant assignment.
     val res = assigned.join(broadcast(csU), "list_id")
-      .select(col("vec_id"), col("list_id"),
+      .select(col("vec_id"), col("rnk"), col("list_id"),
         zip_with(col("u"), col("cu"), (x, y) => x - y).as("u"))
-    val trainRes = res
+    val trainRes = res.filter(col("rnk") === 0)
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(Similarity.TrainN)
       .select("vec_id", "u").cache()
     val books = codebooksFor(trainRes).cache()
 
-    // packed 32-bit residual codes: ONE narrow codegen'd pass, the list
+    // packed 64-bit residual codes: ONE narrow codegen'd pass, the list
     // id riding along (nothing aggregates on the native path)
     val codes = encodeVectorsNative(res, books, carry = Seq("list_id"))
     (csU, books, codes)
@@ -369,6 +385,10 @@ object Quantization {
       .select(col("vec_id"),
         (col("bias") + expr(s"pq_adc(codes, table_flat, $M, $K)")).as("approx"))
       .filter(col("vec_id") =!= queryVecId)
+      // multi-assigned copies carry DIFFERENT residual codes — keep each
+      // vector's best ADC estimate, so a vector never occupies two of the
+      // rerank slots (grouping runs over the probed candidates only)
+      .groupBy("vec_id").agg(max("approx").as("approx"))
       .orderBy(col("approx").desc, col("vec_id")).limit(rerank)
 
     // exact rerank of the survivors only
@@ -388,13 +408,20 @@ object Quantization {
     * probes the stored codes, sim6 additionally prunes to probed lists);
     * [[pqTopK]]/[[ivfpqTopK]] are the inline twins. */
   val defs: Seq[QueryDef] = Seq(
+    // rerank=300: an ABSOLUTE constant (not corpus-relative) sized so the
+    // pinned recall floor (0.9@20) holds across scale factors — flat PQ's
+    // ADC ordering noise grows with corpus size, and rerank is the knob
+    // that buys it back at a fixed raw-vector cost per query.
     QueryDef.unoracled("sim5_pq_topk") { (s, dir) =>
       IvfIndex.pqTopKPersisted(Tables.embeddings(s, dir), dir,
-        queryVecId = 0L, k = 20, rerank = 100)
+        queryVecId = 0L, k = 20, rerank = 300)
     },
+    // rerank=400 (same absolute-constant discipline as sim5): residual
+    // ADC ordering is the noisiest ranking in the tier, and the rerank
+    // depth is what holds the 0.75@20 floor across scale factors.
     QueryDef.unoracled("sim6_ivfpq_topk") { (s, dir) =>
       IvfIndex.ivfpqTopKPersisted(Tables.embeddings(s, dir), dir,
-        queryVecId = 0L, k = 20, nprobe = 8, rerank = 200)
+        queryVecId = 0L, k = 20, nprobe = 8, rerank = 400)
     }
   )
 }

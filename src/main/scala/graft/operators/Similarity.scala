@@ -155,6 +155,19 @@ object Similarity {
     * refinement sweep would drop in between seeds() and ivfAssign().) */
   val IvfK = 16
 
+  /** IVF multi-assignment replication factor: every vector is stored in
+    * its `AssignR` nearest inverted lists (the standard FAISS-style
+    * recall/space trade). On a near-uniform corpus a single-assigned IVF's
+    * recall is bounded by the fraction of lists probed (~nprobe/k); with
+    * R-way replication a neighbor is missed only if ALL R of its lists go
+    * unprobed — P(miss) falls from (1−p) to (1−p)^R — which is what lets
+    * the pinned recall floors hold across scale factors. Cost: R× list
+    * storage and R× probe scan width, compute-bounded and linear; probes
+    * dedup copies with a max-aggregate on the (tiny) scored candidates.
+    * K-means refinement and the PQ coarse assignment stay single-assigned
+    * (a training point must pull on ONE centroid). */
+  val AssignR = 2
+
   /** Deterministic pseudo-random k-vector centroid sample: order by a hash
     * of the id, keep the first k. Plans as TakeOrderedAndProject (per-
     * partition k-heaps + one k-row merge — no global sort, no RNG, so
@@ -176,16 +189,26 @@ object Similarity {
       .select(transform(col("e"), t => t("x").cast("double")).as("cents_flat"),
         col("ids"))
 
-  /** Assign every vector to its nearest centroid in `cs` (c_id, cv) via
-    * the native fused argmax kernel (graft.functions.PqNative). */
-  private[operators] def assignTo(e: DataFrame, cs: DataFrame): DataFrame = {
+  /** Assign every vector to its `r` nearest centroids in `cs` (c_id, cv)
+    * via the native fused kernels (graft.functions.PqNative) — one narrow
+    * codegen'd pass either way; r>1 emits r rows per vector (IVF
+    * multi-assignment, see [[AssignR]]). */
+  private[graft] def assignTo(e: DataFrame, cs: DataFrame, r: Int = 1): DataFrame = {
     graft.functions.PqNative.register(e.sparkSession)
-    Par.spread(e, col("vec_id")) // parallelize past the single input file
+    val base = Par.spread(e, col("vec_id")) // parallelize past the single input file
       .crossJoin(broadcast(flatCentroids(cs)))
-      .select(col("vec_id"),
+    if (r == 1)
+      base.select(col("vec_id"),
         element_at(col("ids"),
           expr("nearest_centroid(embedding, cents_flat)") + 1).as("list_id"),
         col("embedding"))
+    else
+      base.select(col("vec_id"),
+        explode(expr(s"top_centroids(embedding, cents_flat, $r)")).as("ci"),
+        col("embedding"), col("ids"))
+        .select(col("vec_id"),
+          element_at(col("ids"), col("ci") + 1).as("list_id"),
+          col("embedding"))
   }
 
   /** One k-means refinement sweep: assign to the current centroids, then
@@ -219,9 +242,9 @@ object Similarity {
   def centroids(e: DataFrame): DataFrame =
     refineCentroids(trainSample(e, TrainN), seeds(e))
 
-  /** IVF build: assign every vector to its nearest centroid (inverted
-    * lists). */
-  def ivfAssign(e: DataFrame): DataFrame = assignTo(e, centroids(e))
+  /** IVF build: assign every vector to its [[AssignR]] nearest centroids
+    * (multi-assigned inverted lists). */
+  def ivfAssign(e: DataFrame): DataFrame = assignTo(e, centroids(e), AssignR)
 
   /** IVF build+probe FUSED in one plan: search only the `nprobe` lists
     * closest to the query. The approximate counterpart of sim1 —
@@ -243,8 +266,12 @@ object Similarity {
       .join(probed, "list_id") // prune to probed inverted lists
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(q)
-      .select(col("vec_id"),
-        round(cosineFast(s, "embedding", "qv"), 6).cast("double").as("cos"))
+      .select(col("vec_id"), cosineFast(s, "embedding", "qv").as("cosv"))
+      // multi-assigned copies landing in >1 probed list collapse to one
+      // row (identical scores — max is a deterministic pick); the grouped
+      // rows are the already-scored candidates, not the corpus
+      .groupBy("vec_id").agg(max("cosv").as("cosv"))
+      .select(col("vec_id"), round(col("cosv"), 6).cast("double").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 

@@ -92,7 +92,10 @@ object Windows {
   def blockRolling(df: DataFrame, ordCol: String, frameEnd: Int,
       blockSize: Long)(build: (DataFrame, WindowSpec) => DataFrame): DataFrame = {
     require(blockSize > frameEnd, "blockSize must exceed the frame length")
-    val blk = (col(ordCol) / blockSize).cast("long")
+    // integer floor-div (`div`), not double division: double `/` is only
+    // exact while ordinals stay below 2^53 — `div` keeps block assignment
+    // exact by construction at any scale
+    val blk = expr(s"`$ordCol` div ${blockSize}L").cast("long")
     val base = df.withColumn("__blk", blk).withColumn("__carry", lit(false))
     val carry = df.filter(pmod(col(ordCol), lit(blockSize)) < frameEnd)
       .withColumn("__blk", blk - 1)
@@ -215,6 +218,60 @@ object Windows {
       }
       dump(res.select(col("l_orderkey"), col("l_linenumber"),
         (expr("ws * 100 div wn") / 10000.0).cast("double").as("mov_avg")))
+    },
+
+    // W9: order-insensitive FULL-RESULT checksums for the window family
+    // (the f9 pattern): w1/w2/w3's partitioned windows and w8's
+    // block-carry global window are evaluated over EVERY row, quantized
+    // to exact BIGINTs (the moving average keeps its PRE-division integer
+    // form `ws*100 div wn` — no doubles anywhere), and reduced to
+    // (count, value sum, row-weighted mix). The mix term weights each
+    // value by a per-row key hash, so a permutation of correct values
+    // across rows — invisible to plain sums — still flips the checksum.
+    // This closes the "tail beyond the 2000-row dumps is unverified"
+    // hole with one narrow aggregate per window, no sort, no dump.
+    QueryDef("w9_window_checksums", {
+      val frame = "ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING"
+      val globalOver = "ORDER BY l_shipdate, l_orderkey, l_linenumber, " +
+        s"l_partkey, l_extendedprice $frame"
+      def avgQv(over: String) =
+        s"""(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER ($over) * 100)
+           |          // (count(*) OVER ($over))""".stripMargin
+      def ckSql(tag: String, qv: String): String =
+        s"""SELECT '$tag' AS win, count(*) AS n,
+           |       CAST(sum(qv) AS BIGINT) AS ck_sum,
+           |       CAST(sum(((l_orderkey * 31 + l_linenumber) % 10007) * qv) AS BIGINT) AS ck_mix
+           |FROM (SELECT l_orderkey, l_linenumber, $qv AS qv FROM lineitem)""".stripMargin
+      Seq(
+        ckSql("w1_moving_avg", avgQv(s"$overSql $frame")),
+        ckSql("w2_rolling_min",
+          s"CAST(floor(min(l_extendedprice) OVER ($overSql $frame) * 100) AS BIGINT)"),
+        ckSql("w3_rolling_max",
+          s"CAST(floor(max(l_extendedprice) OVER ($overSql $frame) * 100) AS BIGINT)"),
+        // w8's block-carry result must equal the plain global window
+        ckSql("w8_block_rolling", avgQv(globalOver))
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY win")
+    }) { (s, dir) =>
+      val t = li(s, dir)
+      def ck(df: DataFrame, tag: String, qv: Column): DataFrame =
+        df.withColumn("qv", qv)
+          .withColumn("wt", expr("(l_orderkey * 31 + l_linenumber) % 10007").cast("long"))
+          .agg(count(lit(1)).as("n"), sum("qv").as("ck_sum"),
+            sum(col("wt") * col("qv")).as("ck_mix"))
+          .select(lit(tag).as("win"), col("n"), col("ck_sum"), col("ck_mix"))
+      val w = rolling(bySupp, series, 0, 9)
+      val avgCols = (df: DataFrame, win: WindowSpec) => df
+        .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(win))
+        .withColumn("wn", count(lit(1)).over(win))
+      val w8 = blockRolling(globalOrdinal(t, series), "__ord", frameEnd = 9,
+        blockSize = 4096)((u, win) => avgCols(u, win))
+      ck(avgCols(t, w), "w1_moving_avg", expr("ws * 100 div wn"))
+        .union(ck(t.withColumn("m", min("l_extendedprice").over(w)),
+          "w2_rolling_min", floor(col("m") * 100).cast("long")))
+        .union(ck(t.withColumn("m", max("l_extendedprice").over(w)),
+          "w3_rolling_max", floor(col("m") * 100).cast("long")))
+        .union(ck(w8, "w8_block_rolling", expr("ws * 100 div wn")))
+        .orderBy("win")
     },
 
     // W4: lag/lead + first-difference — same machinery, no accumulation, so

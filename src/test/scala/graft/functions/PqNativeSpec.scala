@@ -56,7 +56,7 @@ class PqNativeSpec extends SparkSpec {
 
   test("nearest_centroid == algebraic argmax-cosine assignment") {
     val cs = Similarity.centroids(emb).cache()
-    val nat = Similarity.ivfAssign(emb).select("vec_id", "list_id")
+    val nat = Similarity.assignTo(emb, cs).select("vec_id", "list_id")
     val alg = emb.crossJoin(broadcast(cs))
       .select(col("vec_id"), col("c_id"),
         Similarity.cosine(col("embedding"), col("cv")).as("sim"))
@@ -65,6 +65,30 @@ class PqNativeSpec extends SparkSpec {
     val bad = nat.join(alg, "vec_id")
       .filter(col("list_id") =!= col("alg_list")).count()
     assert(bad === 0, s"$bad vectors assigned to different lists")
+    cs.unpersist()
+  }
+
+  test("top_centroids == algebraic top-R ranking; element 0 == nearest_centroid") {
+    import org.apache.spark.sql.expressions.Window
+    val cs = Similarity.centroids(emb).cache()
+    val r = Similarity.AssignR
+    // kernel: R (vec_id, rank, list_id) rows per vector
+    val nat = Similarity.assignTo(emb, cs, r)
+      .groupBy("vec_id")
+      .agg(collect_list(col("list_id")).as("nat_lists"))
+    // algebraic twin: rank centroids per vector by (cosine desc, c_id asc)
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_id"))
+    val alg = emb.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("c_id"),
+        Similarity.cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= r)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(col("c_id"))).as("alg_lists"))
+    val bad = nat
+      .select(col("vec_id"), array_sort(col("nat_lists")).as("nat_lists"))
+      .join(alg, "vec_id")
+      .filter(col("nat_lists") =!= col("alg_lists")).count()
+    assert(bad === 0, s"$bad vectors with different top-$r centroid sets")
     cs.unpersist()
   }
 }

@@ -33,11 +33,13 @@ class IvfIndexSpec extends SparkSpec {
 
     // nprobe=4 of 16 lists: every leaf scan of the probe plan together
     // (pruned lists + the 1-row query lookup) must emit well under half
-    // the corpus — the directory pruning is real, not cosmetic
+    // the STORED list rows (AssignR·n with multi-assignment) — the
+    // directory pruning is real, not cosmetic
     val probe4 = IvfIndex.probeIvf(spark, base, q, k = 20, nprobe = 4,
       excludeVecId = 0L)
     val read = scanOutputRows(probe4)
-    assert(read < n / 2, s"probe read $read of $n rows — lists not pruned")
+    val listRows = Similarity.AssignR * n
+    assert(read < listRows / 2, s"probe read $read of $listRows list rows — lists not pruned")
 
     // probe-from-disk ≡ inline fused build+probe, row for row (same
     // deterministic quantizer, same algebra) — recall pins transfer
@@ -56,10 +58,11 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.buildIvf(oldHalf, base)
     IvfIndex.appendIvf(newHalf, base)
 
-    // list contents == assigning the FULL corpus against the ORIGINAL
-    // (half-built) centroids — append must not move anything already there
+    // list contents == multi-assigning the FULL corpus against the
+    // ORIGINAL (half-built) centroids — append must not move anything
+    // already there
     val cs = spark.read.parquet(s"$base/centroids")
-    val want = Similarity.assignTo(emb, cs)
+    val want = Similarity.assignTo(emb, cs, Similarity.AssignR)
       .select("vec_id", "list_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = spark.read.parquet(s"$base/lists")
@@ -90,9 +93,9 @@ class IvfIndexSpec extends SparkSpec {
     val n = emb.count()
 
     val persisted = IvfIndex.ivfpqTopKPersisted(emb, sf, queryVecId = 0L,
-      k = 20, nprobe = 8, rerank = 200)
+      k = 20, nprobe = 8, rerank = 400)
     val inline = Quantization.ivfpqTopK(emb, queryVecId = 0L, k = 20,
-      nprobe = 8, rerank = 200)
+      nprobe = 8, rerank = 400)
     assert(persisted.collect().toSeq === inline.collect().toSeq)
 
     // the ranking scan reads codes from the probed list directories only:

@@ -11,18 +11,18 @@ class QuantizationSpec extends SparkSpec {
   test("PQ + exact rerank: recall@20 >= 0.9 vs brute force") {
     val brute = Similarity.defs.find(_.name == "sim1_cosine_topk").get
       .run(spark, sf).select("vec_id").collect().map(_.getLong(0)).toSet
-    val pq = Quantization.pqTopK(emb, queryVecId = 0L, k = 20, rerank = 100)
+    val pq = Quantization.pqTopK(emb, queryVecId = 0L, k = 20, rerank = 300)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = brute.intersect(pq).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall $recall")
   }
 
-  test("codes pack into 32 bits (64x smaller than raw floats); every vector encoded") {
+  test("codes pack into one BIGINT (32x smaller than raw floats); every vector encoded") {
     val books = Quantization.codebooks(emb)
     val enc = Quantization.encode(emb, books).cache()
     assert(enc.count() === emb.count())
-    // all codes fit in the low 32 bits (8 subspaces x 4 bits)
-    assert(enc.filter(col("codes") < 0 || col("codes") >= (1L << 32)).count() === 0)
+    // M·CodeBits = 64: the packed BIGINT may use every bit (incl. sign);
+    // validity is per 4-bit field, checked below
     // every subspace code is a valid codebook id
     val ids = enc.select(posexplode(array((0 until Quantization.M).map(s =>
       shiftright(col("codes"), s * 4).bitwiseAND(lit(15L))): _*)).as(Seq("sub", "c")))
@@ -43,7 +43,7 @@ class QuantizationSpec extends SparkSpec {
     val brute = Similarity.defs.find(_.name == "sim1_cosine_topk").get
       .run(spark, sf).select("vec_id").collect().map(_.getLong(0)).toSet
     val got = Quantization.ivfpqTopK(emb, queryVecId = 0L, k = 20,
-      nprobe = 8, rerank = 200)
+      nprobe = 8, rerank = 400)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = brute.intersect(got).size.toDouble / brute.size
     // bounded below by the IVF probe coverage (nprobe/k lists of a
