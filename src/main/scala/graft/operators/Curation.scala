@@ -237,8 +237,10 @@ object Curation {
     // (pid)-keyed window, then each partition's base offset comes from a
     // tiny per-partition total (one row per partition — driver-side
     // exclusive prefix over ≤ #partitions values, the same bounded
-    // collect d7 uses for convergence). No single-partition window
-    // anywhere; the corpus shuffles ONCE (the range partitioning).
+    // collect d7 uses for convergence). No single-partition exchange
+    // anywhere; the corpus takes two DISTRIBUTED shuffles — the range
+    // partitioning plus the __pid hash exchange the per-partition window
+    // adds (CurationSpec pins exactly this plan shape).
     QueryDef("cur6_sequence_packing",
       s"""WITH t AS (SELECT doc_id,
         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -96,15 +96,15 @@ object Dedup {
     * broadcastable at any corpus size — so the guard is one broadcast
     * LEFT ANTI join, not a second shuffle of the postings. */
   def dfCapped(sh: DataFrame, cap: Int = DfCap): DataFrame = {
-    // cache the INPUT: it feeds both the hot-set aggregation and the
-    // anti-join probe below — uncached, the whole upstream shingle
-    // explosion would execute twice per query (the callers' caches cover
-    // only the capped OUTPUT). Freed by the harnesses' per-query
-    // clearCache; long-lived callers unpersist via sparkSession.catalog.
-    val in = sh.cache()
-    val hot = in.groupBy("g").agg(count(lit(1)).as("df"))
+    // CALLER CONTRACT: pass `sh` already cached — it is consumed twice
+    // (hot-set aggregation + anti-join probe), and caching here would
+    // hide a corpus-sized cache behind a function with no handle to
+    // unpersist it (long-lived callers could only free it with a blanket
+    // catalog.clearCache). Owning the cache at the call site keeps its
+    // lifetime where it can be released.
+    val hot = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("g")
-    in.join(broadcast(hot), Seq("g"), "left_anti")
+    sh.join(broadcast(hot), Seq("g"), "left_anti")
   }
 
   /** Shared inverted-index pair kernel (d6 Jaccard, d11 containment):
@@ -463,7 +463,7 @@ object Dedup {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      shinglePairSizes(dfCapped(shingles(docs(s, dir))).cache())
+      shinglePairSizes(dfCapped(shingles(docs(s, dir)).cache()).cache())
         .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jac") >= 0.3)
         .select(col("a_id"), col("b_id"),
@@ -497,7 +497,7 @@ object Dedup {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      shinglePairSizes(dfCapped(shingles(docs(s, dir))).cache())
+      shinglePairSizes(dfCapped(shingles(docs(s, dir)).cache()).cache())
         .withColumn("cont", col("c").cast("double") / least(col("na"), col("nb")))
         .filter(col("cont") >= 0.8)
         .select(col("a_id"), col("b_id"),
@@ -542,10 +542,11 @@ object Dedup {
           transform(sequence(lit(1), size(w) - (Shingle - 1)),
             i => concat_ws(" ",
               element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))).as("g"))
-      // tf feeds three consumers (both join sides + totals) — cache it or
-      // the shingle explosion and (doc, g) shuffle run three times
+      // the raw tf frame is cached per dfCapped's caller contract (it
+      // feeds the hot-set agg + anti-join probe); the capped output is
+      // cached too — it feeds three consumers (both join sides + totals)
       val tf = dfCapped(
-        sh.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))).cache()
+        sh.groupBy("doc_id", "g").agg(count(lit(1)).as("tf")).cache()).cache()
       val tot = tf.groupBy("doc_id").agg(sum("tf").as("tot"))
       val inter = tf.select(col("doc_id").as("a_id"), col("g"), col("tf").as("ta"))
         .join(tf.select(col("doc_id").as("b_id"), col("g"), col("tf").as("tb")), Seq("g"))

@@ -350,9 +350,15 @@ object TextAnalysis {
     // ≈ 1e-5 per probe, so the verdict is stable across testdata
     // regenerations instead of frozen-by-seed. A broken sketch build or
     // merge still flips a row to false and fails the hash compare.
+    //
+    // `tight_quorum` additionally pins the TIGHT ε·N bound as a
+    // statistical check: ≥ 9 of the 10 probes must sit within 1× ε·N
+    // (per-probe P(break) ≤ 0.01 ⇒ P(≥2 of 10 break) ≲ 5e-3 — stable
+    // across regenerations, while a sketch overcounting anywhere near the
+    // 4× envelope fails the quorum long before the hard bound).
     QueryDef("t9b_cms_error_bound", {
       val probeList = CmsProbes.sorted.map(t => s"'$t'").mkString(", ")
-      s"""SELECT t.token, TRUE AS within_bound
+      s"""SELECT t.token, TRUE AS within_bound, TRUE AS tight_quorum
         |FROM (SELECT unnest([$probeList]) AS token) t
         |ORDER BY token""".stripMargin
     }) { (s, dir) =>
@@ -364,13 +370,17 @@ object TextAnalysis {
         .groupBy("token").agg(count(lit(1)).as("c")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       tok.unpersist()
-      val slack = 4L * math.ceil(0.001 * n).toLong // 4·ε·N (see scaladoc)
-      val rows = CmsProbes.map { t =>
+      val epsN = math.ceil(0.001 * n).toLong
+      val slack = 4L * epsN // 4·ε·N (see scaladoc)
+      val perProbe = CmsProbes.map { t =>
         val e = exact.getOrElse(t, 0L)
         val est = sketch.estimateCount(t)
-        (t, est >= e && est <= e + slack)
+        (t, est >= e && est <= e + slack, est >= e && est <= e + epsN)
       }
-      s.createDataFrame(rows).toDF("token", "within_bound").orderBy("token")
+      val quorum = perProbe.count(_._3) >= CmsProbes.size - 1
+      val rows = perProbe.map { case (t, within, _) => (t, within, quorum) }
+      s.createDataFrame(rows)
+        .toDF("token", "within_bound", "tight_quorum").orderBy("token")
     }
   )
 }
