@@ -29,6 +29,7 @@ object SparkEntry {
     operators.SqlSurface.defs ++
     operators.Persist.defs ++
     operators.Typed.defs ++
+    operators.StocksParity.defs ++
     operators.AsOfJoin.defs ++
     operators.RangeJoin.defs ++
     plans.TopKPerKey.defs ++

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracled twins of the reference's headline experiments over its ACTUAL
+  * 5,613,300-row stocks dataset (stockify.cu main(): the six filters
+  * :229-452, the global sum :476-481, the three 10-row rolling windows
+  * :513-615) — closing the "intent implemented but the literal data never
+  * hash-checked" gap. StocksCompatSpec covers row counts and StocksBench
+  * covers timings; these queries make the reference workload part of the
+  * driver's DuckDB differential gate.
+  *
+  * Both engines read the SAME materialized Parquet
+  * (Tables.ensureStocksParquet; the oracle via read_parquet on the
+  * absolute path), so the compare is on identical bits.
+  *
+  * Determinism notes:
+  *   - all checksums are f9-style order-insensitive BIGINT aggregates of
+  *     per-row integer quantizations (floor(x*100) — floor, not round,
+  *     sidesteps the engines' HALF_UP vs half-even divergence);
+  *   - the reference's windows run over its one load-ordered series; load
+  *     order is not a cross-engine concept, so the twins fix the series
+  *     order to the CANONICAL total sort over all six columns. The data
+  *     is 18 distinct rows repeated: ties under that sort are full-row
+  *     duplicates, so the sorted VALUE SEQUENCE — and with it every
+  *     window output and the ordinal-weighted mix checksum — is unique
+  *     even though tie-breaking among identical rows is arbitrary;
+  *   - the Spark side computes the global series windows with the
+  *     scale-safe machinery (Windows.globalOrdinal + blockRolling), so
+  *     this doubles as a 5.6M-row certification of the block-carry
+  *     window against DuckDB's plain global window.
+  */
+object StocksParity {
+
+  private def pq = s"read_parquet('${Tables.StocksParquetDir}/*.parquet')"
+
+  /** The six reference filter predicates (stockify.cu:229,274,310,345,
+    * 380,415): volume ≥ 1M, each price column ≥ 100, and the high∧low
+    * conjunction. */
+  private val Filters: Seq[(String, String)] = Seq(
+    "f1_volume_ge_1m" -> "volume >= 1000000",
+    "f2_close_ge_100" -> "close >= 100",
+    "f3_open_ge_100" -> "open >= 100",
+    "f4_high_ge_100" -> "high >= 100",
+    "f5_low_ge_100" -> "low >= 100",
+    "f6_high_and_low" -> "high >= 100 AND low >= 100")
+
+  private val sortCols = "date, close, volume, open, high, low"
+
+  val defs: Seq[QueryDef] = Seq(
+    // STK1: the filter family as full-result checksums — every row each
+    // predicate keeps feeds exact integer sums (volume floor-integral,
+    // close in cents); one narrow scan per predicate, no dumps.
+    QueryDef("stk1_filter_checksums",
+      Filters.map { case (tag, where) =>
+        s"""SELECT '$tag' AS pred, count(*) AS n,
+           |       CAST(sum(CAST(floor(volume) AS BIGINT)) AS BIGINT) AS ck_vol,
+           |       CAST(sum(CAST(floor(close * 100) AS BIGINT)) AS BIGINT) AS ck_close
+           |FROM $pq WHERE $where""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY pred")) { (s, _) =>
+      val t = Tables.stocksParquet(s)
+      Filters.map { case (tag, where) =>
+        t.filter(expr(where)).agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("volume")).cast("long")).as("ck_vol"),
+          sum(floor(col("close") * 100).cast("long")).as("ck_close"))
+          .select(lit(tag).as("pred"), col("n"), col("ck_vol"), col("ck_close"))
+      }.reduce(_ union _).orderBy("pred")
+    },
+
+    // STK2: the global sum experiment (stockify.cu:476-481, sum over
+    // `low`) — integer-cents sum (order-independent, unlike a double
+    // accumulation over 5.6M rows) plus the exact min/max copies.
+    QueryDef("stk2_sum_low",
+      s"""SELECT count(*) AS n,
+         |       CAST(sum(CAST(floor(low * 100) AS BIGINT)) AS BIGINT) AS sum_low_cents,
+         |       min(low) AS min_low, max(low) AS max_low
+         |FROM $pq""".stripMargin) { (s, _) =>
+      Tables.stocksParquet(s).agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("low") * 100).cast("long")).as("sum_low_cents"),
+        min("low").as("min_low"), max("low").as("max_low"))
+    },
+
+    // STK3: the three 10-row forward windows (moving avg close, rolling
+    // min low, rolling max high; stockify.cu:513-615) over the canonical
+    // global series, computed distributed (dense ordinal + block-carry —
+    // no SinglePartition anywhere) and reduced to one checksum row: per
+    // window, the BIGINT sum of the quantized outputs over ALL 5.6M rows
+    // plus an ordinal-weighted mix (catches value permutations). The
+    // moving average stays in pre-division integer form ws·100 div wn.
+    QueryDef("stk3_window_checksums",
+      s"""WITH w AS (
+         |  SELECT row_number() OVER win - 1 AS ord,
+         |         (sum(CAST(floor(close * 100) AS BIGINT))
+         |            OVER (win ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) * 100)
+         |           // (count(*) OVER (win ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)) AS qavg,
+         |         CAST(floor(min(low) OVER (win ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) * 100) AS BIGINT) AS qmin,
+         |         CAST(floor(max(high) OVER (win ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) * 100) AS BIGINT) AS qmax
+         |  FROM $pq
+         |  WINDOW win AS (ORDER BY $sortCols))
+         |SELECT count(*) AS n,
+         |       CAST(sum(qavg) AS BIGINT) AS ck_avg,
+         |       CAST(sum((ord % 10007) * qavg) AS BIGINT) AS mix_avg,
+         |       CAST(sum(qmin) AS BIGINT) AS ck_min,
+         |       CAST(sum((ord % 10007) * qmin) AS BIGINT) AS mix_min,
+         |       CAST(sum(qmax) AS BIGINT) AS ck_max,
+         |       CAST(sum((ord % 10007) * qmax) AS BIGINT) AS mix_max
+         |FROM w""".stripMargin) { (s, _) =>
+      val t = Tables.stocksParquet(s)
+      val series = Seq(col("date"), col("close"), col("volume"),
+        col("open"), col("high"), col("low"))
+      val ord = Windows.globalOrdinal(t, series)
+      val win = Windows.blockRolling(ord, "__ord", frameEnd = 9,
+        blockSize = 65536) { (u, w) =>
+        u.withColumn("ws", sum(floor(col("close") * 100).cast("long")).over(w))
+          .withColumn("wn", count(lit(1)).over(w))
+          .withColumn("qmin", floor(min("low").over(w) * 100).cast("long"))
+          .withColumn("qmax", floor(max("high").over(w) * 100).cast("long"))
+      }
+      win.select(col("__ord"), expr("ws * 100 div wn").as("qavg"),
+        col("qmin"), col("qmax"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qavg")).as("ck_avg"),
+          sum((col("__ord") % 10007) * col("qavg")).as("mix_avg"),
+          sum(col("qmin")).as("ck_min"),
+          sum((col("__ord") % 10007) * col("qmin")).as("mix_min"),
+          sum(col("qmax")).as("ck_max"),
+          sum((col("__ord") % 10007) * col("qmax")).as("mix_max"))
+    }
+  )
+}

@@ -54,6 +54,32 @@ object Tables {
     f.getAbsolutePath
   }
 
+  /** Materialize the reference's 5,613,300-row stocks table as Parquet
+    * at a STABLE absolute path, once per machine — the columnar twin of
+    * [[ensureStocksCsv]] that both the Spark stk-queries and the DuckDB
+    * oracle (via read_parquet on the same path) consume, so the
+    * reference's literal dataset becomes differentially hash-checkable.
+    * Write-then-atomic-rename keeps the exists() fast-path from ever
+    * seeing a half-written table. */
+  val StocksParquetDir = "/root/repo/target/stocks-parquet"
+  def ensureStocksParquet(spark: SparkSession): String = synchronized {
+    val dir = new java.io.File(StocksParquetDir)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(StocksParquetDir + ".tmp")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      stocksCsv(spark, ensureStocksCsv())
+        .coalesce(8) // 18 distinct rows RLE-compress to a few MB
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    StocksParquetDir
+  }
+
+  def stocksParquet(spark: SparkSession): DataFrame =
+    spark.read.parquet(ensureStocksParquet(spark))
+
   /** Generic testdata table: one Parquet file/dir per table name. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

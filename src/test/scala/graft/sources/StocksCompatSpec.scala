@@ -28,6 +28,26 @@ class StocksCompatSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("materialized stocks parquet: lossless vs the CSV, idempotent, atomic marker") {
+    val dir = Tables.ensureStocksParquet(spark)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val pq = Tables.stocksParquet(spark)
+    assert(pq.count() === 5613300L)
+    // columnar twin is row-for-row the CSV: same distinct-row multiset
+    // (18 distinct full rows with identical multiplicities)
+    val csvRows = Tables.stocksCsv(spark, csvPath)
+      .groupBy("date", "close", "volume", "open", "high", "low")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.toSeq.mkString("|")).toSet
+    val pqRows = pq
+      .groupBy("date", "close", "volume", "open", "high", "low")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.toSeq.mkString("|")).toSet
+    assert(pqRows === csvRows)
+    // second call is a no-op fast path (returns without rewriting)
+    assert(Tables.ensureStocksParquet(spark) === dir)
+  }
+
   test("flagship reference query 1.a on the real data: volume >= 1,000,000 filter") {
     // stockify.cu:219-260 — the reference's first experiment, on its data
     val df = Tables.stocksCsv(spark, csvPath)
