@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed per-partition.
   *
-  * The container has no real codec libraries, so the byte-level decode is a
-  * STUB — `FakeCodec` defines a deterministic self-describing container
-  * (`GRAFT1|kind|w|h|frames|payload`) standing in for JPEG/WAV/MP4. What IS
-  * real, and what these operators exercise, is the Spark side a production
-  * pipeline needs:
+  * IMAGES decode for REAL: [[JdkImageCodec]] encodes/decodes genuine
+  * PNG/BMP container bytes through `javax.imageio` (JDK-shipped, no
+  * external deps), with mm2 certifying the round trip pixel-for-pixel
+  * against a codec-free DuckDB oracle. Audio/video remain stubbed —
+  * `FakeCodec` defines a deterministic self-describing container
+  * (`GRAFT1|kind|w|h|frames|payload`) standing in for WAV/MP4, since the
+  * container ships no audio/video codec libraries. Common to both paths
+  * is the Spark side a production pipeline needs:
   *   - a typed `Dataset[MediaFile]` with the binary payload + metadata,
   *   - `mapPartitions` decode (per-partition batching: one codec context
   *     per partition, not per row — swap `FakeCodec.decode` for libjpeg/
@@ -115,6 +118,150 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------ real codec
+
+  /** REAL image codec via JDK `javax.imageio` (no external deps): PNG
+    * (8-bit grayscale) and BMP (24-bit RGB), both lossless. This replaces
+    * the FakeCodec stub for the image kind; audio/video stay stubbed
+    * (the container ships no audio/video codecs).
+    *
+    * The fixtures are CONSTRUCTED images: pixel p (row-major y·w+x) of
+    * image `id` carries formula values — gray v(p) = (31p + id) mod 256;
+    * RGB r/g/b(p) = (31p/37p/41p + id) mod 256 — so every decoded
+    * statistic has a closed form an independent engine can compute
+    * WITHOUT a codec. That is what makes mm2 oracle-able: DuckDB derives
+    * the expected sums from the formula over generate_series while Spark
+    * derives them from ImageIO-decoded bytes; the hash match certifies
+    * the full encode→decode round trip bit-for-bit. */
+  object JdkImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayInputStream
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    def width(id: Long): Int = 16 + (id % 13).toInt
+    def height(id: Long): Int = 16 + (id % 7).toInt
+
+    /** Real PNG bytes: 8-bit grayscale, pixel p = (31p + id) mod 256. */
+    def encodePng(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var p = 0
+      while (p < w * h) {
+        raster.setSample(p % w, p / w, 0, ((31L * p + id) % 256).toInt)
+        p += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Real BMP bytes: 24-bit RGB, channel c(p) = (k_c·p + id) mod 256. */
+    def encodeBmp(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      var p = 0
+      while (p < w * h) {
+        val r = ((31L * p + id) % 256).toInt
+        val g = ((37L * p + id) % 256).toInt
+        val b = ((41L * p + id) % 256).toInt
+        img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+
+    /** Decode any ImageIO-supported container; None on corrupt/unknown
+      * bytes (never throws — corrupt records must degrade to ok=false
+      * rows, not task failures). */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Per-pixel value sum over ALL raster bands (gray → v; RGB → r+g+b;
+      * band order cancels under the sum) and the position-weighted mix
+      * Σ (p mod 251)·val(p) that catches pixel permutations. Raster
+      * samples, not getRGB: getRGB routes through colorspace conversion,
+      * which is NOT the identity for grayscale. */
+    def pixelSums(img: BufferedImage): (Long, Long, Long) = {
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0L; var mix = 0L
+      var p = 0
+      while (p < w * h) {
+        var v = 0
+        var b = 0
+        while (b < bands) { v += raster.getSample(p % w, p / w, b); b += 1 }
+        sum += v; mix += (p % 251).toLong * v
+        p += 1
+      }
+      (w.toLong * h, sum, mix)
+    }
+  }
+
+  final case class ImageMeta(media_id: Long, width: Int, height: Int,
+      n_px: Long, px_sum: Long, px_mix: Long, ok: Boolean)
+
+  /** Real-image fixture set: the first `n` documents become PNG (even
+    * doc_id) / BMP (odd doc_id) files with formula pixels. The bytes are
+    * genuine container files — `file`-identifiable PNG/BMP, decodable by
+    * any image tool. */
+  def imageFixtures(s: SparkSession, dir: String, n: Int = 200): Dataset[MediaFile] = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").where(col("doc_id") < n)
+      .as[Long].map { id =>
+        if (id % 2 == 0) MediaFile(id, "png", JdkImageCodec.encodePng(id))
+        else MediaFile(id, "bmp", JdkImageCodec.encodeBmp(id))
+      }
+  }
+
+  /** Decode REAL image bytes per partition (same shape as [[decodeMeta]]:
+    * one codec context per partition, corrupt bytes → ok=false row). */
+  def decodeImages(media: Dataset[MediaFile]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        JdkImageCodec.decode(m.content) match {
+          case Some(img) =>
+            val (n, sum, mix) = JdkImageCodec.pixelSums(img)
+            ImageMeta(m.media_id, img.getWidth, img.getHeight, n, sum, mix, ok = true)
+          case None => ImageMeta(m.media_id, -1, -1, 0L, 0L, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** 64-bucket L1-normalized pixel-value histogram over the decoded
+    * raster — the real-codec sibling of [[byteHistogram]]; its output
+    * plugs straight into the Similarity operators (MultimodalSpec feeds
+    * it to the brute-force cosine top-k). */
+  def pixelHistogram(media: Dataset[MediaFile]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val counts = new Array[Double](64)
+        JdkImageCodec.decode(m.content).foreach { img =>
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var p = 0
+          while (p < w * h) {
+            var b = 0
+            while (b < bands) {
+              counts(raster.getSample(p % w, p / w, b) >> 2) += 1.0
+              b += 1
+            }
+            p += 1
+          }
+        }
+        val total = math.max(counts.sum, 1.0)
+        MediaFeature(m.media_id, counts.map(_ / total))
+      }
+    }
+  }
+
   /** Deterministic fixture: wrap each document's text bytes as fake media
     * (kind cycles image/audio/video; dims derived from doc stats). */
   def syntheticMedia(s: SparkSession, dir: String): Dataset[MediaFile] = {
@@ -152,6 +299,40 @@ object Multimodal {
           md5(col("bin")).as("content_md5"),
           hex(expr("substring(bin, 1, 8)")).as("head_hex"))
         .orderBy("doc_id").limit(2000)
+    },
+
+    // MM2: REAL image decode under the differential gate. Spark builds
+    // genuine PNG/BMP files (formula pixels), decodes them with
+    // javax.imageio, and emits per-image decoded statistics; the oracle
+    // computes the SAME statistics from the pixel formula over
+    // generate_series — codec-free. A hash match therefore certifies the
+    // real encode→decode round trip recovered every pixel exactly (dims,
+    // values, AND positions via the ordinal-weighted mix).
+    QueryDef("mm2_image_decode",
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |               CAST(16 + doc_id % 13 AS INT) AS width,
+        |               CAST(16 + doc_id % 7 AS INT) AS height
+        |             FROM documents WHERE doc_id < 200),
+        |px AS (SELECT media_id, width, height,
+        |              unnest(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS p
+        |       FROM ids),
+        |v AS (SELECT media_id, width, height, p,
+        |        CASE WHEN media_id % 2 = 0
+        |          THEN (31 * p + media_id) % 256
+        |          ELSE (31 * p + media_id) % 256 + (37 * p + media_id) % 256
+        |               + (41 * p + media_id) % 256
+        |        END AS val
+        |      FROM px)
+        |SELECT media_id, CAST(min(width) AS INT) AS width,
+        |       CAST(min(height) AS INT) AS height,
+        |       count(*) AS n_px,
+        |       CAST(sum(val) AS BIGINT) AS px_sum,
+        |       CAST(sum((p % 251) * val) AS BIGINT) AS px_mix
+        |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      decodeImages(imageFixtures(s, dir))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_px"), col("px_sum"), col("px_mix"))
+        .orderBy("media_id")
     }
   )
 }

@@ -90,6 +90,52 @@ class MultimodalSpec extends SparkSpec {
     assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("REAL codec: corrupt/truncated image bytes degrade to ok=false rows, valid ones decode") {
+    import spark.implicits._
+    val goodPng = Multimodal.JdkImageCodec.encodePng(4L)
+    val goodBmp = Multimodal.JdkImageCodec.encodeBmp(7L)
+    val cases = Seq(
+      Multimodal.MediaFile(4L, "png", goodPng),
+      Multimodal.MediaFile(7L, "bmp", goodBmp),
+      Multimodal.MediaFile(90L, "png", goodPng.take(20)), // truncated header
+      Multimodal.MediaFile(91L, "png", goodPng.dropRight(goodPng.length / 2)), // torn body
+      Multimodal.MediaFile(92L, "png", Array[Byte](1, 2, 3)), // garbage
+      Multimodal.MediaFile(93L, "png", Array.empty[Byte])).toDS()
+    val meta = Multimodal.decodeImages(cases).collect().map(m => m.media_id -> m).toMap
+    assert(meta(4L).ok && meta(4L).width === Multimodal.JdkImageCodec.width(4L))
+    assert(meta(7L).ok && meta(7L).height === Multimodal.JdkImageCodec.height(7L))
+    Seq(90L, 91L, 92L, 93L).foreach { id =>
+      assert(!meta(id).ok, s"corrupt payload $id must surface as ok=false")
+    }
+  }
+
+  test("REAL codec: pixel-histogram features feed the brute-force cosine top-k (sim1 shape)") {
+    val imgs = Multimodal.imageFixtures(spark, sf, n = 60)
+    val feats = Multimodal.pixelHistogram(imgs).cache()
+    // L1-normalized 64-vectors, like the embeddings the sim tier consumes
+    val sums = feats.select(aggregate(col("feature"), lit(0.0), _ + _).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    // the sim1 plan shape over image features: broadcast one query
+    // feature, score the rest, top-5
+    val q = broadcast(feats.filter(col("media_id") === 0L)
+      .select(col("feature").as("qv")))
+    val top = feats.filter(col("media_id") =!= 0L).crossJoin(q)
+      .select(col("media_id"),
+        Similarity.cosine(col("feature"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("media_id")).limit(5)
+      .collect()
+    assert(top.length === 5)
+    assert(top.forall(r => r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9))
+    // deterministic fixtures → deterministic neighbor ranking across runs
+    val again = feats.filter(col("media_id") =!= 0L).crossJoin(q)
+      .select(col("media_id"),
+        Similarity.cosine(col("feature"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("media_id")).limit(5).collect()
+    assert(top.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    feats.unpersist()
+  }
+
   test("resize scales metadata deterministically and stays decodable") {
     val resized = Multimodal.decodeMeta(Multimodal.resize(media, 0.5)).cache()
     assert(resized.filter(!col("ok")).count() === 0)
