@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness for the dedup + ANN tier (dev/diagnostic main,
+  * not part of the driver contract): replicates the largest available
+  * testdata (sf0.1: 5,000 documents / 2,000 embeddings) ×1/×2/×4 into
+  * parquet corpora and times the REGISTERED queries against each, so the
+  * "linear, never quadratic" cost claims are measured on the literal
+  * production query bodies at up to 20k docs (≈ sf0.4 — the container's
+  * max-available stand-in for the sf1 point).
+  *
+  * Replicas are word-perturbed (every token suffixed `~r`): cross-replica
+  * documents share no shingles, so the OUTPUT (near-dup pairs, clusters,
+  * line-dedup survivors) scales linearly with the corpus like a real
+  * grown corpus, instead of quadratically through artificial
+  * replica-vs-replica duplicates that would conflate output growth with
+  * kernel cost. Embedding replicas keep their vectors (cost is
+  * data-size-driven, not value-driven); vec_ids shift so ids stay unique.
+  *
+  * Output: one JSON line per corpus multiple with per-query cold/warm
+  * seconds (cold includes any persisted-index build; warm is the steady
+  * probe). Committed artifact: BENCH_r5_scaling.json.
+  */
+object ScalingBench {
+
+  private val Queries = Seq(
+    "d1_exact_dedup", "d3_minhash_lsh", "d4b_simhash_hamming",
+    "d6_ngram_jaccard", "d8_weighted_jaccard", "d9_line_dedup",
+    "d7_dedup_clusters", "sim1_cosine_topk", "sim3_ann_ivf",
+    "sim8_knn_join_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, k: Int,
+        perturb: Boolean): DataFrame =
+      (0 until k).map { r =>
+        val shifted = df.withColumn(idCol, col(idCol) + lit(r * 100000000L))
+        if (perturb && r > 0)
+          shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1~$r"))
+        else shifted
+      }.reduce(_ unionByName _)
+
+    def ensureCorpus(k: Int): String = {
+      val dir = s"/root/repo/target/scaling/x$k"
+      val marker = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
+      if (!marker.exists()) {
+        replicate(sources.Tables.documents(spark, base), "doc_id", k, perturb = true)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        replicate(sources.Tables.embeddings(spark, base), "vec_id", k, perturb = false)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      dir
+    }
+
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val defs = SparkEntry.allDefs.filter(d => Queries.contains(d.name))
+      .sortBy(d => Queries.indexOf(d.name))
+
+    Seq(1, 2, 4).foreach { k =>
+      val dir = ensureCorpus(k)
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val parts = defs.map { d =>
+        def once: Double = {
+          val t0 = System.nanoTime()
+          d.run(spark, dir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = once
+        spark.catalog.clearCache()
+        val warm = once
+        spark.catalog.clearCache()
+        s""""${d.name}":{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
+      }
+      println(s"""{"mult":$k,"docs":$nDocs,"vecs":$nVecs,"queries":{${parts.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *   lists/       (vec_id, embedding) partitioned by list_id      [IVF]
   *   books/       residual PQ codebooks (M·K rows)                [IVF-PQ]
   *   codes/       (vec_id, codes) partitioned by list_id          [IVF-PQ]
-  *   meta/        corpus row count — the staleness key
+  *   meta/        corpus row count + layout version — the staleness key
+  * lists/ and codes/ are MULTI-ASSIGNED (Similarity.AssignR rows per
+  * vector — the recall/space trade documented there); probes dedup
+  * copies with a max-aggregate over the scored candidates.
   *
   * PROBE reads the k-row centroid table, picks the `nprobe` nearest
   * lists, and scans ONLY those list directories: the literal
