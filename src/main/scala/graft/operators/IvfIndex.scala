@@ -94,15 +94,13 @@ object IvfIndex {
       .select(col("c_id"), Similarity.cosineFast(spark, "cv", "qv").as("csim"))
       .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
       .select("c_id").collect().map(_.getLong(0))
-    spark.read.parquet(s"$idx/lists")
+    val scored = spark.read.parquet(s"$idx/lists")
       .filter(col("list_id").isin(probed: _*)) // directory pruning
       .filter(col("vec_id") =!= excludeVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         Similarity.cosineFast(spark, "embedding", "qv").as("cosv"))
-      // collapse multi-assigned copies (identical scores; max is the
-      // deterministic pick) — grouping runs over scored candidates only
-      .groupBy("vec_id").agg(max("cosv").as("cosv"))
+    Similarity.dedupTopK(scored, Seq.empty, "cosv", k)
       .select(col("vec_id"), round(col("cosv"), 6).cast("double").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
@@ -193,8 +191,9 @@ object IvfIndex {
       .select(col("q_id"), col("vec_id"),
         Similarity.cosineFast(s, "embedding", "qv").as("cosv"))
       // a multi-assigned vector can reach the same query via 2 probed
-      // lists — collapse copies before ranking (scored candidates only)
-      .groupBy("q_id", "vec_id").agg(max("cosv").as("cosv"))
+      // lists — the capped per-query dedup reuses the rank window's one
+      // candidate exchange, then aggregates only |q|·k·R survivor rows
+      .transform(Similarity.dedupTopK(_, Seq("q_id"), "cosv", k))
       .select(col("q_id"), col("vec_id"),
         round(col("cosv"), 6).cast("double").as("cos"))
       .withColumn("rn", row_number().over(rankW))

@@ -379,16 +379,18 @@ object Quantization {
     // ADC scan: the literal isin prunes the scan to probed lists (directory
     // pruning on a partitioned layout); the broadcast join delivers each
     // row its table; scoring is one fused loop per row
-    val cand = codes
+    val scored = codes
       .filter(col("list_id").isin(probedIds: _*))
       .join(broadcast(tables), "list_id")
       .select(col("vec_id"),
         (col("bias") + expr(s"pq_adc(codes, table_flat, $M, $K)")).as("approx"))
       .filter(col("vec_id") =!= queryVecId)
-      // multi-assigned copies carry DIFFERENT residual codes — keep each
-      // vector's best ADC estimate, so a vector never occupies two of the
-      // rerank slots (grouping runs over the probed candidates only)
-      .groupBy("vec_id").agg(max("approx").as("approx"))
+    // multi-assigned copies carry DIFFERENT residual codes — keep each
+    // vector's best ADC estimate so a vector never occupies two rerank
+    // slots. dedupTopK's rerank·R row cap is exact here too: rows above
+    // a vector's BEST row belong to vectors with a better best (a
+    // worse-best vector's rows all score below it).
+    val cand = Similarity.dedupTopK(scored, Seq.empty, "approx", rerank)
       .orderBy(col("approx").desc, col("vec_id")).limit(rerank)
 
     // exact rerank of the survivors only

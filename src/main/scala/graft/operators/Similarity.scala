@@ -168,6 +168,33 @@ object Similarity {
     * (a training point must pull on ONE centroid). */
   val AssignR = 2
 
+  /** Collapse multi-assigned duplicate candidates WITHOUT shuffling the
+    * candidate set: every vector appears at most [[AssignR]] times, so
+    * the top-k distinct vectors by best score always sit inside the top
+    * k·AssignR scored ROWS (rows above a vector's best row belong to
+    * vectors with a better best — at most k−1 of them, each contributing
+    * ≤ AssignR rows). Pruning to that cap first makes the dedup
+    * aggregate run over ≤ k·AssignR rows instead of the whole scanned
+    * candidate fraction: unpartitioned, the prune is a TakeOrdered
+    * (per-partition heaps, no exchange); per-query, it reuses the rank
+    * window's single exchange. Returns (parts…, vec_id, scoreCol) with
+    * the best score per vector — order is NOT guaranteed (callers sort). */
+  def dedupTopK(scored: DataFrame, parts: Seq[String], scoreCol: String,
+      k: Int): DataFrame = {
+    val cap = k * AssignR
+    val pruned =
+      if (parts.isEmpty)
+        scored.orderBy(col(scoreCol).desc, col("vec_id")).limit(cap)
+      else {
+        val w = Window.partitionBy(parts.map(col): _*)
+          .orderBy(col(scoreCol).desc, col("vec_id"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+      }
+    pruned.groupBy((parts :+ "vec_id").map(col): _*)
+      .agg(max(scoreCol).as(scoreCol))
+  }
+
   /** Deterministic pseudo-random k-vector centroid sample: order by a hash
     * of the id, keep the first k. Plans as TakeOrderedAndProject (per-
     * partition k-heaps + one k-row merge — no global sort, no RNG, so
@@ -262,15 +289,14 @@ object Similarity {
       .select(col("c_id"), cosineFast(s, "cv", "qv").as("csim"))
       .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
       .select(col("c_id").as("list_id")))
-    ivfAssign(e)
+    val scored = ivfAssign(e)
       .join(probed, "list_id") // prune to probed inverted lists
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(q)
       .select(col("vec_id"), cosineFast(s, "embedding", "qv").as("cosv"))
-      // multi-assigned copies landing in >1 probed list collapse to one
-      // row (identical scores — max is a deterministic pick); the grouped
-      // rows are the already-scored candidates, not the corpus
-      .groupBy("vec_id").agg(max("cosv").as("cosv"))
+    // multi-assigned copies landing in >1 probed list collapse via the
+    // shuffle-free capped dedup (see dedupTopK)
+    dedupTopK(scored, Seq.empty, "cosv", k)
       .select(col("vec_id"), round(col("cosv"), 6).cast("double").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
