@@ -87,6 +87,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall after append: $recall")
   }
 
+  test("appendIvf commit protocol: concurrent appends serialize and the meta stays exact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = "/root/repo/target/graft-ivfidx-test/ivf-concurrent"
+    val n = emb.count()
+    // build on a third of the corpus, then race two disjoint batches
+    IvfIndex.buildIvf(emb.filter(col("vec_id") % 3 === 0), base)
+    val f1 = Future(IvfIndex.appendIvf(emb.filter(col("vec_id") % 3 === 1), base))
+    val f2 = Future(IvfIndex.appendIvf(emb.filter(col("vec_id") % 3 === 2), base))
+    Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
+    // meta advanced to exactly the full corpus (no lost or double count
+    // from interleaved read-meta/write-meta), and the lists hold every
+    // vector exactly AssignR times
+    assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === n)
+    val lists = spark.read.parquet(s"$base/lists")
+    assert(lists.select("vec_id").distinct().count() === n)
+    assert(lists.count() === Similarity.AssignR * n)
+  }
+
+  test("appendIvf rejects a batch whose vec_ids overlap the index (disjoint-id contract)") {
+    val base = "/root/repo/target/graft-ivfidx-test/ivf-overlap"
+    IvfIndex.buildIvf(emb.filter(col("vec_id") < 30), base)
+    val before = spark.read.parquet(s"$base/lists").count()
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.appendIvf(emb.filter(col("vec_id") < 10), base) // already indexed
+    }
+    assert(ex.getMessage.contains("disjoint") || ex.getMessage.contains("already"))
+    // the rejected batch must not have written anything
+    assert(spark.read.parquet(s"$base/lists").count() === before)
+  }
+
   test("IVF-PQ probe prunes the code scan and matches the inline result") {
     val base = "/root/repo/target/graft-ivfidx-test/ivfpq"
     IvfIndex.buildIvfPq(emb, base)
