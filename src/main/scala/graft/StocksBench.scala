@@ -92,6 +92,46 @@ object StocksBench {
     block("block_rolling_max_high", max, "high")
     ord.unpersist()
 
+    // experiments 3 / 3.1 (stockify.cu:640-739): the index path on the
+    // reference's 10M-row synthetic table — sorted index build +
+    // lower_bound probe (volume >= 1.8e6) vs linear scan, then the
+    // map-based index with its last-write-wins-per-volume-key quirk
+    // (std::map[volume] = stock overwrites; stockify.cu:712-714). The
+    // Spark equivalents are the i1-i5 operators' shapes: a range-
+    // partitioned volume-sorted Parquet layout (build), a min/max
+    // row-group-skipping pushdown scan (probe), and the same filter over
+    // the unsorted cached frame (linear baseline).
+    val syn = sources.Tables.syntheticStocks(spark, 10000000L)
+      .withColumn("rid", monotonically_increasing_id()).cache()
+    results("synthetic_10m_materialize") = time(syn.count())
+    val sortedLayout = "/root/repo/target/stocks-bench-index/sorted"
+    results("index_build_sorted") = time {
+      syn.repartitionByRange(32, col("volume"))
+        .sortWithinPartitions("volume")
+        .write.mode("overwrite").parquet(sortedLayout)
+    }
+    val sortedIdx = spark.read.parquet(sortedLayout)
+    results("index_probe_volume_ge_1_8m") = time(
+      sortedIdx.filter(col("volume") >= 1800000)
+        .agg(count(lit(1)), sum("close")).collect())
+    results("linear_scan_volume_ge_1_8m") = time(
+      syn.filter(col("volume") >= 1800000)
+        .agg(count(lit(1)), sum("close")).collect())
+    val mapLayout = "/root/repo/target/stocks-bench-index/map"
+    results("map_index_build") = time {
+      val lastPerKey = Window.partitionBy("volume").orderBy(col("rid").desc)
+      syn.withColumn("rn", row_number().over(lastPerKey))
+        .filter(col("rn") === 1).drop("rn")
+        .repartitionByRange(32, col("volume"))
+        .sortWithinPartitions("volume")
+        .write.mode("overwrite").parquet(mapLayout)
+    }
+    val mapIdx = spark.read.parquet(mapLayout)
+    results("map_index_probe_volume_ge_1_8m") = time(
+      mapIdx.filter(col("volume") >= 1800000)
+        .agg(count(lit(1)), sum("close")).collect())
+    syn.unpersist()
+
     // locale-pinned formatting, as in Bench: a comma-decimal JVM default
     // locale would emit invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
