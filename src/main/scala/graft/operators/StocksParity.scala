@@ -112,7 +112,10 @@ object StocksParity {
       val t = Tables.stocksParquet(s)
       val series = Seq(col("date"), col("close"), col("volume"),
         col("open"), col("high"), col("low"))
-      val ord = Windows.globalOrdinal(t, series)
+      // cached: blockRolling consumes the ordinal twice (base + carry);
+      // on 5.6M rows the uncached form repeats the range shuffle + rank
+      // window. Freed by the harnesses' per-query clearCache.
+      val ord = Windows.globalOrdinal(t, series).cache()
       val win = Windows.blockRolling(ord, "__ord", frameEnd = 9,
         blockSize = 65536) { (u, w) =>
         u.withColumn("ws", sum(floor(col("close") * 100).cast("long")).over(w))

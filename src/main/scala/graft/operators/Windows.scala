@@ -211,7 +211,10 @@ object Windows {
         |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING))) / 10000.0 AS DOUBLE) AS mov_avg
         |FROM lineitem
         |${dumpSql("l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
-      val ord = globalOrdinal(li(s, dir), series)
+      // cached: blockRolling consumes the ordinal TWICE (base + carry
+      // branches of the union) — uncached, the range shuffle + rank
+      // window run twice. Freed by the harnesses' per-query clearCache.
+      val ord = globalOrdinal(li(s, dir), series).cache()
       val res = blockRolling(ord, "__ord", frameEnd = 9, blockSize = 4096) { (u, w) =>
         u.withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
           .withColumn("wn", count(lit(1)).over(w))
@@ -263,8 +266,9 @@ object Windows {
       val avgCols = (df: DataFrame, win: WindowSpec) => df
         .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(win))
         .withColumn("wn", count(lit(1)).over(win))
-      val w8 = blockRolling(globalOrdinal(t, series), "__ord", frameEnd = 9,
-        blockSize = 4096)((u, win) => avgCols(u, win))
+      // cached for the same base+carry double-consumption as w8's body
+      val w8 = blockRolling(globalOrdinal(t, series).cache(), "__ord",
+        frameEnd = 9, blockSize = 4096)((u, win) => avgCols(u, win))
       ck(avgCols(t, w), "w1_moving_avg", expr("ws * 100 div wn"))
         .union(ck(t.withColumn("m", min("l_extendedprice").over(w)),
           "w2_rolling_min", floor(col("m") * 100).cast("long")))
