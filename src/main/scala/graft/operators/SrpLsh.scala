@@ -77,7 +77,7 @@ object SrpLsh {
         bits.reduce(_ + _).as("fp"))
   }
 
-  private def band(fp: Column, b: Int): Column =
+  private[operators] def band(fp: Column, b: Int): Column =
     shiftright(fp, b * BitsPerBand).bitwiseAND(lit(BandMask))
 
   /** Predicate: the row's `fp` agrees with `qfp` on at least one band —
@@ -114,13 +114,98 @@ object SrpLsh {
   def srpTopK(e: DataFrame, queryVecId: Long, k: Int): DataFrame =
     probe(e, fingerprints(e), queryVecId, k)
 
+  // ------------------------------------------------- semantic dedup (d12)
+
+  /** d12 near-dup threshold (cosine) — matches d5's, so the two blocking
+    * strategies (metadata label vs learned LSH) are directly comparable. */
+  val DedupTau = 0.35
+
+  /** D12 kernel — SemDeDup-style SEMANTIC dedup with LSH blocking: no
+    * metadata labels needed (d5's blocking key does not exist in a raw
+    * production corpus). Candidates = pairs sharing ≥ 1 fingerprint band
+    * (keyed equi-join on (band, value) — the d3 banding shape applied to
+    * embeddings, never all-pairs on clustered data); the exact cosine
+    * verifies each candidate; the survivor policy is greedy keep-lowest
+    * (a vector drops iff SOME lower-id candidate matches it at ≥ tau —
+    * chains stay dropped; d7's transitive closure is the full-cluster
+    * alternative). Returns (vec_id, kept).
+    *
+    * Fully ORACLED even though LSH is involved: the hyperplanes are pure
+    * splitmix64 functions, so the oracle SQL reproduces the ENTIRE
+    * pipeline — plane literals interpolated value-exact, sign bits from
+    * the same left-to-right float→double dot folds, identical banding
+    * arithmetic, same greedy policy — making this the d4 pattern
+    * (algorithm-mirroring oracle) for the embedding tier. */
+  def semanticDedup(e: DataFrame, tau: Double): DataFrame = {
+    val s = e.sparkSession
+    val bandStructs = (0 until Bands).map(bi =>
+      struct(lit(bi).as("bi"), band(col("fp"), bi).as("bval")))
+    val bands = fingerprints(e)
+      .select(col("vec_id"), col("embedding"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("embedding"),
+        col("bs.bi").as("bi"), col("bs.bval").as("bval"))
+    // the band join's INPUT is n·Bands narrow rows; its output (the
+    // candidate pairs, with a duplicate per extra shared band) feeds the
+    // codegen'd cosine + filter directly — no shuffle between them, and
+    // the distinct collapses only the few pairs that SURVIVE tau
+    val dropped = bands
+      .select(col("bi"), col("bval"), col("vec_id").as("a_id"), col("embedding").as("av"))
+      .join(bands.select(col("bi"), col("bval"), col("vec_id").as("b_id"),
+        col("embedding").as("bv2")), Seq("bi", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .transform(Par.spread(_, col("a_id"), col("b_id")))
+      .filter(Similarity.cosineFast(s, "av", "bv2") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    e.select("vec_id")
+      .join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("__d").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** The oracle's plane literals: the FLOAT hyperplane values emitted as
+    * exact round-trip decimal doubles (Scala Double.toString is the
+    * shortest representation that parses back to the same IEEE bits). */
+  private def planeLiteral(i: Int, dim: Int): String =
+    hyperplane(i, dim).map(f => f.toDouble.toString).mkString("[", ", ", "]")
+
+  private def d12OracleSql: String = {
+    val planes = (0 until NBits)
+      .map(i => s"($i, ${planeLiteral(i, 64)})").mkString(",\n      ")
+    val dot = "list_sum(list_transform(list_zip(e.embedding, p.r), z -> z[1]::DOUBLE * z[2]))"
+    val cos = "list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE))" +
+      " / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))" +
+      " * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+    s"""WITH planes(i, r) AS (VALUES
+      |      $planes),
+      |fp AS (
+      |  SELECT e.vec_id, e.embedding,
+      |         CAST(sum(CASE WHEN $dot >= 0 THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM embeddings e CROSS JOIN planes p
+      |  GROUP BY e.vec_id, e.embedding),
+      |bands AS (
+      |  SELECT vec_id, embedding, b.bi, (fp >> ($BitsPerBand * b.bi)) & $BandMask AS bval
+      |  FROM fp, (SELECT unnest(generate_series(0, ${Bands - 1})) AS bi) b),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id AS vec_id
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bval = b.bval AND a.vec_id < b.vec_id
+      |  WHERE $cos >= $DedupTau)
+      |SELECT e.vec_id, (d.vec_id IS NULL) AS kept
+      |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** SIM7 as a registered (unoracled) query — approximate result set,
     * served from the PERSISTED fingerprint frame; SrpLshSpec pins recall
-    * vs sim1, pruning, and persisted≡inline. */
+    * vs sim1, pruning, and persisted≡inline — plus D12, the fully-oracled
+    * LSH-blocked semantic dedup. */
   val defs: Seq[QueryDef] = Seq(
     QueryDef.unoracled("sim7_ann_srp") { (s, dir) =>
       IvfIndex.srpTopKPersisted(Tables.embeddings(s, dir), dir,
         queryVecId = 0L, k = 20)
+    },
+    QueryDef("d12_semantic_dedup", d12OracleSql) { (s, dir) =>
+      semanticDedup(Tables.embeddings(s, dir), DedupTau)
     }
   )
 }

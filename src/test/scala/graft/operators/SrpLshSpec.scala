@@ -46,6 +46,48 @@ class SrpLshSpec extends SparkSpec {
     assert(a.values.forall(fp => fp >= 0 && fp < (1L << SrpLsh.NBits)))
   }
 
+  test("d12 semantic dedup: exact duplicates collapse to the lowest id; conservation; recall vs global pairs") {
+    import spark.implicits._
+    // plant two exact copies of vector 0 (identical embeddings share every
+    // band, cosine 1.0 >= tau) — greedy keep-lowest must keep ONLY id 0
+    val v0 = emb.filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getAs[scala.collection.Seq[Float]](0)
+    val copies = Seq((900001L, v0), (900002L, v0))
+      .toDF("vec_id", "embedding")
+    val planted = emb.select("vec_id", "embedding").unionByName(copies)
+    val res = SrpLsh.semanticDedup(planted, SrpLsh.DedupTau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(res.size === res.keySet.size && res.size === emb.count() + 2)
+    assert(res(0L), "lowest-id copy must survive")
+    assert(!res(900001L) && !res(900002L), "higher-id exact copies must drop")
+
+    // every dropped vector really has a lower-id tau-neighbor (precision,
+    // via the independent HOF cosine), and banding catches >= 90% of the
+    // GLOBAL tau-pair set (blocking recall — the SemDeDup quality metric)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val global = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(Similarity.cosine(col("av"), col("bv")) >= SrpLsh.DedupTau)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = SrpLsh.semanticDedup(emb, SrpLsh.DedupTau)
+      .filter(!col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    kept.foreach { dId =>
+      assert(global.exists(_._2 == dId), s"dropped $dId has no global tau-neighbor with lower id")
+    }
+    val fps = SrpLsh.fingerprints(emb).select("vec_id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def shares(x: Long, y: Long): Boolean = (0 until SrpLsh.Bands).exists { bi =>
+      ((fps(x) >> (bi * SrpLsh.NBits / SrpLsh.Bands)) & 3) ==
+        ((fps(y) >> (bi * SrpLsh.NBits / SrpLsh.Bands)) & 3)
+    }
+    if (global.nonEmpty) {
+      val capturedN = global.count { case (x, y) => shares(x, y) }
+      info(f"blocking recall = ${capturedN.toDouble / global.size}%.3f over ${global.size} global pairs")
+      assert(capturedN.toDouble / global.size >= 0.9)
+    }
+  }
+
   test("bit agreement tracks cosine (the SRP property: P(agree) = 1 - theta/pi)") {
     // the most-similar pair by brute cosine must agree on at least as
     // many bits as a dissimilar pair, statistically — check on the
