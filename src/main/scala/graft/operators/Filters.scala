@@ -84,20 +84,28 @@ object Filters {
     * exact BIGINT sums (keys, and the value column integer-scaled per row —
     * per-row IEEE arithmetic is bit-identical across engines, and integer
     * sums commute, so no rounding hazard at any row count). */
-  private def checksum(df: DataFrame, tag: String, valueCol: String, scale: Int): DataFrame =
-    df.agg(
-      count(lit(1)).as("n"),
-      sum("l_orderkey").as("ck_okey"),
-      sum(col("l_linenumber").cast("long")).as("ck_line"),
-      sum(floor(col(valueCol) * lit(scale)).cast("long")).as("ck_val"))
-      .select(lit(tag).as("pred"), col("n"), col("ck_okey"), col("ck_line"), col("ck_val"))
+  /** One predicate's checksums as a CONDITIONAL-aggregate struct, so the
+    * whole f9 family evaluates in a SINGLE scan (7 predicates = one pass
+    * + 28 conditional sums, not 7 scans — at 100 TB the difference is 6
+    * whole reads of the fact table). `otherwise(0)`/COALESCE keep an
+    * empty-match predicate at 0 on both engines (a bare SQL sum over no
+    * rows is NULL). */
+  private def checksumStruct(tag: String, cond: Column, valueCol: Column,
+      scale: Int): Column =
+    struct(
+      lit(tag).as("pred"),
+      sum(when(cond, 1L).otherwise(0L)).as("n"),
+      sum(when(cond, col("l_orderkey")).otherwise(0L)).as("ck_okey"),
+      sum(when(cond, col("l_linenumber").cast("long")).otherwise(0L)).as("ck_line"),
+      sum(when(cond, floor(valueCol * lit(scale)).cast("long")).otherwise(0L)).as("ck_val"))
 
   private def checksumSql(tag: String, where: String, valueCol: String, scale: Int): String =
     // DuckDB sum() over integers returns HUGEINT (INT128); CAST back to
     // BIGINT so the oracle's arrow type matches Spark's LongType exactly.
-    s"""SELECT '$tag' AS pred, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS ck_okey,
-       |       CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ck_line,
-       |       CAST(sum(CAST(floor($valueCol * $scale) AS BIGINT)) AS BIGINT) AS ck_val
+    s"""SELECT '$tag' AS pred, count(*) AS n,
+       |       COALESCE(CAST(sum(l_orderkey) AS BIGINT), 0) AS ck_okey,
+       |       COALESCE(CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT), 0) AS ck_line,
+       |       COALESCE(CAST(sum(CAST(floor($valueCol * $scale) AS BIGINT)) AS BIGINT), 0) AS ck_val
        |FROM lineitem WHERE $where""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -209,10 +217,11 @@ object Filters {
     },
 
     // F9: order-insensitive full-result checksums — verifies EVERY row each
-    // predicate emits (not just the top-k dump) with exact integer sums; a
-    // single narrow scan per predicate, no sort, no shuffle beyond the
-    // one-row-per-partition partial aggregate. This is the 100 TB-safe way
-    // to hash-compare a filter's complete output across engines.
+    // predicate emits (not just the top-k dump) with exact integer sums; ONE
+    // narrow scan evaluates all seven predicates as conditional aggregates
+    // (no sort, no shuffle beyond the one-row-per-partition partial). This
+    // is the 100 TB-safe way to hash-compare a filter family's complete
+    // output across engines: one pass, 28 fused sums.
     QueryDef("f9_filter_checksums",
       Seq(
         checksumSql("f1_qty_ge_45", "l_quantity >= 45", "l_quantity", 100),
@@ -224,15 +233,21 @@ object Filters {
         checksumSql("p1_net_price", "true", "l_extendedprice * (1 - l_discount)", 100)
       ).mkString("", "\nUNION ALL\n", "\nORDER BY pred")) { (s, dir) =>
       val t = li(s, dir)
-      Seq(
-        checksum(filterRows(t, Pred("l_quantity", Ge, 45)), "f1_qty_ge_45", "l_quantity", 100),
-        checksum(filterRows(t, Pred("l_extendedprice", Ge, 90000)), "f2_price_ge_90000", "l_extendedprice", 100),
-        checksum(filterRows(t, Pred("l_discount", Ge, 0.08)), "f3_disc_ge_008", "l_discount", 100),
-        checksum(filterRows(t, Pred("l_tax", Ge, 0.06)), "f4_tax_ge_006", "l_tax", 100),
-        checksum(filterRows(t, Pred("l_partkey", Ge, 150L)), "f5_part_ge_150", "l_partkey", 1),
-        checksum(filterRows(t, Pred("l_extendedprice", Ge, 50000), Pred("l_discount", Ge, 0.05)), "f6_conj", "l_extendedprice", 100),
-        checksum(t.withColumn("net_price", col("l_extendedprice") * (lit(1) - col("l_discount"))), "p1_net_price", "net_price", 100)
-      ).reduce(_ union _).orderBy("pred")
+        .withColumn("net_price", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val entries = Seq(
+        checksumStruct("f1_qty_ge_45", Pred("l_quantity", Ge, 45).toColumn, col("l_quantity"), 100),
+        checksumStruct("f2_price_ge_90000", Pred("l_extendedprice", Ge, 90000).toColumn, col("l_extendedprice"), 100),
+        checksumStruct("f3_disc_ge_008", Pred("l_discount", Ge, 0.08).toColumn, col("l_discount"), 100),
+        checksumStruct("f4_tax_ge_006", Pred("l_tax", Ge, 0.06).toColumn, col("l_tax"), 100),
+        checksumStruct("f5_part_ge_150", Pred("l_partkey", Ge, 150L).toColumn, col("l_partkey"), 1),
+        checksumStruct("f6_conj",
+          Pred("l_extendedprice", Ge, 50000).toColumn && Pred("l_discount", Ge, 0.05).toColumn,
+          col("l_extendedprice"), 100),
+        checksumStruct("p1_net_price", lit(true), col("net_price"), 100))
+      t.agg(entries.head.as("s0"),
+          entries.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
+        .select(explode(array(entries.indices.map(i => col(s"s$i")): _*)).as("e"))
+        .select("e.*").orderBy("pred")
     }
   )
 }

@@ -52,22 +52,30 @@ object StocksParity {
   val defs: Seq[QueryDef] = Seq(
     // STK1: the filter family as full-result checksums — every row each
     // predicate keeps feeds exact integer sums (volume floor-integral,
-    // close in cents); one narrow scan per predicate, no dumps.
+    // close in cents). ONE scan of the 5.6M rows evaluates all six
+    // predicates as conditional aggregates (the f9 single-pass shape —
+    // at 100 TB, 6 predicates must not mean 6 reads of the table);
+    // otherwise(0)/COALESCE keep empty-match predicates at 0 on both
+    // engines.
     QueryDef("stk1_filter_checksums",
       Filters.map { case (tag, where) =>
         s"""SELECT '$tag' AS pred, count(*) AS n,
-           |       CAST(sum(CAST(floor(volume) AS BIGINT)) AS BIGINT) AS ck_vol,
-           |       CAST(sum(CAST(floor(close * 100) AS BIGINT)) AS BIGINT) AS ck_close
+           |       COALESCE(CAST(sum(CAST(floor(volume) AS BIGINT)) AS BIGINT), 0) AS ck_vol,
+           |       COALESCE(CAST(sum(CAST(floor(close * 100) AS BIGINT)) AS BIGINT), 0) AS ck_close
            |FROM $pq WHERE $where""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY pred")) { (s, _) =>
       val t = Tables.stocksParquet(s)
-      Filters.map { case (tag, where) =>
-        t.filter(expr(where)).agg(
-          count(lit(1)).as("n"),
-          sum(floor(col("volume")).cast("long")).as("ck_vol"),
-          sum(floor(col("close") * 100).cast("long")).as("ck_close"))
-          .select(lit(tag).as("pred"), col("n"), col("ck_vol"), col("ck_close"))
-      }.reduce(_ union _).orderBy("pred")
+      val entries = Filters.map { case (tag, where) =>
+        struct(
+          lit(tag).as("pred"),
+          sum(when(expr(where), 1L).otherwise(0L)).as("n"),
+          sum(when(expr(where), floor(col("volume")).cast("long")).otherwise(0L)).as("ck_vol"),
+          sum(when(expr(where), floor(col("close") * 100).cast("long")).otherwise(0L)).as("ck_close"))
+      }
+      t.agg(entries.head.as("s0"),
+          entries.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
+        .select(explode(array(entries.indices.map(i => col(s"s$i")): _*)).as("e"))
+        .select("e.*").orderBy("pred")
     },
 
     // STK2: the global sum experiment (stockify.cu:476-481, sum over
