@@ -256,26 +256,37 @@ object Windows {
       ).mkString("", "\nUNION ALL\n", "\nORDER BY win")
     }) { (s, dir) =>
       val t = li(s, dir)
-      def ck(df: DataFrame, tag: String, qv: Column): DataFrame =
-        df.withColumn("qv", qv)
-          .withColumn("wt", expr("(l_orderkey * 31 + l_linenumber) % 10007").cast("long"))
-          .agg(count(lit(1)).as("n"), sum("qv").as("ck_sum"),
-            sum(col("wt") * col("qv")).as("ck_mix"))
-          .select(lit(tag).as("win"), col("n"), col("ck_sum"), col("ck_mix"))
+      val wt = expr("(l_orderkey * 31 + l_linenumber) % 10007").cast("long")
+      def ckStruct(tag: String, qv: Column): Column =
+        struct(lit(tag).as("win"), count(lit(1)).as("n"),
+          sum(qv).as("ck_sum"), sum(col("__wt") * qv).as("ck_mix"))
+      // ONE evaluation of the shared supplier window computes all three
+      // w1/w2/w3 measures (single shuffle + per-partition sort, four
+      // window columns), and ONE aggregate emits their three checksum
+      // structs — not three window passes + three scans
       val w = rolling(bySupp, series, 0, 9)
-      val avgCols = (df: DataFrame, win: WindowSpec) => df
-        .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(win))
-        .withColumn("wn", count(lit(1)).over(win))
-      // cached for the same base+carry double-consumption as w8's body
+      val fused = t
+        .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("mn", min("l_extendedprice").over(w))
+        .withColumn("mx", max("l_extendedprice").over(w))
+        .withColumn("__wt", wt)
+        .agg(
+          ckStruct("w1_moving_avg", expr("ws * 100 div wn")).as("s0"),
+          ckStruct("w2_rolling_min", floor(col("mn") * 100).cast("long")).as("s1"),
+          ckStruct("w3_rolling_max", floor(col("mx") * 100).cast("long")).as("s2"))
+        .select(explode(array(col("s0"), col("s1"), col("s2"))).as("e"))
+        .select("e.*")
+      // cached for the base+carry double-consumption inside blockRolling
       val w8 = blockRolling(globalOrdinal(t, series).cache(), "__ord",
-        frameEnd = 9, blockSize = 4096)((u, win) => avgCols(u, win))
-      ck(avgCols(t, w), "w1_moving_avg", expr("ws * 100 div wn"))
-        .union(ck(t.withColumn("m", min("l_extendedprice").over(w)),
-          "w2_rolling_min", floor(col("m") * 100).cast("long")))
-        .union(ck(t.withColumn("m", max("l_extendedprice").over(w)),
-          "w3_rolling_max", floor(col("m") * 100).cast("long")))
-        .union(ck(w8, "w8_block_rolling", expr("ws * 100 div wn")))
-        .orderBy("win")
+        frameEnd = 9, blockSize = 4096) { (u, win) =>
+        u.withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(win))
+          .withColumn("wn", count(lit(1)).over(win))
+      }
+      val w8ck = w8.withColumn("__wt", wt)
+        .agg(ckStruct("w8_block_rolling", expr("ws * 100 div wn")).as("s"))
+        .select("s.*")
+      fused.union(w8ck).orderBy("win")
     },
 
     // W4: lag/lead + first-difference — same machinery, no accumulation, so
