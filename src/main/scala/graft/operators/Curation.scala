@@ -156,6 +156,33 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // CUR8: reproducible STRATIFIED train/val/test split (80/10/10) —
+    // the assignment is a pure function of the id (the same Lehmer
+    // buckets as cur2), so it is identical across engines, runs, and
+    // corpus growth: adding documents NEVER moves an existing one
+    // between splits (the property that keeps eval sets stable as a
+    // corpus accretes), and stratification per language is free because
+    // the hash is independent of `lang`. Zero shuffle for the labeling;
+    // the grouped verification rows are a tiny aggregate. CurationSpec
+    // pins disjoint-and-total coverage plus per-stratum proportions.
+    QueryDef("cur8_train_val_test",
+      s"""SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS ck_ids
+        |FROM (SELECT lang, doc_id,
+        |        CASE WHEN $hashBucketSql < 80 THEN 'train'
+        |             WHEN $hashBucketSql < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM documents)
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val b = hashBucket(col("doc_id"))
+      docs(s, dir)
+        .withColumn("split",
+          when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("ck_ids"))
+        .orderBy("lang", "split")
+    },
+
     // CUR3: per-source quota — keep at most K documents per source,
     // chosen by hash order (deterministic, unbiased within the source).
     // This is the per-domain cap a web-scale corpus applies so one crawl

@@ -56,6 +56,32 @@ class CurationSpec extends SparkSpec {
     assert(a.length.toLong === expect)
   }
 
+  test("cur8 split: disjoint+total per language, proportions near 80/10/10, growth never moves a doc") {
+    val res = q("cur8_train_val_test").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // totals per lang across splits == the corpus per-lang counts
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, total) =>
+      val split = Seq("train", "val", "test").map(sp => res.getOrElse((lang, sp), 0L)).sum
+      assert(split === total, s"$lang: split rows $split != corpus $total")
+      val train = res.getOrElse((lang, "train"), 0L).toDouble / total
+      assert(train > 0.6 && train < 0.95, s"$lang train fraction $train far from 0.8")
+    }
+    // growth invariance: a doc's split is a pure function of its id —
+    // recompute over HALF the corpus and every surviving id keeps its split
+    import spark.implicits._
+    def assign(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("b", expr("((doc_id % 2147483647) * 48271) % 2147483647 % 100"))
+      .withColumn("split", when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .select("doc_id", "split")
+    val full = assign(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = assign(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, sp) => full(id) == sp })
+  }
+
   test("cur3 quota binds: no source exceeds K, ranks are dense, runs repeat") {
     val out = q("cur3_source_quota").run(spark, "/root/testdata/sf0.01")
     val perSrc = out.groupBy("source").agg(count(lit(1)).as("n"), max("rn").as("mx"))
