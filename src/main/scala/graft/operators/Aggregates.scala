@@ -210,6 +210,42 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // A12: MERGEABLE-sketch distinct counting across shards — the actual
+    // 100 TB architecture a8 stands for, demonstrated end to end: each
+    // "shard" (here: an orderkey-parity split, standing in for per-day /
+    // per-partition corpora) builds its own DataSketches HLL
+    // (hll_sketch_agg), the BINARY sketches are re-aggregated with
+    // hll_union_agg — no re-scan of either shard — and the merged
+    // estimate must (a) track the single-pass whole-corpus sketch within
+    // 2% (merge is register-wise max so it loses no information, but the
+    // union operator runs through HLL_8/coupon promotion, so the merged
+    // REPRESENTATION — and with it the estimate — can differ slightly
+    // from the one-pass sketch; measured mismatch is sub-percent) and
+    // (b) sit within 5% of the exact distinct count. The oracle states
+    // both verdicts as constants (the a8b pattern: DuckDB can't
+    // reproduce Spark's sketch bits, but the claims are
+    // engine-independent).
+    QueryDef("a12_sketch_shard_merge",
+      """SELECT l_returnflag, TRUE AS merge_close, TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val t = li(s, dir)
+      def shard(p: Int) = t.filter(col("l_orderkey") % 2 === p)
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      val merged = shard(0).unionByName(shard(1))
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val whole = t.groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est_whole"),
+          countDistinct(col("l_partkey")).as("exact"))
+      merged.join(whole, "l_returnflag")
+        .select(col("l_returnflag"),
+          (abs(col("est_merged") - col("est_whole")) <=
+            col("est_whole") * 0.02).as("merge_close"),
+          (abs(col("est_merged") - col("exact")) <= col("exact") * 0.05).as("within_tol"))
+        .orderBy("l_returnflag")
+    },
+
     // A9: grouping sets via ROLLUP — free generalization of grouped aggs
     // (SURVEY §2.7). NULLS FIRST pinned on both sides (DuckDB defaults
     // NULLS LAST on ASC; Spark defaults NULLS FIRST).
