@@ -41,7 +41,8 @@ object AsOfJoin {
     * engines with arbitrary tie-break may differ there — keep right-side
     * (key, time) unique if exact cross-engine parity matters. */
   def asofJoin(left: DataFrame, right: DataFrame,
-      key: String, time: String, valueCol: String): DataFrame = {
+      key: String, time: String, valueCol: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
     val payload = struct(leftCols.map(left(_)): _*)
     val rStruct = StructType(Seq(
@@ -57,11 +58,23 @@ object AsOfJoin {
     val w = Window.partitionBy(key)
       .orderBy(col(time), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tolerance: the match must also be RECENT — a right row older than
+    // time − tol yields NULL (staleness bound: "trade against the latest
+    // quote, unless it's too stale"). The kernel is unchanged; only the
+    // final projection tests the matched row's own timestamp, so the
+    // semantics stay "nearest-before, then bound" — NOT "nearest within
+    // bound re-searched", which is the same thing for at-or-before
+    // matches (anything older is even staler).
+    val matched = tolerance match {
+      case Some(tol) =>
+        when(col("__asof.t") >= col(time) - tol, col("__asof.v"))
+      case None => col("__asof.v")
+    }
     lPart.union(rPart)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) :+
-        col("__asof.v").as(s"asof_$valueCol"): _*)
+        matched.as(s"asof_$valueCol"): _*)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -83,6 +96,33 @@ object AsOfJoin {
       val views = ev.filter(col("event_type") === "view")
         .select("user_id", "ts_us", "value")
       asofJoin(clicks, views, key = "user_id", time = "ts_us", valueCol = "value")
+        .select(col("event_id"), col("user_id"),
+          floor(col("asof_value") * 100).cast("long").as("last_view_v100"))
+        .orderBy("event_id").limit(2000)
+    },
+
+    // ASOF2: as-of with a STALENESS TOLERANCE (1 hour) — the real
+    // trading/sensor semantics: the latest view still counts only if it
+    // is recent enough, else NULL. The oracle composes DuckDB's native
+    // ASOF with the same bound as a CASE, which is semantically identical
+    // because any match older than the nearest-before one is staler.
+    QueryDef("asof2_click_view_tol",
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS us, event_id
+        |               FROM events WHERE event_type = 'click'),
+        |     views  AS (SELECT user_id, epoch_us(ts) AS us, value
+        |               FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id,
+        |       CAST(floor(CASE WHEN v.us >= c.us - 3600000000 THEN v.value END * 100) AS BIGINT) AS last_view_v100
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.us <= c.us
+        |ORDER BY c.event_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts_us", "value")
+      asofJoin(clicks, views, key = "user_id", time = "ts_us",
+        valueCol = "value", tolerance = Some(3600000000L))
         .select(col("event_id"), col("user_id"),
           floor(col("asof_value") * 100).cast("long").as("last_view_v100"))
         .orderBy("event_id").limit(2000)

@@ -43,6 +43,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map("x" -> None, "y" -> Some(120.0)))
   }
 
+  test("as-of tolerance: stale matches null out; huge tolerance == no tolerance; zero keeps simultaneous only") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 110.0)).toDF("k", "t", "v")
+    val trades = Seq((1L, 10L, "sim"), (1L, 24L, "near"), (1L, 90L, "far"))
+      .toDF("k", "t", "id")
+    def run(tol: Option[Long]) =
+      AsOfJoin.asofJoin(trades, quotes, "k", "t", "v", tol)
+        .collect().map(r => r.getString(2) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // tol=5: the simultaneous quote (age 0) and the age-4 match stay,
+    // the age-70 match nulls out
+    assert(run(Some(5L)) === Map("sim" -> Some(100.0), "near" -> Some(110.0), "far" -> None))
+    // tol=0 keeps only the simultaneous match
+    assert(run(Some(0L)) === Map("sim" -> Some(100.0), "near" -> None, "far" -> None))
+    // a tolerance beyond the data span degenerates to the plain as-of
+    assert(run(Some(1000000L)) === run(None))
+  }
+
   test("as-of join keeps every left row exactly once (left-join cardinality)") {
     val ev = graft.sources.Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
