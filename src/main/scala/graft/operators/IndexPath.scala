@@ -121,6 +121,30 @@ object IndexPath {
           sum("l_partkey").as("ck_pk"))
     },
 
+    // I6: STATS-SERVED aggregation — count/min/max answered from parquet
+    // footer metadata via V2 aggregate pushdown, no row scan at all (the
+    // plan's scan node carries PushedAggregation and emits one row per
+    // row group, not per row — IndexSpec pins both). This is the far end
+    // of the access-path spectrum the reference's index experiments
+    // explore: at 100 TB, "how many rows / what's the key range" must
+    // cost footer reads, not a table scan. Runs in an ISOLATED
+    // newSession(): aggregate pushdown needs the V2 parquet source,
+    // and flipping useV1SourceList globally would silently re-plan every
+    // other query in the session.
+    QueryDef("i6_stats_pushdown_agg",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |       min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+      Tables.lineitem(s2, dir).agg(
+        count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_shipdate").as("min_sd"), max("l_shipdate").as("max_sd"))
+    },
+
     // I3 (stockify.cu:709-717): map-index build with its key-dedup quirk —
     // one row per key, LAST write wins in load order.
     QueryDef("i3_map_index_dedup",

@@ -100,6 +100,25 @@ class IndexSpec extends SparkSpec {
     assert(i2.toSeq === i5.toSeq)
   }
 
+  test("i6: count/min/max served from parquet footers (PushedAggregation, no row scan)") {
+    val q = IndexPath.defs.find(_.name == "i6_stats_pushdown_agg").get
+    val df = q.run(spark, sf)
+    val tableRows = Tables.lineitem(spark, sf).count()
+    // the scan must advertise the pushed aggregates and emit one row per
+    // row GROUP (footer stats), not one per table row
+    val read = scanOutputRows(df)
+    assert(read < tableRows / 100,
+      s"stats-pushdown scan emitted $read rows of a $tableRows-row table — it scanned data")
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedAggregation"),
+      "plan must carry PushedAggregation on the scan node")
+    // and the footer-served answer equals the row-scan answer
+    val want = Tables.lineitem(spark, sf).agg(
+      count(lit(1)), min("l_partkey"), max("l_partkey"),
+      min("l_shipdate"), max("l_shipdate")).collect()(0)
+    assert(df.collect()(0) === want)
+  }
+
   test("map-index dedup keeps exactly one row per key (stockify.cu:711-714 quirk)") {
     val deduped = IndexPath.defs.find(_.name == "i3_map_index_dedup").get.run(spark, sf)
     val keys = deduped.select("l_partkey").collect().map(_.getLong(0))
