@@ -52,6 +52,15 @@ object Diag {
       println("=== j10 scalar-max decoration plan (round 4) ===")
       SparkEntry.allDefs.find(_.name == "j10_q15_top_supplier").get
         .run(spark, sfDir).explain()
+      println("=== d13 substring-dedup plan (round 5) ===")
+      SparkEntry.allDefs.find(_.name == "d13_substring_dedup").get
+        .run(spark, sfDir).explain()
+      println("=== d14 tf-idf cosine plan (round 5) ===")
+      SparkEntry.allDefs.find(_.name == "d14_tfidf_cosine").get
+        .run(spark, sfDir).explain()
+      println("=== t11 edit-distance plan (round 5) ===")
+      SparkEntry.allDefs.find(_.name == "t11_edit_distance").get
+        .run(spark, sfDir).explain()
       spark.stop(); return
     }
 

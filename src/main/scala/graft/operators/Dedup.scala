@@ -89,6 +89,23 @@ object Dedup {
   val LineWords = 10
   val LineDfCap = 2
 
+  /** d13 exact-substring dedup window width (tokens). The literature uses
+    * 50-token windows over BPE tokens (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — ExactSubstr); this corpus's
+    * documents are ~100 words, so 8 keeps the operator exercised. Declared
+    * before `defs`: the oracle SQL interpolates it at object-init time. */
+  val SpanW = 8
+
+  /** d14 sparse TF-IDF cosine: integer idf quantum and pair threshold.
+    * idf ∝ 1/df (the corpus-size factor N of N/df is CONSTANT across
+    * terms, so it cancels in cosine — quantizing 1e6/df instead of
+    * 1e6·N/df keeps weights corpus-size-independent and overflow-free at
+    * any N). Weights are exact BIGINTs, so dot products and norms are
+    * order-free integer sums; the only floats are one sqrt+divide on
+    * identical operands in both engines. */
+  val TfidfQ = 1000000L
+  val CosTau = 0.6
+
   /** Drop rows whose shingle `g` appears in more than `cap` documents.
     * `sh` must hold at most one row per (doc, g) — true for both d6's
     * distinct shingles and d8's tf frame — so rows-per-g IS the df.
@@ -636,6 +653,142 @@ object Dedup {
         |ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
       simhashHammingPairs(docs(s, dir), maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    },
+
+    // D13: exact-substring span dedup (ExactSubstr, Lee et al. 2022) — any
+    // SpanW-token window whose content occurs MORE THAN ONCE corpus-wide
+    // marks all its token positions as duplicated; overlapping marked
+    // windows merge into maximal spans, which are cut from every carrier.
+    // This is the operator document-level dedup (d1/d3) and boilerplate
+    // line dedup (d9, non-overlapping chunks above a frequency cap) both
+    // miss: a paragraph quoted verbatim inside two otherwise-unrelated
+    // documents. Output per doc: token counts, duplicated-token count,
+    // merged-span count, and a fingerprint of the surviving text.
+    //
+    // Scale shape: windows explode behind the doc_id repartition (stride 1
+    // → ~n_tokens rows/doc, each a 16-byte md5 — window TEXT never
+    // shuffles); corpus frequency is one hash shuffle; the duplicated set
+    // is corpus-scale (up to all windows), so the flag join is a keyed
+    // shuffle equi-join, NOT a broadcast (unlike d9's capped hot set);
+    // span coverage explodes ×SpanW on flagged windows only; island
+    // numbering runs per-doc (keyed window, no global sort). Everything is
+    // linear in corpus size — no pairs are ever formed.
+    QueryDef("d13_substring_dedup",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (SELECT doc_id, i, md5(array_to_string(w[i:i+${SpanW - 1}], ' ')) AS h
+        |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SpanW - 1})) AS i
+        |               FROM ws WHERE len(w) >= $SpanW)),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |flag AS (SELECT doc_id, i FROM wins JOIN dup USING (h)),
+        |cover AS (SELECT DISTINCT doc_id, p FROM
+        |            (SELECT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p FROM flag)),
+        |toks AS (SELECT doc_id, p, w[p] AS tok
+        |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM ws)),
+        |isl AS (SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |        FROM cover),
+        |spans AS (SELECT doc_id, count(DISTINCT g) AS n_spans FROM isl GROUP BY doc_id),
+        |base AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |                sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS dup_tokens,
+        |                md5(coalesce(array_to_string(
+        |                  list(t.tok ORDER BY t.p) FILTER (WHERE c.p IS NULL), ' '), '')) AS kept_fp
+        |         FROM toks t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+        |         GROUP BY t.doc_id)
+        |SELECT b.doc_id AS doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(b.dup_tokens AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans, b.kept_fp
+        |FROM base b LEFT JOIN spans s ON b.doc_id = s.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val w = col("w")
+      val ws = Par.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .cache() // consumed twice: window explode + token explode
+      val wins = ws.filter(size(w) >= SpanW)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(w) - (SpanW - 1)),
+          i => struct(i.as("i"),
+            md5(concat_ws(" ", slice(w, i, lit(SpanW))).cast("binary")).as("h")))).as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
+        .cache() // consumed twice: frequency aggregation + flag join
+      val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("h")
+      val flag = wins.join(dup, Seq("h")).select("doc_id", "i")
+      val cover = flag
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + (SpanW - 1))).as("p"))
+        .distinct()
+        .cache() // consumed twice: island numbering + coverage join
+      val toks = ws.select(col("doc_id"), posexplode(w).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+      val islW = Window.partitionBy("doc_id").orderBy("p")
+      val spans = cover.withColumn("g", col("p") - row_number().over(islW))
+        .groupBy("doc_id").agg(countDistinct("g").as("n_spans"))
+      val base = toks.join(cover.withColumn("hit", lit(1)), Seq("doc_id", "p"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("dup_tokens"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when(col("hit").isNull,
+              struct(col("p"), col("tok"))))),
+            c => c.getField("tok"))).cast("binary")).as("kept_fp"))
+      base.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"), col("kept_fp"))
+        .orderBy("doc_id")
+    },
+
+    // D14: sparse TF-IDF cosine similarity — the classic lexical-retrieval
+    // geometry (the sparse sibling of d5's dense-embedding cosine).
+    // Weights are EXACT integers (tf × (1e6 div df); see TfidfQ scaladoc
+    // for why 1/df suffices as idf under cosine), so dot products and
+    // norms are order-free BIGINT sums both engines compute identically;
+    // the only floating point is one sqrt+divide on identical operands.
+    // Terms above the df cap drop (the d6/d8 stopword guard — they carry
+    // no identity signal and their postings are the quadratic bomb).
+    //
+    // Scale shape: unigram postings behind the df cap → candidate join
+    // bounded at cap · postings (linear); norms are one grouped sum; no
+    // all-pairs anywhere.
+    QueryDef("d14_tfidf_cosine",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t HAVING count(*) <= $DfCap),
+        |post AS (SELECT doc_id, tf.t, tf.tf * ($TfidfQ // df) AS wq
+        |         FROM tf JOIN dfr ON tf.t = dfr.t),
+        |norms AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2 FROM post GROUP BY doc_id),
+        |num AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |               CAST(sum(a.wq * b.wq) AS BIGINT) AS num
+        |        FROM post a JOIN post b ON a.t = b.t AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+        |                  / sqrt(CAST(nb.n2 AS DOUBLE)), 6) AS DOUBLE) AS cos_sim
+        |FROM num JOIN norms na ON a_id = na.doc_id
+        |         JOIN norms nb ON b_id = nb.doc_id
+        |WHERE CAST(num AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+        |      / sqrt(CAST(nb.n2 AS DOUBLE)) >= $CosTau
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val toks = Par.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).cache()
+      val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap)
+      val post = tf.join(dfr, Seq("t"))
+        .select(col("doc_id"), col("t"),
+          (col("tf") * expr(s"$TfidfQ div df")).as("wq"))
+        .cache() // consumed three times: norms + both sides of the pair join
+      val norms = post.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
+      val num = post.select(col("doc_id").as("a_id"), col("t"), col("wq").as("wa"))
+        .join(post.select(col("doc_id").as("b_id"), col("t"), col("wq").as("wb")), Seq("t"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("num"))
+      val cos = col("num").cast("double") /
+        sqrt(col("na2").cast("double")) / sqrt(col("nb2").cast("double"))
+      num
+        .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), "b_id")
+        .filter(cos >= CosTau)
+        .select(col("a_id"), col("b_id"),
+          round(cos, 6).cast("double").as("cos_sim"))
         .orderBy("a_id", "b_id")
     }
   )

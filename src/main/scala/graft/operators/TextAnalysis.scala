@@ -67,6 +67,16 @@ object TextAnalysis {
     Seq("table", "the", "data", "spark", "join", "window", "batch",
       "customer", "vector", "zzz_absent")
 
+  /** t11 edit-distance knobs (declared before `defs` — interpolated into
+    * the oracle SQL): blocking-prefix length over the canonicalized text,
+    * block-size cap (a hot prefix is the blocking analog of a stopword
+    * shingle — its pairs are the quadratic bomb, and a prefix shared by
+    * hundreds of documents carries no identity signal), and the maximum
+    * edit distance reported. */
+  val EditPrefix = 12
+  val EditBlockCap = 64
+  val EditMax = 10
+
   val defs: Seq[QueryDef] = Seq(
     // T1: per-language corpus profile.
     QueryDef("t1_lang_profile",
@@ -381,6 +391,51 @@ object TextAnalysis {
       val rows = perProbe.map { case (t, within, _) => (t, within, quorum) }
       s.createDataFrame(rows)
         .toDF("token", "within_bound", "tight_quorum").orderBy("token")
+    },
+
+    // T11: banded edit-distance near-dup — exact Levenshtein over the
+    // canonicalized text, but only within blocks sharing the first
+    // EditPrefix normalized characters (prefix blocking, the classic
+    // record-linkage move: near-identical strings share their head, so
+    // candidate pairs come from a keyed equi-join — never all-pairs).
+    // Complements the set-based tiers: Jaccard (d6) ignores token ORDER,
+    // SimHash (d4b) is fuzzy-fingerprint; edit distance is the exact
+    // character-level metric for short-text/title dedup.
+    //
+    // Scale shape: one shuffle on the block key; blocks above EditBlockCap
+    // drop via a broadcast anti-join (the hot set is ≤ n/cap rows — the
+    // dfCapped argument); the DP itself is threshold-banded on the Spark
+    // side (levenshtein's 3-arg form: O(k·n) per pair, early-exit -1),
+    // while the oracle runs the full DP — an independent implementation
+    // agreeing on every reported distance.
+    QueryDef("t11_edit_distance",
+      s"""WITH n AS (SELECT doc_id,
+        |            trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+        |           FROM documents),
+        |b AS (SELECT doc_id, nt, substr(nt, 1, $EditPrefix) AS blk FROM n),
+        |hot AS (SELECT blk FROM b GROUP BY blk HAVING count(*) > $EditBlockCap),
+        |o AS (SELECT b.* FROM b LEFT JOIN hot USING (blk) WHERE hot.blk IS NULL)
+        |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |       CAST(levenshtein(a.nt, b2.nt) AS INT) AS edit_dist
+        |FROM o a JOIN o b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.nt, b2.nt) <= $EditMax
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val blk = docs(s, dir)
+        .select(col("doc_id"), Dedup.normalized(col("text")).as("nt"))
+        .withColumn("blk", substring(col("nt"), 1, EditPrefix))
+        .cache() // consumed twice: hot-block aggregation + anti-join probe
+      val hot = blk.groupBy("blk").agg(count(lit(1)).as("n"))
+        .filter(col("n") > EditBlockCap).select("blk")
+      val ok = blk.join(broadcast(hot), Seq("blk"), "left_anti")
+      ok.select(col("blk"), col("doc_id").as("a_id"), col("nt").as("na"))
+        .join(ok.select(col("blk"), col("doc_id").as("b_id"), col("nt").as("nb")),
+          Seq("blk"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("edit_dist", levenshtein(col("na"), col("nb"), EditMax))
+        .filter(col("edit_dist") >= 0) // 3-arg levenshtein: -1 = exceeded
+        .select(col("a_id"), col("b_id"), col("edit_dist").cast("int").as("edit_dist"))
+        .orderBy("a_id", "b_id")
     }
   )
 }

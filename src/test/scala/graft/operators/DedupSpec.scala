@@ -258,6 +258,59 @@ class DedupSpec extends SparkSpec {
     assert(d6 === 0L, "jaccard at 0.3 must NOT see the inclusion pair")
   }
 
+  test("d13 substring dedup: shared runs cover exactly their positions, disjoint runs merge into separate spans") {
+    import spark.implicits._
+    // doc 1 carries TWO 8-token runs shared with different partners (A with
+    // doc 2, B with doc 5), separated by 4 unique tokens: both runs — and
+    // ONLY them — are flagged, and they surface as 2 disjoint spans. Doc 6
+    // is shorter than the window width: no windows, fully kept.
+    val runA = (1 to 8).map(i => s"A$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"B$i").mkString(" ")
+    val mid = (1 to 4).map(i => s"m$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13").toString
+    Seq(
+      (1L, s"$runA $mid $runB"),
+      (2L, s"$runA " + (1 to 6).map(i => s"x$i").mkString(" ")),
+      (5L, (1 to 6).map(i => s"y$i").mkString(" ") + s" $runB"),
+      (6L, "tiny one two"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.defs.find(_.name == "d13_substring_dedup").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 20L, 16L, 2L), // both shared runs covered, 2 merged spans
+      (2L, 14L, 8L, 1L),
+      (5L, 14L, 8L, 1L),
+      (6L, 3L, 0L, 0L))) // sub-window doc untouched
+    // an untouched doc's surviving-text fingerprint is the md5 of its text
+    val fp6 = Dedup.defs.find(_.name == "d13_substring_dedup").get.run(spark, dir)
+      .filter(col("doc_id") === 6L).select("kept_fp").head().getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("tiny one two".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp6 === md)
+  }
+
+  test("d14 tf-idf cosine: identical docs score exactly 1.0; a viral term above the df cap creates no pairs") {
+    import spark.implicits._
+    // docs 1/2 are identical (every term df=2, under the cap) → the one
+    // reported pair at cosine 1.0. Docs 100..169 all share the term
+    // "viral" (df=70 > DfCap=64) and nothing else: the stopword guard
+    // drops it, so NO pair forms from a term that carries no identity
+    // signal — without the cap this would be C(70,2) join rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-d14").toString
+    (Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")) ++
+      (100L until 170L).map(i => (i, s"viral only$i word$i")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.defs.find(_.name == "d14_tfidf_cosine").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("d10 keep-best-copy keeps the LONGEST duplicate, not the first") {
     import spark.implicits._
     // three copies of one normalized text, different raw lengths/ids: the

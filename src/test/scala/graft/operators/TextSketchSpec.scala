@@ -64,4 +64,25 @@ class TextSketchSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === Seq(1L, 2L), s"got ${rows.toSeq}")
     assert(rows(0)._2 > rows(1)._2)
   }
+
+  test("t11 edit distance: punctuation variants at 0, word swap at its true cost, hot blocks dropped") {
+    import spark.implicits._
+    // trio sharing the block prefix: doc 2 differs from doc 1 by dog→cat
+    // (normalized distance 3), doc 4 is doc 1 re-punctuated (normalized
+    // distance 0). Docs 100..169 share one 12-char prefix — the block is
+    // hot (70 > EditBlockCap) and contributes NO pairs (C(70,2) avoided).
+    val dir = s"/root/repo/target/t11-fixture-${System.nanoTime()}"
+    (Seq(
+      (1L, "the quick brown fox jumps over dog"),
+      (2L, "the quick brown fox jumps over cat"),
+      (4L, "The quick, brown fox jumps over dog!"),
+      (9L, "zebra yak xylophone walrus vulture")) ++
+      (100L until 170L).map(i => (i, s"common prefix words here filler$i")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.defs.find(_.name == "t11_edit_distance").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 3), (1L, 4L, 0), (2L, 4L, 3)))
+  }
 }
