@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank (g1): structural properties on a constructed
+  * graph — the hub out-ranks the periphery, every rank carries at least
+  * the teleport mass, and the integer arithmetic is run-deterministic. */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: hub customer outranks leaves; ranks bounded below by teleport; deterministic") {
+    import spark.implicits._
+    // suppliers 1,2,3 all sell to customer 10 (the hub); supplier 1 also
+    // sells to customers 11,12. Orders o (100+c) belong to customer c.
+    val dir = java.nio.file.Files.createTempDirectory("graft-g1").toString
+    val sales = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (1L, 12L))
+    sales.zipWithIndex.map { case ((s, c), i) => (s, 1000L + i) }
+      .toDF("l_suppkey", "l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    sales.zipWithIndex.map { case ((s, c), i) => (1000L + i, c) }
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val run = Graph.defs.find(_.name == "g1_pagerank").get
+    val got = run.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 3 suppliers + 3 customers
+    assert(got.length === 6)
+    // supplier 1 (packed 2) and customer 10 (packed 21) are both degree-3
+    // hubs obeying IDENTICAL rank equations — they tie exactly at the top
+    // (integer arithmetic makes the tie exact, not approximate), broken by
+    // node id; every leaf ranks strictly below
+    assert(got.map(_._1).take(2).toSeq === Seq(2L, 21L))
+    assert(got(0)._3 === got(1)._3)
+    assert(got.drop(2).forall(_._3 < got(0)._3))
+    // every rank carries at least the teleport floor
+    assert(got.forall(_._3 >= Graph.PrTeleport))
+    // integer arithmetic ⇒ bit-identical re-run
+    val again = run.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === again.toSeq)
+  }
+}
