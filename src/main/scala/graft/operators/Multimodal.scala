@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed per-partition.
   *
-  * IMAGES decode for REAL: [[JdkImageCodec]] encodes/decodes genuine
-  * PNG/BMP container bytes through `javax.imageio` (JDK-shipped, no
-  * external deps), with mm2 certifying the round trip pixel-for-pixel
-  * against a codec-free DuckDB oracle. Audio/video remain stubbed —
-  * `FakeCodec` defines a deterministic self-describing container
-  * (`GRAFT1|kind|w|h|frames|payload`) standing in for WAV/MP4, since the
-  * container ships no audio/video codec libraries. Common to both paths
-  * is the Spark side a production pipeline needs:
+  * IMAGES and AUDIO decode for REAL: [[JdkImageCodec]] encodes/decodes
+  * genuine PNG/BMP container bytes through `javax.imageio` and
+  * [[JdkAudioCodec]] genuine RIFF/WAVE PCM through `javax.sound.sampled`
+  * (both JDK-shipped, no external deps), with mm2/mm3 certifying the
+  * round trips pixel-for-pixel / sample-for-sample against codec-free
+  * DuckDB oracles. Only VIDEO remains stubbed — `FakeCodec` defines a
+  * deterministic self-describing container (`GRAFT1|kind|w|h|frames|
+  * payload`) standing in for MP4, since the JDK ships no video codec.
+  * Common to all paths is the Spark side a production pipeline needs:
   *   - a typed `Dataset[MediaFile]` with the binary payload + metadata,
   *   - `mapPartitions` decode (per-partition batching: one codec context
   *     per partition, not per row — swap `FakeCodec.decode` for libjpeg/
@@ -262,6 +263,103 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec via JDK `javax.sound.sampled` (no external deps):
+    * RIFF/WAVE, 16-bit signed little-endian mono PCM. This replaces the
+    * FakeCodec stub for the audio kind the way [[JdkImageCodec]] did for
+    * images; video stays stubbed (the JDK ships no video codec).
+    *
+    * Fixture audio is CONSTRUCTED: sample i of clip `id` is
+    * ((2718281·i + 31·id) mod 65536) − 32768, so every decoded statistic
+    * has a closed form an independent engine computes WITHOUT a codec —
+    * the oracle derives expected sums from the formula over
+    * generate_series while Spark derives them from AudioSystem-decoded
+    * frames; a hash match certifies the full WAV encode→decode round
+    * trip recovered every sample exactly (rate, count, values, AND
+    * positions via the ordinal-weighted mix). */
+  object JdkAudioCodec {
+    import java.io.ByteArrayInputStream
+    import java.io.ByteArrayOutputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    def nSamples(id: Long): Int = 256 + (id % 97).toInt
+    def sampleRate(id: Long): Int = 8000 + ((id % 3) * 4000).toInt
+    def sampleAt(id: Long, i: Long): Int =
+      (((2718281L * i + 31L * id) % 65536L) - 32768L).toInt
+
+    /** Real WAV bytes (RIFF header + PCM data chunk via AudioSystem). */
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sampleAt(id, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate(id).toFloat, 16, 1,
+        /* signed = */ true, /* bigEndian = */ false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode WAV container bytes → (rate, channels, samples); None on
+      * corrupt/unsupported bytes (degrade to ok=false rows, never task
+      * failures). The JDK parser handles the RIFF chunk walk; samples are
+      * reassembled from the little-endian frames it exposes. */
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val n = data.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((data(2 * i + 1).toInt << 8) | (data(2 * i).toInt & 0xff))
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  final case class WavMeta(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, s_sum: Long, s_mix: Long, ok: Boolean)
+
+  /** Real-audio fixture set: the first `n` documents become genuine WAV
+    * clips with formula samples (RIFF-identifiable, playable). */
+  def audioFixtures(s: SparkSession, dir: String, n: Int = 200): Dataset[MediaFile] = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").where(col("doc_id") < n)
+      .as[Long].map(id => MediaFile(id, "wav", JdkAudioCodec.encodeWav(id)))
+  }
+
+  /** Decode REAL WAV bytes per partition (same contract as
+    * [[decodeImages]]: one codec context per partition, corrupt bytes →
+    * ok=false row). */
+  def decodeWavs(media: Dataset[MediaFile]): Dataset[WavMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        JdkAudioCodec.decodeWav(m.content) match {
+          case Some((rate, ch, samples)) =>
+            var sum = 0L; var mix = 0L; var i = 0
+            while (i < samples.length) {
+              sum += samples(i); mix += (i % 251).toLong * samples(i); i += 1
+            }
+            WavMeta(m.media_id, rate, ch, samples.length.toLong, sum, mix, ok = true)
+          case None => WavMeta(m.media_id, -1, -1, 0L, 0L, 0L, ok = false)
+        }
+      }
+    }
+  }
+
   /** Deterministic fixture: wrap each document's text bytes as fake media
     * (kind cycles image/audio/video; dims derived from doc stats). */
   def syntheticMedia(s: SparkSession, dir: String): Dataset[MediaFile] = {
@@ -332,6 +430,35 @@ object Multimodal {
       decodeImages(imageFixtures(s, dir))
         .select(col("media_id"), col("width"), col("height"),
           col("n_px"), col("px_sum"), col("px_mix"))
+        .orderBy("media_id")
+    },
+
+    // MM3: REAL audio decode under the differential gate — the WAV
+    // sibling of mm2. Spark writes genuine RIFF/WAVE PCM clips (formula
+    // samples), decodes them with javax.sound.sampled, and emits decoded
+    // statistics; the oracle computes the SAME statistics from the sample
+    // formula — codec-free. The hash match certifies the container round
+    // trip recovered rate, count, and every 16-bit sample exactly.
+    QueryDef("mm3_audio_decode",
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |               256 + doc_id % 97 AS n
+        |             FROM documents WHERE doc_id < 200),
+        |sm AS (SELECT media_id, sample_rate,
+        |              unnest(generate_series(0, n - 1)) AS i
+        |       FROM ids),
+        |v AS (SELECT media_id, sample_rate, i,
+        |             (2718281 * i + 31 * media_id) % 65536 - 32768 AS s
+        |      FROM sm)
+        |SELECT media_id, CAST(min(sample_rate) AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       count(*) AS n_samples,
+        |       CAST(sum(s) AS BIGINT) AS s_sum,
+        |       CAST(sum((i % 251) * s) AS BIGINT) AS s_mix
+        |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      decodeWavs(audioFixtures(s, dir))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("s_sum"), col("s_mix"))
         .orderBy("media_id")
     }
   )
