@@ -385,6 +385,52 @@ object Joins {
           round(lit(100.0) * sum(when(col("p_type") === "PROMO", fixedRev).otherwise(0L))
             / sum(fixedRev), 6).cast("double").as("promo_share"),
           count(lit(1)).as("n"))
+    },
+
+    // J15: TPC-H Q21 SHAPE (suppliers who kept orders waiting) — the
+    // hardest join composition in the benchmark: the fact table appears
+    // THREE times (base + correlated EXISTS + correlated NOT EXISTS).
+    // This testdata has no receipt/commit dates, so the "fault" marker is
+    // l_returnflag = 'R': suppliers whose returned line sits on a
+    // finished multi-supplier order where NO OTHER supplier had a return
+    // — the sole-blame supplier. Semantics (and the decorrelated plan:
+    // two fact self-joins, one SEMI one ANTI, on the order key) are
+    // exactly Q21's.
+    //
+    // Scale: both self-joins are keyed on l_orderkey (shuffle join, no
+    // broadcast of a fact side); semi/anti probe without payload
+    // duplication; supplier broadcasts; the aggregate is one pass.
+    QueryDef("j15_q21_shape",
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val base = l1
+        .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+      base
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
     }
   )
 }

@@ -101,6 +101,36 @@ object SqlSurface {
         .orderBy("y", "q")
     },
 
+    // FN2: the datetime function family fn1 only grazes — truncation,
+    // day arithmetic, calendar-aware month addition (clamps to month end
+    // in BOTH engines: Jan 31 + 1mo = Feb 29), last-day, ISO weekday.
+    // Spark's weekday() is 0=Monday; DuckDB's isodow is 1=Monday — the
+    // +1 shift is applied on the Spark side so both sum the same series.
+    // All outputs are DATEs or exact ints: nothing here can drift.
+    QueryDef("fn2_datetime_functions",
+      // o_orderdate is a parquet TIMESTAMP; date semantics are pinned by
+      // casting to DATE up front (Spark's date functions do the same
+      // coercion implicitly)
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(date_trunc('month', d) AS DATE) AS mon,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(datediff('day', DATE '1995-01-01', d)) AS INT) AS min_dd,
+        |       CAST(min(d + INTERVAL 3 MONTH) AS DATE) AS min_am3,
+        |       max(last_day(d)) AS max_ld,
+        |       min(d + 7) AS min_d7,
+        |       CAST(sum(isodow(d)) AS BIGINT) AS dow_ck
+        |FROM o GROUP BY 1 ORDER BY mon""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+        .agg(count(lit(1)).as("n"),
+          min(datediff(col("o_orderdate"), lit("1995-01-01"))).as("min_dd"),
+          min(add_months(col("o_orderdate"), 3)).as("min_am3"),
+          max(last_day(col("o_orderdate"))).as("max_ld"),
+          min(date_add(col("o_orderdate"), 7)).as("min_d7"),
+          sum((weekday(col("o_orderdate")) + 1).cast("long")).as("dow_ck"))
+        .orderBy("mon")
+    },
+
     // JSON1: semi-structured column handling — events.props is a JSON
     // string; extract + aggregate a field. At scale this is the schema-on-
     // read path for property bags (get_json_object stays in codegen).

@@ -369,6 +369,50 @@ object Windows {
         .select(idCols ++ Seq(
           sum(col("l_quantity").cast("long")).over(w).as("cum_qty"),
           count(lit(1)).over(w).as("cum_n")): _*))
+    },
+
+    // W10: linearly-weighted trailing moving average (WMA) — recency
+    // weighting the plain frames (w1-w3) can't express: lag k back gets
+    // weight 10−k. Built as 10 lag() columns folded into ONE exact
+    // integer numerator/denominator pair (head-of-partition rows simply
+    // drop the missing lags — shrinking-window semantics, like w1's
+    // tail); the reported average uses w1's integer-division discipline
+    // (num·100 div den, then one exact power-of-ten divide), so no
+    // float accumulation or rounding tie can diverge across engines.
+    // One window pass, all codegen'd — no self-joins, no collect_list.
+    QueryDef("w10_weighted_ma", {
+      val lagSql = (0 until 10).map { k =>
+        if (k == 0) "CAST(round(l_extendedprice * 100) AS BIGINT) AS c0"
+        else s"lag(CAST(round(l_extendedprice * 100) AS BIGINT), $k) OVER ($overSql) AS c$k"
+      }.mkString(",\n        |         ")
+      val numSql = (0 until 10).map(k => s"${10 - k} * coalesce(c$k, 0)").mkString(" + ")
+      val denSql = (0 until 10).map(k =>
+        s"(CASE WHEN c$k IS NOT NULL THEN ${10 - k} ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         $lagSql
+        |       FROM lineitem),
+        |x AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        CAST($numSql AS BIGINT) AS wma_num,
+        |        CAST($denSql AS BIGINT) AS wma_den
+        |      FROM b)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, wma_num, wma_den,
+        |       CAST((wma_num * 100 // wma_den) / 10000.0 AS DOUBLE) AS wma
+        |FROM x
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, wma_num, wma_den, wma")}""".stripMargin
+    }) { (s, dir) =>
+      val wSpec = Window.partitionBy(bySupp: _*).orderBy(series: _*)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val lagCols = (0 until 10).map { k =>
+        (10 - k, if (k == 0) cents else lag(cents, k).over(wSpec))
+      }
+      val num = lagCols.map { case (wt, c) => coalesce(c, lit(0L)) * wt }.reduce(_ + _)
+      val den = lagCols.map { case (wt, c) =>
+        when(c.isNotNull, wt.toLong).otherwise(0L)
+      }.reduce(_ + _)
+      dump(li(s, dir)
+        .select(idCols ++ Seq(num.as("wma_num"), den.as("wma_den")): _*)
+        .withColumn("wma",
+          (expr("wma_num * 100 div wma_den") / 10000.0).cast("double")))
     }
   )
 }

@@ -34,6 +34,11 @@ object Streams {
   private val HourUs = 3600L * 1000000L
   private val HalfHourUs = 1800L * 1000000L
 
+  /** e8 conversion window: a stage only counts if it happens within this
+    * long after the previous stage's first touch (8 h — chosen so the
+    * stages genuinely discriminate on this corpus). */
+  private val FunnelWindowUs = 28800L * 1000000L
+
   /** Tumbling 1-hour event-time windows per event type. */
   def tumbling(events: DataFrame): DataFrame =
     events
@@ -266,6 +271,66 @@ object Streams {
         |FROM x GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
       sessionize(Tables.events(s, dir)).orderBy("user_id")
+    },
+
+    // E8: ordered conversion funnel (view → click → purchase) with a
+    // conversion window — the product-analytics sequence query: a user
+    // reaches stage 2 only with a click STRICTLY AFTER their first view
+    // and within the window, stage 3 only with a purchase strictly after
+    // (and within the window of) that click. First-touch attribution;
+    // same-microsecond ties don't advance — strictness both engines
+    // share. Timestamps compare as exact epoch-microsecond BIGINTs, so
+    // stage assignment is integer-deterministic.
+    //
+    // Scale shape: three keyed aggregations over the user_id partitioning
+    // (the stage-k frame is ALREADY keyed by user — each join is
+    // co-partitioned after the first shuffle); per-stage frames shrink
+    // monotonically (only converting users survive); the final result is
+    // a 4-row grouped count. No windows over the full event stream, no
+    // per-user state beyond three BIGINTs.
+    QueryDef("e8_funnel",
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |tv AS (SELECT user_id, min(us) AS tv FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (SELECT e.user_id, min(e.us) AS tc FROM ev e
+        |       JOIN tv ON e.user_id = tv.user_id
+        |       WHERE e.event_type = 'click' AND e.us > tv.tv
+        |         AND e.us <= tv.tv + $FunnelWindowUs GROUP BY e.user_id),
+        |tp AS (SELECT e.user_id, min(e.us) AS tp FROM ev e
+        |       JOIN tc ON e.user_id = tc.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > tc.tc
+        |         AND e.us <= tc.tc + $FunnelWindowUs GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT CASE WHEN tp.tp IS NOT NULL THEN 3
+        |            WHEN tc.tc IS NOT NULL THEN 2
+        |            WHEN tv.tv IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM u LEFT JOIN tv USING (user_id) LEFT JOIN tc USING (user_id)
+        |       LEFT JOIN tp USING (user_id)
+        |GROUP BY 1 ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_type", "ts_us").cache()
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("tv"))
+      val tc = ev.filter(col("event_type") === "click")
+        .join(tv, "user_id")
+        .filter(col("ts_us") > col("tv") &&
+          col("ts_us") <= col("tv") + FunnelWindowUs)
+        .groupBy("user_id").agg(min("ts_us").as("tc"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .join(tc, "user_id")
+        .filter(col("ts_us") > col("tc") &&
+          col("ts_us") <= col("tc") + FunnelWindowUs)
+        .groupBy("user_id").agg(min("ts_us").as("tp"))
+      ev.select("user_id").distinct()
+        .join(tv, Seq("user_id"), "left")
+        .join(tc, Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .select(when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1).otherwise(0).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
     }
   )
 

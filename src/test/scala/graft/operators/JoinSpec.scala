@@ -111,4 +111,29 @@ class JoinSpec extends SparkSpec {
     assert(share >= 0.0 && share <= 100.0, s"promo share $share out of range")
     assert(r.getLong(1) > 0, "date window must select rows at this sf")
   }
+
+  test("j15 q21 shape: sole-blame supplier counted; shared blame, single-supplier, and open orders excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-j15").toString
+    // order 1 (F): s1 returns, s2/s3 clean  → s1 is sole-blame, counted
+    // order 2 (F): s1 AND s2 return         → shared blame, nobody counted
+    // order 3 (F): s1 returns, sole supplier → no co-supplier, excluded
+    // order 4 (P): s3 returns, s2 clean     → order not finished, excluded
+    Seq(
+      (1L, 1L, "R"), (1L, 2L, "N"), (1L, 3L, "N"),
+      (2L, 1L, "R"), (2L, 2L, "R"),
+      (3L, 1L, "R"),
+      (4L, 3L, "R"), (4L, 2L, "N"))
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "F"), (2L, "F"), (3L, "F"), (4L, "P"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "Supp#1"), (2L, "Supp#2"), (3L, "Supp#3"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Joins.defs.find(_.name == "j15_q21_shape").get.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("Supp#1", 1L)))
+  }
 }

@@ -116,4 +116,24 @@ class WindowSpec extends SparkSpec {
       .orderBy("g", "pos").collect().map(r => (r.getInt(0), r.getLong(2)))
     assert(got.toSeq === Seq((1, 2L), (1, 5L), (1, 10L), (2, 7L)))
   }
+
+  test("w10 weighted MA: hand-computed numerator/denominator at the partition head") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-w10").toString
+    // one supplier, three rows in series order; prices 1.00 / 2.00 / 3.00
+    Seq(
+      (7L, 101L, 1, 11L, java.sql.Date.valueOf("1995-01-01"), 1.00),
+      (7L, 102L, 1, 12L, java.sql.Date.valueOf("1995-01-02"), 2.00),
+      (7L, 103L, 1, 13L, java.sql.Date.valueOf("1995-01-03"), 3.00))
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_shipdate", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Windows.defs.find(_.name == "w10_weighted_ma").get.run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // head rows drop missing lags: weights 10 / 10+9 / 10+9+8
+    assert(got.toSeq === Seq(
+      (101L, 1000L, 10L, 1.0),         // 10·100
+      (102L, 2900L, 19L, 1.5263),      // 10·200 + 9·100; 290000 div 19 = 15263
+      (103L, 5600L, 27L, 2.074)))      // 10·300 + 9·200 + 8·100; 560000 div 27 = 20740
+  }
 }

@@ -248,4 +248,27 @@ class StreamingSpec extends SparkSpec {
     val want = Tables.events(spark, sf).select("event_id").distinct().count()
     assert(got === want)
   }
+
+  test("e8 funnel: strict ordering, first-touch attribution, and the conversion window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-e8").toString
+    val t0 = 1700000000L * 1000000000L // epoch NANOS (raw events.ts unit)
+    val hour = 3600L * 1000000000L
+    // u1 converts fully in-window; u2's only click precedes its first view
+    // (must NOT count); u3 never views; u4's click misses the 8h window;
+    // u5 clicks in-window but purchases outside it
+    val rows = Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + hour, 1L, "click"), (3L, t0 + 2 * hour, 1L, "purchase"),
+      (4L, t0, 2L, "click"), (5L, t0 + hour, 2L, "view"),
+      (6L, t0, 3L, "purchase"),
+      (7L, t0, 4L, "view"), (8L, t0 + 9 * hour, 4L, "click"),
+      (9L, t0, 5L, "view"), (10L, t0 + hour, 5L, "click"),
+      (11L, t0 + 10 * hour, 5L, "purchase"))
+    rows.map { case (id, ts, u, ty) => (id, ts, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Streams.defs.find(_.name == "e8_funnel").get.run(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0, 1L), (1, 2L), (2, 1L), (3, 1L)))
+  }
 }
