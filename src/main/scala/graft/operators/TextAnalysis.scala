@@ -393,6 +393,44 @@ object TextAnalysis {
         .toDF("token", "within_bound", "tight_quorum").orderBy("token")
     },
 
+    // T12: keyword extraction — each document's top-3 terms by TF-IDF
+    // weight (the per-doc dual of d14's pairwise cosine; what a pipeline
+    // tags documents with before topic bucketing). Weights reuse d14's
+    // exact-integer quantization (tf × (1e6 div df), idf ∝ 1/df — the
+    // constant corpus factor is rank-irrelevant per doc), so ranking ties
+    // are exact and the deterministic tiebreak (term asc) totalizes the
+    // order. No df cap here: keywords come from ALL terms (hot terms
+    // self-demote via idf; there is no self-join for a hot term to blow
+    // up — the cap is a join guard, not a weighting device).
+    //
+    // Scale shape: tf = one (doc, term) shuffle; df = one term shuffle;
+    // the decoration join is keyed on term; top-3 is a keyed window
+    // (partial per-doc, never global). Linear.
+    QueryDef("t12_keywords",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |w AS (SELECT doc_id, tf.t, tf.tf * (1000000 // df) AS wq
+        |      FROM tf JOIN dfr ON tf.t = dfr.t),
+        |r AS (SELECT doc_id, t, wq,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY wq DESC, t) AS rk
+        |      FROM w)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, t AS term, CAST(wq AS BIGINT) AS wq
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val toks = Par.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).cache()
+      val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = tf.join(dfr, Seq("t"))
+        .select(col("doc_id"), col("t"),
+          (col("tf") * expr("1000000 div df")).as("wq"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("wq").desc, col("t"))
+      w.withColumn("rk", row_number().over(win)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("t").as("term"), col("wq"))
+        .orderBy("doc_id", "rk")
+    },
+
     // T11: banded edit-distance near-dup — exact Levenshtein over the
     // canonicalized text, but only within blocks sharing the first
     // EditPrefix normalized characters (prefix blocking, the classic

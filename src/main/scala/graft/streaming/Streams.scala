@@ -308,31 +308,77 @@ object Streams {
         |FROM u LEFT JOIN tv USING (user_id) LEFT JOIN tc USING (user_id)
         |       LEFT JOIN tp USING (user_id)
         |GROUP BY 1 ORDER BY stage""".stripMargin) { (s, dir) =>
-      val ev = Tables.events(s, dir)
-        .select("user_id", "event_type", "ts_us").cache()
-      val tv = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("tv"))
-      val tc = ev.filter(col("event_type") === "click")
-        .join(tv, "user_id")
-        .filter(col("ts_us") > col("tv") &&
-          col("ts_us") <= col("tv") + FunnelWindowUs)
-        .groupBy("user_id").agg(min("ts_us").as("tc"))
-      val tp = ev.filter(col("event_type") === "purchase")
-        .join(tc, "user_id")
-        .filter(col("ts_us") > col("tc") &&
-          col("ts_us") <= col("tc") + FunnelWindowUs)
-        .groupBy("user_id").agg(min("ts_us").as("tp"))
-      ev.select("user_id").distinct()
-        .join(tv, Seq("user_id"), "left")
-        .join(tc, Seq("user_id"), "left")
-        .join(tp, Seq("user_id"), "left")
-        .select(when(col("tp").isNotNull, 3)
-          .when(col("tc").isNotNull, 2)
-          .when(col("tv").isNotNull, 1).otherwise(0).as("stage"))
+      funnelStages(Tables.events(s, dir))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     }
   )
+
+  /** The e8 kernel exposed per user: (user_id, stage). Stage k requires
+    * the k-th touch STRICTLY after — and within [[FunnelWindowUs]] of —
+    * the (k−1)-th first touch. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val ev = events.select("user_id", "event_type", "ts_us").cache()
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, "user_id")
+      .filter(col("ts_us") > col("tv") &&
+        col("ts_us") <= col("tv") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("ts_us").as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc, "user_id")
+      .filter(col("ts_us") > col("tc") &&
+        col("ts_us") <= col("tc") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("ts_us").as("tp"))
+    ev.select("user_id").distinct()
+      .join(tv, Seq("user_id"), "left")
+      .join(tc, Seq("user_id"), "left")
+      .join(tp, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1).otherwise(0).as("stage"))
+  }
+
+  /** Per-user funnel progress carried across micro-batches (−1 = unset). */
+  final case class FunnelState(tv: Long, tc: Long, tp: Long)
+  final case class UserStage(user_id: Long, stage: Int)
+
+  /** Streaming twin of e8: a per-user funnel STATE MACHINE via
+    * flatMapGroupsWithState — first-touch timestamps survive across
+    * micro-batches, so a view in batch 1 converts on a click in batch 7.
+    * Within a batch events advance the machine in event-time order; the
+    * first qualifying touch in time order IS the minimum qualifying touch,
+    * so one pass equals the batch kernel exactly (StreamingSpec pins
+    * per-user agreement with [[funnelStages]]). Same in-order-across-
+    * batches caveat as [[sessionizeStateful]]. Emits the user's current
+    * stage every batch (OutputMode.Update); state is three BIGINTs. */
+  def funnelStateful(events: DataFrame): Dataset[UserStage] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("ts_us").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, UserStage](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toArray.sortBy(_._3).foreach { case (_, ty, ts) =>
+            if (ty == "view" && st.tv < 0) st = st.copy(tv = ts)
+            else if (ty == "click" && st.tc < 0 && st.tv >= 0 &&
+              ts > st.tv && ts <= st.tv + FunnelWindowUs) st = st.copy(tc = ts)
+            else if (ty == "purchase" && st.tp < 0 && st.tc >= 0 &&
+              ts > st.tc && ts <= st.tc + FunnelWindowUs) st = st.copy(tp = ts)
+          }
+          state.update(st)
+          val stage = if (st.tp >= 0) 3 else if (st.tc >= 0) 2
+            else if (st.tv >= 0) 1 else 0
+          Iterator(UserStage(uid, stage))
+      }
+  }
 
   /** Per-user session state carried across micro-batches. */
   final case class SessionAgg(lastTsUs: Long, sessions: Long, events: Long)

@@ -249,6 +249,17 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("funnelStateful (flatMapGroupsWithState FSM) == batch funnelStages per user") {
+    val stream = Streams.funnelStateful(Streams.eventsStream(spark, stageDir))
+    runToMemory(stream.toDF(), "funnel_out", "update")
+    val got = spark.table("funnel_out")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Streams.funnelStages(Tables.events(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    assert(want.values.toSet.size > 1, "fixture must exercise multiple stages")
+  }
+
   test("e8 funnel: strict ordering, first-touch attribution, and the conversion window") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-e8").toString
