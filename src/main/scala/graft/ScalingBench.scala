@@ -28,8 +28,9 @@ object ScalingBench {
   private val Queries = Seq(
     "d1_exact_dedup", "d3_minhash_lsh", "d4b_simhash_hamming",
     "d6_ngram_jaccard", "d8_weighted_jaccard", "d9_line_dedup",
-    "d7_dedup_clusters", "sim1_cosine_topk", "sim3_ann_ivf",
-    "sim8_knn_join_ivf")
+    "d7_dedup_clusters", "d13_substring_dedup", "d14_tfidf_cosine",
+    "t11_edit_distance", "t12_keywords",
+    "sim1_cosine_topk", "sim3_ann_ivf", "sim8_knn_join_ivf")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -183,6 +183,42 @@ object Curation {
         .orderBy("lang", "split")
     },
 
+    // CUR9: per-epoch reshuffle — training runs want a DIFFERENT data
+    // order every epoch with ZERO stored RNG state: the order key is a
+    // pure function of (epoch, doc_id) (the cur2 Lehmer mix with an
+    // epoch-salted input), so any worker, engine, or re-run derives the
+    // identical permutation, and shard assignment (key mod 64) rebalances
+    // every epoch. Emitted as per-(epoch, shard) counts plus exact id and
+    // key checksums: equal ck_ids distributions across epochs prove every
+    // doc appears exactly once per epoch; differing ck_key proves the
+    // ORDER actually changed.
+    //
+    // Scale shape: labeling is a narrow codegen'd expression (the 3-epoch
+    // explode is output-side replication, not a shuffle); the grouped
+    // counts are one tiny aggregate. The sort a trainer would do per
+    // epoch is BY KEY WITHIN SHARD — range partition on (epoch, shard,
+    // key), never a global single-partition sort.
+    QueryDef("cur9_epoch_shuffle",
+      """WITH e AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents),
+        |k AS (SELECT epoch, doc_id,
+        |        ((doc_id % 2147483647 + epoch * 16807) * 48271) % 2147483647 AS key
+        |      FROM e)
+        |SELECT epoch, CAST(key % 64 AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS ck_ids,
+        |       CAST(sum(key) AS BIGINT) AS ck_key
+        |FROM k GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin) { (s, dir) =>
+      val key = (((col("doc_id") % 2147483647L + col("epoch") * 16807L) *
+        48271L) % 2147483647L)
+      docs(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("epoch"))
+        .withColumn("key", key)
+        .groupBy(col("epoch"), (col("key") % 64).as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("ck_ids"),
+          sum("key").as("ck_key"))
+        .orderBy("epoch", "shard")
+    },
+
     // CUR3: per-source quota — keep at most K documents per source,
     // chosen by hash order (deterministic, unbiased within the source).
     // This is the per-domain cap a web-scale corpus applies so one crawl

@@ -193,4 +193,26 @@ class CurationSpec extends SparkSpec {
     val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, s"decon join must broadcast the eval grams:\n$plan")
   }
+
+  test("cur9 epoch shuffle: exact per-epoch coverage, order changes across epochs, re-run identical") {
+    val run = Curation.defs.find(_.name == "cur9_epoch_shuffle").get
+    val rows = run.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val idSum = graft.sources.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0)
+    (0 to 2).foreach { e =>
+      val es = rows.filter(_._1 == e)
+      // every document appears exactly once per epoch
+      assert(es.map(_._3).sum === total, s"epoch $e coverage")
+      assert(es.map(_._4).sum === idSum, s"epoch $e id checksum")
+    }
+    // the permutation genuinely changes: per-epoch key totals differ
+    val keyTotals = (0 to 2).map(e => rows.filter(_._1 == e).map(_._5).sum)
+    assert(keyTotals.distinct.size === 3, s"epoch orders must differ: $keyTotals")
+    // pure function of (epoch, id) ⇒ bit-identical re-run
+    val again = run.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === again.toSeq)
+  }
 }
