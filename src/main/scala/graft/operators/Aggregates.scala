@@ -246,6 +246,35 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // A13: exact per-group MODE (most frequent value) with a
+    // deterministic tiebreak (highest count, then lowest value) — the
+    // statistical aggregate SQL engines bolt on as mode()/any_value
+    // hacks; here it's the two-shuffle shape that scales: count per
+    // (group, value) with map-side combine, then a keyed top-1 window —
+    // never a per-group collect.
+    QueryDef("a13_exact_mode",
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |             CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY l_returnflag, l_linestatus
+        |        ORDER BY n DESC, q) AS rn FROM c)
+        |SELECT l_returnflag, l_linestatus, q AS mode_qty,
+        |       CAST(n AS BIGINT) AS freq
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val c = li(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("n").desc, col("q"))
+      c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("q").as("mode_qty"), col("n").as("freq"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // A9: grouping sets via ROLLUP — free generalization of grouped aggs
     // (SURVEY §2.7). NULLS FIRST pinned on both sides (DuckDB defaults
     // NULLS LAST on ASC; Spark defaults NULLS FIRST).

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the star schema — PageRank as the
@@ -40,6 +41,14 @@ object Graph {
   val PrIters = 5
   val PrUnit = 1000000L   // rank 1.0
   val PrTeleport = 150000L // (1 - 0.85) · PrUnit
+
+  /** g2 edge strength floor: suppliers are co-supply-linked only if they
+    * share at least this many distinct orders (declared before `defs`).
+    * One shared order is noise on a dense marketplace; the floor is what
+    * keeps the projected graph sparse as order volume grows (on this
+    * synthetic data the graph is complete below sf0.1 regardless — the
+    * oracle certifies the count either way). */
+  val MinCoOrders = 5
 
   /** One PageRank sweep: contributions along edges, damped update.
     * `ew` = (src, dst, deg) cached edge list; `r` = (id, r) ranks. */
@@ -96,6 +105,69 @@ object Graph {
           when(col("id") % 2 === 0, "supplier").otherwise("customer").as("node_type"),
           col("r").as("pr"))
         .orderBy(col("pr").desc, col("node_id")).limit(100)
+    },
+
+    // G2: triangle counting over the supplier CO-SUPPLY graph (suppliers
+    // sharing at least one order) — the canonical graph-motif query.
+    // The Spark side counts via DEGREE-ORDERED orientation: nodes get a
+    // total rank by (degree, id), every edge stores (rank_lo, rank_hi),
+    // and each triangle is found EXACTLY once as a wedge at its
+    // minimum-rank node closed by a semi-join — the classic bound that
+    // makes wedge fan-out Σ outdeg² track the graph's arboricity instead
+    // of raw degree² (a celebrity node stops being a wedge pivot). The
+    // oracle counts naively (a<b<c over the undirected edge list) — an
+    // INDEPENDENT implementation certifying the oriented count.
+    //
+    // Scale shape: per-order supplier pairs are bounded by order width
+    // (≤ a few lines per order — never corpus-quadratic); the node-rank
+    // table is dimension-sized (broadcast); wedge generation and closure
+    // are keyed equi-joins on rank pairs.
+    QueryDef("g2_triangle_count",
+      s"""WITH co AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        |            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_suppkey < b.l_suppkey
+        |            GROUP BY 1, 2
+        |            HAVING count(DISTINCT a.l_orderkey) >= $MinCoOrders),
+        |nod AS (SELECT count(DISTINCT s) AS n FROM
+        |          (SELECT a AS s FROM co UNION SELECT b AS s FROM co)),
+        |tri AS (SELECT count(*) AS n FROM co e1
+        |        JOIN co e2 ON e1.b = e2.a
+        |        JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(nod.n AS BIGINT) AS n_nodes,
+        |       CAST((SELECT count(*) FROM co) AS BIGINT) AS n_edges,
+        |       CAST(tri.n AS BIGINT) AS n_triangles
+        |FROM nod, tri""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val co = li.select(col("l_orderkey"), col("l_suppkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")), "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(countDistinct("l_orderkey").as("w"))
+        .filter(col("w") >= MinCoOrders)
+        .select("a", "b").cache()
+      val deg = co.select(col("a").as("s")).union(co.select(col("b").as("s")))
+        .groupBy("s").agg(count(lit(1)).as("deg"))
+      // dimension-sized node table: the rank window runs over #suppliers
+      // rows, not the edge list — single partition over a dim is fine
+      val rk = deg.withColumn("rk",
+        row_number().over(Window.orderBy(col("deg"), col("s"))))
+        .select("s", "rk")
+      val e = co
+        .join(broadcast(rk.withColumnRenamed("s", "a").withColumnRenamed("rk", "ra")), "a")
+        .join(broadcast(rk.withColumnRenamed("s", "b").withColumnRenamed("rk", "rb")), "b")
+        .select(least(col("ra"), col("rb")).as("lo"),
+          greatest(col("ra"), col("rb")).as("hi"))
+        .cache() // consumed three times: wedges (both sides) + closure
+      val wedges = e.select(col("lo"), col("hi").as("h1"))
+        .join(e.select(col("lo"), col("hi").as("h2")), Seq("lo"))
+        .filter(col("h1") < col("h2"))
+      val tri = wedges
+        .join(e.select(col("lo").as("h1"), col("hi").as("h2")), Seq("h1", "h2"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      rk.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "n_triangles")
     }
   )
 }

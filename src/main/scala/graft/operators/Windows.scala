@@ -413,6 +413,32 @@ object Windows {
         .select(idCols ++ Seq(num.as("wma_num"), den.as("wma_den")): _*)
         .withColumn("wma",
           (expr("wma_num * 100 div wma_den") / 10000.0).cast("double")))
+    },
+
+    // O1: DISTRIBUTED TOTAL ORDER under the hash gate — the engine's
+    // global-sort capability proven over ALL rows without ever forming a
+    // single partition: the dense ordinal comes from `globalOrdinal`
+    // (range partition + per-partition row_number + broadcast offsets),
+    // and the position-weighted checksum Σ ((ord mod 251)+1)·cents is
+    // nonzero-sensitive to ANY transposition, so a hash match against
+    // DuckDB's genuine global-sort row_number certifies the full
+    // permutation, not just membership (the w9/f9 checksum discipline
+    // applied to ordering itself).
+    QueryDef("o1_total_order", {
+      val ordSql = "row_number() OVER (ORDER BY " +
+        "l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice) - 1"
+      s"""WITH o AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |             $ordSql AS ord
+        |           FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(((ord % 251) + 1) * c) AS BIGINT) AS ck
+        |FROM o""".stripMargin
+    }) { (s, dir) =>
+      val base = li(s, dir)
+        .withColumn("c", round(col("l_extendedprice") * 100).cast("long"))
+      globalOrdinal(base, series)
+        .agg(count(lit(1)).as("n"),
+          sum(((col("__ord") % 251) + 1) * col("c")).as("ck"))
     }
   )
 }

@@ -39,4 +39,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq === again.toSeq)
   }
+
+  test("triangle count: K4 yields 4, a pendant edge adds none, sub-floor pairs are not edges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g2").toString
+    // K4 over suppliers 1-4 (each pair shares MinCoOrders orders), supplier
+    // 5 linked to 1 at the floor (edge, no triangle), supplier 6 linked to
+    // 1 by a single shared order (below the floor: NOT an edge)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    var oid = 0L
+    val rows = pairs.flatMap { case (a, b) =>
+      (1 to Graph.MinCoOrders).flatMap { _ =>
+        oid += 1; Seq((oid, a), (oid, b))
+      }
+    } ++ { oid += 1; Seq((oid, 1L), (oid, 6L)) }
+    rows.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.defs.find(_.name == "g2_triangle_count").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((5L, 7L, 4L)))
+  }
 }
