@@ -431,6 +431,46 @@ object Joins {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+
+    // J16: TPC-H Q7 SHAPE (volume shipping between two nations) — the
+    // six-table chain where the SAME dimension (nation) joins twice under
+    // different roles (supplier's nation vs customer's nation) with a
+    // symmetric cross-nation disjunction. Revenue sums exact integer
+    // cents. Scale: both nation roles and supplier broadcast; lineitem ⋈
+    // orders ⋈ customer are keyed shuffle joins; the nation-pair filter
+    // lands before the aggregate so only cross-nation rows reach it.
+    QueryDef("j16_q7_shape",
+      """SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS BIGINT) AS revenue_c
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS INT) AS l_year,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("nk1"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("nk2"),
+        col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_c"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }
   )
 }
