@@ -114,6 +114,37 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("round-5 operators degrade gracefully on empty inputs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty5").toString
+    // empty documents / events / lineitem / orders / supplier fixtures
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, Long, String)].toDF("l_orderkey", "l_suppkey", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, String, Long)].toDF("o_orderkey", "o_orderstatus", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    def run(n: String) = SparkEntry.queries(n)(spark, dir)
+    assert(run("d13_substring_dedup").count() === 0)
+    assert(run("d14_tfidf_cosine").count() === 0)
+    assert(run("t11_edit_distance").count() === 0)
+    assert(run("t12_keywords").count() === 0)
+    assert(run("cur9_epoch_shuffle").count() === 0)
+    assert(run("e8_funnel").count() === 0)
+    assert(run("j15_q21_shape").count() === 0)
+    assert(run("g1_pagerank").count() === 0) // empty edge set → empty ranking
+    // g2 emits its one summary row with all-zero counts
+    val g2 = run("g2_triangle_count").collect()
+    assert(g2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 0L, 0L)))
+  }
+
   test("joins with an empty side behave per join type") {
     val orders = Tables.orders(spark, sf)
     val noLines = li.filter(lit(false))

@@ -126,6 +126,45 @@ class PropertiesSpec extends SparkSpec {
       "containment must dominate jaccard")
   }
 
+  test("weighted MA lies between the rolling min and max of its own frame (any series)") {
+    // w10's trailing 10-row weighted mean must sit inside the frame's
+    // value envelope pointwise — a convexity law that holds for ANY
+    // positive weighting, so it catches weight/denominator bugs without
+    // re-deriving the exact constants. Computed in ONE pass over the same
+    // window spec (no self-join: (suppkey, orderkey, linenumber) is NOT
+    // unique in this synthetic data, so a key join would pair wrong rows)
+    // and asserted as exact integers: den·lo ≤ num ≤ den·hi.
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_extendedprice"))
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey").orderBy(order: _*)
+    val frame = Windows.rolling(Seq(col("l_suppkey")), order, -9, 0)
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val lagCols = (0 until 10).map { k =>
+      (10 - k, if (k == 0) cents else lag(cents, k).over(wSpec))
+    }
+    val num = lagCols.map { case (wt, c) => coalesce(c, lit(0L)) * wt }.reduce(_ + _)
+    val den = lagCols.map { case (wt, c) =>
+      when(c.isNotNull, wt.toLong).otherwise(0L)
+    }.reduce(_ + _)
+    val bad = li.select(num.as("num"), den.as("den"),
+        min(cents).over(frame).as("lo"), max(cents).over(frame).as("hi"))
+      .filter(col("num") < col("den") * col("lo") ||
+        col("num") > col("den") * col("hi"))
+    assert(bad.count() === 0)
+  }
+
+  test("mode frequency dominates every other value's frequency in its group") {
+    val mode = SparkEntry.queries("a13_exact_mode")(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"), col("freq"))
+    val counts = li.groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long")).agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag", "l_linestatus").agg(max("n").as("max_n"))
+    val bad = mode.join(counts, Seq("l_returnflag", "l_linestatus"))
+      .filter(col("freq") =!= col("max_n"))
+    assert(bad.count() === 0)
+  }
+
   test("topK(k) is a prefix of topK(k') for k < k'") {
     forAll(Gen.choose(1, 50)) { k =>
       val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
