@@ -19,6 +19,7 @@ object SparkEntry {
     operators.TextAnalysis.defs ++
     operators.Curation.defs ++
     operators.Dedup.defs ++
+    operators.SigIndex.defs ++
     operators.Graph.defs ++
     operators.Multimodal.defs ++
     operators.Similarity.defs ++

@@ -59,7 +59,9 @@ object Dedup {
   private val NumHash = 64
   private val Bands = 16 // × 4 rows = NumHash
   private val Rows = NumHash / Bands
-  private val Tau = 0.7
+  /** Near-dup verification threshold (public: SigIndex's incremental
+    * probe applies the same bar). */
+  val Tau = 0.7
 
   /** Distinct word 3-gram shingles per document (1-indexed to mirror the
     * oracle SQL; docs shorter than the shingle width drop out). Delegates
@@ -173,13 +175,19 @@ object Dedup {
         array((0 until NumHash).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** (doc_id, band, bh) rows from minhash signatures — the LSH bucket
+    * membership both the in-corpus candidate join (lshCandidates) and the
+    * persisted incremental index (SigIndex) key on. */
+  def signatureBands(sig: DataFrame): DataFrame = {
+    val bandHashes = transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(slice(col("sig"), b * Rows + 1, lit(Rows))))
+    sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+  }
+
   /** LSH bands: hash each run of `Rows` signature slots; docs sharing any
     * (band, band_hash) bucket become candidate pairs. */
   def lshCandidates(sig: DataFrame): DataFrame = {
-    val bandHashes = transform(sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(slice(col("sig"), b * Rows + 1, lit(Rows))))
-    val bands = sig.select(col("doc_id"),
-      posexplode(bandHashes).as(Seq("band", "bh")))
+    val bands = signatureBands(sig)
     bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
       .join(bands.select(col("band"), col("bh"), col("doc_id").as("b_id")),
         Seq("band", "bh"))
