@@ -219,6 +219,42 @@ object Curation {
         .orderBy("epoch", "shard")
     },
 
+    // PIPE2: the DATASET CARD in one pass — the per-language profile a
+    // pipeline publishes with a released corpus, composing the t2/t3/d2
+    // kernels over one shared tokenization: volume (docs, tokens), token-
+    // length distribution (exact median), duplication (distinct
+    // normalized fingerprints — d2's kernel), and a quality checksum
+    // (t3's score quantized to integers so the sum is order-free exact).
+    //
+    // Scale shape: ONE narrow per-doc pass (tokens/quality/fingerprint
+    // computed together), one shuffle on lang; the exact median is a10's
+    // per-group percentile (per-group sort at gate scale — the sketch
+    // form for 100 TB is a11/cur7's approx_percentile, already
+    // registered).
+    QueryDef("pipe2_corpus_profile", {
+      val q = TextAnalysis.qualitySql.replace("\n", "\n        |")
+      s"""SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       quantile_cont(len(string_split(text, ' ')), 0.50) AS med_tokens,
+        |       CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS n_uniq,
+        |       CAST(sum(CAST(round(($q) * 1000000) AS BIGINT)) AS BIGINT) AS ck_quality
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val nTok = size(split(col("text"), " ")).cast("long")
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTok).as("total_tokens"),
+          percentile(nTok, lit(0.50)).as("med_tokens"),
+          countDistinct(md5(Dedup.normalized(col("text")).cast("binary")))
+            .as("n_uniq"),
+          sum(round(TextAnalysis.qualityCol * 1000000).cast("long"))
+            .as("ck_quality"))
+        .orderBy("lang")
+    },
+
     // CUR3: per-source quota — keep at most K documents per source,
     // chosen by hash order (deterministic, unbiased within the source).
     // This is the per-domain cap a web-scale corpus applies so one crawl

@@ -471,6 +471,52 @@ object Joins {
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
           .cast("long")).as("revenue_c"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // J17: TPC-H Q4 SHAPE (order priority checking) — an EXISTS per order
+    // decorrelated to ONE left-semi probe of the fact table (this testdata
+    // has no commit/receipt dates; the "late" witness is a line shipped
+    // after the order date). Orders prune on the date window at the scan;
+    // the semi join carries no lineitem payload.
+    QueryDef("j17_q4_shape",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // J18: TPC-H Q12 SHAPE (shipping urgency profile) — fact-fact join
+    // feeding per-group conditional counts (URGENT/HIGH vs the rest) in
+    // ONE aggregate pass; the year of shipment stands in for l_shipmode
+    // (absent from this testdata).
+    QueryDef("j18_q12_shape",
+      """SELECT CAST(year(l_shipdate) AS INT) AS y,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY y""".stripMargin) { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("l_shipdate")).as("y"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_count"))
+        .orderBy("y")
     }
   )
 }
