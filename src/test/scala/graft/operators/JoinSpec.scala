@@ -135,5 +135,11 @@ class JoinSpec extends SparkSpec {
     val got = Joins.defs.find(_.name == "j15_q21_shape").get.run(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === Seq(("Supp#1", 1L)))
+    // the Q21 plan shape: the EXISTS runs as a semi join, the NOT EXISTS
+    // as an anti join (never join+distinct / join+filter-null)
+    val plan = Joins.defs.find(_.name == "j15_q21_shape").get.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"plan:\n$plan")
   }
 }

@@ -51,6 +51,14 @@ class SigIndexSpec extends SparkSpec {
     assert(SigIndex.probe(spark, dir, alien).count() === 0)
   }
 
+  test("probe plan prunes the postings scan behind a semi join (non-candidates never leave the index)") {
+    val dir = s"/root/repo/target/sigidx-plan-${System.nanoTime()}"
+    SigIndex.build(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    val plan = SigIndex.probe(spark, dir, docs.filter(col("doc_id") % 5 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"plan:\n$plan")
+  }
+
   test("streaming ingest: micro-batches probe-then-append; emitted pairs cover the cross-batch near-dups") {
     val tag = System.nanoTime()
     val stage = s"/root/repo/target/sigidx-stream-src-$tag"

@@ -53,6 +53,18 @@ class WindowSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
   }
 
+  test("o1 total-order checksum: the ordinal window runs per __pid, not one partition") {
+    // the whole point of o1: a GLOBAL permutation certified without a
+    // global single-partition SORT — the ordinal's window hash-partitions
+    // on __pid after the range partition; the only SinglePartition
+    // exchange allowed is the final one-row aggregate
+    val plan = graft.SparkEntry.queries("o1_total_order")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__pid"), s"plan:\n$plan")
+    val nSingle = "SinglePartition".r.findAllIn(plan).length
+    assert(nSingle <= 1, s"$nSingle SinglePartition exchanges:\n$plan")
+  }
+
   test("globalOrdinal is a dense 0..n-1 permutation honoring the total order") {
     val li = Tables.lineitem(spark, sf)
     val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
