@@ -86,8 +86,18 @@ object SigIndex {
 
   /** Near-dup pairs (old_id, new_id, jaccard ≥ [[Dedup.Tau]]) between the
     * persisted corpus and a new batch, without touching non-candidate
-    * corpus documents. */
-  def probe(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame = {
+    * corpus documents. The result leans on two internal caches (batch
+    * shingles + candidate pairs) that live until the session's cache is
+    * cleared — the harness's per-query clearCache convention. Long-lived
+    * callers that materialize the result themselves should use
+    * [[probeWithHandles]] and unpersist (streamingIngest does). */
+  def probe(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame =
+    probeWithHandles(s, idx, newDocs)._1
+
+  /** [[probe]] plus the cached frames backing the (lazy) result — the
+    * caller unpersists them AFTER materializing. */
+  def probeWithHandles(s: SparkSession, idx: String,
+      newDocs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val nsh = Dedup.shingles(newDocs).cache()
     val nbands = Dedup.signatureBands(Dedup.minhashSignature(nsh))
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
@@ -100,11 +110,12 @@ object SigIndex {
       .join(cand.select(col("old_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
     val both = oldSh.unionByName(nsh)
-    Dedup.exactJaccard(both,
+    val pairs = Dedup.exactJaccard(both,
         cand.select(col("old_id").as("a_id"), col("new_id").as("b_id")))
       .filter(col("jac") >= Dedup.Tau)
       .select(col("a_id").as("old_id"), col("b_id").as("new_id"),
         round(col("jac"), 6).cast("double").as("jaccard"))
+    (pairs, Seq(nsh, cand))
   }
 
   /** Streaming ingest near-dedup: every micro-batch is probed against the
@@ -127,10 +138,15 @@ object SigIndex {
         try {
           if (!new java.io.File(s"$idx/meta").isDirectory) {
             build(b, idx)
-            probe(s, idx, b.limit(0)) // empty, schema-creating sink write
-              .write.mode("append").parquet(pairsSink)
+            val (empty, caches) = probeWithHandles(s, idx, b.limit(0))
+            try empty.write.mode("append").parquet(pairsSink) // schema-creating
+            finally caches.foreach(_.unpersist())
           } else {
-            probe(s, idx, b).write.mode("append").parquet(pairsSink)
+            // unpersist AFTER the write materializes the lazy probe —
+            // per-batch caches must not accumulate across a long stream
+            val (pairs, caches) = probeWithHandles(s, idx, b)
+            try pairs.write.mode("append").parquet(pairsSink)
+            finally caches.foreach(_.unpersist())
             append(b, idx)
           }
         } finally b.unpersist()
