@@ -40,6 +40,15 @@ object SigIndex {
 
   private val buildLock = new Object
 
+  // explicit read schemas: an index built over an EMPTY corpus writes only
+  // _SUCCESS markers (partitionBy with zero rows emits no files), and a
+  // schema-inferring read would throw UNABLE_TO_INFER_SCHEMA on probe
+  import org.apache.spark.sql.types._
+  private val bandsSchema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("bh", LongType), StructField("band", IntegerType)))
+  private val postingsSchema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("g", StringType)))
+
   private def writeMetaCount(s: SparkSession, n: Long, idx: String): Unit =
     s.range(1).select(lit(n).as("n"))
       .write.mode("overwrite").parquet(s"$idx/meta")
@@ -67,7 +76,8 @@ object SigIndex {
     * indexed document would double its buckets and postings. */
   def append(newDocs: DataFrame, idx: String): Unit = {
     val s = newDocs.sparkSession
-    val overlap = s.read.parquet(s"$idx/bands").select("doc_id").distinct()
+    val overlap = s.read.schema(bandsSchema).parquet(s"$idx/bands")
+      .select("doc_id").distinct()
       .join(newDocs.select("doc_id"), Seq("doc_id"), "left_semi").count()
     require(overlap == 0L, s"append overlaps $overlap indexed doc_ids")
     val prev = s.read.parquet(s"$idx/meta").collect()(0).getAs[Long]("n")
@@ -101,12 +111,12 @@ object SigIndex {
     val nsh = Dedup.shingles(newDocs).cache()
     val nbands = Dedup.signatureBands(Dedup.minhashSignature(nsh))
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
-    val cand = s.read.parquet(s"$idx/bands")
+    val cand = s.read.schema(bandsSchema).parquet(s"$idx/bands")
       .select(col("band"), col("bh"), col("doc_id").as("old_id"))
       .join(nbands, Seq("band", "bh"))
       .select("old_id", "new_id").distinct().cache()
     // only candidate documents' postings leave the index
-    val oldSh = s.read.parquet(s"$idx/postings")
+    val oldSh = s.read.schema(postingsSchema).parquet(s"$idx/postings")
       .join(cand.select(col("old_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
     val both = oldSh.unionByName(nsh)

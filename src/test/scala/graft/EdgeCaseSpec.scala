@@ -124,20 +124,33 @@ class EdgeCaseSpec extends SparkSpec {
     Seq.empty[(Long, Long, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    Seq.empty[(Long, Long, String)].toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    Seq.empty[(Long, Long, String, java.sql.Timestamp, Double, Double)]
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate",
+        "l_extendedprice", "l_discount")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    Seq.empty[(Long, String, Long)].toDF("o_orderkey", "o_orderstatus", "o_custkey")
+    Seq.empty[(Long, String, Long, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_orderstatus", "o_custkey", "o_orderdate",
+        "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
+    Seq.empty[(Long, String, Long)].toDF("s_suppkey", "s_name", "s_nationkey")
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq.empty[(Long, Long)].toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq.empty[(Long, String)].toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     def run(n: String) = SparkEntry.queries(n)(spark, dir)
     assert(run("d13_substring_dedup").count() === 0)
     assert(run("d14_tfidf_cosine").count() === 0)
+    assert(run("d15_incremental_neardup").count() === 0) // builds+probes an empty index
     assert(run("t11_edit_distance").count() === 0)
     assert(run("t12_keywords").count() === 0)
     assert(run("cur9_epoch_shuffle").count() === 0)
+    assert(run("pipe2_corpus_profile").count() === 0)
     assert(run("e8_funnel").count() === 0)
     assert(run("j15_q21_shape").count() === 0)
+    assert(run("j16_q7_shape").count() === 0)
+    assert(run("j17_q4_shape").count() === 0)
+    assert(run("j18_q12_shape").count() === 0)
     assert(run("g1_pagerank").count() === 0) // empty edge set → empty ranking
     // g2 emits its one summary row with all-zero counts
     val g2 = run("g2_triangle_count").collect()
