@@ -141,6 +141,36 @@ object StocksParity {
           sum((col("__ord") % 10007) * col("qmin")).as("mix_min"),
           sum(col("qmax")).as("ck_max"),
           sum((col("__ord") % 10007) * col("qmax")).as("mix_max"))
+    },
+
+    // STK4: VWAP by date over the literal 5.6M rows — the
+    // volume-weighted average price every trading system derives, absent
+    // from the reference's experiments but THE natural next query on its
+    // own data. Exact integer numerator/denominator per date (close in
+    // floor-cents × floor-integral volume; both engines floor
+    // identically); the reported VWAP is one identical division tree.
+    // One grouped aggregate — 18 output rows, no window, no sort beyond
+    // the tiny result.
+    QueryDef("stk4_vwap_by_date",
+      s"""SELECT date,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(floor(close * 100) AS BIGINT)
+         |                * CAST(floor(volume) AS BIGINT)) AS BIGINT) AS vwap_num,
+         |       CAST(sum(CAST(floor(volume) AS BIGINT)) AS BIGINT) AS vwap_den,
+         |       CAST(round(CAST(sum(CAST(floor(close * 100) AS BIGINT)
+         |                          * CAST(floor(volume) AS BIGINT)) AS DOUBLE)
+         |                  / sum(CAST(floor(volume) AS BIGINT)) / 100.0, 6) AS DOUBLE) AS vwap
+         |FROM $pq GROUP BY date ORDER BY date""".stripMargin) { (s, _) =>
+      val cents = floor(col("close") * 100).cast("long")
+      val vol = floor(col("volume")).cast("long")
+      Tables.stocksParquet(s)
+        .groupBy("date")
+        .agg(count(lit(1)).as("n"),
+          sum(cents * vol).as("vwap_num"),
+          sum(vol).as("vwap_den"),
+          round(sum(cents * vol).cast("double") / sum(vol) / 100.0, 6)
+            .cast("double").as("vwap"))
+        .orderBy("date")
     }
   )
 }

@@ -415,6 +415,48 @@ object Windows {
           (expr("wma_num * 100 div wma_den") / 10000.0).cast("double")))
     },
 
+    // W11: Bollinger bands — THE stock-analytics window indicator
+    // (trailing mean ± 2σ), built on exact integers: Σx and Σx² in cents
+    // over the 10-row trailing frame make the variance numerator
+    // D = n·Σx² − (Σx)² an exact BIGINT (no Welford, no float
+    // accumulation); the only floats are one sqrt over D and a fixed
+    // division tree identical in both engines, and the mid-band reuses
+    // w1's integer-division discipline. Same single window pass as
+    // w1-w3 — the indicator costs one extra sum.
+    QueryDef("w11_bollinger", {
+      val c = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+      val band = (sign: String) =>
+        s"CAST(round((s * 100 // n) / 10000.0 $sign " +
+          "2 * sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n / 100.0, 4) AS DOUBLE)"
+      s"""WITH b AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         count(*) OVER w AS n,
+        |         sum($c) OVER w AS s,
+        |         sum($c * $c) OVER w AS s2
+        |       FROM lineitem
+        |       WINDOW w AS ($overSql ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sm,
+        |       CAST(n * s2 - s * s AS BIGINT) AS var_num,
+        |       ${band("+")} AS upper_band,
+        |       ${band("-")} AS lower_band
+        |FROM b
+        |${dumpSql("l_suppkey, l_orderkey, l_linenumber, n, sm, var_num, upper_band, lower_band")}""".stripMargin
+    }) { (s, dir) =>
+      val w = rolling(bySupp, series, -9, 0)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val base = li(s, dir)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sm", sum(cents).over(w))
+        .withColumn("s2", sum(cents * cents).over(w))
+      val mid = expr("sm * 100 div n") / 10000.0
+      val spread = lit(2) * sqrt((col("n") * col("s2") - col("sm") * col("sm"))
+        .cast("double")) / col("n") / lit(100.0)
+      dump(base.select(idCols ++ Seq(col("n"), col("sm"),
+        (col("n") * col("s2") - col("sm") * col("sm")).as("var_num"),
+        round(mid + spread, 4).cast("double").as("upper_band"),
+        round(mid - spread, 4).cast("double").as("lower_band")): _*))
+    },
+
     // O1: DISTRIBUTED TOTAL ORDER under the hash gate — the engine's
     // global-sort capability proven over ALL rows without ever forming a
     // single partition: the dense ordinal comes from `globalOrdinal`

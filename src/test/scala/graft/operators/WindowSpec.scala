@@ -53,6 +53,16 @@ class WindowSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
   }
 
+  test("bollinger: variance numerator is non-negative and bands bracket correctly") {
+    val r = graft.SparkEntry.queries("w11_bollinger")(spark, sf)
+    assert(r.filter(col("var_num") < 0).count() === 0,
+      "Cauchy-Schwarz: n*sum(x^2) >= sum(x)^2 must hold exactly")
+    assert(r.filter(col("upper_band") < col("lower_band")).count() === 0)
+    // head-of-partition rows (n=1) have zero variance: bands collapse
+    assert(r.filter(col("n") === 1 &&
+      col("upper_band") =!= col("lower_band")).count() === 0)
+  }
+
   test("o1 total-order checksum: the ordinal window runs per __pid, not one partition") {
     // the whole point of o1: a GLOBAL permutation certified without a
     // global single-partition SORT — the ordinal's window hash-partitions
