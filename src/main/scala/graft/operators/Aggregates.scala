@@ -291,6 +291,36 @@ object Aggregates {
           round(sum("l_quantity"), 2).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // A14: bivariate statistics — correlation / covariance / least-squares
+    // fit of extendedprice against quantity per returnflag. Both engines
+    // use numerically-stable streaming co-moments; outputs are rounded
+    // well above the ~1e-8 cross-engine accumulation noise floor (r and
+    // r² are |·|≤1 rounded at 1e-6; the dollar-scale moments at 1e-4 sit
+    // 12 orders above their relative error). One grouped pass, partial
+    // aggregation map-side — the 100 TB shape of "fit a line per cohort".
+    QueryDef("a14_regression",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(corr(l_extendedprice, l_quantity), 6) AS DOUBLE) AS r,
+        |       CAST(round(regr_r2(l_extendedprice, l_quantity), 6) AS DOUBLE) AS r2,
+        |       CAST(round(covar_samp(l_extendedprice, l_quantity), 4) AS DOUBLE) AS cov_s,
+        |       CAST(round(covar_pop(l_extendedprice, l_quantity), 4) AS DOUBLE) AS cov_p,
+        |       CAST(round(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE) AS slope,
+        |       CAST(round(regr_intercept(l_extendedprice, l_quantity), 4) AS DOUBLE) AS icept
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr("l_extendedprice", "l_quantity"), 6).cast("double").as("r"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).cast("double").as("r2"),
+          round(covar_samp("l_extendedprice", "l_quantity"), 4).cast("double").as("cov_s"),
+          round(covar_pop("l_extendedprice", "l_quantity"), 4).cast("double").as("cov_p"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).cast("double").as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).cast("double").as("icept"))
+        .orderBy("l_returnflag")
     }
   )
 

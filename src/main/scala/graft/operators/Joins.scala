@@ -517,6 +517,121 @@ object Joins {
         .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
           sum(when(!high, 1L).otherwise(0L)).as("low_count"))
         .orderBy("y")
+    },
+
+    // J19: TPC-H Q17 shape (small-quantity-order revenue) — the
+    // correlated-scalar-subquery decorrelation pattern: "lineitems whose
+    // quantity is below 20% of that part's average quantity". The
+    // per-part averages are computed ONCE as a grouped aggregate over the
+    // fact table (semi-pruned to the brand's parts first, so the 100 TB
+    // corpus aggregates only the keys that can survive), then joined
+    // back — never an avg-per-probe re-scan. avg(l_quantity) is exact in
+    // both engines (integral quantities, BIGINT-range sums), so the
+    // 0.2·avg threshold compare is bit-deterministic.
+    QueryDef("j19_q17_shape",
+      """SELECT CAST(round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 70000.0, 2) AS DOUBLE) AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_size <= 10
+        |  AND l_quantity < (SELECT avg(l2.l_quantity) * 0.2 FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val partsF = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1" && col("p_size") <= 10)
+        .select("p_partkey")
+      val thresh = li
+        .join(broadcast(partsF), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg("l_quantity") * 0.2).as("qty_thresh"))
+      li.join(broadcast(partsF), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg(round(sum(round(col("l_extendedprice") * 10000).cast("long")) / 70000.0, 2)
+          .cast("double").as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // J20: TPC-H Q8 shape (national market share) — the seven-table
+    // snowflake: what share of PROMO-part revenue delivered into ASIA
+    // came from NATION_7 suppliers, by order year. Every dimension
+    // (part, supplier, nation×2, customer-side region chain) broadcasts;
+    // the only fact-fact shuffle is lineitem ⨝ orders. The share is a
+    // ratio of two conditional BIGINT sums from ONE aggregate pass —
+    // identical integer numerators/denominators on both engines, one
+    // double division at the end.
+    QueryDef("j20_q8_shape",
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+        |       CAST(round(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |                THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |                ELSE 0 END)
+        |              / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)), 6) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n1.n_regionkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY y""".stripMargin) { (s, dir) =>
+      val v = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")
+      val suppNation = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name").as("supp_nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val asiaCust = t(s, dir, "customer")
+        .join(t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_regionkey")),
+          col("c_nk") === col("c_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("r_regionkey") === col("n_regionkey"))
+        .select("c_custkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_7", v).otherwise(0L))
+          / sum(v), 6).cast("double").as("mkt_share"))
+        .orderBy("y")
+    },
+
+    // J21: TPC-H Q9 shape (product-type profit by nation and year). The
+    // testdata has no partsupp/ps_supplycost, so cost is proxied as
+    // 10% of p_retailprice per unit — the SHAPE (per-row revenue minus
+    // cost, grouped by the supplier's nation × order year) is Q9's.
+    // Profit is assembled per row as a difference of two integer-scaled
+    // BIGINTs (revenue at 1e4, cost at 1e4 via retailprice·qty·1e3), so
+    // grouped sums commute and both engines divide the same integer.
+    QueryDef("j21_q9_shape",
+      """SELECT n_name, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+        |       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |                    - CAST(round(p_retailprice * l_quantity * 1000) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val amt = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long") -
+        round(col("p_retailprice") * col("l_quantity") * 1000).cast("long")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%gear%"))
+          .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation").select("n_nationkey", "n_name"),
+            col("n_nationkey") === col("s_nationkey"))
+          .select("s_suppkey", "n_name")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("y"))
+        .agg(round(sum(amt) / 10000.0, 2).cast("double").as("profit"))
+        .orderBy("n_name", "y")
     }
   )
 }

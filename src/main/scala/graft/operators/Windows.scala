@@ -481,6 +481,54 @@ object Windows {
       globalOrdinal(base, series)
         .agg(count(lit(1)).as("n"),
           sum(((col("__ord") % 251) + 1) * col("c")).as("ck"))
+    },
+
+    // W12: exponential moving average, EXACTLY. Float EMAs can't pass a
+    // hash gate (the recurrence compounds rounding differently per
+    // engine), so the smoothing factor is dyadic: α = 1/2 truncated at 32
+    // terms makes every weight a power of two — ema_scaled =
+    // Σ_{j=0..31} cents(t−j)·2^(31−j) is an exact BIGINT (≤ 2^32·max
+    // cents ≈ 4e16), the fixed-point value of 2^32·EMA. One window pass
+    // (32 lags share the frame sort); null propagation keeps only
+    // full-history rows. Verified over ALL rows, not a top-k dump: per
+    // supplier the count, the hi/lo split of Σema (together the exact
+    // sum — Σ(ema div 2^32) and Σ(ema mod 2^32)), and a position-weighted
+    // mix that is transposition-sensitive, all commuting BIGINT sums.
+    QueryDef("w12_ema", {
+      val c = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+      val lagSql = (0 until 32).map { j =>
+        if (j == 0) s"$c AS c0"
+        else s"lag($c, $j) OVER ($overSql) AS c$j"
+      }.mkString(",\n        |         ")
+      val emaSql = (0 until 32).map(j => s"c$j * ${1L << (31 - j)}").mkString(" + ")
+      s"""WITH b AS (SELECT l_suppkey,
+        |         $lagSql,
+        |         row_number() OVER ($overSql) AS rn
+        |       FROM lineitem),
+        |x AS (SELECT l_suppkey, rn, CAST($emaSql AS BIGINT) AS ema FROM b)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(ema // 4294967296) AS BIGINT) AS s_hi,
+        |       CAST(sum(ema % 4294967296) AS BIGINT) AS s_lo,
+        |       CAST(sum(((rn % 251) + 1) * (ema % 1000003)) AS BIGINT) AS mix
+        |FROM x WHERE ema IS NOT NULL
+        |GROUP BY 1 ORDER BY l_suppkey""".stripMargin
+    }) { (s, dir) =>
+      val wSpec = Window.partitionBy(bySupp: _*).orderBy(series: _*)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val ema = (0 until 32).map { j =>
+        val term = if (j == 0) cents else lag(cents, j).over(wSpec)
+        term * lit(1L << (31 - j))
+      }.reduce(_ + _)   // null-propagating: non-null ⇔ full 32-row history
+      li(s, dir)
+        .withColumn("rn", row_number().over(wSpec))
+        .withColumn("ema", ema)
+        .filter(col("ema").isNotNull)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("ema div 4294967296")).as("s_hi"),
+          sum(col("ema") % lit(4294967296L)).as("s_lo"),
+          sum(((col("rn") % 251) + 1) * (col("ema") % 1000003L)).as("mix"))
+        .orderBy("l_suppkey")
     }
   )
 }

@@ -43,4 +43,19 @@ class AggregateSpec extends SparkSpec {
     val r = empty.agg(sum("l_quantity"), count(lit(1))).collect()(0)
     assert(r.isNullAt(0) && r.getLong(1) === 0L)
   }
+
+  test("a14: regression family recovers an exact line (slope 2, intercept 1)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-a14").toString
+    // y = 2x + 1 exactly: corr = r² = 1, covar_samp = 2, covar_pop = 4/3
+    Seq(("A", 1.0, 3.0), ("A", 2.0, 5.0), ("A", 3.0, 7.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Aggregates.defs.find(_.name == "a14_regression").get
+      .run(spark, dir).collect()(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 1.0)
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 1.3333)
+    assert(r.getDouble(6) === 2.0 && r.getDouble(7) === 1.0)
+  }
 }

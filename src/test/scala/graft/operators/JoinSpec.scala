@@ -142,4 +142,20 @@ class JoinSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"plan:\n$plan")
     assert(plan.contains("LeftAnti"), s"plan:\n$plan")
   }
+
+  test("j19: per-part 20%-of-average threshold admits only the small-quantity row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-j19").toString
+    Seq((1L, "Brand#1", 5), (2L, "Brand#2", 5))
+      .toDF("p_partkey", "p_brand", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // part 1: quantities 1/10/10/10 → avg 7.75, threshold 1.55 → only the
+    // qty-1 row (price 700) survives; part 2's qty-1 row is brand-filtered
+    Seq((1L, 1.0, 700.0), (1L, 10.0, 500.0), (1L, 10.0, 500.0),
+      (1L, 10.0, 500.0), (2L, 1.0, 900.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Joins.defs.find(_.name == "j19_q17_shape").get.run(spark, dir).collect()(0)
+    assert(r.getDouble(0) === 100.0 && r.getLong(1) === 1L)  // 700/7
+  }
 }

@@ -158,4 +158,31 @@ class WindowSpec extends SparkSpec {
       (102L, 2900L, 19L, 1.5263),      // 10·200 + 9·100; 290000 div 19 = 15263
       (103L, 5600L, 27L, 2.074)))      // 10·300 + 9·200 + 8·100; 560000 div 27 = 20740
   }
+
+  test("w12 EMA: checksums match an independent BigInt recomputation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-w12").toString
+    // one supplier, 34 rows, price i.00 at day i — 3 full-history rows
+    val rows = (1 to 34).map { i =>
+      (7L, 100L + i, 1, 10L + i,
+        java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i - 1)), i * 1.0)
+    }
+    rows.toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+      "l_shipdate", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Windows.defs.find(_.name == "w12_ema").get.run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent recomputation: ema(t) = Σ_{j=0..31} cents(t−j)·2^(31−j)
+    val cents = (1 to 34).map(_ * 100L)
+    val emas = (31 until 34).map { t =>
+      (0 until 32).map(j => BigInt(cents(t - j)) << (31 - j)).sum
+    }
+    val rns = (32 to 34).map(BigInt(_))
+    val exp = (
+      emas.size.toLong,
+      emas.map(_ >> 32).sum.toLong,
+      emas.map(_ & 0xffffffffL).sum.toLong,
+      emas.zip(rns).map { case (e, rn) => ((rn % 251) + 1) * (e % 1000003) }.sum.toLong)
+    assert(got.toSeq === Seq(exp))
+  }
 }
