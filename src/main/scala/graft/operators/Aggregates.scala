@@ -321,6 +321,57 @@ object Aggregates {
           round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).cast("double").as("slope"),
           round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).cast("double").as("icept"))
         .orderBy("l_returnflag")
+    },
+
+    // A15: two-phase SALTED aggregation — the skew-mitigation pattern,
+    // under the differential gate. l_returnflag has 3 values over the
+    // whole fact table, the canonical "hot key" shape: a single-phase
+    // groupBy puts a third of 100 TB through three reducers. Phase 1
+    // groups by (key, salt) with salt = l_orderkey mod 32 — 96 cells, so
+    // every reducer holds ≤ 1/96 of the data; phase 2 re-aggregates the
+    // 96 partial rows by key alone. Integer cents sums commute across the
+    // two phases, so the result is bit-identical to the unsalted plan the
+    // oracle runs (counts add; sums add; min of per-salt mins = min).
+    // Spark's map-side partial aggregation already does this WITHIN a
+    // stage; explicit salting is the cross-STAGE form that also fixes
+    // skewed windows/joins, demonstrated here where an oracle can certify
+    // it changes nothing.
+    QueryDef("a15_salted_agg",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS lo,
+        |       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      li(s, dir)
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(32)).as("__salt"))
+        .agg(count(lit(1)).as("pn"), sum(cents).as("pc"),
+          min(cents).as("plo"), max(cents).as("phi"))
+        .groupBy("l_returnflag")
+        .agg(sum("pn").as("n"), sum("pc").as("cents"),
+          min("plo").as("lo"), max("phi").as("hi"))
+        .orderBy("l_returnflag")
+    },
+
+    // A16: fixed-width histogram — orders binned into $10k buckets
+    // (bucket = cents div 1_000_000, clamped to 49). One narrow map to
+    // the bucket id + one grouped aggregate: the scan→bin→count shape of
+    // every distribution profile at scale, with ≤50 output rows no matter
+    // the input size. Bucket assignment is integer division of exact
+    // cents, so bucket edges cannot drift between engines.
+    QueryDef("a16_histogram",
+      """SELECT CAST(least(CAST(round(o_totalprice * 100) AS BIGINT) // 1000000, 49) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      Tables.orders(s, dir)
+        .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 1000000"),
+          lit(49L)).as("bucket"), cents.as("c"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("c").as("cents"))
+        .orderBy("bucket")
     }
   )
 

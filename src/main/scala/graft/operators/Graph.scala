@@ -50,6 +50,12 @@ object Graph {
     * oracle certifies the count either way). */
   val MinCoOrders = 5
 
+  /** g3 BFS knobs (declared before `defs` — interpolated into the oracle
+    * SQL): round count and the source node (supplier 1 in the packed
+    * 2·key id space). */
+  val BfsHops = 4
+  val BfsSource = 2L
+
   /** One PageRank sweep: contributions along edges, damped update.
     * `ew` = (src, dst, deg) cached edge list; `r` = (id, r) ranks. */
   private def sweep(ew: DataFrame, nodes: DataFrame, r: DataFrame): DataFrame = {
@@ -168,6 +174,62 @@ object Graph {
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
         .crossJoin(tri)
         .select("n_nodes", "n_edges", "n_triangles")
+    },
+
+    // G3: breadth-first search — exact hop distance from a source node
+    // over the SPARSE co-supply graph (quantity-1 lineitems only: 1,146
+    // edges over ~1,600 nodes at sf0.01, so hops actually stratify; the
+    // dense full graph reaches everything in 2). Frontier iteration:
+    // each of BfsHops rounds is ONE keyed join of the frontier against
+    // the edge list plus an anti-join against the visited set — per-round
+    // data touched is O(frontier·degree), never the whole graph, and
+    // there is no driver-side adjacency. The oracle unrolls the same
+    // rounds as chained CTEs (set semantics, no arithmetic at all, so
+    // nothing can diverge). Output is the per-hop census: node count +
+    // id checksum.
+    QueryDef("g3_bfs_hops", {
+      val rounds = (1 to BfsHops).map { k =>
+        s"""h$k AS (SELECT DISTINCT e.dst AS id FROM edges e
+           |        JOIN h${k - 1} f ON e.src = f.id
+           |        WHERE e.dst NOT IN (SELECT id FROM v${k - 1})),
+           |v$k AS (SELECT * FROM v${k - 1}
+           |        UNION ALL SELECT id, $k AS hop FROM h$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE l_quantity = 1),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |h0 AS (SELECT CAST($BfsSource AS BIGINT) AS id),
+        |v0 AS (SELECT id, 0 AS hop FROM h0),
+        |$rounds
+        |SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(id) AS BIGINT) AS id_ck
+        |FROM v$BfsHops GROUP BY 1 ORDER BY hop""".stripMargin
+    }) { (s, dir) =>
+      val e0 = Tables.lineitem(s, dir).filter(col("l_quantity") === 1)
+        .select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
+      var visited = s.range(1).select(lit(BfsSource).cast("long").as("id"),
+        lit(0).as("hop")).cache()
+      var frontier = visited.select("id")
+      for (k <- 1 to BfsHops) {
+        val next = edges.join(frontier.withColumnRenamed("id", "fid"),
+            col("src") === col("fid"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .withColumn("hop", lit(k)).cache()
+        visited = visited.union(next).cache()
+        frontier = next.select("id")
+      }
+      val out = visited.groupBy("hop")
+        .agg(count(lit(1)).as("n_nodes"), sum("id").as("id_ck"))
+        .orderBy("hop")
+      out
     }
   )
 }

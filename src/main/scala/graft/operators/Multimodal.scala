@@ -460,6 +460,27 @@ object Multimodal {
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("s_sum"), col("s_mix"))
         .orderBy("media_id")
+    },
+
+    // MM4: video frame sampling — every 4th frame id of each decoded
+    // video, exploded to (media_id, frame_id) rows. The frame count is
+    // parsed out of the container header by the decode pass (the
+    // syntheticMedia fixture's frames formula is 1 + id mod 30 for the
+    // video kind), so a hash match certifies the encode→decode header
+    // round trip AND the sampling arithmetic. Per-record and narrow:
+    // decode and sequence-generation never shuffle; at 100 TB the only
+    // data movement is the (id, frame_id) pairs a trainer actually reads.
+    QueryDef("mm4_frame_sample",
+      """WITH v AS (SELECT doc_id AS media_id, 1 + doc_id % 30 AS frames
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, unnest(generate_series(0, frames - 1, 4)) AS frame_id
+        |      FROM v)
+        |SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id
+        |FROM f ORDER BY media_id, frame_id""".stripMargin) { (s, dir) =>
+      sampleFrames(decodeMeta(syntheticMedia(s, dir)), step = 4)
+        .select(col("media_id"), explode(col("frame_ids")).as("f"))
+        .select(col("media_id"), col("f").cast("long").as("frame_id"))
+        .orderBy("media_id", "frame_id")
     }
   )
 }

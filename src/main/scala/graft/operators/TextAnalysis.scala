@@ -77,6 +77,17 @@ object TextAnalysis {
   val EditBlockCap = 64
   val EditMax = 10
 
+  /** t13 collocation knobs (declared before `defs` — interpolated into
+    * the oracle SQL): minimum pair count (below it PMI is rank noise)
+    * and the integer PMI quantum. Ranking by c_xy/(c_x·c_y) is
+    * rank-equivalent to PMI = log(N·c_xy/(c_x·c_y)) — log is monotone
+    * and the corpus size N is constant across pairs — so the score can
+    * stay an exact integer ratio and the top-k is hash-checkable with no
+    * float log anywhere. */
+  val PmiMinCount = 5
+  val PmiQ = 1000000000000L
+  val PmiTopK = 50
+
   val defs: Seq[QueryDef] = Seq(
     // T1: per-language corpus profile.
     QueryDef("t1_lang_profile",
@@ -474,6 +485,53 @@ object TextAnalysis {
         .filter(col("edit_dist") >= 0) // 3-arg levenshtein: -1 = exceeded
         .select(col("a_id"), col("b_id"), col("edit_dist").cast("int").as("edit_dist"))
         .orderBy("a_id", "b_id")
+    },
+
+    // T13: collocations — top-PmiTopK bigrams by (integer-quantized) PMI
+    // with a PmiMinCount frequency floor. Bigram formation is a NARROW
+    // per-doc transform (adjacent-token structs via transform/sequence —
+    // no self-join, no shuffle to make pairs); then one shuffle counts
+    // bigrams and one counts unigrams. The unigram vocabulary is tiny
+    // relative to the corpus (Heaps' law), so both count joins broadcast
+    // — at 100 TB the corpus is read once and only (pair, count) rows
+    // ever move. Score = c_xy·PmiQ div (c_x·c_y), an exact BIGINT (see
+    // PmiQ note); the (score desc, w1, w2) order is a total order, so
+    // the top-k cut is deterministic.
+    QueryDef("t13_pmi", {
+      s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |u AS (SELECT unnest(w) AS tok FROM t),
+        |uni AS (SELECT tok, count(*) AS c1 FROM u GROUP BY tok),
+        |b0 AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM
+        |          (SELECT w[i] AS w1, w[i + 1] AS w2 FROM b0) GROUP BY 1, 2),
+        |sc AS (SELECT w1, w2, c12,
+        |         (c12 * $PmiQ) // (u1.c1 * u2.c1) AS score
+        |       FROM big JOIN uni u1 ON big.w1 = u1.tok
+        |                JOIN uni u2 ON big.w2 = u2.tok
+        |       WHERE c12 >= $PmiMinCount)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(score AS BIGINT) AS score
+        |FROM sc ORDER BY score DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+    }) { (s, dir) =>
+      val t = docs(s, dir).select(toks.as("w"))
+      val uni = t.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      // size ≥ 2 guard: Spark's sequence(0, -1) DESCENDS ([0,-1]) instead
+      // of yielding empty, which would fabricate bigrams on 1-token docs
+      // (DuckDB's generate_series(1, 0) is empty — they'd diverge).
+      val big = t.filter(size(col("w")) >= 2)
+        .select(explode(
+          expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= PmiMinCount)
+      big
+        .join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("ca"))), Seq("w1"))
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("cb"))), Seq("w2"))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr(s"(c12 * ${PmiQ}L) div (ca * cb)").as("score"))
+        .orderBy(col("score").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
     }
   )
 }

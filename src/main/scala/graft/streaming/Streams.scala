@@ -311,6 +311,38 @@ object Streams {
       funnelStages(Tables.events(s, dir))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
+    },
+
+    // E9: weekly cohort retention — the product-analytics matrix: users
+    // cohorted by their first active week, then counted in each later
+    // week they return. Weeks are epoch-day div 7 (calendar-convention-
+    // free integer arithmetic both engines share; ISO week-of-year
+    // semantics differ across engines and roll over at year ends).
+    //
+    // Scale shape: distinct (user, week) and min-week-per-user are both
+    // keyed by user_id, so the join back is co-partitioned after ONE
+    // shuffle of the (already deduplicated) activity pairs — the raw
+    // event stream is never shuffled twice. The output is a ≤ (weeks ×
+    // weeks) matrix regardless of input size.
+    QueryDef("e9_retention",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |           FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT c.cohort_wk AS cohort_wk,
+        |       CAST(a.wk - c.cohort_wk AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin) { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7").as("wk"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
     }
   )
 

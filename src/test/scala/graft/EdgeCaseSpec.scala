@@ -185,4 +185,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(df.select(expr("cosine_native(a, b)").as("c"))
       .filter(!isnan(col("c"))).count() === 0)
   }
+
+  test("t13 PMI: single-token docs fabricate no bigrams; exact integer score") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t13").toString
+    // five "alpha beta" docs (the only pair at the count floor) plus a
+    // single-token doc — Spark's sequence(0, -1) DESCENDS, so an unguarded
+    // bigram transform would fabricate (solo, null) rows here
+    val texts = Seq.fill(5)("alpha beta") :+ "solo"
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.defs.find(_.name == "t13_pmi").get.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // c12=5, c_alpha=c_beta=5 → score = 5·PmiQ/25 = PmiQ/5
+    assert(got.toSeq === Seq(("alpha", "beta", 5L, TextAnalysis.PmiQ / 5)))
+  }
 }

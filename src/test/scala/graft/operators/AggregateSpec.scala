@@ -58,4 +58,17 @@ class AggregateSpec extends SparkSpec {
     assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 1.3333)
     assert(r.getDouble(6) === 2.0 && r.getDouble(7) === 1.0)
   }
+
+  test("a15: salted two-phase aggregation equals the direct single-phase plan") {
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+        min(round(col("l_extendedprice") * 100).cast("long")).as("lo"),
+        max(round(col("l_extendedprice") * 100).cast("long")).as("hi"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = Aggregates.defs.find(_.name == "a15_salted_agg").get
+      .run(spark, sf).collect().toSeq
+    assert(salted === direct)
+  }
 }

@@ -59,4 +59,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((5L, 7L, 4L)))
   }
+
+  test("g3 BFS: path graph stratifies one node per hop; non-qty-1 edges are excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g3").toString
+    // path s1 - c10 - s2 - c11 - s3 via quantity-1 lineitems, plus a
+    // quantity-5 edge s1 - c99 that must NOT be traversed
+    val li = Seq((1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 2L, 1.0), (4L, 3L, 1.0),
+      (5L, 1L, 5.0)).map { case (o, s, q) => (o, s, q) }
+    li.toDF("l_orderkey", "l_suppkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L), (5L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Graph.defs.find(_.name == "g3_bfs_hops").get.run(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // packed ids: s1=2, c10=21, s2=4, c11=23, s3=6; c99 (199) unreached
+    assert(got.toSeq === Seq((0, 1L, 2L), (1, 1L, 21L), (2, 1L, 4L),
+      (3, 1L, 23L), (4, 1L, 6L)))
+  }
 }

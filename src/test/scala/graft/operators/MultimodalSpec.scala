@@ -168,4 +168,18 @@ class MultimodalSpec extends SparkSpec {
         col("width") =!= greatest(floor(col("w0") / 2), lit(1)).cast("int"))
     assert(cmp.count() === 0)
   }
+
+  test("mm4 frame sampling: every 4th frame id, from header-decoded frame counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm4").toString
+    // video ids (doc_id % 3 == 2): 2 → 3 frames, 5 → 6, 8 → 9; doc 3 is
+    // audio (frames = 0) and must not emit rows
+    Seq((2L, "aa"), (3L, "bb"), (5L, "cc"), (8L, "dd"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.defs.find(_.name == "mm4_frame_sample").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((2L, 0L), (5L, 0L), (5L, 4L),
+      (8L, 0L), (8L, 4L), (8L, 8L)))
+  }
 }

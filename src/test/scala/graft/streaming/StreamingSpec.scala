@@ -282,4 +282,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(got.toSeq === Seq((0, 1L), (1, 2L), (2, 1L), (3, 1L)))
   }
+
+  test("e9 retention: hand-built two-cohort matrix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-e9").toString
+    def ts(day: Int): Long = // epoch NANOS (raw events.ts unit), noon UTC
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(day).toEpochDay * 86400L
+        + 43200L) * 1000000000L
+    // user 1: active weeks w, w+1, w+3 (two events in week w — deduped);
+    // user 2: first active in w+1 only
+    val rows = Seq((1L, ts(0), 1L), (2L, ts(1), 1L), (3L, ts(7), 1L),
+      (4L, ts(21), 1L), (5L, ts(8), 2L))
+    rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val w0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay / 7 // 2024-01-01 week
+    val got = Streams.defs.find(_.name == "e9_retention").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((w0, 0L, 1L), (w0, 1L, 1L), (w0, 3L, 1L),
+      (w0 + 1, 0L, 1L)))
+  }
 }
