@@ -632,6 +632,42 @@ object Joins {
         .groupBy(col("n_name"), year(col("o_orderdate")).as("y"))
         .agg(round(sum(amt) / 10000.0, 2).cast("double").as("profit"))
         .orderBy("n_name", "y")
+    },
+
+    // J22: SKEW-SALTED shuffle join under the differential gate. The
+    // fact side gets a deliberately skewed key (half of all lineitems
+    // collapse onto k=0 — the "one hot customer" shape that melts one
+    // reducer at 100 TB); the salted join scatters each key across 16
+    // sub-keys and replicates the 100-row rate table 16×, so the hot
+    // key's rows spread over 16 reducers. shuffle_hash hint keeps the
+    // demo honest (Spark would otherwise broadcast the tiny build side
+    // and dodge the skew instead of mitigating it). The oracle runs the
+    // PLAIN join — certifying salting is semantics-free on real data,
+    // not just on the BucketingSpec fixture.
+    QueryDef("j22_skew_salted_join",
+      """WITH f AS (SELECT CASE WHEN l_quantity <= 25 THEN 0
+        |                       ELSE l_orderkey % 100 END AS k,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |d AS (SELECT p_partkey % 100 AS k,
+        |             CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS rate
+        |      FROM part GROUP BY 1)
+        |SELECT f.k AS k, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(f.cents) AS BIGINT) AS cents,
+        |       CAST(min(d.rate) AS BIGINT) AS rate
+        |FROM f JOIN d ON f.k = d.k
+        |GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "lineitem").select(
+        when(col("l_quantity") <= 25, 0L)
+          .otherwise(pmod(col("l_orderkey"), lit(100L))).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val d = t(s, dir, "part")
+        .groupBy(pmod(col("p_partkey"), lit(100L)).as("dk"))
+        .agg(sum(round(col("p_retailprice") * 100).cast("long")).as("rate"))
+      saltedJoin(f, d.hint("shuffle_hash"), "k", "dk", salts = 16)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"), min("rate").as("rate"))
+        .orderBy("k")
     }
   )
 }

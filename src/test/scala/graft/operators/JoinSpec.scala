@@ -158,4 +158,24 @@ class JoinSpec extends SparkSpec {
     val r = Joins.defs.find(_.name == "j19_q17_shape").get.run(spark, dir).collect()(0)
     assert(r.getDouble(0) === 100.0 && r.getLong(1) === 1L)  // 700/7
   }
+
+  test("j22 plan: shuffled-hash join on (key, salt) — no broadcast dodge") {
+    val df = Joins.defs.find(_.name == "j22_skew_salted_join").get.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(plan.contains("__salt"), s"join keys should include the salt:\n$plan")
+  }
+
+  test("j20/j21 plans: every dimension broadcasts; lineitem-orders is the only shuffle join") {
+    for (name <- Seq("j20_q8_shape", "j21_q9_shape")) {
+      val plan = Joins.defs.find(_.name == name).get.run(spark, sf)
+        .queryExecution.executedPlan.toString
+      val nBcast = "BroadcastHashJoin".r.findAllIn(plan).length
+      val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+      val nShj = "ShuffledHashJoin".r.findAllIn(plan).length
+      assert(nBcast >= 2, s"$name: dims should broadcast\n$plan")
+      assert(nSmj + nShj <= 1, s"$name: only lineitem-orders may shuffle\n$plan")
+    }
+  }
 }

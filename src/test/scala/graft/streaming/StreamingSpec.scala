@@ -53,6 +53,25 @@ class StreamingSpec extends SparkSpec {
       s"too few closed windows: ${got.length} vs batch ${want.length}")
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
+    // duplicate the staged file so the stream sees every event twice across
+    // two source files; dedup state keyed on event_id within the watermark
+    val dupDir = new java.io.File(s"/root/repo/target/stream-dup-${System.nanoTime()}")
+    dupDir.mkdirs()
+    for (i <- 0 to 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        java.nio.file.Paths.get(s"${dupDir.getAbsolutePath}/batch-$i.parquet"))
+    val stream = Streams.eventsStream(spark, dupDir.getAbsolutePath)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().count()
+    runToMemory(stream, "dedup_out", "complete")
+    val got = spark.table("dedup_out").collect().map(_.getLong(0)).max
+    val want = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(got === want, s"streamed dedup count $got != batch distinct $want")
+  }
+
   test("flatMapGroupsWithState sessionization == batch sessionize after one pass") {
     val stream = Streams.sessionizeStateful(Streams.eventsStream(spark, stageDir))
     runToMemory(stream.toDF(), "sessions_out", "update")
