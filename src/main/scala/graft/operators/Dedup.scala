@@ -108,6 +108,12 @@ object Dedup {
   val TfidfQ = 1000000L
   val CosTau = 0.6
 
+  /** d16 Bloom-gate knobs (declared before `defs`): configured false-
+    * positive rate and the absent-probe trial count behind the 4×fpp
+    * envelope (same Markov-style stability argument as t9b's CMS bound). */
+  val BloomFpp = 0.03
+  val BloomAbsentProbes = 1000
+
   /** Drop rows whose shingle `g` appears in more than `cap` documents.
     * `sh` must hold at most one row per (doc, g) — true for both d6's
     * distinct shingles and d8's tf frame — so rows-per-g IS the df.
@@ -798,6 +804,51 @@ object Dedup {
         .select(col("a_id"), col("b_id"),
           round(cos, 6).cast("double").as("cos_sim"))
         .orderBy("a_id", "b_id")
+    },
+
+    // D16: Bloom-filter membership gate — the streaming-ingest "have we
+    // already got this document?" primitive, completing the sketch family
+    // (CMS t9, HLL a8, Bloom here). The filter builds DISTRIBUTED (bit
+    // arrays OR-merge per partition, order-free — so the build is
+    // deterministic for a given corpus), then the fixed probe sets check
+    // the two sides of the contract: every present key MUST hit (a Bloom
+    // filter has NO false negatives — an unconditional guarantee, exact
+    // count oracled), and absent-key false positives stay under 4× the
+    // configured fpp over BloomAbsentProbes trials (Markov/Chernoff: a
+    // correct sketch breaks that envelope with probability ≈ 1e-9; a
+    // broken hash or merge flips the verdict row and fails the hash
+    // compare). Probing happens driver-side against the O(1)-size sketch
+    // — the corpus never moves.
+    QueryDef("d16_bloom_gate", {
+      s"""SELECT 'absent' AS probe_class,
+        |       (SELECT count(*) FROM documents WHERE false) AS n_required_hits,
+        |       TRUE AS within_bound
+        |UNION ALL
+        |SELECT 'present' AS probe_class,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |         (SELECT DISTINCT doc_id FROM documents
+        |          WHERE doc_id % 5 = 0 AND doc_id < 1000)) AS n_required_hits,
+        |       TRUE AS within_bound
+        |ORDER BY probe_class""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val keyed = docs(s, dir).select(col("doc_id"),
+        md5(normalized(col("text")).cast("binary")).as("h"))
+      // FIXED probe set (≤200 keys at any corpus size) — the sketch is
+      // what's distributed; verification stays O(probes) on the driver
+      val present = keyed.filter(col("doc_id") % 5 === 0 && col("doc_id") < 1000)
+        .select("doc_id", "h").distinct().collect()
+      val bf = keyed.stat.bloomFilter("h", expectedNumItems = 100000, fpp = BloomFpp)
+      val presentHits = present.count(r => bf.mightContain(r.getString(1)))
+      // absent probes: md5 of a namespace no document hash can collide
+      // with (domain-separated), so every hit is a true false positive
+      val absentFp = (0 until BloomAbsentProbes)
+        .count(i => bf.mightContain(s"graft-absent-probe-$i"))
+      val bound = (4 * BloomFpp * BloomAbsentProbes).toLong
+      Seq(("absent", 0L, absentFp <= bound),
+        ("present", presentHits.toLong, presentHits == present.length))
+        .toDF("probe_class", "n_required_hits", "within_bound")
+        .orderBy("probe_class")
     }
   )
 

@@ -176,6 +176,57 @@ object IndexPath {
         .agg(count(lit(1)).as("n_keys"),
           sum(col("kept_qty").cast("long")).as("ck_qty"),
           sum("last_rk").as("ck_rk"))
+    },
+
+    // I7: DYNAMIC partition pruning — the 100 TB scan-avoidance lever the
+    // sorted layout (row-group stats) doesn't cover: whole DIRECTORIES
+    // skipped because a dimension filter's surviving keys arrive as a
+    // runtime filter on the partition column. The build step hive-
+    // partitions orders by order year and writes a years dim as a
+    // separate parquet (read back, so the optimizer cannot constant-fold
+    // the dim into a static IN-list — the pruning must happen at RUN
+    // time, exactly as with a real date dimension). IndexSpec pins
+    // `dynamicpruningexpression` in the scan's PartitionFilters. The
+    // oracle computes the same aggregate from the unpartitioned table
+    // with the dim predicate inlined.
+    QueryDef("i7_partition_pruning",
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) % 3 = 0
+        |GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val out = buildPartitionedOrders(s, dir)
+      val fact = s.read.parquet(s"$out/orders")
+      // equality on a dim attribute — the predicate shape Spark's
+      // PartitionPruning rule recognizes as selective (a bare boolean
+      // column is not, and DPP silently declines)
+      val dim = s.read.parquet(s"$out/years").filter(col("status") === "keep")
+      fact.join(broadcast(dim), col("o_year") === col("d_year"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_year")
+        .select(col("o_year").cast("int").as("o_year"), col("n"), col("cents"))
     }
   )
+
+  /** I7 build: hive-partition orders by order year (each year = one
+    * directory the runtime filter can skip wholesale) + a years dim with
+    * a keep flag, written and read back as parquet so the dim is opaque
+    * to constant folding. Idempotent per sf dir. */
+  def buildPartitionedOrders(s: SparkSession, dir: String): String = synchronized {
+    val out = s"/root/repo/target/graft-part/${new java.io.File(dir).getName}"
+    if (!new java.io.File(s"$out/years/_SUCCESS").exists()) {
+      val o = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate").cast("date")))
+      o.write.mode("overwrite").partitionBy("o_year").parquet(s"$out/orders")
+      o.select(col("o_year").as("d_year")).distinct()
+        .withColumn("status",
+          when(pmod(col("d_year"), lit(3)) === 0, "keep").otherwise("drop"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/years")
+    }
+    out
+  }
 }
