@@ -29,7 +29,7 @@ object ScalingBench {
     "d1_exact_dedup", "d3_minhash_lsh", "d4b_simhash_hamming",
     "d6_ngram_jaccard", "d8_weighted_jaccard", "d9_line_dedup",
     "d7_dedup_clusters", "d13_substring_dedup", "d14_tfidf_cosine",
-    "t11_edit_distance", "t12_keywords",
+    "t11_edit_distance", "t12_keywords", "t13_pmi", "d16_bloom_gate",
     "sim1_cosine_topk", "sim3_ann_ivf", "sim8_knn_join_ivf")
 
   def main(args: Array[String]): Unit = {

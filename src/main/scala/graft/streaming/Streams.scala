@@ -343,6 +343,33 @@ object Streams {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "week_offset")
+    },
+
+    // E10: 7-day sliding distinct actives (WAU) — exact, per report day.
+    // The classic engagement metric, done the scale-safe way: dedup to
+    // (user, day) FIRST (one keyed shuffle of pairs, not events), then
+    // each pair contributes to exactly 7 report days via a narrow
+    // sequence-explode — bounded 7× fan-out of the deduplicated pairs,
+    // never of the raw stream — and the final exact count-distinct
+    // shuffles on report day. Epoch-day arithmetic (no calendar/tz
+    // semantics to diverge on).
+    QueryDef("e10_wau",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |           FROM events),
+        |r AS (SELECT user_id, d + unnest(generate_series(0, 6)) AS rd FROM a)
+        |SELECT CAST(rd AS BIGINT) AS report_day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM r GROUP BY 1 ORDER BY report_day""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+        .distinct()
+        .select(col("user_id"),
+          explode(sequence(col("d").cast("long"), col("d").cast("long") + 6)).as("report_day"))
+        .groupBy("report_day")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("report_day")
     }
   )
 

@@ -53,6 +53,42 @@ class StreamingSpec extends SparkSpec {
       s"too few closed windows: ${got.length} vs batch ${want.length}")
   }
 
+  test("stream-stream interval join (watermarked both sides) == batch e4 kernel") {
+    // the flagship Structured Streaming capability the batch e4 twins:
+    // clicks join views on user within [v_ts, v_ts + 30m), both sides
+    // watermarked so the join state is bounded
+    val ev = Streams.eventsStream(spark, stageDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("c_uid") === col("v_uid") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    runToMemory(joined, "ssjoin_out", "append")
+    val got = spark.table("ssjoin_out")
+      .groupBy(col("c_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("click_id") + col("view_id")).as("ck"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val evB = Tables.events(spark, sf)
+    val want = Streams.clickViewIntervalJoin(
+      evB.filter(col("event_type") === "view"),
+      evB.filter(col("event_type") === "click"))
+      .groupBy(col("c_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("click_id") + col("view_id")).as("ck"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
     // duplicate the staged file so the stream sees every event twice across
     // two source files; dedup state keyed on event_id within the watermark
@@ -70,6 +106,28 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("dedup_out").collect().map(_.getLong(0)).max
     val want = Tables.events(spark, sf).select("event_id").distinct().count()
     assert(got === want, s"streamed dedup count $got != batch distinct $want")
+  }
+
+  test("e10 WAU: one (user, day) activity contributes to exactly its 7 report days") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-e10").toString
+    val day = java.time.LocalDate.of(2024, 3, 1)
+    val nanos = day.toEpochDay * 86400L * 1000000000L
+    // user 1 twice on one day (dedup to one pair); user 2 three days later
+    Seq((1L, nanos, 1L), (2L, nanos + 3600L * 1000000000L, 1L),
+      (3L, nanos + 3L * 86400L * 1000000000L, 2L))
+      .map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d0 = day.toEpochDay
+    val got = Streams.defs.find(_.name == "e10_wau").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (d0 to d0 + 9).map { rd =>
+      val u1 = rd >= d0 && rd <= d0 + 6
+      val u2 = rd >= d0 + 3 && rd <= d0 + 9
+      (rd, Seq(u1, u2).count(identity).toLong)
+    }
+    assert(got.toSeq === want)
   }
 
   test("flatMapGroupsWithState sessionization == batch sessionize after one pass") {
