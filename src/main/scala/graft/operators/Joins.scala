@@ -668,6 +668,166 @@ object Joins {
         .groupBy("k")
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"), min("rate").as("rate"))
         .orderBy("k")
+    },
+
+    // J23: TPC-H Q2 SHAPE (minimum-cost supplier). The testdata has no
+    // partsupp, so the part-supplier relation is DERIVED from the fact
+    // table: cost(part, supp) = min observed line cents — one grouped
+    // aggregate, exact BIGINTs. The Q2 skeleton is intact: regional
+    // supplier restriction, then "suppliers achieving the per-part
+    // minimum cost" — the correlated-min subquery decorrelated to a
+    // single min().over(partitionBy(part)) window on the already-grouped
+    // (part, supp) frame, NOT a per-probe rescan. Scale: supplier/nation/
+    // region broadcast; the only corpus-sized shuffles are the (part,
+    // supp) aggregate and the per-part window, both keyed on l_partkey.
+    QueryDef("j23_q2_shape",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |es AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, s_name, n_name,
+        |       CAST(s_acctbal AS DOUBLE) AS acctbal, ps_cost
+        |FROM part
+        |JOIN ps ON ps_partkey = p_partkey
+        |JOIN es ON s_suppkey = ps_suppkey
+        |WHERE p_type = 'PROMO' AND p_size <= 25
+        |  AND ps_cost = (SELECT min(ps2.ps_cost) FROM ps ps2
+        |                 JOIN es es2 ON es2.s_suppkey = ps2.ps_suppkey
+        |                 WHERE ps2.ps_partkey = p_partkey)
+        |ORDER BY acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val es = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("r_regionkey") === col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val psEu = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("ps_cost"))
+        .join(broadcast(es), col("l_suppkey") === col("s_suppkey"))
+      psEu
+        .withColumn("__min_cost",
+          min(col("ps_cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("ps_cost") === col("__min_cost"))
+        .join(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO" && col("p_size") <= 25)
+          .select("p_partkey", "p_name"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("s_acctbal").cast("double").as("acctbal"), col("ps_cost"))
+        .orderBy(col("acctbal").desc, col("p_partkey"), col("s_name")).limit(100)
+    },
+
+    // J24: TPC-H Q11 SHAPE (important stock identification) — grouped
+    // value per part restricted to one region's suppliers, kept only when
+    // the part's value exceeds a fixed fraction of the GLOBAL value (the
+    // scalar-subquery HAVING). The fraction compare is pure BIGINT
+    // (val_c * 1000 > total) — no float threshold to diverge on. Scale:
+    // the regional supplier set broadcasts; the per-part aggregate is one
+    // keyed shuffle; the global total is a one-row frame broadcast back,
+    // never a driver round-trip inside the plan.
+    QueryDef("j24_q11_shape",
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1)
+        |SELECT l_partkey, val_c FROM pv
+        |WHERE val_c * 1000 > (SELECT sum(val_c) FROM pv)
+        |ORDER BY val_c DESC, l_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val euSupp = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("r_regionkey") === col("n_regionkey"))
+        .select("s_suppkey")
+      val pv = t(s, dir, "lineitem")
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("val_c"))
+      pv.join(broadcast(pv.agg(sum("val_c").as("__total"))))
+        .filter(col("val_c") * 1000 > col("__total"))
+        .select("l_partkey", "val_c")
+        .orderBy(col("val_c").desc, col("l_partkey")).limit(100)
+    },
+
+    // J25: TPC-H Q16 SHAPE (parts/supplier relationship) — distinct
+    // supplier count per part attribute triple, minus an excluded
+    // supplier set (Q16's "complaints" NOT IN, proxied deterministically
+    // as s_suppkey % 7 = 0 since this testdata has no comment column).
+    // NOT IN on a non-null key decorrelates to a broadcast left-anti
+    // join; count(DISTINCT) runs as Spark's two-phase distinct aggregate
+    // (partial distinct per partition, then merge) — no all-to-one.
+    QueryDef("j25_q16_shape",
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_suppkey % 7 = 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin) { (s, dir) =>
+      val excluded = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 7 === 0).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") =!= "Brand#1")
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(100)
+    },
+
+    // J26: TPC-H Q20 SHAPE (potential part promotion) — the nested
+    // semi-join chain: suppliers IN (derived part-supplier rows whose
+    // total shipped quantity exceeds 2× the 1997 shipment, over parts IN
+    // (name-pattern set)). Availability is derived from the fact table
+    // (no partsupp): total_qty stands in for ps_availqty. Quantities are
+    // integral doubles, so the 2× compare is exact BIGINT arithmetic.
+    // Scale: the part set broadcasts into a semi-join BEFORE the (part,
+    // supp) aggregate, so only pattern-matching parts shuffle; the
+    // surviving supplier set is a semi-join key list, no payload.
+    QueryDef("j26_q20_shape",
+      """WITH agg AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |         CAST(sum(CASE WHEN l_shipdate >= DATE '1997-01-01'
+        |                        AND l_shipdate < DATE '1998-01-01'
+        |                   THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_1997
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM agg WHERE total_qty > 2 * qty_1997)
+        |ORDER BY s_name""".stripMargin) { (s, dir) =>
+      val widgetParts = t(s, dir, "part")
+        .filter(col("p_name").like("%widget%")).select("p_partkey")
+      val qualifying = t(s, dir, "lineitem")
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"),
+          sum(when(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"),
+            col("l_quantity").cast("long")).otherwise(0L)).as("qty_1997"))
+        .filter(col("total_qty") > lit(2) * col("qty_1997"))
+        .select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     }
   )
 }

@@ -178,4 +178,76 @@ class JoinSpec extends SparkSpec {
       assert(nSmj + nShj <= 1, s"$name: only lineitem-orders may shuffle\n$plan")
     }
   }
+
+  test("j23: decorrelated min-cost window — per-part minimum, no rescan join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-j23").toString
+    Seq((1L, "alpha", "PROMO", 10), (2L, "beta", "PROMO", 10),
+      (3L, "gamma", "OTHER", 10))
+      .toDF("p_partkey", "p_name", "p_type", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((10L, "Supp#A", 100.0, 0L), (11L, "Supp#B", 200.0, 0L),
+      (12L, "Supp#C", 300.0, 1L))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((0L, "FRANCE", 0L), (1L, "BRAZIL", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0L, "EUROPE"), (1L, "AMERICA"))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    // part 1: EU costs 5.00 (A) and 3.00 (B) → B wins; C (AMERICA, 1.00)
+    // must be excluded BEFORE the min. part 2: only A quotes → A wins.
+    // part 3 matches costs but fails the p_type filter.
+    Seq((1L, 10L, 5.0), (1L, 11L, 3.0), (1L, 12L, 1.0),
+      (2L, 10L, 7.0), (3L, 10L, 2.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Joins.defs.find(_.name == "j23_q2_shape").get.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(5)))
+    // acctbal DESC: Supp#B (200.0) outranks Supp#A (100.0)
+    assert(got.toSeq === Seq((1L, "Supp#B", 300L), (2L, "Supp#A", 700L)))
+    // plan: the correlated min must be a Window over the grouped frame,
+    // never a second scan of lineitem (one FileScan of lineitem total)
+    val plan = Joins.defs.find(_.name == "j23_q2_shape").get.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"plan:\n$plan")
+    assert("Scan parquet.*lineitem".r.findAllIn(plan).length <= 1,
+      s"lineitem must be scanned once:\n$plan")
+  }
+
+  test("j24: global-total fraction filter broadcasts the one-row total") {
+    val df = Joins.defs.find(_.name == "j24_q11_shape").get.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scalar total joins back as a broadcast nested loop of ONE row —
+    // cheap by construction; the per-part aggregate must not re-shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // value semantics are DuckDB-certified (j24 oracle); here pin the
+    // output invariants: descending value order, all positive
+    val vals = df.collect().map(_.getLong(1))
+    assert(vals.nonEmpty && vals.forall(_ > 0))
+    assert(vals.sameElements(vals.sorted(Ordering[Long].reverse)))
+  }
+
+  test("j25/j26 plans: exclusion and pattern sets broadcast; no cartesian") {
+    for (name <- Seq("j25_q16_shape", "j26_q20_shape")) {
+      val plan = Joins.defs.find(_.name == name).get.run(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+    }
+    // j25 semantics: distinct supplier count ignores duplicate lines
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-j25").toString
+    Seq((1L, "Brand#2", "T", 5)).toDF("p_partkey", "p_brand", "p_type", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((7L, "ex"), (8L, "in")).toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // supplier 7 is excluded (7 % 7 = 0); duplicate (1,8) lines count once
+    Seq((1L, 7L), (1L, 8L), (1L, 8L)).toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Joins.defs.find(_.name == "j25_q16_shape").get.run(spark, dir).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(3))).toSeq === Seq(("Brand#2", 1L)))
+  }
 }
