@@ -919,12 +919,17 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
   }
 
-  /** Candidate generation + exact `bit_count(xor)` verify for hamming ≤
-    * `maxHamming` over the integer SimHash fingerprint. */
-  def simhashHammingPairs(d: DataFrame, maxHamming: Int): DataFrame =
-    simhashCandidates(simhashFingerprints(d), maxHamming)
+  /** Banded candidates + exact `bit_count(xor)` verify for hamming ≤
+    * `maxHamming` over ANY (doc_id, fp: LONG) fingerprint frame — the
+    * kernel text SimHash (d4b) and image dHash (mm5) share. */
+  def hammingPairs(f: DataFrame, maxHamming: Int): DataFrame =
+    simhashCandidates(f, maxHamming)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair can agree on several blocks
+
+  /** [[hammingPairs]] over the text SimHash fingerprint. */
+  def simhashHammingPairs(d: DataFrame, maxHamming: Int): DataFrame =
+    hammingPairs(simhashFingerprints(d), maxHamming)
 }

@@ -143,14 +143,17 @@ object Multimodal {
     def width(id: Long): Int = 16 + (id % 13).toInt
     def height(id: Long): Int = 16 + (id % 7).toInt
 
-    /** Real PNG bytes: 8-bit grayscale, pixel p = (31p + id) mod 256. */
-    def encodePng(id: Long): Array[Byte] = {
+    /** Real PNG bytes: 8-bit grayscale, pixel p = (31p + id) mod 256.
+      * `perturbAt ≥ 0` flips that one pixel by +128 mod 256 — the
+      * near-duplicate construction mm5 pairs up (default: untouched). */
+    def encodePng(id: Long, perturbAt: Int = -1): Array[Byte] = {
       val (w, h) = (width(id), height(id))
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
       var p = 0
       while (p < w * h) {
-        raster.setSample(p % w, p / w, 0, ((31L * p + id) % 256).toInt)
+        val bump = if (p == perturbAt) 128L else 0L
+        raster.setSample(p % w, p / w, 0, ((31L * p + id + bump) % 256).toInt)
         p += 1
       }
       val out = new ByteArrayOutputStream()
@@ -158,15 +161,17 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Real BMP bytes: 24-bit RGB, channel c(p) = (k_c·p + id) mod 256. */
-    def encodeBmp(id: Long): Array[Byte] = {
+    /** Real BMP bytes: 24-bit RGB, channel c(p) = (k_c·p + id) mod 256.
+      * `perturbAt` bumps every channel of that pixel by +128 mod 256. */
+    def encodeBmp(id: Long, perturbAt: Int = -1): Array[Byte] = {
       val (w, h) = (width(id), height(id))
       val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
       var p = 0
       while (p < w * h) {
-        val r = ((31L * p + id) % 256).toInt
-        val g = ((37L * p + id) % 256).toInt
-        val b = ((41L * p + id) % 256).toInt
+        val bump = if (p == perturbAt) 128L else 0L
+        val r = ((31L * p + id + bump) % 256).toInt
+        val g = ((37L * p + id + bump) % 256).toInt
+        val b = ((41L * p + id + bump) % 256).toInt
         img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
         p += 1
       }
@@ -259,6 +264,76 @@ object Multimodal {
         }
         val total = math.max(counts.sum, 1.0)
         MediaFeature(m.media_id, counts.map(_ / total))
+      }
+    }
+  }
+
+  final case class ImageHash(media_id: Long, fp: Long)
+
+  /** Fixture set for image near-dedup: the 200 mm2 images plus, for the
+    * first 100, a perceptual NEAR-COPY — same formula pixels with exactly
+    * one pixel (the center, (w·h) div 2) bumped by +128 mod 256, written
+    * as a genuine PNG/BMP under media_id = base + 200. One altered pixel
+    * lands in one dHash grid cell, which flips at most the two
+    * neighbour-comparison bits that read that cell — so every (base,
+    * base+200) pair is within Hamming 2 by construction, a guarantee the
+    * pigeonhole banding (≤ 3) must then recover. */
+  def imageNearDupFixtures(s: SparkSession, dir: String): Dataset[MediaFile] = {
+    import s.implicits._
+    val copies = Tables.documents(s, dir).select("doc_id")
+      .where(col("doc_id") < 100).as[Long].map { base =>
+        val center = (JdkImageCodec.width(base) * JdkImageCodec.height(base)) / 2
+        if (base % 2 == 0)
+          MediaFile(base + 200, "png", JdkImageCodec.encodePng(base, center))
+        else
+          MediaFile(base + 200, "bmp", JdkImageCodec.encodeBmp(base, center))
+      }
+    imageFixtures(s, dir).unionByName(copies)
+  }
+
+  /** 64-bit dHash (difference hash) from REAL decoded pixels: luminance
+    * (sum of raster bands) pooled onto a 9×8 grid — cell (gx, gy) =
+    * (x·9 div w, y·8 div h), pure integer arithmetic — then bit (x, y) =
+    * [cell(x,y) brighter than cell(x+1,y)] for the 8×8 adjacent pairs,
+    * compared CROSS-MULTIPLIED (sumA·cntB > sumB·cntA) so unequal cell
+    * populations never meet a float. The classic perceptual fingerprint:
+    * stable under small pixel edits, re-encodes, and container changes
+    * (a PNG and a BMP of the same pixels hash identically). Per-record,
+    * no shuffle; undecodable payloads drop out (flatMap, not a poisoned
+    * row) so one corrupt file can't sink the batch. */
+  def dhash64(media: Dataset[MediaFile]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        JdkImageCodec.decode(m.content).map { img =>
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val sums = new Array[Long](9 * 8)
+          val cnts = new Array[Long](9 * 8)
+          var p = 0
+          while (p < w * h) {
+            val (x, y) = (p % w, p / w)
+            var v = 0L
+            var b = 0
+            while (b < bands) { v += raster.getSample(x, y, b); b += 1 }
+            val cell = (y * 8 / h) * 9 + (x * 9 / w)
+            sums(cell) += v; cnts(cell) += 1
+            p += 1
+          }
+          var fp = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              val a = gy * 9 + gx
+              if (sums(a) * cnts(a + 1) > sums(a + 1) * cnts(a))
+                fp |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          ImageHash(m.media_id, fp)
+        }
       }
     }
   }
@@ -481,6 +556,61 @@ object Multimodal {
         .select(col("media_id"), explode(col("frame_ids")).as("f"))
         .select(col("media_id"), col("f").cast("long").as("frame_id"))
         .orderBy("media_id", "frame_id")
+    },
+
+    // MM5: image perceptual near-dedup — the multimodal tier's answer to
+    // d4b. Spark decodes 300 REAL PNG/BMP files (200 bases + 100
+    // one-pixel-perturbed near-copies), computes a 64-bit dHash from the
+    // decoded rasters, and finds every pair within Hamming ≤ 3 via the
+    // SAME pigeonhole banding d4b uses (4×16-bit blocks, keyed equi-join,
+    // never all-pairs — the 100 TB shape). The oracle re-derives every
+    // fingerprint codec-free from the pixel FORMULA (the mm2 pattern) and
+    // brute-forces all pairs, so a hash match certifies three things at
+    // once: the PNG/BMP decode round trip, the integer dHash arithmetic,
+    // and that banding loses no pair. All 100 (base, base+200) copies
+    // are within Hamming 2 by construction and MUST appear.
+    QueryDef("mm5_image_phash_neardup", {
+      // fp = Σ bit(x,y)·2^(8y+x); bit 63 spelled as (-MAX-1), d4b's trick
+      val fpInt = (0 until 64).map { i =>
+        val v = if (i == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"CAST(${1L << i} AS BIGINT)"
+        s"sum(CASE WHEN y * 8 + x = $i AND bit = 1 THEN $v ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH ids AS (SELECT doc_id AS media_id, doc_id AS base
+        |             FROM documents WHERE doc_id < 200
+        |             UNION ALL
+        |             SELECT doc_id + 200, doc_id FROM documents WHERE doc_id < 100),
+        |dims AS (SELECT media_id, base, 16 + base % 13 AS w, 16 + base % 7 AS h
+        |         FROM ids),
+        |px AS (SELECT media_id, base, w, h,
+        |              unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS p
+        |       FROM dims),
+        |v AS (SELECT media_id,
+        |        ((p % w) * 9) // w AS gx, ((p // w) * 8) // h AS gy,
+        |        CASE WHEN base % 2 = 0
+        |          THEN (31 * p + base + bump) % 256
+        |          ELSE (31 * p + base + bump) % 256 + (37 * p + base + bump) % 256
+        |               + (41 * p + base + bump) % 256
+        |        END AS lum
+        |      FROM (SELECT *, CASE WHEN media_id >= 200 AND p = (w * h) // 2
+        |                      THEN 128 ELSE 0 END AS bump FROM px)),
+        |cells AS (SELECT media_id, gx, gy, sum(lum) AS s, count(*) AS n
+        |          FROM v GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.media_id, a.gx AS x, a.gy AS y,
+        |           CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+        |         FROM cells a JOIN cells b
+        |           ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |         WHERE a.gx < 8),
+        |f AS (SELECT media_id, $fpInt AS fp FROM bits GROUP BY media_id)
+        |SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM f a JOIN f b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
+      val f = dhash64(imageNearDupFixtures(s, dir)).toDF()
+        .withColumnRenamed("media_id", "doc_id")
+      Dedup.hammingPairs(f, maxHamming = 3).orderBy("a_id", "b_id")
     }
   )
 }

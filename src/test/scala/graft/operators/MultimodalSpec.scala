@@ -182,4 +182,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 0L), (5L, 0L), (5L, 4L),
       (8L, 0L), (8L, 4L), (8L, 8L)))
   }
+
+  test("mm5 dHash: every one-pixel near-copy pairs with its base within hamming 2") {
+    val pairs = Multimodal.defs.find(_.name == "mm5_image_phash_neardup").get
+      .run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // construction guarantee: one bumped pixel touches one grid cell →
+    // at most the 2 comparison bits reading that cell flip
+    val copies = pairs.filter { case (a, b, _) => b == a + 200 }
+    assert(copies.length === 100)
+    assert(copies.forall(_._3 <= 2))
+    // and nothing else is close: formula images with different ids are
+    // noise to each other (P[hamming ≤ 3] ≈ 2^-46 per pair)
+    assert(pairs.length === copies.length)
+  }
+
+  test("mm5 kernel: corrupt bytes drop out; banding is keyed, never all-pairs") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaFile(1L, "png", Multimodal.JdkImageCodec.encodePng(1L)),
+      Multimodal.MediaFile(2L, "png", Array.fill[Byte](64)(7))).toDS()
+    val hashed = Multimodal.dhash64(media).collect()
+    assert(hashed.map(_.media_id).toSeq === Seq(1L)) // corrupt row vanished
+    // the pair plan joins on (blk, bv) — an equi-join — with no cartesian
+    val plan = Multimodal.defs.find(_.name == "mm5_image_phash_neardup").get
+      .run(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
 }
