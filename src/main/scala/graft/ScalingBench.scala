@@ -32,6 +32,18 @@ object ScalingBench {
     "t11_edit_distance", "t12_keywords", "t13_pmi", "d16_bloom_gate",
     "sim1_cosine_topk", "sim3_ann_ivf", "sim8_knn_join_ivf")
 
+  /** Fact-table tier: the join/agg/window shapes, timed over replicated
+    * lineitem/orders/events (dims stay fixed — at scale, dimensions grow
+    * far slower than facts, so the fact:dim ratio growing with the
+    * multiple is the realistic direction). Key shifts keep join
+    * semantics: each replica's orderkeys (and event users) move to a
+    * disjoint range, so per-key group sizes stay flat and output
+    * cardinality grows linearly like a really-grown corpus. */
+  private val FactQueries = Seq(
+    "a5_group_flag_status", "a7_count_distinct", "w8_block_rolling",
+    "j2_star_q5", "j5_sortmerge_factfact", "j21_q9_shape", "j23_q2_shape",
+    "e8_funnel", "e9_retention", "e10_wau")
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,28 +78,65 @@ object ScalingBench {
       dir
     }
 
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val defs = SparkEntry.allDefs.filter(d => Queries.contains(d.name))
-      .sortBy(d => Queries.indexOf(d.name))
+    /** Fact corpus ×k: orderkeys/users shifted per replica into disjoint
+      * ranges, dims copied once. */
+    def ensureFactCorpus(k: Int): String = {
+      val dir = s"/root/repo/target/scaling/fact-x$k"
+      val marker = new java.io.File(s"$dir/lineitem.parquet/_SUCCESS")
+      if (!marker.exists()) {
+        def shifted(t: DataFrame, keys: Seq[String]): DataFrame =
+          (0 until k).map { r =>
+            keys.foldLeft(t)((df, c) =>
+              df.withColumn(c, col(c) + lit(r * 1000000000L)))
+          }.reduce(_ unionByName _)
+        shifted(sources.Tables.lineitem(spark, base), Seq("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        shifted(sources.Tables.orders(spark, base), Seq("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        shifted(sources.Tables.events(spark, base), Seq("event_id", "user_id"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+          spark.read.parquet(s"$base/$t.parquet")
+            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        }
+      }
+      dir
+    }
 
-    Seq(1, 2, 4).foreach { k =>
-      val dir = ensureCorpus(k)
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+
+    def timeTier(tier: String, roster: Seq[String], dirFor: Int => String,
+        counts: String => String): Unit = {
+      val defs = SparkEntry.allDefs.filter(d => roster.contains(d.name))
+        .sortBy(d => roster.indexOf(d.name))
+      Seq(1, 2, 4).foreach { k =>
+        val dir = dirFor(k)
+        val parts = defs.map { d =>
+          def once: Double = {
+            val t0 = System.nanoTime()
+            d.run(spark, dir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val cold = once
+          spark.catalog.clearCache()
+          val warm = once
+          spark.catalog.clearCache()
+          s""""${d.name}":{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
+        }
+        println(s"""{"tier":"$tier","mult":$k,${counts(dir)},"queries":{${parts.mkString(",")}}}""")
+      }
+    }
+
+    timeTier("corpus", Queries, ensureCorpus, dir => {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      val parts = defs.map { d =>
-        def once: Double = {
-          val t0 = System.nanoTime()
-          d.run(spark, dir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val cold = once
-        spark.catalog.clearCache()
-        val warm = once
-        spark.catalog.clearCache()
-        s""""${d.name}":{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
-      }
-      println(s"""{"mult":$k,"docs":$nDocs,"vecs":$nVecs,"queries":{${parts.mkString(",")}}}""")
-    }
+      s""""docs":$nDocs,"vecs":$nVecs"""
+    })
+    timeTier("fact", FactQueries, ensureFactCorpus, dir => {
+      val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+      s""""lineitem":$nLi,"events":$nEv"""
+    })
     spark.stop()
   }
 }

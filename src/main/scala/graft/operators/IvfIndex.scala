@@ -137,6 +137,70 @@ object IvfIndex {
     nv.unpersist()
   }
 
+  /** Labeled-IVF build — the filtered-ANN path ("ivfl" kind, its own
+    * index dir so the unlabeled layouts stay untouched): identical list
+    * layout to [[buildIvf]] plus the `label` payload carried INTO every
+    * list row (vectors and their filterable metadata co-located, the
+    * standard payload-filtered ANN design — filtering at probe time needs
+    * no corpus-sized side join), and a label histogram (one row per
+    * distinct label) the probe reads for selectivity widening. */
+  def buildIvfLabeled(e: DataFrame, idx: String): Unit = {
+    val cs = Similarity.centroids(e).cache()
+    cs.write.mode("overwrite").parquet(s"$idx/centroids")
+    Similarity.assignTo(e, cs, Similarity.AssignR, carry = Seq("label"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/lists")
+    e.groupBy("label").agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/labelstats")
+    cs.unpersist()
+    writeMeta(e, idx)
+  }
+
+  /** How many lists a filtered probe should scan: a predicate keeping
+    * 1/f of the corpus thins every inverted list by ~f (labels and
+    * coarse clusters are independent unless proven otherwise), so
+    * surfacing the same candidate mass needs ~f× the lists — capped at
+    * all of them, where the probe degrades gracefully to an exhaustive
+    * scan OF THE FILTERED ROWS only (still partition-pruned I/O at the
+    * list level, still never the unfiltered corpus in memory). */
+  def widenedNprobe(nprobe: Int, total: Long, nMatching: Long): Int =
+    if (nMatching <= 0) nprobe
+    else math.min(Similarity.IvfK,
+      math.ceil(nprobe.toDouble * total / nMatching).toInt)
+
+  /** Filtered ANN — metadata-constrained top-k (the "WHERE label = L"
+    * vector search every retrieval product needs). Probes the labeled
+    * index with [[widenedNprobe]] lists and pushes the label equality
+    * INTO the pruned list scan (the label lives in the list rows, so the
+    * filter is a parquet pushdown, not a join). */
+  def filteredTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
+      labelVal: Int, k: Int, nprobe: Int): DataFrame = {
+    val idx = pathFor("ivfl", sfDir)
+    buildLock.synchronized { if (!isFresh(e, idx)) buildIvfLabeled(e, idx) }
+    val s = e.sparkSession
+    // constant-size index metadata (≤ |distinct labels| rows), not a data collect
+    val stats = s.read.parquet(s"$idx/labelstats").collect()
+    val total = stats.map(_.getAs[Long]("n")).sum
+    val nL = stats.find(_.getAs[Int]("label") == labelVal)
+      .map(_.getAs[Long]("n")).getOrElse(0L)
+    val nprobeEff = widenedNprobe(nprobe, total, nL)
+    val q = broadcast(e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv")))
+    val cs = s.read.parquet(s"$idx/centroids")
+    val probed = cs.crossJoin(q)
+      .select(col("c_id"), Similarity.cosineFast(s, "cv", "qv").as("csim"))
+      .orderBy(col("csim").desc, col("c_id")).limit(nprobeEff)
+      .select("c_id").collect().map(_.getLong(0))
+    val scored = s.read.parquet(s"$idx/lists")
+      .filter(col("list_id").isin(probed: _*)) // directory pruning
+      .filter(col("label") === labelVal && col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        Similarity.cosineFast(s, "embedding", "qv").as("cosv"))
+    Similarity.dedupTopK(scored, Seq.empty, "cosv", k)
+      .select(col("vec_id"), round(col("cosv"), 6).cast("double").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
   /** sim3 through the persisted index: lazy build, then probe-only. */
   def ivfTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
       k: Int, nprobe: Int): DataFrame = {
@@ -273,6 +337,14 @@ object IvfIndex {
     graft.QueryDef.unoracled("sim8_knn_join_ivf") { (s, dir) =>
       knnJoinPersisted(graft.sources.Tables.embeddings(s, dir), dir,
         nQueries = 10, k = 5, nprobe = 8)
+    },
+    // SIM10: filtered ANN (label = 3) through the labeled index. Base
+    // nprobe 1 widens by the ~10× label selectivity to ~10 of 16 lists —
+    // genuinely pruned AND genuinely approximate at gate scale; the
+    // recall floor vs sim9's exact answer is sim10b's oracled verdict.
+    graft.QueryDef.unoracled("sim10_filtered_ann") { (s, dir) =>
+      filteredTopKPersisted(graft.sources.Tables.embeddings(s, dir), dir,
+        queryVecId = 0L, labelVal = 3, k = 20, nprobe = 1)
     }
   )
 

@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracled verdict companions for the approximate-ANN tier (the a8→a8b /
-  * t9→t9b pattern, third instance): each approx query (sim3/5/6/7/8) is
-  * rerun next to its EXACT registered twin (sim1 brute-force top-k, sim2
-  * brute-force kNN join) and only the engine-independent verdict —
+  * t9→t9b pattern, third instance): each approx query (sim3/5/6/7/8/10)
+  * is rerun next to its EXACT registered twin (sim1 brute-force top-k,
+  * sim2 brute-force kNN join, sim9 filtered brute force) and only the
+  * engine-independent verdict —
   * "recall met its pinned floor" — is emitted. The oracle states the
   * constant TRUE, so the cross-engine hash check validates the ANN path
   * without requiring DuckDB to reproduce hash-seeded centroids or
@@ -33,6 +34,8 @@ object RecallVerdict {
 
   private val sim1 = byName("sim1_cosine_topk", Similarity.defs)
   private val sim2 = byName("sim2_knn_join", Similarity.defs)
+  private val sim9 = byName("sim9_filtered_topk", Similarity.defs)
+  private val sim10 = byName("sim10_filtered_ann", IvfIndex.defs)
   private val sim3 = Similarity.annDef.run
   private val sim5 = byName("sim5_pq_topk", Quantization.defs)
   private val sim6 = byName("sim6_ivfpq_topk", Quantization.defs)
@@ -75,6 +78,14 @@ object RecallVerdict {
       "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ge_floor") { (s, dir) =>
       verdict(sim2(s, dir), sim8(s, dir), Seq("q_id", "vec_id"), minMatch = 35)
         .select(lit(10L).as("n_queries"), col("recall_ge_floor"))
+    },
+
+    // sim10: filtered ANN vs sim9's EXACT filtered answer — same 0.8·20
+    // floor as the unfiltered tier, certified on the label-restricted
+    // candidate set (the widened probe must not have thinned recall).
+    QueryDef("sim10b_filtered_recall_floor", SingleOracle) { (s, dir) =>
+      verdict(sim9(s, dir), sim10(s, dir), Seq("vec_id"), minMatch = 16)
+        .select(lit(0L).as("query_vec"), col("recall_ge_floor"))
     }
   )
 }

@@ -68,6 +68,27 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     // SIM1: brute-force cosine top-k against one query vector (vec_id 0).
     // The exact baseline every ANN variant is judged against.
+    // SIM9: EXACT filtered search — top-k cosine restricted to one
+    // metadata class (label = 3). The oracled ground truth sim10's
+    // filtered ANN is judged against, and a real operator in its own
+    // right (the "WHERE lang = 'en'" retrieval shape). The label filter
+    // sits on the scan — predicate pushdown, not post-ranking discard.
+    QueryDef("sim9_filtered_topk",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       CAST(round(${cosSql("embedding", "qv")}, 6) AS DOUBLE) AS cos
+        |FROM embeddings, q
+        |WHERE vec_id <> 0 AND label = 3
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      e.filter(col("vec_id") =!= 0 && col("label") === 3)
+        .crossJoin(q)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 6).cast("double").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+    },
+
     QueryDef("sim1_cosine_topk",
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
@@ -220,22 +241,24 @@ object Similarity {
     * via the native fused kernels (graft.functions.PqNative) — one narrow
     * codegen'd pass either way; r>1 emits r rows per vector (IVF
     * multi-assignment, see [[AssignR]]). */
-  private[graft] def assignTo(e: DataFrame, cs: DataFrame, r: Int = 1): DataFrame = {
+  private[graft] def assignTo(e: DataFrame, cs: DataFrame, r: Int = 1,
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.PqNative.register(e.sparkSession)
+    val keep = carry.map(col)
     val base = Par.spread(e, col("vec_id")) // parallelize past the single input file
       .crossJoin(broadcast(flatCentroids(cs)))
     if (r == 1)
-      base.select(col("vec_id"),
+      base.select(col("vec_id") +:
         element_at(col("ids"),
-          expr("nearest_centroid(embedding, cents_flat)") + 1).as("list_id"),
-        col("embedding"))
+          expr("nearest_centroid(embedding, cents_flat)") + 1).as("list_id") +:
+        col("embedding") +: keep: _*)
     else
-      base.select(col("vec_id"),
-        explode(expr(s"top_centroids(embedding, cents_flat, $r)")).as("ci"),
-        col("embedding"), col("ids"))
-        .select(col("vec_id"),
-          element_at(col("ids"), col("ci") + 1).as("list_id"),
-          col("embedding"))
+      base.select(col("vec_id") +:
+        explode(expr(s"top_centroids(embedding, cents_flat, $r)")).as("ci") +:
+        col("embedding") +: col("ids") +: keep: _*)
+        .select(col("vec_id") +:
+          element_at(col("ids"), col("ci") + 1).as("list_id") +:
+          col("embedding") +: keep: _*)
   }
 
   /** One k-means refinement sweep: assign to the current centroids, then

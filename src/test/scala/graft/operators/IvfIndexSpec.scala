@@ -180,4 +180,36 @@ class IvfIndexSpec extends SparkSpec {
       "rebuild after corpus change must index the new vectors")
     tiny.unpersist()
   }
+
+  test("filtered ANN: selectivity widening, pruned+pushed-down probe, recall floor") {
+    // the widening formula in exact terms: 1 probe list × a label kept by
+    // ~1/10 of the corpus → ~10 lists; a never-selective filter stays put;
+    // an absurdly rare one saturates at ALL lists (graceful exhaustive
+    // scan of the filtered rows, never a failure)
+    assert(IvfIndex.widenedNprobe(1, 500, 50) === 10)
+    assert(IvfIndex.widenedNprobe(4, 500, 500) === 4)
+    assert(IvfIndex.widenedNprobe(1, 500, 1) === Similarity.IvfK)
+    assert(IvfIndex.widenedNprobe(2, 500, 0) === 2)
+
+    val approx = IvfIndex.filteredTopKPersisted(emb, sf, queryVecId = 0L,
+      labelVal = 3, k = 20, nprobe = 1)
+    // every returned row really carries the label (the filter is
+    // semantic, not a ranking bias)
+    val labels = emb.select("vec_id", "label")
+    assert(approx.join(labels, "vec_id")
+      .filter(col("label") =!= 3).count() === 0)
+    // recall vs the exact filtered twin — the sim10b floor, measured
+    val exact = Similarity.defs.find(_.name == "sim9_filtered_topk").get
+      .run(spark, sf).select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = approx.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"filtered recall@20 = $recall%.2f")
+    assert(recall >= 0.8, s"filtered recall $recall")
+    // the label predicate reaches the parquet scan of the labeled lists
+    // (payload co-located with vectors: a pushdown, not a join)
+    val plan = IvfIndex.filteredTopKPersisted(emb, sf, queryVecId = 0L,
+      labelVal = 3, k = 20, nprobe = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label filter should push to the list scan:\n$plan")
+  }
 }
