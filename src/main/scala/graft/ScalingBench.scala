@@ -93,7 +93,11 @@ object ScalingBench {
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         shifted(sources.Tables.orders(spark, base), Seq("o_orderkey"))
           .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        // restore the raw-nanos long `ts` the Tables.events reader derives
+        // from (writing the derived TIMESTAMP back would make the reread
+        // re-derive `ts div 1000` on a TIMESTAMP and fail analysis)
         shifted(sources.Tables.events(spark, base), Seq("event_id", "user_id"))
+          .withColumn("ts", expr("unix_micros(ts) * 1000")).drop("ts_us")
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
         Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
           spark.read.parquet(s"$base/$t.parquet")
@@ -127,12 +131,15 @@ object ScalingBench {
       }
     }
 
-    timeTier("corpus", Queries, ensureCorpus, dir => {
+    // dev filter: comma-separated tier names (unset = both)
+    val tiers = sys.env.get("SPARK_GRAFT_TIERS")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set("corpus", "fact"))
+    if (tiers("corpus")) timeTier("corpus", Queries, ensureCorpus, dir => {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
       s""""docs":$nDocs,"vecs":$nVecs"""
     })
-    timeTier("fact", FactQueries, ensureFactCorpus, dir => {
+    if (tiers("fact")) timeTier("fact", FactQueries, ensureFactCorpus, dir => {
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       s""""lineitem":$nLi,"events":$nEv"""

@@ -66,6 +66,34 @@ object Similarity {
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
   val defs: Seq[QueryDef] = Seq(
+    // EMB1: per-label prototype (centroid) vectors — the class-mean
+    // embeddings semantic curation pipelines build (SemDeDup-style
+    // cluster prototypes, nearest-class-mean pruning, k-means init).
+    // Exact fixed-point: each element floor-quantized to 1e-6 BIGINTs,
+    // integer-summed (order-free, hash-stable); the only float is one
+    // division on identical operands in both engines. Scale shape: one
+    // partial/final aggregate over (label, dim) — 64·|labels| groups,
+    // map-side combine, no corpus-sized shuffle of the vectors.
+    QueryDef("emb1_label_centroids",
+      """WITH ds AS (SELECT unnest(generate_series(1, 64)) AS d)
+        |SELECT label,
+        |       CAST(d - 1 AS INTEGER) AS dim,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(embedding[d]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |       CAST(sum(CAST(floor(embedding[d]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS centroid
+        |FROM embeddings, ds
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin) { (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_q"))
+        .select(col("label"), col("dim"), col("n"), col("sum_q"),
+          (col("sum_q").cast("double") / 1000000 / col("n")).as("centroid"))
+        .orderBy("label", "dim")
+    },
+
     // SIM1: brute-force cosine top-k against one query vector (vec_id 0).
     // The exact baseline every ANN variant is judged against.
     // SIM9: EXACT filtered search — top-k cosine restricted to one

