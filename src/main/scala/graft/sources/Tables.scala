@@ -97,12 +97,25 @@ object Tables {
     * column `ts_us` (what cross-engine checks compare on) and a proper
     * TimestampType `ts` (truncated ns→µs; truncation always rounds down,
     * so hour/minute windowing agrees with an engine that windows native
-    * ns timestamps). */
+    * ns timestamps).
+    *
+    * SCHEMA-ADAPTIVE: the generated table has shipped `ts` both as
+    * parquet TIMESTAMP(NANOS) and as TIMESTAMP(MICROS) — the loader
+    * normalizes either vintage to the same contract downstream code and
+    * oracles rely on: `ts_us` = the stored epoch-µs int64 exactly
+    * (what DuckDB's `epoch_us(ts)` sees) and `ts` = TimestampType built
+    * from it. The µs form arrives as TIMESTAMP_NTZ; sessions pin UTC, so
+    * the NTZ→LTZ cast is value-preserving and `unix_micros` recovers the
+    * stored integer bit-for-bit. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = table(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000") // ns vintage
+      case _ => unix_micros(col("ts").cast("timestamp")) // native µs (NTZ)
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

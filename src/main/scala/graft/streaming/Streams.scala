@@ -484,12 +484,22 @@ object Streams {
     * ts TIMESTAMP), so batch and stream share every transformation above. */
   def eventsStream(s: SparkSession, filesDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source needs a declared schema; mirror Tables.events's
+    // schema-adaptivity (ns-as-long vs native-µs NTZ vintage) by peeking at
+    // the files already staged (footer-only batch read). An empty directory
+    // defaults to the native-µs vintage.
+    val tsType = scala.util.Try(s.read.parquet(filesDir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream.schema(raw).parquet(filesDir)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val st = s.readStream.schema(raw).parquet(filesDir)
+    val tsUs = tsType match {
+      case LongType => expr("ts div 1000") // ns vintage read as raw ns
+      case _ => unix_micros(col("ts").cast("timestamp")) // native µs (NTZ)
+    }
+    st.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 }
