@@ -84,4 +84,25 @@ class SourceFormatsSpec extends SparkSpec {
       assert(after.count() === ev.count())
     }
   }
+
+  test("events loader normalizes both ts vintages to the same (ts, ts_us)") {
+    // The generated events table has shipped ts both as TIMESTAMP(NANOS)
+    // (which Spark reads as raw-nanos BIGINT under nanosAsLong) and as
+    // TIMESTAMP(MICROS). Synthesize the ns-as-long vintage from whatever
+    // the current testdata is and pin that the loader yields identical
+    // normalized columns for both.
+    val native = Tables.events(spark, sf)
+    val dir = s"/root/repo/target/ns-vintage-${System.nanoTime()}"
+    native
+      .select(col("event_id"), (col("ts_us") * 1000).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val legacy = Tables.events(spark, dir)
+    assert(legacy.schema("ts").dataType === native.schema("ts").dataType)
+    assert(legacy.schema("ts_us").dataType.typeName === "long")
+    val n = native.select("event_id", "ts", "ts_us")
+    val l = legacy.select("event_id", "ts", "ts_us")
+    assert(l.exceptAll(n).count() === 0)
+    assert(n.exceptAll(l).count() === 0)
+  }
 }
