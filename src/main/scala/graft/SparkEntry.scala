@@ -22,6 +22,7 @@ object SparkEntry {
     operators.SigIndex.defs ++
     operators.Graph.defs ++
     operators.Multimodal.defs ++
+    operators.Mp4.defs ++
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
     operators.RecallVerdict.defs ++

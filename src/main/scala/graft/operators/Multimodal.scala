@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * [[JdkAudioCodec]] genuine RIFF/WAVE PCM through `javax.sound.sampled`
   * (both JDK-shipped, no external deps), with mm2/mm3 certifying the
   * round trips pixel-for-pixel / sample-for-sample against codec-free
-  * DuckDB oracles. Only VIDEO remains stubbed — `FakeCodec` defines a
+  * DuckDB oracles. VIDEO gets real CONTAINER handling in [[Mp4]]
+  * (ISO-BMFF box building + parsing, mm6) — only its FRAME decode is
+  * stubbed, since the JDK ships no video codec; `FakeCodec` remains as a
   * deterministic self-describing container (`GRAFT1|kind|w|h|frames|
-  * payload`) standing in for MP4, since the JDK ships no video codec.
+  * payload`) for the codec-agnostic plumbing queries (mm1/mm4).
   * Common to all paths is the Spark side a production pipeline needs:
   *   - a typed `Dataset[MediaFile]` with the binary payload + metadata,
   *   - `mapPartitions` decode (per-partition batching: one codec context
@@ -341,7 +343,8 @@ object Multimodal {
   /** REAL audio codec via JDK `javax.sound.sampled` (no external deps):
     * RIFF/WAVE, 16-bit signed little-endian mono PCM. This replaces the
     * FakeCodec stub for the audio kind the way [[JdkImageCodec]] did for
-    * images; video stays stubbed (the JDK ships no video codec).
+    * images; video container probing is real too (ISO-BMFF box parsing,
+    * [[Mp4]]) — only video FRAME decode stays stubbed (no JDK video codec).
     *
     * Fixture audio is CONSTRUCTED: sample i of clip `id` is
     * ((2718281·i + 31·id) mod 65536) − 32768, so every decoded statistic

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ISO-BMFF container round trip + parser robustness (mm6). */
+class Mp4Spec extends SparkSpec {
+
+  test("write→parse round-trips dimensions, frame count, duration, mdat size") {
+    val payload = Array.tabulate[Byte](1000)(i => (i * 7).toByte)
+    val v = Mp4.parse(Mp4.write(width = 640, height = 360, frames = 24, payload))
+      .getOrElse(fail("parse returned None on a well-formed file"))
+    assert(v.width === 640)
+    assert(v.height === 360)
+    assert(v.nFrames === 24L)
+    assert(v.durationMs === 1000L) // 24 frames · 25 ticks · 1000 / 600
+    assert(v.mdatBytes === 1000L)
+  }
+
+  test("single-frame and empty-payload files parse") {
+    val v = Mp4.parse(Mp4.write(16, 16, frames = 1, Array.emptyByteArray)).get
+    assert(v.nFrames === 1L)
+    assert(v.mdatBytes === 0L)
+  }
+
+  test("any truncation fails the parse instead of throwing") {
+    val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
+    for (cut <- Seq(1, 7, 50, full.length / 2, full.length - 9)) {
+      assert(Mp4.parse(full.take(full.length - cut)).isEmpty, s"cut=$cut")
+    }
+    assert(Mp4.parse(Array.emptyByteArray).isEmpty)
+    assert(Mp4.parse(Array[Byte](0, 0, 0, 3)).isEmpty) // size < 8
+  }
+
+  test("a corrupted moov fourcc fails the parse") {
+    val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
+    val idx = full.indexOfSlice("moov".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val bad = full.clone(); bad(idx) = 'X'.toByte
+    assert(Mp4.parse(bad).isEmpty)
+  }
+
+  test("unknown boxes are skipped, not rejected (forward compatibility)") {
+    val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
+    // prepend a top-level `free` box — real muxers emit these
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val v = Mp4.parse(free ++ full)
+    assert(v.nonEmpty && v.get.nFrames === 10L)
+  }
+
+  test("mm6 fixtures: corrupt slice degrades to ok=false, rest parse clean") {
+    import org.apache.spark.sql.functions._
+    val df = Mp4.probeFixtures(spark, sf).toDF().cache()
+    try {
+      assert(df.count() === 300)
+      assert(df.filter(col("media_id") % 41 === 0 && col("ok")).count() === 0)
+      assert(df.filter(col("media_id") % 41 =!= 0 && !col("ok")).count() === 0)
+      // spot-check the formula on one clean row
+      val r = df.filter(col("media_id") === 1).head()
+      assert(r.getAs[Int]("width") === 168 && r.getAs[Int]("height") === 112)
+      assert(r.getAs[Long]("n_frames") === 2L)
+    } finally df.unpersist()
+  }
+}
