@@ -215,6 +215,28 @@ object Mp4 {
         .select(col("media_id"), col("ok"), col("width"), col("height"),
           col("n_frames"), col("duration_ms"), col("mdat_bytes"))
         .orderBy("media_id")
+    },
+
+    // MM7: frame sampling off the REAL container — mm4's every-4th-frame
+    // kernel re-based from the FakeCodec header onto the stts-derived
+    // frame counts mm6 parses out of genuine MP4 boxes. Corrupt files
+    // contribute no frames (the production contract: a truncated shard
+    // file must drop out of the training set, not poison the job). The
+    // oracle mirrors both the sampling arithmetic and the corrupt-id
+    // exclusion, so the hash match certifies parse + filter + sampling
+    // end to end.
+    QueryDef("mm7_video_frame_sample",
+      """WITH v AS (SELECT doc_id AS media_id, 1 + doc_id % 30 AS frames
+        |           FROM documents WHERE doc_id < 300 AND doc_id % 41 <> 0),
+        |f AS (SELECT media_id, unnest(generate_series(0, frames - 1, 4)) AS frame_id
+        |      FROM v)
+        |SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id
+        |FROM f ORDER BY media_id, frame_id""".stripMargin) { (s, dir) =>
+      probeFixtures(s, dir).toDF()
+        .filter(col("ok") && col("n_frames") > 0)
+        .select(col("media_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_id"))
+        .orderBy("media_id", "frame_id")
     }
   )
 }
