@@ -106,21 +106,37 @@ object Mp4 {
   final case class VideoInfo(width: Int, height: Int, nFrames: Long,
       durationMs: Long, mdatBytes: Long)
 
-  private def u32(b: Array[Byte], off: Int): Long =
+  private[operators] def u32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
     ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 
+  private def u64(b: Array[Byte], off: Int): Long =
+    (u32(b, off) << 32) | u32(b, off + 4)
+
+  /** Exposed for tests that hand-construct box variants [[write]] never
+    * emits (version-1 headers, largesize framing). */
+  private[operators] def buildBox(tpe: String, parts: Array[Byte]*): Array[Byte] =
+    box(tpe, parts: _*)
+
   /** The direct children of [start, end) as (type, payloadStart, payloadEnd);
-    * None if any box frame is malformed (size < 8 or overrunning `end`) —
-    * truncation anywhere therefore poisons the whole parse. */
+    * None if any box frame is malformed or overruns `end` — truncation
+    * anywhere therefore poisons the whole parse. Handles the spec's two
+    * alternate framings: size==1 (64-bit largesize follows the fourcc)
+    * and size==0 (box extends to the end of the enclosing scope). */
   private def children(b: Array[Byte], start: Int, end: Int): Option[List[(String, Int, Int)]] = {
     var off = start
     val out = List.newBuilder[(String, Int, Int)]
     while (off < end) {
       if (off + 8 > end) return None
-      val size = u32(b, off)
-      if (size < 8 || off + size > end) return None
-      out += ((new String(b, off + 4, 4, "US-ASCII"), off + 8, off + size.toInt))
+      val size32 = u32(b, off)
+      val (payloadStart, size) =
+        if (size32 == 1L) {
+          if (off + 16 > end) return None
+          (off + 16, u64(b, off + 8))
+        } else if (size32 == 0L) (off + 8, (end - off).toLong)
+        else (off + 8, size32)
+      if (size < payloadStart - off || off + size > end) return None
+      out += ((new String(b, off + 4, 4, "US-ASCII"), payloadStart, (off + size).toInt))
       off += size.toInt
     }
     Some(out.result())
@@ -129,19 +145,30 @@ object Mp4 {
   private def child(kids: List[(String, Int, Int)], tpe: String): Option[(Int, Int)] =
     kids.collectFirst { case (t, s, e) if t == tpe => (s, e) }
 
+  /** (timescale, duration) from an mvhd payload, honoring the version
+    * byte: version 0 packs them as u32s after 2×u32 times, version 1
+    * after 2×u64 times with a u64 duration. Unknown versions → None. */
+  private def mvhdTimes(b: Array[Byte], s: Int, e: Int): Option[(Long, Long)] =
+    b(s) & 0xff match {
+      case 0 if e - s >= 20 => Some((u32(b, s + 12), u32(b, s + 16)))
+      case 1 if e - s >= 32 => Some((u32(b, s + 20), u64(b, s + 24)))
+      case _ => None
+    }
+
   /** Bounds-checked ISO-BMFF walk — an independent implementation of the
-    * container spec, not an inverse of [[write]] (it skips unknown boxes
-    * and sums multi-entry stts tables write never produces). */
+    * container spec, not an inverse of [[write]] (it skips unknown boxes,
+    * honors version-1 headers and largesize/to-EOF framing, and sums
+    * multi-entry stts tables write never produces). */
   def parse(bytes: Array[Byte]): Option[VideoInfo] =
     for {
       top <- children(bytes, 0, bytes.length)
       moov <- child(top, "moov")
       mdat <- child(top, "mdat")
       mkids <- children(bytes, moov._1, moov._2)
-      mvhd <- child(mkids, "mvhd").filter(p => p._2 - p._1 >= 20)
-      timescale = u32(bytes, mvhd._1 + 12)
+      mvhd <- child(mkids, "mvhd")
+      ts <- mvhdTimes(bytes, mvhd._1, mvhd._2)
+      (timescale, duration) = ts
       if timescale > 0
-      duration = u32(bytes, mvhd._1 + 16)
       trak <- child(mkids, "trak")
       tkids <- children(bytes, trak._1, trak._2)
       tkhd <- child(tkids, "tkhd").filter(p => p._2 - p._1 >= 84)
@@ -171,8 +198,9 @@ object Mp4 {
     * corrupt path is exercised deterministically. */
   def probeFixtures(s: SparkSession, dir: String): Dataset[VideoProbe] = {
     import s.implicits._
-    Tables.documents(s, dir).select("doc_id", "text").as[(Long, String)]
-      .filter(_._1 < 300)
+    Tables.documents(s, dir).select("doc_id", "text")
+      .where(col("doc_id") < 300) // column filter: pushes into the parquet scan
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val w = 160 + (id % 16).toInt * 8

@@ -109,8 +109,15 @@ object Tables {
     * stored integer bit-for-bit. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(table(spark, dir, "events"))
+  }
+
+  /** The single definition of the vintage→contract normalization, shared
+    * by the batch loader and the streaming file source so the twins can
+    * never diverge: whatever type `ts` arrived as, the result carries
+    * `ts_us` = exact epoch-µs BIGINT and `ts` = TimestampType over it. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = table(spark, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000") // ns vintage
       case _ => unix_micros(col("ts").cast("timestamp")) // native µs (NTZ)

@@ -486,20 +486,21 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a declared schema; mirror Tables.events's
     // schema-adaptivity (ns-as-long vs native-µs NTZ vintage) by peeking at
-    // the files already staged (footer-only batch read). An empty directory
-    // defaults to the native-µs vintage.
-    val tsType = scala.util.Try(s.read.parquet(filesDir).schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
+    // the files already staged (footer-only batch read). Only an
+    // empty/absent directory falls back to the native-µs default — files
+    // that ARE readable but lack a ts column fail loudly here rather than
+    // as an opaque mid-stream parquet conversion error.
+    val tsType = scala.util.Try(s.read.parquet(filesDir).schema) match {
+      case scala.util.Success(sch) =>
+        require(sch.exists(_.name == "ts"),
+          s"staged events files in $filesDir have no ts column (found ${sch.fieldNames.mkString(",")})")
+        sch("ts").dataType
+      case scala.util.Failure(_) => TimestampNTZType // nothing staged yet
+    }
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val st = s.readStream.schema(raw).parquet(filesDir)
-    val tsUs = tsType match {
-      case LongType => expr("ts div 1000") // ns vintage read as raw ns
-      case _ => unix_micros(col("ts").cast("timestamp")) // native µs (NTZ)
-    }
-    st.withColumn("ts_us", tsUs)
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Tables.normalizeEventsTs(s.readStream.schema(raw).parquet(filesDir))
   }
 }

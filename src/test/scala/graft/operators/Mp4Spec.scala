@@ -39,6 +39,46 @@ class Mp4Spec extends SparkSpec {
     assert(Mp4.parse(bad).isEmpty)
   }
 
+  test("version-1 mvhd (64-bit times) parses at the shifted offsets") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
+    // splice a v1 mvhd (u64 ctime/mtime/duration) in place of write's v0
+    // one, reusing its tail fields (rate/volume/matrix/next-track) verbatim
+    val idx = full.indexOfSlice("mvhd".getBytes("US-ASCII")) - 4
+    assert(idx > 0, "expected to locate write()'s mvhd bytes")
+    val v0len = Mp4.u32(full, idx).toInt
+    val v0 = full.slice(idx, idx + v0len)
+    val tail = v0.drop(8 + 20) // past v0 header + flags/ctime/mtime/timescale/duration
+    val v1 = Mp4.buildBox("mvhd",
+      Array[Byte](1, 0, 0, 0), be64(0), be64(0), be32(600L), be64(250L), tail)
+    // moov is the enclosing box: patch its size for the larger mvhd
+    val moovIdx = full.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+    val moovSize = Mp4.u32(full, moovIdx) + (v1.length - v0.length)
+    val patched = full.take(moovIdx) ++ be32(moovSize) ++
+      full.slice(moovIdx + 4, idx) ++ v1 ++ full.drop(idx + v0.length)
+    val v = Mp4.parse(patched).getOrElse(fail("v1 mvhd did not parse"))
+    assert(v.durationMs === 416L) // 250 ticks · 1000 / 600
+    assert(v.nFrames === 10L)
+  }
+
+  test("largesize (size==1 + u64) and to-EOF (size==0) framings parse") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
+    val mdatIdx = full.indexOfSlice("mdat".getBytes("US-ASCII")) - 4
+    val head = full.take(mdatIdx)
+    val payload = full.drop(mdatIdx + 8)
+    // largesize: [1][mdat][u64 size][payload]
+    val large = head ++ be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be32(0) ++ be32(16L + payload.length) ++ payload
+    assert(Mp4.parse(large).map(_.mdatBytes) === Some(payload.length.toLong))
+    // to-EOF: [0][mdat][payload to end of file]
+    val toEof = head ++ be32(0) ++ "mdat".getBytes("US-ASCII") ++ payload
+    assert(Mp4.parse(toEof).map(_.mdatBytes) === Some(payload.length.toLong))
+  }
+
   test("unknown boxes are skipped, not rejected (forward compatibility)") {
     val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
     // prepend a top-level `free` box — real muxers emit these
