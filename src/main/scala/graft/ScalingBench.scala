@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Scaling-curve harness for the dedup + ANN tier (dev/diagnostic main,
   * not part of the driver contract): replicates the largest available
-  * testdata (sf0.1: 5,000 documents / 2,000 embeddings) ×1/×2/×4 into
+  * testdata (sf0.1: 5,000 documents / 2,000 embeddings; 600k lineitem) ×1/×2/×4 into
   * parquet corpora and times the REGISTERED queries against each, so the
   * "linear, never quadratic" cost claims are measured on the literal
   * production query bodies at up to 20k docs (≈ sf0.4 — the container's
@@ -43,6 +43,17 @@ object ScalingBench {
     "a5_group_flag_status", "a7_count_distinct", "w8_block_rolling",
     "j2_star_q5", "j5_sortmerge_factfact", "j21_q9_shape", "j23_q2_shape",
     "e8_funnel", "e9_retention", "e10_wau")
+
+  /** Graph tier: the iterative analytics (PageRank sweeps, oriented
+    * triangle counting, BFS rounds) over DISJOINT subgraph replicas —
+    * every key shifts (orderkeys AND supp/cust node ids), so the graph
+    * grows the way a real marketplace graph grows: more nodes and more
+    * edges, per-node degrees flat. Replicating only orderkeys (the fact
+    * tier's shape) would instead multiply every node's degree by k —
+    * legitimate densification, but it conflates output growth (k² wedges,
+    * k³ triangle opportunities) with kernel cost; disjoint copies isolate
+    * the kernel's scaling. */
+  private val GraphQueries = Seq("g1_pagerank", "g2_triangle_count", "g3_bfs_hops")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,9 +142,28 @@ object ScalingBench {
       }
     }
 
-    // dev filter: comma-separated tier names (unset = both)
+    /** Graph corpus ×k: disjoint subgraph copies — node ids shift WITH
+      * the orderkeys (unlike the fact corpus, which keeps dims fixed). */
+    def ensureGraphCorpus(k: Int): String = {
+      val dir = s"/root/repo/target/scaling/graph-x$k"
+      val marker = new java.io.File(s"$dir/lineitem.parquet/_SUCCESS")
+      if (!marker.exists()) {
+        def shifted(t: DataFrame, keys: Seq[String]): DataFrame =
+          (0 until k).map { r =>
+            keys.foldLeft(t)((df, c) =>
+              df.withColumn(c, col(c) + lit(r * 1000000000L)))
+          }.reduce(_ unionByName _)
+        shifted(sources.Tables.lineitem(spark, base), Seq("l_orderkey", "l_suppkey"))
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        shifted(sources.Tables.orders(spark, base), Seq("o_orderkey", "o_custkey"))
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      }
+      dir
+    }
+
+    // dev filter: comma-separated tier names (unset = all)
     val tiers = sys.env.get("SPARK_GRAFT_TIERS")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set("corpus", "fact"))
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set("corpus", "fact", "graph"))
     if (tiers("corpus")) timeTier("corpus", Queries, ensureCorpus, dir => {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
@@ -143,6 +173,10 @@ object ScalingBench {
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
       val nEv = spark.read.parquet(s"$dir/events.parquet").count()
       s""""lineitem":$nLi,"events":$nEv"""
+    })
+    if (tiers("graph")) timeTier("graph", GraphQueries, ensureGraphCorpus, dir => {
+      val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      s""""lineitem":$nLi"""
     })
     spark.stop()
   }
