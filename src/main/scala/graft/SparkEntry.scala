@@ -31,6 +31,7 @@ object SparkEntry {
     operators.Quantization.defs ++
     operators.SqlSurface.defs ++
     operators.Persist.defs ++
+    operators.Compaction.defs ++
     operators.Typed.defs ++
     operators.StocksParity.defs ++
     operators.AsOfJoin.defs ++
