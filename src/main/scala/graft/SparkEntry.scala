@@ -32,6 +32,7 @@ object SparkEntry {
     operators.SqlSurface.defs ++
     operators.Persist.defs ++
     operators.Compaction.defs ++
+    operators.SchemaEvolution.defs ++
     operators.Typed.defs ++
     operators.StocksParity.defs ++
     operators.AsOfJoin.defs ++

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Schema evolution on read (S-family extension): a long-lived dataset's
+  * files do not all share one schema — columns get added over time, and a
+  * 100 TB table rewritten to backfill them would cost more than the
+  * feature. The production contract is evolve-on-read: old files surface
+  * the new column as NULL, new files carry it, and one scan serves both
+  * vintages (`mergeSchema` unions the parquet footers; the data pages are
+  * untouched).
+  *
+  * The s6 fixture stages the documents table as two file generations in
+  * ONE directory — docs < 250 written as (doc_id, text), docs ≥ 250 as
+  * (doc_id, text, lang) — and the query reads them through a merged-schema
+  * scan. The oracle reproduces the generation split with a CASE over the
+  * original table, so the hash match certifies NULL-for-old-files
+  * semantics, value survival for new files, and that neither generation's
+  * rows were lost or altered.
+  */
+object SchemaEvolution {
+
+  private val Cut = 250L
+
+  private[operators] def ensureFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
+    val out = s"/root/repo/target/evolve-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val docs = Tables.documents(s, dir)
+      // generation 1: the original two-column schema
+      docs.filter(col("doc_id") < Cut).select("doc_id", "text")
+        .coalesce(2).write.mode("overwrite").parquet(out)
+      // generation 2: the evolved schema, appended later
+      docs.filter(col("doc_id") >= Cut).select("doc_id", "text", "lang")
+        .coalesce(2).write.mode("append").parquet(out)
+    }
+    out
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // S6: merged-schema scan over mixed-vintage files. Old-generation rows
+    // must surface lang as NULL (never a default, never dropped); the
+    // id⊗bytes checksum pins both generations' payloads byte-exactly.
+    QueryDef("s6_schema_evolution",
+      s"""SELECT coalesce(CASE WHEN doc_id >= $Cut THEN lang END, 'unknown') AS lang_read,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
+        |FROM documents
+        |GROUP BY 1 ORDER BY lang_read""".stripMargin) { (s, dir) =>
+      val fixture = ensureFixture(s, dir)
+      s.read.option("mergeSchema", "true").parquet(fixture)
+        .select(coalesce(col("lang"), lit("unknown")).as("lang_read"),
+          col("doc_id"), col("text"))
+        .groupBy("lang_read")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary"))).cast("long").as("ck"))
+        .orderBy("lang_read")
+    }
+  )
+}
