@@ -33,6 +33,7 @@ object SparkEntry {
     operators.Persist.defs ++
     operators.Compaction.defs ++
     operators.SchemaEvolution.defs ++
+    operators.Upsert.defs ++
     operators.Typed.defs ++
     operators.StocksParity.defs ++
     operators.AsOfJoin.defs ++

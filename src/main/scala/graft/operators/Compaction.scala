@@ -53,6 +53,9 @@ object Compaction {
     Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+    // the swap replaced files under an unchanged path: drop every cached
+    // plan/file-listing over it, or later reads silently serve the OLD table
+    spark.catalog.refreshByPath(dir)
     CompactionStats(before.size, dataFiles(dir).size, totalBytes)
   }
 

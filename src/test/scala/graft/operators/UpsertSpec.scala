@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Keyed copy-on-write merge: replace, insert, survive; partition-scoped
+  * rewrites touch only the batch's partitions. Expectations are built
+  * from the immutable source table, never from reads of the mutated path
+  * (whose cached plans the operator deliberately invalidates). */
+class UpsertSpec extends SparkSpec {
+
+  private def src = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+
+  test("upsert replaces by key, inserts new keys, leaves the rest untouched") {
+    val dir = s"/root/repo/target/upsert-test-${System.nanoTime()}"
+    src.coalesce(2).write.parquet(dir)
+    val n = src.count()
+    val batch = src.filter(col("doc_id") < 10)
+      .withColumn("text", lit("REPLACED"))
+      .unionByName(src.limit(1)
+        .select(lit(999999L).as("doc_id"), lit("NEW").as("text"), lit("en").as("lang")))
+
+    val stats = Upsert.upsert(spark, dir, batch, "doc_id")
+    assert(stats.rowsBefore === n)
+    assert(stats.rowsAfter === n + 1)
+
+    val after = spark.read.parquet(dir)
+    val expected = src.filter(col("doc_id") >= 10).unionByName(batch)
+    assert(after.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(after).count() === 0)
+    assert(after.select("doc_id").distinct().count() === after.count())
+    assert(!new java.io.File(dir + ".upsert-tmp").exists())
+    assert(!new java.io.File(dir + ".upsert-old").exists())
+  }
+
+  test("partition-scoped upsert rewrites ONLY touched partitions") {
+    val root = s"/root/repo/target/upsert-part-${System.nanoTime()}"
+    src.write.partitionBy("lang").parquet(root)
+    val langs = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("lang="))
+      .map(_.getName.stripPrefix("lang=")).sorted
+    assert(langs.length >= 2)
+    val (touch, keep) = (langs.head, langs.last)
+    val keepDir = s"$root/lang=$keep"
+    val keepFiles = new java.io.File(keepDir).listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+
+    val hit = col("lang") === touch && col("doc_id") % 7 === 0
+    val batch = src.filter(hit).withColumn("text", lit("PATCHED"))
+    val nBatch = batch.count()
+    assert(nBatch > 0)
+    val stats = Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats.map(_._1) === Seq(touch))
+
+    // untouched partition: same files, same mtimes — provably not rewritten
+    val keepAfter = new java.io.File(keepDir).listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(keepAfter === keepFiles)
+
+    val after = spark.read.parquet(root).select("doc_id", "text", "lang")
+    val expected = src.withColumn("text", when(hit, "PATCHED").otherwise(col("text")))
+    assert(after.count() === src.count())
+    assert(after.filter(col("text") === "PATCHED").count() === nBatch)
+    assert(after.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(after).count() === 0)
+  }
+}
