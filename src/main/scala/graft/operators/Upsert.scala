@@ -74,10 +74,28 @@ object Upsert {
     stats
   }
 
-  /** Once-per-JVM staged copy of documents(doc_id, text) for s7. */
-  private def ensureFixture(s: SparkSession, dir: String): String = synchronized {
-    val out = s"/root/repo/target/upsert-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    // always restage: s7 mutates the table, and a rerun must start clean
+  /** Targeted delete — the right-to-be-forgotten shape: drop every row
+    * matching `victim` and rewrite (same copy-on-write + atomic swap +
+    * cache-invalidation discipline as [[upsert]]; at scale the caller
+    * scopes it per partition exactly like [[upsertPartitioned]]). Returns
+    * (rowsBefore, rowsAfter). */
+  def delete(spark: SparkSession, dir: String, victim: org.apache.spark.sql.Column): (Long, Long) = {
+    val current = spark.read.parquet(dir)
+    val nBefore = current.count()
+    val tmp = dir + ".delete-tmp"
+    val old = dir + ".delete-old"
+    current.filter(!victim).write.mode("overwrite").parquet(tmp)
+    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+    spark.catalog.refreshByPath(dir)
+    (nBefore, spark.read.parquet(dir).count())
+  }
+
+  /** Per-query staged copy of documents(doc_id, text) for s7/s8. */
+  private def ensureFixture(s: SparkSession, dir: String, tag: String): String = synchronized {
+    val out = s"/root/repo/target/$tag-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // always restage: the query mutates the table, and a rerun must start clean
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     Tables.documents(s, dir).select("doc_id", "text")
       .coalesce(4).write.mode("overwrite").parquet(out)
@@ -103,7 +121,7 @@ object Upsert {
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
         |       CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |FROM merged""".stripMargin) { (s, dir) =>
-      val fixture = ensureFixture(s, dir)
+      val fixture = ensureFixture(s, dir, "upsert")
       val docs = Tables.documents(s, dir)
       val updates = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text"))
@@ -115,6 +133,23 @@ object Upsert {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum((col("doc_id") + 1) * length(col("text").cast("binary"))).cast("long").as("ck"),
           sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)).cast("long").as("n_inserted"))
+    },
+
+    // S8: targeted delete under the differential gate — every doc_id ≡ 0
+    // (mod 13) is forgotten; the oracle states the surviving table
+    // directly, so the hash match certifies the victims are gone AND
+    // every survivor's payload is byte-identical.
+    QueryDef("s8_delete",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_victims_left
+        |FROM documents WHERE doc_id % 13 <> 0""".stripMargin) { (s, dir) =>
+      val fixture = ensureFixture(s, dir, "delete")
+      delete(s, fixture, col("doc_id") % 13 === 0)
+      s.read.parquet(fixture)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary"))).cast("long").as("ck"),
+          sum(when(col("doc_id") % 13 === 0, 1L).otherwise(0L)).cast("long").as("n_victims_left"))
     }
   )
 }

@@ -34,6 +34,26 @@ class UpsertSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".upsert-old").exists())
   }
 
+  test("delete removes exactly the victims, survivors byte-identical") {
+    val dir = s"/root/repo/target/delete-test-${System.nanoTime()}"
+    src.coalesce(2).write.parquet(dir)
+    val victim = col("doc_id") % 5 === 0
+    val nVictims = src.filter(victim).count()
+    assert(nVictims > 0)
+
+    val (before, after) = Upsert.delete(spark, dir, victim)
+    assert(before === src.count())
+    assert(after === before - nVictims)
+
+    val got = spark.read.parquet(dir)
+    assert(got.filter(victim).count() === 0)
+    val want = src.filter(!victim)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    assert(!new java.io.File(dir + ".delete-tmp").exists())
+    assert(!new java.io.File(dir + ".delete-old").exists())
+  }
+
   test("partition-scoped upsert rewrites ONLY touched partitions") {
     val root = s"/root/repo/target/upsert-part-${System.nanoTime()}"
     src.write.partitionBy("lang").parquet(root)
