@@ -17,8 +17,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    anything),
   *  - the rewrite is `coalesce`, not `repartition`: a merge of input
   *    splits with NO shuffle — the bytes stream through once,
-  *  - the swap is write-to-temp + atomic directory rename, so concurrent
-  *    readers see the old complete file set or the new one, never a mix,
+  *  - the swap is write-to-temp + atomic directory rename
+  *    ([[swapInPlace]] — see its contract for the single-writer
+  *    assumption and what concurrent readers can observe),
   *  - partitioned layouts compact WITHIN each hive partition directory
   *    (the unit a 1000-executor job lists and prunes by), preserving the
   *    partition scheme and thus every downstream pruning plan.
@@ -33,6 +34,27 @@ object Compaction {
 
   final case class CompactionStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
+  /** Write-to-temp + atomic rename + cache invalidation — the ONE swap
+    * sequence every maintenance sink (compact/upsert/delete) goes
+    * through. Contract: single maintenance writer. Readers that already
+    * opened files keep a consistent snapshot; a directory LISTING in the
+    * instant between the two renames sees the path absent — never a
+    * mixed old/new file set. (Concurrent writers need a transaction log;
+    * plain parquet has none, and pretending otherwise would be worse.)
+    * The final `refreshByPath` is load-bearing: Spark caches plans and
+    * file listings by path, and without it a post-swap read silently
+    * serves the OLD table. */
+  private[operators] def swapInPlace(spark: SparkSession, dir: String, tag: String)(
+      write: String => Unit): Unit = {
+    val tmp = dir + s".$tag-tmp"
+    val old = dir + s".$tag-old"
+    write(tmp)
+    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+    spark.catalog.refreshByPath(dir)
+  }
+
   private def dataFiles(dir: String): Seq[java.io.File] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -46,16 +68,10 @@ object Compaction {
     val totalBytes = before.map(_.length).sum
     val n = targetFiles.max(1)
     if (before.size <= n) return CompactionStats(before.size, before.size, totalBytes)
-    val tmp = dir + ".compact-tmp"
-    val old = dir + ".compact-old"
-    spark.read.parquet(dir).coalesce(n)
-      .write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-    // the swap replaced files under an unchanged path: drop every cached
-    // plan/file-listing over it, or later reads silently serve the OLD table
-    spark.catalog.refreshByPath(dir)
+    swapInPlace(spark, dir, "compact") { tmp =>
+      spark.read.parquet(dir).coalesce(n)
+        .write.mode("overwrite").parquet(tmp)
+    }
     CompactionStats(before.size, dataFiles(dir).size, totalBytes)
   }
 

@@ -135,7 +135,11 @@ object Mp4 {
           (off + 16, u64(b, off + 8))
         } else if (size32 == 0L) (off + 8, (end - off).toLong)
         else (off + 8, size32)
-      if (size < payloadStart - off || off + size > end) return None
+      // compare against (end - off), never (off + size): a crafted u64
+      // largesize near 2^63 would overflow the addition and slip past the
+      // bound, sending the cursor backwards (negative size.toInt) into an
+      // infinite loop — untrusted bytes must only ever yield None
+      if (size < payloadStart - off || size > end - off) return None
       out += ((new String(b, off + 4, 4, "US-ASCII"), payloadStart, (off + size).toInt))
       off += size.toInt
     }
@@ -149,8 +153,9 @@ object Mp4 {
     * byte: version 0 packs them as u32s after 2×u32 times, version 1
     * after 2×u64 times with a u64 duration. Unknown versions → None. */
   private def mvhdTimes(b: Array[Byte], s: Int, e: Int): Option[(Long, Long)] =
-    b(s) & 0xff match {
-      case 0 if e - s >= 20 => Some((u32(b, s + 12), u32(b, s + 16)))
+    if (e - s < 20) None // guard BEFORE b(s): an empty mvhd payload may end the buffer
+    else b(s) & 0xff match {
+      case 0 => Some((u32(b, s + 12), u32(b, s + 16)))
       case 1 if e - s >= 32 => Some((u32(b, s + 20), u64(b, s + 24)))
       case _ => None
     }

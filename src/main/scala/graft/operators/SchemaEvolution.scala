@@ -26,15 +26,21 @@ object SchemaEvolution {
 
   private[operators] def ensureFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
     val out = s"/root/repo/target/evolve-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    // both generations build in a temp dir, then ONE atomic rename — a
+    // crash between the two writes must never leave a half fixture that
+    // the exists() fast-path accepts forever
+    if (!new java.io.File(out).exists()) {
+      val tmp = new java.io.File(out + ".tmp")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       val docs = Tables.documents(s, dir)
       // generation 1: the original two-column schema
       docs.filter(col("doc_id") < Cut).select("doc_id", "text")
-        .coalesce(2).write.mode("overwrite").parquet(out)
+        .coalesce(2).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       // generation 2: the evolved schema, appended later
       docs.filter(col("doc_id") >= Cut).select("doc_id", "text", "lang")
-        .coalesce(2).write.mode("append").parquet(out)
+        .coalesce(2).write.mode("append").parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.move(tmp.toPath, new java.io.File(out).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     out
   }

@@ -39,21 +39,28 @@ object Upsert {
     * batch must carry the table's full schema and at most one row per
     * key (the caller's dedup policy — d10's keep-best — runs upstream). */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame, key: String): UpsertStats = {
+    // brand-new target (a partition no batch has touched before): plain
+    // atomic create — the daily-crawl case MUST mint partitions, not throw
+    if (!new java.io.File(dir).exists()) {
+      val tmp = dir + ".upsert-tmp"
+      batch.write.mode("overwrite").parquet(tmp)
+      Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+      spark.catalog.refreshByPath(dir)
+      val n = spark.read.parquet(dir).count()
+      return UpsertStats(0L, n, n)
+    }
     val current = spark.read.parquet(dir)
-    val nBefore = current.count()
-    val nBatch = batch.count()
-    val merged = current.join(batch.select(key), Seq(key), "left_anti")
-      .unionByName(batch)
-    val tmp = dir + ".upsert-tmp"
-    val old = dir + ".upsert-old"
-    merged.write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-    // the swap replaced files under an unchanged path: drop every cached
-    // plan/file-listing over it, or later reads silently serve the OLD table
-    spark.catalog.refreshByPath(dir)
-    UpsertStats(nBefore, spark.read.parquet(dir).count(), nBatch)
+    val nBefore = current.count() // parquet count: footer metadata, no data scan
+    val b = batch.cache() // the batch plan runs once, not once per consumer
+    try {
+      val nBatch = b.count()
+      Compaction.swapInPlace(spark, dir, "upsert") { tmp =>
+        current.join(b.select(key), Seq(key), "left_anti")
+          .unionByName(b)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      UpsertStats(nBefore, spark.read.parquet(dir).count(), nBatch)
+    } finally b.unpersist()
   }
 
   /** Partition-scoped copy-on-write: only partitions the batch touches
@@ -82,13 +89,9 @@ object Upsert {
   def delete(spark: SparkSession, dir: String, victim: org.apache.spark.sql.Column): (Long, Long) = {
     val current = spark.read.parquet(dir)
     val nBefore = current.count()
-    val tmp = dir + ".delete-tmp"
-    val old = dir + ".delete-old"
-    current.filter(!victim).write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-    spark.catalog.refreshByPath(dir)
+    Compaction.swapInPlace(spark, dir, "delete") { tmp =>
+      current.filter(!victim).write.mode("overwrite").parquet(tmp)
+    }
     (nBefore, spark.read.parquet(dir).count())
   }
 

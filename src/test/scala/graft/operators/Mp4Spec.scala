@@ -31,6 +31,26 @@ class Mp4Spec extends SparkSpec {
     assert(Mp4.parse(Array[Byte](0, 0, 0, 3)).isEmpty) // size < 8
   }
 
+  test("a crafted near-2^63 largesize yields None, not a hang or crash") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
+    // top-level box claiming a u64 size that would overflow off+size
+    val evil = full ++ be32(1) ++ "free".getBytes("US-ASCII") ++
+      be32(0x7fffffffL) ++ be32(0xfffff800L)
+    assert(Mp4.parse(evil).isEmpty)
+    // and one with the u64 top bit set (negative as a signed Long)
+    val evil2 = full ++ be32(1) ++ "free".getBytes("US-ASCII") ++
+      be32(0x80000000L) ++ be32(0L)
+    assert(Mp4.parse(evil2).isEmpty)
+  }
+
+  test("an empty mvhd payload at the end of the buffer yields None, not AIOOBE") {
+    val bytes = Mp4.buildBox("mdat", Array.fill[Byte](8)(1)) ++
+      Mp4.buildBox("moov", Mp4.buildBox("mvhd"))
+    assert(Mp4.parse(bytes).isEmpty)
+  }
+
   test("a corrupted moov fourcc fails the parse") {
     val full = Mp4.write(320, 240, 10, Array.fill[Byte](64)(1))
     val idx = full.indexOfSlice("moov".getBytes("US-ASCII"))

@@ -54,6 +54,19 @@ class UpsertSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".delete-old").exists())
   }
 
+  test("upsert into a never-seen partition mints it instead of throwing") {
+    val root = s"/root/repo/target/upsert-new-${System.nanoTime()}"
+    src.filter(col("lang") =!= src.select("lang").head().getString(0))
+      .write.partitionBy("lang").parquet(root)
+    val fresh = src.select("lang").head().getString(0) // partition NOT in root
+    assert(!new java.io.File(s"$root/lang=$fresh").exists())
+    val batch = src.filter(col("lang") === fresh).limit(5)
+    val nBatch = batch.count()
+    val stats = Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats === Seq(fresh -> Upsert.UpsertStats(0L, nBatch, nBatch)))
+    assert(spark.read.parquet(s"$root/lang=$fresh").count() === nBatch)
+  }
+
   test("partition-scoped upsert rewrites ONLY touched partitions") {
     val root = s"/root/repo/target/upsert-part-${System.nanoTime()}"
     src.write.partitionBy("lang").parquet(root)
