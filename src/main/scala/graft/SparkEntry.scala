@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Similarity.defs ++
     Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
     operators.RecallVerdict.defs ++
+    operators.HybridSearch.defs ++
     operators.SrpLsh.defs ++
     operators.IvfIndex.defs ++
     operators.Quantization.defs ++
