@@ -60,7 +60,7 @@ object Similarity {
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
   private def normSql(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
