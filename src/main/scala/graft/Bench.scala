@@ -39,7 +39,8 @@ object Bench {
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 benches a subset in isolation
     // (diagnosing one query's time without the rest of the suite's JVM).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val defs = SparkEntry.allDefs.filter(d => only.forall(_.contains(d.name)))
+    val defs = (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs)
+      .filter(d => only.forall(_.contains(d.name)))
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {

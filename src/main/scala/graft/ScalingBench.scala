@@ -30,7 +30,7 @@ object ScalingBench {
     "d6_ngram_jaccard", "d8_weighted_jaccard", "d9_line_dedup",
     "d7_dedup_clusters", "d13_substring_dedup", "d14_tfidf_cosine",
     "t11_edit_distance", "t12_keywords", "t13_pmi", "d16_bloom_gate",
-    "sim1_cosine_topk", "sim3_ann_ivf", "sim8_knn_join_ivf")
+    "sim1_cosine_topk", "sim3_ann_ivf_raw", "sim8_knn_join_ivf_raw")
 
   /** Fact-table tier: the join/agg/window shapes, timed over replicated
     * lineitem/orders/events (dims stay fixed — at scale, dimensions grow
@@ -129,7 +129,8 @@ object ScalingBench {
 
     def timeTier(tier: String, roster: Seq[String], dirFor: Int => String,
         counts: String => String): Unit = {
-      val defs = SparkEntry.allDefs.filter(d => roster.contains(d.name))
+      val defs = (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs)
+        .filter(d => roster.contains(d.name))
         .sortBy(d => roster.indexOf(d.name))
       Seq(1, 2, 4).foreach { k =>
         val dir = dirFor(k)

@@ -24,12 +24,10 @@ object SparkEntry {
     operators.Multimodal.defs ++
     operators.Mp4.defs ++
     operators.Similarity.defs ++
-    Seq(operators.Similarity.annDef, operators.Similarity.nativeDef) ++
+    Seq(operators.Similarity.nativeDef) ++
     operators.RecallVerdict.defs ++
     operators.HybridSearch.defs ++
     operators.SrpLsh.defs ++
-    operators.IvfIndex.defs ++
-    operators.Quantization.defs ++
     operators.SqlSurface.defs ++
     operators.Persist.defs ++
     operators.Compaction.defs ++
@@ -41,6 +39,19 @@ object SparkEntry {
     operators.RangeJoin.defs ++
     plans.TopKPerKey.defs ++
     streaming.Streams.defs
+
+  /** Raw-output forms of the approximate tier (ANN top-k dumps, sketch
+    * estimate dumps). Their REGISTERED primary names emit oracled
+    * engine-independent verdicts instead (recall/error-bound floors), so
+    * the driver scoreboard carries zero unoracled rows; these raw plans
+    * still run — and stay timed — in Bench and ScalingBench. */
+  def benchOnlyDefs: Seq[QueryDef] =
+    operators.Aggregates.rawDefs ++
+    operators.TextAnalysis.rawDefs ++
+    Seq(operators.Similarity.annDef) ++
+    operators.SrpLsh.rawDefs ++
+    operators.IvfIndex.rawDefs ++
+    operators.Quantization.rawDefs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → grouped partial/final agg → tiny sort. */

@@ -136,21 +136,15 @@ object Aggregates {
     },
 
     // A8: HLL approximate distinct — the 100 TB path for distinct counts
-    // (mergeable sketch, one pass, no expand). Engine-specific estimate, so
-    // no cross-engine oracle; AggregateSpec asserts accuracy vs exact.
-    QueryDef.unoracled("a8_approx_distinct") { (s, dir) =>
-      li(s, dir)
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"))
-        .orderBy("l_returnflag")
-    },
-
-    // A8b: oracle-able companion to a8 — emits whether the HLL estimate is
-    // within its configured error envelope of the exact count, so the
-    // cross-engine check can validate the sketch without requiring DuckDB
-    // to reproduce Spark's HLL bits (the oracle's exact TRUE per group is
-    // matched iff Spark's approx really is within tolerance).
-    QueryDef("a8b_approx_distinct_tol",
+    // (mergeable sketch, one pass, no expand). The estimate itself is
+    // engine-specific, so the REGISTERED form emits the engine-independent
+    // verdict — whether the HLL estimate is within its configured error
+    // envelope of the exact count — which the oracle states as constant
+    // TRUE per group: the cross-engine check validates the sketch without
+    // requiring DuckDB to reproduce Spark's HLL bits, and a broken sketch
+    // flips a row to FALSE and fails the hash compare. The raw estimate
+    // dump survives as the bench-only `a8_approx_distinct_raw` below.
+    QueryDef("a8_approx_distinct",
       """SELECT l_returnflag, TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       li(s, dir)
@@ -372,6 +366,19 @@ object Aggregates {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), sum("c").as("cents"))
         .orderBy("bucket")
+    }
+  )
+
+  /** Bench-only raw form of a8: the HLL estimates themselves (what a
+    * dashboard would actually serve). Not on the scoreboard — the estimate
+    * is engine-specific, so the registered a8 emits the tolerance verdict
+    * instead; this keeps the raw plan timed. */
+  val rawDefs: Seq[QueryDef] = Seq(
+    QueryDef.unoracled("a8_approx_distinct_raw") { (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"))
+        .orderBy("l_returnflag")
     }
   )
 

@@ -404,24 +404,25 @@ object Quantization {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
-  /** SIM5/SIM6 as registered (unoracled) queries — approximate result
-    * sets; QuantizationSpec pins recall and compression. Both run
+  /** SIM5/SIM6 raw top-k forms, bench-only (the REGISTERED names are
+    * RecallVerdict's oracled recall-floor verdicts over these same
+    * plans); QuantizationSpec pins recall and compression. Both run
     * through the PERSISTED index (train/encode once per corpus; sim5
     * probes the stored codes, sim6 additionally prunes to probed lists);
     * [[pqTopK]]/[[ivfpqTopK]] are the inline twins. */
-  val defs: Seq[QueryDef] = Seq(
+  val rawDefs: Seq[QueryDef] = Seq(
     // rerank=300: an ABSOLUTE constant (not corpus-relative) sized so the
     // pinned recall floor (0.9@20) holds across scale factors — flat PQ's
     // ADC ordering noise grows with corpus size, and rerank is the knob
     // that buys it back at a fixed raw-vector cost per query.
-    QueryDef.unoracled("sim5_pq_topk") { (s, dir) =>
+    QueryDef.unoracled("sim5_pq_topk_raw") { (s, dir) =>
       IvfIndex.pqTopKPersisted(Tables.embeddings(s, dir), dir,
         queryVecId = 0L, k = 20, rerank = 300)
     },
     // rerank=400 (same absolute-constant discipline as sim5): residual
     // ADC ordering is the noisiest ranking in the tier, and the rerank
     // depth is what holds the 0.75@20 floor across scale factors.
-    QueryDef.unoracled("sim6_ivfpq_topk") { (s, dir) =>
+    QueryDef.unoracled("sim6_ivfpq_topk_raw") { (s, dir) =>
       IvfIndex.ivfpqTopKPersisted(Tables.embeddings(s, dir), dir,
         queryVecId = 0L, k = 20, nprobe = 8, rerank = 400)
     }

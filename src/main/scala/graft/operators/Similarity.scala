@@ -352,10 +352,11 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
-  /** SIM3 as a registered (unoracled) query — approximate result set.
+  /** SIM3's raw top-k form, bench-only (the REGISTERED `sim3_ann_ivf` is
+    * RecallVerdict's oracled recall-floor verdict over this same plan).
     * Runs through the PERSISTED index (build once per corpus, probe by
     * partition-pruned reads); [[ivfTopK]] is the inline reference twin. */
-  val annDef: QueryDef = QueryDef.unoracled("sim3_ann_ivf") { (s, dir) =>
+  val annDef: QueryDef = QueryDef.unoracled("sim3_ann_ivf_raw") { (s, dir) =>
     IvfIndex.ivfTopKPersisted(emb(s, dir), dir, queryVecId = 0L, k = 20,
       nprobe = 8)
   }
