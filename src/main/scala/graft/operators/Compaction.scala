@@ -48,11 +48,39 @@ object Compaction {
       write: String => Unit): Unit = {
     val tmp = dir + s".$tag-tmp"
     val old = dir + s".$tag-old"
+    recoverSwap(dir)
     write(tmp)
     Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
     spark.catalog.refreshByPath(dir)
+  }
+
+  /** Crash recovery for [[swapInPlace]] (still single-writer): a prior
+    * swap can die anywhere in write→move→move→delete. A stale `*-tmp` is
+    * always garbage (it is rebuilt on the next swap). A stale `*-old`
+    * means the prior swap broke either between the two ATOMIC_MOVEs (live
+    * dir missing → roll the old copy back: no new version was committed,
+    * the pre-swap table is the truth) or after the second move (live dir
+    * present → old is just the orphaned previous version). Either way the
+    * live path is restored and the leftovers can never make a later
+    * swap's first Files.move throw. Every maintenance ENTRY POINT calls
+    * this — not just the swap itself — because compact's nothing-to-do
+    * early return and upsert's brand-new-target path would otherwise read
+    * a torn directory as truth. Tag-agnostic: a dir torn by a delete swap
+    * still recovers when the next compact touches it. */
+  private[operators] def recoverSwap(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    val parent = Option(d.getParentFile).getOrElse(return)
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(d.getName + ".") &&
+        (f.getName.endsWith("-tmp") || f.getName.endsWith("-old")))
+      .sortBy(_.getName) // -old before -tmp: roll back, then drop garbage
+      .foreach { f =>
+        if (f.getName.endsWith("-old") && !d.exists())
+          Files.move(f.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
+        else org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
   }
 
   private def dataFiles(dir: String): Seq[java.io.File] = {
@@ -64,6 +92,7 @@ object Compaction {
   /** Compact one directory of parquet files to `targetFiles` outputs
     * (callers wanting a byte policy use [[planTargetFiles]]). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): CompactionStats = {
+    recoverSwap(dir)
     val before = dataFiles(dir)
     val totalBytes = before.map(_.length).sum
     val n = targetFiles.max(1)

@@ -828,6 +828,94 @@ object Joins {
           col("n_nationkey") === col("s_nationkey"))
         .select("s_name", "n_name")
         .orderBy("s_name")
+    },
+
+    // J27: TPC-DS Q67 shape — rollup revenue over the (type, brand)
+    // hierarchy with each level RANKED and SHARE-OF-PARENT'd inside its
+    // parent group: brands ranked within their part type, types ranked
+    // within the grand total, shares in exact ppm. This is the
+    // rollup × window composition no TPC-H-roster query exercises.
+    //
+    // Deliberately NOT Spark's built-in `rollup()`: rollup plans through
+    // Expand, which re-aliases the grouping columns, so the type-window
+    // after it would need its own Exchange on top of the rollup's — two
+    // full shuffles of the fact flow. Composing the rollup manually keeps
+    // ONE hash distribution end to end: the fact rows repartition by
+    // p_type once, and because hashpartitioning(p_type) satisfies every
+    // downstream ClusteredDistribution over keys ⊇ {p_type}, the detail
+    // aggregation (type, brand), the brand-rank window (partition p_type),
+    // and the type-subtotal re-aggregation all run shuffle-free on top of
+    // it (J27 plan pin in JoinSpec: exactly one "Exchange hashpartitioning"
+    // in the whole physical plan). The remaining exchanges are
+    // result-sized: the 6-row type frame's rank window and the
+    // ~157-row output sort — dimension-bounded, like g2's node ranking.
+    // Revenue is the roster's exact-integer 1e-4 quantization, so every
+    // level, rank, and ppm share hash-matches bit-for-bit.
+    QueryDef("j27_q67_category_share",
+      """WITH d AS (SELECT p_type, p_brand,
+        |             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           WHERE p_type IS NOT NULL
+        |           GROUP BY 1, 2),
+        |m AS (SELECT p_type, sum(rev) AS trev FROM d GROUP BY 1),
+        |g AS (SELECT sum(trev) AS grev FROM m),
+        |lvl0 AS (SELECT 0 AS lvl, d.p_type, d.p_brand, d.rev,
+        |           CAST(rank() OVER (PARTITION BY d.p_type
+        |                             ORDER BY d.rev DESC, d.p_brand) AS INT) AS rnk,
+        |           CAST(d.rev * 1000000 // m.trev AS BIGINT) AS share_ppm
+        |         FROM d JOIN m ON d.p_type = m.p_type),
+        |lvl1 AS (SELECT 1 AS lvl, m.p_type, NULL AS p_brand, m.trev AS rev,
+        |           CAST(rank() OVER (ORDER BY m.trev DESC, m.p_type) AS INT) AS rnk,
+        |           CAST(m.trev * 1000000 // g.grev AS BIGINT) AS share_ppm
+        |         FROM m, g),
+        |lvl2 AS (SELECT 2 AS lvl, NULL AS p_type, NULL AS p_brand, g.grev AS rev,
+        |           CAST(1 AS INT) AS rnk, CAST(1000000 AS BIGINT) AS share_ppm
+        |         FROM g)
+        |SELECT CAST(lvl AS INT) AS lvl, p_type, p_brand,
+        |       CAST(rev AS BIGINT) AS rev, rnk, share_ppm
+        |FROM (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2)
+        |ORDER BY lvl, p_type, p_brand""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        // p_type IS NOT NULL made EXPLICIT (it is vacuous on this data):
+        // the lvl0 branch's d ⋈ m equi-join infers it and pushes it below
+        // the shuffle, and if the other branches lack it their repartition
+        // subtrees stop being canonically equal — breaking exchange reuse
+        // and silently running the fact shuffle twice
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type", "p_brand")
+          .filter(col("p_type").isNotNull)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"), col("p_brand"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")
+            .as("rev1e4"))
+        .repartition(col("p_type")) // the ONE fact shuffle
+      // NOT cached although consumed twice: caching would wrap `d` in its
+      // own adaptive-plan boundary, hiding the p_type distribution from
+      // EnsureRequirements and forcing fresh exchanges at every consumer.
+      // Uncached, the duplicated subtree collapses via exchange reuse —
+      // the shuffle runs once and every branch reads its files.
+      val d = base.groupBy("p_type", "p_brand")
+        .agg(sum("rev1e4").as("rev")) // clustered ⊇ {p_type}: no exchange
+      val m = d.groupBy("p_type").agg(sum("rev").as("trev"))
+      val g = broadcast(m.agg(sum("trev").as("grev")))
+      val lvl0 = d.join(broadcast(m), "p_type")
+        .select(lit(0).as("lvl"), col("p_type"), col("p_brand"), col("rev"),
+          rank().over(w.partitionBy("p_type")
+            .orderBy(col("rev").desc, col("p_brand"))).as("rnk"),
+          expr("rev * 1000000L div trev").as("share_ppm"))
+      // manufacturer frame: 5 rows — the unpartitioned rank window is
+      // dimension-bounded by construction (the g2 discipline)
+      val lvl1 = m.crossJoin(g)
+        .select(lit(1).as("lvl"), col("p_type"), lit(null).cast("string").as("p_brand"),
+          col("trev").as("rev"),
+          rank().over(w.orderBy(col("trev").desc, col("p_type"))).as("rnk"),
+          expr("trev * 1000000L div grev").as("share_ppm"))
+      val lvl2 = g.select(lit(2).as("lvl"),
+        lit(null).cast("string").as("p_type"), lit(null).cast("string").as("p_brand"),
+        col("grev").as("rev"), lit(1).as("rnk"), lit(1000000L).as("share_ppm"))
+      lvl0.unionByName(lvl1).unionByName(lvl2)
+        .orderBy("lvl", "p_type", "p_brand")
     }
   )
 }

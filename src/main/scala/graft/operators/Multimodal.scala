@@ -182,6 +182,29 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Real JPEG bytes: 8-bit grayscale, pixel v(x,y) = x + y + id. The
+      * ramp is deliberately SMOOTH AND WRAP-FREE (max value = (w-1) +
+      * (h-1) + id ≤ 27 + 21 + 99 < 256 for the fixture ids), because JPEG
+      * is lossy: a high-frequency pattern (mm2's mod-256 sawtooth) would
+      * decode with large, quality-dependent error, while a smooth ramp
+      * keeps the DCT round-trip error within a few gray levels — small
+      * enough to certify with a pinned tolerance instead of pixel
+      * equality. Writes through the JDK's real JPEG encoder at its
+      * default quality. */
+    def encodeJpeg(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var p = 0
+      while (p < w * h) {
+        raster.setSample(p % w, p / w, 0, ((p % w) + (p / w) + id).toInt)
+        p += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+
     /** Decode any ImageIO-supported container; None on corrupt/unknown
       * bytes (never throws — corrupt records must degrade to ok=false
       * rows, not task failures). */

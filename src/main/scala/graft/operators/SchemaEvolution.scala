@@ -25,7 +25,19 @@ object SchemaEvolution {
   private val Cut = 250L
 
   private[operators] def ensureFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
-    val out = s"/root/repo/target/evolve-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // Fixture freshness is keyed on a content fingerprint of the source
+    // table (row count ⊗ the same id/byte checksum s6 certifies): the
+    // testdata directory is regenerated between sessions, and a bare
+    // exists() fast-path would keep serving a stale staging while the
+    // oracle reads the fresh table. The fingerprint scan is one narrow
+    // two-column aggregate — far cheaper than an unconditional restage.
+    val fp = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+          .cast("long").as("ck"))
+      .collect()(0)
+    val tag = java.lang.Long.toHexString(fp.getLong(0) * 1000003L + fp.getLong(1))
+    val out = s"/root/repo/target/evolve-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$tag"
     // both generations build in a temp dir, then ONE atomic rename — a
     // crash between the two writes must never leave a half fixture that
     // the exists() fast-path accepts forever

@@ -39,6 +39,9 @@ object Upsert {
     * batch must carry the table's full schema and at most one row per
     * key (the caller's dedup policy — d10's keep-best — runs upstream). */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame, key: String): UpsertStats = {
+    // roll back any torn swap FIRST: a dir left mid-crash (moved to .old,
+    // replacement never moved in) must not be mistaken for brand-new
+    Compaction.recoverSwap(dir)
     // brand-new target (a partition no batch has touched before): plain
     // atomic create — the daily-crawl case MUST mint partitions, not throw
     if (!new java.io.File(dir).exists()) {
@@ -69,12 +72,25 @@ object Upsert {
     * table) decide the touched set. */
   def upsertPartitioned(spark: SparkSession, root: String, batch: DataFrame,
       key: String, partCol: String): Seq[(String, UpsertStats)] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // bounded: one row per touched partition. Values are kept RAW for the
+    // slice filter but HIVE-ESCAPED for the directory name — a value
+    // Spark's partitioned writer would escape (space, '/', '%') must land
+    // in the same escaped directory a partitioned reader lists, and a
+    // NULL partition value maps to the hive default partition instead of
+    // NPE-ing.
     val touched = batch.select(partCol).distinct().collect()
-      .map(_.get(0).toString).sorted.toSeq // bounded: one row per touched partition
-    val stats = touched.map { pv =>
-      val dir = s"$root/$partCol=$pv"
-      val slice = batch.filter(col(partCol) === pv).drop(partCol)
-      pv -> upsert(spark, dir, slice, key)
+      .map(r => Option(r.get(0)).map(_.toString)).toSeq
+      .sortBy(_.getOrElse(""))
+    val stats = touched.map { pvOpt =>
+      val dirName = pvOpt.map(ExternalCatalogUtils.escapePathName)
+        .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      val dir = s"$root/$partCol=$dirName"
+      val slice = pvOpt
+        .map(pv => batch.filter(col(partCol) === pv))
+        .getOrElse(batch.filter(col(partCol).isNull))
+        .drop(partCol)
+      pvOpt.getOrElse(dirName) -> upsert(spark, dir, slice, key)
     }
     // plans cached over the ROOT reference the swapped files too
     spark.catalog.refreshByPath(root)
@@ -87,6 +103,7 @@ object Upsert {
     * scopes it per partition exactly like [[upsertPartitioned]]). Returns
     * (rowsBefore, rowsAfter). */
   def delete(spark: SparkSession, dir: String, victim: org.apache.spark.sql.Column): (Long, Long) = {
+    Compaction.recoverSwap(dir)
     val current = spark.read.parquet(dir)
     val nBefore = current.count()
     Compaction.swapInPlace(spark, dir, "delete") { tmp =>

@@ -486,16 +486,23 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a declared schema; mirror Tables.events's
     // schema-adaptivity (ns-as-long vs native-µs NTZ vintage) by peeking at
-    // the files already staged (footer-only batch read). Only an
-    // empty/absent directory falls back to the native-µs default — files
-    // that ARE readable but lack a ts column fail loudly here rather than
-    // as an opaque mid-stream parquet conversion error.
+    // the files already staged (footer-only batch read). An empty/absent
+    // directory FAILS FAST instead of guessing a vintage: a schema guessed
+    // before any file exists would bind the stream's declared type, and
+    // files of the other vintage staged later would then die mid-batch
+    // with an opaque parquet conversion error — the exact failure mode the
+    // peek exists to avoid. Files that ARE readable but lack a ts column
+    // fail loudly here too.
     val tsType = scala.util.Try(s.read.parquet(filesDir).schema) match {
       case scala.util.Success(sch) =>
         require(sch.exists(_.name == "ts"),
           s"staged events files in $filesDir have no ts column (found ${sch.fieldNames.mkString(",")})")
         sch("ts").dataType
-      case scala.util.Failure(_) => TimestampNTZType // nothing staged yet
+      case scala.util.Failure(e) =>
+        throw new IllegalArgumentException(
+          s"eventsStream($filesDir): no readable events files staged yet — " +
+            "stage at least one file first so the stream's declared ts " +
+            "vintage (ns-as-long vs native-µs) matches the data", e)
     }
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),

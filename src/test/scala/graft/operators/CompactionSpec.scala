@@ -59,6 +59,40 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".compact-old").exists())
   }
 
+  test("a crash between the two swap renames recovers on the next entry") {
+    val dir = stage(16)
+    val before = spark.read.parquet(dir).cache()
+    val wantRows = before.count()
+
+    // Simulate the torn state: live dir moved aside, replacement never
+    // moved in, plus leftover tmp garbage — the exact single-crash window
+    // between swapInPlace's two ATOMIC_MOVEs.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".delete-old"))
+    new java.io.File(dir + ".delete-tmp").mkdirs()
+    assert(!new java.io.File(dir).exists())
+
+    // The next maintenance entry (different tag, even) rolls the old copy
+    // back, drops the garbage, and proceeds normally.
+    val stats = Compaction.compact(spark, dir, targetFiles = 2)
+    assert(stats.filesBefore === 16)
+    assert(!new java.io.File(dir + ".delete-old").exists())
+    assert(!new java.io.File(dir + ".delete-tmp").exists())
+    val after = spark.read.parquet(dir)
+    assert(after.count() === wantRows)
+    assert(after.exceptAll(before).count() === 0)
+
+    // A torn state must not read as a brand-new upsert target either.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".upsert-old"))
+    val batch = before.limit(3).withColumn("text", lit("PATCHED"))
+    val st = Upsert.upsert(spark, dir, batch, "doc_id")
+    assert(st.rowsBefore === wantRows, "torn dir was mistaken for brand-new")
+    assert(st.rowsAfter === wantRows)
+    assert(spark.read.parquet(dir).filter(col("text") === "PATCHED").count() === 3)
+    before.unpersist()
+  }
+
   test("partitioned compaction merges within partitions, keeps the scheme") {
     val root = s"/root/repo/target/compact-part-${System.nanoTime()}"
     Tables.documents(spark, sf).select("doc_id", "text", "lang")

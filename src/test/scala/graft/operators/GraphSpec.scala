@@ -40,6 +40,21 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("g1b converges data-dependently before the cap and is rerun-deterministic") {
+    // sf0.001: the real (small) marketplace graph — termination must come
+    // from the ε rule, not the cap, and the whole verdict row (iteration
+    // count + converged rank-state checksums) must be bit-stable across
+    // reruns (integer sweeps + deterministic stop rule).
+    val run = Graph.defs.find(_.name == "g1b_pagerank_converged").get
+    val row = run.run(spark, sf).collect()(0)
+    val (nIters, converged) = (row.getInt(0), row.getBoolean(1))
+    assert(converged, "did not reach the ε floor")
+    assert(nIters > Graph.PrIters && nIters < Graph.PrCap,
+      s"expected data-dependent stop strictly inside (PrIters, PrCap), got $nIters")
+    val again = run.run(spark, sf).collect()(0)
+    assert(row.toSeq === again.toSeq)
+  }
+
   test("triangle count: K4 yields 4, a pendant edge adds none, sub-floor pairs are not edges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-g2").toString

@@ -250,4 +250,47 @@ class JoinSpec extends SparkSpec {
     val r = Joins.defs.find(_.name == "j25_q16_shape").get.run(spark, dir).collect()
     assert(r.map(x => (x.getString(0), x.getLong(3))).toSeq === Seq(("Brand#2", 1L)))
   }
+
+  test("j27: one fact shuffle feeds detail agg, brand window, and subtotals") {
+    val run = Joins.defs.find(_.name == "j27_q67_category_share").get
+    // the repartition(p_type) is the ONLY hash shuffle: the (type, brand)
+    // aggregation, the brand-rank window, and the type re-aggregation all
+    // reuse its distribution (clustered-distribution satisfaction). Each
+    // consuming branch re-resolves the subtree under fresh attribute ids,
+    // so the pin runs with AQE off, where the reuse rule rewrites the
+    // duplicates to ReusedExchangeExec and the surviving
+    // ShuffleExchangeExec count IS the number of shuffles executed.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = run.run(spark, sf)
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(shuffles.size === 1,
+        s"expected exactly 1 hash exchange, plan:\n${q.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // semantic floor: shares add up per parent (ppm, integer-truncated:
+    // each group's sum lands within |group| of 1e6), ranks are 1-based
+    // contiguous within each mfgr
+    val rows = q.collect()
+    val lvl0 = rows.filter(_.getInt(0) == 0)
+    val byMfgr = lvl0.groupBy(_.getString(1))
+    byMfgr.foreach { case (mf, rs) =>
+      val shareSum = rs.map(_.getLong(5)).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - rs.length, s"$mf: $shareSum")
+      assert(rs.map(_.getInt(4)).sorted.toSeq === (1 to rs.length), mf)
+    }
+    val lvl1 = rows.filter(_.getInt(0) == 1)
+    assert(lvl1.map(_.getInt(4)).sorted.toSeq === (1 to lvl1.length))
+    // the grand row equals the sum of the mfgr subtotals, which equals the
+    // sum of the brand details
+    val grand = rows.filter(_.getInt(0) == 2)
+    assert(grand.length === 1)
+    assert(grand(0).getLong(3) === lvl1.map(_.getLong(3)).sum)
+    assert(grand(0).getLong(3) === lvl0.map(_.getLong(3)).sum)
+  }
 }

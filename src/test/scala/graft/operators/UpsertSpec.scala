@@ -98,4 +98,33 @@ class UpsertSpec extends SparkSpec {
     assert(after.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(after).count() === 0)
   }
+
+  test("hive-escaped and NULL partition values reuse the writer's directories") {
+    val root = s"/root/repo/target/upsert-esc-${System.nanoTime()}"
+    import spark.implicits._
+    // partition values a partitioned writer escapes (space is literal in
+    // hive naming, '/' and '%' are not) plus a NULL (hive default partition)
+    val base = Seq((1L, "a", "a/b"), (2L, "b", "p%q"), (3L, "c", null))
+      .toDF("doc_id", "text", "lang")
+    base.write.partitionBy("lang").parquet(root)
+    val dirsBefore = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsBefore.exists(_ != "lang=a/b")) // sanity: writer escaped
+
+    val batch = Seq((1L, "A2", "a/b"), (4L, "d", "p%q"), (5L, "e", null))
+      .toDF("doc_id", "text", "lang")
+    Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+
+    // no divergent unescaped sibling directories were minted
+    val dirsAfter = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsAfter === dirsBefore)
+
+    // the standard partitioned reader sees the merged table
+    val after = spark.read.parquet(root)
+    assert(after.count() === 5)
+    assert(after.filter(col("doc_id") === 1).select("text").head().getString(0) === "A2")
+    assert(after.filter(col("lang").isNull).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(3L, 5L))
+  }
 }
