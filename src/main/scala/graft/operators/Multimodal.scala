@@ -363,6 +363,87 @@ object Multimodal {
     }
   }
 
+  /** Per-file mm8 verdict row. `dims_ok` rather than raw decoded width/
+    * height: whether ImageIO rejects a truncated stream or partially
+    * reconstructs it is decoder-version behavior, and raw dims of a
+    * partial reconstruction would be unpredictable to the oracle — while
+    * "decoded dims equal the id's formula dims" is robustly FALSE for
+    * both corrupt tiers (the truncated tier re-uses id−100's stream,
+    * whose dims never coincide with id's: the offsets 100 mod 13 and
+    * 100 mod 7 are nonzero). */
+  final case class JpegVerdict(media_id: Long, ok: Boolean, dims_ok: Boolean,
+      mean_ok: Boolean, mae_ok: Boolean)
+
+  /** mm8 tolerances, in 1/256 gray-level units per pixel: the decoded
+    * image's MEAN must sit within MeanTol/256 of the formula mean, and
+    * the per-pixel mean absolute error within MaeTol/256. Pinned well
+    * above the measured JDK-default-quality error on the smooth ramp and
+    * far below the ≥ 64-level error a transpose, channel swap, or
+    * wrong-id decode produces. */
+  val JpegMeanTol256 = 320L // mean offset ≤ 1.25 gray levels
+  val JpegMaeTol256 = 1280L // MAE ≤ 5 gray levels
+
+  /** JPEG fixture matrix (mm8): ids 0-99 genuine JPEG files (smooth-ramp
+    * pixels), 100-119 TRUNCATED JPEGs (a valid stream cut at 40% — the
+    * classic interrupted-crawl corruption), 120-139 non-JPEG bytes under
+    * the jpg kind (mislabeled upload). The corrupt tiers pin the
+    * degradation taxonomy: decode failures must surface as ok=false ROWS,
+    * never task failures, and never partial successes counted as clean. */
+  def jpegFixtures(s: SparkSession, dir: String): Dataset[MediaFile] = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").where(col("doc_id") < 140)
+      .as[Long].map { id =>
+        if (id < 100) MediaFile(id, "jpg", JdkImageCodec.encodeJpeg(id))
+        else if (id < 120) {
+          val full = JdkImageCodec.encodeJpeg(id - 100)
+          MediaFile(id, "jpg", full.take(full.length * 2 / 5))
+        } else MediaFile(id, "jpg", s"not a jpeg at all #$id".getBytes("UTF-8"))
+      }
+  }
+
+  /** Decode the JPEG matrix per partition and emit per-file VERDICTS (the
+    * lossy-codec analog of [[decodeImages]]'s exact sums): dimensions are
+    * exact metadata (JPEG never changes them), the value content is
+    * certified against the known formula ramp within pinned integer
+    * tolerances (errors scaled by 256 so no float ever decides a
+    * verdict), and undecodable bytes degrade to ok=false rows. A
+    * truncated stream that ImageIO partially reconstructs still fails:
+    * its missing blocks decode to filler values, which blows the MAE
+    * bound, and `ok` demands decoded dims AND in-tolerance content
+    * together. */
+  def decodeJpegVerdicts(media: Dataset[MediaFile]): Dataset[JpegVerdict] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        JdkImageCodec.decode(m.content) match {
+          case Some(img) =>
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            val expW = JdkImageCodec.width(m.media_id)
+            val expH = JdkImageCodec.height(m.media_id)
+            var errSum = 0L; var absSum = 0L
+            var p = 0
+            val n = w.toLong * h
+            while (p < w * h) {
+              var v = 0L
+              var b = 0
+              while (b < raster.getNumBands) { v += raster.getSample(p % w, p / w, b); b += 1 }
+              val e = 256L * (v - ((p % w) + (p / w) + m.media_id))
+              errSum += e; absSum += math.abs(e)
+              p += 1
+            }
+            val dimsOk = w == expW && h == expH
+            val meanOk = math.abs(errSum) <= JpegMeanTol256 * n
+            val maeOk = absSum <= JpegMaeTol256 * n
+            JpegVerdict(m.media_id, dimsOk && meanOk && maeOk,
+              dimsOk, meanOk, maeOk)
+          case None => JpegVerdict(m.media_id, ok = false, dims_ok = false,
+            mean_ok = false, mae_ok = false)
+        }
+      }
+    }
+  }
+
   /** REAL audio codec via JDK `javax.sound.sampled` (no external deps):
     * RIFF/WAVE, 16-bit signed little-endian mono PCM. This replaces the
     * FakeCodec stub for the audio kind the way [[JdkImageCodec]] did for
@@ -637,6 +718,28 @@ object Multimodal {
       val f = dhash64(imageNearDupFixtures(s, dir)).toDF()
         .withColumnRenamed("media_id", "doc_id")
       Dedup.hammingPairs(f, maxHamming = 3).orderBy("a_id", "b_id")
+    },
+
+    // MM8: REAL JPEG decode — the LOSSY third format of the codec matrix
+    // (PNG and BMP are lossless and pixel-exact in mm2; JPEG can never
+    // be). Spark writes genuine JPEG files through the JDK encoder
+    // (smooth-ramp pixels, see encodeJpeg), decodes them back, and emits
+    // per-file verdicts: dims exactly preserved, mean and MAE inside
+    // pinned integer tolerances — plus two CORRUPT tiers (truncated
+    // stream, non-JPEG bytes) that must land as all-false rows. The
+    // oracle states each tier's expected verdicts from the id alone, so
+    // the hash match certifies the decode taxonomy and the bounded-error
+    // round trip without demanding bit-exact lossy output.
+    QueryDef("mm8_jpeg_decode",
+      """SELECT doc_id AS media_id,
+        |       doc_id < 100 AS ok,
+        |       doc_id < 100 AS dims_ok,
+        |       doc_id < 100 AS mean_ok,
+        |       doc_id < 100 AS mae_ok
+        |FROM documents WHERE doc_id < 140 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      decodeJpegVerdicts(jpegFixtures(s, dir))
+        .select("media_id", "ok", "dims_ok", "mean_ok", "mae_ok")
+        .orderBy("media_id")
     }
   )
 }

@@ -210,4 +210,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
+
+  test("mm8 JPEG: lossy-but-bounded round trip; truncated and non-JPEG bytes all-false") {
+    // unit-level error audit: the measured JDK-default-quality error on
+    // the smooth ramp must sit WELL inside the pinned tolerances (≥ 2x
+    // headroom) AND be nonzero for at least one image — proving the pin
+    // certifies a real lossy codec, not a disguised pass-through, and
+    // won't flap across JDK quality-table changes
+    var worstMean = 0L; var worstMae = 0L; var anyErr = false
+    (0L until 100L).foreach { id =>
+      val img = Multimodal.JdkImageCodec.decode(
+        Multimodal.JdkImageCodec.encodeJpeg(id)).get
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      assert(w === Multimodal.JdkImageCodec.width(id))
+      assert(h === Multimodal.JdkImageCodec.height(id))
+      var errSum = 0L; var absSum = 0L; var p = 0
+      while (p < w * h) {
+        val e = 256L * (raster.getSample(p % w, p / w, 0) - ((p % w) + (p / w) + id))
+        errSum += e; absSum += math.abs(e); p += 1
+      }
+      val n = w.toLong * h
+      worstMean = math.max(worstMean, math.abs(errSum) / n)
+      worstMae = math.max(worstMae, absSum / n)
+      if (absSum > 0) anyErr = true
+    }
+    assert(anyErr, "JPEG round trip was bit-exact — not exercising a lossy path")
+    assert(worstMean <= Multimodal.JpegMeanTol256 / 2,
+      s"mean error $worstMean/256 too close to the pin ${Multimodal.JpegMeanTol256}/256")
+    assert(worstMae <= Multimodal.JpegMaeTol256 / 2,
+      s"MAE $worstMae/256 too close to the pin ${Multimodal.JpegMaeTol256}/256")
+
+    // distributed verdicts: the exact tier taxonomy the oracle states
+    val rows = Multimodal.decodeJpegVerdicts(Multimodal.jpegFixtures(spark, sf))
+      .collect().sortBy(_.media_id)
+    assert(rows.length === 140)
+    rows.foreach { r =>
+      val expOk = r.media_id < 100
+      assert(r.ok === expOk, s"media ${r.media_id}")
+      assert(r.dims_ok === expOk && r.mean_ok === expOk && r.mae_ok === expOk,
+        s"media ${r.media_id}: $r")
+    }
+  }
 }
