@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Cross-PROCESS writer coordination for the persisted indexes
+  * ([[IvfIndex.appendIvf]], [[SigIndex.append]]). The in-process
+  * `buildLock` serializes concurrent queries inside one driver JVM, but
+  * two DRIVERS appending to the same index directory would interleave
+  * unchecked: both read the same meta count, both append, and the final
+  * meta describes only the last writer's view.
+  *
+  * The protocol is optimistic concurrency over atomic file creation —
+  * the only primitive plain parquet directories offer (no transaction
+  * log):
+  *
+  *   - the committed history lives as `commits/commit-<k>` marker files;
+  *     the current version is the largest k;
+  *   - a writer READS the version alongside the meta it bases its append
+  *     on, then CLAIMS version k+1 via `Files.createFile` — atomic at the
+  *     filesystem level, so of two racing writers exactly ONE wins; the
+  *     loser gets [[java.util.ConcurrentModificationException]] BEFORE
+  *     writing any data file and retries against the fresh state;
+  *   - the winner appends its data and then FINALIZES the marker (writes
+  *     `done` into it) together with the new meta count.
+  *
+  * A writer that crashes between claim and finalize leaves an
+  * unfinalized marker: [[unfinalized]] exposes it, and the policy —
+  * pinned in IndexCommitSpec — is that the next maintenance entry
+  * detects it and falls back to a full rebuild ([[reset]]), exactly the
+  * single-crash recovery discipline of Compaction.recoverSwap. What this
+  * protocol deliberately does NOT attempt is making concurrent appends
+  * both succeed: plain-parquet appends are not atomic, so the honest
+  * contract is first-writer-wins, second-writer-rejected-loudly
+  * (a transaction log — Delta/Iceberg — is the upgrade path).
+  */
+object IndexCommit {
+
+  private def commitsDir(idx: String) = Paths.get(idx, "commits")
+
+  private def markers(idx: String): Seq[(Long, java.nio.file.Path)] =
+    Option(commitsDir(idx).toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("commit-"))
+          scala.util.Try(n.stripPrefix("commit-").toLong).toOption.map(_ -> f.toPath)
+        else None
+      }
+
+  /** Current committed version (0 for a fresh/legacy index). */
+  def version(idx: String): Long =
+    markers(idx).map(_._1).foldLeft(0L)(math.max)
+
+  /** The version of a claimed-but-never-finalized commit, if any — a
+    * writer died mid-append and the data directories may hold a partial
+    * batch; the caller's policy is a rebuild. */
+  def unfinalized(idx: String): Option[Long] =
+    markers(idx).collect {
+      case (k, p) if Files.size(p) == 0L => k
+    }.sorted.headOption
+
+  /** Atomically claim version `readVersion + 1`. Exactly one of any set
+    * of racing writers succeeds; the rest throw
+    * ConcurrentModificationException having written NOTHING. */
+  def claim(idx: String, readVersion: Long): Long = {
+    Files.createDirectories(commitsDir(idx))
+    val next = readVersion + 1
+    try {
+      Files.createFile(commitsDir(idx).resolve(s"commit-$next"))
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"index $idx: version $next was claimed by another writer " +
+            s"(this writer read stale version $readVersion); re-read and retry")
+    }
+  }
+
+  /** Mark a claimed version's data as fully written. */
+  def finalizeCommit(idx: String, version: Long): Unit =
+    Files.write(commitsDir(idx).resolve(s"commit-$version"),
+      "done".getBytes("UTF-8"), StandardOpenOption.WRITE)
+
+  /** Reset the history to one finalized version — what a full (re)build
+    * does: the rebuild overwrote every data directory, so prior claims,
+    * finalized or orphaned, are history. */
+  def reset(idx: String): Unit = {
+    markers(idx).foreach(m => Files.deleteIfExists(m._2))
+    Files.createDirectories(commitsDir(idx))
+    Files.write(commitsDir(idx).resolve("commit-1"),
+      "done".getBytes("UTF-8"), StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+  }
+}

@@ -82,6 +82,7 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/lists")
     cs.unpersist()
     writeMeta(e, idx)
+    IndexCommit.reset(idx) // rebuild overwrote the data: fresh history
   }
 
   /** Probe the flat-IVF index at `idx`: top-`k` by cosine against the
@@ -118,6 +119,15 @@ object IvfIndex {
     * original centroids, plus an unchanged recall floor). */
   def appendIvf(newVecs: DataFrame, idx: String): Unit = buildLock.synchronized {
     val s = newVecs.sparkSession
+    // cross-PROCESS coordination (the in-process buildLock can't see a
+    // second driver): read the commit version WITH the meta, claim the
+    // successor atomically right before the first data write — a racing
+    // stale writer loses the claim and aborts having written nothing —
+    // and refuse to append onto a crashed writer's partial batch.
+    require(IndexCommit.unfinalized(idx).isEmpty,
+      s"appendIvf($idx): unfinalized commit ${IndexCommit.unfinalized(idx).get} " +
+        "(a writer died mid-append; the data may hold a partial batch) — rebuild")
+    val readVersion = IndexCommit.version(idx)
     val prev = s.read.parquet(s"$idx/meta").collect()(0).getLong(0)
     // materialize the batch ONCE before any write: the lists append and
     // the meta count must see the same rows even if `newVecs` is
@@ -131,9 +141,11 @@ object IvfIndex {
     val dup = nv.join(s.read.parquet(s"$idx/lists").select("vec_id"),
       Seq("vec_id"), "left_semi").limit(1).count()
     require(dup == 0, s"appendIvf($idx): batch contains vec_ids already in the index")
+    val committed = IndexCommit.claim(idx, readVersion)
     Similarity.assignTo(nv, s.read.parquet(s"$idx/centroids"), Similarity.AssignR)
       .write.mode("append").partitionBy("list_id").parquet(s"$idx/lists")
     writeMetaCount(s, prev + nNew, idx)
+    IndexCommit.finalizeCommit(idx, committed)
     nv.unpersist()
   }
 

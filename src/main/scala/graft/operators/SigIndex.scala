@@ -68,14 +68,21 @@ object SigIndex {
       Dedup.signatureBands(Dedup.minhashSignature(sh))
         .write.mode("overwrite").partitionBy("band").parquet(s"$idx/bands")
       writeMetaCount(docs.sparkSession, docs.count(), idx)
+      IndexCommit.reset(idx) // rebuild overwrote the data: fresh history
     } finally sh.unpersist()
   }
 
   /** Fold a new batch into the index. Precondition (asserted): the batch's
     * doc_ids are disjoint from the indexed corpus — re-appending an
-    * indexed document would double its buckets and postings. */
+    * indexed document would double its buckets and postings. Cross-process
+    * safety is [[IndexCommit]]'s optimistic claim (appendIvf's contract):
+    * of two racing drivers exactly one writes; the stale one aborts with
+    * ConcurrentModificationException before touching any data file. */
   def append(newDocs: DataFrame, idx: String): Unit = {
     val s = newDocs.sparkSession
+    require(IndexCommit.unfinalized(idx).isEmpty,
+      s"SigIndex.append($idx): unfinalized commit (a writer died mid-append) — rebuild")
+    val readVersion = IndexCommit.version(idx)
     val overlap = s.read.schema(bandsSchema).parquet(s"$idx/bands")
       .select("doc_id").distinct()
       .join(newDocs.select("doc_id"), Seq("doc_id"), "left_semi").count()
@@ -87,10 +94,12 @@ object SigIndex {
     val n = batch.count()
     val sh = Dedup.shingles(batch).cache()
     try {
+      val committed = IndexCommit.claim(idx, readVersion)
       sh.write.mode("append").parquet(s"$idx/postings")
       Dedup.signatureBands(Dedup.minhashSignature(sh))
         .write.mode("append").partitionBy("band").parquet(s"$idx/bands")
       writeMetaCount(s, prev + n, idx)
+      IndexCommit.finalizeCommit(idx, committed)
     } finally { sh.unpersist(); batch.unpersist() }
   }
 
