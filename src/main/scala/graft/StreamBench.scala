@@ -1,0 +1,118 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-ingest latency harness (dev/diagnostic main, not part of the
+  * driver contract): measures PER-MICRO-BATCH latency for the two
+  * stateful streaming paths whose correctness the specs already pin —
+  * the funnel FSM (`Streams.funnelStateful`, flatMapGroupsWithState) and
+  * the incremental near-dedup ingest (`SigIndex.streamingIngest`,
+  * foreachBatch probe-then-append against the persisted signature
+  * index).
+  *
+  * Method: the sf corpus is staged as `Batches` parquet files in an
+  * arriving-files directory; `maxFilesPerTrigger=1` makes each file one
+  * micro-batch (Trigger.AvailableNow respects source rate limits), so a
+  * run yields `Batches` progress events whose `triggerExecution`
+  * durations are the per-batch latencies. p50/p95/batches-per-second
+  * come from those events; state-size telemetry (`numRowsTotal` of the
+  * state operator) rides along so state growth is measured, not assumed.
+  *
+  * Output: one JSON line per stream — committed per round as
+  * STREAM_BENCH_r{N}.json.
+  */
+object StreamBench {
+
+  private val Batches = 16
+
+  /** Split df into `Batches` files under dir (one file per batch). */
+  private def stage(df: DataFrame, keyCol: String, dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    (0 until Batches).foreach { b =>
+      val tmp = s"$dir-tmp-$b"
+      df.filter(pmod(col(keyCol), lit(Batches)) === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch-$b.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
+
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) 0.0
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+
+  /** Run a started streaming query to completion and report its per-batch
+    * latency profile from the progress events. */
+  private def report(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery, wallSec: Double): String = {
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val lat = prog.flatMap(p => Option(p.durationMs.get("triggerExecution"))
+      .map(_.toDouble / 1000.0))
+    val rows = prog.map(_.numInputRows).sum
+    val stateRows = prog.flatMap(p => Option(p.stateOperators).toSeq.flatten
+      .map(_.numRowsTotal)).foldLeft(0L)(math.max)
+    s"""{"stream":"$name","batches":${lat.size},"rows":$rows,""" +
+      s""""wall_sec":${fmt(wallSec)},"batches_per_sec":${fmt(lat.size / wallSec)},""" +
+      s""""p50_sec":${fmt(pct(lat, 0.50))},"p95_sec":${fmt(pct(lat, 0.95))},""" +
+      s""""max_state_rows":$stateRows}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = s"/root/repo/target/stream-bench-${System.nanoTime()}"
+
+    // ---- funnel FSM over the events stream, one file per micro-batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evDir = s"$base/events-in"
+    stage(spark.read.parquet(s"$sfDir/events.parquet"), "event_id", evDir)
+    val t0 = System.nanoTime()
+    val funnelQ = streaming.Streams
+      .funnelStateful(streaming.Streams.eventsStream(spark, evDir,
+        maxFilesPerTrigger = Some(1)))
+      .toDF()
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$base/funnel-chk")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    funnelQ.awaitTermination(600000)
+    println(report("funnel_stateful", funnelQ, (System.nanoTime() - t0) / 1e9))
+
+    // ---- incremental near-dedup ingest: probe-then-append per batch
+    val docDir = s"$base/docs-in"
+    stage(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text"), "doc_id", docDir)
+    val docStream = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+    val t1 = System.nanoTime()
+    val ingestQ = operators.SigIndex.streamingIngest(docStream,
+      s"$base/sig-idx", s"$base/pairs", s"$base/ingest-chk")
+    ingestQ.awaitTermination(600000)
+    println(report("sig_ingest", ingestQ, (System.nanoTime() - t1) / 1e9))
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    spark.stop()
+  }
+}

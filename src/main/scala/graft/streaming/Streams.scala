@@ -481,8 +481,12 @@ object Streams {
   /** Streaming source: an arriving-files DIRECTORY of events parquet (the
     * file stream source requires a directory, not a single file) with the
     * same projected schema as the batch loader (ts_us BIGINT +
-    * ts TIMESTAMP), so batch and stream share every transformation above. */
-  def eventsStream(s: SparkSession, filesDir: String): DataFrame = {
+    * ts TIMESTAMP), so batch and stream share every transformation above.
+    * `maxFilesPerTrigger` caps files per micro-batch (StreamBench uses 1
+    * to get one batch per staged file; Trigger.AvailableNow respects
+    * source rate limits). */
+  def eventsStream(s: SparkSession, filesDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a declared schema; mirror Tables.events's
     // schema-adaptivity (ns-as-long vs native-µs NTZ vintage) by peeking at
@@ -508,6 +512,8 @@ object Streams {
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    Tables.normalizeEventsTs(s.readStream.schema(raw).parquet(filesDir))
+    val reader = maxFilesPerTrigger.foldLeft(s.readStream.schema(raw))(
+      (r, n) => r.option("maxFilesPerTrigger", n.toString))
+    Tables.normalizeEventsTs(reader.parquet(filesDir))
   }
 }

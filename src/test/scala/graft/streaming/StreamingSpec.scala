@@ -379,4 +379,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq((w0, 0L, 1L), (w0, 1L, 1L), (w0, 3L, 1L),
       (w0 + 1, 0L, 1L)))
   }
+
+  test("funnelStateful state growth is bounded: rows by users, updates by batch size") {
+    // four staged files -> four micro-batches (maxFilesPerTrigger=1 under
+    // AvailableNow); the FSM must keep ONE state row per user ever seen
+    // (dimension-bounded, never event-bounded) and touch per batch at
+    // most as many state rows as the batch has events — the property
+    // that keeps a long-running ingest's state flat at 100 TB of traffic.
+    val d = s"/root/repo/target/stream-state-${System.nanoTime()}"
+    new java.io.File(d).mkdirs()
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    (0 until 4).foreach { b =>
+      val tmp = s"$d-tmp-$b"
+      raw.filter(pmod(col("event_id"), lit(4)) === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$d/b$b.parquet"))
+    }
+    val q = Streams.funnelStateful(
+        Streams.eventsStream(spark, d, maxFilesPerTrigger = Some(1))).toDF()
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$d-chk")
+      .outputMode("update").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    assert(prog.size === 4, s"expected 4 micro-batches, got ${prog.size}")
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    prog.foreach { p =>
+      val st = p.stateOperators.head
+      assert(st.numRowsTotal <= nUsers,
+        s"state ${st.numRowsTotal} exceeds user dimension $nUsers")
+      assert(st.numRowsUpdated <= p.numInputRows,
+        s"updated ${st.numRowsUpdated} state rows for ${p.numInputRows} events")
+    }
+    // the final state covers exactly the users seen
+    assert(prog.last.stateOperators.head.numRowsTotal === nUsers)
+  }
 }
