@@ -903,14 +903,20 @@ object Joins {
         .select(lit(0).as("lvl"), col("p_type"), col("p_brand"), col("rev"),
           rank().over(w.partitionBy("p_type")
             .orderBy(col("rev").desc, col("p_brand"))).as("rnk"),
-          expr("rev * 1000000L div trev").as("share_ppm"))
+          // ppm through DECIMAL(38): rev·1e6 overflows BIGINT once the
+          // fact table passes ~sf0.4 (revenue is 1e-4-quantized, so a
+          // type subtotal alone reaches ~4e13 at sf0.1 — caught by the
+          // x8 scaling run). IntegralDivide on decimals returns BIGINT;
+          // the quotient is ≤ 1e6 so only the intermediate needs width.
+          // DuckDB needs no twin change: its sum() is already HUGEINT.
+          expr("CAST(rev AS DECIMAL(38,0)) * 1000000 div trev").as("share_ppm"))
       // manufacturer frame: 5 rows — the unpartitioned rank window is
       // dimension-bounded by construction (the g2 discipline)
       val lvl1 = m.crossJoin(g)
         .select(lit(1).as("lvl"), col("p_type"), lit(null).cast("string").as("p_brand"),
           col("trev").as("rev"),
           rank().over(w.orderBy(col("trev").desc, col("p_type"))).as("rnk"),
-          expr("trev * 1000000L div grev").as("share_ppm"))
+          expr("CAST(trev AS DECIMAL(38,0)) * 1000000 div grev").as("share_ppm"))
       val lvl2 = g.select(lit(2).as("lvl"),
         lit(null).cast("string").as("p_type"), lit(null).cast("string").as("p_brand"),
         col("grev").as("rev"), lit(1).as("rnk"), lit(1000000L).as("share_ppm"))
