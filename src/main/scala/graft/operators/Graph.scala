@@ -172,7 +172,7 @@ object Graph {
         |final AS (SELECT id, r FROM allr JOIN stop ON allr.k = stop.k)
         |SELECT stop.k AS n_iters, stop.converged AS converged,
         |       CAST(count(*) AS BIGINT) AS n_nodes,
-        |       CAST(sum(id * r) AS BIGINT) AS rank_ck,
+        |       CAST(sum(id * r) % 1000000000000000000 AS BIGINT) AS rank_ck,
         |       CAST(sum(r) AS BIGINT) AS sum_r
         |FROM final, stop GROUP BY 1, 2""".stripMargin
     }) { (s, dir) =>
@@ -189,8 +189,14 @@ object Graph {
         r = next
         k += 1
       }
+      // checksum through DECIMAL(38) + a 1e18 modulus: id·r is ~1.2e17
+      // per node once node ids carry replica offsets (the scaling
+      // corpora shift keys by r·1e9), so a raw BIGINT sum overflows —
+      // caught by the x4 graph-tier run. DuckDB's sum is HUGEINT, so the
+      // twin change there is just the same modulus.
       r.agg(count(lit(1)).cast("long").as("n_nodes"),
-          sum(expr("id * r")).cast("long").as("rank_ck"),
+          expr("CAST(sum(CAST(id AS DECIMAL(38,0)) * r) % 1000000000000000000 AS BIGINT)")
+            .as("rank_ck"),
           sum("r").cast("long").as("sum_r"))
         .select(lit(k).as("n_iters"), lit(delta <= PrEps).as("converged"),
           col("n_nodes"), col("rank_ck"), col("sum_r"))
