@@ -252,4 +252,40 @@ class MultimodalSpec extends SparkSpec {
         s"media ${r.media_id}: $r")
     }
   }
+
+  test("mm9 animated GIF: genuine multi-frame files, exact pixel round trip, truncation collapses") {
+    // container sanity: real GIF magic, one file per video
+    val bytes = Multimodal.JdkGifCodec.encodeGif(7L)
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+
+    // unit-level exactness: every frame of every fixture decodes to the
+    // formula bit-for-bit (lossless LZW — no tolerance needed)
+    (0L until 20L).foreach { id =>
+      val frames = Multimodal.JdkGifCodec.decodeFrames(
+        Multimodal.JdkGifCodec.encodeGif(id)).get
+      assert(frames.size === Multimodal.JdkGifCodec.nFrames(id))
+      val (w, h) = (Multimodal.JdkGifCodec.width(id), Multimodal.JdkGifCodec.height(id))
+      frames.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth === w && img.getHeight === h)
+        var p = 0
+        while (p < w * h) {
+          val got = (img.getRGB(p % w, p / w) >> 16) & 0xff
+          assert(got === Multimodal.JdkGifCodec.valueAt(id, f, p), s"id=$id f=$f p=$p")
+          p += 1
+        }
+      }
+    }
+
+    // distributed taxonomy: valid videos emit one ok row per frame,
+    // truncated ones exactly one all-false row (no partial sequences)
+    val rows = Multimodal.decodeVideoFrames(Multimodal.videoFixtures(spark, sf))
+      .collect()
+    val (good, bad) = rows.partition(_.ok)
+    assert(bad.map(_.media_id).sorted.toSeq === (60L until 70L))
+    assert(bad.forall(r => r.frame_id == -1 && r.n_px == 0))
+    (0L until 60L).foreach { id =>
+      val fs = good.filter(_.media_id == id).map(_.frame_id).sorted.toSeq
+      assert(fs === (0 until Multimodal.JdkGifCodec.nFrames(id)), s"id=$id")
+    }
+  }
 }
