@@ -75,18 +75,33 @@ object IndexCommit {
     }
   }
 
-  /** Mark a claimed version's data as fully written. */
-  def finalizeCommit(idx: String, version: Long): Unit =
+  /** Mark a claimed version's data as fully written. `note` rides in the
+    * marker (e.g. a streaming batch id) so replayed work can recognize
+    * itself — see [[committedNotes]]. */
+  def finalizeCommit(idx: String, version: Long, note: String = ""): Unit =
     Files.write(commitsDir(idx).resolve(s"commit-$version"),
-      "done".getBytes("UTF-8"), StandardOpenOption.WRITE)
+      (if (note.isEmpty) "done" else s"done $note").getBytes("UTF-8"),
+      StandardOpenOption.WRITE)
+
+  /** The notes of every finalized commit — the durable record an
+    * at-least-once caller (foreachBatch under retries) consults to make
+    * its append idempotent: a batch whose note is already here was fully
+    * committed by a previous attempt and must not append again. */
+  def committedNotes(idx: String): Set[String] =
+    markers(idx).flatMap { case (_, p) =>
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      if (txt.startsWith("done ")) Some(txt.stripPrefix("done ")) else None
+    }.toSet
 
   /** Reset the history to one finalized version — what a full (re)build
     * does: the rebuild overwrote every data directory, so prior claims,
-    * finalized or orphaned, are history. */
-  def reset(idx: String): Unit = {
+    * finalized or orphaned, are history. `note` tags the rebuild commit
+    * (streaming bootstrap batches use it for replay detection). */
+  def reset(idx: String, note: String = ""): Unit = {
     markers(idx).foreach(m => Files.deleteIfExists(m._2))
     Files.createDirectories(commitsDir(idx))
     Files.write(commitsDir(idx).resolve("commit-1"),
-      "done".getBytes("UTF-8"), StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      (if (note.isEmpty) "done" else s"done $note").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
   }
 }

@@ -61,14 +61,14 @@ object SigIndex {
     }
 
   /** Build the signature index over `docs` (replacing any prior index). */
-  def build(docs: DataFrame, idx: String): Unit = {
+  def build(docs: DataFrame, idx: String, note: String = ""): Unit = {
     val sh = Dedup.shingles(docs).cache()
     try {
       sh.write.mode("overwrite").parquet(s"$idx/postings")
       Dedup.signatureBands(Dedup.minhashSignature(sh))
         .write.mode("overwrite").partitionBy("band").parquet(s"$idx/bands")
       writeMetaCount(docs.sparkSession, docs.count(), idx)
-      IndexCommit.reset(idx) // rebuild overwrote the data: fresh history
+      IndexCommit.reset(idx, note) // rebuild overwrote the data: fresh history
     } finally sh.unpersist()
   }
 
@@ -78,7 +78,7 @@ object SigIndex {
     * safety is [[IndexCommit]]'s optimistic claim (appendIvf's contract):
     * of two racing drivers exactly one writes; the stale one aborts with
     * ConcurrentModificationException before touching any data file. */
-  def append(newDocs: DataFrame, idx: String): Unit = {
+  def append(newDocs: DataFrame, idx: String, note: String = ""): Unit = {
     val s = newDocs.sparkSession
     require(IndexCommit.unfinalized(idx).isEmpty,
       s"SigIndex.append($idx): unfinalized commit (a writer died mid-append) — rebuild")
@@ -99,7 +99,7 @@ object SigIndex {
       Dedup.signatureBands(Dedup.minhashSignature(sh))
         .write.mode("append").partitionBy("band").parquet(s"$idx/bands")
       writeMetaCount(s, prev + n, idx)
-      IndexCommit.finalizeCommit(idx, committed)
+      IndexCommit.finalizeCommit(idx, committed, note)
     } finally { sh.unpersist(); batch.unpersist() }
   }
 
@@ -137,39 +137,71 @@ object SigIndex {
     (pairs, Seq(nsh, cand))
   }
 
+  /** One streaming-ingest micro-batch, IDEMPOTENT under at-least-once
+    * replay (foreachBatch re-delivers a batch whenever the checkpoint
+    * commit didn't land). The discipline, ordered so every crash point
+    * replays cleanly:
+    *
+    *   1. a batch whose note (`batch-<id>`) is already among the index's
+    *      finalized commits was FULLY processed by a previous attempt —
+    *      skip everything (its pairs partition is on disk: pairs write
+    *      precedes the commit);
+    *   2. pairs land in the per-batch partition dir
+    *      `pairsSink/batch_id=<id>` with mode OVERWRITE — a replayed
+    *      pre-commit attempt rewrites the same content instead of
+    *      duplicating rows (the probe still sees the index WITHOUT this
+    *      batch, because the append runs after);
+    *   3. the append carries the note into its finalized commit marker,
+    *      making step 1's check durable;
+    *   4. a bootstrap interrupted between data writes and its commit
+    *      marker leaves version 0 — detected and REBUILT rather than
+    *      mistaken for an appendable index (the overlap check would
+    *      otherwise reject the replay of the half-indexed batch).
+    *
+    * A crash strictly inside the append (claimed, unfinalized) still
+    * fails the stream loudly with the rebuild policy — plain-parquet
+    * appends are not atomic and pretending otherwise would be worse. */
+  private[operators] def ingestBatch(s: SparkSession, idx: String,
+      pairsSink: String, batch: DataFrame, batchId: Long): Unit = {
+    val note = s"batch-$batchId"
+    if (IndexCommit.committedNotes(idx).contains(note)) return // replay: done
+    val b = batch.select("doc_id", "text").cache()
+    try {
+      if (!new java.io.File(s"$idx/meta").isDirectory ||
+          IndexCommit.version(idx) == 0L) {
+        build(b, idx, note)
+        val (empty, caches) = probeWithHandles(s, idx, b.limit(0))
+        try empty.write.mode("overwrite")
+          .parquet(s"$pairsSink/batch_id=$batchId") // schema-creating
+        finally caches.foreach(_.unpersist())
+      } else {
+        // unpersist AFTER the write materializes the lazy probe —
+        // per-batch caches must not accumulate across a long stream
+        val (pairs, caches) = probeWithHandles(s, idx, b)
+        try pairs.write.mode("overwrite")
+          .parquet(s"$pairsSink/batch_id=$batchId")
+        finally caches.foreach(_.unpersist())
+        append(b, idx, note)
+      }
+    } finally b.unpersist()
+  }
+
   /** Streaming ingest near-dedup: every micro-batch is probed against the
     * persisted index (emitting its near-dup pairs vs the corpus-so-far)
     * and then folded in — the crawl-ingest loop as a Structured
     * Streaming sink. The first batch bootstraps the index (nothing to
     * pair with; an empty probe creates the pairs sink with the right
-    * schema). foreachBatch is at-least-once under retries — a production
-    * sink would write per-batch-id partitions for idempotence
-    * (SourceFormatsSpec's dynamic-overwrite pattern); the spec pins the
-    * single-pass semantics: emitted pairs ≡ the batch-at-a-time probes,
-    * final index ≡ indexing everything at once. */
+    * schema). Effectively-once under foreachBatch's at-least-once
+    * contract via [[ingestBatch]]'s note-keyed replay detection +
+    * per-batch pairs partitions; the specs pin both the single-pass
+    * semantics (emitted pairs ≡ the batch-at-a-time probes, final index
+    * ≡ indexing everything at once) and replay idempotence. */
   def streamingIngest(stream: DataFrame, idx: String, pairsSink: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     stream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val b = batch.select("doc_id", "text").cache()
-        try {
-          if (!new java.io.File(s"$idx/meta").isDirectory) {
-            build(b, idx)
-            val (empty, caches) = probeWithHandles(s, idx, b.limit(0))
-            try empty.write.mode("append").parquet(pairsSink) // schema-creating
-            finally caches.foreach(_.unpersist())
-          } else {
-            // unpersist AFTER the write materializes the lazy probe —
-            // per-batch caches must not accumulate across a long stream
-            val (pairs, caches) = probeWithHandles(s, idx, b)
-            try pairs.write.mode("append").parquet(pairsSink)
-            finally caches.foreach(_.unpersist())
-            append(b, idx)
-          }
-        } finally b.unpersist()
-        ()
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.sparkSession, idx, pairsSink, batch, batchId)
     }.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
   }

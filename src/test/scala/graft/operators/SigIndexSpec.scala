@@ -103,4 +103,30 @@ class SigIndexSpec extends SparkSpec {
     val n1 = spark.read.parquet(s"$idx/meta").collect()(0).getLong(0)
     assert(n1 === docs.count())
   }
+
+  test("ingest batches replay idempotently (at-least-once foreachBatch)") {
+    val tag = System.nanoTime()
+    val idx = s"/root/repo/target/sigidx-replay-idx-$tag"
+    val sink = s"/root/repo/target/sigidx-replay-pairs-$tag"
+    val b1 = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+
+    SigIndex.ingestBatch(spark, idx, sink, b1, 0L)
+    SigIndex.ingestBatch(spark, idx, sink, b2, 1L)
+    def state() = (
+      spark.read.parquet(s"$idx/meta").collect()(0).getLong(0),
+      spark.read.parquet(s"$idx/postings").count(),
+      spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(sink).select("old_id", "new_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val before = state()
+    assert(before._1 === docs.count())
+    assert(before._4.nonEmpty, "fixture must emit cross-batch pairs")
+
+    // the at-least-once case: the checkpoint commit was lost and both
+    // batches re-deliver — nothing may double-append or duplicate pairs
+    SigIndex.ingestBatch(spark, idx, sink, b1, 0L)
+    SigIndex.ingestBatch(spark, idx, sink, b2, 1L)
+    assert(state() === before)
+  }
 }
