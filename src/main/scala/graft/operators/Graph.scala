@@ -183,9 +183,12 @@ object Graph {
       while (k < PrCap && delta > PrEps) {
         val next = sweep(ew, nodes, r).localCheckpoint()
         // one aggregate per sweep: a keyed join of two n-row rank tables
-        // reduced to a single long on the driver
+        // reduced to a single long on the driver (coalesce: an EMPTY
+        // graph's max-over-nothing is NULL, which must read as converged,
+        // not NPE)
         delta = next.join(r.withColumnRenamed("r", "rp"), "id")
-          .agg(max(abs(col("r") - col("rp")))).collect()(0).getLong(0)
+          .agg(coalesce(max(abs(col("r") - col("rp"))), lit(0L)))
+          .collect()(0).getLong(0)
         r = next
         k += 1
       }

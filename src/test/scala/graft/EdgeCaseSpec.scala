@@ -124,9 +124,9 @@ class EdgeCaseSpec extends SparkSpec {
     Seq.empty[(Long, Long, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    Seq.empty[(Long, Long, String, java.sql.Timestamp, Double, Double)]
-      .toDF("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate",
-        "l_extendedprice", "l_discount")
+    Seq.empty[(Long, Long, Long, String, java.sql.Timestamp, Double, Double)]
+      .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_returnflag",
+        "l_shipdate", "l_extendedprice", "l_discount")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     Seq.empty[(Long, String, Long, java.sql.Timestamp, String)]
       .toDF("o_orderkey", "o_orderstatus", "o_custkey", "o_orderdate",
@@ -156,6 +156,24 @@ class EdgeCaseSpec extends SparkSpec {
     val g2 = run("g2_triangle_count").collect()
     assert(g2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq((0L, 0L, 0L)))
+
+    // round-6 operators on the same degenerate corpus:
+    // g1b: an empty graph must read as instantly converged (max delta
+    // over nothing coalesces to 0), one summary row, zero nodes
+    val g1b = run("g1b_pagerank_converged").collect()
+    assert(g1b.length === 1)
+    assert(g1b(0).getInt(0) === 1 && g1b(0).getBoolean(1))
+    assert(g1b(0).getLong(2) === 0L)
+    // j27: only the grand-total row survives an empty fact table (rank 1,
+    // ppm 1e6, NULL revenue — there is nothing to total)
+    Seq.empty[(Long, String, String)].toDF("p_partkey", "p_type", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val j27 = run("j27_q67_category_share").collect()
+    assert(j27.length === 1)
+    assert(j27(0).getInt(0) === 2 && j27(0).isNullAt(3))
+    // mm8/mm9: no documents → no media fixtures → empty, not a crash
+    assert(run("mm8_jpeg_decode").count() === 0)
+    assert(run("mm9_video_frame_decode").count() === 0)
   }
 
   test("joins with an empty side behave per join type") {
