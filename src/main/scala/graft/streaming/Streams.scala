@@ -370,6 +370,47 @@ object Streams {
         .groupBy("report_day")
         .agg(countDistinct("user_id").as("wau"))
         .orderBy("report_day")
+    },
+
+    // E11: e10's 100 TB form — the sketch × window composition. One
+    // mergeable HLL sketch per active day (map-side combined — the raw
+    // stream never shuffles users twice), then a trailing 7-day RANGE
+    // window unions the daily sketches: at scale the rolling distinct
+    // costs |days| sketch merges instead of e10's 7× explode + exact
+    // count-distinct shuffle, and backfilling a new window width reuses
+    // the same daily sketches untouched. The window runs unpartitioned
+    // over the DAY dimension (|days| rows — the g2 node-ranking argument,
+    // documented, never the event stream). Registered as the ORACLED
+    // verdict (the a8 discipline): the HLL estimate per report day must
+    // sit within 5% of the exact e10 count (DataSketches lgK=12 ≈ 1.6%
+    // standard error — 3σ headroom), with the exact side recomputed
+    // in-query and the oracle stating per-day constant TRUE over the
+    // active-day roster. Report days here are ACTIVE days (days with ≥ 1
+    // event) — e10 additionally emits trailing ghost days after the last
+    // event; the verdict join restricts to the shared roster.
+    QueryDef("e11_rolling_wau_sketch",
+      """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |           FROM events)
+        |SELECT CAST(d AS BIGINT) AS report_day, TRUE AS within_tol
+        |FROM a ORDER BY report_day""".stripMargin) { (s, dir) =>
+      val a = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("d"))
+        .distinct()
+      val daily = a.groupBy("d").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("d").rangeBetween(-6, 0)
+      val approx = daily.select(col("d"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("apx"))
+      val exact = a
+        .select(col("user_id"),
+          explode(sequence(col("d"), col("d") + 6)).as("rd"))
+        .groupBy("rd").agg(countDistinct("user_id").as("wau"))
+      approx.join(exact, col("d") === col("rd"))
+        .select(col("d").as("report_day"),
+          (abs(col("apx") - col("wau")) <= col("wau") * 0.05).as("within_tol"))
+        .orderBy("report_day")
     }
   )
 

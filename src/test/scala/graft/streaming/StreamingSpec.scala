@@ -419,4 +419,34 @@ class StreamingSpec extends SparkSpec {
     // the final state covers exactly the users seen
     assert(prog.last.stateOperators.head.numRowsTotal === nUsers)
   }
+
+  test("e11 sketch WAU: disjoint daily cohorts roll up to exact window widths") {
+    import spark.implicits._
+    // day d (0..9) has its own 10 disjoint users -> exact rolling WAU at
+    // day d is 10*min(d+1, 7); HLL in its sparse regime tracks these tiny
+    // cardinalities tightly, so every verdict row must be TRUE and the
+    // estimates must be strictly wider than any single day once windows
+    // overlap (proving the range frame really unions across days)
+    val dir = java.nio.file.Files.createTempDirectory("graft-e11").toString
+    val t0 = 1700000000L * 1000000000L
+    val day = 86400L * 1000000000L
+    val rows = for (d <- 0L until 10L; u <- 0L until 10L)
+      yield (d * 100 + u, t0 + d * day, d * 1000 + u, "view", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val got = graft.SparkEntry.queries("e11_rolling_wau_sketch")(spark, dir)
+      .collect()
+    assert(got.length === 10)
+    assert(got.forall(_.getBoolean(1)), s"verdicts: ${got.mkString(",")}")
+
+    // exact cross-check through e10 on the same fixture: window widths
+    val wau = graft.SparkEntry.queries("e10_wau")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = got(0).getLong(0)
+    (0 until 10).foreach { d =>
+      assert(wau(d0 + d) === 10L * math.min(d + 1, 7), s"day $d")
+    }
+  }
 }
