@@ -46,6 +46,7 @@ object Compaction {
     * serves the OLD table. */
   private[operators] def swapInPlace(spark: SparkSession, dir: String, tag: String)(
       write: String => Unit): Unit = {
+    require(SwapTags.contains(tag), s"unknown swap tag $tag (recovery covers only $SwapTags)")
     val tmp = dir + s".$tag-tmp"
     val old = dir + s".$tag-old"
     recoverSwap(dir)
@@ -69,12 +70,22 @@ object Compaction {
     * early return and upsert's brand-new-target path would otherwise read
     * a torn directory as truth. Tag-agnostic: a dir torn by a delete swap
     * still recovers when the next compact touches it. */
+  /** The complete tag namespace swaps may use. recoverSwap deletes/moves
+    * ONLY siblings carrying exactly these suffixes — matching any
+    * `*-old`/`*-tmp` name would let an unrelated neighboring directory
+    * (e.g. a hive partition whose VALUE happens to end in "-old") be
+    * silently destroyed or rolled over the live dir. The suffixes
+    * `.{compact,upsert,delete}-{old,tmp}` are therefore reserved names
+    * next to any maintained directory. */
+  private val SwapTags = Set("compact", "upsert", "delete")
+
   private[operators] def recoverSwap(dir: String): Unit = {
     val d = new java.io.File(dir)
+    val suffixes = for (t <- SwapTags; k <- Seq("old", "tmp"))
+      yield s"${d.getName}.$t-$k"
     val parent = Option(d.getParentFile).getOrElse(return)
     Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(d.getName + ".") &&
-        (f.getName.endsWith("-tmp") || f.getName.endsWith("-old")))
+      .filter(f => suffixes.contains(f.getName))
       .sortBy(_.getName) // -old before -tmp: roll back, then drop garbage
       .foreach { f =>
         if (f.getName.endsWith("-old") && !d.exists())

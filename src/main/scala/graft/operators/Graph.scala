@@ -146,7 +146,8 @@ object Graph {
     // rank change of a sweep drops to ≤ PrEps, bounded by PrCap. This is
     // the data-dependent-termination form g1's fixed 5 sweeps stands in
     // for: per sweep the driver sees ONE aggregated long (the max delta —
-    // bounded driver state), and every sweep's result is localCheckpoint'd
+    // bounded driver state), each sweep's result persists (and the
+    // superseded one frees), with a localCheckpoint every 5 sweeps
     // (the d7 lineage-truncation discipline: without it the plan for
     // sweep k nests k copies of the join tree and analysis cost, not
     // data, becomes the bottleneck).
@@ -181,15 +182,24 @@ object Graph {
       var k = 0
       var delta = Long.MaxValue
       while (k < PrCap && delta > PrEps) {
-        val next = sweep(ew, nodes, r).localCheckpoint()
+        val prev = r
+        // lineage truncates via localCheckpoint every 5th sweep (the d7
+        // discipline); between truncation points plain persist carries
+        // the state — unlike a checkpoint its blocks FREE when
+        // superseded (prev.unpersist below), so ~two rank tables plus
+        // the periodic checkpoints stay materialized, not one per sweep
+        val stepped = sweep(ew, nodes, prev)
+        r = if ((k + 1) % 5 == 0) stepped.localCheckpoint() else stepped.persist()
         // one aggregate per sweep: a keyed join of two n-row rank tables
         // reduced to a single long on the driver (coalesce: an EMPTY
         // graph's max-over-nothing is NULL, which must read as converged,
-        // not NPE)
-        delta = next.join(r.withColumnRenamed("r", "rp"), "id")
+        // not NPE). This action also materializes r, so releasing prev
+        // right after is safe (a later eviction recomputes from the
+        // nearest checkpoint).
+        delta = r.join(prev.withColumnRenamed("r", "rp"), "id")
           .agg(coalesce(max(abs(col("r") - col("rp"))), lit(0L)))
           .collect()(0).getLong(0)
-        r = next
+        prev.unpersist()
         k += 1
       }
       // checksum through DECIMAL(38) + a 1e18 modulus: id·r is ~1.2e17
@@ -197,12 +207,19 @@ object Graph {
       // corpora shift keys by r·1e9), so a raw BIGINT sum overflows —
       // caught by the x4 graph-tier run. DuckDB's sum is HUGEINT, so the
       // twin change there is just the same modulus.
+      //
+      // Empty-graph parity with the oracle: DuckDB's grouped final
+      // aggregate over zero nodes yields NO rows, so the Spark side's
+      // summary row is filtered out when the graph is empty rather than
+      // presenting a converged-over-nothing verdict the oracle never
+      // emits.
       r.agg(count(lit(1)).cast("long").as("n_nodes"),
           expr("CAST(sum(CAST(id AS DECIMAL(38,0)) * r) % 1000000000000000000 AS BIGINT)")
             .as("rank_ck"),
           sum("r").cast("long").as("sum_r"))
         .select(lit(k).as("n_iters"), lit(delta <= PrEps).as("converged"),
           col("n_nodes"), col("rank_ck"), col("sum_r"))
+        .filter(col("n_nodes") > 0)
     },
 
     // G2: triangle counting over the supplier CO-SUPPLY graph (suppliers

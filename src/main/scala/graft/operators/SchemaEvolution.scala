@@ -33,11 +33,22 @@ object SchemaEvolution {
     // two-column aggregate — far cheaper than an unconditional restage.
     val fp = Tables.documents(s, dir)
       .agg(count(lit(1)).cast("long").as("n"),
-        sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+        // coalesce: sum over an empty table is NULL, and an empty corpus
+        // must fingerprint (to 0), not NPE
+        coalesce(sum((col("doc_id") + 1) * length(col("text").cast("binary"))), lit(0L))
           .cast("long").as("ck"))
       .collect()(0)
     val tag = java.lang.Long.toHexString(fp.getLong(0) * 1000003L + fp.getLong(1))
-    val out = s"/root/repo/target/evolve-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$tag"
+    val prefix = s"evolve-fixture-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val out = s"/root/repo/target/$prefix-$tag"
+    // stale-tag fixtures from earlier testdata generations are full
+    // staged document tables — drop them so regenerations don't accrete
+    // unbounded disk under target/
+    Option(new java.io.File("/root/repo/target").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix-$tag" &&
+        !f.getName.startsWith(s"$prefix-$tag."))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     // both generations build in a temp dir, then ONE atomic rename — a
     // crash between the two writes must never leave a half fixture that
     // the exists() fast-path accepts forever

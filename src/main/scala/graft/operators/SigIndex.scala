@@ -165,15 +165,29 @@ object SigIndex {
       pairsSink: String, batch: DataFrame, batchId: Long): Unit = {
     val note = s"batch-$batchId"
     if (IndexCommit.committedNotes(idx).contains(note)) return // replay: done
+    // a claimed-but-unfinalized commit means an append crashed mid-write
+    // and the data dirs may hold PART of that batch. Refuse here, BEFORE
+    // the probe/pairs overwrite: probing a contaminated index would
+    // clobber this batch's pairs partition with wrong (partially
+    // self-matching) pairs on the way to the same failure.
+    require(IndexCommit.unfinalized(idx).isEmpty,
+      s"ingestBatch($idx): unfinalized commit (a writer died mid-append) — rebuild")
     val b = batch.select("doc_id", "text").cache()
     try {
       if (!new java.io.File(s"$idx/meta").isDirectory ||
           IndexCommit.version(idx) == 0L) {
+        // pairs partition FIRST (the replay invariant: a finalized note
+        // implies its pairs are on disk — so nothing may finalize before
+        // the pairs write, including the bootstrap's build/reset). The
+        // bootstrap has no corpus to pair against, so the schema row is
+        // constructed directly instead of probing the not-yet-built index.
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("old_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("new_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
+          .write.mode("overwrite").parquet(s"$pairsSink/batch_id=$batchId")
         build(b, idx, note)
-        val (empty, caches) = probeWithHandles(s, idx, b.limit(0))
-        try empty.write.mode("overwrite")
-          .parquet(s"$pairsSink/batch_id=$batchId") // schema-creating
-        finally caches.foreach(_.unpersist())
       } else {
         // unpersist AFTER the write materializes the lazy probe —
         // per-batch caches must not accumulate across a long stream

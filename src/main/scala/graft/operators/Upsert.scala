@@ -76,19 +76,20 @@ object Upsert {
     // bounded: one row per touched partition. Values are kept RAW for the
     // slice filter but HIVE-ESCAPED for the directory name — a value
     // Spark's partitioned writer would escape (space, '/', '%') must land
-    // in the same escaped directory a partitioned reader lists, and a
-    // NULL partition value maps to the hive default partition instead of
-    // NPE-ing.
+    // in the same escaped directory a partitioned reader lists. NULL and
+    // EMPTY-STRING values both map to the hive default partition (Spark's
+    // getPartitionPathString treats `value == null || value.isEmpty`
+    // identically), so neither NPEs nor mints a divergent `part=` dir.
     val touched = batch.select(partCol).distinct().collect()
-      .map(r => Option(r.get(0)).map(_.toString)).toSeq
-      .sortBy(_.getOrElse(""))
+      .map(r => Option(r.get(0)).map(_.toString).filter(_.nonEmpty))
+      .toSeq.distinct.sortBy(_.getOrElse(""))
     val stats = touched.map { pvOpt =>
       val dirName = pvOpt.map(ExternalCatalogUtils.escapePathName)
         .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       val dir = s"$root/$partCol=$dirName"
       val slice = pvOpt
         .map(pv => batch.filter(col(partCol) === pv))
-        .getOrElse(batch.filter(col(partCol).isNull))
+        .getOrElse(batch.filter(col(partCol).isNull || col(partCol) === ""))
         .drop(partCol)
       pvOpt.getOrElse(dirName) -> upsert(spark, dir, slice, key)
     }

@@ -158,12 +158,14 @@ class EdgeCaseSpec extends SparkSpec {
       Seq((0L, 0L, 0L)))
 
     // round-6 operators on the same degenerate corpus:
-    // g1b: an empty graph must read as instantly converged (max delta
-    // over nothing coalesces to 0), one summary row, zero nodes
-    val g1b = run("g1b_pagerank_converged").collect()
-    assert(g1b.length === 1)
-    assert(g1b(0).getInt(0) === 1 && g1b(0).getBoolean(1))
-    assert(g1b(0).getLong(2) === 0L)
+    // g1b: an empty graph must emit NO rows — the oracle's grouped final
+    // aggregate over zero nodes yields none, and a converged-over-nothing
+    // verdict row would diverge from it (the loop itself must neither
+    // NPE on the null max-delta nor spin to the cap)
+    assert(run("g1b_pagerank_converged").count() === 0)
+    // s6: an empty source table fingerprints (not NPEs) and stages an
+    // empty two-generation fixture whose merged read is empty
+    assert(run("s6_schema_evolution").count() === 0)
     // j27: only the grand-total row survives an empty fact table (rank 1,
     // ppm 1e6, NULL revenue — there is nothing to total)
     Seq.empty[(Long, String, String)].toDF("p_partkey", "p_type", "p_brand")

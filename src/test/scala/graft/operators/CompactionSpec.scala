@@ -118,4 +118,27 @@ class CompactionSpec extends SparkSpec {
       before.filter(col("lang") === one).count())
     before.unpersist()
   }
+
+  test("recovery only touches the reserved swap suffixes, never look-alike siblings") {
+    val dir = stage(4)
+    // a neighboring directory whose NAME merely ends in "-old" (e.g. a
+    // hive partition whose value contains dots/dashes) is not ours to
+    // delete or roll over the live dir
+    val bystander = new java.io.File(dir + ".archive-old")
+    bystander.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bystander.getAbsolutePath, "keep.txt"),
+      "precious".getBytes("UTF-8"))
+    Compaction.compact(spark, dir, targetFiles = 2)
+    assert(new java.io.File(bystander, "keep.txt").exists(),
+      "recovery deleted an unrelated sibling directory")
+    // and with the live dir ABSENT, the bystander must not be "rolled back"
+    val dir2 = stage(2)
+    val by2 = new java.io.File(dir2 + ".snapshot-old")
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir2), by2.toPath)
+    assert(!new java.io.File(dir2).exists())
+    Compaction.recoverSwap(dir2)
+    assert(!new java.io.File(dir2).exists(), "bystander was moved over the live path")
+    assert(by2.exists())
+  }
 }

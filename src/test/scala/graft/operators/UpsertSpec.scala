@@ -127,4 +127,31 @@ class UpsertSpec extends SparkSpec {
     assert(after.filter(col("lang").isNull).select("doc_id").collect()
       .map(_.getLong(0)).toSet === Set(3L, 5L))
   }
+
+  test("empty-string partition values merge into the hive default partition") {
+    val root = s"/root/repo/target/upsert-empty-${System.nanoTime()}"
+    import spark.implicits._
+    // Spark's partitioned writer stores BOTH null and "" under
+    // __HIVE_DEFAULT_PARTITION__ (and reads them back as null)
+    val base = Seq((1L, "a", ""), (2L, "b", "x")).toDF("doc_id", "text", "lang")
+    base.write.partitionBy("lang").parquet(root)
+    val dirsBefore = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsBefore.contains("lang=__HIVE_DEFAULT_PARTITION__"))
+
+    // batch carries one "" and one NULL value: both must route to the
+    // default partition (as ONE touched partition), never mint "lang="
+    val batch = Seq((1L, "A2", ""), (3L, "c", null)).toDF("doc_id", "text", "lang")
+    val stats = Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats.map(_._1) === Seq("__HIVE_DEFAULT_PARTITION__"))
+    val dirsAfter = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsAfter === dirsBefore)
+
+    val after = spark.read.parquet(root)
+    assert(after.count() === 3)
+    assert(after.filter(col("doc_id") === 1).select("text").head().getString(0) === "A2")
+    assert(after.filter(col("lang").isNull).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
 }
