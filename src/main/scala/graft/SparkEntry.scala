@@ -35,6 +35,7 @@ object SparkEntry {
     operators.Upsert.defs ++
     operators.Typed.defs ++
     operators.StocksParity.defs ++
+    operators.Finance.defs ++
     operators.AsOfJoin.defs ++
     operators.RangeJoin.defs ++
     plans.TopKPerKey.defs ++

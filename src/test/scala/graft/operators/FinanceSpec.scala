@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Domain invariants of the technical-indicator pack (fin1-fin4). The
+  * cross-engine hash gate certifies exact values; these pin the properties
+  * a wrong-but-consistent implementation could still violate. */
+class FinanceSpec extends SparkSpec {
+
+  private lazy val barsDf = Finance.bars(spark, sf).cache()
+
+  test("bars: close within [low, high], one row per (instrument, bucket)") {
+    val n = barsDf.count()
+    assert(n > 0)
+    assert(barsDf.select("event_type", "bkt").distinct().count() === n)
+    assert(barsDf.filter(
+      col("close_ck") > col("high_ck") || col("close_ck") < col("low_ck"))
+      .count() === 0)
+  }
+
+  test("fin1: RSI basis points stay in [0, 10000]") {
+    val rows = Finance.defs.find(_.name == "fin1_rsi").get.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val s = r.getAs[Long]("s_rsi")
+      val mx = r.getAs[Long]("max_rsi")
+      assert(n > 0 && mx >= 0 && mx <= 10000)
+      assert(s >= 0 && s <= n * 10000, s"mean RSI out of range: s=$s n=$n")
+    }
+  }
+
+  test("fin2: drawdown is non-negative, bounded by 10000 bp, and 0 at a fresh peak") {
+    val rows = Finance.defs.find(_.name == "fin2_max_drawdown").get.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("max_dd_bp")
+      assert(mx >= 0 && mx < 10000)
+    }
+    // a monotonically rising series has zero drawdown everywhere: the first
+    // bar of every instrument is its own running peak
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+    val first = barsDf.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("peak", col("close_ck"))
+      .filter(col("peak") > 0)
+      .withColumn("dd", expr("(peak - close_ck) * 10000 div peak"))
+    assert(first.filter(col("dd") =!= 0).count() === 0)
+  }
+
+  test("fin3: correlation in [-1, 1], pairs are ordered and unique") {
+    val rows = Finance.defs.find(_.name == "fin3_return_corr").get.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("ia"), r.getAs[String]("ib")))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length === pairs.length)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(!c.isNaN && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $c")
+    }
+  }
+
+  test("fin3: an instrument correlates perfectly with itself (sanity of the formula)") {
+    // run the same moment-sum formula with ia == ib via a manual pair: the
+    // formula must yield exactly 1 on identical series
+    val d = barsDf
+      .withColumn("r", col("close_ck") - lag("close_ck", 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("bkt")))
+      .filter(col("r").isNotNull && col("event_type") === "click")
+      .select(col("r"))
+    val m = d.agg(count(lit(1)).as("n"), sum("r").as("sx"),
+      sum(col("r") * col("r")).as("sxx")).collect()(0)
+    val n = m.getAs[Long]("n"); val sx = m.getAs[Long]("sx"); val sxx = m.getAs[Long]("sxx")
+    val den = (n * sxx - sx * sx).toDouble
+    assert(den > 0)
+    assert(math.abs((n * sxx - sx * sx).toDouble / math.sqrt(den * den) - 1.0) < 1e-12)
+  }
+
+  test("fin4: ATR dominates the plain high-low range average") {
+    // tr = greatest(high-low, |high-pc|, |low-pc|) >= high-low per bar, so the
+    // windowed ATR mean must be >= the same window's mean of (high-low)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+    val w14 = w.rowsBetween(-13, 0)
+    val t = barsDf
+      .withColumn("pc", lag("close_ck", 1).over(w))
+      .filter(col("pc").isNotNull)
+      .withColumn("tr", greatest(col("high_ck") - col("low_ck"),
+        abs(col("high_ck") - col("pc")), abs(col("low_ck") - col("pc"))))
+      .withColumn("hl", col("high_ck") - col("low_ck"))
+      .withColumn("atr", expr("100 * sum(tr) over (partition by event_type order by bkt rows between 13 preceding and current row) div count(*) over (partition by event_type order by bkt rows between 13 preceding and current row)"))
+      .withColumn("hlavg", sum("hl").over(w14) * 100 / count(lit(1)).over(w14))
+    assert(t.filter(col("atr") < col("hlavg") - 100).count() === 0)
+    assert(t.filter(col("tr") < col("hl")).count() === 0)
+  }
+}
