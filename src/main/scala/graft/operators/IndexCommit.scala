@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 /** Cross-PROCESS writer coordination for the persisted indexes
   * ([[IvfIndex.appendIvf]], [[SigIndex.append]]). The in-process
   * `buildLock` serializes concurrent queries inside one driver JVM, but
@@ -92,6 +94,79 @@ object IndexCommit {
       val txt = new String(Files.readAllBytes(p), "UTF-8")
       if (txt.startsWith("done ")) Some(txt.stripPrefix("done ")) else None
     }.toSet
+
+  /** Record, immediately after [[claim]] and BEFORE any data write, the
+    * exact file population of the index's data roots — the rollback
+    * manifest. A janitor ([[cleanPartial]]) can then undo a crashed
+    * writer's partial batch by deleting every file NOT in the snapshot:
+    * parquet appends only ever ADD uniquely-named part files, so
+    * "present but not in the snapshot" identifies the batch exactly.
+    * The manifest rides next to the claim marker, so its existence is
+    * scoped to this commit attempt. */
+  def stage(idx: String, version: Long, roots: Seq[String]): Unit = {
+    val base = Paths.get(idx)
+    val listing = roots.flatMap { r =>
+      val root = base.resolve(r)
+      if (Files.isDirectory(root)) {
+        val s = Files.walk(root)
+        try s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => base.relativize(p).toString).toVector
+        finally s.close()
+      } else Vector.empty
+    }
+    val lines: java.util.List[String] =
+      (s"roots\t${roots.mkString("\t")}" +: listing).asJava
+    Files.write(commitsDir(idx).resolve(s"commit-$version.staged"), lines,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Roll back a crashed writer's partial batch using its staged
+    * manifest: delete every file under the manifest's roots that is not
+    * in the pre-append snapshot (including Spark `_temporary` leftovers
+    * and freshly-created partition directories, removed once empty),
+    * then retire the claim marker — the index returns to its last
+    * committed state and appends unblock. Returns (version, files
+    * deleted); None when there is nothing to clean OR the unfinalized
+    * claim predates the manifest protocol (no `.staged` file — the only
+    * safe policy there remains a rebuild, since nothing records what the
+    * dead writer touched). Callers must ensure the claimed writer is
+    * actually dead (an operator decision, same as the rebuild lever):
+    * cleaning under a live, slow writer would corrupt its in-flight
+    * batch. */
+  def cleanPartial(idx: String): Option[(Long, Long)] =
+    unfinalized(idx).flatMap { k =>
+      val mf = commitsDir(idx).resolve(s"commit-$k.staged")
+      if (!Files.exists(mf)) None
+      else {
+        val lines = Files.readAllLines(mf).asScala
+        val roots = lines.head.split("\t", -1).drop(1).toSeq.filter(_.nonEmpty)
+        val keep = lines.tail.toSet
+        val base = Paths.get(idx)
+        var deleted = 0L
+        roots.foreach { r =>
+          val root = base.resolve(r)
+          if (Files.isDirectory(root)) {
+            val s = Files.walk(root)
+            // deepest-first so files empty their dirs before the dir visit
+            val all = try s.iterator().asScala.toVector.sortBy(-_.getNameCount)
+              finally s.close()
+            all.foreach { p =>
+              if (Files.isRegularFile(p) &&
+                  !keep.contains(base.relativize(p).toString)) {
+                Files.delete(p); deleted += 1
+              } else if (Files.isDirectory(p) && p != root) {
+                val ls = Files.list(p)
+                val empty = try !ls.iterator().hasNext finally ls.close()
+                if (empty) Files.delete(p) // batch-introduced partition dir
+              }
+            }
+          }
+        }
+        Files.delete(mf)
+        Files.delete(commitsDir(idx).resolve(s"commit-$k"))
+        Some((k, deleted))
+      }
+    }
 
   /** Reset the history to one finalized version — what a full (re)build
     * does: the rebuild overwrote every data directory, so prior claims,

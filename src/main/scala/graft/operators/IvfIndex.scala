@@ -142,12 +142,40 @@ object IvfIndex {
       Seq("vec_id"), "left_semi").limit(1).count()
     require(dup == 0, s"appendIvf($idx): batch contains vec_ids already in the index")
     val committed = IndexCommit.claim(idx, readVersion)
+    // rollback manifest BEFORE any data write: a crash from here to
+    // finalize is recoverable by [[recoverIvf]] instead of only a rebuild
+    IndexCommit.stage(idx, committed, Seq("lists", "meta"))
     Similarity.assignTo(nv, s.read.parquet(s"$idx/centroids"), Similarity.AssignR)
       .write.mode("append").partitionBy("list_id").parquet(s"$idx/lists")
     writeMetaCount(s, prev + nNew, idx)
     IndexCommit.finalizeCommit(idx, committed)
     nv.unpersist()
   }
+
+  /** Roll back a crashed [[appendIvf]] (claimed-but-unfinalized commit)
+    * to the last committed state via its staged manifest. If the crash
+    * hit the meta overwrite itself (old meta files already deleted —
+    * unrestorable by file deletion), the count is re-derived EXACTLY as
+    * `distinct vec_id` over the restored lists: every vector holds at
+    * least one list assignment (AssignR ≥ 1), so the distinct count is
+    * the corpus count. A crash before the meta write leaves meta intact
+    * and nothing is re-derived. None on a healthy index or a
+    * pre-manifest legacy claim (rebuild remains the only lever there).
+    * Caller asserts the crashed writer is dead — cleaning under a live
+    * slow writer would corrupt its in-flight batch. */
+  def recoverIvf(s: SparkSession, idx: String): Option[Long] =
+    IndexCommit.cleanPartial(idx).map { case (version, _) =>
+      val metaOk =
+        try {
+          val m = s.read.parquet(s"$idx/meta").collect()(0)
+          m.getAs[Long]("n"); m.getAs[Long]("v"); true
+        } catch { case _: Exception => false }
+      if (!metaOk) {
+        val n = s.read.parquet(s"$idx/lists").select("vec_id").distinct().count()
+        writeMetaCount(s, n, idx)
+      }
+      version
+    }
 
   /** Labeled-IVF build — the filtered-ANN path ("ivfl" kind, its own
     * index dir so the unlabeled layouts stay untouched): identical list

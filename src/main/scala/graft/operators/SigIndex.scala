@@ -95,6 +95,9 @@ object SigIndex {
     val sh = Dedup.shingles(batch).cache()
     try {
       val committed = IndexCommit.claim(idx, readVersion)
+      // rollback manifest BEFORE any data write: a crash from here to
+      // finalize is recoverable by [[recover]] instead of only a rebuild
+      IndexCommit.stage(idx, committed, Seq("postings", "bands", "meta"))
       sh.write.mode("append").parquet(s"$idx/postings")
       Dedup.signatureBands(Dedup.minhashSignature(sh))
         .write.mode("append").partitionBy("band").parquet(s"$idx/bands")
@@ -102,6 +105,32 @@ object SigIndex {
       IndexCommit.finalizeCommit(idx, committed, note)
     } finally { sh.unpersist(); batch.unpersist() }
   }
+
+  /** Roll back a crashed append (claimed-but-unfinalized commit) to the
+    * last committed state via its staged manifest, then re-derive the
+    * meta count from the surviving postings — necessary because a crash
+    * DURING the meta overwrite deletes the old meta files, which file
+    * deletion alone cannot restore. The re-derived count is `distinct
+    * doc_id` over postings: exact whenever every indexed document
+    * shingled (non-degenerate content); a corpus with shingle-less
+    * documents re-derives a smaller n, which the next `ensure` treats as
+    * stale and rebuilds — conservative, never wrong. A crash BEFORE the
+    * meta overwrite leaves meta intact, so the restored bytes are kept
+    * verbatim and nothing is re-derived. No-op (None) on a healthy index
+    * or a pre-manifest legacy claim (rebuild stays the only lever
+    * there). Caller asserts the crashed writer is dead. */
+  def recover(s: SparkSession, idx: String): Option[Long] =
+    IndexCommit.cleanPartial(idx).map { case (version, _) =>
+      val metaOk =
+        try { s.read.parquet(s"$idx/meta").collect()(0).getAs[Long]("n"); true }
+        catch { case _: Exception => false }
+      if (!metaOk) {
+        val n = s.read.schema(postingsSchema).parquet(s"$idx/postings")
+          .select("doc_id").distinct().count()
+        writeMetaCount(s, n, idx)
+      }
+      version
+    }
 
   /** Near-dup pairs (old_id, new_id, jaccard ≥ [[Dedup.Tau]]) between the
     * persisted corpus and a new batch, without touching non-candidate

@@ -79,6 +79,74 @@ class IndexCommitSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === emb.count())
   }
 
+  test("janitor: a staged crashed append rolls back to the committed state") {
+    val base = "/root/repo/target/graft-ivfidx-test/commit-janitor"
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    IvfIndex.buildIvf(half, base)
+    val listsBefore = spark.read.parquet(s"$base/lists")
+      .select("vec_id", "list_id").collect().map(_.toString).sorted.toSeq
+    val metaBefore = spark.read.parquet(s"$base/meta").collect()(0).getLong(0)
+
+    // simulate a writer that claims, stages, appends real data files into
+    // lists (including a brand-new partition dir) — then dies pre-finalize
+    val v = IndexCommit.claim(base, IndexCommit.version(base))
+    IndexCommit.stage(base, v, Seq("lists", "meta"))
+    spark.range(3).select(lit(999999L).as("vec_id"))
+      .write.mode("append").parquet(s"$base/lists/list_id=424242")
+    assert(IndexCommit.unfinalized(base).nonEmpty)
+    intercept[IllegalArgumentException] {
+      IvfIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), base)
+    }
+
+    // the janitor deletes exactly the batch's files and retires the claim
+    val cleaned = IvfIndex.recoverIvf(spark, base)
+    assert(cleaned === Some(v))
+    assert(IndexCommit.unfinalized(base).isEmpty)
+    assert(!new java.io.File(s"$base/lists/list_id=424242").exists,
+      "batch-introduced partition dir must be removed")
+    val listsAfter = spark.read.parquet(s"$base/lists")
+      .select("vec_id", "list_id").collect().map(_.toString).sorted.toSeq
+    assert(listsAfter === listsBefore)
+    assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === metaBefore)
+
+    // and the index accepts appends again, landing on the correct state
+    IvfIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), base)
+    assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === emb.count())
+  }
+
+  test("janitor: a pre-manifest legacy claim is left for the rebuild lever") {
+    val base = "/root/repo/target/graft-ivfidx-test/commit-legacy"
+    IvfIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), base)
+    IndexCommit.claim(base, IndexCommit.version(base)) // no stage() — legacy
+    assert(IvfIndex.recoverIvf(spark, base).isEmpty)
+    assert(IndexCommit.unfinalized(base).nonEmpty, "claim must survive")
+    IvfIndex.buildIvf(emb, base) // rebuild remains the unblock path
+    assert(IndexCommit.unfinalized(base).isEmpty)
+  }
+
+  test("janitor: healthy index is a no-op; SigIndex crash mid-meta re-derives the count") {
+    val base = "/root/repo/target/graft-ivfidx-test/commit-sigjanitor"
+    val docs = Tables.documents(spark, sf)
+    SigIndex.build(docs.filter(col("doc_id") % 5 =!= 0), base)
+    assert(SigIndex.recover(spark, base).isEmpty) // nothing to clean
+
+    val metaBefore = spark.read.parquet(s"$base/meta").collect()(0).getAs[Long]("n")
+    // crash DURING the meta overwrite: claim+stage, then clobber meta the
+    // way a dying overwrite does (old files deleted, nothing valid yet)
+    val v = IndexCommit.claim(base, IndexCommit.version(base))
+    IndexCommit.stage(base, v, Seq("postings", "bands", "meta"))
+    val metaDir = new java.io.File(s"$base/meta")
+    metaDir.listFiles().foreach(_.delete())
+    assert(SigIndex.recover(spark, base) === Some(v))
+    val metaAfter = spark.read.parquet(s"$base/meta").collect()(0).getAs[Long]("n")
+    assert(metaAfter === metaBefore,
+      "re-derived count must equal the committed corpus (every doc shingles here)")
+    // appends unblocked and correct
+    SigIndex.append(docs.filter(col("doc_id") % 5 === 0), base)
+    assert(spark.read.parquet(s"$base/meta").collect()(0).getAs[Long]("n")
+      === docs.count())
+  }
+
   test("SigIndex.append runs the same protocol") {
     val base = "/root/repo/target/graft-ivfidx-test/commit-sig"
     val docs = Tables.documents(spark, sf)
