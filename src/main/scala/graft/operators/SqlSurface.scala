@@ -230,6 +230,73 @@ object SqlSurface {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(100)
+    },
+
+    // SQL2: RECURSIVE CTE — iterative fixed-point as a declarative query
+    // (Spark 4's UnionLoop operator; the data-dependent-iteration
+    // capability g1b proves imperatively, here expressed in pure SQL).
+    // A synthetic part taxonomy over ids k = partkey+1 (parent(k) = k÷2,
+    // rooted at 1 — the +1 keeps partkey 0 off a second root; depth is
+    // the halving-chain length, ~log₂ of the max partkey) is walked from
+    // every revenue-bearing part up to the root, and per-part revenue is
+    // rolled up to every ancestor: the classic hierarchical-rollup shape
+    // (category trees, org charts, BOMs) that plain GROUP BY cannot
+    // express without materializing the closure by hand.
+    //
+    // Scale: the walk materializes |parts|·log|parts| rows — each
+    // iteration is a narrow map over the previous frontier (no join in
+    // the recursive step), then ONE keyed join against the per-part
+    // revenue aggregate and one grouped reduction. The recursion-row
+    // safety limit is raised explicitly: the closure is provably
+    // O(n log n), the one shape the default 1M-row fuse exists to guard
+    // can't run away on. Depth is derived as length(bin(node))-1 —
+    // integer string length of the binary representation, identical in
+    // both engines (no float log2 on the hash path). Output is one row
+    // per taxonomy LEVEL (≤ ~25 rows at any scale): node count, parts
+    // rolled up, exact revenue cents, and an anc-keyed mix checksum, so
+    // the whole closure is certified, not a sample of it.
+    QueryDef("sql2_recursive_rollup",
+      """WITH RECURSIVE rev AS (
+        |  SELECT l_partkey AS node,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
+        |  FROM lineitem GROUP BY l_partkey),
+        |walk(node, anc) AS (
+        |  SELECT node, node + 1 FROM rev
+        |  UNION ALL
+        |  SELECT node, anc // 2 FROM walk WHERE anc > 1),
+        |agg AS (
+        |  SELECT w.anc AS anc, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(sum(r.ck) AS BIGINT) AS rev_ck
+        |  FROM walk w JOIN rev r ON w.node = r.node GROUP BY w.anc)
+        |SELECT CAST(length(format('{:b}', anc)) - 1 AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev_ck) AS BIGINT) AS rev_ck,
+        |       CAST(sum(((anc % 251) + 1) * (rev_ck % 1000003)) AS BIGINT) AS mix
+        |FROM agg GROUP BY 1 ORDER BY depth""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_rcte")
+      // raise the recursion row fuse: the closure is |parts|·log|parts|
+      // by construction (strictly-halving ancestor chains), so the
+      // default 1M-row guard would false-positive at fact-tier x8+
+      s.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
+      s.sql("""WITH RECURSIVE rev AS (
+              |  SELECT l_partkey AS node,
+              |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
+              |  FROM lineitem_rcte GROUP BY l_partkey),
+              |walk(node, anc) AS (
+              |  SELECT node, node + 1 FROM rev
+              |  UNION ALL
+              |  SELECT node, anc DIV 2 FROM walk WHERE anc > 1),
+              |agg AS (
+              |  SELECT w.anc AS anc, CAST(count(*) AS BIGINT) AS n_parts,
+              |         CAST(sum(r.ck) AS BIGINT) AS rev_ck
+              |  FROM walk w JOIN rev r ON w.node = r.node GROUP BY w.anc)
+              |SELECT CAST(length(bin(anc)) - 1 AS BIGINT) AS depth,
+              |       CAST(count(*) AS BIGINT) AS n_nodes,
+              |       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+              |       CAST(sum(rev_ck) AS BIGINT) AS rev_ck,
+              |       CAST(sum(((anc % 251) + 1) * (rev_ck % 1000003)) AS BIGINT) AS mix
+              |FROM agg GROUP BY 1 ORDER BY depth""".stripMargin)
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.sources.Tables
+import org.apache.spark.sql.functions.{col, round, sum}
 
 class SubquerySpec extends SparkSpec {
 
@@ -27,5 +28,27 @@ class SubquerySpec extends SparkSpec {
         |WHERE l1.l_quantity < 0.2 * t.aq""".stripMargin)
     assert(df.collect().map(_.getLong(0)).head ===
       manual.collect().map(_.getLong(0)).head)
+  }
+
+  test("sql2: recursive-CTE rollup conserves revenue up the taxonomy") {
+    val rows = graft.operators.SqlSurface.defs
+      .find(_.name == "sql2_recursive_rollup").get.run(spark, sf)
+      .collect().map(r => (r.getAs[Long]("depth"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_parts"), r.getAs[Long]("rev_ck")))
+    assert(rows.nonEmpty)
+    // the root level is exactly node 1 carrying the WHOLE corpus revenue
+    val (d0, n0, _, rev0) = rows.head
+    assert(d0 === 0L && n0 === 1L)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val total = li.agg(sum(round(col("l_extendedprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rev0 === total, "root rollup must equal total corpus revenue")
+    // every part's chain holds exactly one node per level up to its depth,
+    // so the parts-per-level sequence is non-increasing from the root
+    val parts = rows.map(_._3)
+    assert(parts.zip(parts.tail).forall { case (a, b) => a >= b },
+      s"n_parts must be non-increasing by depth: ${parts.toSeq}")
+    // and the leaf level carries every revenue-bearing part at its own depth
+    assert(parts.head === li.select("l_partkey").distinct().count())
   }
 }
