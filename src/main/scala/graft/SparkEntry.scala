@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Multimodal.defs ++
     operators.Mp4.defs ++
     operators.Similarity.defs ++
+    operators.Pca.defs ++
     Seq(operators.Similarity.nativeDef) ++
     operators.RecallVerdict.defs ++
     operators.HybridSearch.defs ++
