@@ -246,6 +246,75 @@ object Finance {
           max("atr_cc").as("max_atr"),
           sum(((col("rn") % 251) + 1) * col("atr_cc")).as("mix"))
         .orderBy("event_type")
+    },
+
+    // FIN5: robust outlier detection — median/MAD flagging of bar moves
+    // (|Δ − med| > 3·MAD), the anomaly screen quality pipelines run on
+    // any metric stream. Median is the LOWER median (the value at sorted
+    // position (n+1)÷2): an integer ELEMENT of the data, not an
+    // interpolated float, so med, MAD, and every flag are exact BIGINTs
+    // in both engines; ties inside row_number don't matter because
+    // position k of a sorted MULTISET yields the same value under any
+    // tie order. Per-instrument sort is the exact form (the 100 TB form
+    // swaps in the one-pass approx_percentile sketch, the cur7/a11
+    // trade); med/MAD join back as a broadcast of one row per
+    // instrument. The outlier mix checksum is position×value weighted,
+    // so the hash certifies WHICH bars flagged, not just how many.
+    QueryDef("fin5_robust_outliers",
+      s"""$barsSql,
+        |d AS (SELECT event_type, bkt,
+        |             close_ck - lag(close_ck) OVER (PARTITION BY event_type
+        |                                            ORDER BY bkt) AS r
+        |      FROM bars),
+        |dd AS (SELECT event_type, r,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY bkt) AS rnt
+        |       FROM d WHERE r IS NOT NULL),
+        |m AS (SELECT event_type, r AS med FROM (
+        |        SELECT event_type, r,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY r) AS rv,
+        |               count(*) OVER (PARTITION BY event_type) AS nn
+        |        FROM dd) WHERE rv = (nn + 1) // 2),
+        |a AS (SELECT dd.event_type, rnt, r, med, abs(r - med) AS ad
+        |      FROM dd JOIN m ON dd.event_type = m.event_type),
+        |mm AS (SELECT event_type, ad AS mad FROM (
+        |        SELECT event_type, ad,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rv,
+        |               count(*) OVER (PARTITION BY event_type) AS nn
+        |        FROM a) WHERE rv = (nn + 1) // 2),
+        |x AS (SELECT a.event_type, rnt, r, med, ad, mad
+        |      FROM a JOIN mm ON a.event_type = mm.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(med) AS BIGINT) AS med, CAST(max(mad) AS BIGINT) AS mad,
+        |       CAST(sum(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |       CAST(sum(CASE WHEN ad > 3 * mad THEN ((rnt % 251) + 1) * r ELSE 0 END) AS BIGINT) AS mix
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val byVal = Window.partitionBy("event_type").orderBy("r")
+      val byAd = Window.partitionBy("event_type").orderBy("ad")
+      val byType = Window.partitionBy("event_type")
+      val dd = bars(s, dir)
+        .withColumn("r", col("close_ck") - lag("close_ck", 1).over(byInst))
+        .filter(col("r").isNotNull)
+        // rnt AFTER the null filter so positions are 1..n like the oracle's
+        .withColumn("rnt", row_number().over(byInst))
+      val med = dd
+        .withColumn("rv", row_number().over(byVal))
+        .withColumn("nn", count(lit(1)).over(byType))
+        .filter(col("rv") === expr("(nn + 1) div 2")) // div: long `/` is float
+        .select(col("event_type"), col("r").as("med"))
+      val a = dd.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("r") - col("med")))
+      val mad = a
+        .withColumn("rv", row_number().over(byAd))
+        .withColumn("nn", count(lit(1)).over(byType))
+        .filter(col("rv") === expr("(nn + 1) div 2"))
+        .select(col("event_type"), col("ad").as("mad"))
+      a.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+          sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L)).as("n_out"),
+          sum(when(col("ad") > col("mad") * 3,
+            ((col("rnt") % 251) + 1) * col("r")).otherwise(0L)).as("mix"))
+        .orderBy("event_type")
     }
   )
 }

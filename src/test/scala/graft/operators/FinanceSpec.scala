@@ -77,6 +77,30 @@ class FinanceSpec extends SparkSpec {
     assert(math.abs((n * sxx - sx * sx).toDouble / math.sqrt(den * den) - 1.0) < 1e-12)
   }
 
+  test("fin5: median/MAD match a driver-side reference; flags are consistent") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Finance.defs.find(_.name == "fin5_robust_outliers").get.run(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.nonEmpty)
+    // driver-side reference for one instrument: lower median + MAD + flags
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+    val deltas = barsDf
+      .withColumn("r", col("close_ck") - lag("close_ck", 1).over(w))
+      .filter(col("r").isNotNull && col("event_type") === "click")
+      .orderBy("bkt").collect().map(_.getAs[Long]("r"))
+    def lowerMedian(xs: Array[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val med = lowerMedian(deltas)
+    val mad = lowerMedian(deltas.map(d => math.abs(d - med)))
+    val got = rows("click")
+    assert(got.getAs[Long]("med") === med)
+    assert(got.getAs[Long]("mad") === mad)
+    assert(got.getAs[Long]("n") === deltas.length)
+    val expOut = deltas.count(d => math.abs(d - med) > 3 * mad)
+    assert(got.getAs[Long]("n_out") === expOut)
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n")))
+  }
+
   test("fin4: ATR dominates the plain high-low range average") {
     // tr = greatest(high-low, |high-pc|, |low-pc|) >= high-low per bar, so the
     // windowed ATR mean must be >= the same window's mean of (high-low)
