@@ -101,6 +101,19 @@ class FinanceSpec extends SparkSpec {
       assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n")))
   }
 
+  test("plan pin: fin1 runs exactly two hash exchanges (bars bucket + instrument window)") {
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      // the suite-level barsDf cache would swap an InMemoryTableScan into
+      // this plan (and change its exchange layout) — pin the fresh path
+      spark.catalog.clearCache()
+      val plan = Finance.defs.find(_.name == "fin1_rsi").get.run(spark, sf)
+        .queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 2,
+        s"fin1 must shuffle once on (instrument,bucket) and once on instrument:\n$plan")
+    }
+  }
+
   test("fin4: ATR dominates the plain high-low range average") {
     // tr = greatest(high-low, |high-pc|, |low-pc|) >= high-low per bar, so the
     // windowed ATR mean must be >= the same window's mean of (high-low)

@@ -39,6 +39,22 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("plan pin: gram accumulation is ONE exchange with map-side partial agg") {
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = Pca.gramCells(spark, sf).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+        s"gram must shuffle only the aggregated cells:\n$plan")
+      // the partial_sum must sit BELOW the exchange: the corpus-sized pair
+      // stream folds before anything moves
+      val exIdx = plan.indexOf("Exchange hashpartitioning")
+      val partialIdx = plan.indexOf("partial_sum")
+      assert(partialIdx > exIdx, // executedPlan prints top-down: below = later text
+        s"map-side partial aggregation missing below the exchange:\n$plan")
+      assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+        "scan must prune to the embedding column alone")
+    }
+  }
+
   test("eigensolve headroom: ≥100x inside the emb3 pins") {
     val (ev, vecs, trace, gd) = Pca.eigen(spark, sf)
     val topK = 8
