@@ -72,6 +72,30 @@ object Finance {
 
   private def byInst = Window.partitionBy("event_type").orderBy("bkt")
 
+  /** Streaming twin of [[bars]]: the same hourly OHLC bars built
+    * incrementally from a watermarked event stream. Streaming cannot run
+    * the batch form's rank-1 window, so open/close come from
+    * `min_by`/`max_by` under the SAME (ts_us, event_id) total order —
+    * declarative aggregates the streaming engine folds per micro-batch
+    * with bounded state (one row per open (instrument, hour) window;
+    * the watermark closes and evicts them). StreamingSpec pins
+    * bar-for-bar equality with the batch derivation, which makes this
+    * the ingestion half of the indicator pipeline: bars stream into the
+    * bar store continuously, fin1-fin5 run batch over the closed bars
+    * (the standard lambda split — indicators need ordered history the
+    * stream has already sealed). */
+  def barsStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("ts"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("ck"))
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(
+        max_by(col("ck"), struct(col("ts_us"), col("event_id"))).as("close_ck"),
+        max("ck").as("high_ck"), min("ck").as("low_ck"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 3600000000").as("bkt"),
+        col("close_ck"), col("high_ck"), col("low_ck"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // FIN1: 14-bar RSI (simple/Cutler form — window sums, not Wilder's

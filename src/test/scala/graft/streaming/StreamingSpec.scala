@@ -53,6 +53,28 @@ class StreamingSpec extends SparkSpec {
       s"too few closed windows: ${got.length} vs batch ${want.length}")
   }
 
+  test("streaming OHLC bars (min_by/max_by state) == batch bar derivation") {
+    import graft.operators.Finance
+    val stream = Streams.eventsStream(spark, stageDir).withWatermark("ts", "1 hour")
+    runToMemory(Finance.barsStream(stream), "bars_out", "append")
+    val got = spark.table("bars_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val want = Finance.bars(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(got.nonEmpty, "watermark emitted no closed bars")
+    // every emitted bar must match the batch bar exactly (open/close via
+    // min_by/max_by must agree with the batch rank-1 rows under ties too)
+    got.foreach { case (k, r) =>
+      assert(want.contains(k), s"unexpected bar $k")
+      val w = want(k)
+      Seq("close_ck", "high_ck", "low_ck").foreach { c =>
+        assert(r.getAs[Long](c) === w.getAs[Long](c), s"bar $k column $c")
+      }
+    }
+    assert(got.size >= want.size - 10,
+      s"too few closed bars: ${got.size} vs batch ${want.size}")
+  }
+
   test("stream-stream interval join (watermarked both sides) == batch e4 kernel") {
     // the flagship Structured Streaming capability the batch e4 twins:
     // clicks join views on user within [v_ts, v_ts + 30m), both sides
