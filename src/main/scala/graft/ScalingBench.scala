@@ -30,7 +30,11 @@ object ScalingBench {
     "d6_ngram_jaccard", "d8_weighted_jaccard", "d9_line_dedup",
     "d7_dedup_clusters", "d13_substring_dedup", "d14_tfidf_cosine",
     "t11_edit_distance", "t12_keywords", "t13_pmi", "d16_bloom_gate",
-    "sim1_cosine_topk", "sim3_ann_ivf_raw", "sim8_knn_join_ivf_raw")
+    "sim1_cosine_topk", "sim3_ann_ivf_raw", "sim8_knn_join_ivf_raw",
+    // round-6 session addition: the PCA gram pass — fixed 2,080-cell
+    // output, so its curve isolates the map-side fold of a corpus-sized
+    // pair stream (the shuffle is constant-size by design)
+    "emb2_gram_matrix")
 
   /** Fact-table tier: the join/agg/window shapes, timed over replicated
     * lineitem/orders/events (dims stay fixed — at scale, dimensions grow
@@ -51,7 +55,12 @@ object ScalingBench {
     // series; its kernel is the same block-carry machinery w8 certifies
     // here.)
     "w12_ema", "a11_approx_percentile_tol", "range1_interval_join",
-    "j27_q67_category_share")
+    "j27_q67_category_share",
+    // round-6 session additions: the indicator pack's two shapes (bar
+    // build under k× tick density + the pairwise-correlation self-join)
+    // and the recursive closure (walk size tracks DISTINCT parts, so its
+    // cost should stay near-flat while the revenue aggregate grows)
+    "fin1_rsi", "fin3_return_corr", "sql2_recursive_rollup")
 
   /** Graph tier: the iterative analytics (PageRank sweeps, oriented
     * triangle counting, BFS rounds) over DISJOINT subgraph replicas —

@@ -56,6 +56,10 @@ object Graph {
   val BfsHops = 4
   val BfsSource = 2L
 
+  /** g4 synchronous label-propagation rounds (declared before `defs` —
+    * interpolated into the unrolled oracle SQL). */
+  val LpaRounds = 3
+
   /** g1b convergence knobs (declared before `defs` — interpolated into
     * the oracle SQL): stop when the max per-node rank change of a sweep
     * drops to ≤ PrEps micro-units (4.0 rank units — integer PageRank's
@@ -339,6 +343,80 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"), sum("id").as("id_ck"))
         .orderBy("hop")
       out
+    },
+
+    // G4: community detection via DETERMINISTIC synchronous label
+    // propagation (LPA) over g3's sparse subgraph. Classic LPA is
+    // notoriously nondeterministic (random tie-breaks, async order);
+    // this variant is exactly reproducible: all nodes update together
+    // each round, the new label is the most frequent neighbor label
+    // with ties broken (count DESC, label ASC) — a total order per
+    // node — so the whole evolution, and therefore the final community
+    // structure, hash-matches any engine (the g1 determinism discipline
+    // applied to a frequency argmax instead of a sum). Output is the
+    // community SIZE DISTRIBUTION (one row per distinct size, with a
+    // label checksum): bounded rows certifying every community's size
+    // and membership-sum without dumping n rows.
+    //
+    // Scale shape: per round ONE keyed join (edges ⋈ labels, m rows) +
+    // one (node, label) count with map-side combine + one per-node
+    // top-1 window over the counted frame (rows ≤ m). Labels
+    // localCheckpoint each round — the d7/g1b lineage-truncation
+    // discipline. LpaRounds fixed (3) keeps the oracle unrollable.
+    QueryDef("g4_label_propagation", {
+      val rounds = (1 to LpaRounds).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, l.lbl, count(*) AS cnt
+           |        FROM edges e JOIN l${k - 1} l ON e.src = l.id
+           |        GROUP BY e.dst, l.lbl),
+           |l$k AS (SELECT id, lbl FROM (
+           |          SELECT id, lbl, row_number() OVER (
+           |            PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
+           |          FROM c$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE l_quantity = 1),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+        |$rounds,
+        |g AS (SELECT lbl, count(*) AS sz FROM l$LpaRounds GROUP BY lbl)
+        |SELECT CAST(sz AS BIGINT) AS sz, CAST(count(*) AS BIGINT) AS n_comms,
+        |       CAST(sum(lbl) AS BIGINT) AS lbl_ck
+        |FROM g GROUP BY sz ORDER BY sz""".stripMargin
+    }) { (s, dir) =>
+      val e0 = Tables.lineitem(s, dir).filter(col("l_quantity") === 1)
+        .select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
+      lpa(edges, LpaRounds).groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_comms"), sum("lbl").as("lbl_ck"))
+        .orderBy("sz")
     }
   )
+
+  /** The g4 kernel: `rounds` synchronous label-propagation sweeps over a
+    * symmetric (src, dst) edge frame; returns the final (id, lbl)
+    * assignment. Deterministic by construction — ties break (count DESC,
+    * label ASC). Exposed for GraphSpec's constructed-graph tests. */
+  def lpa(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val top1 = Window.partitionBy("id").orderBy(col("cnt").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels.withColumnRenamed("id", "lid"),
+          col("src") === col("lid"))
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(top1))
+        .filter(col("rn") === 1)
+        .select("id", "lbl")
+        .localCheckpoint()
+    }
+    labels
+  }
 }

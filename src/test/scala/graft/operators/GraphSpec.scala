@@ -93,4 +93,41 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === Seq((0, 1L, 2L), (1, 1L, 21L), (2, 1L, 4L),
       (3, 1L, 23L), (4, 1L, 6L)))
   }
+
+  test("g4 LPA: two cliques with one bridge resolve to two communities; rerun-deterministic") {
+    import spark.implicits._
+    // cliques {1,2,3,4} and {10,11,12,13}, bridged 4-10: after 3 sync
+    // rounds every clique node carries its clique's min label; the single
+    // bridge cannot flip either side (1 vote vs 3)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L), (10L, 4L))).toDF("src", "dst")
+    val got = Graph.lpa(e, Graph.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) === 1L), s"clique A: $got")
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) === 10L), s"clique B: $got")
+    // determinism: a second run yields the identical assignment
+    val again = Graph.lpa(e, Graph.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("g4 LPA: sync update with (count desc, label asc) tiebreak on a 4-cycle") {
+    import spark.implicits._
+    // cycle 1-2-3-4-1: each node sees exactly two neighbor labels (one
+    // vote each), so every round picks the SMALLER neighbor label — a
+    // pure tiebreak exercise. Round 1: 1←{2,4}→2, 2←{1,3}→1, 3←{2,4}→2,
+    // 4←{1,3}→1. Round 2: 1←{1,1}→1, 2←{2,2}→2, 3←{2,... } wait — the
+    // spec asserts the EXECUTED evolution, derived by hand below.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    // hand-run: l0 = {1:1,2:2,3:3,4:4}
+    // r1: n(1)={2,4}→2; n(2)={1,3}→1; n(3)={2,4}→2; n(4)={1,3}→1
+    // r2: n(1)={1,1}→1; n(2)={2,2}→2; n(3)={1,1}→1; n(4)={2,2}→2
+    // r3: n(1)={2,2}→2; n(2)={1,1}→1; n(3)={2,2}→2; n(4)={1,1}→1
+    val got = Graph.lpa(e, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L),
+      s"sync 4-cycle evolution diverged: $got")
+  }
 }
