@@ -922,6 +922,55 @@ object Joins {
         col("grev").as("rev"), lit(1).as("rnk"), lit(1000000L).as("share_ppm"))
       lvl0.unionByName(lvl1).unionByName(lvl2)
         .orderBy("lvl", "p_type", "p_brand")
+    },
+
+    // J28: TPC-DS Q47 shape — deviation-from-trend ranking. Monthly brand
+    // revenue vs the brand's all-months average, the months ranked inside
+    // each month by |deviation|: the window × window composition Q67/j27
+    // doesn't cover (a full-partition average frame feeding a second
+    // differently-partitioned rank window). Exactness: revenue in exact
+    // 1e-4 units; the brand mean via integer division ×100 (centiunits)
+    // so the deviation — which CAN be negative — is a BIGINT difference,
+    // never a float; rank ties break on brand. ONE fact-sized shuffle
+    // (the (brand, month) aggregation); both window frames and the final
+    // top-3-per-month are dimension×month sized.
+    QueryDef("j28_q47_deviation",
+      """WITH d AS (SELECT p_brand,
+        |             CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS mon,
+        |             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           GROUP BY 1, 2),
+        |a AS (SELECT p_brand, mon, rev,
+        |        count(*) OVER (PARTITION BY p_brand) AS nm,
+        |        sum(rev) OVER (PARTITION BY p_brand) AS brev
+        |      FROM d),
+        |x AS (SELECT p_brand, mon, rev,
+        |        rev * 100 - (brev * 100 // nm) AS dev_cc
+        |      FROM a),
+        |r AS (SELECT p_brand, mon, rev, dev_cc,
+        |        rank() OVER (PARTITION BY mon ORDER BY abs(dev_cc) DESC, p_brand) AS rnk
+        |      FROM x)
+        |SELECT mon, p_brand, CAST(rev AS BIGINT) AS rev,
+        |       CAST(dev_cc AS BIGINT) AS dev_cc, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY mon, rnk, p_brand""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), trunc(col("l_shipdate"), "month").as("mon"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+          .as("rev"))
+      d.withColumn("nm", count(lit(1)).over(w.partitionBy("p_brand")))
+        .withColumn("brev", sum("rev").over(w.partitionBy("p_brand")))
+        .withColumn("dev_cc", expr("rev * 100 - (brev * 100 div nm)"))
+        .withColumn("rnk", rank().over(w.partitionBy("mon")
+          .orderBy(abs(col("dev_cc")).desc, col("p_brand"))))
+        .filter(col("rnk") <= 3)
+        .select(col("mon"), col("p_brand"), col("rev"), col("dev_cc"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("mon", "rnk", "p_brand")
     }
   )
 }

@@ -293,4 +293,54 @@ class JoinSpec extends SparkSpec {
     assert(grand(0).getLong(3) === lvl1.map(_.getLong(3)).sum)
     assert(grand(0).getLong(3) === lvl0.map(_.getLong(3)).sum)
   }
+
+  test("j28: one fact-sized shuffle; part join broadcasts; ranks contiguous per month") {
+    val run = Joins.defs.find(_.name == "j28_q47_deviation").get
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = run.run(spark, sf)
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val plan = q.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      // exchange 1 carries the fact flow into (brand, month); the brand
+      // and month window exchanges move only the dimension×month frame
+      assert(shuffles.size === 3, s"expected 3 hash exchanges, plan:\n$plan")
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"part must broadcast:\n$plan")
+      assert(!plan.toString.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // rank() with |dev| desc: 1-based, contiguous up to the ≤3 cut unless
+    // ties skip (rank semantics) — pin: min rank is 1 per month and every
+    // rank ≤ 3
+    rows.groupBy(_.getDate(0)).foreach { case (mon, rs) =>
+      assert(rs.map(_.getInt(4)).min === 1, s"$mon missing rank 1")
+      assert(rs.forall(_.getInt(4) <= 3))
+    }
+    // deviations within a brand sum to ~0 across ALL months (integer
+    // truncation leaves < 100·nm residue) — checked on the full frame
+    val d = Joins.defs.find(_.name == "j28_q47_deviation").get
+    val base = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+        .as("rev"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("nm"), sum("rev").as("brev"))
+      .collect()
+    base.foreach { r =>
+      val nm = r.getAs[Long]("nm"); val brev = r.getAs[Long]("brev")
+      val mean = brev * 100 / nm
+      val resid = brev * 100 - mean * nm
+      assert(resid >= 0 && resid < nm, s"brand mean residue out of range: $r")
+    }
+  }
 }
