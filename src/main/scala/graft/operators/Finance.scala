@@ -204,7 +204,9 @@ object Finance {
         |       CAST(round((n * sxy - sx * sy) /
         |                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |                       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS DOUBLE) AS corr
-        |FROM s ORDER BY ia, ib""".stripMargin) { (s, dir) =>
+        |FROM s
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY ia, ib""".stripMargin) { (s, dir) =>
       val d = bars(s, dir)
         .withColumn("r", col("close_ck") - lag("close_ck", 1).over(byInst))
         .filter(col("r").isNotNull)
@@ -218,6 +220,11 @@ object Finance {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+        // degenerate pairs (n=1, or constant deltas on either side) have a
+        // zero variance denominator: Spark's non-ANSI 0/0 is NULL, DuckDB's
+        // is NaN — drop them so the contract stays total AND cross-engine
+        .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0)
         .select(col("ia"), col("ib"), col("n"),
           (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /

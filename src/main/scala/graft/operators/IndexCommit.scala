@@ -162,8 +162,13 @@ object IndexCommit {
             }
           }
         }
-        Files.delete(mf)
+        // marker FIRST: a janitor crash between the deletes then leaves an
+        // inert orphan manifest (unfinalized() keys off markers, and the
+        // next stage() of a re-claimed version truncate-overwrites it) —
+        // the reverse order would strand a manifest-less claim that only a
+        // full rebuild could clear, after the data was already recovered
         Files.delete(commitsDir(idx).resolve(s"commit-$k"))
+        Files.deleteIfExists(mf)
         Some((k, deleted))
       }
     }

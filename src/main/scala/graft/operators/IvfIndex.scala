@@ -171,7 +171,14 @@ object IvfIndex {
           m.getAs[Long]("n"); m.getAs[Long]("v"); true
         } catch { case _: Exception => false }
       if (!metaOk) {
-        val n = s.read.parquet(s"$idx/lists").select("vec_id").distinct().count()
+        // explicit schema: a rolled-back empty-corpus lists dir holds only
+        // _SUCCESS, and a schema-inferring read would throw
+        // UNABLE_TO_INFER_SCHEMA after the claim was already retired
+        val listsSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType)))
+        val n = s.read.schema(listsSchema).parquet(s"$idx/lists")
+          .select("vec_id").distinct().count()
         writeMetaCount(s, n, idx)
       }
       version

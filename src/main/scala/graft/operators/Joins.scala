@@ -964,7 +964,13 @@ object Joins {
           .as("rev"))
       d.withColumn("nm", count(lit(1)).over(w.partitionBy("p_brand")))
         .withColumn("brev", sum("rev").over(w.partitionBy("p_brand")))
-        .withColumn("dev_cc", expr("rev * 100 - (brev * 100 div nm)"))
+        // DECIMAL-widened intermediates (the j27 overflow moral): brev·100
+        // passes 2^63 near sf1000 and Spark's non-ANSI Long would wrap
+        // silently while DuckDB's HUGEINT stays exact; dev_cc itself is
+        // BIGINT-bounded (one month's revenue ×100)
+        .withColumn("dev_cc", expr(
+          "CAST(CAST(rev AS DECIMAL(38,0)) * 100 - " +
+            "CAST(brev AS DECIMAL(38,0)) * 100 div nm AS BIGINT)"))
         .withColumn("rnk", rank().over(w.partitionBy("mon")
           .orderBy(abs(col("dev_cc")).desc, col("p_brand"))))
         .filter(col("rnk") <= 3)

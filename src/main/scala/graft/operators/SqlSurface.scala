@@ -274,12 +274,18 @@ object SqlSurface {
         |       CAST(sum(rev_ck) AS BIGINT) AS rev_ck,
         |       CAST(sum(((anc % 251) + 1) * (rev_ck % 1000003)) AS BIGINT) AS mix
         |FROM agg GROUP BY 1 ORDER BY depth""".stripMargin) { (s, dir) =>
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_rcte")
-      // raise the recursion row fuse: the closure is |parts|·log|parts|
-      // by construction (strictly-halving ancestor chains), so the
-      // default 1M-row guard would false-positive at fact-tier x8+
-      s.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
-      s.sql("""WITH RECURSIVE rev AS (
+      // raise the recursion row fuse on a CLONED session (shared state,
+      // isolated conf — the i2/s2 discipline): the closure is
+      // |parts|·log|parts| by construction (strictly-halving ancestor
+      // chains), so the default 1M-row guard would false-positive at
+      // fact-tier x8+ — but the raise must not outlive this query and
+      // disarm the runaway-recursion fuse for the rest of the session.
+      // The limit is read at EXECUTION, so a set/restore around this
+      // (lazy) builder would restore before the action ever runs.
+      val sq = s.newSession()
+      Tables.lineitem(sq, dir).createOrReplaceTempView("lineitem_rcte")
+      sq.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
+      sq.sql("""WITH RECURSIVE rev AS (
               |  SELECT l_partkey AS node,
               |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
               |  FROM lineitem_rcte GROUP BY l_partkey),

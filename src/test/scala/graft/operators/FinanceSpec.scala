@@ -61,20 +61,33 @@ class FinanceSpec extends SparkSpec {
     }
   }
 
-  test("fin3: an instrument correlates perfectly with itself (sanity of the formula)") {
-    // run the same moment-sum formula with ia == ib via a manual pair: the
-    // formula must yield exactly 1 on identical series
-    val d = barsDf
-      .withColumn("r", col("close_ck") - lag("close_ck", 1)
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("bkt")))
-      .filter(col("r").isNotNull && col("event_type") === "click")
-      .select(col("r"))
-    val m = d.agg(count(lit(1)).as("n"), sum("r").as("sx"),
-      sum(col("r") * col("r")).as("sxx")).collect()(0)
-    val n = m.getAs[Long]("n"); val sx = m.getAs[Long]("sx"); val sxx = m.getAs[Long]("sxx")
-    val den = (n * sxx - sx * sx).toDouble
-    assert(den > 0)
-    assert(math.abs((n * sxx - sx * sx).toDouble / math.sqrt(den * den) - 1.0) < 1e-12)
+  test("fin3: every emitted correlation matches an independent driver-side Pearson") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+    // raw aligned series per instrument, keyed by bucket
+    val deltas = barsDf
+      .withColumn("r", col("close_ck") - lag("close_ck", 1).over(w))
+      .filter(col("r").isNotNull)
+      .select("event_type", "bkt", "r").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val got = Finance.defs.find(_.name == "fin3_return_corr").get.run(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val (ia, ib) = (row.getAs[String]("ia"), row.getAs[String]("ib"))
+      val joint = deltas(ia).keySet.intersect(deltas(ib).keySet).toSeq.sorted
+      val xs = joint.map(deltas(ia)).map(_.toDouble)
+      val ys = joint.map(deltas(ib)).map(_.toDouble)
+      val n = xs.length.toDouble
+      val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+      val den = math.sqrt((n * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+        (n * ys.map(y => y * y).sum - ys.sum * ys.sum))
+      val want = num / den
+      assert(row.getAs[Long]("n") === joint.length.toLong)
+      assert(math.abs(row.getAs[Double]("corr") - want) < 1e-6,
+        s"pair ($ia,$ib): query ${row.getAs[Double]("corr")} vs reference $want")
+    }
   }
 
   test("fin5: median/MAD match a driver-side reference; flags are consistent") {

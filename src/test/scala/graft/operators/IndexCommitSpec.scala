@@ -147,6 +147,21 @@ class IndexCommitSpec extends SparkSpec {
       === docs.count())
   }
 
+  test("janitor crash window: an orphan manifest without its marker is inert") {
+    val base = "/root/repo/target/graft-ivfidx-test/commit-orphan"
+    IvfIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), base)
+    // simulate cleanPartial dying between its two deletes (marker first):
+    // a .staged file remains with no commit marker
+    val orphan = java.nio.file.Paths.get(base, "commits", "commit-99.staged")
+    java.nio.file.Files.write(orphan, java.util.Arrays.asList("roots\tlists"))
+    assert(IndexCommit.unfinalized(base).isEmpty, "no marker => no unfinalized claim")
+    assert(IvfIndex.recoverIvf(spark, base).isEmpty)
+    // appends proceed normally, and a future claim of the same version
+    // would truncate-overwrite the orphan via stage()
+    IvfIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), base)
+    assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === emb.count())
+  }
+
   test("SigIndex.append runs the same protocol") {
     val base = "/root/repo/target/graft-ivfidx-test/commit-sig"
     val docs = Tables.documents(spark, sf)
