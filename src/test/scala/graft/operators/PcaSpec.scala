@@ -41,6 +41,10 @@ class PcaSpec extends SparkSpec {
 
   test("plan pin: gram accumulation is ONE exchange with map-side partial agg") {
     withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      // other suites cache the embeddings table on the shared session; an
+      // InMemoryTableScan substitution would change this plan's exchange
+      // layout and hide the FileScan ReadSchema — pin the fresh path
+      spark.catalog.clearCache()
       val plan = Pca.gramCells(spark, sf).queryExecution.executedPlan.toString
       assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
         s"gram must shuffle only the aggregated cells:\n$plan")
