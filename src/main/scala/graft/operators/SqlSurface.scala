@@ -131,6 +131,67 @@ object SqlSurface {
         .orderBy("mon")
     },
 
+    // FN3: higher-order ARRAY functions — transform / filter / aggregate
+    // (fold) / zip_with / sort_array / slice / distinct / contains /
+    // position, the lambda-function surface the engine's own kernels lean
+    // on (gram pairs, PCA projections, token pipelines), certified as a
+    // user-facing API against DuckDB's list_* family. Every array is
+    // reduced to integer SCALARS before comparison: arrays themselves
+    // don't cross engines safely (DuckDB's list_distinct does not
+    // preserve order — observed [1,2,2,3] → [3,2,1] — while Spark's
+    // array_distinct keeps first occurrence), so the certified values
+    // are order-free reductions and order-PINNED extractions
+    // (sort_array extremes, prefix-slice sums). Spark array_position
+    // returns 0 when absent; DuckDB returns NULL — COALESCEd to 0.
+    QueryDef("fn3_array_functions",
+      """WITH a AS (SELECT doc_id,
+        |             list_transform(string_split(text, ' '),
+        |                            t -> CAST(length(t) AS BIGINT)) AS arr
+        |           FROM documents),
+        |d AS (SELECT doc_id, arr,
+        |        CAST(list_sum(arr) AS BIGINT) AS tot,
+        |        CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS evens,
+        |        CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sq,
+        |        list_sort(arr)[1] AS mn,
+        |        list_sort(arr)[len(arr)] AS mx,
+        |        CAST(len(list_distinct(arr)) AS BIGINT) AS ndist,
+        |        CASE WHEN list_contains(arr, 5) THEN 1 ELSE 0 END AS has5,
+        |        CAST(COALESCE(list_position(arr, 5), 0) AS BIGINT) AS pos5,
+        |        CAST(COALESCE(list_sum(arr[1:3]), 0) AS BIGINT) AS head3,
+        |        CAST(list_sum(list_transform(list_zip(arr, list_reverse(arr)),
+        |                                     p -> p[1] * p[2])) AS BIGINT) AS zw
+        |      FROM a)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(tot) AS BIGINT) AS s_tot, CAST(sum(evens) AS BIGINT) AS s_evens,
+        |       CAST(sum(sq) AS BIGINT) AS s_sq, CAST(sum(mn) AS BIGINT) AS s_mn,
+        |       CAST(sum(mx) AS BIGINT) AS s_mx, CAST(sum(ndist) AS BIGINT) AS s_ndist,
+        |       CAST(sum(has5) AS BIGINT) AS s_has5, CAST(sum(pos5) AS BIGINT) AS s_pos5,
+        |       CAST(sum(head3) AS BIGINT) AS s_head3, CAST(sum(zw) AS BIGINT) AS s_zw
+        |FROM d""".stripMargin) { (s, dir) =>
+      val arr = transform(split(col("text"), " "), t => length(t).cast("long"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), arr.as("arr"))
+        .select(
+          aggregate(col("arr"), lit(0L), (a, x) => a + x).as("tot"),
+          size(filter(col("arr"), x => x % 2 === 0)).cast("long").as("evens"),
+          aggregate(transform(col("arr"), x => x * x), lit(0L), (a, x) => a + x).as("sq"),
+          element_at(sort_array(col("arr")), 1).as("mn"),
+          element_at(sort_array(col("arr")), size(col("arr"))).as("mx"),
+          size(array_distinct(col("arr"))).cast("long").as("ndist"),
+          when(array_contains(col("arr"), 5L), 1L).otherwise(0L).as("has5"),
+          array_position(col("arr"), 5L).cast("long").as("pos5"),
+          coalesce(aggregate(slice(col("arr"), 1, 3), lit(0L), (a, x) => a + x),
+            lit(0L)).as("head3"),
+          aggregate(zip_with(col("arr"), reverse(col("arr")), (x, y) => x * y),
+            lit(0L), (a, x) => a + x).as("zw"))
+        .agg(count(lit(1)).as("n"), sum("tot").as("s_tot"),
+          sum("evens").as("s_evens"), sum("sq").as("s_sq"),
+          sum("mn").as("s_mn"), sum("mx").as("s_mx"),
+          sum("ndist").as("s_ndist"), sum("has5").as("s_has5"),
+          sum("pos5").as("s_pos5"), sum("head3").as("s_head3"),
+          sum("zw").as("s_zw"))
+    },
+
     // JSON1: semi-structured column handling — events.props is a JSON
     // string; extract + aggregate a field. At scale this is the schema-on-
     // read path for property bags (get_json_object stays in codegen).

@@ -111,6 +111,71 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join: NULL rows emit only after the watermark seals a view") {
+    // the outer-emission semantics the inner-join test can't see: an
+    // unmatched view may only produce its NULL row once the watermark
+    // has passed the end of its join window (the engine must be sure no
+    // matching click can still arrive). Both sides watermarked 1h.
+    val ev = Streams.eventsStream(spark, stageDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+        col("ts_us").as("v_us"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("ts_us").as("c_us"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    // the range condition must be on the WATERMARKED event-time columns
+    // (not the raw epoch longs): that's how the engine derives when the
+    // nullable side's state seals and an outer row may emit
+    val joined = views.join(clicks,
+      col("c_uid") === col("v_uid") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    runToMemory(joined, "louter_out", "append")
+    val got = spark.table("louter_out").collect()
+
+    // batch truth: the same left-outer join
+    val evB = Tables.events(spark, sf)
+    val vB = evB.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts_us").as("v_us"),
+        col("event_id").as("view_id"))
+    val cB = evB.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts_us").as("c_us"),
+        col("event_id").as("click_id"))
+    val batch = vB.join(cB,
+      col("c_uid") === col("v_uid") &&
+        col("c_us") >= col("v_us") &&
+        col("c_us") < col("v_us") + lit(1800L * 1000000L),
+      "left_outer").collect()
+    val batchMatched = batch.filter(!_.isNullAt(4))
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+    val batchUnmatchedViews = batch.filter(_.isNullAt(4))
+      .map(r => r.getAs[Long]("view_id")).toSet
+
+    // 1) matched pairs: stream == batch exactly (inner rows always emit)
+    val gotMatched = got.filter(!_.isNullAt(4))
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+    assert(gotMatched === batchMatched)
+    // 2) every emitted NULL row is genuinely unmatched in batch — the
+    //    engine must never fabricate an outer row for a matched view
+    val gotNull = got.filter(_.isNullAt(4)).map(r => r.getAs[Long]("view_id")).toSet
+    assert(gotNull.nonEmpty, "no outer rows emitted — watermark never sealed any view")
+    assert(gotNull.subsetOf(batchUnmatchedViews),
+      s"outer rows for matched views: ${gotNull -- batchUnmatchedViews}")
+    // 3) completeness under the final watermark: every unmatched view
+    //    whose window closed strictly before (max event time − 1h delay)
+    //    MUST have emitted its NULL row
+    val maxUs = evB.agg(max("ts_us")).collect()(0).getLong(0)
+    val sealedBefore = maxUs - 3600L * 1000000L - 1800L * 1000000L
+    val mustEmit = vB.filter(col("v_us") < sealedBefore)
+      .select("view_id").collect().map(_.getLong(0)).toSet
+      .intersect(batchUnmatchedViews)
+    assert(mustEmit.subsetOf(gotNull),
+      s"sealed unmatched views missing their NULL row: ${mustEmit -- gotNull}")
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
     // duplicate the staged file so the stream sees every event twice across
     // two source files; dedup state keyed on event_id within the watermark
