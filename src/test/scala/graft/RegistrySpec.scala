@@ -28,4 +28,82 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("engine-wide plan audit: no cartesian product in ANY registered plan") {
+    // Every crossJoin in the repo must broadcast a tiny side (planned as
+    // BroadcastNestedLoopJoin); a CartesianProductExec anywhere means a
+    // corpus×corpus blow-up shipped by accident. Run over EVERY
+    // registered + bench-only query at sf0.001 — planning the executed
+    // plan is enough, no job needs to run.
+    // AQE off: AdaptiveSparkPlanExec hides its inner plan from collect()
+    // until execution, which would make this audit silently vacuous
+    val offenders = withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      spark.catalog.clearCache()
+      (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs).flatMap { d =>
+        try {
+          val plan = d.run(spark, sf).queryExecution.executedPlan
+          val hits = plan.collect {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }
+          if (hits.nonEmpty) Some(d.name) else None
+        } catch { case _: Throwable => None } // execution failures are the other test's job
+      }
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("engine-wide plan audit: single-partition collapses only where documented") {
+    // An unpartitioned Window/global Sort collapses ALL rows to one
+    // partition — fatal on a large table. The only registered plans
+    // allowed to carry a SinglePartition exchange are (a) the declared
+    // compat form of the reference's one-series semantics (w0), (b)
+    // dimension-bounded frames (dumps/top-k already reduce to result
+    // size before sorting, g2's node rank runs on the node dimension,
+    // j27's manufacturer frame is 5 rows), and (c) driver-assembled
+    // one-row/verdict outputs. The exemption list IS the documentation:
+    // growing it requires justifying the new entry here.
+    val exempt = Set(
+      "w0_moving_avg_compat", // declared compat: the reference's literal global series
+      "g2_triangle_count",    // node-rank window over the node DIMENSION (Graph.scala:155)
+      "j27_q67_category_share", // manufacturer subtotal frame: 5 rows by construction
+      "ret1_hybrid_rrf",      // rank fusion over two k-row (k=20) frames — serving-sized
+      "e11_rolling_wau_sketch" // 7-day roll over ONE sketch row per DAY — calendar-bounded
+    )
+    val offenders = withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      spark.catalog.clearCache()
+      SparkEntry.allDefs.filterNot(d => exempt(d.name)).flatMap { d =>
+        try {
+          val plan = d.run(spark, sf).queryExecution.executedPlan
+          // the robust signal: an unpartitioned WindowExec (its required
+          // child distribution is AllTuples → a SinglePartition exchange)
+          // anywhere in the plan. Result-side global Sorts (dump ORDER BYs)
+          // are range-partitioned, not single-partition, so they don't trip.
+          val windows = plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }
+          if (windows.nonEmpty) Some(d.name) else None
+        } catch { case _: Throwable => None }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"undocumented unpartitioned windows in: $offenders")
+  }
+
+  test("the single-partition detector actually fires (non-vacuity probe)") {
+    // prove the audit sees through to WindowExec: the exempted compat
+    // query w0 IS the one-series form and must trip the detector with
+    // AQE off — if it stops tripping, the audit above went blind
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      spark.catalog.clearCache()
+      val d = SparkEntry.allDefs.find(_.name == "w0_moving_avg_compat").get
+      val plan = d.run(spark, sf).queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(windows.nonEmpty,
+        s"w0's global window not detected — audit is blind:\n$plan")
+    }
+  }
 }
