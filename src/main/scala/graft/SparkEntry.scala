@@ -34,6 +34,7 @@ object SparkEntry {
     operators.Compaction.defs ++
     operators.SchemaEvolution.defs ++
     operators.Upsert.defs ++
+    operators.Rollup.defs ++
     operators.Typed.defs ++
     operators.StocksParity.defs ++
     operators.Finance.defs ++

@@ -75,9 +75,9 @@ object Compaction {
     * `*-old`/`*-tmp` name would let an unrelated neighboring directory
     * (e.g. a hive partition whose VALUE happens to end in "-old") be
     * silently destroyed or rolled over the live dir. The suffixes
-    * `.{compact,upsert,delete}-{old,tmp}` are therefore reserved names
-    * next to any maintained directory. */
-  private val SwapTags = Set("compact", "upsert", "delete")
+    * `.{compact,upsert,delete,rollup}-{old,tmp}` are therefore reserved
+    * names next to any maintained directory. */
+  private val SwapTags = Set("compact", "upsert", "delete", "rollup")
 
   private[operators] def recoverSwap(dir: String): Unit = {
     val d = new java.io.File(dir)

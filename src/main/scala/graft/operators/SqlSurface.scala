@@ -192,6 +192,66 @@ object SqlSurface {
           sum("zw").as("s_zw"))
     },
 
+    // FN4: the string/regex scalar family — regexp_extract (group
+    // capture), regexp_replace, strpos/instr, split_part, translate
+    // (delete form), lpad, reverse, repeat, left/right — certified as
+    // integer reductions over the documents corpus. Regex patterns stay
+    // in the character-class subset where Java regex (Spark) and RE2
+    // (DuckDB) agree; the empty-match '' → 0 mapping is explicit on both
+    // sides (DuckDB CAST('' AS BIGINT) would error where Spark casts to
+    // NULL). Vowel counting goes through translate's delete form —
+    // chars with no counterpart are removed in BOTH engines.
+    QueryDef("fn4_string_functions",
+      """WITH d AS (SELECT doc_id, text,
+        |        regexp_extract(text, '[0-9]+') AS num0,
+        |        regexp_extract(text, '([a-z]+)([0-9]+)', 2) AS grp2,
+        |        length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+        |        strpos(text, 'the') AS pos_the,
+        |        length(text) - length(translate(text, 'aeiou', '')) AS n_vowels,
+        |        length(split_part(text, ' ', 2)) AS sp2_len,
+        |        ascii(substr(reverse(text), 1, 1)) AS last_ch,
+        |        ascii(left(text, 1)) + ascii(right(text, 1)) AS edge_ck,
+        |        length(repeat(lpad(CAST(doc_id AS VARCHAR), 6, '0'), 2)) AS rep_len
+        |      FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN num0 = '' THEN 0 ELSE CAST(num0 AS BIGINT) END) AS BIGINT) AS s_num,
+        |       CAST(sum(CASE WHEN grp2 = '' THEN 0 ELSE CAST(grp2 AS BIGINT) END) AS BIGINT) AS s_grp2,
+        |       CAST(sum(novowel_len) AS BIGINT) AS s_novowel,
+        |       CAST(sum(pos_the) AS BIGINT) AS s_pos,
+        |       CAST(sum(n_vowels) AS BIGINT) AS s_vowels,
+        |       CAST(sum(sp2_len) AS BIGINT) AS s_sp2,
+        |       CAST(sum(last_ch) AS BIGINT) AS s_last,
+        |       CAST(sum(edge_ck) AS BIGINT) AS s_edge,
+        |       CAST(sum(rep_len) AS BIGINT) AS s_rep
+        |FROM d""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("num0"),
+          regexp_extract(col("text"), "([a-z]+)([0-9]+)", 2).as("grp2"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("novowel_len"),
+          instr(col("text"), "the").as("pos_the"),
+          (length(col("text")) -
+            length(translate(col("text"), "aeiou", ""))).as("n_vowels"),
+          length(split_part(col("text"), lit(" "), lit(2))).as("sp2_len"),
+          ascii(substring(reverse(col("text")), 1, 1)).as("last_ch"),
+          (ascii(substring(col("text"), 1, 1)) +
+            ascii(expr("right(text, 1)"))).as("edge_ck"),
+          length(repeat(lpad(col("doc_id").cast("string"), 6, "0"), 2)).as("rep_len"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("num0") === "", 0L)
+            .otherwise(col("num0").cast("long"))).as("s_num"),
+          sum(when(col("grp2") === "", 0L)
+            .otherwise(col("grp2").cast("long"))).as("s_grp2"),
+          sum("novowel_len").as("s_novowel"), sum("pos_the").as("s_pos"),
+          sum("n_vowels").as("s_vowels"), sum("sp2_len").as("s_sp2"),
+          sum("last_ch").as("s_last"), sum("edge_ck").as("s_edge"),
+          sum("rep_len").as("s_rep"))
+        .select(col("n"), col("s_num"), col("s_grp2"), col("s_novowel"),
+          col("s_pos").cast("long").as("s_pos"), col("s_vowels"),
+          col("s_sp2").cast("long").as("s_sp2"), col("s_last"),
+          col("s_edge"), col("s_rep").cast("long").as("s_rep"))
+    },
+
     // JSON1: semi-structured column handling — events.props is a JSON
     // string; extract + aggregate a field. At scale this is the schema-on-
     // read path for property bags (get_json_object stays in codegen).
