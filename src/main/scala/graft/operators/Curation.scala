@@ -297,6 +297,51 @@ object Curation {
         .orderBy("lang")
     },
 
+    // CUR10: TEMPERATURE-scaled mixture resampling (the T5/mC4 α-sampling
+    // op): kept counts ∝ n_lang^α with α = 1/2, i.e. per-lang keep rate
+    // (n_min/n_lang)^(1−α) = √(n_min/n_lang) — the smallest language
+    // keeps everything, bigger ones downsample toward a flattened
+    // distribution. cur4's fixed per-lang rates become DATA-DERIVED
+    // here. Exactness: the ratio 1e12·n_min/n_lang is an exact integer
+    // division through a DECIMAL-widened intermediate (1e12·n_min passes
+    // 2^63 once a language holds ≳9M docs — the j27 overflow moral
+    // applied at design time); the single float step is one correctly-
+    // rounded IEEE sqrt+floor over that exact integer, identical in both
+    // engines. Membership is the cur2 multiplicative hash at ppm
+    // granularity, so WHICH documents survive is pinned, not just how
+    // many (position-keyed mix checksum).
+    // Scale: per-lang counts are a dimension-sized aggregate broadcast
+    // back; the corpus never shuffles — keep/drop is a narrow map.
+    QueryDef("cur10_temperature_mixture",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang, n,
+        |        CAST(floor(sqrt(CAST(1000000000000 * nmin // n AS DOUBLE))) AS BIGINT) AS rate_ppm
+        |      FROM c, m),
+        |k AS (SELECT d.lang, d.doc_id, r.n, r.rate_ppm,
+        |        CASE WHEN ((d.doc_id % 2147483647) * 48271) % 2147483647 % 1000000
+        |                  < r.rate_ppm THEN 1 ELSE 0 END AS keep
+        |      FROM documents d JOIN r ON d.lang = r.lang)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_total,
+        |       CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+        |       CAST(sum(keep) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN keep = 1 THEN (doc_id % 251) + 1 ELSE 0 END) AS BIGINT) AS mix
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val c = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+      val m = c.agg(min("n").as("nmin"))
+      val r = c.crossJoin(broadcast(m))
+        .withColumn("rate_ppm", floor(sqrt(
+          expr("CAST(1000000000000 AS DECIMAL(38,0)) * nmin div n")
+            .cast("double"))).cast("long"))
+      val keep = (((col("doc_id") % M) * 48271L) % M % 1000000L) < col("rate_ppm")
+      docs(s, dir).join(broadcast(r), "lang")
+        .groupBy("lang")
+        .agg(max("n").as("n_total"), max("rate_ppm").as("rate_ppm"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, (col("doc_id") % 251) + 1).otherwise(0L)).as("mix"))
+        .orderBy("lang")
+    },
+
     // CUR5: benchmark decontamination — flag training documents sharing
     // any 8-gram with the eval set (here: doc_id % 10 == 0 stands in for
     // the benchmark; in production it's a fixed external table). 8 words

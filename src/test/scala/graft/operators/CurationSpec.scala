@@ -215,4 +215,30 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("cur10 temperature mixture: smallest language keeps all, distribution flattens") {
+    val rows = Curation.defs.find(_.name == "cur10_temperature_mixture").get
+      .run(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept")))
+    assert(rows.length > 1)
+    val minN = rows.map(_._2).min
+    // the smallest language anchors the scale: rate exactly 1e6, kept = all
+    rows.filter(_._2 == minN).foreach { case (lang, n, rate, kept) =>
+      assert(rate === 1000000L, s"$lang rate")
+      assert(kept === n, s"$lang must keep everything")
+    }
+    // α = 1/2 flattens: the kept-count spread (max/min) must shrink vs raw
+    // (strictly, expected kept ∝ √n — allow hash-sampling noise headroom)
+    val rawSpread = rows.map(_._2).max.toDouble / minN
+    val kept = rows.map(_._4)
+    val keptSpread = kept.max.toDouble / math.max(kept.min, 1L)
+    assert(keptSpread < rawSpread,
+      s"kept spread $keptSpread must flatten below raw spread $rawSpread")
+    // every rate follows the closed form off exact integers
+    rows.foreach { case (lang, n, rate, _) =>
+      val want = math.floor(math.sqrt((BigInt(1000000000000L) * minN / n).toDouble)).toLong
+      assert(rate === want, s"$lang rate formula")
+    }
+  }
 }
