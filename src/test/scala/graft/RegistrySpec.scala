@@ -41,11 +41,8 @@ class RegistrySpec extends SparkSpec {
       spark.catalog.clearCache()
       (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs).flatMap { d =>
         try {
-          val plan = d.run(spark, sf).queryExecution.executedPlan
-          val hits = plan.collect {
-            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-          }
-          if (hits.nonEmpty) Some(d.name) else None
+          if (plans.PlanAudit.cartesianProducts(d.run(spark, sf)).nonEmpty)
+            Some(d.name) else None
         } catch { case _: Throwable => None } // execution failures are the other test's job
       }
     }
@@ -73,16 +70,11 @@ class RegistrySpec extends SparkSpec {
       spark.catalog.clearCache()
       SparkEntry.allDefs.filterNot(d => exempt(d.name)).flatMap { d =>
         try {
-          val plan = d.run(spark, sf).queryExecution.executedPlan
-          // the robust signal: an unpartitioned WindowExec (its required
-          // child distribution is AllTuples → a SinglePartition exchange)
-          // anywhere in the plan. Result-side global Sorts (dump ORDER BYs)
-          // are range-partitioned, not single-partition, so they don't trip.
-          val windows = plan.collect {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty => w
-          }
-          if (windows.nonEmpty) Some(d.name) else None
+          // the robust signal: an unpartitioned WindowExec (required child
+          // distribution = all tuples → SinglePartition exchange). Result-
+          // side dump ORDER BYs are range-partitioned and don't trip.
+          if (plans.PlanAudit.singlePartitionWindows(d.run(spark, sf)).nonEmpty)
+            Some(d.name) else None
         } catch { case _: Throwable => None }
       }
     }
@@ -97,13 +89,12 @@ class RegistrySpec extends SparkSpec {
     withSQLConf("spark.sql.adaptive.enabled" -> "false") {
       spark.catalog.clearCache()
       val d = SparkEntry.allDefs.find(_.name == "w0_moving_avg_compat").get
-      val plan = d.run(spark, sf).queryExecution.executedPlan
-      val windows = plan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-      }
-      assert(windows.nonEmpty,
-        s"w0's global window not detected — audit is blind:\n$plan")
+      val df = d.run(spark, sf)
+      assert(plans.PlanAudit.singlePartitionWindows(df).nonEmpty,
+        "w0's global window not detected — audit is blind")
+      // and the one-call gate refuses it unless the caller exempts it
+      intercept[IllegalStateException] { plans.PlanAudit.assertScaleSafe(df) }
+      plans.PlanAudit.assertScaleSafe(df, allowSinglePartitionWindows = true)
     }
   }
 }

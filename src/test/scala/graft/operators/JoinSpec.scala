@@ -294,6 +294,35 @@ class JoinSpec extends SparkSpec {
     assert(grand(0).getLong(3) === lvl0.map(_.getLong(3)).sum)
   }
 
+  test("broadcast-disabled resilience: star join answers identically under SMJ fallback") {
+    // at real scale a "small" dim can outgrow the broadcast threshold;
+    // the engine's answers must not depend on the join strategy chosen.
+    // Explicit broadcast() hints survive a -1 threshold, so this runs the
+    // UNHINTED SQL form where the planner decides from the threshold.
+    val sql =
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+    Seq("lineitem", "orders", "customer", "nation").foreach { t =>
+      graft.sources.Tables.table(spark, sf, t).createOrReplaceTempView(t)
+    }
+    val withBroadcast = spark.sql(sql).collect().map(_.toString)
+    val (noBroadcast, usedSmj) =
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val df = spark.sql(sql)
+        val plan = df.queryExecution.executedPlan.toString
+        (df.collect().map(_.toString), plan.contains("SortMergeJoin"))
+      }
+    assert(usedSmj, "threshold -1 must force the sort-merge fallback path")
+    assert(noBroadcast.toSeq === withBroadcast.toSeq,
+      "join strategy changed the answer")
+  }
+
   test("j28: one fact-sized shuffle; part join broadcasts; ranks contiguous per month") {
     val run = Joins.defs.find(_.name == "j28_q47_deviation").get
     spark.conf.set("spark.sql.adaptive.enabled", "false")
