@@ -28,12 +28,14 @@ object StreamBench {
 
   private val Batches = 16
 
-  /** Split df into `Batches` files under dir (one file per batch). */
-  private def stage(df: DataFrame, keyCol: String, dir: String): Unit = {
+  /** Split df into `Batches` files under dir (one file per batch), sliced
+    * by `batchCol` ∈ [0, Batches). */
+  private def stage(df: DataFrame, batchCol: org.apache.spark.sql.Column,
+      dir: String): Unit = {
     new java.io.File(dir).mkdirs()
     (0 until Batches).foreach { b =>
       val tmp = s"$dir-tmp-$b"
-      df.filter(pmod(col(keyCol), lit(Batches)) === b).coalesce(1)
+      df.filter(batchCol === b).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -83,7 +85,8 @@ object StreamBench {
     // ---- funnel FSM over the events stream, one file per micro-batch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evDir = s"$base/events-in"
-    stage(spark.read.parquet(s"$sfDir/events.parquet"), "event_id", evDir)
+    stage(spark.read.parquet(s"$sfDir/events.parquet"),
+      pmod(col("event_id"), lit(Batches)), evDir)
     val t0 = System.nanoTime()
     val funnelQ = streaming.Streams
       .funnelStateful(streaming.Streams.eventsStream(spark, evDir,
@@ -97,10 +100,44 @@ object StreamBench {
     funnelQ.awaitTermination(600000)
     println(report("funnel_stateful", funnelQ, (System.nanoTime() - t0) / 1e9))
 
+    // ---- OHLC bar ingestion (the finance pipeline's streaming half):
+    // watermarked windowed min_by/max_by aggregation, one state row per
+    // open (instrument, hour) window. Staged in TIME ORDER (unlike the
+    // hash-split funnel input): a watermarked aggregation fed
+    // whole-time-range batches would late-drop nearly everything after
+    // batch 1 and hold every window open — time slices are what real
+    // arrival looks like, and they let the watermark seal bars as it
+    // advances (state telemetry shows the bound).
+    val evTimeDir = s"$base/events-time-in"
+    val evTs = Tables.events(spark, sfDir).select(
+      min("ts_us").as("lo"), max("ts_us").as("hi")).collect()(0)
+    val (lo, hi) = (evTs.getLong(0), evTs.getLong(1))
+    // stage from the normalized frame (slice derived in-frame — a column
+    // from a second Tables.events call would carry foreign attribute
+    // ids), then restore raw ns-longs so the staged files match the
+    // vintage the stream reader declares
+    stage(Tables.events(spark, sfDir)
+      .withColumn("__slice", least(lit(Batches - 1),
+        ((col("ts_us") - lo) * Batches / (hi - lo + 1)).cast("int")))
+      .withColumn("ts", expr("unix_micros(ts) * 1000")).drop("ts_us"),
+      col("__slice"), evTimeDir)
+    val t2 = System.nanoTime()
+    val barsQ = operators.Finance
+      .barsStream(streaming.Streams.eventsStream(spark, evTimeDir,
+          maxFilesPerTrigger = Some(1))
+        .withWatermark("ts", "1 hour"))
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$base/bars-chk")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    barsQ.awaitTermination(600000)
+    println(report("bars_ingest", barsQ, (System.nanoTime() - t2) / 1e9))
+
     // ---- incremental near-dedup ingest: probe-then-append per batch
     val docDir = s"$base/docs-in"
     stage(spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text"), "doc_id", docDir)
+      .select("doc_id", "text"), pmod(col("doc_id"), lit(Batches)), docDir)
     val docStream = spark.readStream
       .schema(spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").schema)
