@@ -323,6 +323,39 @@ class JoinSpec extends SparkSpec {
       "join strategy changed the answer")
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
+    // Catalyst's InjectRuntimeFilter: a selective filter on one side of a
+    // shuffle join grows a bloom_filter_agg on that side and a
+    // might_contain gate on the fact side — rows that cannot match are
+    // dropped BEFORE the shuffle. At 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the matching
+    // slice. Thresholds: broadcast off (broadcast joins don't need the
+    // filter), application-side floor 0 (the sf0.001 scan is far below
+    // the 10GB production default).
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      spark.catalog.clearCache()
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"runtime filter not injected:\n$opt")
+      // and it must not change the answer vs the un-filtered plan
+      val rows = j.collect().map(_.toString)
+      val plain = withSQLConf(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority").collect().map(_.toString)
+      }
+      assert(rows.toSeq === plain.toSeq)
+    }
+  }
+
   test("j28: one fact-sized shuffle; part join broadcasts; ranks contiguous per month") {
     val run = Joins.defs.find(_.name == "j28_q47_deviation").get
     spark.conf.set("spark.sql.adaptive.enabled", "false")
