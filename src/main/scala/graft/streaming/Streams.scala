@@ -388,6 +388,46 @@ object Streams {
     // active-day roster. Report days here are ACTIVE days (days with ≥ 1
     // event) — e10 additionally emits trailing ghost days after the last
     // event; the verdict join restricts to the shared roster.
+    // E12: PEAK CONCURRENCY via sweep-line — how many 30-minute activity
+    // intervals overlap at the busiest instant, per instrument: the
+    // interval-overlap shape (concurrent viewers/sessions/connections)
+    // that neither windows nor joins cover. Each event spawns a +1
+    // boundary at ts and a −1 at ts+30m (half-open interval: the −1
+    // sorts BEFORE a +1 at the same instant, so back-to-back intervals
+    // don't double-count); a per-instrument running sum over the
+    // boundary order peaks at the answer. The peak is invariant to tie
+    // order WITHIN an equal (t, delta) group — prefix sums inside an
+    // all-(+1) group only increase, so the group's max is its end, which
+    // any permutation shares — making the output engine-deterministic
+    // without a full tiebreak. Scale: boundaries = 2 rows per event
+    // behind the instrument shuffle; one partitioned sort; no join.
+    QueryDef("e12_peak_concurrency",
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000 AS t, -1 AS delta FROM events),
+        |c AS (SELECT event_type,
+        |             sum(delta) OVER (PARTITION BY event_type
+        |                              ORDER BY t, delta
+        |                              ROWS UNBOUNDED PRECEDING) AS cur
+        |      FROM b)
+        |SELECT event_type, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+        |       CAST(max(cur) AS BIGINT) AS peak
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts_us"))
+      val b = ev.select(col("event_type"), col("ts_us").as("t"), lit(1).as("delta"))
+        .unionByName(ev.select(col("event_type"),
+          (col("ts_us") + HalfHourUs).as("t"), lit(-1).as("delta")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.withColumn("cur", sum("delta").over(w))
+        .groupBy("event_type")
+        .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+          max("cur").cast("long").as("peak"))
+        .orderBy("event_type")
+    },
+
     QueryDef("e11_rolling_wau_sketch",
       """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS d
         |           FROM events)

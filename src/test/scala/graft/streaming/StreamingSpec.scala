@@ -195,6 +195,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, s"streamed dedup count $got != batch distinct $want")
   }
 
+  test("e12 sweep-line peak matches a driver-side interval scan; half-open boundary pinned") {
+    val rows = Streams.defs.find(_.name == "e12_peak_concurrency").get
+      .run(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("peak"))).toMap
+    assert(rows.nonEmpty)
+    // driver-side reference for one instrument: sort boundaries, scan
+    val ts = Tables.events(spark, sf).filter(col("event_type") === "view")
+      .select("ts_us").collect().map(_.getLong(0))
+    val bounds = (ts.map(t => (t, 1)) ++ ts.map(t => (t + 1800L * 1000000L, -1)))
+      .sortBy { case (t, d) => (t, d) } // -1 before +1 at equal t: half-open
+    var cur = 0; var peak = 0
+    bounds.foreach { case (_, d) => cur += d; peak = math.max(peak, cur) }
+    assert(rows("view") === ((ts.length.toLong, peak.toLong)))
+    // half-open semantics: two back-to-back intervals never overlap
+    val (c1, p1) = {
+      val b = Seq((0L, 1), (1800000000L, -1), (1800000000L, 1), (3600000000L, -1))
+        .sortBy { case (t, d) => (t, d) }
+      var c = 0; var p = 0
+      b.foreach { case (_, d) => c += d; p = math.max(p, c) }
+      (c, p)
+    }
+    assert(c1 === 0 && p1 === 1, "half-open boundary order broken in the reference")
+  }
+
   test("e10 WAU: one (user, day) activity contributes to exactly its 7 report days") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-e10").toString
