@@ -171,6 +171,44 @@ object StocksParity {
           round(sum(cents * vol).cast("double") / sum(vol) / 100.0, 6)
             .cast("double").as("vwap"))
         .orderBy("date")
+    },
+
+    // STK5: maximum drawdown over the WHOLE 5,613,300-row series — the
+    // fin2 indicator re-based onto the reference's literal data, and the
+    // certification of a new scale-safe primitive: the UNBOUNDED running
+    // max ([[Windows.globalRunningMax]]: range partition + per-partition
+    // prefix max + broadcast exclusive prefix of ≤ #partitions maxes —
+    // no SinglePartition anywhere), hash-matched against DuckDB's
+    // genuine global unbounded window. Series order is the stk3
+    // canonical total sort; its ties are full-row duplicates, so the
+    // running-max SEQUENCE is permutation-unique and the ordinal-
+    // weighted drawdown mix is well-defined. Integer bp division (both
+    // operands non-negative, close ≥ 500 dollars in this data; the
+    // peak > 0 guard keeps the contract total anyway).
+    QueryDef("stk5_drawdown_checksums",
+      s"""WITH o AS (SELECT CAST(floor(close * 100) AS BIGINT) AS c,
+         |             row_number() OVER w - 1 AS ord,
+         |             max(CAST(floor(close * 100) AS BIGINT)) OVER
+         |               (w ROWS UNBOUNDED PRECEDING) AS peak
+         |           FROM $pq
+         |           WINDOW w AS (ORDER BY $sortCols)),
+         |d AS (SELECT ord, (peak - c) * 10000 // peak AS dd
+         |      FROM o WHERE peak > 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(max(dd) AS BIGINT) AS max_dd_bp,
+         |       CAST(sum(dd) AS BIGINT) AS s_dd,
+         |       CAST(sum(((ord % 251) + 1) * dd) AS BIGINT) AS mix
+         |FROM d""".stripMargin) { (s, _) =>
+      val t = Tables.stocksParquet(s)
+        .withColumn("c", floor(col("close") * 100).cast("long"))
+      val order = Seq(col("date"), col("close"), col("volume"),
+        col("open"), col("high"), col("low"))
+      Windows.globalRunningMax(t, order, col("c"))
+        .filter(col("__runmax") > 0)
+        .withColumn("dd", expr("(__runmax - c) * 10000 div __runmax"))
+        .agg(count(lit(1)).as("n"), max("dd").as("max_dd_bp"),
+          sum("dd").as("s_dd"),
+          sum(((col("__ord") % 251) + 1) * col("dd")).as("mix"))
     }
   )
 }

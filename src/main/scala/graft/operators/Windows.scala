@@ -74,6 +74,35 @@ object Windows {
       .drop("__pid", "__off")
   }
 
+  /** GLOBAL running maximum over one total-ordered series WITHOUT a
+    * single-partition window — the unbounded-frame sibling of
+    * [[globalOrdinal]]: range-repartition on the order, per-partition
+    * running max, then each partition folds in the EXCLUSIVE prefix-max
+    * of the partitions before it (≤ #partitions values through the
+    * driver, the rangeWithOffsets discipline). Emits the input columns
+    * plus `__ord` (dense 0-based ordinal) and `__runmax` (prefix max of
+    * `value` including the current row). The cache pinned inside
+    * rangeWithOffsets is what keeps the two jobs' partition placement
+    * consistent. */
+  def globalRunningMax(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
+    val s = df.sparkSession
+    val (p, offDf) = Par.rangeWithOffsets(df, order, lit(1L))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val pmax = p.groupBy("__pid").agg(max(value).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix max: partition k sees the max of partitions < k
+    val excl = pmax.map(_._1).zip(
+      pmax.map(_._2).scanLeft(Long.MinValue)(math.max).dropRight(1))
+    val preDf = s.createDataFrame(excl.toSeq).toDF("__pid", "__premax")
+    p.join(broadcast(offDf), Seq("__pid"))
+      .join(broadcast(preDf), Seq("__pid"))
+      .withColumn("__ord", row_number().over(w).cast("long") + col("__off") - 1L)
+      .withColumn("__runmax", greatest(
+        max(value).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        col("__premax")))
+      .drop("__pid", "__off", "__premax")
+  }
+
   /** EXACT distributed single-series forward rolling window via
     * BLOCK-CARRY: rows are bucketed into contiguous `blockSize`-row blocks
     * of the dense ordinal `ordCol`; each block also receives a CARRY copy

@@ -185,4 +185,25 @@ class WindowSpec extends SparkSpec {
       emas.zip(rns).map { case (e, rn) => ((rn % 251) + 1) * (e % 1000003) }.sum.toLong)
     assert(got.toSeq === Seq(exp))
   }
+
+  test("globalRunningMax == the single-partition reference, with no SinglePartition window") {
+    import graft.sources.Tables
+    val base = Tables.lineitem(spark, sf)
+      .withColumn("c", round(col("l_extendedprice") * 100).cast("long"))
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_extendedprice"))
+    val got = Windows.globalRunningMax(base, order, col("c"))
+      .select("__ord", "__runmax").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // dense 0-based ordinals
+    assert(got.map(_._1).toSeq === got.indices.map(_.toLong))
+    // reference: driver-side prefix max over the totally-ordered values
+    val vals = base.orderBy(order: _*).select("c").collect().map(_.getLong(0))
+    val want = vals.scanLeft(Long.MinValue)(math.max).tail
+    assert(got.map(_._2).toSeq === want.toSeq)
+    // and the plan never collapses to one partition
+    spark.catalog.clearCache()
+    assert(graft.plans.PlanAudit.singlePartitionWindows(
+      Windows.globalRunningMax(base, order, col("c"))).isEmpty)
+  }
 }
