@@ -342,6 +342,60 @@ object Curation {
         .orderBy("lang")
     },
 
+    // CUR11: SYSTEMATIC weighted sampling — k picks spaced evenly through
+    // the cumulative weight mass (weight = document byte length), the
+    // deterministic exact-integer alternative to A-ES-style randomized
+    // weighted sampling: a document holding weight interval
+    // [cum_excl, cum_incl) is selected with multiplicity = #{pick points
+    // offset + j·step inside it} (heavy docs can be picked more than
+    // once — sampling WITH multiplicity, as weighted mixtures need).
+    // The global cumulative weight comes from the SAME distributed
+    // prefix machinery as sequence packing (Par.rangeWithOffsets with a
+    // weight column: per-partition cumsum + broadcast exclusive partition
+    // offsets — no single-partition window). All arithmetic is
+    // non-negative integer division (the pick-count formula is guarded
+    // to x > offset before subtracting, so Spark's truncating `div` and
+    // DuckDB's flooring `//` never see a negative operand).
+    QueryDef("cur11_systematic_weighted_sample",
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+        |s AS (SELECT greatest(tw // 100, 1) AS step,
+        |             greatest(tw // 100, 1) // 2 AS off FROM t),
+        |c AS (SELECT doc_id, w,
+        |             sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_incl
+        |      FROM d),
+        |m AS (SELECT doc_id, w, cum_incl, cum_incl - w AS cum_excl,
+        |             (CASE WHEN cum_incl <= off THEN 0
+        |                   ELSE (cum_incl - off + step - 1) // step END) -
+        |             (CASE WHEN cum_incl - w <= off THEN 0
+        |                   ELSE (cum_incl - w - off + step - 1) // step END) AS mult
+        |      FROM c, s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_selected,
+        |       CAST(sum(mult) AS BIGINT) AS total_picks,
+        |       CAST(sum(doc_id * mult) AS BIGINT) AS id_ck,
+        |       CAST(sum(w * mult) AS BIGINT) AS w_ck
+        |FROM m WHERE mult > 0""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("w"))
+      val tw = d.agg(sum("w")).collect()(0).getLong(0) // ONE scalar to the driver
+      val step = math.max(tw / 100, 1L)
+      val off = step / 2
+      val (p, offDf) = Par.rangeWithOffsets(d, Seq(col("doc_id")), col("w"))
+      val win = Window.partitionBy("__pid").orderBy("doc_id")
+      p.join(broadcast(offDf), Seq("__pid"))
+        .withColumn("cum_incl", sum("w").over(win) + col("__off"))
+        .withColumn("mult",
+          when(col("cum_incl") <= off, 0L)
+            .otherwise(expr(s"(cum_incl - $off + $step - 1) div $step")) -
+          when(col("cum_incl") - col("w") <= off, 0L)
+            .otherwise(expr(s"(cum_incl - w - $off + $step - 1) div $step")))
+        .filter(col("mult") > 0)
+        .agg(count(lit(1)).as("n_selected"), sum("mult").as("total_picks"),
+          sum(col("doc_id") * col("mult")).as("id_ck"),
+          sum(col("w") * col("mult")).as("w_ck"))
+    },
+
     // CUR5: benchmark decontamination — flag training documents sharing
     // any 8-gram with the eval set (here: doc_id % 10 == 0 stands in for
     // the benchmark; in production it's a fixed external table). 8 words

@@ -241,4 +241,30 @@ class CurationSpec extends SparkSpec {
       assert(rate === want, s"$lang rate formula")
     }
   }
+
+  test("cur11 systematic sample: ~k picks, heavy docs proportionally represented") {
+    val row = Curation.defs.find(_.name == "cur11_systematic_weighted_sample").get
+      .run(spark, sf).collect()(0)
+    val picks = row.getAs[Long]("total_picks")
+    val nSel = row.getAs[Long]("n_selected")
+    // pick points offset + j·step inside [0, W): exactly k or k±1 by the
+    // step = W div k rounding — never drifts further
+    assert(picks >= 99 && picks <= 101, s"picks=$picks")
+    assert(nSel <= picks && nSel > 0)
+    // driver-side reference: same spacing over the sorted (doc_id, w) list
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tw = d.map(_._2).sum
+    val step = math.max(tw / 100, 1L); val off = step / 2
+    var cum = 0L; var expPicks = 0L; var expIds = 0L
+    d.foreach { case (id, w) =>
+      val lo = cum; cum += w
+      def pb(x: Long) = if (x <= off) 0L else (x - off + step - 1) / step
+      val m = pb(cum) - pb(lo)
+      expPicks += m; expIds += id * m
+    }
+    assert(picks === expPicks)
+    assert(row.getAs[Long]("id_ck") === expIds)
+  }
 }
