@@ -29,13 +29,16 @@ object StreamBench {
   private val Batches = 16
 
   /** Split df into `Batches` files under dir (one file per batch), sliced
-    * by `batchCol` ∈ [0, Batches). */
+    * by `batchCol` ∈ [0, Batches); `drop` names helper columns stripped
+    * from the staged files (e.g. the slice key itself). The source frame
+    * is cached for the 16 filtered writes — one scan, not one per batch. */
   private def stage(df: DataFrame, batchCol: org.apache.spark.sql.Column,
-      dir: String): Unit = {
+      dir: String, drop: Seq[String] = Nil): Unit = {
     new java.io.File(dir).mkdirs()
-    (0 until Batches).foreach { b =>
+    val cached = df.cache()
+    try (0 until Batches).foreach { b =>
       val tmp = s"$dir-tmp-$b"
-      df.filter(batchCol === b).coalesce(1)
+      cached.filter(batchCol === b).drop(drop: _*).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -43,7 +46,7 @@ object StreamBench {
         java.nio.file.Paths.get(s"$dir/batch-$b.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
+    } finally cached.unpersist()
   }
 
   private def fmt(v: Double): String =
@@ -120,7 +123,7 @@ object StreamBench {
       .withColumn("__slice", least(lit(Batches - 1),
         ((col("ts_us") - lo) * Batches / (hi - lo + 1)).cast("int")))
       .withColumn("ts", expr("unix_micros(ts) * 1000")).drop("ts_us"),
-      col("__slice"), evTimeDir)
+      col("__slice"), evTimeDir, drop = Seq("__slice"))
     val t2 = System.nanoTime()
     val barsQ = operators.Finance
       .barsStream(streaming.Streams.eventsStream(spark, evTimeDir,

@@ -316,7 +316,7 @@ object Curation {
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS nmin FROM c),
         |r AS (SELECT lang, n,
-        |        CAST(floor(sqrt(CAST(1000000000000 * nmin // n AS DOUBLE))) AS BIGINT) AS rate_ppm
+        |        CAST(floor(sqrt(CAST(CAST(1000000000000 AS HUGEINT) * nmin // n AS DOUBLE))) AS BIGINT) AS rate_ppm
         |      FROM c, m),
         |k AS (SELECT d.lang, d.doc_id, r.n, r.rate_ppm,
         |        CASE WHEN ((d.doc_id % 2147483647) * 48271) % 2147483647 % 1000000

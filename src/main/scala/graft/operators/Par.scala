@@ -58,4 +58,27 @@ object Par {
     }.tail.zip(totals).map { case ((pid, cumIncl), (_, tot)) => (pid, cumIncl - tot) }
     (p, s.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
   }
+
+  /** [[rangeWithOffsets]] plus an exclusive prefix-MAX of `value` per
+    * partition, from ONE combined per-partition aggregation pass (the
+    * separate max pass Windows.globalRunningMax first shipped doubled
+    * the whole-input jobs). Returns (cached partitioned frame with
+    * `__pid`, tiny frame (`__pid`, `__off`, `__premax`)); `__premax` is
+    * Long.MinValue for the first partition. Same cache contract as
+    * rangeWithOffsets. */
+  def rangeWithOffsetsAndMax(df: DataFrame, order: Seq[Column], weight: Column,
+      value: Column): (DataFrame, DataFrame) = {
+    val s = df.sparkSession
+    val parts = s.sparkContext.defaultParallelism * 2
+    val p = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val totals = p.groupBy("__pid").agg(sum(weight).as("s"), max(value).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val offs = totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val premax = totals.map(_._3).scanLeft(Long.MinValue)(math.max).dropRight(1)
+    val rows = totals.map(_._1).zip(offs).zip(premax)
+      .map { case ((pid, off), pm) => (pid, off, pm) }
+    (p, s.createDataFrame(rows.toSeq).toDF("__pid", "__off", "__premax"))
+  }
 }

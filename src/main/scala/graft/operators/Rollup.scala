@@ -17,17 +17,35 @@ import org.apache.spark.sql.functions._
   * independence. (Exact distincts are deliberately NOT here: they don't
   * merge; the mergeable-sketch form is e11's HLL territory.)
   *
-  * Effectively-once: each fold is tagged, and a folded/<tag> marker
-  * (written AFTER the store swap commits) makes replays no-ops — the
-  * same note-keyed idempotence discipline as SigIndex.ingestBatch, so a
-  * foreachBatch caller under retries cannot double-count a batch. The
-  * swap itself is Compaction.swapInPlace: readers see the old complete
-  * store or the new one, never a mix, and a torn swap recovers on the
-  * next entry.
+  * Effectively-once: each fold is tagged, and the set of folded tags
+  * rides INSIDE the store directory (`_folded_tags`, a non-data `_`
+  * file Spark's parquet reader ignores), written into the replacement
+  * BEFORE the atomic swap — so the tag set commits in the SAME atomic
+  * move as the data it describes. A crash anywhere before the move
+  * leaves the old store AND old tag set (the retry re-folds into the
+  * pre-swap store: one copy); a crash after the move leaves the new
+  * store WITH its tag (the retry is a no-op): there is no window where
+  * data and marker disagree — the gap a post-swap sidecar marker would
+  * have (caught in review: a crash between swap and marker would
+  * double-count the batch on retry).
   */
 object Rollup {
 
   private val DayUs = 86400L * 1000000L
+
+  private def tagsFile(dir: String) = java.nio.file.Paths.get(dir, "_folded_tags")
+
+  /** Tags already folded into the store at `dir` (empty for no store). */
+  def foldedTags(dir: String): Set[String] =
+    if (java.nio.file.Files.exists(tagsFile(dir)))
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(tagsFile(dir))).asScala.toSet
+    else Set.empty
+
+  private def writeTags(dir: String, tags: Set[String]): Unit =
+    java.nio.file.Files.write(tagsFile(dir),
+      scala.jdk.CollectionConverters.SeqHasAsJava(tags.toSeq.sorted).asJava,
+      java.nio.charset.StandardCharsets.UTF_8)
 
   /** Aggregate a raw events batch to the store grain. */
   def grain(batch: DataFrame): DataFrame =
@@ -44,12 +62,13 @@ object Rollup {
   def fold(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe fold tag: $tag")
     Compaction.recoverSwap(storeDir)
-    val marker = java.nio.file.Paths.get(storeDir + ".folded", tag)
-    if (java.nio.file.Files.exists(marker)) return false
+    val prevTags = foldedTags(storeDir)
+    if (prevTags(tag)) return false
     val b = grain(batch)
     if (!new java.io.File(storeDir).exists()) {
       val tmp = storeDir + ".rollup-tmp"
       b.write.mode("overwrite").parquet(tmp)
+      writeTags(tmp, Set(tag)) // rides the same atomic move as the data
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
         java.nio.file.Paths.get(storeDir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -62,14 +81,11 @@ object Rollup {
           .agg(sum("n").as("n"), sum("s_ck").as("s_ck"),
             min("mn").as("mn"), max("mx").as("mx"))
           .write.mode("overwrite").parquet(tmp)
+        // the grown tag set commits WITH the data in swapInPlace's
+        // atomic move — no post-commit marker window
+        writeTags(tmp, prevTags + tag)
       }
     }
-    // marker strictly AFTER the committed swap: a crash before this line
-    // re-folds the batch on retry INTO THE PRE-SWAP STORE (swapInPlace
-    // left the old store intact on any pre-commit crash), so the
-    // at-least-once retry still lands exactly one copy
-    java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.createFile(marker)
     true
   }
 
@@ -97,7 +113,6 @@ object Rollup {
       // fresh store per run: the query's meaning is "fold the full
       // history in batches", not "fold on top of a previous run"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store + ".folded"))
       val ev = Tables.events(s, dir)
       (0 to 2).foreach { r =>
         val folded = fold(s, store,

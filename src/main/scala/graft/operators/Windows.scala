@@ -85,17 +85,11 @@ object Windows {
     * rangeWithOffsets is what keeps the two jobs' partition placement
     * consistent. */
   def globalRunningMax(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
-    val s = df.sparkSession
-    val (p, offDf) = Par.rangeWithOffsets(df, order, lit(1L))
+    // ONE combined per-partition pass yields both the row-count offsets
+    // (for the ordinal) and the exclusive prefix max
+    val (p, offDf) = Par.rangeWithOffsetsAndMax(df, order, lit(1L), value)
     val w = Window.partitionBy("__pid").orderBy(order: _*)
-    val pmax = p.groupBy("__pid").agg(max(value).as("m"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // exclusive prefix max: partition k sees the max of partitions < k
-    val excl = pmax.map(_._1).zip(
-      pmax.map(_._2).scanLeft(Long.MinValue)(math.max).dropRight(1))
-    val preDf = s.createDataFrame(excl.toSeq).toDF("__pid", "__premax")
     p.join(broadcast(offDf), Seq("__pid"))
-      .join(broadcast(preDf), Seq("__pid"))
       .withColumn("__ord", row_number().over(w).cast("long") + col("__off") - 1L)
       .withColumn("__runmax", greatest(
         max(value).over(w.rowsBetween(Window.unboundedPreceding, 0)),

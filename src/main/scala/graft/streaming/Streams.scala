@@ -388,8 +388,34 @@ object Streams {
     // active-day roster. Report days here are ACTIVE days (days with ≥ 1
     // event) — e10 additionally emits trailing ghost days after the last
     // event; the verdict join restricts to the shared roster.
+    QueryDef("e11_rolling_wau_sketch",
+      """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |           FROM events)
+        |SELECT CAST(d AS BIGINT) AS report_day, TRUE AS within_tol
+        |FROM a ORDER BY report_day""".stripMargin) { (s, dir) =>
+      val a = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("d"))
+        .distinct()
+      val daily = a.groupBy("d").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("d").rangeBetween(-6, 0)
+      val approx = daily.select(col("d"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("apx"))
+      val exact = a
+        .select(col("user_id"),
+          explode(sequence(col("d"), col("d") + 6)).as("rd"))
+        .groupBy("rd").agg(countDistinct("user_id").as("wau"))
+      approx.join(exact, col("d") === col("rd"))
+        .select(col("d").as("report_day"),
+          (abs(col("apx") - col("wau")) <= col("wau") * 0.05).as("within_tol"))
+        .orderBy("report_day")
+    },
+
     // E12: PEAK CONCURRENCY via sweep-line — how many 30-minute activity
-    // intervals overlap at the busiest instant, per instrument: the
+    // intervals overlap at the busiest instant, per instrument
+    // (event_type = ticker, the e7 convention): the
     // interval-overlap shape (concurrent viewers/sessions/connections)
     // that neither windows nor joins cover. Each event spawns a +1
     // boundary at ts and a −1 at ts+30m (half-open interval: the −1
@@ -426,31 +452,6 @@ object Streams {
         .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
           max("cur").cast("long").as("peak"))
         .orderBy("event_type")
-    },
-
-    QueryDef("e11_rolling_wau_sketch",
-      """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS d
-        |           FROM events)
-        |SELECT CAST(d AS BIGINT) AS report_day, TRUE AS within_tol
-        |FROM a ORDER BY report_day""".stripMargin) { (s, dir) =>
-      val a = Tables.events(s, dir)
-        .select(col("user_id"),
-          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-            .cast("long").as("d"))
-        .distinct()
-      val daily = a.groupBy("d").agg(hll_sketch_agg(col("user_id")).as("sk"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("d").rangeBetween(-6, 0)
-      val approx = daily.select(col("d"),
-        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("apx"))
-      val exact = a
-        .select(col("user_id"),
-          explode(sequence(col("d"), col("d") + 6)).as("rd"))
-        .groupBy("rd").agg(countDistinct("user_id").as("wau"))
-      approx.join(exact, col("d") === col("rd"))
-        .select(col("d").as("report_day"),
-          (abs(col("apx") - col("wau")) <= col("wau") * 0.05).as("within_tol"))
-        .orderBy("report_day")
     }
   )
 

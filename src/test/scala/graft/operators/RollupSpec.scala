@@ -12,7 +12,6 @@ class RollupSpec extends SparkSpec {
   private def freshStore(tag: String): String = {
     val p = s"/root/repo/target/graft-maint-test/$tag"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p + ".folded"))
     p
   }
 
@@ -45,6 +44,23 @@ class RollupSpec extends SparkSpec {
     // fold ≡ recompute: the store equals one-shot aggregation of everything
     val direct = Rollup.grain(ev).collect().map(_.toString).toSet
     assert(before === direct)
+  }
+
+  test("tag set commits atomically with the swap: no double-count window") {
+    val ev = Tables.events(spark, sf)
+    val st = freshStore("atomic-tag")
+    def slice(r: Int) = ev.filter(expr("ts_us div 86400000000") % 3 === r)
+    Rollup.fold(spark, st, slice(0), "slice-0")
+    // the committed store must already carry its tag INSIDE the data dir
+    assert(Rollup.foldedTags(st) === Set("slice-0"))
+    Rollup.fold(spark, st, slice(1), "slice-1")
+    assert(Rollup.foldedTags(st) === Set("slice-0", "slice-1"))
+    // a replay straight after the swap (the old post-swap marker window)
+    // is refused by the in-store tag set alone
+    assert(!Rollup.fold(spark, st, slice(1), "slice-1"))
+    val direct = Rollup.grain(ev.filter(expr("ts_us div 86400000000") % 3 =!= 2))
+      .collect().map(_.toString).toSet
+    assert(snapshot(st) === direct)
   }
 
   test("a torn swap recovers on the next fold (crash between the two moves)") {

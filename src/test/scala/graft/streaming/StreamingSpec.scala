@@ -165,9 +165,16 @@ class StreamingSpec extends SparkSpec {
     assert(gotNull.subsetOf(batchUnmatchedViews),
       s"outer rows for matched views: ${gotNull -- batchUnmatchedViews}")
     // 3) completeness under the final watermark: every unmatched view
-    //    whose window closed strictly before (max event time − 1h delay)
-    //    MUST have emitted its NULL row
-    val maxUs = evB.agg(max("ts_us")).collect()(0).getLong(0)
+    //    whose window closed strictly before the final GLOBAL watermark
+    //    MUST have emitted its NULL row. Each side's watermark node sees
+    //    only its own filtered rows and Spark's global watermark is the
+    //    MIN across nodes — deriving the bound from max(ts) over all
+    //    event types would overstate it whenever the latest view/click
+    //    trails the latest event overall (spuriously flaky on fixture
+    //    regeneration).
+    val maxUs = evB.filter(col("event_type").isin("view", "click"))
+      .groupBy("event_type").agg(max("ts_us").as("m"))
+      .collect().map(_.getAs[Long]("m")).min
     val sealedBefore = maxUs - 3600L * 1000000L - 1800L * 1000000L
     val mustEmit = vB.filter(col("v_us") < sealedBefore)
       .select("view_id").collect().map(_.getLong(0)).toSet
