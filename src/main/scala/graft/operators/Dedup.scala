@@ -838,7 +838,13 @@ object Dedup {
       // what's distributed; verification stays O(probes) on the driver
       val present = keyed.filter(col("doc_id") % 5 === 0 && col("doc_id") < 1000)
         .select("doc_id", "h").distinct().collect()
-      val bf = keyed.stat.bloomFilter("h", expectedNumItems = 100000, fpp = BloomFpp)
+      // capacity tracks the CORPUS (one cheap count() — Catalyst prunes
+      // the md5 projection under count): a hardcoded capacity saturates
+      // past its sizing point and the fpp envelope breaks; sized to n the
+      // envelope holds at any scale, and the probe-side bound below is
+      // already capacity-free (it depends only on the configured fpp)
+      val nDocs = math.max(keyed.count(), 1L)
+      val bf = keyed.stat.bloomFilter("h", expectedNumItems = nDocs, fpp = BloomFpp)
       val presentHits = present.count(r => bf.mightContain(r.getString(1)))
       // absent probes: md5 of a namespace no document hash can collide
       // with (domain-separated), so every hit is a true false positive

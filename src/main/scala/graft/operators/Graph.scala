@@ -265,10 +265,13 @@ object Graph {
         .select("a", "b").cache()
       val deg = co.select(col("a").as("s")).union(co.select(col("b").as("s")))
         .groupBy("s").agg(count(lit(1)).as("deg"))
-      // dimension-sized node table: the rank window runs over #suppliers
-      // rows, not the edge list — single partition over a dim is fine
-      val rk = deg.withColumn("rk",
-        row_number().over(Window.orderBy(col("deg"), col("s"))))
+      // node rank WITHOUT a single-partition window: the node set is the
+      // supplier co-supply graph and suppliers scale with the fact tier,
+      // so the degree-order rank goes through Windows.globalOrdinal
+      // (range-repartition + per-partition row_number + offset fold) —
+      // same dense rank, full parallelism at any node count
+      val rk = Windows.globalOrdinal(deg, Seq(col("deg"), col("s")))
+        .withColumn("rk", col("__ord") + 1L)
         .select("s", "rk")
       val e = co
         .join(broadcast(rk.withColumnRenamed("s", "a").withColumnRenamed("rk", "ra")), "a")

@@ -55,13 +55,12 @@ class RegistrySpec extends SparkSpec {
     // allowed to carry a SinglePartition exchange are (a) the declared
     // compat form of the reference's one-series semantics (w0), (b)
     // dimension-bounded frames (dumps/top-k already reduce to result
-    // size before sorting, g2's node rank runs on the node dimension,
-    // j27's manufacturer frame is 5 rows), and (c) driver-assembled
+    // size before sorting, j27's manufacturer frame is 5 rows), and
+    // (c) driver-assembled
     // one-row/verdict outputs. The exemption list IS the documentation:
     // growing it requires justifying the new entry here.
     val exempt = Set(
       "w0_moving_avg_compat", // declared compat: the reference's literal global series
-      "g2_triangle_count",    // node-rank window over the node DIMENSION (Graph.scala:155)
       "j27_q67_category_share", // manufacturer subtotal frame: 5 rows by construction
       "ret1_hybrid_rrf",      // rank fusion over two k-row (k=20) frames — serving-sized
       "e11_rolling_wau_sketch" // 7-day roll over ONE sketch row per DAY — calendar-bounded
