@@ -148,9 +148,16 @@ object TxLog {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Create a table (version 1) from `df`. Fails if a log already exists. */
+  /** Create a table (version 1) from `df`. Throws the retryable
+    * ConcurrentModificationException when a log already exists — so a
+    * [[withRetry]] writer that raced another initializer re-reads and
+    * takes its table-exists branch instead of dying on a non-retryable
+    * error (the publish CAS covers the narrower check-then-publish
+    * window the same way). */
   def init(spark: SparkSession, root: String, df: DataFrame, note: String = ""): Long = {
-    require(currentVersion(root) == 0L, s"txlog already initialized at $root")
+    if (currentVersion(root) != 0L)
+      throw new java.util.ConcurrentModificationException(
+        s"txlog already initialized at $root; re-read and retry")
     val files = stageData(spark, root, df)
     publish(root, 0L, files, if (note.isEmpty) Set.empty else Set(note))
   }
@@ -220,7 +227,12 @@ object TxLog {
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"delete on uninitialized txlog $root"))
-      val survivors = read(spark, root, snap.version).filter(!victim)
+      // SQL DELETE semantics: only rows where the predicate is TRUE are
+      // removed; NULL-predicate rows survive. A bare `!victim` would drop
+      // them too (!NULL is NULL, and filter keeps only TRUE).
+      val survivors = read(spark, root, snap.version)
+        .filter(org.apache.spark.sql.functions.not(
+          victim <=> org.apache.spark.sql.functions.lit(true)))
       Some(commitOverwrite(spark, root, survivors, snap.version, note))
     }.get
 
@@ -263,20 +275,41 @@ object TxLog {
       .foreach(v => Files.deleteIfExists(manifestPath(root, v)))
   }
 
+  /** Default [[vacuum]] retention: staged-but-unpublished data younger
+    * than this is presumed to belong to an in-flight committer and is
+    * left alone (the Delta vacuum discipline, scaled to single-commit
+    * staging times rather than query lifetimes). */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
   /** Delete every `data/c-*` directory not referenced by ANY retained
     * manifest — CAS losers' and crashed writers' staged batches, plus
-    * versions released by [[pruneHistory]]. Safe at any time: orphan dirs
-    * are by definition unreachable from every pinnable version. Returns
-    * directories removed. */
-  def vacuum(root: String): Int = {
+    * versions released by [[pruneHistory]] — PROVIDED the directory has
+    * been quiescent for `graceMs`. The grace window is what makes vacuum
+    * safe concurrent with writers: between [[stageData]] and [[publish]]
+    * a committer's data directory is referenced by no manifest yet, so an
+    * ungraced sweep would delete it and let the subsequent CAS publish a
+    * manifest pointing at missing files. With the mtime grace, only
+    * stagings older than any plausible in-flight commit are swept; pass
+    * `graceMs = 0` only when no writer can be mid-commit (tests,
+    * single-writer maintenance windows). Returns directories removed. */
+  def vacuum(root: String, graceMs: Long = DefaultVacuumGraceMs): Int = {
     val referenced: Set[String] = allVersions(root)
       .flatMap(v => parseManifest(manifestPath(root, v))).flatMap(_._1)
       .map(f => f.split("/").take(2).mkString("/")).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new java.io.File(s"$root/data")
     val orphans = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("c-") &&
-        !referenced.contains(s"data/${d.getName}"))
+        !referenced.contains(s"data/${d.getName}") &&
+        quiescentSince(d) <= cutoff)
     orphans.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     orphans.length
+  }
+
+  /** Newest mtime anywhere under `d` — a staging Spark is still writing
+    * keeps bumping this, so "old" means genuinely abandoned. */
+  private def quiescentSince(d: java.io.File): Long = {
+    val children = Option(d.listFiles()).getOrElse(Array.empty)
+    (d.lastModified() +: children.map(quiescentSince)).max
   }
 }

@@ -64,8 +64,11 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("stale"))
     assert(TxLog.read(spark, root).count() === 50)
     assert(TxLog.snapshot(root).get.notes === Set("winner"))
-    // loser staged one orphan data dir; winner+v1 dirs stay referenced
-    assert(TxLog.vacuum(root) === 1)
+    // loser staged one orphan data dir; winner+v1 dirs stay referenced.
+    // Default-grace vacuum refuses the fresh orphan (it could be an
+    // in-flight commit); only the ungraced maintenance sweep takes it.
+    assert(TxLog.vacuum(root) === 0)
+    assert(TxLog.vacuum(root, graceMs = 0L) === 1)
     assert(TxLog.read(spark, root).count() === 50)
     assert(TxLog.read(spark, root, 1L).count() === 100)
   }
@@ -119,6 +122,63 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(root).get.notes === Set("b0", "b1", "b2"))
   }
 
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val root = freshRoot("delnull")
+    // score: 1, 2, NULL — DELETE WHERE score > 1 removes only the 2;
+    // the NULL row is not matched, so it SURVIVES
+    val t = spark.sql(
+      "SELECT * FROM VALUES (1L, 1), (2L, 2), (3L, CAST(NULL AS INT)) AS t(doc_id, score)")
+    TxLog.init(spark, root, t)
+    TxLog.delete(spark, root, col("score") > 1)
+    val left = TxLog.read(spark, root).orderBy("doc_id").collect()
+    assert(left.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(left(1).isNullAt(1))
+  }
+
+  test("vacuum racing an in-flight commit: grace window protects the staging") {
+    val root = freshRoot("vacrace")
+    TxLog.init(spark, root, docs.limit(20))
+    // writer whose stageData is artificially slow: each row sleeps, so the
+    // data/c-* dir exists unreferenced for ~a second before publish
+    val slow = org.apache.spark.sql.functions.udf { (id: Long) => Thread.sleep(150L); id }
+    val batch = spark.range(8).repartition(1)
+      .select(slow(col("id")).as("doc_id"), lit("slow").as("text"))
+    @volatile var committed = -1L
+    val writer = new Thread(() => {
+      committed = TxLog.commitAppend(spark, root, batch, expected = 1L)
+    })
+    writer.start()
+    // hammer default-grace vacuum the whole time the staging is in flight
+    var swept = 0
+    while (writer.isAlive) { swept += TxLog.vacuum(root); Thread.sleep(20L) }
+    writer.join()
+    assert(swept === 0, "vacuum must not sweep an in-flight staging")
+    assert(committed === 2L)
+    // the published version is fully readable — no manifest-references-
+    // missing-files corruption
+    assert(TxLog.read(spark, root).count() === 28)
+    assert(TxLog.read(spark, root).filter(col("text") === "slow").count() === 8)
+  }
+
+  test("concurrent initializers: loser gets retryable CME, withRetry absorbs it") {
+    val root = freshRoot("initrace")
+    TxLog.init(spark, root, docs.limit(5))
+    // direct re-init now fails RETRYABLY (CME, not IllegalArgument) so a
+    // withRetry writer that raced another initializer re-reads instead of dying
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.init(spark, root, docs.limit(5))
+    }
+    // the real path: two upserters race an uninitialized table — both land
+    val root2 = freshRoot("initrace2")
+    def batch(tag: String) = spark.range(3)
+      .select(concat(lit(tag), col("id")).as("doc_id"), lit(tag).as("text"))
+    val ts = Seq("a", "b").map(t => new Thread(() =>
+      TxLog.upsert(spark, root2, batch(t), "doc_id")))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(TxLog.read(spark, root2).count() === 6)
+    assert(TxLog.currentVersion(root2) === 2L)
+  }
+
   test("compact packs files; pruneHistory + vacuum release old versions") {
     val root = freshRoot("compact")
     TxLog.init(spark, root, docs.limit(64).repartition(16))
@@ -131,7 +191,7 @@ class TxLogSpec extends SparkSpec {
     // v1's 16-file dir survives (still pinnable) until history is pruned
     assert(dataDirs() === 2)
     TxLog.pruneHistory(root, keepLast = 1)
-    assert(TxLog.vacuum(root) === 1)
+    assert(TxLog.vacuum(root, graceMs = 0L) === 1)
     assert(dataDirs() === 1)
     assert(TxLog.read(spark, root).count() === 64)
     assert(intercept[IllegalStateException](
