@@ -100,10 +100,18 @@ object Bench {
     val results = defs.map { d =>
       val budget = baseline.get(d.name).map(b => math.max(b * budgetTol, budgetFloorSec))
       def over(t: Double) = budget.fold(t > retryAboveSec)(t > _)
-      val (t1, ok) = timeOnce(d)
+      val (t1, ok1) = timeOnce(d)
       var t = t1
+      var ok = ok1
       var reps = 1
-      while (ok && over(t) && reps < 3) { t = math.min(t, timeOnce(d)._1); reps += 1 }
+      // a retry only counts toward the min when it SUCCEEDED — a crashed
+      // re-run's short time-to-failure must not masquerade as a fast run
+      // (and a query that crashes on re-run is flaky: demote to failed)
+      while (ok && over(t) && reps < 3) {
+        val (t2, ok2) = timeOnce(d)
+        if (ok2) t = math.min(t, t2) else ok = false
+        reps += 1
+      }
       (d.name, t, ok, budget)
     }
 

@@ -35,6 +35,7 @@ object SparkEntry {
     operators.SchemaEvolution.defs ++
     operators.Upsert.defs ++
     operators.Rollup.defs ++
+    operators.TxLog.defs ++
     operators.Typed.defs ++
     operators.StocksParity.defs ++
     operators.Finance.defs ++

@@ -80,6 +80,11 @@ object StreamBench {
       .appName("graft-stream-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // micro-batch frames are tiny; AQE coalesces their 32-way shuffles
+      // down to the handful of partitions the data justifies (foreachBatch
+      // bodies run as ordinary batch jobs, so AQE applies to sig_ingest)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,16 +34,16 @@ object Compaction {
 
   final case class CompactionStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
-  /** Write-to-temp + atomic rename + cache invalidation — the ONE swap
-    * sequence every maintenance sink (compact/upsert/delete) goes
-    * through. Contract: single maintenance writer. Readers that already
-    * opened files keep a consistent snapshot; a directory LISTING in the
+  /** Write-to-temp + atomic rename + cache invalidation — the swap
+    * sequence for compacting PLAIN parquet directories (persisted index
+    * layouts and other non-log state; TABLE state lives in [[TxLog]],
+    * whose `TxLog.compact` is manifest-atomic and needs none of this).
+    * Contract: single maintenance writer. Readers that already opened
+    * files keep a consistent snapshot; a directory LISTING in the
     * instant between the two renames sees the path absent — never a
-    * mixed old/new file set. (Concurrent writers need a transaction log;
-    * plain parquet has none, and pretending otherwise would be worse.)
-    * The final `refreshByPath` is load-bearing: Spark caches plans and
-    * file listings by path, and without it a post-swap read silently
-    * serves the OLD table. */
+    * mixed old/new file set. The final `refreshByPath` is load-bearing:
+    * Spark caches plans and file listings by path, and without it a
+    * post-swap read silently serves the OLD table. */
   private[operators] def swapInPlace(spark: SparkSession, dir: String, tag: String)(
       write: String => Unit): Unit = {
     require(SwapTags.contains(tag), s"unknown swap tag $tag (recovery covers only $SwapTags)")
@@ -67,17 +67,16 @@ object Compaction {
     * live path is restored and the leftovers can never make a later
     * swap's first Files.move throw. Every maintenance ENTRY POINT calls
     * this — not just the swap itself — because compact's nothing-to-do
-    * early return and upsert's brand-new-target path would otherwise read
-    * a torn directory as truth. Tag-agnostic: a dir torn by a delete swap
-    * still recovers when the next compact touches it. */
+    * early return would otherwise read a torn directory as truth. */
   /** The complete tag namespace swaps may use. recoverSwap deletes/moves
     * ONLY siblings carrying exactly these suffixes — matching any
     * `*-old`/`*-tmp` name would let an unrelated neighboring directory
     * (e.g. a hive partition whose VALUE happens to end in "-old") be
-    * silently destroyed or rolled over the live dir. The suffixes
-    * `.{compact,upsert,delete,rollup}-{old,tmp}` are therefore reserved
-    * names next to any maintained directory. */
-  private val SwapTags = Set("compact", "upsert", "delete", "rollup")
+    * silently destroyed or rolled over the live dir. The suffix
+    * `.compact-{old,tmp}` is therefore a reserved name next to any
+    * maintained directory. (upsert/delete/rollup tags are gone — those
+    * sinks now commit through [[TxLog]].) */
+  private val SwapTags = Set("compact")
 
   private[operators] def recoverSwap(dir: String): Unit = {
     val d = new java.io.File(dir)

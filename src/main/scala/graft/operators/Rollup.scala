@@ -17,35 +17,24 @@ import org.apache.spark.sql.functions._
   * independence. (Exact distincts are deliberately NOT here: they don't
   * merge; the mergeable-sketch form is e11's HLL territory.)
   *
-  * Effectively-once: each fold is tagged, and the set of folded tags
-  * rides INSIDE the store directory (`_folded_tags`, a non-data `_`
-  * file Spark's parquet reader ignores), written into the replacement
-  * BEFORE the atomic swap — so the tag set commits in the SAME atomic
-  * move as the data it describes. A crash anywhere before the move
-  * leaves the old store AND old tag set (the retry re-folds into the
-  * pre-swap store: one copy); a crash after the move leaves the new
-  * store WITH its tag (the retry is a no-op): there is no window where
-  * data and marker disagree — the gap a post-swap sidecar marker would
-  * have (caught in review: a crash between swap and marker would
-  * double-count the batch on retry).
+  * Effectively-once and crash safety are STRUCTURAL, not hand-rolled: the
+  * store is a [[TxLog]] table and each fold is one `TxLog.foldOnce`
+  * commit, whose tag rides in the same atomic manifest publish as the
+  * folded data. A crash anywhere leaves either the old manifest (retry
+  * re-folds: one copy) or the new manifest with its tag (retry no-ops) —
+  * and unlike the directory-swap discipline this replaced, CONCURRENT
+  * folders are safe: the CAS loser re-reads the winner's tag set and
+  * retries against fresh state. Readers go through [[TxLog.read]] and
+  * get snapshot isolation for free.
   */
 object Rollup {
 
   private val DayUs = 86400L * 1000000L
 
-  private def tagsFile(dir: String) = java.nio.file.Paths.get(dir, "_folded_tags")
-
-  /** Tags already folded into the store at `dir` (empty for no store). */
+  /** Tags already folded into the store at `dir` (empty for no store) —
+    * the store's txlog note set. */
   def foldedTags(dir: String): Set[String] =
-    if (java.nio.file.Files.exists(tagsFile(dir)))
-      scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(tagsFile(dir))).asScala.toSet
-    else Set.empty
-
-  private def writeTags(dir: String, tags: Set[String]): Unit =
-    java.nio.file.Files.write(tagsFile(dir),
-      scala.jdk.CollectionConverters.SeqHasAsJava(tags.toSeq.sorted).asJava,
-      java.nio.charset.StandardCharsets.UTF_8)
+    TxLog.snapshot(dir).map(_.notes).getOrElse(Set.empty)
 
   /** Aggregate a raw events batch to the store grain. */
   def grain(batch: DataFrame): DataFrame =
@@ -57,37 +46,21 @@ object Rollup {
       .agg(count(lit(1)).as("n"), sum("ck").as("s_ck"),
         min("ck").as("mn"), max("ck").as("mx"))
 
+  /** Merge the current store with one batch-grain — the mergeable-metric
+    * re-aggregation (associative + commutative). */
+  private def mergeGrain(cur: DataFrame, b: DataFrame): DataFrame =
+    cur.unionByName(b)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n"), sum("s_ck").as("s_ck"),
+        min("mn").as("mn"), max("mx").as("mx"))
+
   /** Fold one tagged batch of raw events into the store at `storeDir`.
     * Returns false when the tag was already folded (replay no-op). */
-  def fold(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean = {
-    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe fold tag: $tag")
-    Compaction.recoverSwap(storeDir)
-    val prevTags = foldedTags(storeDir)
-    if (prevTags(tag)) return false
-    val b = grain(batch)
-    if (!new java.io.File(storeDir).exists()) {
-      val tmp = storeDir + ".rollup-tmp"
-      b.write.mode("overwrite").parquet(tmp)
-      writeTags(tmp, Set(tag)) // rides the same atomic move as the data
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(storeDir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      s.catalog.refreshByPath(storeDir)
-    } else {
-      val cur = s.read.parquet(storeDir)
-      Compaction.swapInPlace(s, storeDir, "rollup") { tmp =>
-        cur.unionByName(b)
-          .groupBy("event_type", "day")
-          .agg(sum("n").as("n"), sum("s_ck").as("s_ck"),
-            min("mn").as("mn"), max("mx").as("mx"))
-          .write.mode("overwrite").parquet(tmp)
-        // the grown tag set commits WITH the data in swapInPlace's
-        // atomic move — no post-commit marker window
-        writeTags(tmp, prevTags + tag)
-      }
-    }
-    true
-  }
+  def fold(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean =
+    TxLog.foldOnce(s, storeDir, tag, {
+      case None => grain(batch)
+      case Some(cur) => mergeGrain(cur, grain(batch))
+    })
 
   val defs: Seq[QueryDef] = Seq(
     // S9: the store, built by folding three deterministic day-sliced
@@ -95,7 +68,7 @@ object Rollup {
     // aggregate the oracle computes directly over events — certifying
     // fold ≡ recompute through the hash gate. The fixture store is
     // rebuilt fresh per run (idempotence across Verify/Bench reruns);
-    // within the run, the replay of batch 0 exercises the marker path.
+    // within the run, the replay of batch 0 exercises the tag path.
     QueryDef("s9_incremental_rollup",
       """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |             count(*) AS n,
@@ -123,7 +96,7 @@ object Rollup {
       require(!fold(s, store,
         ev.filter(expr(s"ts_us div $DayUs") % 3 === 0), "slice-0"),
         "replayed batch was folded twice")
-      s.read.parquet(store)
+      TxLog.read(s, store)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"),
           sum("s_ck").as("total_ck"), min("mn").as("mn"), max("mx").as("mx"),

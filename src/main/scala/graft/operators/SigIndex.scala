@@ -60,12 +60,18 @@ object SigIndex {
       catch { case _: Exception => false }
     }
 
-  /** Build the signature index over `docs` (replacing any prior index). */
+  /** Build the signature index over `docs` (replacing any prior index).
+    * Bands are clustered on the band key before the partitioned write so
+    * each `band=k` directory gets ONE file per commit instead of one per
+    * shuffle task — the file count a probe must list and open grows with
+    * commits, not with commits × tasks. (A single huge band file at
+    * extreme scale is the writer's `maxRecordsPerFile` knob, not ours.) */
   def build(docs: DataFrame, idx: String, note: String = ""): Unit = {
     val sh = Dedup.shingles(docs).cache()
     try {
       sh.write.mode("overwrite").parquet(s"$idx/postings")
       Dedup.signatureBands(Dedup.minhashSignature(sh))
+        .repartition(col("band"))
         .write.mode("overwrite").partitionBy("band").parquet(s"$idx/bands")
       writeMetaCount(docs.sparkSession, docs.count(), idx)
       IndexCommit.reset(idx, note) // rebuild overwrote the data: fresh history
@@ -83,9 +89,16 @@ object SigIndex {
     require(IndexCommit.unfinalized(idx).isEmpty,
       s"SigIndex.append($idx): unfinalized commit (a writer died mid-append) — rebuild")
     val readVersion = IndexCommit.version(idx)
+    // disjointness check as a MAP-ONLY pass: broadcast the batch ids and
+    // semi-join the index scan against them — the previous form
+    // (distinct-then-semi) shuffled every indexed doc_id per append,
+    // an O(corpus) shuffle each micro-batch that dominated streaming
+    // ingest latency and would be the per-batch bottleneck at 100 TB.
+    // The distinct runs AFTER the semi-join, over matches only (zero
+    // rows on the healthy path).
     val overlap = s.read.schema(bandsSchema).parquet(s"$idx/bands")
-      .select("doc_id").distinct()
-      .join(newDocs.select("doc_id"), Seq("doc_id"), "left_semi").count()
+      .join(broadcast(newDocs.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct().count()
     require(overlap == 0L, s"append overlaps $overlap indexed doc_ids")
     val prev = s.read.parquet(s"$idx/meta").collect()(0).getAs[Long]("n")
     // materialize the batch count BEFORE the writes (appendIvf's
@@ -99,7 +112,9 @@ object SigIndex {
       // finalize is recoverable by [[recover]] instead of only a rebuild
       IndexCommit.stage(idx, committed, Seq("postings", "bands", "meta"))
       sh.write.mode("append").parquet(s"$idx/postings")
+      // band-clustered append (see build): one file per band per commit
       Dedup.signatureBands(Dedup.minhashSignature(sh))
+        .repartition(col("band"))
         .write.mode("append").partitionBy("band").parquet(s"$idx/bands")
       writeMetaCount(s, prev + n, idx)
       IndexCommit.finalizeCommit(idx, committed, note)
@@ -143,7 +158,17 @@ object SigIndex {
     probeWithHandles(s, idx, newDocs)._1
 
   /** [[probe]] plus the cached frames backing the (lazy) result — the
-    * caller unpersists them AFTER materializing. */
+    * caller unpersists them AFTER materializing.
+    *
+    * Scale shape: the NEW-batch side of every join against persisted
+    * state is explicitly broadcast — a probe batch is broadcast-sized by
+    * contract (one crawl micro-batch vs the whole corpus), so the
+    * candidate join and the postings semi-join are MAP-ONLY scans of the
+    * index with zero index-side shuffle. Without the hints Spark
+    * shuffle-joins both sides (batch stats are unknown behind the
+    * aggregation), which re-shuffles the entire persisted index on every
+    * micro-batch — the asymptotic killer for a 100 TB corpus probed by
+    * kilodoc batches. */
   def probeWithHandles(s: SparkSession, idx: String,
       newDocs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val nsh = Dedup.shingles(newDocs).cache()
@@ -151,11 +176,12 @@ object SigIndex {
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
     val cand = s.read.schema(bandsSchema).parquet(s"$idx/bands")
       .select(col("band"), col("bh"), col("doc_id").as("old_id"))
-      .join(nbands, Seq("band", "bh"))
+      .join(broadcast(nbands), Seq("band", "bh"))
       .select("old_id", "new_id").distinct().cache()
-    // only candidate documents' postings leave the index
+    // only candidate documents' postings leave the index — and the
+    // candidate-id set is broadcast for the same map-only reason
     val oldSh = s.read.schema(postingsSchema).parquet(s"$idx/postings")
-      .join(cand.select(col("old_id").as("doc_id")).distinct(),
+      .join(broadcast(cand.select(col("old_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
     val both = oldSh.unionByName(nsh)
     val pairs = Dedup.exactJaccard(both,

@@ -1,21 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Snapshot-isolation commit log for parquet tables — the ONE versioned
-  * manifest discipline that replaces the repo's three ad-hoc commit
+  * manifest discipline that replaces the repo's earlier ad-hoc commit
   * protocols (upsert/delete atomic directory swap, rollup `_folded_tags`
-  * sidecar, index claim markers) for TABLE state. The shape is the public
-  * Delta/Iceberg core, reduced to what a filesystem gives for free:
+  * sidecar) for TABLE state. The shape is the public Delta/Iceberg core,
+  * reduced to what a filesystem gives for free:
   *
   *   root/
   *     _txlog/v-<k>        versioned manifest: the complete data-file list
-  *                          of version k, plus note lines (effectively-once
-  *                          tags) and a trailing `commit` terminator
+  *                          of version k (each file optionally tagged with
+  *                          its partition value), note lines
+  *                          (effectively-once tags) and a trailing
+  *                          `commit` terminator
   *     data/c-<uuid>/       one immutable directory of parquet part files
   *                          per commit — written ONCE, never modified
   *
@@ -35,16 +40,30 @@ import scala.jdk.CollectionConverters._
   *     either creates the full, final manifest or throws
   *     `FileAlreadyExistsException` having published NOTHING. The loser's
   *     staged data directory is invisible (no manifest references it) and
-  *     is swept by [[vacuum]].
+  *     is swept by [[vacuum]] once it outlives the grace window.
   *   - **Effectively-once folds.** Note lines ride IN the manifest, so a
   *     batch tag commits in the same atomic publish as the data it
-  *     describes — the Rollup `_folded_tags` invariant, now structural.
-  *     A crash anywhere leaves either the old manifest (retry re-folds:
-  *     one copy) or the new manifest with its tag (retry no-ops); there is
-  *     no window where data and marker disagree. Unlike the swap-based
-  *     fold, CONCURRENT folders are safe: both read version k, one CAS
-  *     wins k+1, the loser re-reads (sees the winner's tag set) and
-  *     retries against fresh state — no silently dropped batch.
+  *     describes. A crash anywhere leaves either the old manifest (retry
+  *     re-folds: one copy) or the new manifest with its tag (retry
+  *     no-ops); there is no window where data and marker disagree. Unlike
+  *     a swap-based fold, CONCURRENT folders are safe: both read version
+  *     k, one CAS wins k+1, the loser re-reads (sees the winner's tag
+  *     set) and retries against fresh state — no silently dropped batch.
+  *
+  * **Partitioned tables** carry their partition metadata IN the manifest
+  * (one `p` header line naming the column; each `f` line tagged with its
+  * file's partition value), not in directory-listing conventions — the
+  * Delta/Iceberg move that turns partition pruning from an O(dirs)
+  * filesystem walk into an O(1) manifest scan, which is what survives a
+  * 100 TB table with 10^5 partitions. [[read]] re-attaches the partition
+  * column per file group; a `filter(col(part) === v)` then constant-folds
+  * every other group's scan away (PropagateEmptyRelation), so pruning
+  * happens at plan time with zero I/O. [[upsertPartitioned]] rewrites
+  * ONLY the partitions a batch touches: untouched files are carried into
+  * the new manifest by reference, never read, never copied — one day's
+  * crawl costs one day's partition. [[adopt]] converts an existing plain
+  * or hive-partitioned parquet directory in place (zero data movement —
+  * the v1 manifest simply references the files where they are).
   *
   * What this deliberately does not do: multi-table transactions and
   * conflict-aware merges of CONCURRENT row-level edits (the losers retry
@@ -56,9 +75,24 @@ import scala.jdk.CollectionConverters._
   */
 object TxLog {
 
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  /** One manifest data file: path relative to root, plus its partition
+    * value when the table is partitioned (None = the hive default / null
+    * partition, or an unpartitioned table). */
+  final case class FileEntry(path: String, part: Option[String])
+
   /** One pinned table version: the manifest's data files (relative to
-    * root) and its accumulated note set (effectively-once tags). */
-  final case class Snapshot(version: Long, files: Seq[String], notes: Set[String])
+    * root), its accumulated note set (effectively-once tags) and the
+    * table's partition column, if any. */
+  final case class Snapshot(version: Long, entries: Seq[FileEntry],
+      notes: Set[String], partCol: Option[String]) {
+    def files: Seq[String] = entries.map(_.path)
+  }
+
+  /** Per-partition outcome of [[upsertPartitioned]]. */
+  final case class PartStats(partition: String, rowsBefore: Long,
+      rowsAfter: Long, batchRows: Long)
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
 
@@ -73,15 +107,30 @@ object TxLog {
       .flatMap(f => scala.util.Try(f.getName.stripPrefix("v-").toLong).toOption)
       .sorted
 
-  private def parseManifest(p: Path): Option[(Seq[String], Set[String])] = {
+  private def encodePart(part: Option[String]): String =
+    part.map(ExternalCatalogUtils.escapePathName)
+      .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+
+  private def decodePart(s: String): Option[String] =
+    if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+    else Some(ExternalCatalogUtils.unescapePathName(s))
+
+  private def parseManifest(p: Path): Option[(Seq[FileEntry], Set[String], Option[String])] = {
     if (!Files.isRegularFile(p)) return None
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
     // completeness gate: a manifest is real only when its terminator
     // landed — the hard-link publish makes partial content unreachable,
     // but the gate also protects any future non-POSIX fallback publisher
     if (!lines.lastOption.contains("commit")) return None
-    Some((lines.collect { case l if l.startsWith("f\t") => l.drop(2) },
-      lines.collect { case l if l.startsWith("n\t") => l.drop(2) }.toSet))
+    val entries = lines.collect {
+      case l if l.startsWith("f\t") => l.drop(2).split("\t", 2) match {
+        case Array(path) => FileEntry(path, None)
+        case Array(path, part) => FileEntry(path, decodePart(part))
+      }
+    }
+    val notes = lines.collect { case l if l.startsWith("n\t") => l.drop(2) }.toSet
+    val partCol = lines.collectFirst { case l if l.startsWith("p\t") => l.drop(2) }
+    Some((entries, notes, partCol))
   }
 
   /** Latest COMPLETE version, 0 when the table has no log yet. */
@@ -94,20 +143,37 @@ object TxLog {
     * with no committed version. */
   def snapshot(root: String, v: Long = -1L): Option[Snapshot] = {
     val ver = if (v >= 0) v else currentVersion(root)
-    parseManifest(manifestPath(root, ver)).map { case (fs, ns) =>
-      Snapshot(ver, fs, ns)
+    parseManifest(manifestPath(root, ver)).map { case (es, ns, pc) =>
+      Snapshot(ver, es, ns, pc)
     }
   }
 
+  /** Explicit-file read with partition inference OFF — the manifest is
+    * the metadata layer; Spark must never re-derive table structure from
+    * directory shapes (mixed adopted/staged depths would conflict). */
+  private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+
   /** Read a pinned version (default: latest at call time). The returned
     * plan references the snapshot's explicit immutable files — evaluating
-    * it later, even after newer commits, still yields this version. */
+    * it later, even after newer commits, still yields this version. For a
+    * partitioned table the partition column is re-attached per file group
+    * (as STRING — hive path values are untyped), so a filter on it
+    * constant-folds the other groups' scans away at plan time. */
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(root, version).getOrElse(
       throw new IllegalStateException(s"no committed version at $root" +
         (if (version >= 0) s" (asked for $version)" else "")))
     require(snap.files.nonEmpty, s"version ${snap.version} at $root has no data files")
-    spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+    snap.partCol match {
+      case None => readFiles(spark, snap.files.map(f => s"$root/$f"))
+      case Some(pc) =>
+        snap.entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
+          .map { case (pv, es) =>
+            readFiles(spark, es.map(e => s"$root/${e.path}"))
+              .withColumn(pc, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
+          }.reduce(_ unionByName _)
+    }
   }
 
   /** Stage `df` as one immutable data directory; returns the relative
@@ -125,14 +191,48 @@ object TxLog {
     parts
   }
 
+  /** Stage `df` (which must carry `partCol`) as one immutable data
+    * directory in hive layout; the partition value of each file is
+    * recovered from its directory name into the manifest entry. The
+    * hive writer drops the partition column from the data files — [[read]]
+    * re-attaches it from the manifest. */
+  private def stagePartitioned(spark: SparkSession, root: String, df: DataFrame,
+      partCol: String): Seq[FileEntry] = {
+    val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+    val abs = s"$root/$dirName"
+    df.write.mode("overwrite").partitionBy(partCol).parquet(abs)
+    val entries = Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
+      .flatMap { d =>
+        val part = decodePart(d.getName.stripPrefix(partCol + "="))
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => FileEntry(s"$dirName/${d.getName}/${f.getName}", part))
+      }.sortBy(_.path)
+    if (entries.nonEmpty) entries
+    else {
+      // empty table: one schema-bearing file (partition column dropped,
+      // mirroring what the hive writer would have stored)
+      df.drop(partCol).repartition(1).write.mode("overwrite").parquet(abs)
+      Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => FileEntry(s"$dirName/${f.getName}", None)).toSeq.sortBy(_.path)
+    }
+  }
+
   /** Atomically publish version `expected + 1` with the given file list
     * and notes. Throws ConcurrentModificationException — having published
     * NOTHING — when another writer got there first. */
-  private def publish(root: String, expected: Long, files: Seq[String],
-      notes: Set[String]): Long = {
+  private def publish(root: String, expected: Long, entries: Seq[FileEntry],
+      partCol: Option[String], notes: Set[String]): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
-    val body = (files.map("f\t" + _) ++ notes.toSeq.sorted.map("n\t" + _) :+ "commit")
+    val fLines = partCol match {
+      case None => entries.map(e => "f\t" + e.path)
+      case Some(_) => entries.map(e => s"f\t${e.path}\t${encodePart(e.part)}")
+    }
+    val body = (partCol.map("p\t" + _).toSeq ++ fLines ++
+      notes.toSeq.sorted.map("n\t" + _) :+ "commit")
       .mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -155,24 +255,74 @@ object TxLog {
     * error (the publish CAS covers the narrower check-then-publish
     * window the same way). */
   def init(spark: SparkSession, root: String, df: DataFrame, note: String = ""): Long = {
+    ensureUninitialized(root)
+    val files = stageData(spark, root, df)
+    publish(root, 0L, files.map(FileEntry(_, None)), None,
+      if (note.isEmpty) Set.empty else Set(note))
+  }
+
+  /** Create a PARTITIONED table (version 1) from `df`, hive-staged on
+    * `partCol` with the partition values recorded in the manifest. */
+  def initPartitioned(spark: SparkSession, root: String, df: DataFrame,
+      partCol: String, note: String = ""): Long = {
+    ensureUninitialized(root)
+    val entries = stagePartitioned(spark, root, df, partCol)
+    publish(root, 0L, entries, Some(partCol),
+      if (note.isEmpty) Set.empty else Set(note))
+  }
+
+  /** Convert an EXISTING plain parquet directory (partCol = None) or
+    * hive-partitioned layout (partCol = Some(col)) into a txlog table in
+    * place — zero data movement, the v1 manifest references the files
+    * where they already are (the Delta CONVERT shape). Adopted files live
+    * outside `data/`, so [[vacuum]] never sweeps them even once
+    * superseded; reclaiming them after a full rewrite is the operator's
+    * explicit cleanup. */
+  def adopt(spark: SparkSession, root: String, partCol: Option[String] = None,
+      note: String = "adopt"): Long = {
+    ensureUninitialized(root)
+    val rootF = new java.io.File(root)
+    val entries: Seq[FileEntry] = partCol match {
+      case None =>
+        Option(rootF.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => FileEntry(f.getName, None)).sortBy(_.path)
+      case Some(pc) =>
+        Option(rootF.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(d => d.isDirectory && d.getName.startsWith(pc + "="))
+          .flatMap { d =>
+            val part = decodePart(d.getName.stripPrefix(pc + "="))
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(f => FileEntry(s"${d.getName}/${f.getName}", part))
+          }.sortBy(_.path)
+    }
+    require(entries.nonEmpty, s"adopt: no parquet data found at $root")
+    publish(root, 0L, entries, partCol, Set(note))
+  }
+
+  private def ensureUninitialized(root: String): Unit =
     if (currentVersion(root) != 0L)
       throw new java.util.ConcurrentModificationException(
         s"txlog already initialized at $root; re-read and retry")
-    val files = stageData(spark, root, df)
-    publish(root, 0L, files, if (note.isEmpty) Set.empty else Set(note))
-  }
 
   /** Overwrite-commit: the new version's content is exactly `df`. CAS on
     * `expected`; notes accumulate (the new manifest carries the expected
-    * snapshot's notes plus `note`). */
+    * snapshot's notes plus `note`). Partitioned tables restage through
+    * the hive writer, preserving the manifest partition metadata. */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
       expected: Long, note: String = ""): Long = {
-    val prevNotes = snapshot(root, expected).map(_.notes).getOrElse(Set.empty)
-    val files = stageData(spark, root, df)
+    val snap0 = snapshot(root, expected)
+    val partCol = snap0.flatMap(_.partCol)
+    val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
+    val entries = partCol match {
+      case Some(pc) => stagePartitioned(spark, root, df, pc)
+      case None => stageData(spark, root, df).map(FileEntry(_, None))
+    }
     // CAS against exactly `expected` — anything else (e.g. latest-on-disk)
     // would publish OVER a concurrent writer's version this writer never
     // read: the textbook lost update
-    publish(root, expected, files,
+    publish(root, expected, entries, partCol,
       if (note.isEmpty) prevNotes else prevNotes + note)
   }
 
@@ -182,8 +332,11 @@ object TxLog {
       expected: Long, note: String = ""): Long = {
     val snap = snapshot(root, expected).getOrElse(
       throw new IllegalStateException(s"append to uninitialized txlog $root"))
-    val files = stageData(spark, root, df)
-    publish(root, expected, snap.files ++ files,
+    val entries = snap.partCol match {
+      case Some(pc) => stagePartitioned(spark, root, df, pc)
+      case None => stageData(spark, root, df).map(FileEntry(_, None))
+    }
+    publish(root, expected, snap.entries ++ entries, snap.partCol,
       if (note.isEmpty) snap.notes else snap.notes + note)
   }
 
@@ -207,7 +360,9 @@ object TxLog {
 
   /** Keyed last-write-wins MERGE as one transactional commit: survivors
     * (anti-join) ∪ batch, published as a full overwrite version. Returns
-    * the new version. Concurrent upserters serialize via CAS retry. */
+    * the new version. Concurrent upserters serialize via CAS retry. (For
+    * partitioned tables this rewrites the WHOLE table —
+    * [[upsertPartitioned]] is the partition-scoped form.) */
   def upsert(spark: SparkSession, root: String, batch: DataFrame, key: String,
       note: String = ""): Long =
     withRetry(root) {
@@ -220,9 +375,72 @@ object TxLog {
         Some(commitOverwrite(spark, root, merged, snap.version, note))
     }.get
 
+  /** Partition-scoped keyed MERGE: only the partitions the batch touches
+    * are read and rewritten; every other file is carried into the new
+    * manifest BY REFERENCE — never opened, never copied. One transactional
+    * commit covers all touched partitions (the per-partition-swap form
+    * this replaces committed them one by one, so a crash mid-sequence
+    * could land half a batch). Returns per-partition stats, ordered by
+    * partition name. NULL and empty-string partition values both map to
+    * the hive default partition, matching Spark's partitioned writer. */
+  def upsertPartitioned(spark: SparkSession, root: String, batch0: DataFrame,
+      key: String, partCol: String, note: String = ""): Seq[PartStats] = {
+    // ""→NULL first: Spark's own partitioned writer stores both under
+    // __HIVE_DEFAULT_PARTITION__ and reads them back as null
+    val batch =
+      if (batch0.schema(partCol).dataType == org.apache.spark.sql.types.StringType)
+        batch0.withColumn(partCol,
+          when(col(partCol) === "", lit(null)).otherwise(col(partCol)))
+      else batch0
+    def partName(pv: Option[String]): String = pv.getOrElse(
+      ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+    withRetry(root) {
+      case None =>
+        initPartitioned(spark, root, batch, partCol, note)
+        val counts = batch.groupBy(partCol).count().collect()
+          .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+        Some(counts.toSeq.sortBy(c => partName(c._1)).map { case (pv, n) =>
+          PartStats(partName(pv), 0L, n, n)
+        })
+      case Some(snap) =>
+        require(snap.partCol.contains(partCol),
+          s"txlog $root is partitioned by ${snap.partCol}, not $partCol")
+        val touched: Seq[Option[String]] = batch.select(partCol).distinct().collect()
+          .map(r => Option(r.get(0)).map(_.toString).filter(_.nonEmpty))
+          .toSeq.distinct
+        val touchedSet = touched.toSet
+        val (rewrite, keep) = snap.entries.partition(e => touchedSet.contains(e.part))
+        val current =
+          if (rewrite.isEmpty) batch.limit(0)
+          else rewrite.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
+            .map { case (pv, es) =>
+              readFiles(spark, es.map(e => s"$root/${e.path}"))
+                .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
+            }.reduce(_ unionByName _)
+        val beforeCounts = current.groupBy(partCol).count().collect()
+          .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+        val batchCounts = batch.groupBy(partCol).count().collect()
+          .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+        val merged = current.join(batch.select(key), Seq(key), "left_anti")
+          .unionByName(batch)
+        val fresh = stagePartitioned(spark, root, merged, partCol)
+        publish(root, snap.version, keep ++ fresh, snap.partCol,
+          if (note.isEmpty) snap.notes else snap.notes + note)
+        // per-partition post-merge counts from the staged files' footers —
+        // metadata-only, bounded by the touched-partition count
+        val afterCounts = fresh.groupBy(_.part).map { case (pv, es) =>
+          pv -> readFiles(spark, es.map(e => s"$root/${e.path}")).count()
+        }
+        Some(touched.sortBy(partName).map { pv =>
+          PartStats(partName(pv), beforeCounts.getOrElse(pv, 0L),
+            afterCounts.getOrElse(pv, 0L), batchCounts.getOrElse(pv, 0L))
+        })
+    }.get
+  }
+
   /** Transactional targeted delete: survivors republished as a new
     * version (copy-on-write rewrite, manifest-atomic). */
-  def delete(spark: SparkSession, root: String, victim: org.apache.spark.sql.Column,
+  def delete(spark: SparkSession, root: String, victim: Column,
       note: String = ""): Long =
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
@@ -231,15 +449,15 @@ object TxLog {
       // removed; NULL-predicate rows survive. A bare `!victim` would drop
       // them too (!NULL is NULL, and filter keeps only TRUE).
       val survivors = read(spark, root, snap.version)
-        .filter(org.apache.spark.sql.functions.not(
-          victim <=> org.apache.spark.sql.functions.lit(true)))
+        .filter(not(victim <=> lit(true)))
       Some(commitOverwrite(spark, root, survivors, snap.version, note))
     }.get
 
-  /** Effectively-once tagged fold (the Rollup discipline on the log):
-    * `merge(current)` builds the folded table; a tag already in the
-    * snapshot's notes makes the fold a no-op (returns false). Safe under
-    * CONCURRENT folders — the CAS loser re-reads the winner's tag set. */
+  /** Effectively-once tagged fold (the incremental-rollup discipline on
+    * the log): `merge(current)` builds the folded table; a tag already in
+    * the snapshot's notes makes the fold a no-op (returns false). Safe
+    * under CONCURRENT folders — the CAS loser re-reads the winner's tag
+    * set. */
   def foldOnce(spark: SparkSession, root: String, tag: String,
       merge: Option[DataFrame] => DataFrame): Boolean = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe fold tag: $tag")
@@ -291,11 +509,13 @@ object TxLog {
     * manifest pointing at missing files. With the mtime grace, only
     * stagings older than any plausible in-flight commit are swept; pass
     * `graceMs = 0` only when no writer can be mid-commit (tests,
-    * single-writer maintenance windows). Returns directories removed. */
+    * single-writer maintenance windows). Crashed publishers' `.tmp-*`
+    * manifest leftovers age out under the same rule. Returns directories
+    * removed. */
   def vacuum(root: String, graceMs: Long = DefaultVacuumGraceMs): Int = {
     val referenced: Set[String] = allVersions(root)
       .flatMap(v => parseManifest(manifestPath(root, v))).flatMap(_._1)
-      .map(f => f.split("/").take(2).mkString("/")).toSet
+      .map(e => e.path.split("/").take(2).mkString("/")).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new java.io.File(s"$root/data")
     val orphans = Option(dataDir.listFiles()).getOrElse(Array.empty)
@@ -303,6 +523,12 @@ object TxLog {
         !referenced.contains(s"data/${d.getName}") &&
         quiescentSince(d) <= cutoff)
     orphans.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    // a publisher that crashed between manifest-tmp write and hard-link
+    // leaks one .tmp file in _txlog; age those out under the same grace
+    Option(logDir(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".tmp-") &&
+        f.lastModified() <= cutoff)
+      .foreach(f => Files.deleteIfExists(f.toPath))
     orphans.length
   }
 
@@ -312,4 +538,103 @@ object TxLog {
     val children = Option(d.listFiles()).getOrElse(Array.empty)
     (d.lastModified() +: children.map(quiescentSince)).max
   }
+
+  /** Fresh per-run txlog root under target/ (the maintenance queries
+    * mutate their fixture, so each run must start clean). */
+  private def freshRoot(dir: String, tag: String): String = {
+    val root = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def docCk = sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+    .cast("long").as("ck")
+
+  val defs: Seq[QueryDef] = Seq(
+    // S10: the transactional story under the differential gate — init,
+    // keyed MERGE, targeted DELETE land as versions 1..3, and the result
+    // reads ALL THREE pinned versions after the fact (time travel): one
+    // row per version with count + content checksum. The oracle states
+    // each version's table directly from the immutable source — a hash
+    // match certifies snapshot isolation (later commits leave earlier
+    // versions byte-stable), not just final state.
+    QueryDef("s10_txlog_timetravel",
+      """WITH merged AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN md5(text) ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
+        |FROM merged
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
+        |FROM merged WHERE doc_id % 13 <> 0
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val root = freshRoot(dir, "txlog-docs")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TxLog.init(s, root, docs) // v1
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text"))
+      val inserts = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("text"))
+      TxLog.upsert(s, root, updates.unionByName(inserts), "doc_id") // v2
+      TxLog.delete(s, root, col("doc_id") % 13 === 0) // v3
+      (1 to 3).map { v =>
+        TxLog.read(s, root, v.toLong)
+          .agg(count(lit(1)).cast("long").as("n_docs"), docCk)
+          .select(lit(v).as("version"), col("n_docs"), col("ck"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    // S11: the full log lifecycle — three effectively-once folds, a
+    // replayed tag (must no-op), compaction, history pruning and an
+    // ungraced vacuum — after which the store still equals the oracle's
+    // from-scratch recompute. Lifecycle facts ride as verdict booleans
+    // (the s5 pattern): the replay was refused, maintenance landed the
+    // expected version/file/sweep counts.
+    QueryDef("s11_txlog_fold",
+      """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             count(*) AS n,
+        |             sum(CAST(floor(value * 100) AS BIGINT)) AS s_ck,
+        |             min(CAST(floor(value * 100) AS BIGINT)) AS mn,
+        |             max(CAST(floor(value * 100) AS BIGINT)) AS mx
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(s_ck) AS BIGINT) AS total_ck,
+        |       CAST(min(mn) AS BIGINT) AS mn, CAST(max(mx) AS BIGINT) AS mx,
+        |       TRUE AS replay_noop, TRUE AS maintained
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val store = freshRoot(dir, "txlog-rollup")
+      val ev = Tables.events(s, dir)
+      val DayUs = 86400L * 1000000L
+      def slice(r: Int) = ev.filter(expr(s"ts_us div $DayUs") % 3 === r)
+      (0 to 2).foreach { r =>
+        require(Rollup.fold(s, store, slice(r), s"slice-$r"),
+          s"slice-$r unexpectedly marked folded in a fresh store")
+      }
+      val replayNoop = !Rollup.fold(s, store, slice(0), "slice-0")
+      TxLog.compact(s, store, 2) // v4
+      TxLog.pruneHistory(store, keepLast = 1)
+      val swept = TxLog.vacuum(store, graceMs = 0L)
+      val snap = TxLog.snapshot(store).get
+      val maintained = snap.version == 4L && snap.files.size <= 2 && swept >= 1
+      TxLog.read(s, store)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"),
+          sum("s_ck").as("total_ck"), min("mn").as("mn"), max("mx").as("mx"))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("maintained", lit(maintained))
+        .orderBy("event_type")
+    }
+  )
 }

@@ -68,28 +68,19 @@ class CompactionSpec extends SparkSpec {
     // moved in, plus leftover tmp garbage — the exact single-crash window
     // between swapInPlace's two ATOMIC_MOVEs.
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".delete-old"))
-    new java.io.File(dir + ".delete-tmp").mkdirs()
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".compact-old"))
+    new java.io.File(dir + ".compact-tmp").mkdirs()
     assert(!new java.io.File(dir).exists())
 
-    // The next maintenance entry (different tag, even) rolls the old copy
-    // back, drops the garbage, and proceeds normally.
+    // The next maintenance entry rolls the old copy back, drops the
+    // garbage, and proceeds normally.
     val stats = Compaction.compact(spark, dir, targetFiles = 2)
     assert(stats.filesBefore === 16)
-    assert(!new java.io.File(dir + ".delete-old").exists())
-    assert(!new java.io.File(dir + ".delete-tmp").exists())
+    assert(!new java.io.File(dir + ".compact-old").exists())
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
     val after = spark.read.parquet(dir)
     assert(after.count() === wantRows)
     assert(after.exceptAll(before).count() === 0)
-
-    // A torn state must not read as a brand-new upsert target either.
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".upsert-old"))
-    val batch = before.limit(3).withColumn("text", lit("PATCHED"))
-    val st = Upsert.upsert(spark, dir, batch, "doc_id")
-    assert(st.rowsBefore === wantRows, "torn dir was mistaken for brand-new")
-    assert(st.rowsAfter === wantRows)
-    assert(spark.read.parquet(dir).filter(col("text") === "PATCHED").count() === 3)
     before.unpersist()
   }
 

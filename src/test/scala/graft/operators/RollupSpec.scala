@@ -4,9 +4,11 @@ import graft.SparkSpec
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Incremental rollup-store contract: mergeability (fold order cannot
-  * matter), effectively-once replays, and fold ≡ recompute — the parts
-  * the s9 oracle hash certifies only for one fixed fold sequence. */
+/** Incremental rollup-store contract on the commit log: mergeability
+  * (fold order cannot matter), effectively-once replays, fold ≡
+  * recompute, tags committing atomically WITH their data, and crashed
+  * commits staying invisible — the parts the s9/s11 oracle hashes
+  * certify only for one fixed fold sequence. */
 class RollupSpec extends SparkSpec {
 
   private def freshStore(tag: String): String = {
@@ -16,7 +18,7 @@ class RollupSpec extends SparkSpec {
   }
 
   private def snapshot(store: String): Set[String] =
-    spark.read.parquet(store).collect().map(_.toString).toSet
+    TxLog.read(spark, store).collect().map(_.toString).toSet
 
   test("fold order cannot matter: three permutations land the identical store") {
     val ev = Tables.events(spark, sf)
@@ -38,46 +40,51 @@ class RollupSpec extends SparkSpec {
     def slice(r: Int) = ev.filter(expr("ts_us div 86400000000") % 3 === r)
     (0 to 2).foreach(r => assert(Rollup.fold(spark, st, slice(r), s"slice-$r")))
     val before = snapshot(st)
-    // replays of every tag: all rejected, store byte-identical
+    val versionBefore = TxLog.currentVersion(st)
+    // replays of every tag: all rejected, store untouched, NO new version
     (0 to 2).foreach(r => assert(!Rollup.fold(spark, st, slice(r), s"slice-$r")))
     assert(snapshot(st) === before)
+    assert(TxLog.currentVersion(st) === versionBefore)
     // fold ≡ recompute: the store equals one-shot aggregation of everything
     val direct = Rollup.grain(ev).collect().map(_.toString).toSet
     assert(before === direct)
   }
 
-  test("tag set commits atomically with the swap: no double-count window") {
+  test("tag set commits atomically with the fold: no double-count window") {
     val ev = Tables.events(spark, sf)
     val st = freshStore("atomic-tag")
     def slice(r: Int) = ev.filter(expr("ts_us div 86400000000") % 3 === r)
     Rollup.fold(spark, st, slice(0), "slice-0")
-    // the committed store must already carry its tag INSIDE the data dir
+    // the committed version must already carry its tag IN the manifest
     assert(Rollup.foldedTags(st) === Set("slice-0"))
     Rollup.fold(spark, st, slice(1), "slice-1")
     assert(Rollup.foldedTags(st) === Set("slice-0", "slice-1"))
-    // a replay straight after the swap (the old post-swap marker window)
-    // is refused by the in-store tag set alone
+    // a replay straight after the commit is refused by the in-manifest
+    // tag set alone — there is no post-commit marker window
     assert(!Rollup.fold(spark, st, slice(1), "slice-1"))
     val direct = Rollup.grain(ev.filter(expr("ts_us div 86400000000") % 3 =!= 2))
       .collect().map(_.toString).toSet
     assert(snapshot(st) === direct)
   }
 
-  test("a torn swap recovers on the next fold (crash between the two moves)") {
+  test("a crashed commit stays invisible: staged-but-unpublished data never reads") {
     val ev = Tables.events(spark, sf)
-    val st = freshStore("torn")
+    val st = freshStore("crashed")
     def slice(r: Int) = ev.filter(expr("ts_us div 86400000000") % 3 === r)
     Rollup.fold(spark, st, slice(0), "slice-0")
-    // simulate swapInPlace dying after moving live → .old but before
-    // moving the replacement in: the live dir is missing, .old holds data
-    java.nio.file.Files.move(java.nio.file.Paths.get(st),
-      java.nio.file.Paths.get(st + ".rollup-old"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    assert(!new java.io.File(st).exists)
-    // next fold must first roll the store back, then land the new batch
+    val before = snapshot(st)
+    // simulate a fold that died between staging its data and publishing
+    // its manifest: an orphan data/c-* directory with real parquet in it
+    Rollup.grain(slice(1)).write.parquet(s"$st/data/c-deadbeef0000")
+    // readers see exactly the committed version — the orphan is unreachable
+    assert(snapshot(st) === before)
+    // the retry (same tag, fresh staging) folds exactly once
     assert(Rollup.fold(spark, st, slice(1), "slice-1"))
     val want = Rollup.grain(ev.filter(expr("ts_us div 86400000000") % 3 =!= 2))
       .collect().map(_.toString).toSet
+    assert(snapshot(st) === want)
+    // and the orphan is vacuum-able once quiescent
+    assert(TxLog.vacuum(st, graceMs = 0L) === 1)
     assert(snapshot(st) === want)
   }
 }

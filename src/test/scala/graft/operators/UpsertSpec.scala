@@ -4,94 +4,80 @@ import graft.SparkSpec
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Keyed copy-on-write merge: replace, insert, survive; partition-scoped
-  * rewrites touch only the batch's partitions. Expectations are built
-  * from the immutable source table, never from reads of the mutated path
-  * (whose cached plans the operator deliberately invalidates). */
+/** Keyed merge and partition-scoped rewrites through the commit log:
+  * replace, insert, survive; only touched partitions are rewritten (kept
+  * files carried by reference — provably the same bytes); hive-escaped /
+  * NULL / empty-string partition values all land in the default
+  * partition; and a partition filter prunes the read plan to one file
+  * group. Expectations are built from the immutable source table. */
 class UpsertSpec extends SparkSpec {
 
   private def src = Tables.documents(spark, sf).select("doc_id", "text", "lang")
 
-  test("upsert replaces by key, inserts new keys, leaves the rest untouched") {
-    val dir = s"/root/repo/target/upsert-test-${System.nanoTime()}"
-    src.coalesce(2).write.parquet(dir)
+  private def freshRoot(tag: String) =
+    s"/root/repo/target/upsert-test-$tag-${System.nanoTime()}"
+
+  test("adopted hive table: upsert replaces by key, inserts, leaves the rest") {
+    val root = freshRoot("merge")
+    src.coalesce(2).write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
     val n = src.count()
     val batch = src.filter(col("doc_id") < 10)
       .withColumn("text", lit("REPLACED"))
       .unionByName(src.limit(1)
         .select(lit(999999L).as("doc_id"), lit("NEW").as("text"), lit("en").as("lang")))
 
-    val stats = Upsert.upsert(spark, dir, batch, "doc_id")
-    assert(stats.rowsBefore === n)
-    assert(stats.rowsAfter === n + 1)
+    val stats = TxLog.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats.map(_.batchRows).sum === batch.count())
 
-    val after = spark.read.parquet(dir)
+    val after = TxLog.read(spark, root)
+    assert(after.count() === n + 1)
     val expected = src.filter(col("doc_id") >= 10).unionByName(batch)
     assert(after.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(after).count() === 0)
     assert(after.select("doc_id").distinct().count() === after.count())
-    assert(!new java.io.File(dir + ".upsert-tmp").exists())
-    assert(!new java.io.File(dir + ".upsert-old").exists())
-  }
-
-  test("delete removes exactly the victims, survivors byte-identical") {
-    val dir = s"/root/repo/target/delete-test-${System.nanoTime()}"
-    src.coalesce(2).write.parquet(dir)
-    val victim = col("doc_id") % 5 === 0
-    val nVictims = src.filter(victim).count()
-    assert(nVictims > 0)
-
-    val (before, after) = Upsert.delete(spark, dir, victim)
-    assert(before === src.count())
-    assert(after === before - nVictims)
-
-    val got = spark.read.parquet(dir)
-    assert(got.filter(victim).count() === 0)
-    val want = src.filter(!victim)
-    assert(got.exceptAll(want).count() === 0)
-    assert(want.exceptAll(got).count() === 0)
-    assert(!new java.io.File(dir + ".delete-tmp").exists())
-    assert(!new java.io.File(dir + ".delete-old").exists())
   }
 
   test("upsert into a never-seen partition mints it instead of throwing") {
-    val root = s"/root/repo/target/upsert-new-${System.nanoTime()}"
-    src.filter(col("lang") =!= src.select("lang").head().getString(0))
-      .write.partitionBy("lang").parquet(root)
-    val fresh = src.select("lang").head().getString(0) // partition NOT in root
-    assert(!new java.io.File(s"$root/lang=$fresh").exists())
+    val root = freshRoot("mint")
+    val fresh = src.select("lang").head().getString(0)
+    src.filter(col("lang") =!= fresh).write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
+    assert(TxLog.snapshot(root).get.entries.forall(!_.part.contains(fresh)))
     val batch = src.filter(col("lang") === fresh).limit(5)
     val nBatch = batch.count()
-    val stats = Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
-    assert(stats === Seq(fresh -> Upsert.UpsertStats(0L, nBatch, nBatch)))
-    assert(spark.read.parquet(s"$root/lang=$fresh").count() === nBatch)
+    val stats = TxLog.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats === Seq(TxLog.PartStats(fresh, 0L, nBatch, nBatch)))
+    assert(TxLog.read(spark, root).filter(col("lang") === fresh).count() === nBatch)
   }
 
-  test("partition-scoped upsert rewrites ONLY touched partitions") {
-    val root = s"/root/repo/target/upsert-part-${System.nanoTime()}"
+  test("partition-scoped upsert rewrites ONLY touched partitions (kept files by reference)") {
+    val root = freshRoot("scope")
     src.write.partitionBy("lang").parquet(root)
-    val langs = new java.io.File(root).listFiles()
-      .filter(d => d.isDirectory && d.getName.startsWith("lang="))
-      .map(_.getName.stripPrefix("lang=")).sorted
+    TxLog.adopt(spark, root, Some("lang"))
+    val langs = TxLog.snapshot(root).get.entries.flatMap(_.part).distinct.sorted
     assert(langs.length >= 2)
     val (touch, keep) = (langs.head, langs.last)
-    val keepDir = s"$root/lang=$keep"
-    val keepFiles = new java.io.File(keepDir).listFiles()
-      .map(f => f.getName -> f.lastModified).toMap
+    val keepFilesBefore = TxLog.snapshot(root).get.entries
+      .filter(_.part.contains(keep)).map(_.path).toSet
 
     val hit = col("lang") === touch && col("doc_id") % 7 === 0
     val batch = src.filter(hit).withColumn("text", lit("PATCHED"))
     val nBatch = batch.count()
     assert(nBatch > 0)
-    val stats = Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
-    assert(stats.map(_._1) === Seq(touch))
+    val stats = TxLog.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats.map(_.partition) === Seq(touch))
 
-    // untouched partition: same files, same mtimes — provably not rewritten
-    val keepAfter = new java.io.File(keepDir).listFiles()
-      .map(f => f.getName -> f.lastModified).toMap
-    assert(keepAfter === keepFiles)
+    // untouched partition: the SAME manifest entries — carried by
+    // reference, provably never rewritten (adopted paths, same files)
+    val keepFilesAfter = TxLog.snapshot(root).get.entries
+      .filter(_.part.contains(keep)).map(_.path).toSet
+    assert(keepFilesAfter === keepFilesBefore)
+    // touched partition: all-new staged files
+    assert(TxLog.snapshot(root).get.entries
+      .filter(_.part.contains(touch)).forall(_.path.startsWith("data/")))
 
-    val after = spark.read.parquet(root).select("doc_id", "text", "lang")
+    val after = TxLog.read(spark, root).select("doc_id", "text", "lang")
     val expected = src.withColumn("text", when(hit, "PATCHED").otherwise(col("text")))
     assert(after.count() === src.count())
     assert(after.filter(col("text") === "PATCHED").count() === nBatch)
@@ -99,59 +85,78 @@ class UpsertSpec extends SparkSpec {
     assert(expected.exceptAll(after).count() === 0)
   }
 
-  test("hive-escaped and NULL partition values reuse the writer's directories") {
-    val root = s"/root/repo/target/upsert-esc-${System.nanoTime()}"
+  test("a partition filter prunes the plan to one file group") {
+    val root = freshRoot("prune")
+    src.write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
+    val langs = TxLog.snapshot(root).get.entries.flatMap(_.part).distinct.sorted
+    assert(langs.length >= 2)
+    // constant-folding + PropagateEmptyRelation must collapse every other
+    // partition's union leg: exactly ONE parquet relation survives
+    val pruned = TxLog.read(spark, root).filter(col("lang") === langs.head)
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length === 1,
+      s"expected 1 surviving scan, got ${scans.length}:\n${pruned.queryExecution.optimizedPlan}")
+    assert(pruned.count() === src.filter(col("lang") === langs.head).count())
+  }
+
+  test("hive-escaped and NULL partition values merge into the writer's partitions") {
+    val root = freshRoot("esc")
     import spark.implicits._
     // partition values a partitioned writer escapes (space is literal in
-    // hive naming, '/' and '%' are not) plus a NULL (hive default partition)
+    // hive naming, '/' and '%' are not) plus a NULL (default partition)
     val base = Seq((1L, "a", "a/b"), (2L, "b", "p%q"), (3L, "c", null))
       .toDF("doc_id", "text", "lang")
     base.write.partitionBy("lang").parquet(root)
-    val dirsBefore = new java.io.File(root).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirsBefore.exists(_ != "lang=a/b")) // sanity: writer escaped
+    TxLog.adopt(spark, root, Some("lang"))
+    // adoption round-trips the escaping: raw values in the snapshot
+    assert(TxLog.snapshot(root).get.entries.flatMap(_.part).toSet === Set("a/b", "p%q"))
 
     val batch = Seq((1L, "A2", "a/b"), (4L, "d", "p%q"), (5L, "e", null))
       .toDF("doc_id", "text", "lang")
-    Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    val stats = TxLog.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats.map(_.partition).toSet === Set("a/b", "p%q", "__HIVE_DEFAULT_PARTITION__"))
 
-    // no divergent unescaped sibling directories were minted
-    val dirsAfter = new java.io.File(root).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirsAfter === dirsBefore)
-
-    // the standard partitioned reader sees the merged table
-    val after = spark.read.parquet(root)
+    val after = TxLog.read(spark, root)
     assert(after.count() === 5)
     assert(after.filter(col("doc_id") === 1).select("text").head().getString(0) === "A2")
     assert(after.filter(col("lang").isNull).select("doc_id").collect()
       .map(_.getLong(0)).toSet === Set(3L, 5L))
+    assert(after.filter(col("lang") === "a/b").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L))
   }
 
   test("empty-string partition values merge into the hive default partition") {
-    val root = s"/root/repo/target/upsert-empty-${System.nanoTime()}"
+    val root = freshRoot("empty")
     import spark.implicits._
     // Spark's partitioned writer stores BOTH null and "" under
     // __HIVE_DEFAULT_PARTITION__ (and reads them back as null)
     val base = Seq((1L, "a", ""), (2L, "b", "x")).toDF("doc_id", "text", "lang")
     base.write.partitionBy("lang").parquet(root)
-    val dirsBefore = new java.io.File(root).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirsBefore.contains("lang=__HIVE_DEFAULT_PARTITION__"))
+    TxLog.adopt(spark, root, Some("lang"))
 
     // batch carries one "" and one NULL value: both must route to the
-    // default partition (as ONE touched partition), never mint "lang="
+    // default partition (as ONE touched partition)
     val batch = Seq((1L, "A2", ""), (3L, "c", null)).toDF("doc_id", "text", "lang")
-    val stats = Upsert.upsertPartitioned(spark, root, batch, "doc_id", "lang")
-    assert(stats.map(_._1) === Seq("__HIVE_DEFAULT_PARTITION__"))
-    val dirsAfter = new java.io.File(root).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirsAfter === dirsBefore)
+    val stats = TxLog.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats.map(_.partition) === Seq("__HIVE_DEFAULT_PARTITION__"))
 
-    val after = spark.read.parquet(root)
+    val after = TxLog.read(spark, root)
     assert(after.count() === 3)
     assert(after.filter(col("doc_id") === 1).select("text").head().getString(0) === "A2")
     assert(after.filter(col("lang").isNull).select("doc_id").collect()
       .map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("upsertPartitioned on an uninitialized root creates the table") {
+    val root = freshRoot("create")
+    val batch = src.limit(20)
+    val stats = TxLog.upsertPartitioned(spark, root, batch, "doc_id", "lang")
+    assert(stats.forall(s => s.rowsBefore === 0L && s.rowsAfter === s.batchRows))
+    assert(stats.map(_.batchRows).sum === 20L)
+    assert(TxLog.read(spark, root).count() === 20)
+    assert(TxLog.snapshot(root).get.partCol === Some("lang"))
   }
 }
