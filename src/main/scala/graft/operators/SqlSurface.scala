@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object SqlSurface {
 
+  /** One raised-recursion-limit clone per parent session, reused across
+    * invocations — sql2 previously minted a fresh newSession() per run,
+    * and a long-lived caller (Bench's warmup + timed reps, a notebook
+    * re-running the query) accumulated a session per call, each with its
+    * own catalog/listener state the parent keeps reachable. The clone
+    * still isolates the conf raise (the i2/s2 discipline): the parent's
+    * runaway-recursion fuse stays armed. */
+  private val recursionSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def recursionSession(s: SparkSession): SparkSession =
+    recursionSessions.computeIfAbsent(s, { parent =>
+      val sq = parent.newSession()
+      sq.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
+      sq
+    })
+
   private def viewsReady(s: SparkSession, dir: String): Unit =
     Seq("lineitem", "orders", "customer").foreach { t =>
       Tables.table(s, dir, t).createOrReplaceTempView(t)
@@ -403,9 +420,8 @@ object SqlSurface {
       // disarm the runaway-recursion fuse for the rest of the session.
       // The limit is read at EXECUTION, so a set/restore around this
       // (lazy) builder would restore before the action ever runs.
-      val sq = s.newSession()
+      val sq = recursionSession(s)
       Tables.lineitem(sq, dir).createOrReplaceTempView("lineitem_rcte")
-      sq.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
       sq.sql("""WITH RECURSIVE rev AS (
               |  SELECT l_partkey AS node,
               |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck

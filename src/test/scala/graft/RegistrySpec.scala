@@ -37,15 +37,20 @@ class RegistrySpec extends SparkSpec {
     // plan is enough, no job needs to run.
     // AQE off: AdaptiveSparkPlanExec hides its inner plan from collect()
     // until execution, which would make this audit silently vacuous
-    val offenders = withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+    // A def that fails during PLANNING here silently shrinks the audit's
+    // coverage — surface those too ("every registered query executes"
+    // proves they all run, so an unplannable def in THIS context is a
+    // coverage hole, not an acceptable skip).
+    val (unplanned, offenders) = withSQLConf("spark.sql.adaptive.enabled" -> "false") {
       spark.catalog.clearCache()
-      (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs).flatMap { d =>
-        try {
-          if (plans.PlanAudit.cartesianProducts(d.run(spark, sf)).nonEmpty)
-            Some(d.name) else None
-        } catch { case _: Throwable => None } // execution failures are the other test's job
+      val outcomes = (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs).map { d =>
+        try Right(d.name -> plans.PlanAudit.cartesianProducts(d.run(spark, sf)).nonEmpty)
+        catch { case e: Throwable => Left(s"${d.name}: ${e.getMessage}") }
       }
+      (outcomes.collect { case Left(m) => m },
+        outcomes.collect { case Right((n, true)) => n })
     }
+    assert(unplanned.isEmpty, s"audit coverage holes (failed to plan): $unplanned")
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
@@ -65,18 +70,19 @@ class RegistrySpec extends SparkSpec {
       "ret1_hybrid_rrf",      // rank fusion over two k-row (k=20) frames — serving-sized
       "e11_rolling_wau_sketch" // 7-day roll over ONE sketch row per DAY — calendar-bounded
     )
-    val offenders = withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+    val (unplanned, offenders) = withSQLConf("spark.sql.adaptive.enabled" -> "false") {
       spark.catalog.clearCache()
-      SparkEntry.allDefs.filterNot(d => exempt(d.name)).flatMap { d =>
-        try {
-          // the robust signal: an unpartitioned WindowExec (required child
-          // distribution = all tuples → SinglePartition exchange). Result-
-          // side dump ORDER BYs are range-partitioned and don't trip.
-          if (plans.PlanAudit.singlePartitionWindows(d.run(spark, sf)).nonEmpty)
-            Some(d.name) else None
-        } catch { case _: Throwable => None }
+      val outcomes = SparkEntry.allDefs.filterNot(d => exempt(d.name)).map { d =>
+        // the robust signal: an unpartitioned WindowExec (required child
+        // distribution = all tuples → SinglePartition exchange). Result-
+        // side dump ORDER BYs are range-partitioned and don't trip.
+        try Right(d.name -> plans.PlanAudit.singlePartitionWindows(d.run(spark, sf)).nonEmpty)
+        catch { case e: Throwable => Left(s"${d.name}: ${e.getMessage}") }
       }
+      (outcomes.collect { case Left(m) => m },
+        outcomes.collect { case Right((n, true)) => n })
     }
+    assert(unplanned.isEmpty, s"audit coverage holes (failed to plan): $unplanned")
     assert(offenders.isEmpty,
       s"undocumented unpartitioned windows in: $offenders")
   }

@@ -31,22 +31,42 @@ class FinanceSpec extends SparkSpec {
     }
   }
 
-  test("fin2: drawdown is non-negative, bounded by 10000 bp, and 0 at a fresh peak") {
+  test("fin2: drawdown equals a driver-side sequential recomputation") {
     val rows = Finance.defs.find(_.name == "fin2_max_drawdown").get.run(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val mx = r.getAs[Long]("max_dd_bp")
       assert(mx >= 0 && mx < 10000)
     }
-    // a monotonically rising series has zero drawdown everywhere: the first
-    // bar of every instrument is its own running peak
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("event_type").orderBy("bkt")
-    val first = barsDf.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .withColumn("peak", col("close_ck"))
-      .filter(col("peak") > 0)
-      .withColumn("dd", expr("(peak - close_ck) * 10000 div peak"))
-    assert(first.filter(col("dd") =!= 0).count() === 0)
+    // independent recomputation: fold each instrument's bar series IN
+    // ORDER on the driver (no window functions — a different computation
+    // path than the engine's running-max plan), deriving the same
+    // (n, max_dd, s_dd, mix) aggregate per instrument
+    val series = barsDf.select("event_type", "bkt", "close_ck").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val expected = series.map { case (inst, closes) =>
+      var peak = 0L
+      var rn = 0L
+      var n = 0L; var maxDd = 0L; var sDd = 0L; var mix = 0L
+      closes.foreach { c =>
+        peak = math.max(peak, c)
+        rn += 1 // row_number over ALL bars, matching the engine's rn
+        if (peak > 0) {
+          val dd = (peak - c) * 10000 / peak
+          n += 1; maxDd = math.max(maxDd, dd); sDd += dd
+          mix += ((rn % 251) + 1) * dd
+        }
+      }
+      inst -> (n, maxDd, sDd, mix)
+    }
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val want = expected(r.getAs[String]("event_type"))
+      val got = (r.getAs[Long]("n"), r.getAs[Long]("max_dd_bp"),
+        r.getAs[Long]("s_dd"), r.getAs[Long]("mix"))
+      assert(got === want, s"drawdown mismatch for ${r.getAs[String]("event_type")}")
+    }
   }
 
   test("fin3: correlation in [-1, 1], pairs are ordered and unique") {
