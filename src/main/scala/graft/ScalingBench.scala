@@ -150,8 +150,15 @@ object ScalingBench {
     // (SPARK_GRAFT_MULTS=1,4,8,16 for the sf1-equivalent certification)
     val mults = sys.env.get("SPARK_GRAFT_MULTS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4))
-    def timeTier(tier: String, roster: Seq[String], dirFor: Int => String,
+    // dev filter: restrict any tier's roster to a comma-separated subset
+    // (the ×32/×64 certification spot-checks the top-cost queries without
+    // paying for the full roster at every multiple)
+    val onlyQ = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def timeTier(tier: String, roster0: Seq[String], dirFor: Int => String,
         counts: String => String): Unit = {
+      val roster = roster0.filter(n => onlyQ.forall(_.contains(n)))
+      if (roster.isEmpty) return
       val defs = (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs)
         .filter(d => roster.contains(d.name))
         .sortBy(d => roster.indexOf(d.name))
