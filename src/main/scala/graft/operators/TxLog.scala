@@ -472,6 +472,45 @@ object TxLog {
     }.get
   }
 
+  /** Effectively-once tagged APPEND — [[foldOnce]]'s append sibling: `df`
+    * lands as new files on top of the latest version, the tag riding in
+    * the same atomic manifest publish; a tag already committed makes the
+    * append a no-op (returns false). The note set grows with commits
+    * (each manifest carries the full set — the replay ledger); beyond
+    * ~10⁶ batches a production log would checkpoint notes past the
+    * replay horizon, the same way Delta checkpoints its log. */
+  def appendOnce(spark: SparkSession, root: String, tag: String,
+      df: DataFrame): Boolean = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $tag")
+    withRetry(root) {
+      case Some(snap) if snap.notes(tag) => Some(false)
+      case None =>
+        init(spark, root, df, tag); Some(true)
+      case Some(snap) =>
+        commitAppend(spark, root, df, snap.version, tag); Some(true)
+    }.get
+  }
+
+  /** Structured-Streaming sink: every micro-batch commits as ONE tagged
+    * txlog append — the log-backed replacement for a plain parquet
+    * `writeStream` sink. Exactly-once table contents under foreachBatch's
+    * at-least-once delivery: a replayed batch's tag (`batch-<id>`) is
+    * already in the manifest, so the replay no-ops — and unlike a plain
+    * parquet append there is no torn half-batch visible to readers at ANY
+    * crash point (the manifest publishes atomically or not at all).
+    * Readers concurrent with the stream see complete committed versions
+    * only, with snapshot isolation per [[read]]. */
+  def streamingSink(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendOnce(batch.sparkSession, root, s"batch-$batchId", batch.toDF())
+        ()
+    }.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Bin-pack the LATEST version's files into `targetFiles` outputs and
     * republish — same row multiset, fewer files, zero shuffle
     * (`coalesce`), manifest-atomic, and pinned readers of older versions

@@ -179,6 +179,47 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.currentVersion(root2) === 2L)
   }
 
+  test("appendOnce is effectively-once; streamingSink lands each micro-batch exactly once") {
+    val root = freshRoot("sink")
+    // appendOnce: the replay ledger rides the manifest
+    assert(TxLog.appendOnce(spark, root, "b0", spark.range(5).toDF("v")))
+    assert(!TxLog.appendOnce(spark, root, "b0", spark.range(5).toDF("v")))
+    assert(TxLog.appendOnce(spark, root, "b1", spark.range(5, 8).toDF("v")))
+    assert(TxLog.read(spark, root).count() === 8)
+    assert(TxLog.currentVersion(root) === 2L)
+
+    // streamingSink: one staged file per micro-batch through a real
+    // file-source stream; final table = every row exactly once
+    val root2 = freshRoot("sink2")
+    val inDir = s"$root2-in"
+    new java.io.File(inDir).mkdirs()
+    (0 until 4).foreach { b =>
+      val tmp = s"$inDir-tmp-$b"
+      spark.range(b * 10, b * 10 + 10).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/b-$b.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val stream = spark.readStream
+      .schema(spark.range(1).toDF("v").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = TxLog.streamingSink(stream, root2, s"$root2-chk")
+    q.awaitTermination(120000)
+    val got = TxLog.read(spark, root2).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 40L))
+    // one committed version per micro-batch, each tagged
+    assert(TxLog.currentVersion(root2) === 4L)
+    assert(TxLog.snapshot(root2).get.notes === (0 until 4).map(b => s"batch-$b").toSet)
+    // a manual replay of an already-committed batch no-ops (the
+    // at-least-once redelivery path foreachBatch can take after a crash)
+    assert(!TxLog.appendOnce(spark, root2, "batch-2", spark.range(3).toDF("v")))
+    assert(TxLog.read(spark, root2).count() === 40)
+  }
+
   test("compact packs files; pruneHistory + vacuum release old versions") {
     val root = freshRoot("compact")
     TxLog.init(spark, root, docs.limit(64).repartition(16))
