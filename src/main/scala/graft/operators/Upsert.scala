@@ -64,6 +64,60 @@ object Upsert {
           sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)).cast("long").as("n_inserted"))
     },
 
+    // S12: the PARTITION-SCOPED merge under the differential gate. The
+    // fixture is the documents table hive-partitioned by lang and adopted
+    // into the log in place; the batch touches ONE partition (the minimum
+    // lang): updates every doc_id ≡ 0 (mod 10) there to md5(text) and
+    // inserts 50 new docs into it. The oracle states the merged table —
+    // so the hash certifies replace/insert/survive across partitions —
+    // and the untouched-partitions-carried-BY-REFERENCE claim rides as a
+    // verdict boolean computed from the manifests (same entries, same
+    // paths, for every lang the batch didn't touch).
+    QueryDef("s12_partitioned_upsert",
+      """WITH ml AS (SELECT min(lang) AS v FROM documents),
+        |merged AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lang = (SELECT v FROM ml) AND doc_id % 10 = 0
+        |              THEN md5(text) ELSE text END AS text,
+        |         lang
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(CAST(doc_id AS VARCHAR)),
+        |         (SELECT v FROM ml)
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(lang))) AS BIGINT) AS lck,
+        |       CAST(sum(CASE WHEN lang = (SELECT v FROM ml) THEN 1 ELSE 0 END) AS BIGINT) AS n_minlang,
+        |       TRUE AS untouched_by_reference
+        |FROM merged""".stripMargin) { (s, dir) =>
+      val root = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/part-upsert-table"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      docs.write.partitionBy("lang").parquet(root)
+      TxLog.adopt(s, root, Some("lang"))
+      val minLang = docs.agg(min("lang")).head().getString(0)
+      val updates = docs.filter(col("lang") === minLang && col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text"), col("lang"))
+      val inserts = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("text"),
+          lit(minLang).as("lang"))
+      val before = TxLog.snapshot(root).get
+      TxLog.upsertPartitioned(s, root, updates.unionByName(inserts), "doc_id", "lang")
+      val after = TxLog.snapshot(root).get
+      // untouched partitions: identical manifest entries (paths AND tags)
+      val untouched = before.entries.filterNot(_.part.contains(minLang)).toSet ==
+        after.entries.filterNot(_.part.contains(minLang)).toSet &&
+        before.entries.exists(!_.part.contains(minLang))
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary"))).cast("long").as("ck"),
+          sum((col("doc_id") + 1) * length(col("lang").cast("binary"))).cast("long").as("lck"),
+          sum(when(col("lang") === minLang, 1L).otherwise(0L)).cast("long").as("n_minlang"))
+        .withColumn("untouched_by_reference", lit(untouched))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

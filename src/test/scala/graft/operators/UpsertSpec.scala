@@ -150,6 +150,58 @@ class UpsertSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("generic ops on a partitioned table preserve partition metadata (delete/append/compact/full upsert)") {
+    val root = freshRoot("generic")
+    src.write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
+    val n = src.count()
+    val langs = TxLog.snapshot(root).get.entries.flatMap(_.part).distinct.sorted
+
+    // delete restages through the hive writer: partCol survives, victims gone
+    val nVictims = src.filter(col("doc_id") % 5 === 0).count()
+    TxLog.delete(spark, root, col("doc_id") % 5 === 0)
+    assert(TxLog.snapshot(root).get.partCol === Some("lang"))
+    val afterDel = TxLog.read(spark, root)
+    assert(afterDel.count() === n - nVictims)
+    assert(afterDel.select("lang").distinct().count() === langs.length)
+
+    // append lands new files tagged with their partitions
+    val extra = src.filter(col("doc_id") % 5 === 0).limit(7)
+    val v = TxLog.commitAppend(spark, root, extra, TxLog.currentVersion(root))
+    assert(TxLog.read(spark, root, v).count() === n - nVictims + 7)
+
+    // compact repacks but keeps the partition column and the row multiset
+    val rowsBefore = TxLog.read(spark, root).collect().map(_.toString).sorted
+    TxLog.compact(spark, root, 2)
+    assert(TxLog.read(spark, root).collect().map(_.toString).sorted === rowsBefore)
+    assert(TxLog.snapshot(root).get.partCol === Some("lang"))
+
+    // full-table keyed upsert works too (the partition-scoped form is
+    // upsertPartitioned; this is the rewrite-everything fallback)
+    val batch = src.limit(3).withColumn("text", lit("FULL"))
+    TxLog.upsert(spark, root, batch, "doc_id")
+    assert(TxLog.read(spark, root).filter(col("text") === "FULL").count() === 3)
+    assert(TxLog.snapshot(root).get.partCol === Some("lang"))
+  }
+
+  test("concurrent partition-scoped upserts both land (CAS retry on the partitioned path)") {
+    val root = freshRoot("race")
+    import spark.implicits._
+    val base = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("doc_id", "text", "lang")
+    base.write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
+    def batch(id: Long, lang: String) =
+      Seq((id, s"new-$id", lang)).toDF("doc_id", "text", "lang")
+    val ts = Seq((10L, "x"), (11L, "y")).map { case (id, lang) =>
+      new Thread(() => TxLog.upsertPartitioned(spark, root, batch(id, lang), "doc_id", "lang"))
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val after = TxLog.read(spark, root)
+    assert(after.count() === 4)
+    assert(after.filter(col("doc_id") >= 10).count() === 2)
+    assert(TxLog.currentVersion(root) === 3L) // adopt + two serialized commits
+  }
+
   test("upsertPartitioned on an uninitialized root creates the table") {
     val root = freshRoot("create")
     val batch = src.limit(20)
