@@ -88,7 +88,61 @@ object TextAnalysis {
   val PmiQ = 1000000000000L
   val PmiTopK = 50
 
+  /** t14 scrub patterns — ASCII word boundaries and bounded quantifiers
+    * only, so Java regex (Spark) and RE2 (DuckDB) agree exactly. */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val IpRe = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+  private val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
   val defs: Seq[QueryDef] = Seq(
+    // T14: PII redaction — the scrub step every training-data release
+    // pipeline runs. Positives are PLANTED deterministically from doc_id
+    // (identical construction in both engines: emails on ≡0 mod 7, IPv4
+    // on ≡0 mod 11, phone numbers on ≡0 mod 13), so the kernel is
+    // certified on real matches, not just no-ops. Output is per-doc:
+    // match counts + md5 of the fully redacted text — content-exact
+    // through the hash gate. Spark side uses the Column API (regex passed
+    // as a raw value, never through SQL-literal escaping); DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default.
+    QueryDef("t14_pii_redaction",
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' mail user' || doc_id || '@ex' || (doc_id % 10) || '.com' ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ' host 10.4.' || (doc_id % 250) || '.' || ((doc_id // 250) % 250) ELSE '' END ||
+        |         CASE WHEN doc_id % 13 = 0 THEN ' call 555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ip,
+        |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |           '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'),
+        |           '$PhoneRe', '<PHONE>', 'g')) AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" mail user"),
+          col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 10).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" host 10.4."),
+          (col("doc_id") % 250).cast("string"), lit("."),
+          (expr("doc_id div 250") % 250).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" call 555-"),
+          (lit(100) + col("doc_id") % 900).cast("string"), lit("-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string"))).otherwise(lit(""))
+      ).as("t"))
+      val red = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+      aug.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        md5(red.cast("binary")).as("red_md5"))
+        .orderBy("doc_id")
+    },
+
     // T1: per-language corpus profile.
     QueryDef("t1_lang_profile",
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -85,4 +85,21 @@ class TextSketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq === Seq((1L, 2L, 3), (1L, 4L, 0), (2L, 4L, 3)))
   }
+
+  test("t14: PII counts follow the planting grid exactly (base corpus is PII-free)") {
+    // the differential gate certifies engine agreement; this pins the
+    // GROUND TRUTH — each doc matches exactly its planted PII and nothing
+    // else, so a regex that over- or under-matches on the organic text
+    // fails here even if both engines agree on it
+    val rows = TextAnalysis.defs.find(_.name == "t14_pii_redaction").get
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (if (id % 7 == 0) 1L else 0L), s"email count doc $id")
+      assert(r.getLong(2) === (if (id % 11 == 0) 1L else 0L), s"ip count doc $id")
+      assert(r.getLong(3) === (if (id % 13 == 0) 1L else 0L), s"phone count doc $id")
+      assert(r.getString(4).matches("[0-9a-f]{32}"))
+    }
+  }
 }
