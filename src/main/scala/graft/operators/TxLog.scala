@@ -83,10 +83,15 @@ object TxLog {
   final case class FileEntry(path: String, part: Option[String])
 
   /** One pinned table version: the manifest's data files (relative to
-    * root), its accumulated note set (effectively-once tags) and the
-    * table's partition column, if any. */
+    * root), its accumulated note set (effectively-once tags), the
+    * table's partition column, if any, and the committed FILE schema
+    * (JSON; absent on adopted tables and pre-schema manifests, where
+    * reads fall back to parquet inference). The stored schema is what
+    * makes mixed-vintage versions read uniformly: old files surface
+    * later-added columns as NULL, and planning never samples footers. */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
-      notes: Set[String], partCol: Option[String]) {
+      notes: Set[String], partCol: Option[String],
+      schemaJson: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -115,7 +120,7 @@ object TxLog {
     if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
     else Some(ExternalCatalogUtils.unescapePathName(s))
 
-  private def parseManifest(p: Path): Option[(Seq[FileEntry], Set[String], Option[String])] = {
+  private def parseManifest(p: Path): Option[(Seq[FileEntry], Set[String], Option[String], Option[String])] = {
     if (!Files.isRegularFile(p)) return None
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
     // completeness gate: a manifest is real only when its terminator
@@ -130,7 +135,8 @@ object TxLog {
     }
     val notes = lines.collect { case l if l.startsWith("n\t") => l.drop(2) }.toSet
     val partCol = lines.collectFirst { case l if l.startsWith("p\t") => l.drop(2) }
-    Some((entries, notes, partCol))
+    val schema = lines.collectFirst { case l if l.startsWith("s\t") => l.drop(2) }
+    Some((entries, notes, partCol, schema))
   }
 
   /** Latest COMPLETE version, 0 when the table has no log yet. */
@@ -143,16 +149,24 @@ object TxLog {
     * with no committed version. */
   def snapshot(root: String, v: Long = -1L): Option[Snapshot] = {
     val ver = if (v >= 0) v else currentVersion(root)
-    parseManifest(manifestPath(root, ver)).map { case (es, ns, pc) =>
-      Snapshot(ver, es, ns, pc)
+    parseManifest(manifestPath(root, ver)).map { case (es, ns, pc, sj) =>
+      Snapshot(ver, es, ns, pc, sj)
     }
   }
 
   /** Explicit-file read with partition inference OFF — the manifest is
     * the metadata layer; Spark must never re-derive table structure from
-    * directory shapes (mixed adopted/staged depths would conflict). */
-  private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+    * directory shapes (mixed adopted/staged depths would conflict). With
+    * a committed schema, planning skips footer sampling entirely and
+    * older files surface later-added columns as NULL (evolve-on-read). */
+  private def readFiles(spark: SparkSession, paths: Seq[String],
+      schemaJson: Option[String] = None): DataFrame = {
+    val r0 = spark.read.option("recursiveFileLookup", "true")
+    val r = schemaJson.fold(r0)(j => r0.schema(
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    r.parquet(paths: _*)
+  }
 
   /** Read a pinned version (default: latest at call time). The returned
     * plan references the snapshot's explicit immutable files — evaluating
@@ -166,11 +180,11 @@ object TxLog {
         (if (version >= 0) s" (asked for $version)" else "")))
     require(snap.files.nonEmpty, s"version ${snap.version} at $root has no data files")
     snap.partCol match {
-      case None => readFiles(spark, snap.files.map(f => s"$root/$f"))
+      case None => readFiles(spark, snap.files.map(f => s"$root/$f"), snap.schemaJson)
       case Some(pc) =>
         snap.entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
           .map { case (pv, es) =>
-            readFiles(spark, es.map(e => s"$root/${e.path}"))
+            readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
               .withColumn(pc, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
           }.reduce(_ unionByName _)
     }
@@ -224,15 +238,18 @@ object TxLog {
     * and notes. Throws ConcurrentModificationException — having published
     * NOTHING — when another writer got there first. */
   private def publish(root: String, expected: Long, entries: Seq[FileEntry],
-      partCol: Option[String], notes: Set[String]): Long = {
+      partCol: Option[String], notes: Set[String],
+      schemaJson: Option[String]): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
     val fLines = partCol match {
       case None => entries.map(e => "f\t" + e.path)
       case Some(_) => entries.map(e => s"f\t${e.path}\t${encodePart(e.part)}")
     }
-    val body = (partCol.map("p\t" + _).toSeq ++ fLines ++
-      notes.toSeq.sorted.map("n\t" + _) :+ "commit")
+    // schema JSON is single-line by construction (JSON escapes control
+    // characters), so it rides as one `s` header line
+    val body = (partCol.map("p\t" + _).toSeq ++ schemaJson.map("s\t" + _).toSeq ++
+      fLines ++ notes.toSeq.sorted.map("n\t" + _) :+ "commit")
       .mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -258,7 +275,8 @@ object TxLog {
     ensureUninitialized(root)
     val files = stageData(spark, root, df)
     publish(root, 0L, files.map(FileEntry(_, None)), None,
-      if (note.isEmpty) Set.empty else Set(note))
+      if (note.isEmpty) Set.empty else Set(note),
+      Some(fileSchemaJson(df, None)))
   }
 
   /** Create a PARTITIONED table (version 1) from `df`, hive-staged on
@@ -268,7 +286,8 @@ object TxLog {
     ensureUninitialized(root)
     val entries = stagePartitioned(spark, root, df, partCol)
     publish(root, 0L, entries, Some(partCol),
-      if (note.isEmpty) Set.empty else Set(note))
+      if (note.isEmpty) Set.empty else Set(note),
+      Some(fileSchemaJson(df, Some(partCol))))
   }
 
   /** Convert an EXISTING plain parquet directory (partCol = None) or
@@ -298,13 +317,39 @@ object TxLog {
           }.sortBy(_.path)
     }
     require(entries.nonEmpty, s"adopt: no parquet data found at $root")
-    publish(root, 0L, entries, partCol, Set(note))
+    // no committed schema: the adopted files' vintage is whatever it is —
+    // reads stay on parquet inference until the first overwrite commit
+    publish(root, 0L, entries, partCol, Set(note), None)
   }
 
   private def ensureUninitialized(root: String): Unit =
     if (currentVersion(root) != 0L)
       throw new java.util.ConcurrentModificationException(
         s"txlog already initialized at $root; re-read and retry")
+
+  /** Committed-FILE schema of `df` (partition column excluded — the hive
+    * writer drops it from the data files; [[read]] re-attaches it). */
+  private def fileSchemaJson(df: DataFrame, partCol: Option[String]): String =
+    org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(f => partCol.contains(f.name))).json
+
+  /** Additive-evolution gate for commits that MIX old files with new ones
+    * (append, partition-scoped merge): every committed field must keep
+    * its name and type — columns may be ADDED, never dropped or retyped
+    * (Delta's default evolution rule). Overwrite-commits replace every
+    * file, so they may change schema freely. */
+  private def requireAdditive(prevJson: Option[String], nextJson: String,
+      op: String): Unit =
+    prevJson.foreach { pj =>
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val prev = DataType.fromJson(pj).asInstanceOf[StructType]
+      val next = DataType.fromJson(nextJson).asInstanceOf[StructType]
+      prev.foreach { f =>
+        require(next.find(_.name == f.name).exists(_.dataType == f.dataType),
+          s"$op: schema not additive — committed field ${f.name}: " +
+            s"${f.dataType.simpleString} is missing or retyped in the incoming batch")
+      }
+    }
 
   /** Overwrite-commit: the new version's content is exactly `df`. CAS on
     * `expected`; notes accumulate (the new manifest carries the expected
@@ -321,9 +366,11 @@ object TxLog {
     }
     // CAS against exactly `expected` — anything else (e.g. latest-on-disk)
     // would publish OVER a concurrent writer's version this writer never
-    // read: the textbook lost update
+    // read: the textbook lost update. Overwrite replaces EVERY file, so
+    // the schema may change freely (no mixed vintage to protect).
     publish(root, expected, entries, partCol,
-      if (note.isEmpty) prevNotes else prevNotes + note)
+      if (note.isEmpty) prevNotes else prevNotes + note,
+      Some(fileSchemaJson(df, partCol)))
   }
 
   /** Append-commit: the new version is the expected snapshot's files plus
@@ -332,12 +379,17 @@ object TxLog {
       expected: Long, note: String = ""): Long = {
     val snap = snapshot(root, expected).getOrElse(
       throw new IllegalStateException(s"append to uninitialized txlog $root"))
+    // append MIXES the snapshot's files with the batch's: the committed
+    // schema may only grow (old files surface added columns as NULL)
+    val nextSchema = fileSchemaJson(df, snap.partCol)
+    requireAdditive(snap.schemaJson, nextSchema, "commitAppend")
     val entries = snap.partCol match {
       case Some(pc) => stagePartitioned(spark, root, df, pc)
       case None => stageData(spark, root, df).map(FileEntry(_, None))
     }
     publish(root, expected, snap.entries ++ entries, snap.partCol,
-      if (note.isEmpty) snap.notes else snap.notes + note)
+      if (note.isEmpty) snap.notes else snap.notes + note,
+      if (snap.schemaJson.isDefined) Some(nextSchema) else None)
   }
 
   /** Retry loop for optimistic writers: `attempt` receives the fresh
@@ -414,7 +466,7 @@ object TxLog {
           if (rewrite.isEmpty) batch.limit(0)
           else rewrite.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
             .map { case (pv, es) =>
-              readFiles(spark, es.map(e => s"$root/${e.path}"))
+              readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
                 .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
             }.reduce(_ unionByName _)
         val beforeCounts = current.groupBy(partCol).count().collect()
@@ -423,9 +475,14 @@ object TxLog {
           .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
         val merged = current.join(batch.select(key), Seq(key), "left_anti")
           .unionByName(batch)
+        // the new version mixes kept old files with restaged ones — the
+        // committed schema may only grow (same rule as commitAppend)
+        val nextSchema = fileSchemaJson(merged, snap.partCol)
+        requireAdditive(snap.schemaJson, nextSchema, "upsertPartitioned")
         val fresh = stagePartitioned(spark, root, merged, partCol)
         publish(root, snap.version, keep ++ fresh, snap.partCol,
-          if (note.isEmpty) snap.notes else snap.notes + note)
+          if (note.isEmpty) snap.notes else snap.notes + note,
+          if (snap.schemaJson.isDefined) Some(nextSchema) else None)
         // per-partition post-merge counts from the staged files' footers —
         // metadata-only, bounded by the touched-partition count
         val afterCounts = fresh.groupBy(_.part).map { case (pv, es) =>

@@ -220,6 +220,42 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root2).count() === 40)
   }
 
+  test("committed schema evolves additively on append; drops and retypes are rejected") {
+    val root = freshRoot("schema")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    assert(TxLog.snapshot(root).get.schemaJson.isDefined)
+
+    // additive append: new column arrives; OLD files surface it as NULL
+    // (the committed schema, not parquet inference, governs the read)
+    val v = TxLog.commitAppend(spark, root,
+      Seq((3L, "c", "en")).toDF("doc_id", "text", "lang"),
+      expected = TxLog.currentVersion(root))
+    val after = TxLog.read(spark, root, v).orderBy("doc_id").collect()
+    assert(after.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(after.map(r => Option(r.getString(2))).toSeq === Seq(None, None, Some("en")))
+
+    // dropping a committed column is NOT additive
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, root, Seq(4L).toDF("doc_id"),
+        expected = TxLog.currentVersion(root))
+    }
+    // retyping a committed column is NOT additive
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, root,
+        Seq((5L, 9, "x")).toDF("doc_id", "text", "lang"),
+        expected = TxLog.currentVersion(root))
+    }
+    // the failed attempts published nothing
+    assert(TxLog.currentVersion(root) === v)
+    assert(TxLog.read(spark, root).count() === 3)
+
+    // overwrite may change schema freely (every file is replaced)
+    TxLog.commitOverwrite(spark, root, Seq((7L, 1.5)).toDF("doc_id", "score"),
+      expected = v)
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("doc_id", "score"))
+  }
+
   test("compact packs files; pruneHistory + vacuum release old versions") {
     val root = freshRoot("compact")
     TxLog.init(spark, root, docs.limit(64).repartition(16))
