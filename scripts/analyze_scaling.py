@@ -9,7 +9,7 @@ exceeds 1.2x-of-linear (i.e. min-time ratio > 2.4x for 2x the data).
 
 Usage: analyze_scaling.py <raw_lines_file> <out_json> [note]
 """
-import json, sys
+import json, math, sys
 
 raw, out = sys.argv[1], sys.argv[2]
 note = sys.argv[3] if len(sys.argv) > 3 else ""
@@ -40,12 +40,11 @@ for tier, recs in tiers.items():
                 pts.append({"mult": r["mult"], "cold": t["cold"], "warm": t["warm"],
                             "min": round(min(t["cold"], t["warm"]), 3)})
         for a, b in zip(pts, pts[1:]):
-            step = b["mult"] / a["mult"]
-            # normalize to per-doubling when a step spans more than x2
-            ratio = (b["min"] / a["min"]) ** (1.0 / (step ** 0.5)) if step > 2 \
-                else b["min"] / a["min"]
+            # a step of xS spans log2(S) doublings; the allowed cost is
+            # BAND per doubling, i.e. BAND ** log2(S) for the whole step
+            doublings = math.log2(b["mult"] / a["mult"])
             b["ratio_vs_prev"] = round(b["min"] / a["min"], 2)
-            if b["min"] / a["min"] > BAND ** (step / 2):
+            if b["min"] / a["min"] > BAND ** doublings:
                 flags.append({"q": q, "from": a["mult"], "to": b["mult"],
                               "ratio": round(b["min"] / a["min"], 2)})
         curves[q] = pts

@@ -56,11 +56,22 @@ object Rollup {
 
   /** Fold one tagged batch of raw events into the store at `storeDir`.
     * Returns false when the tag was already folded (replay no-op). */
-  def fold(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean =
+  def fold(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean = {
+    // a store written by the pre-txlog format (parquet + `_folded_tags`
+    // sidecar) must not be silently shadowed: foldOnce would init a v1
+    // manifest over the directory, hiding all previously folded data and
+    // re-folding replayed tags. Refuse loudly; the migration is a
+    // one-time rebuild (or adopt + re-tagging) the operator must choose.
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(storeDir, "_folded_tags")) ||
+        TxLog.snapshot(storeDir).isDefined,
+      s"rollup store $storeDir uses the legacy _folded_tags format — " +
+        "rebuild it (or adopt + re-tag) before folding through the txlog")
     TxLog.foldOnce(s, storeDir, tag, {
       case None => grain(batch)
       case Some(cur) => mergeGrain(cur, grain(batch))
     })
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // S9: the store, built by folding three deterministic day-sliced
@@ -82,10 +93,9 @@ object Rollup {
         |       CAST(min(mn) AS BIGINT) AS mn, CAST(max(mx) AS BIGINT) AS mx,
         |       CAST(sum(((day % 251) + 1) * n) AS BIGINT) AS mix
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val store = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/rollup-store"
       // fresh store per run: the query's meaning is "fold the full
       // history in batches", not "fold on top of a previous run"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val store = TxLog.freshRoot(dir, "rollup-store")
       val ev = Tables.events(s, dir)
       (0 to 2).foreach { r =>
         val folded = fold(s, store,

@@ -421,11 +421,16 @@ object SqlSurface {
       // The limit is read at EXECUTION, so a set/restore around this
       // (lazy) builder would restore before the action ever runs.
       val sq = recursionSession(s)
-      Tables.lineitem(sq, dir).createOrReplaceTempView("lineitem_rcte")
-      sq.sql("""WITH RECURSIVE rev AS (
+      // per-invocation view name on the SHARED clone: concurrent callers
+      // (different data dirs) must not resolve each other's table — the
+      // view is dropped after sql() analyzes (resolution is eager, so the
+      // returned plan no longer needs the catalog entry)
+      val view = s"lineitem_rcte_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.lineitem(sq, dir).createOrReplaceTempView(view)
+      try sq.sql(s"""WITH RECURSIVE rev AS (
               |  SELECT l_partkey AS node,
               |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
-              |  FROM lineitem_rcte GROUP BY l_partkey),
+              |  FROM $view GROUP BY l_partkey),
               |walk(node, anc) AS (
               |  SELECT node, node + 1 FROM rev
               |  UNION ALL
@@ -440,6 +445,7 @@ object SqlSurface {
               |       CAST(sum(rev_ck) AS BIGINT) AS rev_ck,
               |       CAST(sum(((anc % 251) + 1) * (rev_ck % 1000003)) AS BIGINT) AS mix
               |FROM agg GROUP BY 1 ORDER BY depth""".stripMargin)
+      finally sq.catalog.dropTempView(view)
     }
   )
 }

@@ -182,11 +182,12 @@ object TxLog {
     snap.partCol match {
       case None => readFiles(spark, snap.files.map(f => s"$root/$f"), snap.schemaJson)
       case Some(pc) =>
-        snap.entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
-          .map { case (pv, es) =>
-            readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
-              .withColumn(pc, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
-          }.reduce(_ unionByName _)
+        balancedUnion(
+          snap.entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
+            .map { case (pv, es) =>
+              readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
+                .withColumn(pc, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
+            })
     }
   }
 
@@ -327,6 +328,32 @@ object TxLog {
       throw new java.util.ConcurrentModificationException(
         s"txlog already initialized at $root; re-read and retry")
 
+  /** Union a list of frames as a BALANCED tree (depth log₂ n). A
+    * left-deep `reduce(_ unionByName _)` builds a union whose depth
+    * equals the partition count — Catalyst's recursive tree traversals
+    * overflow the driver stack at 10⁴+ partitions long before data size
+    * is the problem. */
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else balancedUnion(dfs.grouped(2).map {
+      case Seq(a, b) => a.unionByName(b)
+      case Seq(a) => a
+    }.toSeq)
+
+  /** The schema governing the snapshot's files: the committed one, or —
+    * for adopted tables that have not yet committed a schema — a merged
+    * parquet inference over the snapshot's files (one-time cost; the
+    * caller then commits the evolved schema, upgrading the table to
+    * schema-pinned). Without this, the additive gate would silently skip
+    * adopted tables and a retyped column could commit, bricking every
+    * subsequent read on an unmergeable inference. */
+  private def effectiveSchemaJson(spark: SparkSession, root: String,
+      snap: Snapshot): String =
+    snap.schemaJson.getOrElse(
+      spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$root/$f"): _*).schema.json)
+
   /** Committed-FILE schema of `df` (partition column excluded — the hive
     * writer drops it from the data files; [[read]] re-attaches it). */
   private def fileSchemaJson(df: DataFrame, partCol: Option[String]): String =
@@ -380,16 +407,19 @@ object TxLog {
     val snap = snapshot(root, expected).getOrElse(
       throw new IllegalStateException(s"append to uninitialized txlog $root"))
     // append MIXES the snapshot's files with the batch's: the committed
-    // schema may only grow (old files surface added columns as NULL)
+    // schema may only grow (old files surface added columns as NULL).
+    // Adopted tables infer their previous schema once and upgrade to
+    // schema-pinned with this commit.
     val nextSchema = fileSchemaJson(df, snap.partCol)
-    requireAdditive(snap.schemaJson, nextSchema, "commitAppend")
+    requireAdditive(Some(effectiveSchemaJson(spark, root, snap)),
+      nextSchema, "commitAppend")
     val entries = snap.partCol match {
       case Some(pc) => stagePartitioned(spark, root, df, pc)
       case None => stageData(spark, root, df).map(FileEntry(_, None))
     }
     publish(root, expected, snap.entries ++ entries, snap.partCol,
       if (note.isEmpty) snap.notes else snap.notes + note,
-      if (snap.schemaJson.isDefined) Some(nextSchema) else None)
+      Some(nextSchema))
   }
 
   /** Retry loop for optimistic writers: `attempt` receives the fresh
@@ -435,18 +465,39 @@ object TxLog {
     * could land half a batch). Returns per-partition stats, ordered by
     * partition name. NULL and empty-string partition values both map to
     * the hive default partition, matching Spark's partitioned writer. */
+  /** Partition-column types whose Row value `toString` matches Spark's
+    * hive partition-path rendering exactly. Matching touched partitions
+    * compares batch VALUES against manifest strings decoded from the
+    * writer's directory names, so a type that renders differently on
+    * the two paths (timestamp, float/double, decimal) would silently
+    * keep AND restage the same partition — duplicate rows. Refused
+    * loudly instead. */
+  private val StablePartTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, IntegerType, LongType, ShortType, ByteType,
+      BooleanType, DateType)
+  }
+
   def upsertPartitioned(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, partCol: String, note: String = ""): Seq[PartStats] = {
+    require(StablePartTypes.contains(batch0.schema(partCol).dataType),
+      s"upsertPartitioned: partition column $partCol has type " +
+        s"${batch0.schema(partCol).dataType.simpleString}, whose rendering is not " +
+        "stable across value/path forms (use string, integral, boolean or date)")
     // ""→NULL first: Spark's own partitioned writer stores both under
-    // __HIVE_DEFAULT_PARTITION__ and reads them back as null
+    // __HIVE_DEFAULT_PARTITION__ and reads them back as null. The batch
+    // is cached: its plan decides the touched-partition set AND the
+    // staged output — an uncached nondeterministic batch could stage a
+    // partition the touched set never saw, leaving its OLD files in the
+    // manifest alongside the new ones (duplicate rows).
     val batch =
-      if (batch0.schema(partCol).dataType == org.apache.spark.sql.types.StringType)
+      (if (batch0.schema(partCol).dataType == org.apache.spark.sql.types.StringType)
         batch0.withColumn(partCol,
           when(col(partCol) === "", lit(null)).otherwise(col(partCol)))
-      else batch0
+      else batch0).cache()
     def partName(pv: Option[String]): String = pv.getOrElse(
       ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-    withRetry(root) {
+    try withRetry(root) {
       case None =>
         initPartitioned(spark, root, batch, partCol, note)
         val counts = batch.groupBy(partCol).count().collect()
@@ -464,35 +515,40 @@ object TxLog {
         val (rewrite, keep) = snap.entries.partition(e => touchedSet.contains(e.part))
         val current =
           if (rewrite.isEmpty) batch.limit(0)
-          else rewrite.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
-            .map { case (pv, es) =>
-              readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
-                .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
-            }.reduce(_ unionByName _)
+          else balancedUnion(
+            rewrite.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
+              .map { case (pv, es) =>
+                readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
+                  .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
+              })
         val beforeCounts = current.groupBy(partCol).count().collect()
           .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
         val batchCounts = batch.groupBy(partCol).count().collect()
           .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+        // cached: the SAME materialization feeds the after-counts and the
+        // staged write, and the post-merge counts cost one aggregation
+        // over it instead of one read-back job per touched partition
         val merged = current.join(batch.select(key), Seq(key), "left_anti")
-          .unionByName(batch)
-        // the new version mixes kept old files with restaged ones — the
-        // committed schema may only grow (same rule as commitAppend)
-        val nextSchema = fileSchemaJson(merged, snap.partCol)
-        requireAdditive(snap.schemaJson, nextSchema, "upsertPartitioned")
-        val fresh = stagePartitioned(spark, root, merged, partCol)
-        publish(root, snap.version, keep ++ fresh, snap.partCol,
-          if (note.isEmpty) snap.notes else snap.notes + note,
-          if (snap.schemaJson.isDefined) Some(nextSchema) else None)
-        // per-partition post-merge counts from the staged files' footers —
-        // metadata-only, bounded by the touched-partition count
-        val afterCounts = fresh.groupBy(_.part).map { case (pv, es) =>
-          pv -> readFiles(spark, es.map(e => s"$root/${e.path}")).count()
-        }
-        Some(touched.sortBy(partName).map { pv =>
-          PartStats(partName(pv), beforeCounts.getOrElse(pv, 0L),
-            afterCounts.getOrElse(pv, 0L), batchCounts.getOrElse(pv, 0L))
-        })
-    }.get
+          .unionByName(batch).cache()
+        try {
+          // the new version mixes kept old files with restaged ones — the
+          // committed schema may only grow (same rule as commitAppend);
+          // adopted tables infer their previous schema once and upgrade
+          val nextSchema = fileSchemaJson(merged, snap.partCol)
+          requireAdditive(Some(effectiveSchemaJson(spark, root, snap)),
+            nextSchema, "upsertPartitioned")
+          val afterCounts = merged.groupBy(partCol).count().collect()
+            .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+          val fresh = stagePartitioned(spark, root, merged, partCol)
+          publish(root, snap.version, keep ++ fresh, snap.partCol,
+            if (note.isEmpty) snap.notes else snap.notes + note,
+            Some(nextSchema))
+          Some(touched.sortBy(partName).map { pv =>
+            PartStats(partName(pv), beforeCounts.getOrElse(pv, 0L),
+              afterCounts.getOrElse(pv, 0L), batchCounts.getOrElse(pv, 0L))
+          })
+        } finally merged.unpersist()
+    }.get finally batch.unpersist()
   }
 
   /** Transactional targeted delete: survivors republished as a new
@@ -557,16 +613,16 @@ object TxLog {
     * crash point (the manifest publishes atomically or not at all).
     * Readers concurrent with the stream see complete committed versions
     * only, with snapshot isolation per [[read]]. */
-  def streamingSink(stream: DataFrame, root: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.streaming.Trigger
+  def streamingSink(stream: DataFrame, root: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         appendOnce(batch.sparkSession, root, s"batch-$batchId", batch.toDF())
         ()
     }.option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow()).start()
-  }
+      .trigger(trigger).start()
 
   /** Bin-pack the LATEST version's files into `targetFiles` outputs and
     * republish — same row multiset, fewer files, zero shuffle
@@ -636,8 +692,9 @@ object TxLog {
   }
 
   /** Fresh per-run txlog root under target/ (the maintenance queries
-    * mutate their fixture, so each run must start clean). */
-  private def freshRoot(dir: String, tag: String): String = {
+    * mutate their fixture, so each run must start clean). Shared by the
+    * s7/s8/s10/s11/s12 defs. */
+  private[operators] def freshRoot(dir: String, tag: String): String = {
     val root = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/$tag"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     root

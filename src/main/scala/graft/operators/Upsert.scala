@@ -48,8 +48,7 @@ object Upsert {
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
         |       CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |FROM merged""".stripMargin) { (s, dir) =>
-      val root = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/upsert-table"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val root = TxLog.freshRoot(dir, "upsert-table")
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       TxLog.init(s, root, docs)
       val updates = docs.filter(col("doc_id") % 10 === 0)
@@ -91,8 +90,7 @@ object Upsert {
         |       CAST(sum(CASE WHEN lang = (SELECT v FROM ml) THEN 1 ELSE 0 END) AS BIGINT) AS n_minlang,
         |       TRUE AS untouched_by_reference
         |FROM merged""".stripMargin) { (s, dir) =>
-      val root = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/part-upsert-table"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val root = TxLog.freshRoot(dir, "part-upsert-table")
       val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
       docs.write.partitionBy("lang").parquet(root)
       TxLog.adopt(s, root, Some("lang"))
@@ -127,8 +125,7 @@ object Upsert {
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
         |       CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_victims_left
         |FROM documents WHERE doc_id % 13 <> 0""".stripMargin) { (s, dir) =>
-      val root = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/delete-table"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val root = TxLog.freshRoot(dir, "delete-table")
       TxLog.init(s, root, Tables.documents(s, dir).select("doc_id", "text"))
       TxLog.delete(s, root, col("doc_id") % 13 === 0)
       TxLog.read(s, root)

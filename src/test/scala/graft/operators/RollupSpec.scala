@@ -67,6 +67,22 @@ class RollupSpec extends SparkSpec {
     assert(snapshot(st) === direct)
   }
 
+  test("a legacy _folded_tags store is refused, never silently shadowed") {
+    val st = freshStore("legacy")
+    val ev = Tables.events(spark, sf)
+    // simulate a store written by the pre-txlog format: parquet data +
+    // the _folded_tags sidecar, no _txlog manifest
+    Rollup.grain(ev).write.parquet(st)
+    java.nio.file.Files.write(java.nio.file.Paths.get(st, "_folded_tags"),
+      "slice-0\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Rollup.fold(spark, st, ev.limit(10), "slice-1")
+    }
+    assert(e.getMessage.contains("legacy"))
+    assert(!new java.io.File(s"$st/_txlog").exists(),
+      "refusal must not have initialized a shadowing log")
+  }
+
   test("a crashed commit stays invisible: staged-but-unpublished data never reads") {
     val ev = Tables.events(spark, sf)
     val st = freshStore("crashed")

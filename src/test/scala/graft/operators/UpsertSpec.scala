@@ -202,6 +202,19 @@ class UpsertSpec extends SparkSpec {
     assert(TxLog.currentVersion(root) === 3L) // adopt + two serialized commits
   }
 
+  test("partition columns with unstable path rendering are refused loudly") {
+    // a timestamp's Row-value toString differs from Spark's hive path
+    // rendering, so touched-partition matching would silently keep AND
+    // restage the same partition (duplicate rows) — rejected up front
+    import spark.implicits._
+    val batch = Seq((1L, "a", java.sql.Timestamp.valueOf("2026-08-14 00:00:00")))
+      .toDF("doc_id", "text", "ts")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.upsertPartitioned(spark, freshRoot("unstable"), batch, "doc_id", "ts")
+    }
+    assert(e.getMessage.contains("not"))
+  }
+
   test("upsertPartitioned on an uninitialized root creates the table") {
     val root = freshRoot("create")
     val batch = src.limit(20)
