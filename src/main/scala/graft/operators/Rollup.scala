@@ -73,7 +73,70 @@ object Rollup {
     })
   }
 
+  /** Sketch-store grain: one DataSketches HLL per (instrument, day) —
+    * the MERGEABLE form of a distinct count. Exact distincts don't fold
+    * (yesterday's count + today's count ≠ the union's count); the sketch
+    * does, via `hll_union_agg`, which is what lets a 100 TB store answer
+    * "distinct users per instrument" incrementally — one batch folded per
+    * day, never a recompute over the history. */
+  def grainHll(batch: DataFrame): DataFrame =
+    batch.groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("hll"),
+        count(lit(1)).as("n"))
+
+  private def mergeGrainHll(cur: DataFrame, b: DataFrame): DataFrame =
+    cur.unionByName(b)
+      .groupBy("event_type", "day")
+      .agg(expr("hll_union_agg(hll)").as("hll"), sum("n").as("n"))
+
+  /** Fold one tagged batch into the HLL sketch store (same txlog
+    * effectively-once discipline as [[fold]]). */
+  def foldHll(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean =
+    TxLog.foldOnce(s, storeDir, tag, {
+      case None => grainHll(batch)
+      case Some(cur) => mergeGrainHll(cur, grainHll(batch))
+    })
+
   val defs: Seq[QueryDef] = Seq(
+    // S13: the mergeable-sketch store under the gate — distinct users
+    // per instrument from a store folded in three batches. The oracle
+    // states the EXACT values (row counts, day counts, exact distinct
+    // users) plus TRUE for the sketch verdict; the engine emits its own
+    // exact values (hash-matched) and certifies the folded sketches
+    // estimate within 5% of truth (the a8/t9 sketch-verdict pattern —
+    // raw estimates are engine-specific, the error envelope is not).
+    QueryDef("s13_rollup_distinct_sketch",
+      """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             user_id
+        |           FROM events)
+        |SELECT event_type,
+        |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS sketch_within_5pct
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val store = TxLog.freshRoot(dir, "rollup-hll")
+      val ev = Tables.events(s, dir)
+      def slice(r: Int) = ev.filter(expr(s"ts_us div $DayUs") % 3 === r)
+      (0 to 2).foreach { r =>
+        require(foldHll(s, store, slice(r), s"slice-$r"),
+          s"slice-$r unexpectedly marked folded in a fresh store")
+      }
+      require(!foldHll(s, store, slice(0), "slice-0"), "replayed sketch batch folded twice")
+      val est = TxLog.read(s, store)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"),
+          expr("hll_sketch_estimate(hll_union_agg(hll))").as("est_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days").cast("long"),
+          col("n_events").cast("long"), col("exact_users").cast("long"),
+          (abs(col("est_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("sketch_within_5pct"))
+        .orderBy("event_type")
+    },
+
     // S9: the store, built by folding three deterministic day-sliced
     // batches IN SEQUENCE (day mod 3), must equal the from-scratch
     // aggregate the oracle computes directly over events — certifying

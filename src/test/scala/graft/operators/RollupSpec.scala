@@ -67,6 +67,31 @@ class RollupSpec extends SparkSpec {
     assert(snapshot(st) === direct)
   }
 
+  test("hll sketch store: folded estimates stay in the 5% envelope; counts are fold-order exact") {
+    val ev = Tables.events(spark, sf)
+    def slice(r: Int) = ev.filter(expr("ts_us div 86400000000") % 3 === r)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // two fold orders: the sketch BYTES may differ (HLL union promotion
+    // paths are order-dependent) but the exact row counts must not, and
+    // both stores' estimates must sit inside the envelope
+    val ests = Seq(Seq(0, 1, 2), Seq(2, 0, 1)).zipWithIndex.map { case (order, i) =>
+      val st = freshStore(s"hll-$i")
+      order.foreach(r => Rollup.foldHll(spark, st, slice(r), s"slice-$r"))
+      assert(!Rollup.foldHll(spark, st, slice(0), "slice-0")) // replay no-op
+      TxLog.read(spark, st).groupBy("event_type")
+        .agg(sum("n").as("n"),
+          expr("hll_sketch_estimate(hll_union_agg(hll))").as("est")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(ests(0).view.mapValues(_._1).toMap === ests(1).view.mapValues(_._1).toMap)
+    ests.foreach(_.foreach { case (et, (_, est)) =>
+      assert(math.abs(est - exact(et)).toDouble <= exact(et) * 0.05,
+        s"$et: est $est vs exact ${exact(et)}")
+    })
+  }
+
   test("a legacy _folded_tags store is refused, never silently shadowed") {
     val st = freshStore("legacy")
     val ev = Tables.events(spark, sf)
