@@ -54,19 +54,23 @@ object Rollup {
       .agg(sum("n").as("n"), sum("s_ck").as("s_ck"),
         min("mn").as("mn"), max("mx").as("mx"))
 
-  /** Fold one tagged batch of raw events into the store at `storeDir`.
-    * Returns false when the tag was already folded (replay no-op). */
-  def fold(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean = {
-    // a store written by the pre-txlog format (parquet + `_folded_tags`
-    // sidecar) must not be silently shadowed: foldOnce would init a v1
-    // manifest over the directory, hiding all previously folded data and
-    // re-folding replayed tags. Refuse loudly; the migration is a
-    // one-time rebuild (or adopt + re-tagging) the operator must choose.
+  /** A store written by the pre-txlog format (parquet + `_folded_tags`
+    * sidecar) must not be silently shadowed: foldOnce would init a v1
+    * manifest over the directory, hiding all previously folded data and
+    * re-folding replayed tags. Refuse loudly; the migration is a
+    * one-time rebuild (or adopt + re-tagging) the operator must choose.
+    * Guards EVERY fold entry point ([[fold]] and [[foldHll]]). */
+  private def refuseLegacyStore(storeDir: String): Unit =
     require(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(storeDir, "_folded_tags")) ||
         TxLog.snapshot(storeDir).isDefined,
       s"rollup store $storeDir uses the legacy _folded_tags format — " +
         "rebuild it (or adopt + re-tag) before folding through the txlog")
+
+  /** Fold one tagged batch of raw events into the store at `storeDir`.
+    * Returns false when the tag was already folded (replay no-op). */
+  def fold(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean = {
+    refuseLegacyStore(storeDir)
     TxLog.foldOnce(s, storeDir, tag, {
       case None => grain(batch)
       case Some(cur) => mergeGrain(cur, grain(batch))
@@ -90,12 +94,14 @@ object Rollup {
       .agg(expr("hll_union_agg(hll)").as("hll"), sum("n").as("n"))
 
   /** Fold one tagged batch into the HLL sketch store (same txlog
-    * effectively-once discipline as [[fold]]). */
-  def foldHll(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean =
+    * effectively-once discipline and legacy-store refusal as [[fold]]). */
+  def foldHll(s: SparkSession, storeDir: String, batch: DataFrame, tag: String): Boolean = {
+    refuseLegacyStore(storeDir)
     TxLog.foldOnce(s, storeDir, tag, {
       case None => grainHll(batch)
       case Some(cur) => mergeGrainHll(cur, grainHll(batch))
     })
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // S13: the mergeable-sketch store under the gate — distinct users

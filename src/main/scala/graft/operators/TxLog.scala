@@ -154,19 +154,38 @@ object TxLog {
     }
   }
 
+  private def parseSchema(j: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** Explicit-file read with partition inference OFF — the manifest is
     * the metadata layer; Spark must never re-derive table structure from
     * directory shapes (mixed adopted/staged depths would conflict). With
     * a committed schema, planning skips footer sampling entirely and
-    * older files surface later-added columns as NULL (evolve-on-read). */
+    * older files surface later-added columns as NULL (evolve-on-read).
+    * The schema is parsed ONCE by the caller — per-group parsing would
+    * repeat at exactly the partition counts [[balancedUnion]] exists
+    * for. */
   private def readFiles(spark: SparkSession, paths: Seq[String],
-      schemaJson: Option[String] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val r0 = spark.read.option("recursiveFileLookup", "true")
-    val r = schemaJson.fold(r0)(j => r0.schema(
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]))
-    r.parquet(paths: _*)
+    schema.fold(r0)(r0.schema).parquet(paths: _*)
   }
+
+  /** Per-partition group read for a partitioned snapshot: one explicit
+    * file scan per partition value with the partition column re-attached
+    * as a literal, balanced-union'd. Shared by [[read]] and the
+    * touched-partition side of [[upsertPartitioned]] — one definition so
+    * reader and merger cannot diverge. */
+  private def readGroups(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], partCol: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    balancedUnion(
+      entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
+        .map { case (pv, es) =>
+          readFiles(spark, es.map(e => s"$root/${e.path}"), schema)
+            .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
+        })
 
   /** Read a pinned version (default: latest at call time). The returned
     * plan references the snapshot's explicit immutable files — evaluating
@@ -179,15 +198,10 @@ object TxLog {
       throw new IllegalStateException(s"no committed version at $root" +
         (if (version >= 0) s" (asked for $version)" else "")))
     require(snap.files.nonEmpty, s"version ${snap.version} at $root has no data files")
+    val schema = snap.schemaJson.map(parseSchema)
     snap.partCol match {
-      case None => readFiles(spark, snap.files.map(f => s"$root/$f"), snap.schemaJson)
-      case Some(pc) =>
-        balancedUnion(
-          snap.entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
-            .map { case (pv, es) =>
-              readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
-                .withColumn(pc, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
-            })
+      case None => readFiles(spark, snap.files.map(f => s"$root/$f"), schema)
+      case Some(pc) => readGroups(spark, root, snap.entries, pc, schema)
     }
   }
 
@@ -372,7 +386,10 @@ object TxLog {
       val prev = DataType.fromJson(pj).asInstanceOf[StructType]
       val next = DataType.fromJson(nextJson).asInstanceOf[StructType]
       prev.foreach { f =>
-        require(next.find(_.name == f.name).exists(_.dataType == f.dataType),
+        // case-insensitive name match — Spark resolves columns
+        // case-insensitively by default, so a batch it would read and
+        // union fine must not be rejected on letter case
+        require(next.find(_.name.equalsIgnoreCase(f.name)).exists(_.dataType == f.dataType),
           s"$op: schema not additive — committed field ${f.name}: " +
             s"${f.dataType.simpleString} is missing or retyped in the incoming batch")
       }
@@ -513,30 +530,31 @@ object TxLog {
           .toSeq.distinct
         val touchedSet = touched.toSet
         val (rewrite, keep) = snap.entries.partition(e => touchedSet.contains(e.part))
+        // the new version mixes kept old files with restaged ones — the
+        // committed schema may only grow (same rule as commitAppend);
+        // adopted tables infer their previous schema once and upgrade.
+        // The gate runs on the BATCH's schema, before any union: checked
+        // after the union, coercion would stringify a retyped column and
+        // slip it past the committed-type compare.
+        requireAdditive(Some(effectiveSchemaJson(spark, root, snap)),
+          fileSchemaJson(batch, Some(partCol)), "upsertPartitioned")
         val current =
           if (rewrite.isEmpty) batch.limit(0)
-          else balancedUnion(
-            rewrite.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
-              .map { case (pv, es) =>
-                readFiles(spark, es.map(e => s"$root/${e.path}"), snap.schemaJson)
-                  .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
-              })
+          else readGroups(spark, root, rewrite, partCol, snap.schemaJson.map(parseSchema))
         val beforeCounts = current.groupBy(partCol).count().collect()
           .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
         val batchCounts = batch.groupBy(partCol).count().collect()
           .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
         // cached: the SAME materialization feeds the after-counts and the
         // staged write, and the post-merge counts cost one aggregation
-        // over it instead of one read-back job per touched partition
+        // over it instead of one read-back job per touched partition.
+        // allowMissingColumns: an additive batch carries columns the
+        // current files don't have yet — their old rows fill with NULL
+        // (the gate above already guarantees nothing is dropped/retyped)
         val merged = current.join(batch.select(key), Seq(key), "left_anti")
-          .unionByName(batch).cache()
+          .unionByName(batch, allowMissingColumns = true).cache()
         try {
-          // the new version mixes kept old files with restaged ones — the
-          // committed schema may only grow (same rule as commitAppend);
-          // adopted tables infer their previous schema once and upgrade
           val nextSchema = fileSchemaJson(merged, snap.partCol)
-          requireAdditive(Some(effectiveSchemaJson(spark, root, snap)),
-            nextSchema, "upsertPartitioned")
           val afterCounts = merged.groupBy(partCol).count().collect()
             .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
           val fresh = stagePartitioned(spark, root, merged, partCol)

@@ -202,6 +202,33 @@ class UpsertSpec extends SparkSpec {
     assert(TxLog.currentVersion(root) === 3L) // adopt + two serialized commits
   }
 
+  test("partition-scoped merge: additive batch columns land, old rows surface NULL; retypes rejected") {
+    val root = freshRoot("evolve")
+    import spark.implicits._
+    val base = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("doc_id", "text", "lang")
+    base.write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
+
+    // batch touches partition x AND adds a column: the additive gate runs
+    // on the BATCH schema (before union coercion), the merge fills old
+    // rows with NULL, and the committed schema grows
+    val add = Seq((3L, "c", "x", 9)).toDF("doc_id", "text", "lang", "score")
+    TxLog.upsertPartitioned(spark, root, add, "doc_id", "lang")
+    val after = TxLog.read(spark, root).orderBy("doc_id").collect()
+    assert(after.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(after.map(r => Option(r.get(r.fieldIndex("score")))).toSeq ===
+      Seq(None, None, Some(9)))
+    assert(TxLog.snapshot(root).get.schemaJson.exists(_.contains("score")))
+
+    // a RETYPED column must be rejected by the gate, not silently coerced
+    // by the union (which would stringify it)
+    val retype = Seq((4L, 7, "x", 1)).toDF("doc_id", "text", "lang", "score")
+    intercept[IllegalArgumentException] {
+      TxLog.upsertPartitioned(spark, root, retype, "doc_id", "lang")
+    }
+    assert(TxLog.read(spark, root).count() === 3)
+  }
+
   test("partition columns with unstable path rendering are refused loudly") {
     // a timestamp's Row-value toString differs from Spark's hive path
     // rendering, so touched-partition matching would silently keep AND
