@@ -187,6 +187,19 @@ object TxLog {
             .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
         })
 
+  /** Latest version whose manifest was PUBLISHED at or before `epochMs`
+    * (Delta's `timestampAsOf`, on manifest mtimes). None when every
+    * retained version is newer. Best-effort by nature: filesystem mtimes
+    * survive normal operation but not a copied/restored log — pin exact
+    * [[Snapshot.version]] numbers for audit-grade reproducibility. */
+  def versionAt(root: String, epochMs: Long): Option[Long] =
+    allVersions(root).reverse
+      .find { v =>
+        val p = manifestPath(root, v)
+        parseManifest(p).isDefined &&
+          p.toFile.lastModified() <= epochMs
+      }
+
   /** Read a pinned version (default: latest at call time). The returned
     * plan references the snapshot's explicit immutable files — evaluating
     * it later, even after newer commits, still yields this version. For a

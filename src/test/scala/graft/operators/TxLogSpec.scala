@@ -220,6 +220,20 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root2).count() === 40)
   }
 
+  test("versionAt resolves the version live at a timestamp (mtime-based timestampAsOf)") {
+    val root = freshRoot("tsasof")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq(1L).toDF("v"))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100L) // manifest mtimes have ~second granularity on some filesystems
+    TxLog.commitOverwrite(spark, root, Seq(1L, 2L).toDF("v"), expected = 1L)
+    val t2 = System.currentTimeMillis()
+    assert(TxLog.versionAt(root, t1) === Some(1L))
+    assert(TxLog.versionAt(root, t2) === Some(2L))
+    assert(TxLog.versionAt(root, t1 - 60000L) === None) // before any commit
+    assert(TxLog.read(spark, root, TxLog.versionAt(root, t1).get).count() === 1)
+  }
+
   test("committed schema evolves additively on append; drops and retypes are rejected") {
     val root = freshRoot("schema")
     import spark.implicits._
