@@ -658,13 +658,19 @@ object TxLog {
   /** Bin-pack the LATEST version's files into `targetFiles` outputs and
     * republish — same row multiset, fewer files, zero shuffle
     * (`coalesce`), manifest-atomic, and pinned readers of older versions
-    * keep their files until [[pruneHistory]] + [[vacuum]]. */
+    * keep their files until [[pruneHistory]] + [[vacuum]]. A table
+    * already at or under the target is a METADATA-ONLY no-op (returns
+    * the current version, commits nothing) — repeated maintenance runs
+    * must cost a manifest read, not a full rewrite. */
   def compact(spark: SparkSession, root: String, targetFiles: Int): Long =
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"compact on uninitialized txlog $root"))
-      val packed = read(spark, root, snap.version).coalesce(targetFiles.max(1))
-      Some(commitOverwrite(spark, root, packed, snap.version, "compact"))
+      if (snap.files.size <= targetFiles.max(1)) Some(snap.version)
+      else {
+        val packed = read(spark, root, snap.version).coalesce(targetFiles.max(1))
+        Some(commitOverwrite(spark, root, packed, snap.version, "compact"))
+      }
     }.get
 
   /** Drop all manifests except the newest `keepLast` (readers may no
@@ -807,11 +813,13 @@ object TxLog {
           s"slice-$r unexpectedly marked folded in a fresh store")
       }
       val replayNoop = !Rollup.fold(s, store, slice(0), "slice-0")
-      TxLog.compact(s, store, 2) // v4
+      TxLog.compact(s, store, 2) // v4 (or a metadata no-op when already ≤2 files)
       TxLog.pruneHistory(store, keepLast = 1)
       val swept = TxLog.vacuum(store, graceMs = 0L)
       val snap = TxLog.snapshot(store).get
-      val maintained = snap.version == 4L && snap.files.size <= 2 && swept >= 1
+      // version ≥ 3: three folds landed; a compact no-op (store already
+      // ≤ target files) legitimately leaves the count at 3
+      val maintained = snap.version >= 3L && snap.files.size <= 2 && swept >= 1
       TxLog.read(s, store)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"),

@@ -279,6 +279,10 @@ class TxLogSpec extends SparkSpec {
     TxLog.compact(spark, root, 2)
     assert(TxLog.snapshot(root).get.files.size <= 2)
     assert(TxLog.read(spark, root).count() === 64)
+    // already packed: metadata-only no-op, no new version
+    val vPacked = TxLog.currentVersion(root)
+    assert(TxLog.compact(spark, root, 2) === vPacked)
+    assert(TxLog.currentVersion(root) === vPacked)
     // v1's 16-file dir survives (still pinnable) until history is pruned
     assert(dataDirs() === 2)
     TxLog.pruneHistory(root, keepLast = 1)
