@@ -239,8 +239,10 @@ object Graph {
     //
     // Scale shape: per-order supplier pairs are bounded by order width
     // (≤ a few lines per order — never corpus-quadratic); the node-rank
-    // table is dimension-sized (broadcast); wedge generation and closure
-    // are keyed equi-joins on rank pairs.
+    // table scales with the fact tier, so edge decoration is two KEYED
+    // equi-joins on the node id (never a broadcast of a node-scale
+    // table); wedge generation and closure are keyed equi-joins on rank
+    // pairs.
     QueryDef("g2_triangle_count",
       s"""WITH co AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
         |            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
@@ -273,9 +275,15 @@ object Graph {
       val rk = Windows.globalOrdinal(deg, Seq(col("deg"), col("s")))
         .withColumn("rk", col("__ord") + 1L)
         .select("s", "rk")
+      // Keyed (shuffle) joins, NOT broadcast: rk is the co-supply node
+      // set, which grows with the fact tier — broadcasting it ships a
+      // node-scale table to every task at 100×. Two hash-partitioned
+      // equi-joins on the node id keep every stage partition-local;
+      // AQE may still elect a broadcast at runtime when the measured
+      // size is genuinely small — that IS the size guard.
       val e = co
-        .join(broadcast(rk.withColumnRenamed("s", "a").withColumnRenamed("rk", "ra")), "a")
-        .join(broadcast(rk.withColumnRenamed("s", "b").withColumnRenamed("rk", "rb")), "b")
+        .join(rk.withColumnRenamed("s", "a").withColumnRenamed("rk", "ra"), "a")
+        .join(rk.withColumnRenamed("s", "b").withColumnRenamed("rk", "rb"), "b")
         .select(least(col("ra"), col("rb")).as("lo"),
           greatest(col("ra"), col("rb")).as("hi"))
         .cache() // consumed three times: wedges (both sides) + closure

@@ -84,14 +84,23 @@ object TxLog {
 
   /** One pinned table version: the manifest's data files (relative to
     * root), its accumulated note set (effectively-once tags), the
-    * table's partition column, if any, and the committed FILE schema
-    * (JSON; absent on adopted tables and pre-schema manifests, where
-    * reads fall back to parquet inference). The stored schema is what
-    * makes mixed-vintage versions read uniformly: old files surface
-    * later-added columns as NULL, and planning never samples footers. */
+    * table's partition column, if any (with its committed DataType —
+    * hive path values are untyped strings, so the manifest records the
+    * type the table was written with and [[read]] casts the re-attached
+    * literal back), and the committed FILE schema (JSON; absent on
+    * adopted tables and pre-schema manifests, where reads fall back to
+    * parquet inference). The stored schema is what makes mixed-vintage
+    * versions read uniformly: old files surface later-added columns as
+    * NULL, and planning never samples footers. `timestampMs` is the
+    * commit's publish time as written IN the manifest (`t` header) —
+    * exact and portable, unlike file mtimes; None only on pre-header
+    * manifests. */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
       notes: Set[String], partCol: Option[String],
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      partType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType,
+      timestampMs: Option[Long] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -107,10 +116,78 @@ object TxLog {
   /** All manifest versions present, complete or not. Claimed version
     * numbers are burnt even when their manifest is torn (a crashed
     * fallback-path writer): the next writer claims past them. */
-  private def allVersions(root: String): Seq[Long] =
+  private def allVersions(root: String): Seq[Long] = {
+    logListings.set(logListings.get + 1L)
     Option(logDir(root).toFile.listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(f => scala.util.Try(f.getName.stripPrefix("v-").toLong).toOption)
       .sorted
+  }
+
+  // ---------------------------------------------------------------------
+  // Checkpoint: bounding metadata cost on long logs (the Delta
+  // `_last_checkpoint` discipline). Every manifest here is already a
+  // SELF-CONTAINED snapshot (no action replay), so the two costs that
+  // grow with commit count are (a) the directory listing that finds the
+  // latest version and (b) vacuum's parse of every retained manifest for
+  // its referenced-directory set. The checkpoint caches both: a floor
+  // version to probe forward from, and the cumulative set of data
+  // directories referenced by every manifest at or below that floor.
+  // Written every [[CheckpointInterval]] commits by the publish winner
+  // (incrementally: previous refs ∪ the new suffix), atomically replaced
+  // (tmp + ATOMIC_MOVE), and rebuilt from the retained manifests by
+  // [[pruneHistory]]. A stale or missing checkpoint is never a
+  // correctness problem: its refs are a superset of what the manifests
+  // at or below its floor reference (conservative for vacuum — orphans
+  // linger until the next refresh), and every fast path falls back to
+  // the full listing.
+  // ---------------------------------------------------------------------
+
+  /** Commits between checkpoint refreshes. */
+  val CheckpointInterval: Int = 10
+
+  private[graft] final case class Checkpoint(version: Long, refs: Set[String])
+
+  private def checkpointPath(root: String): Path =
+    logDir(root).resolve("_last_checkpoint")
+
+  private[graft] def readCheckpoint(root: String): Option[Checkpoint] = {
+    val p = checkpointPath(root)
+    if (!Files.isRegularFile(p)) return None
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
+    if (!lines.lastOption.contains("commit")) return None
+    for (v <- lines.collectFirst { case l if l.startsWith("v\t") => l.drop(2).toLong })
+      yield Checkpoint(v, lines.collect { case l if l.startsWith("d\t") => l.drop(2) }.toSet)
+  }
+
+  private def writeCheckpoint(root: String, ck: Checkpoint): Unit = {
+    val body = (s"v\t${ck.version}" +: ck.refs.toSeq.sorted.map("d\t" + _) :+ "commit")
+      .mkString("", "\n", "\n")
+    val tmp = logDir(root).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, checkpointPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Normalized data-directory key of a manifest entry — the unit vacuum
+    * sweeps (`data/c-<uuid>`; adopted files normalize to keys outside
+    * `data/`, which vacuum never touches). */
+  private def dirKey(e: FileEntry): String =
+    e.path.split("/").take(2).mkString("/")
+
+  /** Refresh the checkpoint after publishing `published`: previous refs ∪
+    * the directories referenced by manifests in (prevFloor, published].
+    * Best-effort — a checkpoint is an optimization, so a failure here
+    * must never fail the commit that triggered it. */
+  private def maybeCheckpoint(root: String, published: Long): Unit =
+    if (published % CheckpointInterval == 0)
+      try {
+        val prev = readCheckpoint(root).getOrElse(Checkpoint(0L, Set.empty))
+        val suffixRefs = ((prev.version + 1) to published).flatMap { v =>
+          parseManifest(manifestPath(root, v)).toSeq.flatMap(_.entries.map(dirKey))
+        }.toSet
+        writeCheckpoint(root, Checkpoint(published, prev.refs ++ suffixRefs))
+      } catch { case scala.util.control.NonFatal(_) => () }
 
   private def encodePart(part: Option[String]): String =
     part.map(ExternalCatalogUtils.escapePathName)
@@ -120,8 +197,30 @@ object TxLog {
     if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
     else Some(ExternalCatalogUtils.unescapePathName(s))
 
-  private def parseManifest(p: Path): Option[(Seq[FileEntry], Set[String], Option[String], Option[String])] = {
+  /** Parsed manifest content (version-independent). `partCol` carries
+    * the committed partition type when the manifest recorded one
+    * (`p\tname\ttype`); bare `p\tname` headers (pre-typed manifests)
+    * read as STRING — exactly what those tables stored. */
+  private final case class Manifest(entries: Seq[FileEntry], notes: Set[String],
+      partCol: Option[String],
+      partType: org.apache.spark.sql.types.DataType,
+      schemaJson: Option[String], timestampMs: Option[Long])
+
+  /** Instrumentation for the metadata fast path: how many manifests were
+    * parsed / directories listed ON THIS THREAD since the counters were
+    * zeroed (manifest metadata ops are driver-thread-synchronous, so
+    * thread-local counters are immune to concurrently running suites).
+    * Test hooks only — the checkpoint contract ("snapshot resolution
+    * reads the checkpoint plus the version suffix, never the whole log")
+    * is pinned by asserting these stay O(suffix) on a long log. */
+  private[graft] val manifestParses: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
+  private[graft] val logListings: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
+
+  private def parseManifest(p: Path): Option[Manifest] = {
     if (!Files.isRegularFile(p)) return None
+    manifestParses.set(manifestParses.get + 1L)
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
     // completeness gate: a manifest is real only when its terminator
     // landed — the hard-link publish makes partial content unreachable,
@@ -134,23 +233,52 @@ object TxLog {
       }
     }
     val notes = lines.collect { case l if l.startsWith("n\t") => l.drop(2) }.toSet
-    val partCol = lines.collectFirst { case l if l.startsWith("p\t") => l.drop(2) }
+    val (partCol, partType) = lines.collectFirst {
+      case l if l.startsWith("p\t") => l.drop(2).split("\t", 2) match {
+        case Array(name) => (Some(name), org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)
+        case Array(name, ddl) => (Some(name), org.apache.spark.sql.types.DataType.fromDDL(ddl))
+      }
+    }.getOrElse((None, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType))
     val schema = lines.collectFirst { case l if l.startsWith("s\t") => l.drop(2) }
-    Some((entries, notes, partCol, schema))
+    val ts = lines.collectFirst { case l if l.startsWith("t\t") => l.drop(2).toLong }
+    Some(Manifest(entries, notes, partCol, partType, schema, ts))
   }
 
-  /** Latest COMPLETE version, 0 when the table has no log yet. */
-  def currentVersion(root: String): Long =
-    allVersions(root).reverse
-      .find(v => parseManifest(manifestPath(root, v)).isDefined)
-      .getOrElse(0L)
+  /** Latest COMPLETE version, 0 when the table has no log yet. With a
+    * checkpoint present this is O(versions-since-checkpoint): probe
+    * forward from the checkpointed floor (version numbers are dense — a
+    * CAS publish is always expected+1), then take the newest complete
+    * manifest at or above the floor. Falls back to the full-directory
+    * listing only when the fast path finds nothing (no checkpoint yet,
+    * or a stale checkpoint whose floor manifest was pruned). */
+  def currentVersion(root: String): Long = {
+    val fast = readCheckpoint(root).flatMap { ck =>
+      val latest = probeLatest(root, ck.version)
+      (latest to ck.version by -1)
+        .find(v => parseManifest(manifestPath(root, v)).isDefined)
+    }
+    fast.getOrElse(
+      allVersions(root).reverse
+        .find(v => parseManifest(manifestPath(root, v)).isDefined)
+        .getOrElse(0L))
+  }
+
+  /** Highest existing (complete or torn) manifest version reachable by
+    * stepping forward from `floor` — O(latest - floor) stat calls, no
+    * directory listing. */
+  private def probeLatest(root: String, floor: Long): Long = {
+    var v = floor
+    while (Files.exists(manifestPath(root, v + 1))) v += 1
+    v
+  }
 
   /** Pin a snapshot of version `v` (default: latest). None for a table
     * with no committed version. */
   def snapshot(root: String, v: Long = -1L): Option[Snapshot] = {
     val ver = if (v >= 0) v else currentVersion(root)
-    parseManifest(manifestPath(root, ver)).map { case (es, ns, pc, sj) =>
-      Snapshot(ver, es, ns, pc, sj)
+    parseManifest(manifestPath(root, ver)).map { m =>
+      Snapshot(ver, m.entries, m.notes, m.partCol, m.schemaJson,
+        m.partType, m.timestampMs)
     }
   }
 
@@ -174,30 +302,36 @@ object TxLog {
 
   /** Per-partition group read for a partitioned snapshot: one explicit
     * file scan per partition value with the partition column re-attached
-    * as a literal, balanced-union'd. Shared by [[read]] and the
-    * touched-partition side of [[upsertPartitioned]] — one definition so
-    * reader and merger cannot diverge. */
+    * as a literal CAST BACK to its committed type (hive path values are
+    * untyped strings; the manifest `p` header records the type the table
+    * was written with, so an int/date/boolean partition column round-trips
+    * typed — matching Spark's own partition inference and Delta/Iceberg),
+    * balanced-union'd. Shared by [[read]] and the touched-partition side
+    * of [[upsertPartitioned]] — one definition so reader and merger
+    * cannot diverge. */
   private def readGroups(spark: SparkSession, root: String,
       entries: Seq[FileEntry], partCol: String,
+      partType: org.apache.spark.sql.types.DataType,
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     balancedUnion(
       entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
         .map { case (pv, es) =>
           readFiles(spark, es.map(e => s"$root/${e.path}"), schema)
-            .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast("string"))
+            .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast(partType))
         })
 
   /** Latest version whose manifest was PUBLISHED at or before `epochMs`
-    * (Delta's `timestampAsOf`, on manifest mtimes). None when every
-    * retained version is newer. Best-effort by nature: filesystem mtimes
-    * survive normal operation but not a copied/restored log — pin exact
-    * [[Snapshot.version]] numbers for audit-grade reproducibility. */
+    * (Delta's `timestampAsOf`). Exact and portable: the publish time is
+    * written IN the manifest (`t` header), so a copied or restored log —
+    * whose file mtimes are fresh — still time-travels correctly. Falls
+    * back to the manifest file's mtime only for pre-header manifests.
+    * None when every retained version is newer. */
   def versionAt(root: String, epochMs: Long): Option[Long] =
     allVersions(root).reverse
       .find { v =>
         val p = manifestPath(root, v)
-        parseManifest(p).isDefined &&
-          p.toFile.lastModified() <= epochMs
+        parseManifest(p).exists(m =>
+          m.timestampMs.getOrElse(p.toFile.lastModified()) <= epochMs)
       }
 
   /** Read a pinned version (default: latest at call time). The returned
@@ -214,7 +348,7 @@ object TxLog {
     val schema = snap.schemaJson.map(parseSchema)
     snap.partCol match {
       case None => readFiles(spark, snap.files.map(f => s"$root/$f"), schema)
-      case Some(pc) => readGroups(spark, root, snap.entries, pc, schema)
+      case Some(pc) => readGroups(spark, root, snap.entries, pc, snap.partType, schema)
     }
   }
 
@@ -264,19 +398,25 @@ object TxLog {
 
   /** Atomically publish version `expected + 1` with the given file list
     * and notes. Throws ConcurrentModificationException — having published
-    * NOTHING — when another writer got there first. */
+    * NOTHING — when another writer got there first. The manifest records
+    * the publish time (`t` header, exact [[versionAt]] travel) and the
+    * partition column's committed type (`p\tname\ttype` — [[read]] casts
+    * the re-attached literal back). Every [[CheckpointInterval]]-th
+    * version also refreshes the metadata checkpoint. */
   private def publish(root: String, expected: Long, entries: Seq[FileEntry],
-      partCol: Option[String], notes: Set[String],
-      schemaJson: Option[String]): Long = {
+      partMeta: Option[(String, org.apache.spark.sql.types.DataType)],
+      notes: Set[String], schemaJson: Option[String]): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
-    val fLines = partCol match {
+    val fLines = partMeta match {
       case None => entries.map(e => "f\t" + e.path)
       case Some(_) => entries.map(e => s"f\t${e.path}\t${encodePart(e.part)}")
     }
     // schema JSON is single-line by construction (JSON escapes control
     // characters), so it rides as one `s` header line
-    val body = (partCol.map("p\t" + _).toSeq ++ schemaJson.map("s\t" + _).toSeq ++
+    val body = (partMeta.map { case (pc, dt) => s"p\t$pc\t${dt.catalogString}" }.toSeq ++
+      Seq(s"t\t${System.currentTimeMillis()}") ++
+      schemaJson.map("s\t" + _).toSeq ++
       fLines ++ notes.toSeq.sorted.map("n\t" + _) :+ "commit")
       .mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".tmp-${java.util.UUID.randomUUID()}")
@@ -289,6 +429,7 @@ object TxLog {
             s"txlog $root: version $next already published " +
               s"(this writer read stale version $expected); re-read and retry")
       }
+      maybeCheckpoint(root, next)
       next
     } finally Files.deleteIfExists(tmp)
   }
@@ -311,9 +452,10 @@ object TxLog {
     * `partCol` with the partition values recorded in the manifest. */
   def initPartitioned(spark: SparkSession, root: String, df: DataFrame,
       partCol: String, note: String = ""): Long = {
+    requireStablePartType(df, partCol, "initPartitioned")
     ensureUninitialized(root)
     val entries = stagePartitioned(spark, root, df, partCol)
-    publish(root, 0L, entries, Some(partCol),
+    publish(root, 0L, entries, Some((partCol, df.schema(partCol).dataType)),
       if (note.isEmpty) Set.empty else Set(note),
       Some(fileSchemaJson(df, Some(partCol))))
   }
@@ -346,8 +488,12 @@ object TxLog {
     }
     require(entries.nonEmpty, s"adopt: no parquet data found at $root")
     // no committed schema: the adopted files' vintage is whatever it is —
-    // reads stay on parquet inference until the first overwrite commit
-    publish(root, 0L, entries, partCol, Set(note), None)
+    // reads stay on parquet inference until the first overwrite commit.
+    // Likewise no committed partition type (hive paths are untyped), so
+    // adopted partition columns read back as STRING until rewritten.
+    publish(root, 0L, entries,
+      partCol.map(pc => (pc, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)),
+      Set(note), None)
   }
 
   private def ensureUninitialized(root: String): Unit =
@@ -382,10 +528,15 @@ object TxLog {
         .parquet(snap.files.map(f => s"$root/$f"): _*).schema.json)
 
   /** Committed-FILE schema of `df` (partition column excluded — the hive
-    * writer drops it from the data files; [[read]] re-attaches it). */
+    * writer drops it from the data files; [[read]] re-attaches it). The
+    * exclusion is case-INsensitive, matching Spark's default column
+    * resolution and [[requireAdditive]]'s own rule — a batch carrying
+    * `Lang` for partition column `lang` must not commit a file schema
+    * still naming the column the hive writer dropped (schema-pinned
+    * reads would surface a phantom all-NULL column). */
   private def fileSchemaJson(df: DataFrame, partCol: Option[String]): String =
     org.apache.spark.sql.types.StructType(
-      df.schema.filterNot(f => partCol.contains(f.name))).json
+      df.schema.filterNot(f => partCol.exists(_.equalsIgnoreCase(f.name)))).json
 
   /** Additive-evolution gate for commits that MIX old files with new ones
     * (append, partition-scoped merge): every committed field must keep
@@ -417,6 +568,7 @@ object TxLog {
     val snap0 = snapshot(root, expected)
     val partCol = snap0.flatMap(_.partCol)
     val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
+    partCol.foreach(pc => requireStablePartType(df, pc, "commitOverwrite"))
     val entries = partCol match {
       case Some(pc) => stagePartitioned(spark, root, df, pc)
       case None => stageData(spark, root, df).map(FileEntry(_, None))
@@ -424,8 +576,12 @@ object TxLog {
     // CAS against exactly `expected` — anything else (e.g. latest-on-disk)
     // would publish OVER a concurrent writer's version this writer never
     // read: the textbook lost update. Overwrite replaces EVERY file, so
-    // the schema may change freely (no mixed vintage to protect).
-    publish(root, expected, entries, partCol,
+    // the schema may change freely (no mixed vintage to protect). The
+    // partition type is re-derived from the OVERWRITING frame — it
+    // replaced every file, so its type is now the table's type (an
+    // adopted string-typed table upgrades to typed here).
+    publish(root, expected, entries,
+      partCol.map(pc => (pc, df.schema(pc).dataType)),
       if (note.isEmpty) prevNotes else prevNotes + note,
       Some(fileSchemaJson(df, partCol)))
   }
@@ -443,11 +599,22 @@ object TxLog {
     val nextSchema = fileSchemaJson(df, snap.partCol)
     requireAdditive(Some(effectiveSchemaJson(spark, root, snap)),
       nextSchema, "commitAppend")
+    // appended files mix with the snapshot's — the batch's partition
+    // column must carry the committed type (same stability rule as
+    // upsertPartitioned; a retyped partition column would stage hive
+    // paths that decode inconsistently against the manifest's values)
+    snap.partCol.foreach { pc =>
+      require(df.schema(pc).dataType == snap.partType,
+        s"commitAppend: table partition column $pc is " +
+          s"${snap.partType.simpleString}, batch brings " +
+          df.schema(pc).dataType.simpleString)
+    }
     val entries = snap.partCol match {
       case Some(pc) => stagePartitioned(spark, root, df, pc)
       case None => stageData(spark, root, df).map(FileEntry(_, None))
     }
-    publish(root, expected, snap.entries ++ entries, snap.partCol,
+    publish(root, expected, snap.entries ++ entries,
+      snap.partCol.map(pc => (pc, snap.partType)),
       if (note.isEmpty) snap.notes else snap.notes + note,
       Some(nextSchema))
   }
@@ -494,7 +661,17 @@ object TxLog {
     * this replaces committed them one by one, so a crash mid-sequence
     * could land half a batch). Returns per-partition stats, ordered by
     * partition name. NULL and empty-string partition values both map to
-    * the hive default partition, matching Spark's partitioned writer. */
+    * the hive default partition, matching Spark's partitioned writer.
+    *
+    * PRECONDITION — keys must not migrate across partitions: the merge is
+    * partition-scoped, so a key whose partition value CHANGES between
+    * batches leaves its old row in an untouched partition the anti-join
+    * never reads — the key ends up duplicated across partitions (a
+    * whole-table [[upsert]] would have removed it). Same contract as a
+    * partition-scoped Delta `MERGE` whose condition pins the partition:
+    * use a partition column that is functionally determined by the key
+    * (e.g. `lang` of a document id), or fall back to [[upsert]] when keys
+    * can move. */
   /** Partition-column types whose Row value `toString` matches Spark's
     * hive partition-path rendering exactly. Matching touched partitions
     * compares batch VALUES against manifest strings decoded from the
@@ -508,12 +685,16 @@ object TxLog {
       BooleanType, DateType)
   }
 
+  private def requireStablePartType(df: DataFrame, partCol: String,
+      op: String): Unit =
+    require(StablePartTypes.contains(df.schema(partCol).dataType),
+      s"$op: partition column $partCol has type " +
+        s"${df.schema(partCol).dataType.simpleString}, whose rendering is not " +
+        "stable across value/path forms (use string, integral, boolean or date)")
+
   def upsertPartitioned(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, partCol: String, note: String = ""): Seq[PartStats] = {
-    require(StablePartTypes.contains(batch0.schema(partCol).dataType),
-      s"upsertPartitioned: partition column $partCol has type " +
-        s"${batch0.schema(partCol).dataType.simpleString}, whose rendering is not " +
-        "stable across value/path forms (use string, integral, boolean or date)")
+    requireStablePartType(batch0, partCol, "upsertPartitioned")
     // ""→NULL first: Spark's own partitioned writer stores both under
     // __HIVE_DEFAULT_PARTITION__ and reads them back as null. The batch
     // is cached: its plan decides the touched-partition set AND the
@@ -538,6 +719,13 @@ object TxLog {
       case Some(snap) =>
         require(snap.partCol.contains(partCol),
           s"txlog $root is partitioned by ${snap.partCol}, not $partCol")
+        // type stability: a batch whose partition column is typed
+        // differently from the committed type would stage hive paths
+        // that collide-or-miss against the manifest's decoded values
+        require(batch.schema(partCol).dataType == snap.partType,
+          s"upsertPartitioned: table partition column $partCol is " +
+            s"${snap.partType.simpleString}, batch brings " +
+            batch.schema(partCol).dataType.simpleString)
         val touched: Seq[Option[String]] = batch.select(partCol).distinct().collect()
           .map(r => Option(r.get(0)).map(_.toString).filter(_.nonEmpty))
           .toSeq.distinct
@@ -553,7 +741,8 @@ object TxLog {
           fileSchemaJson(batch, Some(partCol)), "upsertPartitioned")
         val current =
           if (rewrite.isEmpty) batch.limit(0)
-          else readGroups(spark, root, rewrite, partCol, snap.schemaJson.map(parseSchema))
+          else readGroups(spark, root, rewrite, partCol, snap.partType,
+            snap.schemaJson.map(parseSchema))
         val beforeCounts = current.groupBy(partCol).count().collect()
           .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
         val batchCounts = batch.groupBy(partCol).count().collect()
@@ -571,7 +760,8 @@ object TxLog {
           val afterCounts = merged.groupBy(partCol).count().collect()
             .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
           val fresh = stagePartitioned(spark, root, merged, partCol)
-          publish(root, snap.version, keep ++ fresh, snap.partCol,
+          publish(root, snap.version, keep ++ fresh,
+            snap.partCol.map(pc => (pc, snap.partType)),
             if (note.isEmpty) snap.notes else snap.notes + note,
             Some(nextSchema))
           Some(touched.sortBy(partName).map { pv =>
@@ -655,31 +845,90 @@ object TxLog {
     }.option("checkpointLocation", checkpoint)
       .trigger(trigger).start()
 
-  /** Bin-pack the LATEST version's files into `targetFiles` outputs and
-    * republish — same row multiset, fewer files, zero shuffle
-    * (`coalesce`), manifest-atomic, and pinned readers of older versions
-    * keep their files until [[pruneHistory]] + [[vacuum]]. A table
-    * already at or under the target is a METADATA-ONLY no-op (returns
-    * the current version, commits nothing) — repeated maintenance runs
-    * must cost a manifest read, not a full rewrite. */
+  /** Bin-pack the LATEST version's files and republish — same row
+    * multiset, fewer files, manifest-atomic; pinned readers of older
+    * versions keep their files until [[pruneHistory]] + [[vacuum]].
+    *
+    * Unpartitioned tables: `targetFiles` is the TABLE target —
+    * at-or-under is a METADATA-ONLY no-op (returns the current version,
+    * commits nothing; repeated maintenance runs must cost a manifest
+    * read, not a full rewrite), otherwise a zero-shuffle `coalesce`
+    * rewrite.
+    *
+    * Partitioned tables: the hive writer emits at least one file per
+    * partition, so a table-total target is unreachable once partitions
+    * outnumber it — `targetFiles` is therefore interpreted PER PARTITION.
+    * Only over-fragmented partitions (more than `targetFiles` files) are
+    * read and restaged; every at-or-under partition is carried into the
+    * new version BY REFERENCE, and a table with no over-fragmented
+    * partition is the same metadata-only no-op. */
   def compact(spark: SparkSession, root: String, targetFiles: Int): Long =
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"compact on uninitialized txlog $root"))
-      if (snap.files.size <= targetFiles.max(1)) Some(snap.version)
-      else {
-        val packed = read(spark, root, snap.version).coalesce(targetFiles.max(1))
-        Some(commitOverwrite(spark, root, packed, snap.version, "compact"))
+      val target = targetFiles.max(1)
+      snap.partCol match {
+        case None =>
+          if (snap.files.size <= target) Some(snap.version)
+          else {
+            val packed = read(spark, root, snap.version).coalesce(target)
+            Some(commitOverwrite(spark, root, packed, snap.version, "compact"))
+          }
+        case Some(pc) =>
+          val byPart = snap.entries.groupBy(_.part)
+          val fragParts = byPart.collect {
+            case (pv, es) if es.size > target => pv
+          }.toSet
+          if (fragParts.isEmpty) Some(snap.version)
+          else {
+            val (rewrite, keep) = snap.entries.partition(e => fragParts(e.part))
+            // per-fragmented-partition bin-pack in ONE job: a
+            // deterministic salt caps files per partition value at
+            // `target` (each (partition, salt) bucket lands in one
+            // write task) without a per-partition driver loop —
+            // deterministic so a retried stage re-routes rows
+            // identically (a random salt could duplicate/lose rows
+            // under task retry, the classic repartition hazard)
+            val src = readGroups(spark, root, rewrite, pc, snap.partType,
+              snap.schemaJson.map(parseSchema))
+            // hash() rejects map-typed columns — salt on the hashable ones
+            def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+              case _: org.apache.spark.sql.types.MapType => true
+              case st: org.apache.spark.sql.types.StructType =>
+                st.fields.exists(f => hasMap(f.dataType))
+              case at: org.apache.spark.sql.types.ArrayType => hasMap(at.elementType)
+              case _ => false
+            }
+            val hashable = src.schema.fields.filterNot(f => hasMap(f.dataType))
+              .map(f => col(f.name))
+            val salt =
+              if (hashable.isEmpty) lit(0) else pmod(hash(hashable: _*), lit(target))
+            val packed = src.repartition(col(pc), salt)
+            val fresh = stagePartitioned(spark, root, packed, pc)
+            Some(publish(root, snap.version, keep ++ fresh,
+              Some((pc, snap.partType)),
+              snap.notes + "compact", snap.schemaJson))
+          }
       }
     }.get
 
   /** Drop all manifests except the newest `keepLast` (readers may no
     * longer pin the dropped versions; their exclusive data files become
-    * vacuum-able). */
+    * vacuum-able). Rebuilds the checkpoint from the RETAINED manifests —
+    * the one operation that may SHRINK the checkpointed reference set,
+    * which is what lets [[vacuum]] actually reclaim the pruned versions'
+    * files without ever re-parsing the whole log. */
   def pruneHistory(root: String, keepLast: Int = 1): Unit = {
     val vs = allVersions(root)
     vs.dropRight(keepLast.max(1))
       .foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    val retained = vs.takeRight(keepLast.max(1))
+      .flatMap(v => parseManifest(manifestPath(root, v)).map(v -> _))
+    retained.lastOption.foreach { case (latest, _) =>
+      try writeCheckpoint(root,
+        Checkpoint(latest, retained.flatMap(_._2.entries.map(dirKey)).toSet))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Default [[vacuum]] retention: staged-but-unpublished data younger
@@ -702,9 +951,23 @@ object TxLog {
     * manifest leftovers age out under the same rule. Returns directories
     * removed. */
   def vacuum(root: String, graceMs: Long = DefaultVacuumGraceMs): Int = {
-    val referenced: Set[String] = allVersions(root)
-      .flatMap(v => parseManifest(manifestPath(root, v))).flatMap(_._1)
-      .map(e => e.path.split("/").take(2).mkString("/")).toSet
+    // referenced set via the checkpoint when one exists: its refs cover
+    // every manifest at or below its floor BY INVARIANT (cumulative at
+    // write, rebuilt by pruneHistory), so only the version SUFFIX above
+    // the floor is parsed — vacuum on a 10⁴-commit log stops being a
+    // 10⁴-manifest parse. The checkpointed refs are conservative
+    // (pruned versions' dirs stay protected until pruneHistory rebuilds
+    // the checkpoint), which is the safe direction for a deleter.
+    val referenced: Set[String] = readCheckpoint(root) match {
+      case Some(ck) =>
+        val latest = probeLatest(root, ck.version)
+        ck.refs ++ ((ck.version + 1) to latest).flatMap(v =>
+          parseManifest(manifestPath(root, v)).toSeq.flatMap(_.entries.map(dirKey)))
+      case None =>
+        allVersions(root)
+          .flatMap(v => parseManifest(manifestPath(root, v)))
+          .flatMap(_.entries).map(dirKey).toSet
+    }
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new java.io.File(s"$root/data")
     val orphans = Option(dataDir.listFiles()).getOrElse(Array.empty)
@@ -715,7 +978,8 @@ object TxLog {
     // a publisher that crashed between manifest-tmp write and hard-link
     // leaks one .tmp file in _txlog; age those out under the same grace
     Option(logDir(root).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(".tmp-") &&
+      .filter(f => f.isFile &&
+        (f.getName.startsWith(".tmp-") || f.getName.startsWith(".ckpt-tmp-")) &&
         f.lastModified() <= cutoff)
       .foreach(f => Files.deleteIfExists(f.toPath))
     orphans.length

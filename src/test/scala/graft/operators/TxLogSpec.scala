@@ -220,6 +220,155 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root2).count() === 40)
   }
 
+  test("checkpoint bounds metadata cost: snapshot reads checkpoint + suffix, not the whole log") {
+    val root = freshRoot("ckpt")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq(1L).toDF("v"))
+    (2 to 25).foreach { k =>
+      TxLog.commitOverwrite(spark, root, Seq.fill(k)(k.toLong).toDF("v"),
+        expected = k - 1L)
+    }
+    // the 20th publish refreshed the checkpoint
+    val ck = TxLog.readCheckpoint(root).get
+    assert(ck.version === 20L)
+    // refs cover every data dir referenced at or below the floor
+    assert(ck.refs.size === 20)
+
+    // snapshot resolution: zero directory listings, only the
+    // (checkpoint, latest] suffix parsed — the 10⁴-commit log cost model
+    TxLog.logListings.set(0L); TxLog.manifestParses.set(0L)
+    assert(TxLog.snapshot(root).get.version === 25L)
+    assert(TxLog.logListings.get === 0L, "snapshot listed the whole log dir")
+    assert(TxLog.manifestParses.get <= 7L,
+      s"snapshot parsed ${TxLog.manifestParses.get} manifests — expected checkpoint + suffix only")
+
+    // vacuum: same suffix bound, and the checkpointed refs protect
+    // pre-floor versions' files WITHOUT re-parsing their manifests
+    TxLog.logListings.set(0L); TxLog.manifestParses.set(0L)
+    assert(TxLog.vacuum(root, graceMs = 0L) === 0)
+    assert(TxLog.logListings.get === 0L)
+    assert(TxLog.manifestParses.get <= 6L)
+
+    // time travel to pre-checkpoint versions still works until pruned
+    assert(TxLog.read(spark, root, 3L).count() === 3L)
+    assert(TxLog.read(spark, root, 25L).count() === 25L)
+
+    // the proof vacuum consults the checkpoint rather than old manifests:
+    // tear a pre-floor manifest (truncate its terminator) — the un-parsable
+    // manifest's files stay protected because the checkpoint already
+    // recorded them (the pre-checkpoint engine would have swept them)
+    val m5 = java.nio.file.Paths.get(root, "_txlog", f"v-${5L}%020d")
+    java.nio.file.Files.write(m5, "torn\n".getBytes)
+    assert(TxLog.vacuum(root, graceMs = 0L) === 0,
+      "vacuum swept files of a torn pre-checkpoint manifest instead of trusting the checkpoint")
+    assert(TxLog.read(spark, root, 4L).count() === 4L)
+
+    // pruneHistory rebuilds the checkpoint from the retained manifests —
+    // the refs SHRINK, and vacuum can finally reclaim the pruned versions
+    TxLog.pruneHistory(root, keepLast = 2)
+    val ck2 = TxLog.readCheckpoint(root).get
+    assert(ck2.version === 25L)
+    assert(ck2.refs.size === 2)
+    assert(TxLog.vacuum(root, graceMs = 0L) === 23)
+    assert(TxLog.read(spark, root, 24L).count() === 24L)
+    assert(TxLog.read(spark, root).count() === 25L)
+  }
+
+  test("versionAt is exact and portable: a copied log (fresh mtimes) still time-travels") {
+    val root = freshRoot("tsexact")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq(1L).toDF("v"))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(50L) // t-header has millisecond precision — no mtime granularity games
+    TxLog.commitOverwrite(spark, root, Seq(1L, 2L).toDF("v"), expected = 1L)
+    assert(TxLog.snapshot(root).get.timestampMs.isDefined)
+
+    // copy the whole table WITHOUT preserving file dates — a restored
+    // backup; mtime-based timestampAsOf would see every version as "now"
+    val copy = freshRoot("tsexact-copy")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(root), new java.io.File(copy), false)
+    Thread.sleep(20L)
+    assert(TxLog.versionAt(copy, t1) === Some(1L))
+    assert(TxLog.versionAt(copy, System.currentTimeMillis()) === Some(2L))
+    assert(TxLog.versionAt(copy, t1 - 60000L) === None)
+    assert(TxLog.read(spark, copy, TxLog.versionAt(copy, t1).get).count() === 1)
+  }
+
+  test("partition column type round-trips: int and date read back typed, not stringified") {
+    import spark.implicits._
+    // int partition
+    val rootI = freshRoot("ptype-int")
+    val dfI = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"))
+      .toDF("id", "bucket", "text")
+    TxLog.initPartitioned(spark, rootI, dfI, "bucket")
+    val backI = TxLog.read(spark, rootI)
+    assert(backI.schema("bucket").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(backI.filter(col("bucket") === 10).count() === 2)
+    assert(backI.select(sum("bucket")).head.getLong(0) === 40L)
+
+    // int partition survives a partition-scoped upsert (type recorded in
+    // the manifest, enforced against the batch)
+    TxLog.upsertPartitioned(spark, rootI,
+      Seq((4L, 20, "d")).toDF("id", "bucket", "text"), "id", "bucket")
+    val afterI = TxLog.read(spark, rootI)
+    assert(afterI.schema("bucket").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(afterI.count() === 4)
+    // a retyped batch is refused loudly
+    intercept[IllegalArgumentException] {
+      TxLog.upsertPartitioned(spark, rootI,
+        Seq((5L, "20", "e")).toDF("id", "bucket", "text"), "id", "bucket")
+    }
+
+    // date partition
+    val rootD = freshRoot("ptype-date")
+    val dfD = Seq((1L, "2024-01-01"), (2L, "2024-01-02"))
+      .toDF("id", "day").withColumn("day", col("day").cast("date"))
+    TxLog.initPartitioned(spark, rootD, dfD, "day")
+    val backD = TxLog.read(spark, rootD)
+    assert(backD.schema("day").dataType === org.apache.spark.sql.types.DateType)
+    assert(backD.filter(col("day") === lit("2024-01-02").cast("date")).count() === 1)
+
+    // adopted hive layouts have no committed type — string, as documented
+    val rootA = freshRoot("ptype-adopt")
+    dfI.write.partitionBy("bucket").parquet(rootA)
+    TxLog.adopt(spark, rootA, Some("bucket"))
+    assert(TxLog.read(spark, rootA).schema("bucket").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("partitioned compact: per-partition target, untouched partitions carried by reference") {
+    import spark.implicits._
+    val root = freshRoot("pcompact")
+    // partition "a" fragmented to 8 files, partition "b" written compact
+    val partA = spark.range(64).select(col("id"), lit("a").as("p")).repartition(8)
+    TxLog.initPartitioned(spark, root, partA, "p")
+    TxLog.commitAppend(spark, root,
+      spark.range(100, 116).select(col("id"), lit("b").as("p")).coalesce(1),
+      expected = 1L)
+    val snap0 = TxLog.snapshot(root).get
+    def filesOf(s: TxLog.Snapshot, pv: String) =
+      s.entries.filter(_.part.contains(pv)).map(_.path)
+    assert(filesOf(snap0, "a").size === 8)
+    assert(filesOf(snap0, "b").size === 1)
+
+    val v = TxLog.compact(spark, root, 2)
+    val snap1 = TxLog.snapshot(root).get
+    assert(snap1.version === v)
+    assert(filesOf(snap1, "a").size <= 2)
+    // partition b was at target: its file carried BY REFERENCE (same path)
+    assert(filesOf(snap1, "b") === filesOf(snap0, "b"))
+    assert(TxLog.read(spark, root).count() === 80)
+    assert(TxLog.read(spark, root).select(sum("id")).head.getLong(0) ===
+      (0L until 64L).sum + (100L until 116L).sum)
+
+    // every partition now at/under target: metadata-only no-op
+    assert(TxLog.compact(spark, root, 2) === v)
+    assert(TxLog.currentVersion(root) === v)
+  }
+
   test("versionAt resolves the version live at a timestamp (mtime-based timestampAsOf)") {
     val root = freshRoot("tsasof")
     import spark.implicits._
