@@ -49,8 +49,14 @@ for tier, recs in tiers.items():
                               "ratio": round(b["min"] / a["min"], 2)})
         curves[q] = pts
     sizes = {k: v for k, v in recs[-1].items() if k not in ("tier", "mult", "queries")}
+    # per-mult sizes/censuses (e.g. g2's n_nodes/n_edges per multiple):
+    # lets a flagged curve be adjudicated against the data's own growth
+    by_mult = {str(r["mult"]): {k: v for k, v in r.items()
+                                if k not in ("tier", "mult", "queries")}
+               for r in recs}
     result["tiers"].append({"tier": tier, "mults": [r["mult"] for r in recs],
-                            "top_size": sizes, "curves": curves,
+                            "top_size": sizes, "sizes_by_mult": by_mult,
+                            "curves": curves,
                             "over_band": flags})
 
 json.dump(result, open(out, "w"), indent=1)

@@ -76,9 +76,8 @@ object Bench {
     // adjudication moves from narrative into the harness: the JSON line
     // carries budget_exceeded with every query still over budget after
     // the steady-state retries below.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
-    val baseline: Map[String, Double] = {
-      val f = new java.io.File(baselinePath)
+    def loadFlat(path: String): Map[String, Double] = {
+      val f = new java.io.File(path)
       if (!f.isFile) Map.empty
       else {
         val src = scala.io.Source.fromFile(f)
@@ -88,6 +87,14 @@ object Bench {
         } finally src.close()
       }
     }
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
+    val baseline: Map[String, Double] = loadFlat(baselinePath)
+    // Frozen cross-round anchor (committed once, never regenerated): the
+    // per-round BENCH_BASELINE refresh is individually justified but
+    // could compound drift invisibly; the anchor ratio makes total drift
+    // vs the frozen round-8 steady state visible in every bench line.
+    // REPORT-ONLY — the budget gate stays on the per-round baseline.
+    val anchor: Map[String, Double] = loadFlat("BENCH_ANCHOR.json")
     val budgetTol = 1.5
     val budgetFloorSec = 0.5
     // This VM has multi-minute noisy episodes (host contention) that can
@@ -131,8 +138,14 @@ object Bench {
         s"""{"q":"$k","sec":${fmt(v)},"budget":${fmt(b)}}""" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
+    // anchor ratio over the SHARED query set (new queries don't dilute it)
+    val shared = results.collect {
+      case (k, v, true, _) if anchor.contains(k) => (v, anchor(k))
+    }
+    val anchorRatio =
+      if (shared.isEmpty) -1.0 else shared.map(_._1).sum / shared.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"budget_exceeded":$exceeded,"baseline_queries":${baseline.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"budget_exceeded":$exceeded,"baseline_queries":${baseline.size},"anchor_ratio":${fmt(anchorRatio)},"anchor_queries":${shared.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

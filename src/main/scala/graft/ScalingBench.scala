@@ -164,17 +164,22 @@ object ScalingBench {
         .sortBy(d => roster.indexOf(d.name))
       mults.foreach { k =>
         val dir = dirFor(k)
+        // SPARK_GRAFT_REPS (default 2 = cold+warm): more reps for
+        // dedicated curve adjudications — this host's noisy episodes can
+        // inflate any single rep, so outlier re-runs are prescribed
+        // min-of-3; "warm" reports the min of the non-cold reps and the
+        // analyzer's min(cold, warm) is then the min over all reps
+        val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(2)
         val parts = defs.map { d =>
           def once: Double = {
             val t0 = System.nanoTime()
             d.run(spark, dir).write.mode("overwrite").format("noop").save()
-            (System.nanoTime() - t0) / 1e9
+            val t = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            t
           }
-          val cold = once
-          spark.catalog.clearCache()
-          val warm = once
-          spark.catalog.clearCache()
-          s""""${d.name}":{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
+          val times = (1 to reps).map(_ => once)
+          s""""${d.name}":{"cold":${fmt(times.head)},"warm":${fmt(times.tail.min)}}"""
         }
         println(s"""{"tier":"$tier","mult":$k,${counts(dir)},"queries":{${parts.mkString(",")}}}""")
       }
@@ -215,7 +220,14 @@ object ScalingBench {
     })
     if (tiers("graph")) timeTier("graph", GraphQueries, ensureGraphCorpus, dir => {
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
-      s""""lineitem":$nLi"""
+      // g2's own graph census per multiple: the co-supply graph keeps a
+      // CONSTANT MinCoOrders edge floor while the data grows, so
+      // edges/wedges can legitimately grow superlinearly — emitting
+      // n_nodes/n_edges/n_triangles beside the timings separates that
+      // data densification from plan behavior when adjudicating the curve
+      val g2 = SparkEntry.allDefs.find(_.name == "g2_triangle_count").get
+        .run(spark, dir).collect().head
+      s""""lineitem":$nLi,"g2_nodes":${g2.getLong(0)},"g2_edges":${g2.getLong(1)},"g2_triangles":${g2.getLong(2)}"""
     })
     spark.stop()
   }

@@ -19,16 +19,76 @@ object SqlSurface {
     * re-running the query) accumulated a session per call, each with its
     * own catalog/listener state the parent keeps reachable. The clone
     * still isolates the conf raise (the i2/s2 discipline): the parent's
-    * runaway-recursion fuse stays armed. */
+    * runaway-recursion fuse stays armed.
+    *
+    * WEAKLY keyed on the parent: a strong map would retain every parent
+    * session (and its catalog/listener state) for the process lifetime —
+    * a long-lived driver that creates and stops sessions over time could
+    * never collect them. WeakHashMap drops the entry once the parent is
+    * unreachable; stopped-but-still-referenced parents are additionally
+    * evicted eagerly on access. */
   private val recursionSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
 
   private def recursionSession(s: SparkSession): SparkSession =
-    recursionSessions.computeIfAbsent(s, { parent =>
-      val sq = parent.newSession()
-      sq.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
-      sq
-    })
+    recursionSessions.synchronized {
+      recursionSessions.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+      Option(recursionSessions.get(s)).getOrElse {
+        val sq = s.newSession()
+        sq.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
+        recursionSessions.put(s, sq)
+        sq
+      }
+    }
+
+  /** Minimal SQL frontend over [[TxLog]] tables — the bridge between the
+    * engine's SQL surface and its transactional tier. Two statement
+    * shapes (the Delta SQL core, reduced):
+    *
+    *   SELECT ... FROM txlog.`<root>` [VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>] ...
+    *   DELETE FROM txlog.`<root>` WHERE <predicate>
+    *
+    * SELECT statements are rewritten: each txlog reference pins the
+    * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
+    * through the manifest's exact `t` commit headers, so it is portable
+    * across copied/restored logs) and lands as a short-lived temp view;
+    * the rewritten text then goes through `spark.sql` — the txlog
+    * reference is the only non-standard syntax, everything else is Spark
+    * SQL verbatim, same plans as the DataFrame path. DELETE routes to
+    * the transactional copy-on-write [[TxLog.delete]] (SQL NULL-predicate
+    * semantics included) and returns the published version as a one-row
+    * frame, the DML-result convention. */
+  object TxSql {
+    private val Ref = ("(?i)txlog\\s*\\.\\s*`([^`]+)`" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+))?").r
+    private val Delete =
+      "(?is)^\\s*DELETE\\s+FROM\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+
+    def sql(spark: SparkSession, stmt: String): DataFrame = stmt match {
+      case Delete(root, pred) =>
+        val v = TxLog.delete(spark, root, expr(pred))
+        spark.range(1).select(lit(v).as("version"))
+      case _ =>
+        val created = scala.collection.mutable.ListBuffer.empty[String]
+        val rewritten = Ref.replaceAllIn(stmt, m => {
+          val root = m.group(1)
+          val version = Option(m.group(2)).map(_.toLong)
+            .orElse(Option(m.group(3)).map { ts =>
+              TxLog.versionAt(root, ts.toLong).getOrElse(
+                throw new IllegalArgumentException(
+                  s"txlog $root has no version published at or before $ts"))
+            }).getOrElse(-1L)
+          val view = s"txlog_v_${java.util.UUID.randomUUID().toString.take(8)}"
+          TxLog.read(spark, root, version).createOrReplaceTempView(view)
+          created += view
+          scala.util.matching.Regex.quoteReplacement(view)
+        })
+        // resolution is eager, so the returned plan no longer needs the
+        // catalog entries — drop them (same discipline as sql2's view)
+        try spark.sql(rewritten)
+        finally created.foreach(spark.catalog.dropTempView(_))
+    }
+  }
 
   private def viewsReady(s: SparkSession, dir: String): Unit =
     Seq("lineitem", "orders", "customer").foreach { t =>
@@ -446,6 +506,41 @@ object SqlSurface {
               |       CAST(sum(((anc % 251) + 1) * (rev_ck % 1000003)) AS BIGINT) AS mix
               |FROM agg GROUP BY 1 ORDER BY depth""".stripMargin)
       finally sq.catalog.dropTempView(view)
+    },
+
+    // SQL3: the transactional tier driven through the SQL frontend — the
+    // engine's DELETE and time travel reachable as STATEMENTS, not just
+    // API calls. v1 = init; v2 = `DELETE FROM txlog.... WHERE ...` (the
+    // copy-on-write transactional delete); the result then reads BOTH
+    // versions via SQL — v1 pinned `VERSION AS OF`, v2 resolved
+    // `TIMESTAMP AS OF` through the manifests' exact commit-time
+    // headers. The oracle restates each version's table from the
+    // immutable source, so a hash match certifies that the SQL path hits
+    // the same snapshot-isolated versions as the API path.
+    QueryDef("sql3_txlog_sql",
+      """WITH survivors AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
+        |FROM survivors
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "txlog-sql")
+      TxLog.init(s, root, Tables.documents(s, dir).select("doc_id", "text")) // v1
+      val del = TxSql.sql(s, s"DELETE FROM txlog.`$root` WHERE doc_id % 13 = 0")
+      require(del.head.getLong(0) == 2L, "SQL DELETE did not publish version 2")
+      val now = System.currentTimeMillis()
+      TxSql.sql(s,
+        s"""SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT) AS ck
+           |FROM txlog.`$root` VERSION AS OF 1
+           |UNION ALL
+           |SELECT 2, CAST(count(*) AS BIGINT),
+           |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT)
+           |FROM txlog.`$root` TIMESTAMP AS OF $now
+           |ORDER BY version""".stripMargin)
     }
   )
 }

@@ -100,7 +100,9 @@ object TxLog {
       schemaJson: Option[String] = None,
       partType: org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.StringType,
-      timestampMs: Option[Long] = None) {
+      timestampMs: Option[Long] = None,
+      mapping: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -201,10 +203,21 @@ object TxLog {
     * the committed partition type when the manifest recorded one
     * (`p\tname\ttype`); bare `p\tname` headers (pre-typed manifests)
     * read as STRING — exactly what those tables stored. */
+  /** `mapping` is the column-mapping layer (the Delta column-mapping
+    * shape, name-based): physical (in-file) column name → logical
+    * (user-visible) name, for exactly the columns whose two names
+    * differ. The committed schema (`s`) always carries PHYSICAL names in
+    * logical order; a renamed column keeps its physical name in every
+    * data file forever — rename and drop are metadata-only commits.
+    * `retired` lists physical names dropped from the schema but still
+    * present in old data files: a later re-add of the same logical name
+    * must mint a FRESH physical name, or old files would resurrect the
+    * dropped column's values instead of surfacing NULL. */
   private final case class Manifest(entries: Seq[FileEntry], notes: Set[String],
       partCol: Option[String],
       partType: org.apache.spark.sql.types.DataType,
-      schemaJson: Option[String], timestampMs: Option[Long])
+      schemaJson: Option[String], timestampMs: Option[Long],
+      mapping: Map[String, String], retired: Set[String])
 
   /** Instrumentation for the metadata fast path: how many manifests were
     * parsed / directories listed ON THIS THREAD since the counters were
@@ -241,7 +254,13 @@ object TxLog {
     }.getOrElse((None, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType))
     val schema = lines.collectFirst { case l if l.startsWith("s\t") => l.drop(2) }
     val ts = lines.collectFirst { case l if l.startsWith("t\t") => l.drop(2).toLong }
-    Some(Manifest(entries, notes, partCol, partType, schema, ts))
+    val mapping = lines.collect {
+      case l if l.startsWith("m\t") => l.drop(2).split("\t", 2) match {
+        case Array(phys, logical) => phys -> logical
+      }
+    }.toMap
+    val retired = lines.collect { case l if l.startsWith("x\t") => l.drop(2) }.toSet
+    Some(Manifest(entries, notes, partCol, partType, schema, ts, mapping, retired))
   }
 
   /** Latest COMPLETE version, 0 when the table has no log yet. With a
@@ -278,7 +297,7 @@ object TxLog {
     val ver = if (v >= 0) v else currentVersion(root)
     parseManifest(manifestPath(root, ver)).map { m =>
       Snapshot(ver, m.entries, m.notes, m.partCol, m.schemaJson,
-        m.partType, m.timestampMs)
+        m.partType, m.timestampMs, m.mapping, m.retired)
     }
   }
 
@@ -346,10 +365,15 @@ object TxLog {
         (if (version >= 0) s" (asked for $version)" else "")))
     require(snap.files.nonEmpty, s"version ${snap.version} at $root has no data files")
     val schema = snap.schemaJson.map(parseSchema)
-    snap.partCol match {
+    val phys = snap.partCol match {
       case None => readFiles(spark, snap.files.map(f => s"$root/$f"), schema)
       case Some(pc) => readGroups(spark, root, snap.entries, pc, snap.partType, schema)
     }
+    // column-mapping layer: surface logical names. The committed schema
+    // pin already restricts the scan to live physical columns (dropped
+    // ones in old files are simply not read), so only RENAMES need a
+    // projection — and it collapses into the scan, not a real operator.
+    if (snap.mapping.isEmpty) phys else applyMapping(phys, snap, schema.get)
   }
 
   /** Stage `df` as one immutable data directory; returns the relative
@@ -405,7 +429,9 @@ object TxLog {
     * version also refreshes the metadata checkpoint. */
   private def publish(root: String, expected: Long, entries: Seq[FileEntry],
       partMeta: Option[(String, org.apache.spark.sql.types.DataType)],
-      notes: Set[String], schemaJson: Option[String]): Long = {
+      notes: Set[String], schemaJson: Option[String],
+      mapping: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
     val fLines = partMeta match {
@@ -417,6 +443,8 @@ object TxLog {
     val body = (partMeta.map { case (pc, dt) => s"p\t$pc\t${dt.catalogString}" }.toSeq ++
       Seq(s"t\t${System.currentTimeMillis()}") ++
       schemaJson.map("s\t" + _).toSeq ++
+      mapping.toSeq.sorted.map { case (p, l) => s"m\t$p\t$l" } ++
+      retired.toSeq.sorted.map("x\t" + _) ++
       fLines ++ notes.toSeq.sorted.map("n\t" + _) :+ "commit")
       .mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".tmp-${java.util.UUID.randomUUID()}")
@@ -539,10 +567,13 @@ object TxLog {
       df.schema.filterNot(f => partCol.exists(_.equalsIgnoreCase(f.name)))).json
 
   /** Additive-evolution gate for commits that MIX old files with new ones
-    * (append, partition-scoped merge): every committed field must keep
-    * its name and type — columns may be ADDED, never dropped or retyped
-    * (Delta's default evolution rule). Overwrite-commits replace every
-    * file, so they may change schema freely. */
+    * (append, partition-scoped merge): every committed LOGICAL field must
+    * keep its name and type — columns may be ADDED, never dropped or
+    * retyped by a BATCH (Delta's default evolution rule). Rename and drop
+    * are not batch operations but explicit metadata-only commits
+    * ([[renameColumn]]/[[dropColumn]], the column-mapping layer).
+    * Overwrite-commits replace every file, so they may change schema
+    * freely. */
   private def requireAdditive(prevJson: Option[String], nextJson: String,
       op: String): Unit =
     prevJson.foreach { pj =>
@@ -558,6 +589,130 @@ object TxLog {
             s"${f.dataType.simpleString} is missing or retyped in the incoming batch")
       }
     }
+
+  /** The LOGICAL schema of a snapshot: the committed physical schema with
+    * the mapping's renames applied. What [[read]] returns and what
+    * [[requireAdditive]] protects on mixed commits. */
+  private def logicalSchema(phys: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      phys.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** Surface a physically-named frame under its LOGICAL names (the
+    * partition column, already logical, passes through). A no-op without
+    * renames — the committed-schema pin already excludes dropped
+    * physical columns from the scan. */
+  private def applyMapping(df: DataFrame, snap: Snapshot,
+      phys: org.apache.spark.sql.types.StructType): DataFrame =
+    if (snap.mapping.isEmpty) df
+    else df.select((phys.fields.map(f =>
+      col(f.name).as(snap.mapping.getOrElse(f.name, f.name))) ++
+      snap.partCol.map(col(_)).toSeq).toSeq: _*)
+
+  /** Rewrite a LOGICAL batch to PHYSICAL column names for a mixed commit
+    * (append / partition-scoped merge): mapped columns rename back to
+    * their in-file physical name; existing unmapped columns pass through;
+    * NEW columns get physical = logical unless that name ever existed
+    * physically (live or retired — re-using it would resurrect old
+    * files' values), in which case a version-suffixed fresh name is
+    * minted. Returns the physically-named frame, the next committed
+    * physical schema (previous fields + new fields, logical order
+    * growing additively at the end), and the next mapping. */
+  private def toPhysical(df: DataFrame, snap: Snapshot,
+      physPrev: org.apache.spark.sql.types.StructType):
+      (DataFrame, org.apache.spark.sql.types.StructType, Map[String, String]) = {
+    val logicalByPhys = snap.mapping
+    val physByLogical = logicalByPhys.map(_.swap)
+    val physNames = physPrev.fields.map(_.name).toSeq
+    def ciFind(names: Iterable[String], n: String): Option[String] =
+      names.find(_.equalsIgnoreCase(n))
+    val taken = physNames ++ snap.retired ++ logicalByPhys.keys
+    var newMapping = logicalByPhys
+    val newFields = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.types.StructField]
+    val selectCols = df.schema.fields.map { f =>
+      if (snap.partCol.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+      else ciFind(physByLogical.keys, f.name) match {
+        case Some(l) => col(f.name).as(physByLogical(l)) // mapped: rename back
+        // identity only against UNMAPPED physical names: a physical name
+        // already claimed by a mapping pair belongs to a DIFFERENT
+        // logical column — writing a same-named new logical column into
+        // it would corrupt the mapped column's files
+        case None => ciFind(physNames.filterNot(logicalByPhys.contains), f.name) match {
+          case Some(_) => col(f.name) // existing unmapped column
+          case None => // new logical column
+            val phys =
+              if (ciFind(taken, f.name).isDefined) s"${f.name}__v${snap.version + 1}"
+              else f.name
+            newFields += org.apache.spark.sql.types.StructField(phys, f.dataType,
+              nullable = true)
+            if (phys != f.name) newMapping += (phys -> f.name)
+            col(f.name).as(phys)
+        }
+      }
+    }
+    (df.select(selectCols.toSeq: _*),
+      org.apache.spark.sql.types.StructType(physPrev.fields ++ newFields),
+      newMapping)
+  }
+
+  /** Metadata-only column RENAME (Delta column-mapping semantics): the
+    * logical name changes in the manifest; every data file keeps the
+    * physical column untouched — zero data movement, old versions
+    * unaffected, time travel intact. The partition column cannot be
+    * renamed (its name is baked into the manifest partition metadata).
+    * An adopted table upgrades to schema-pinned with this commit. */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String,
+      note: String = "rename"): Long =
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(
+        throw new IllegalStateException(s"renameColumn on uninitialized txlog $root"))
+      require(!snap.partCol.exists(_.equalsIgnoreCase(from)) &&
+        !snap.partCol.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: cannot rename the partition column ${snap.partCol.get}")
+      val phys = parseSchema(effectiveSchemaJson(spark, root, snap))
+      val logical = logicalSchema(phys, snap.mapping)
+      require(logical.fields.exists(_.name.equalsIgnoreCase(from)),
+        s"renameColumn: no column $from (have ${logical.fieldNames.mkString(", ")})")
+      require(!logical.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"renameColumn: column $to already exists")
+      val physName = phys.fields(
+        logical.fields.indexWhere(_.name.equalsIgnoreCase(from))).name
+      val next =
+        if (physName == to) snap.mapping - physName // renamed back to physical
+        else snap.mapping - physName + (physName -> to)
+      Some(publish(root, snap.version, snap.entries,
+        snap.partCol.map(pc => (pc, snap.partType)), snap.notes + note,
+        Some(phys.json), next, snap.retired))
+    }.get
+
+  /** Metadata-only column DROP: the column leaves the logical schema;
+    * its physical column stays in existing data files (never read — the
+    * committed-schema pin excludes it) and its physical NAME is retired
+    * so a future re-add of the same logical name cannot resurrect old
+    * values. Storage is reclaimed by the next full rewrite
+    * ([[commitOverwrite]]/[[upsert]]/[[delete]]), same as Delta. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+      note: String = "drop"): Long =
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(
+        throw new IllegalStateException(s"dropColumn on uninitialized txlog $root"))
+      require(!snap.partCol.exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: cannot drop the partition column $name")
+      val phys = parseSchema(effectiveSchemaJson(spark, root, snap))
+      val logical = logicalSchema(phys, snap.mapping)
+      val idx = logical.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0,
+        s"dropColumn: no column $name (have ${logical.fieldNames.mkString(", ")})")
+      require(logical.fields.length > 1,
+        "dropColumn: cannot drop the last column")
+      val physName = phys.fields(idx).name
+      val nextPhys = org.apache.spark.sql.types.StructType(
+        phys.fields.patch(idx, Nil, 1))
+      Some(publish(root, snap.version, snap.entries,
+        snap.partCol.map(pc => (pc, snap.partType)), snap.notes + note,
+        Some(nextPhys.json), snap.mapping - physName, snap.retired + physName))
+    }.get
 
   /** Overwrite-commit: the new version's content is exactly `df`. CAS on
     * `expected`; notes accumulate (the new manifest carries the expected
@@ -593,12 +748,12 @@ object TxLog {
     val snap = snapshot(root, expected).getOrElse(
       throw new IllegalStateException(s"append to uninitialized txlog $root"))
     // append MIXES the snapshot's files with the batch's: the committed
-    // schema may only grow (old files surface added columns as NULL).
-    // Adopted tables infer their previous schema once and upgrade to
-    // schema-pinned with this commit.
-    val nextSchema = fileSchemaJson(df, snap.partCol)
-    requireAdditive(Some(effectiveSchemaJson(spark, root, snap)),
-      nextSchema, "commitAppend")
+    // LOGICAL schema may only grow (old files surface added columns as
+    // NULL). Adopted tables infer their previous schema once and upgrade
+    // to schema-pinned with this commit.
+    val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
+    requireAdditive(Some(logicalSchema(physPrev, snap.mapping).json),
+      fileSchemaJson(df, snap.partCol), "commitAppend")
     // appended files mix with the snapshot's — the batch's partition
     // column must carry the committed type (same stability rule as
     // upsertPartitioned; a retyped partition column would stage hive
@@ -609,14 +764,16 @@ object TxLog {
           s"${snap.partType.simpleString}, batch brings " +
           df.schema(pc).dataType.simpleString)
     }
+    // the batch arrives LOGICAL; files store PHYSICAL names
+    val (physDf, nextPhys, nextMapping) = toPhysical(df, snap, physPrev)
     val entries = snap.partCol match {
-      case Some(pc) => stagePartitioned(spark, root, df, pc)
-      case None => stageData(spark, root, df).map(FileEntry(_, None))
+      case Some(pc) => stagePartitioned(spark, root, physDf, pc)
+      case None => stageData(spark, root, physDf).map(FileEntry(_, None))
     }
     publish(root, expected, snap.entries ++ entries,
       snap.partCol.map(pc => (pc, snap.partType)),
       if (note.isEmpty) snap.notes else snap.notes + note,
-      Some(nextSchema))
+      Some(nextPhys.json), nextMapping, snap.retired)
   }
 
   /** Retry loop for optimistic writers: `attempt` receives the fresh
@@ -732,17 +889,19 @@ object TxLog {
         val touchedSet = touched.toSet
         val (rewrite, keep) = snap.entries.partition(e => touchedSet.contains(e.part))
         // the new version mixes kept old files with restaged ones — the
-        // committed schema may only grow (same rule as commitAppend);
-        // adopted tables infer their previous schema once and upgrade.
-        // The gate runs on the BATCH's schema, before any union: checked
-        // after the union, coercion would stringify a retyped column and
-        // slip it past the committed-type compare.
-        requireAdditive(Some(effectiveSchemaJson(spark, root, snap)),
+        // committed LOGICAL schema may only grow (same rule as
+        // commitAppend); adopted tables infer their previous schema once
+        // and upgrade. The gate runs on the BATCH's schema, before any
+        // union: checked after the union, coercion would stringify a
+        // retyped column and slip it past the committed-type compare.
+        val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
+        requireAdditive(Some(logicalSchema(physPrev, snap.mapping).json),
           fileSchemaJson(batch, Some(partCol)), "upsertPartitioned")
         val current =
           if (rewrite.isEmpty) batch.limit(0)
-          else readGroups(spark, root, rewrite, partCol, snap.partType,
-            snap.schemaJson.map(parseSchema))
+          else applyMapping(
+            readGroups(spark, root, rewrite, partCol, snap.partType,
+              snap.schemaJson.map(parseSchema)), snap, physPrev)
         val beforeCounts = current.groupBy(partCol).count().collect()
           .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
         val batchCounts = batch.groupBy(partCol).count().collect()
@@ -756,14 +915,14 @@ object TxLog {
         val merged = current.join(batch.select(key), Seq(key), "left_anti")
           .unionByName(batch, allowMissingColumns = true).cache()
         try {
-          val nextSchema = fileSchemaJson(merged, snap.partCol)
+          val (physDf, nextPhys, nextMapping) = toPhysical(merged, snap, physPrev)
           val afterCounts = merged.groupBy(partCol).count().collect()
             .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
-          val fresh = stagePartitioned(spark, root, merged, partCol)
+          val fresh = stagePartitioned(spark, root, physDf, partCol)
           publish(root, snap.version, keep ++ fresh,
             snap.partCol.map(pc => (pc, snap.partType)),
             if (note.isEmpty) snap.notes else snap.notes + note,
-            Some(nextSchema))
+            Some(nextPhys.json), nextMapping, snap.retired)
           Some(touched.sortBy(partName).map { pv =>
             PartStats(partName(pv), beforeCounts.getOrElse(pv, 0L),
               afterCounts.getOrElse(pv, 0L), batchCounts.getOrElse(pv, 0L))
@@ -905,9 +1064,13 @@ object TxLog {
               if (hashable.isEmpty) lit(0) else pmod(hash(hashable: _*), lit(target))
             val packed = src.repartition(col(pc), salt)
             val fresh = stagePartitioned(spark, root, packed, pc)
+            // physical-level compaction: files restaged under their
+            // PHYSICAL columns (readGroups is not mapping-applied here),
+            // so the mapping/retired layers carry through unchanged
             Some(publish(root, snap.version, keep ++ fresh,
               Some((pc, snap.partType)),
-              snap.notes + "compact", snap.schemaJson))
+              snap.notes + "compact", snap.schemaJson,
+              snap.mapping, snap.retired))
           }
       }
     }.get
@@ -1091,6 +1254,83 @@ object TxLog {
         .withColumn("replay_noop", lit(replayNoop))
         .withColumn("maintained", lit(maintained))
         .orderBy("event_type")
+    },
+
+    // S14: column mapping under the differential gate — rename (v2),
+    // additive add (v3), drop (v4), and a re-add that collides with BOTH
+    // a renamed-away physical name and a dropped one (v5). The result
+    // reads ALL FIVE pinned versions after the fact; the oracle restates
+    // each version's logical table from the immutable source. The v5 row
+    // is the resurrection guard under the hash: its extra_ck sums the
+    // NEW 'text' column, so if old files' physical 'text' (renamed away
+    // at v2) leaked into the re-added logical 'text', the sum — and the
+    // hash — would include 500 old documents instead of 20 fresh tags.
+    QueryDef("s14_column_mapping",
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |a3 AS (SELECT doc_id + 1000000 AS doc_id, md5(text) AS body,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS wc
+        |       FROM base WHERE doc_id < 40),
+        |v3 AS (SELECT doc_id, text AS body, CAST(NULL AS BIGINT) AS wc FROM base
+        |       UNION ALL SELECT doc_id, body, wc FROM a3),
+        |a5 AS (SELECT doc_id + 2000000 AS doc_id, md5(text) AS body,
+        |       'T' || CAST(doc_id AS VARCHAR) AS text2
+        |       FROM base WHERE doc_id < 20),
+        |v5 AS (SELECT doc_id, body, CAST(NULL AS VARCHAR) AS text2 FROM v3
+        |       UNION ALL SELECT doc_id, body, text2 FROM a5)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(NULL AS BIGINT) AS extra_ck
+        |FROM base
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT),
+        |       CAST(NULL AS BIGINT)
+        |FROM base
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(body))) AS BIGINT),
+        |       CAST(sum(wc) AS BIGINT)
+        |FROM v3
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(body))) AS BIGINT),
+        |       CAST(NULL AS BIGINT)
+        |FROM v3
+        |UNION ALL
+        |SELECT 5, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(body))) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text2))) AS BIGINT)
+        |FROM v5
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val root = freshRoot(dir, "txlog-colmap")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TxLog.init(s, root, docs) // v1
+      val v2 = TxLog.renameColumn(s, root, "text", "body") // metadata-only
+      val add3 = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text").cast("binary")).as("body"),
+          octet_length(col("text")).cast("long").as("wc"))
+      val v3 = TxLog.commitAppend(s, root, add3, expected = v2)
+      val v4 = TxLog.dropColumn(s, root, "wc") // metadata-only
+      val add5 = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          md5(col("text").cast("binary")).as("body"),
+          concat(lit("T"), col("doc_id").cast("string")).as("text"))
+      val v5 = TxLog.commitAppend(s, root, add5, expected = v4)
+      def census(v: Long, mainCol: String, extra: Option[Column]): DataFrame =
+        TxLog.read(s, root, v).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * octet_length(col(mainCol))).cast("long").as("ck"),
+          extra.getOrElse(lit(null)).cast("long").as("extra_ck"))
+          .select(lit(v.toInt).as("version"), col("n_docs"), col("ck"), col("extra_ck"))
+      Seq(
+        census(1L, "text", None),
+        census(v2, "body", None),
+        census(v3, "body", Some(sum(col("wc")))),
+        census(v4, "body", None),
+        census(v5, "body",
+          Some(sum((col("doc_id") + 1) * octet_length(col("text"))))))
+        .reduce(_ unionByName _).orderBy("version")
     }
   )
 }

@@ -419,6 +419,105 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root).columns.toSeq === Seq("doc_id", "score"))
   }
 
+  test("column mapping: rename and drop are metadata-only; dropped names cannot resurrect") {
+    val root = freshRoot("colmap")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"))
+    val dataDirs = () => Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty).count(_.isDirectory)
+    assert(dataDirs() === 1)
+
+    // rename text -> body: METADATA-ONLY (no new data dir), logical
+    // schema changes, the files keep their physical column
+    val v2 = TxLog.renameColumn(spark, root, "text", "body")
+    assert(v2 === 2L)
+    assert(dataDirs() === 1, "rename staged data — must be metadata-only")
+    val r2 = TxLog.read(spark, root)
+    assert(r2.columns.toSeq === Seq("doc_id", "body"))
+    assert(r2.orderBy("doc_id").collect().map(_.getString(1)).toSeq ===
+      Seq("alpha", "beta"))
+    // time travel: v1 still shows the OLD logical name
+    assert(TxLog.read(spark, root, 1L).columns.toSeq === Seq("doc_id", "text"))
+
+    // append AFTER the rename: the batch speaks the logical name; the
+    // staged file stores the physical one; both vintages read uniformly
+    val v3 = TxLog.commitAppend(spark, root,
+      Seq((3L, "gamma")).toDF("doc_id", "body"), expected = v2)
+    assert(TxLog.read(spark, root, v3).orderBy("doc_id").collect()
+      .map(_.getString(1)).toSeq === Seq("alpha", "beta", "gamma"))
+    // appending under the RETIRED name is rejected (additive gate on
+    // the logical schema: 'text' is not a column anymore... it's a new
+    // column now, which is allowed — but it must NOT resurrect old data)
+
+    // drop doc_id? no — drop is for non-key demo; add a column then drop it
+    val v4 = TxLog.commitAppend(spark, root,
+      Seq((4L, "delta", "en")).toDF("doc_id", "body", "lang"), expected = v3)
+    assert(TxLog.read(spark, root, v4).columns.toSeq ===
+      Seq("doc_id", "body", "lang"))
+    val v5 = TxLog.dropColumn(spark, root, "lang")
+    assert(dataDirs() === 3, "drop staged data — must be metadata-only")
+    assert(TxLog.read(spark, root, v5).columns.toSeq === Seq("doc_id", "body"))
+    // v4 still has lang (time travel across the drop)
+    assert(TxLog.read(spark, root, v4).columns.toSeq ===
+      Seq("doc_id", "body", "lang"))
+
+    // re-add a NEW logical column named like the RENAMED-AWAY physical
+    // ('text' lives physically in v1's files): old rows must surface
+    // NULL, never the v1 values — the resurrection guard
+    val v6 = TxLog.commitAppend(spark, root,
+      Seq((5L, "eps", "fresh")).toDF("doc_id", "body", "text"), expected = v5)
+    val r6 = TxLog.read(spark, root, v6).orderBy("doc_id").collect()
+    assert(r6.map(r => Option(r.getString(2))).toSeq ===
+      Seq(None, None, None, None, Some("fresh")),
+      "dropped/renamed-away physical column resurrected into a new logical column")
+
+    // and a NEW column named like the DROPPED logical ('lang' retired
+    // physically): same guard
+    val v7 = TxLog.commitAppend(spark, root,
+      Seq((6L, "zeta", "t6", "LANGNEW")).toDF("doc_id", "body", "text", "lang"),
+      expected = v6)
+    val r7 = TxLog.read(spark, root, v7).orderBy("doc_id").collect()
+    assert(r7.map(r => Option(r.getString(3))).toSeq ===
+      Seq(None, None, None, None, None, Some("LANGNEW")))
+
+    // guards: partition column / unknown / duplicate / last column
+    intercept[IllegalArgumentException](TxLog.renameColumn(spark, root, "nope", "x"))
+    intercept[IllegalArgumentException](TxLog.renameColumn(spark, root, "body", "doc_id"))
+    val rootP = freshRoot("colmap-part")
+    TxLog.initPartitioned(spark, rootP,
+      Seq((1L, "a", "en")).toDF("doc_id", "text", "lang"), "lang")
+    intercept[IllegalArgumentException](TxLog.renameColumn(spark, rootP, "lang", "l2"))
+    intercept[IllegalArgumentException](TxLog.dropColumn(spark, rootP, "lang"))
+  }
+
+  test("column mapping survives partition-scoped upsert; overwrite rewrites it away") {
+    val root = freshRoot("colmap-upsert")
+    import spark.implicits._
+    TxLog.initPartitioned(spark, root,
+      Seq((1L, "one", "en"), (2L, "zwei", "de")).toDF("doc_id", "text", "lang"),
+      "lang")
+    TxLog.renameColumn(spark, root, "text", "body")
+    // partition-scoped merge speaks the logical name; only 'de' touched
+    TxLog.upsertPartitioned(spark, root,
+      Seq((2L, "ZWEI", "de"), (3L, "drei", "de")).toDF("doc_id", "body", "lang"),
+      "doc_id", "lang")
+    val after = TxLog.read(spark, root).orderBy("doc_id").collect()
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("doc_id", "body", "lang"))
+    assert(after.map(_.getString(1)).toSeq === Seq("one", "ZWEI", "drei"))
+    // untouched partition carried by reference still reads through the map
+    assert(after(0).getString(2) === "en")
+
+    // a full overwrite materializes logical names physically: mapping gone
+    val snapBefore = TxLog.snapshot(root).get
+    assert(snapBefore.mapping.nonEmpty)
+    TxLog.upsert(spark, root,
+      Seq((4L, "vier", "de")).toDF("doc_id", "body", "lang"), "doc_id")
+    val snapAfter = TxLog.snapshot(root).get
+    assert(snapAfter.mapping.isEmpty && snapAfter.retired.isEmpty)
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("doc_id", "body", "lang"))
+    assert(TxLog.read(spark, root).count() === 4)
+  }
+
   test("compact packs files; pruneHistory + vacuum release old versions") {
     val root = freshRoot("compact")
     TxLog.init(spark, root, docs.limit(64).repartition(16))

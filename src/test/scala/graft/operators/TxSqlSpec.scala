@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL frontend over TxLog tables: DELETE routes to the
+  * transactional copy-on-write delete, time travel pins via VERSION AS
+  * OF / TIMESTAMP AS OF (exact manifest commit headers), rewritten
+  * statements otherwise behave as plain Spark SQL, and the frontend
+  * leaves no catalog residue. */
+class TxSqlSpec extends SparkSpec {
+
+  import SqlSurface.TxSql
+
+  private def freshRoot(tag: String) =
+    s"/root/repo/target/txsql-$tag-${System.nanoTime()}"
+
+  test("DELETE is the transactional delete: versioned, NULL-predicate rows survive") {
+    val root = freshRoot("del")
+    val t = spark.sql(
+      "SELECT * FROM VALUES (1L, 1), (2L, 2), (3L, CAST(NULL AS INT)) AS t(doc_id, score)")
+    TxLog.init(spark, root, t)
+    val res = TxSql.sql(spark, s"DELETE FROM txlog.`$root` WHERE score > 1")
+    assert(res.head.getLong(0) === 2L) // published version as DML result
+    // SQL DELETE semantics: the NULL-score row is unmatched and survives
+    assert(TxLog.read(spark, root).orderBy("doc_id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // v1 still pinnable through SQL
+    assert(TxSql.sql(spark,
+      s"SELECT count(*) AS n FROM txlog.`$root` VERSION AS OF 1").head.getLong(0) === 3L)
+  }
+
+  test("time travel: VERSION AS OF and TIMESTAMP AS OF hit the pinned snapshots; bad pins throw") {
+    val root = freshRoot("tt")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq(1L).toDF("v"))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30L)
+    TxLog.commitOverwrite(spark, root, Seq(1L, 2L, 3L).toDF("v"), expected = 1L)
+
+    assert(TxSql.sql(spark,
+      s"SELECT count(*) AS n FROM txlog.`$root` VERSION AS OF 1").head.getLong(0) === 1L)
+    assert(TxSql.sql(spark,
+      s"SELECT count(*) AS n FROM txlog.`$root` TIMESTAMP AS OF $t1").head.getLong(0) === 1L)
+    assert(TxSql.sql(spark,
+      s"SELECT count(*) AS n FROM txlog.`$root`").head.getLong(0) === 3L)
+    intercept[IllegalArgumentException] {
+      TxSql.sql(spark,
+        s"SELECT count(*) AS n FROM txlog.`$root` TIMESTAMP AS OF ${t1 - 3600000L}")
+    }
+  }
+
+  test("two versions of the same table join in one statement; no catalog residue") {
+    val root = freshRoot("join")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.commitOverwrite(spark, root,
+      Seq((1L, "a2"), (3L, "c")).toDF("id", "s"), expected = 1L)
+    val rows = TxSql.sql(spark,
+      s"""SELECT old.id AS id, old.s AS old_s, new.s AS new_s
+         |FROM txlog.`$root` VERSION AS OF 1 old
+         |JOIN txlog.`$root` VERSION AS OF 2 new ON old.id = new.id
+         |ORDER BY id""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "a2")))
+    // the frontend's temp views are dropped once the statement resolves
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("txlog_v_")))
+  }
+}
