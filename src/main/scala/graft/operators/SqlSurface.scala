@@ -42,11 +42,15 @@ object SqlSurface {
     }
 
   /** Minimal SQL frontend over [[TxLog]] tables — the bridge between the
-    * engine's SQL surface and its transactional tier. Two statement
+    * engine's SQL surface and its transactional tier. The statement
     * shapes (the Delta SQL core, reduced):
     *
     *   SELECT ... FROM txlog.`<root>` [VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>] ...
     *   DELETE FROM txlog.`<root>` WHERE <predicate>
+    *   UPDATE txlog.`<root>` SET col = <expr>[, ...] WHERE <predicate>
+    *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn>
+    *   OPTIMIZE txlog.`<root>` [TARGET <n>]
+    *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
     *
     * SELECT statements are rewritten: each txlog reference pins the
     * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
@@ -54,20 +58,74 @@ object SqlSurface {
     * across copied/restored logs) and lands as a short-lived temp view;
     * the rewritten text then goes through `spark.sql` — the txlog
     * reference is the only non-standard syntax, everything else is Spark
-    * SQL verbatim, same plans as the DataFrame path. DELETE routes to
-    * the transactional copy-on-write [[TxLog.delete]] (SQL NULL-predicate
-    * semantics included) and returns the published version as a one-row
-    * frame, the DML-result convention. */
+    * SQL verbatim, same plans as the DataFrame path. DML routes to the
+    * transactional copy-on-write primitives (DELETE/UPDATE keep SQL
+    * NULL-predicate semantics; MERGE is the keyed last-write-wins upsert
+    * — Delta's `WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *`
+    * shorthand — whose USING subquery is itself TxSql, so it may time
+    * travel into the same table) and returns the published version as a
+    * one-row frame, the DML-result convention. OPTIMIZE/VACUUM route to
+    * [[TxLog.compact]] (per-partition target on partitioned tables) and
+    * the grace-windowed [[TxLog.vacuum]]. */
   object TxSql {
     private val Ref = ("(?i)txlog\\s*\\.\\s*`([^`]+)`" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+))?").r
     private val Delete =
       "(?is)^\\s*DELETE\\s+FROM\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+    private val Update =
+      "(?is)^\\s*UPDATE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+    private val Merge =
+      ("(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s+\\((.+)\\)" +
+        "(?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z0-9_]+)?\\s+ON\\s+([A-Za-z0-9_]+)\\s*;?\\s*$").r
+    private val Optimize =
+      "(?is)^\\s*OPTIMIZE\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*$".r
+    private val Vacuum =
+      "(?is)^\\s*VACUUM\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
+
+    /** Split on `sep` at paren depth 0 (SET lists carry function calls). */
+    private def splitTop(s: String, sep: Char): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString
+      out.toSeq
+    }
+
+    private val Assign = "(?s)^\\s*([A-Za-z0-9_]+)\\s*=\\s*(.+)$".r
 
     def sql(spark: SparkSession, stmt: String): DataFrame = stmt match {
       case Delete(root, pred) =>
         val v = TxLog.delete(spark, root, expr(pred))
         spark.range(1).select(lit(v).as("version"))
+      case Update(root, setList, pred) =>
+        val assignments = splitTop(setList, ',').map {
+          case Assign(c, e) => c -> expr(e)
+          case bad => throw new IllegalArgumentException(
+            s"UPDATE: malformed SET assignment: $bad")
+        }
+        val v = TxLog.updateWhere(spark, root, expr(pred), assignments)
+        spark.range(1).select(lit(v).as("version"))
+      case Merge(root, source, key) =>
+        // the USING subquery goes back through TxSql: it may itself
+        // reference txlog tables (including THIS one, pinned at an
+        // earlier version — self-referential backfills)
+        val v = TxLog.upsert(spark, root, sql(spark, source), key)
+        spark.range(1).select(lit(v).as("version"))
+      case Optimize(root, target) =>
+        val v = TxLog.compact(spark, root,
+          Option(target).map(_.toInt).getOrElse(8))
+        spark.range(1).select(lit(v).as("version"))
+      case Vacuum(root, hours) =>
+        val graceMs = Option(hours)
+          .map(_.toLong * 3600L * 1000L).getOrElse(TxLog.DefaultVacuumGraceMs)
+        val swept = TxLog.vacuum(root, graceMs)
+        spark.range(1).select(lit(swept).as("swept"))
       case _ =>
         val created = scala.collection.mutable.ListBuffer.empty[String]
         val rewritten = Ref.replaceAllIn(stmt, m => {
@@ -541,6 +599,61 @@ object SqlSurface {
            |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT)
            |FROM txlog.`$root` TIMESTAMP AS OF $now
            |ORDER BY version""".stripMargin)
+    },
+
+    // SQL4: the full DML surface as STATEMENTS — UPDATE (copy-on-write,
+    // assignments against the original row) and MERGE (keyed
+    // last-write-wins upsert, Delta's UPDATE SET * / INSERT * shorthand)
+    // whose USING subquery TIME TRAVELS into version 1 of the very table
+    // being merged — the self-referential backfill shape. The oracle
+    // restates v1/v2/v3 from the immutable source; a hash match
+    // certifies statement semantics AND that the DML versions chain
+    // correctly (v3 derives from v2's survivors, not v1's).
+    QueryDef("sql4_txlog_dml",
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN md5(text) ELSE text END AS text
+        |       FROM base),
+        |src AS (SELECT doc_id, 'R' || CAST(doc_id AS VARCHAR) AS text
+        |        FROM base WHERE doc_id % 7 = 0
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, 'M' || CAST(doc_id AS VARCHAR)
+        |        FROM base WHERE doc_id < 30),
+        |v3 AS (SELECT doc_id, text FROM v2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        |       UNION ALL SELECT doc_id, text FROM src)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
+        |FROM base
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
+        |FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
+        |FROM v3
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "txlog-dml")
+      TxLog.init(s, root, Tables.documents(s, dir).select("doc_id", "text")) // v1
+      val up = TxSql.sql(s,
+        s"UPDATE txlog.`$root` SET text = md5(text) WHERE doc_id % 10 = 0")
+      require(up.head.getLong(0) == 2L, "SQL UPDATE did not publish version 2")
+      val mg = TxSql.sql(s,
+        s"""MERGE INTO txlog.`$root` USING (
+           |  SELECT doc_id, 'R' || CAST(doc_id AS STRING) AS text
+           |  FROM txlog.`$root` VERSION AS OF 1 WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, 'M' || CAST(doc_id AS STRING)
+           |  FROM txlog.`$root` VERSION AS OF 1 WHERE doc_id < 30
+           |) ON doc_id""".stripMargin)
+      require(mg.head.getLong(0) == 3L, "SQL MERGE did not publish version 3")
+      (1 to 3).map { v =>
+        TxSql.sql(s,
+          s"""SELECT $v AS version, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT) AS ck
+             |FROM txlog.`$root` VERSION AS OF $v""".stripMargin)
+      }.reduce(_ unionByName _).orderBy("version")
     }
   )
 }

@@ -946,6 +946,33 @@ object TxLog {
       Some(commitOverwrite(spark, root, survivors, snap.version, note))
     }.get
 
+  /** Transactional targeted UPDATE: rows where `cond` is TRUE get the
+    * assignments applied, every other row survives byte-identical —
+    * SQL UPDATE semantics (NULL-condition rows are unmatched), published
+    * as one copy-on-write overwrite version. All assignment expressions
+    * evaluate against the ORIGINAL row (one projection — an assignment
+    * never sees a sibling assignment's result, per SQL). */
+  def updateWhere(spark: SparkSession, root: String, cond: Column,
+      assignments: Seq[(String, Column)], note: String = ""): Long = {
+    require(assignments.nonEmpty, "updateWhere: no SET assignments")
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(
+        throw new IllegalStateException(s"update on uninitialized txlog $root"))
+      val cur = read(spark, root, snap.version)
+      assignments.foreach { case (c, _) =>
+        require(cur.columns.exists(_.equalsIgnoreCase(c)),
+          s"updateWhere: no column $c (have ${cur.columns.mkString(", ")})")
+      }
+      val updated = cur.select(cur.columns.map { c =>
+        assignments.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, e)) => when(cond <=> lit(true), e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toSeq: _*)
+      Some(commitOverwrite(spark, root, updated, snap.version, note))
+    }.get
+  }
+
   /** Effectively-once tagged fold (the incremental-rollup discipline on
     * the log): `merge(current)` builds the folded table; a tag already in
     * the snapshot's notes makes the fold a no-op (returns false). Safe

@@ -50,6 +50,59 @@ class TxSqlSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE: assignments see the ORIGINAL row; NULL-predicate rows survive unchanged") {
+    val root = freshRoot("upd")
+    val t = spark.sql(
+      """SELECT * FROM VALUES (1L, 10L, 100L, 1), (2L, 20L, 200L, 2),
+        |(3L, 30L, 300L, CAST(NULL AS INT)) AS t(id, a, b, flag)""".stripMargin)
+    TxLog.init(spark, root, t)
+    // the classic swap: if assignments chained, b would get the NEW a
+    val res = TxSql.sql(spark,
+      s"UPDATE txlog.`$root` SET a = b, b = a WHERE flag >= 2")
+    assert(res.head.getLong(0) === 2L)
+    val rows = TxLog.read(spark, root).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((10L, 100L), (200L, 20L), (30L, 300L))) // row 2 swapped; NULL-flag row 3 untouched
+    // multi-assignment with function calls (the paren-aware SET split)
+    TxSql.sql(spark,
+      s"UPDATE txlog.`$root` SET a = greatest(a, b + 1), b = least(a, 5) WHERE id = 1")
+    val r1 = TxLog.read(spark, root).filter(col("id") === 1).head
+    assert((r1.getLong(1), r1.getLong(2)) === (101L, 5L))
+  }
+
+  test("MERGE is the keyed upsert; its USING subquery time-travels into the same table") {
+    val root = freshRoot("merge")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    TxSql.sql(spark, s"DELETE FROM txlog.`$root` WHERE id = 3") // v2
+    // backfill id=3 from v1 (self-referential time travel) + replace id=1
+    val res = TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT id, upper(s) AS s FROM txlog.`$root` VERSION AS OF 1
+         |  WHERE id IN (1, 3)
+         |) src ON id""".stripMargin)
+    assert(res.head.getLong(0) === 3L)
+    val rows = TxLog.read(spark, root).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "A"), (2L, "b"), (3L, "C")))
+  }
+
+  test("OPTIMIZE and VACUUM statements: compaction with metadata no-op, grace-windowed sweep") {
+    val root = freshRoot("opt")
+    import spark.implicits._
+    TxLog.init(spark, root, spark.range(64).select(col("id")).repartition(16))
+    assert(TxLog.snapshot(root).get.files.size === 16)
+    val v = TxSql.sql(spark, s"OPTIMIZE txlog.`$root` TARGET 2").head.getLong(0)
+    assert(TxLog.snapshot(root).get.files.size <= 2)
+    assert(TxLog.read(spark, root).count() === 64)
+    // at target: metadata-only no-op, same version
+    assert(TxSql.sql(spark, s"OPTIMIZE txlog.`$root` TARGET 2").head.getLong(0) === v)
+    // RETAIN 0 HOURS = ungraced; v1's 16-file dir sweeps after prune
+    TxLog.pruneHistory(root, keepLast = 1)
+    assert(TxSql.sql(spark, s"VACUUM txlog.`$root` RETAIN 0 HOURS").head.getInt(0) === 1)
+    assert(TxLog.read(spark, root).count() === 64)
+  }
+
   test("two versions of the same table join in one statement; no catalog residue") {
     val root = freshRoot("join")
     import spark.implicits._
