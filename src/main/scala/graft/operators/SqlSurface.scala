@@ -51,6 +51,7 @@ object SqlSurface {
     *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn>
     *   OPTIMIZE txlog.`<root>` [TARGET <n>]
     *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
+    *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
     *
     * SELECT statements are rewritten: each txlog reference pins the
     * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
@@ -81,6 +82,9 @@ object SqlSurface {
       "(?is)^\\s*OPTIMIZE\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*$".r
     private val Vacuum =
       "(?is)^\\s*VACUUM\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
+    private val Restore =
+      ("(?is)^\\s*RESTORE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+TO\\s+" +
+        "(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+(\\d+))\\s*;?\\s*$").r
 
     /** Split on `sep` at paren depth 0 (SET lists carry function calls). */
     private def splitTop(s: String, sep: Char): Seq[String] = {
@@ -126,6 +130,14 @@ object SqlSurface {
           .map(_.toLong * 3600L * 1000L).getOrElse(TxLog.DefaultVacuumGraceMs)
         val swept = TxLog.vacuum(root, graceMs)
         spark.range(1).select(lit(swept).as("swept"))
+      case Restore(root, ver, ts) =>
+        val toV = Option(ver).map(_.toLong).getOrElse {
+          val t = ts.toLong
+          TxLog.versionAt(root, t).getOrElse(throw new IllegalArgumentException(
+            s"txlog $root has no version published at or before $t"))
+        }
+        val v = TxLog.restore(spark, root, toV)
+        spark.range(1).select(lit(v).as("version"))
       case _ =>
         val created = scala.collection.mutable.ListBuffer.empty[String]
         val rewritten = Ref.replaceAllIn(stmt, m => {

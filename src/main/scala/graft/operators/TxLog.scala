@@ -946,6 +946,29 @@ object TxLog {
       Some(commitOverwrite(spark, root, survivors, snap.version, note))
     }.get
 
+  /** Metadata-only RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`):
+    * publishes a NEW version whose file list, schema, partition metadata
+    * and column mapping are exactly those of `toVersion` — zero data
+    * movement, the restored files are carried by reference (they must
+    * still be retained: a pruned+vacuumed version cannot be restored and
+    * throws). History is preserved — the rolled-back versions stay
+    * pinnable until [[pruneHistory]] — and the NOTE set carries the
+    * CURRENT notes, not the target's: the effectively-once replay ledger
+    * must never roll back (a batch folded after `toVersion` must still
+    * no-op if redelivered after the restore). */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      note: String = "restore"): Long =
+    withRetry(root) { snapOpt =>
+      val cur = snapOpt.getOrElse(
+        throw new IllegalStateException(s"restore on uninitialized txlog $root"))
+      val target = snapshot(root, toVersion).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore: version $toVersion is not retained at $root"))
+      Some(publish(root, cur.version, target.entries,
+        target.partCol.map(pc => (pc, target.partType)),
+        cur.notes + note, target.schemaJson, target.mapping, target.retired))
+    }.get
+
   /** Transactional targeted UPDATE: rows where `cond` is TRUE get the
     * assignments applied, every other row survives byte-identical —
     * SQL UPDATE semantics (NULL-condition rows are unmatched), published
@@ -1358,6 +1381,43 @@ object TxLog {
         census(v5, "body",
           Some(sum((col("doc_id") + 1) * octet_length(col("text"))))))
         .reduce(_ unionByName _).orderBy("version")
+    },
+
+    // S15: metadata-only RESTORE under the differential gate — v2 deletes
+    // a third of the table, v3 rolls back to v1 WITHOUT restaging a byte
+    // (the restored manifest carries v1's files by reference; the query
+    // asserts zero new data directories as a verdict boolean). The
+    // oracle's v3 row simply re-states v1 — a hash match certifies the
+    // rollback is exact AND that v2 stays pinnable after it.
+    QueryDef("s15_restore",
+      """WITH base AS (SELECT doc_id, text FROM documents)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       TRUE AS metadata_only
+        |FROM base
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT), TRUE
+        |FROM base WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT), TRUE
+        |FROM base
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val root = freshRoot(dir, "txlog-restore")
+      TxLog.init(s, root, Tables.documents(s, dir).select("doc_id", "text")) // v1
+      TxLog.delete(s, root, col("doc_id") % 3 === 0) // v2
+      def dataDirs = Option(new java.io.File(s"$root/data").listFiles())
+        .getOrElse(Array.empty).count(_.isDirectory)
+      val before = dataDirs
+      TxLog.restore(s, root, 1L) // v3 — by reference, zero data movement
+      val metadataOnly = dataDirs == before
+      (1 to 3).map { v =>
+        TxLog.read(s, root, v.toLong)
+          .agg(count(lit(1)).cast("long").as("n_docs"), docCk)
+          .select(lit(v).as("version"), col("n_docs"), col("ck"),
+            lit(metadataOnly).as("metadata_only"))
+      }.reduce(_ unionByName _).orderBy("version")
     }
   )
 }

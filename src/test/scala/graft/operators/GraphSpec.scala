@@ -70,9 +70,24 @@ class GraphSpec extends SparkSpec {
     } ++ { oid += 1; Seq((oid, 1L), (oid, 6L)) }
     rows.toDF("l_orderkey", "l_suppkey")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val got = Graph.defs.find(_.name == "g2_triangle_count").get.run(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val g2 = Graph.defs.find(_.name == "g2_triangle_count").get.run(spark, dir)
+    val got = g2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((5L, 7L, 4L)))
+    // plan pin for the r9 scale fix: no broadcast HINT over anything
+    // that reads the fact table — rk scales with the fact tier, so the
+    // static plan keys the joins (AQE may still elect a broadcast at
+    // runtime from MEASURED sizes; that size guard is exactly what a
+    // hard-coded hint would bypass). globalOrdinal's offset broadcast
+    // (a driver-computed ≤#partitions LocalRelation) is the documented
+    // result-bounded exception and carries no scan in its subtree.
+    val hintsOverScans = g2.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.child.collectFirst {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+          }.isDefined => h
+    }
+    assert(hintsOverScans.isEmpty,
+      s"g2 reintroduced a broadcast hint over a fact-tier-scale subtree: $hintsOverScans")
   }
 
   test("g3 BFS: path graph stratifies one node per hop; non-qty-1 edges are excluded") {

@@ -103,6 +103,42 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === 64)
   }
 
+  test("RESTORE is metadata-only: content rolls back, history and the note ledger do not") {
+    val root = freshRoot("restore")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    TxLog.foldOnce(spark, root, "batch-7", {
+      case Some(cur) => cur.filter(col("id") =!= 2)
+      case None => fail("store exists"); ???
+    }) // v2: id=2 gone, tag batch-7 committed
+    val dataDirs = () => Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty).count(_.isDirectory)
+    val dirsBefore = dataDirs()
+    val v = TxSql.sql(spark, s"RESTORE txlog.`$root` TO VERSION AS OF 1")
+      .head.getLong(0)
+    assert(v === 3L)
+    assert(dataDirs() === dirsBefore, "restore staged data — must be metadata-only")
+    assert(TxLog.read(spark, root).count() === 3) // v1 content is back
+    assert(TxLog.read(spark, root, 2L).count() === 2) // history preserved
+    // the replay ledger did NOT roll back: batch-7 still no-ops
+    assert(!TxLog.foldOnce(spark, root, "batch-7", { case c => c.get }))
+    // restoring a pruned version is refused
+    TxLog.pruneHistory(root, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      TxLog.restore(spark, root, 2L)
+    }
+  }
+
+  test("RESTORE across a rename brings the old logical schema back") {
+    val root = freshRoot("restore-map")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a")).toDF("doc_id", "text"))
+    TxLog.renameColumn(spark, root, "text", "body")
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("doc_id", "body"))
+    TxLog.restore(spark, root, 1L)
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("two versions of the same table join in one statement; no catalog residue") {
     val root = freshRoot("join")
     import spark.implicits._
