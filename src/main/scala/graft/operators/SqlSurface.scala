@@ -52,6 +52,7 @@ object SqlSurface {
     *   OPTIMIZE txlog.`<root>` [TARGET <n>]
     *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
     *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
+    *   DESCRIBE HISTORY txlog.`<root>`
     *
     * SELECT statements are rewritten: each txlog reference pins the
     * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
@@ -85,6 +86,8 @@ object SqlSurface {
     private val Restore =
       ("(?is)^\\s*RESTORE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+TO\\s+" +
         "(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+(\\d+))\\s*;?\\s*$").r
+    private val History =
+      "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
 
     /** Split on `sep` at paren depth 0 (SET lists carry function calls). */
     private def splitTop(s: String, sep: Char): Seq[String] = {
@@ -138,6 +141,11 @@ object SqlSurface {
         }
         val v = TxLog.restore(spark, root, toV)
         spark.range(1).select(lit(v).as("version"))
+      case History(root) =>
+        import spark.implicits._
+        TxLog.history(root)
+          .map(h => (h.version, h.timestampMs, h.nFiles, h.notes.toSeq.sorted))
+          .toDF("version", "timestamp_ms", "n_files", "notes")
       case _ =>
         val created = scala.collection.mutable.ListBuffer.empty[String]
         val rewritten = Ref.replaceAllIn(stmt, m => {

@@ -291,6 +291,20 @@ object TxLog {
     v
   }
 
+  /** One retained commit, as surfaced by [[history]]. */
+  final case class HistoryEntry(version: Long, timestampMs: Option[Long],
+      nFiles: Int, notes: Set[String])
+
+  /** Commit history over the RETAINED versions, newest first (Delta's
+    * `DESCRIBE HISTORY`). Deliberately a full-listing walk: history is
+    * an audit operation over exactly the manifests that still exist, not
+    * a hot-path resolution (those go through the checkpoint). */
+  def history(root: String): Seq[HistoryEntry] =
+    allVersions(root).reverse.flatMap { v =>
+      parseManifest(manifestPath(root, v)).map(m =>
+        HistoryEntry(v, m.timestampMs, m.entries.size, m.notes))
+    }
+
   /** Pin a snapshot of version `v` (default: latest). None for a table
     * with no committed version. */
   def snapshot(root: String, v: Long = -1L): Option[Snapshot] = {
@@ -744,7 +758,15 @@ object TxLog {
   /** Append-commit: the new version is the expected snapshot's files plus
     * `df` staged as new files — no existing byte is read or rewritten. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
-      expected: Long, note: String = ""): Long = {
+      expected: Long, note: String = ""): Long =
+    commitAppendNotes(spark, root, df, expected,
+      ns => if (note.isEmpty) ns else ns + note)
+
+  /** [[commitAppend]] with a note-set TRANSFORM instead of a single added
+    * tag — what lets [[appendOnceMonotone]] REPLACE its high-water note
+    * in the same atomic publish as the data. */
+  private def commitAppendNotes(spark: SparkSession, root: String, df: DataFrame,
+      expected: Long, notesFn: Set[String] => Set[String]): Long = {
     val snap = snapshot(root, expected).getOrElse(
       throw new IllegalStateException(s"append to uninitialized txlog $root"))
     // append MIXES the snapshot's files with the batch's: the committed
@@ -772,7 +794,7 @@ object TxLog {
     }
     publish(root, expected, snap.entries ++ entries,
       snap.partCol.map(pc => (pc, snap.partType)),
-      if (note.isEmpty) snap.notes else snap.notes + note,
+      notesFn(snap.notes),
       Some(nextPhys.json), nextMapping, snap.retired)
   }
 
@@ -946,6 +968,48 @@ object TxLog {
       Some(commitOverwrite(spark, root, survivors, snap.version, note))
     }.get
 
+  /** Incremental read (file-level change feed for APPEND-ONLY ranges):
+    * the rows added between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive, default latest) — exactly the frames a downstream
+    * incremental consumer (near-dup index append, rollup fold, feature
+    * backfill) wants to process per cycle without rescanning the table.
+    * Resolved purely from the two manifests: the files present in `to`
+    * but not in `from`, read under `to`'s schema pin and column mapping.
+    * Refuses LOUDLY when the range removed or rewrote any file (an
+    * overwrite/upsert/delete landed inside it) — those semantics need a
+    * row-level diff the caller must opt into, not a silent wrong answer.
+    * Streaming-sink tables ([[streamingSink]], [[appendOnceMonotone]],
+    * [[commitAppend]], partition-minting [[upsertPartitioned]] batches
+    * that touch only NEW partitions) are append-only by construction. */
+  def readAppended(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val from = snapshot(root, fromVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"readAppended: version $fromVersion is not retained at $root"))
+    val to = snapshot(root, toVersion).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(to.version >= from.version,
+      s"readAppended: $toVersion precedes $fromVersion")
+    val fromPaths = from.entries.map(_.path).toSet
+    val removed = fromPaths -- to.entries.map(_.path).toSet
+    require(removed.isEmpty,
+      s"readAppended: versions ${from.version}..${to.version} removed or " +
+        s"rewrote ${removed.size} file(s) — not an append-only range " +
+        "(use read + a keyed diff for rewrite ranges)")
+    val added = to.entries.filterNot(e => fromPaths(e.path))
+    val schema = to.schemaJson.map(parseSchema)
+    val phys =
+      if (added.isEmpty)
+        // schema-correct empty frame: no files were added in the range
+        read(spark, root, to.version).limit(0)
+      else to.partCol match {
+        case None => readFiles(spark, added.map(e => s"$root/${e.path}"), schema)
+        case Some(pc) => readGroups(spark, root, added, pc, to.partType, schema)
+      }
+    if (to.mapping.isEmpty || added.isEmpty) phys
+    else applyMapping(phys, to, schema.get)
+  }
+
   /** Metadata-only RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`):
     * publishes a NEW version whose file list, schema, partition metadata
     * and column mapping are exactly those of `toVersion` — zero data
@@ -1018,10 +1082,11 @@ object TxLog {
   /** Effectively-once tagged APPEND — [[foldOnce]]'s append sibling: `df`
     * lands as new files on top of the latest version, the tag riding in
     * the same atomic manifest publish; a tag already committed makes the
-    * append a no-op (returns false). The note set grows with commits
-    * (each manifest carries the full set — the replay ledger); beyond
-    * ~10⁶ batches a production log would checkpoint notes past the
-    * replay horizon, the same way Delta checkpoints its log. */
+    * append a no-op (returns false). The note set grows with DISTINCT
+    * tags (each manifest carries the full set — the replay ledger);
+    * right for occasional ad-hoc batches. A tag stream whose ids only
+    * grow (a streaming sink) should use [[appendOnceMonotone]], whose
+    * ledger is O(1) per stream instead. */
   def appendOnce(spark: SparkSession, root: String, tag: String,
       df: DataFrame): Boolean = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $tag")
@@ -1034,22 +1099,64 @@ object TxLog {
     }.get
   }
 
+  /** High-water of a monotone tag stream in a note set. */
+  private def highWater(notes: Set[String], prefix: String): Option[Long] =
+    notes.collect { case n if n.startsWith(s"hw:$prefix:") =>
+      n.stripPrefix(s"hw:$prefix:").toLong
+    }.reduceOption(_ max _)
+
+  /** Effectively-once MONOTONE append — [[appendOnce]] for tag streams
+    * whose ids only grow (Structured Streaming's foreachBatch batchIds):
+    * the replay ledger is ONE `hw:<prefix>:<id>` high-water note per
+    * stream, REPLACED on each commit instead of accumulated — the
+    * manifest note section stays O(#streams) after 10⁶ micro-batches,
+    * where per-tag notes would make cumulative manifest bytes quadratic
+    * in commit count (the Delta `txn` appId→version discipline).
+    * `id <= highWater` no-ops; so ids must be MONOTONE per prefix —
+    * exactly what foreachBatch guarantees. Legacy per-tag ledgers
+    * (`<prefix>-<id>` notes from [[appendOnce]]-based sinks) interop: a
+    * replayed legacy id no-ops, and the first monotone commit folds
+    * implied legacy tags (numeric suffix ≤ id) into the high-water. */
+  def appendOnceMonotone(spark: SparkSession, root: String, prefix: String,
+      id: Long, df: DataFrame): Boolean = {
+    require(prefix.matches("[A-Za-z0-9_-]+"), s"unsafe note prefix: $prefix")
+    withRetry(root) {
+      case None =>
+        init(spark, root, df, s"hw:$prefix:$id"); Some(true)
+      case Some(snap) if highWater(snap.notes, prefix).exists(_ >= id) ||
+          snap.notes(s"$prefix-$id") =>
+        Some(false)
+      case Some(snap) =>
+        commitAppendNotes(spark, root, df, snap.version, ns =>
+          ns.filterNot { n =>
+            n.startsWith(s"hw:$prefix:") ||
+              (n.startsWith(s"$prefix-") && scala.util.Try(
+                n.stripPrefix(s"$prefix-").toLong).toOption.exists(_ <= id))
+          } + s"hw:$prefix:$id")
+        Some(true)
+    }.get
+  }
+
   /** Structured-Streaming sink: every micro-batch commits as ONE tagged
     * txlog append — the log-backed replacement for a plain parquet
     * `writeStream` sink. Exactly-once table contents under foreachBatch's
-    * at-least-once delivery: a replayed batch's tag (`batch-<id>`) is
-    * already in the manifest, so the replay no-ops — and unlike a plain
-    * parquet append there is no torn half-batch visible to readers at ANY
-    * crash point (the manifest publishes atomically or not at all).
-    * Readers concurrent with the stream see complete committed versions
-    * only, with snapshot isolation per [[read]]. */
+    * at-least-once delivery: a replayed batchId is at or under the
+    * manifest's `hw:batch:<id>` high-water, so the replay no-ops — and
+    * unlike a plain parquet append there is no torn half-batch visible
+    * to readers at ANY crash point (the manifest publishes atomically or
+    * not at all). The ledger is the O(1) high-water note
+    * ([[appendOnceMonotone]]), so a week of 30-second micro-batches
+    * costs 20k manifests of constant size — not 20k manifests of
+    * linearly growing tag lists. Readers concurrent with the stream see
+    * complete committed versions only, with snapshot isolation per
+    * [[read]]. */
   def streamingSink(stream: DataFrame, root: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        appendOnce(batch.sparkSession, root, s"batch-$batchId", batch.toDF())
+        appendOnceMonotone(batch.sparkSession, root, "batch", batchId, batch.toDF())
         ()
     }.option("checkpointLocation", checkpoint)
       .trigger(trigger).start()
@@ -1418,6 +1525,47 @@ object TxLog {
           .select(lit(v).as("version"), col("n_docs"), col("ck"),
             lit(metadataOnly).as("metadata_only"))
       }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    // S16: incremental (file-level change-feed) read — the per-cycle
+    // frame a downstream incremental consumer processes: rows added
+    // between two pinned versions, resolved purely from the manifests
+    // (added files only; the base is never rescanned). Two ranges are
+    // hash-certified; the rewrite guard (a delete lands at v4, making
+    // 1..latest NOT append-only) rides as a verdict boolean — the
+    // refusal is the semantics: a silent wrong answer is the failure
+    // mode this API must not have.
+    QueryDef("s16_incremental_read",
+      """WITH base AS (SELECT doc_id, text FROM documents)
+        |SELECT 'v1_v3' AS rng, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       TRUE AS rewrite_refused
+        |FROM base WHERE doc_id >= 200
+        |UNION ALL
+        |SELECT 'v2_v3', CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT), TRUE
+        |FROM base WHERE doc_id >= 350
+        |ORDER BY rng""".stripMargin) { (s, dir) =>
+      val root = freshRoot(dir, "txlog-incr")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TxLog.init(s, root, docs.filter(col("doc_id") < 200)) // v1
+      TxLog.appendOnceMonotone(s, root, "b", 1L,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)) // v2
+      TxLog.appendOnceMonotone(s, root, "b", 2L,
+        docs.filter(col("doc_id") >= 350)) // v3
+      TxLog.delete(s, root, col("doc_id") % 9999 === -1) // no-op predicate…
+      // …but still a REWRITE commit (v4 restages every file), so the
+      // open range 1..latest must refuse as not-append-only
+      val refused =
+        try { TxLog.readAppended(s, root, 1L); false }
+        catch { case _: IllegalArgumentException => true }
+      def census(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_docs"), docCk)
+          .select(lit(tag).as("rng"), col("n_docs"), col("ck"),
+            lit(refused).as("rewrite_refused"))
+      census("v1_v3", TxLog.readAppended(s, root, 1L, 3L))
+        .unionByName(census("v2_v3", TxLog.readAppended(s, root, 2L, 3L)))
+        .orderBy("rng")
     }
   )
 }

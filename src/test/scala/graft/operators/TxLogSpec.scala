@@ -211,13 +211,47 @@ class TxLogSpec extends SparkSpec {
     q.awaitTermination(120000)
     val got = TxLog.read(spark, root2).collect().map(_.getLong(0)).sorted
     assert(got.toSeq === (0L until 40L))
-    // one committed version per micro-batch, each tagged
+    // one committed version per micro-batch; the ledger is ONE
+    // high-water note, not one note per batch (O(1) manifest metadata
+    // after any number of micro-batches)
     assert(TxLog.currentVersion(root2) === 4L)
-    assert(TxLog.snapshot(root2).get.notes === (0 until 4).map(b => s"batch-$b").toSet)
+    assert(TxLog.snapshot(root2).get.notes === Set("hw:batch:3"))
     // a manual replay of an already-committed batch no-ops (the
     // at-least-once redelivery path foreachBatch can take after a crash)
-    assert(!TxLog.appendOnce(spark, root2, "batch-2", spark.range(3).toDF("v")))
+    assert(!TxLog.appendOnceMonotone(spark, root2, "batch", 2L, spark.range(3).toDF("v")))
     assert(TxLog.read(spark, root2).count() === 40)
+  }
+
+  test("monotone ledger: O(1) high-water note, replays no-op, legacy per-tag ledgers interop") {
+    val root = freshRoot("hw")
+    (0 until 15).foreach { k =>
+      assert(TxLog.appendOnceMonotone(spark, root, "s", k.toLong,
+        spark.range(k * 10, k * 10 + 10).toDF("v")))
+    }
+    val snap = TxLog.snapshot(root).get
+    assert(snap.notes === Set("hw:s:14"), s"ledger grew: ${snap.notes}")
+    assert(TxLog.read(spark, root).count() === 150)
+    // replays at and below the high-water no-op, including the earliest
+    assert(!TxLog.appendOnceMonotone(spark, root, "s", 14L, spark.range(3).toDF("v")))
+    assert(!TxLog.appendOnceMonotone(spark, root, "s", 0L, spark.range(3).toDF("v")))
+    // an independent stream on the SAME table keeps its own high-water
+    assert(TxLog.appendOnceMonotone(spark, root, "other", 0L, spark.range(1000, 1005).toDF("v")))
+    assert(TxLog.snapshot(root).get.notes === Set("hw:s:14", "hw:other:0"))
+    // legacy interop: a log whose ledger was written per-tag (appendOnce)
+    val root2 = freshRoot("hw-legacy")
+    (0 to 2).foreach { k =>
+      TxLog.appendOnce(spark, root2, s"batch-$k", spark.range(k * 5, k * 5 + 5).toDF("v"))
+    }
+    // a replayed LEGACY id no-ops through the monotone path...
+    assert(!TxLog.appendOnceMonotone(spark, root2, "batch", 2L, spark.range(3).toDF("v")))
+    // ...and the first NEW monotone commit folds the implied legacy tags
+    assert(TxLog.appendOnceMonotone(spark, root2, "batch", 3L, spark.range(15, 20).toDF("v")))
+    assert(TxLog.snapshot(root2).get.notes === Set("hw:batch:3"))
+    assert(TxLog.read(spark, root2).count() === 20)
+    // ad-hoc non-numeric tags survive the fold
+    TxLog.appendOnce(spark, root2, "manual-backfill", spark.range(100, 101).toDF("v"))
+    assert(TxLog.appendOnceMonotone(spark, root2, "batch", 4L, spark.range(20, 25).toDF("v")))
+    assert(TxLog.snapshot(root2).get.notes === Set("hw:batch:4", "manual-backfill"))
   }
 
   test("checkpoint bounds metadata cost: snapshot reads checkpoint + suffix, not the whole log") {

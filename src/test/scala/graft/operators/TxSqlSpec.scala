@@ -139,6 +139,53 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.read(spark, root).columns.toSeq === Seq("doc_id", "text"))
   }
 
+  test("readAppended: manifest-resolved increments; rewrite ranges refuse; mapping applies") {
+    val root = freshRoot("incr")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    TxLog.appendOnceMonotone(spark, root, "b", 1L, Seq((3L, "c")).toDF("doc_id", "text"))
+    TxLog.appendOnceMonotone(spark, root, "b", 2L, Seq((4L, "d")).toDF("doc_id", "text"))
+    assert(TxLog.readAppended(spark, root, 1L).orderBy("doc_id").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L, 4L))
+    assert(TxLog.readAppended(spark, root, 2L, 3L).collect()
+      .map(_.getLong(0)).toSeq === Seq(4L))
+    // empty range: schema-correct zero-row frame
+    val empty = TxLog.readAppended(spark, root, 3L, 3L)
+    assert(empty.columns.toSeq === Seq("doc_id", "text") && empty.count() === 0)
+    // a rename mid-stream: increments surface LOGICAL names
+    TxLog.renameColumn(spark, root, "text", "body") // v4 (metadata-only: no files change)
+    TxLog.commitAppend(spark, root, Seq((5L, "e")).toDF("doc_id", "body"),
+      expected = 4L) // v5
+    val inc = TxLog.readAppended(spark, root, 3L, 5L)
+    assert(inc.columns.toSeq === Seq("doc_id", "body"))
+    assert(inc.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((5L, "e")))
+    // a rewrite inside the range refuses loudly
+    TxLog.delete(spark, root, col("doc_id") === 1L) // v6
+    intercept[IllegalArgumentException] {
+      TxLog.readAppended(spark, root, 1L)
+    }
+    // ranges after the rewrite work again
+    assert(TxLog.readAppended(spark, root, 6L, 6L).count() === 0)
+  }
+
+  test("DESCRIBE HISTORY: retained commits newest first with exact timestamps") {
+    val root = freshRoot("hist")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq(1L).toDF("v"))
+    TxLog.commitAppend(spark, root, Seq(2L).toDF("v"), expected = 1L, note = "load")
+    TxLog.delete(spark, root, col("v") === 99L)
+    val h = TxSql.sql(spark, s"DESCRIBE HISTORY txlog.`$root`").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L))
+    val ts = h.map(_.getLong(1))
+    assert(ts.zip(ts.tail).forall { case (newer, older) => newer >= older })
+    assert(h.forall(_.getInt(2) > 0))
+    assert(h(1).getSeq[String](3).contains("load"))
+    // prune: history shrinks to the retained suffix
+    TxLog.pruneHistory(root, keepLast = 1)
+    assert(TxLog.history(root).map(_.version) === Seq(3L))
+  }
+
   test("two versions of the same table join in one statement; no catalog residue") {
     val root = freshRoot("join")
     import spark.implicits._
