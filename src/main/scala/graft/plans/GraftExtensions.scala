@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BucketizeRangeJoin)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // native transaction-log relations: `FROM txlog.`<root>`` (plus
+    // Spark's OWN `VERSION AS OF` / `TIMESTAMP AS OF` time-travel
+    // syntax) resolves through TxLog's pinned-manifest read — plain
+    // `spark.sql` on an extension-built session, no TxSql rewrite layer
+    ext.injectResolutionRule(session => new TxLogRelationRule(session))
     // the native function library: a session built with these extensions
     // resolves cosine_native / minhash_agg / nearest_centroid / pq_encode
     // / pq_adc in SQL without any per-session register() call
@@ -41,6 +46,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.MinHashAgg.registration +:
       graft.functions.PqNative.registrations)
       .foreach(ext.injectFunction)
+  }
+}
+
+/** Analyzer rule resolving `txlog.`<root>`` table references to the
+  * transaction log's pinned-manifest read ([[graft.operators.TxLog]]).
+  * Spark's parser already understands the time-travel suffix — `FROM t
+  * VERSION AS OF 3` / `TIMESTAMP AS OF <epochMs>` arrives here as a
+  * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]] node —
+  * so the rule only has to pin the version and splice in the analyzed
+  * read plan: snapshot isolation, schema pin, partition re-attach and
+  * column mapping all come from the one TxLog.read path (no second
+  * implementation to diverge). SELECT-side only by design: DML statements
+  * (DELETE/UPDATE/MERGE/...) parse to v2 commands that demand a V2
+  * catalog table; they go through the statement frontend
+  * ([[graft.operators.SqlSurface.TxSql]]) instead. */
+class TxLogRelationRule(session: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import graft.operators.TxLog
+
+  private def isTxLog(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("txlog")
+
+  private def readPlan(root: String, version: Long): LogicalPlan =
+    TxLog.read(session, root, version).queryExecution.analyzed
+
+  private def versionFor(root: String, ts: Option[Expression],
+      ver: Option[String]): Long =
+    ver.map(_.toLong).orElse(ts.map { e =>
+      val epochMs = e match {
+        case Literal(v: Long, LongType) => v
+        case Literal(v: Int, _) => v.toLong
+        case Literal(s, _) if s != null && s.toString.forall(_.isDigit) =>
+          s.toString.toLong
+        case other => throw new IllegalArgumentException(
+          s"txlog TIMESTAMP AS OF expects an epoch-millis literal, got: $other")
+      }
+      TxLog.versionAt(root, epochMs).getOrElse(throw new IllegalArgumentException(
+        s"txlog $root has no version published at or before $epochMs"))
+    }).getOrElse(-1L)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isTxLog(u) =>
+      val root = u.multipartIdentifier(1)
+      readPlan(root, versionFor(root, ts, ver))
+    case u: UnresolvedRelation if isTxLog(u) =>
+      readPlan(u.multipartIdentifier(1), -1L)
   }
 }
 

@@ -552,6 +552,26 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === 4)
   }
 
+  test("concurrent monotone streams on one table: CAS retry lands both, ledgers stay O(1)") {
+    val root = freshRoot("hw-race")
+    TxLog.init(spark, root, spark.range(5).toDF("v"))
+    // two independent streams racing appends into the same table: every
+    // commit must land exactly once and each stream keeps ONE high-water
+    // note. 4 commits per stream keeps worst-case consecutive CAS losses
+    // (bounded by the OTHER stream's remaining commits) under withRetry's
+    // attempt cap, so the test is deterministic, not just likely-green.
+    def pump(prefix: String, base: Long): Thread = new Thread(() =>
+      (0 until 4).foreach { k =>
+        assert(TxLog.appendOnceMonotone(spark, root, prefix, k.toLong,
+          spark.range(base + k * 10, base + k * 10 + 10).toDF("v")))
+      })
+    val ts = Seq(pump("left", 1000L), pump("right", 2000L))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(TxLog.read(spark, root).count() === 5 + 80)
+    assert(TxLog.snapshot(root).get.notes === Set("hw:left:3", "hw:right:3"))
+    assert(TxLog.currentVersion(root) === 9L)
+  }
+
   test("compact packs files; pruneHistory + vacuum release old versions") {
     val root = freshRoot("compact")
     TxLog.init(spark, root, docs.limit(64).repartition(16))

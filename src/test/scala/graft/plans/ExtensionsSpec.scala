@@ -79,6 +79,45 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("extensions wiring: txlog relations resolve natively in spark.sql, with time travel") {
+    val old = spark
+    val root = s"/root/repo/target/ext-txlog-${System.nanoTime()}"
+    import old.implicits._
+    graft.operators.TxLog.init(old, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30L)
+    graft.operators.TxLog.delete(old, root, col("id") === 2L) // v2
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      // plain spark.sql — no TxSql rewrite layer, no temp views
+      assert(s2.sql(s"SELECT count(*) AS n FROM txlog.`$root`")
+        .head.getLong(0) === 2L)
+      // Spark's OWN time-travel syntax, resolved through the manifest
+      assert(s2.sql(s"SELECT count(*) AS n FROM txlog.`$root` VERSION AS OF 1")
+        .head.getLong(0) === 3L)
+      assert(s2.sql(s"SELECT count(*) AS n FROM txlog.`$root` TIMESTAMP AS OF $t1")
+        .head.getLong(0) === 3L)
+      // two versions join in one native statement
+      val both = s2.sql(
+        s"""SELECT v1.id FROM txlog.`$root` VERSION AS OF 1 v1
+           |LEFT ANTI JOIN txlog.`$root` VERSION AS OF 2 v2 ON v1.id = v2.id
+           |""".stripMargin).collect()
+      assert(both.map(_.getLong(0)).toSeq === Seq(2L))
+      // ordinary relations still resolve (the rule is txlog-scoped) —
+      // view created in s2's OWN catalog (sessions don't share temp views)
+      s2.sql("CREATE OR REPLACE TEMPORARY VIEW ext_plain AS SELECT 9 AS id")
+      assert(s2.sql("SELECT count(*) FROM ext_plain").head.getLong(0) === 1L)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("extensions wiring: a session built with GraftExtensions applies the rule") {
     val old = spark
     SparkSession.clearActiveSession()
