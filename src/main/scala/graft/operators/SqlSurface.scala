@@ -74,8 +74,11 @@ object SqlSurface {
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+))?").r
     private val Delete =
       "(?is)^\\s*DELETE\\s+FROM\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+    // SET list and WHERE are split by a quote-aware scan (topKeyword), not
+    // here: a lazy regex WHERE would bind to a WHERE inside a SET string
+    // literal (`SET note = 'x WHERE y' WHERE id = 3`)
     private val Update =
-      "(?is)^\\s*UPDATE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+      "(?is)^\\s*UPDATE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+SET\\s+(.+?)\\s*;?\\s*$".r
     private val Merge =
       ("(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s+\\((.+)\\)" +
         "(?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z0-9_]+)?\\s+ON\\s+([A-Za-z0-9_]+)\\s*;?\\s*$").r
@@ -89,19 +92,83 @@ object SqlSurface {
     private val History =
       "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
 
-    /** Split on `sep` at paren depth 0 (SET lists carry function calls). */
+    /** Character spans of string literals in `s`: '...' and "..." with
+      * SQL doubled-quote escapes AND Spark's backslash escapes (Spark SQL
+      * processes `\'` inside literals with ANSI mode off). Everything the
+      * statement scanners do — splitting, keyword search, txlog-reference
+      * rewriting — must be blind to text inside these spans, or a literal
+      * like `'a,b'` / `'x WHERE y'` / `'see txlog.`t`'` skews the parse. */
+    private def quotedSpans(s: String): Seq[(Int, Int)] = {
+      val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < s.length) {
+        val q = s.charAt(i)
+        if (q == '\'' || q == '"') {
+          val start = i
+          i += 1
+          var closed = false
+          while (i < s.length && !closed) {
+            val c = s.charAt(i)
+            if (c == '\\' && i + 1 < s.length) i += 2 // backslash escape
+            else if (c == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2 // '' doubling
+            else if (c == q) { closed = true; i += 1 }
+            else i += 1
+          }
+          spans += ((start, i)) // unterminated literal: span runs to end
+        } else i += 1
+      }
+      spans.toSeq
+    }
+
+    private def inQuote(spans: Seq[(Int, Int)], pos: Int): Boolean =
+      spans.exists { case (a, b) => pos >= a && pos < b }
+
+    /** Split on `sep` at paren depth 0, OUTSIDE string literals (SET
+      * lists carry function calls and quoted values — `SET a = 'x,y'`
+      * must not split inside the literal). */
     private def splitTop(s: String, sep: Char): Seq[String] = {
+      val spans = quotedSpans(s)
       val out = scala.collection.mutable.ListBuffer.empty[String]
       val cur = new StringBuilder
       var depth = 0
-      s.foreach {
-        case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
-        case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
-        case c => cur += c
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inQuote(spans, i)) cur += c
+        else c match {
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'
+          case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
+          case x => cur += x
+        }
+        i += 1
       }
       out += cur.toString
       out.toSeq
+    }
+
+    /** Index of the first occurrence of keyword `kw` (as a whole word,
+      * case-insensitive) at paren depth 0 and outside string literals. */
+    private def topKeyword(s: String, kw: String): Option[Int] = {
+      val spans = quotedSpans(s)
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      val k = kw.toLowerCase(java.util.Locale.ROOT)
+      def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+      var depth = 0
+      var i = 0
+      while (i < s.length) {
+        if (!inQuote(spans, i)) s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && lower.startsWith(k, i) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + k.length >= s.length || !wordChar(s.charAt(i + k.length))))
+              return Some(i)
+        }
+        i += 1
+      }
+      None
     }
 
     private val Assign = "(?s)^\\s*([A-Za-z0-9_]+)\\s*=\\s*(.+)$".r
@@ -110,7 +177,12 @@ object SqlSurface {
       case Delete(root, pred) =>
         val v = TxLog.delete(spark, root, expr(pred))
         spark.range(1).select(lit(v).as("version"))
-      case Update(root, setList, pred) =>
+      case Update(root, rest) =>
+        val whereAt = topKeyword(rest, "WHERE").getOrElse(
+          throw new IllegalArgumentException(
+            "UPDATE: missing top-level WHERE clause"))
+        val setList = rest.substring(0, whereAt)
+        val pred = rest.substring(whereAt + "WHERE".length)
         val assignments = splitTop(setList, ',').map {
           case Assign(c, e) => c -> expr(e)
           case bad => throw new IllegalArgumentException(
@@ -148,7 +220,11 @@ object SqlSurface {
           .toDF("version", "timestamp_ms", "n_files", "notes")
       case _ =>
         val created = scala.collection.mutable.ListBuffer.empty[String]
-        val rewritten = Ref.replaceAllIn(stmt, m => {
+        // literal-blind rewrite: a txlog.`...` occurrence INSIDE a string
+        // literal is data, not a table reference — leave it verbatim
+        val stmtSpans = quotedSpans(stmt)
+        val rewritten = Ref.replaceSomeIn(stmt, m => {
+          if (inQuote(stmtSpans, m.start)) None else Some {
           val root = m.group(1)
           val version = Option(m.group(2)).map(_.toLong)
             .orElse(Option(m.group(3)).map { ts =>
@@ -160,7 +236,7 @@ object SqlSurface {
           TxLog.read(spark, root, version).createOrReplaceTempView(view)
           created += view
           scala.util.matching.Regex.quoteReplacement(view)
-        })
+        }})
         // resolution is eager, so the returned plan no longer needs the
         // catalog entries — drop them (same discipline as sql2's view)
         try spark.sql(rewritten)

@@ -655,9 +655,19 @@ object TxLog {
         case None => ciFind(physNames.filterNot(logicalByPhys.contains), f.name) match {
           case Some(_) => col(f.name) // existing unmapped column
           case None => // new logical column
+            // the minted name must itself be fresh against every live,
+            // retired and mapped physical name AND the batch's other new
+            // columns — a pre-existing physical column literally named
+            // `c__v3` would otherwise be silently reused, resurrecting
+            // old files' values (the exact failure `retired` prevents)
+            val mintedTaken = taken ++ newFields.map(_.name)
             val phys =
-              if (ciFind(taken, f.name).isDefined) s"${f.name}__v${snap.version + 1}"
-              else f.name
+              if (ciFind(mintedTaken, f.name).isEmpty) f.name
+              else {
+                var i = snap.version + 1
+                while (ciFind(mintedTaken, s"${f.name}__v$i").isDefined) i += 1
+                s"${f.name}__v$i"
+              }
             newFields += org.apache.spark.sql.types.StructField(phys, f.dataType,
               nullable = true)
             if (phys != f.name) newMapping += (phys -> f.name)
@@ -1240,15 +1250,21 @@ object TxLog {
     * files without ever re-parsing the whole log. */
   def pruneHistory(root: String, keepLast: Int = 1): Unit = {
     val vs = allVersions(root)
-    vs.dropRight(keepLast.max(1))
-      .foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     val retained = vs.takeRight(keepLast.max(1))
       .flatMap(v => parseManifest(manifestPath(root, v)).map(v -> _))
+    // rebuild the (shrunk) checkpoint BEFORE deleting manifests, and let
+    // a write failure ABORT the prune: the crash window then leaves either
+    // the old conservative checkpoint with every manifest intact, or the
+    // new checkpoint whose floor manifest is retained — never a floor
+    // pointing at a deleted manifest. (Deleting first and swallowing a
+    // rebuild failure left exactly that stale-floor state, which vacuum's
+    // fast path would have turned into data loss.)
     retained.lastOption.foreach { case (latest, _) =>
-      try writeCheckpoint(root,
+      writeCheckpoint(root,
         Checkpoint(latest, retained.flatMap(_._2.entries.map(dirKey)).toSet))
-      catch { case scala.util.control.NonFatal(_) => () }
     }
+    vs.dropRight(keepLast.max(1))
+      .foreach(v => Files.deleteIfExists(manifestPath(root, v)))
   }
 
   /** Default [[vacuum]] retention: staged-but-unpublished data younger
@@ -1278,12 +1294,21 @@ object TxLog {
     // 10⁴-manifest parse. The checkpointed refs are conservative
     // (pruned versions' dirs stay protected until pruneHistory rebuilds
     // the checkpoint), which is the safe direction for a deleter.
+    // STALE-FLOOR GUARD: the fast path is only sound when the chain from
+    // the checkpointed floor to the latest version is contiguous, which —
+    // versions being dense and pruning prefix-only — holds exactly when
+    // the floor manifest itself still exists. A checkpoint whose floor
+    // manifest was pruned (a pruneHistory that crashed mid-sequence, a
+    // failed rebuild) would make probeLatest stop at the gap and the
+    // referenced set omit directories first referenced ABOVE the floor —
+    // and a deleter must never run on an under-approximated reference
+    // set. Fall back to the full parse instead.
     val referenced: Set[String] = readCheckpoint(root) match {
-      case Some(ck) =>
+      case Some(ck) if Files.isRegularFile(manifestPath(root, ck.version)) =>
         val latest = probeLatest(root, ck.version)
         ck.refs ++ ((ck.version + 1) to latest).flatMap(v =>
           parseManifest(manifestPath(root, v)).toSeq.flatMap(_.entries.map(dirKey)))
-      case None =>
+      case _ =>
         allVersions(root)
           .flatMap(v => parseManifest(manifestPath(root, v)))
           .flatMap(_.entries).map(dirKey).toSet

@@ -594,4 +594,81 @@ class TxLogSpec extends SparkSpec {
     assert(intercept[IllegalStateException](
       TxLog.read(spark, root, 1L)).getMessage.contains("no committed version"))
   }
+
+  test("vacuum stale-floor guard: a checkpoint whose floor manifest is gone falls back to the full parse") {
+    val root = freshRoot("staleck")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq(1L).toDF("v"))
+    (2 to 12).foreach { k =>
+      TxLog.commitOverwrite(spark, root, Seq.fill(k)(k.toLong).toDF("v"),
+        expected = k - 1L)
+    }
+    // checkpoint landed at v10; simulate the crashed-prune state the old
+    // engine could leave: manifests 1..11 deleted, checkpoint NOT rebuilt.
+    // The fast path would probe forward from floor 10, find no v-11, and
+    // take referenced = ck.refs — which misses v12's data dir entirely.
+    assert(TxLog.readCheckpoint(root).get.version === 10L)
+    (1L to 11L).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, "_txlog", f"v-$v%020d"))
+    }
+    // the guard must detect the missing floor manifest and full-parse:
+    // v12's dir survives, the 11 released dirs are reclaimed
+    assert(TxLog.vacuum(root, graceMs = 0L) === 11)
+    assert(TxLog.read(spark, root).count() === 12L,
+      "vacuum deleted data files of the current version under a stale checkpoint")
+    assert(TxLog.currentVersion(root) === 12L)
+  }
+
+  test("pruneHistory rebuilds the checkpoint BEFORE deleting manifests (no stale-floor window)") {
+    val root = freshRoot("pruneorder")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq(1L).toDF("v"))
+    (2 to 12).foreach { k =>
+      TxLog.commitOverwrite(spark, root, Seq.fill(k)(k.toLong).toDF("v"),
+        expected = k - 1L)
+    }
+    TxLog.pruneHistory(root, keepLast = 2)
+    // post-state invariant the new ordering guarantees at EVERY crash
+    // point: the checkpoint's floor manifest exists (floor = latest
+    // retained, written before any deletion), so vacuum's fast path is
+    // always sound
+    val ck = TxLog.readCheckpoint(root).get
+    assert(ck.version === 12L)
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(root, "_txlog", f"v-${ck.version}%020d")))
+    assert(TxLog.vacuum(root, graceMs = 0L) === 10)
+    assert(TxLog.read(spark, root).count() === 12L)
+    assert(TxLog.read(spark, root, 11L).count() === 11L)
+  }
+
+  test("resurrection guard mints PAST occupied suffixed names (c__vN literally taken)") {
+    val root = freshRoot("mintloop")
+    import spark.implicits._
+    // a user column literally named note__v3 occupies the name the naive
+    // mint would pick after dropping `note` at v2 and re-adding it at v3
+    TxLog.init(spark, root,
+      Seq((1L, "secret", "keepme")).toDF("doc_id", "note", "note__v3"))
+    TxLog.dropColumn(spark, root, "note") // v2: physical `note` retired
+    TxLog.commitAppend(spark, root,
+      Seq((2L, "fresh", "keepme2")).toDF("doc_id", "note", "note__v3"),
+      expected = 2L) // v3: re-added logical `note` must NOT reuse note__v3
+    val back = TxLog.read(spark, root).orderBy("doc_id")
+    assert(back.columns.toSet === Set("doc_id", "note", "note__v3"))
+    val rows = back.collect()
+    // old row: re-added `note` surfaces NULL (not the retired "secret",
+    // and not the unrelated note__v3 payload); note__v3 is unharmed
+    assert(rows(0).isNullAt(rows(0).fieldIndex("note")),
+      "re-added column resurrected old values through a colliding minted name")
+    assert(rows(0).getString(rows(0).fieldIndex("note__v3")) === "keepme")
+    assert(rows(1).getString(rows(1).fieldIndex("note")) === "fresh")
+    assert(rows(1).getString(rows(1).fieldIndex("note__v3")) === "keepme2")
+    // the mapping carries a fresh minted physical name distinct from every
+    // live and retired physical name
+    val snap = TxLog.snapshot(root).get
+    val minted = snap.mapping.collect { case (p, "note") => p }
+    assert(minted.size === 1)
+    assert(!minted.head.equalsIgnoreCase("note") &&
+      !minted.head.equalsIgnoreCase("note__v3"))
+  }
 }

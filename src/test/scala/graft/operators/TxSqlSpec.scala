@@ -203,4 +203,43 @@ class TxSqlSpec extends SparkSpec {
     assert(!spark.catalog.listTables().collect()
       .exists(_.name.startsWith("txlog_v_")))
   }
+
+  test("statement scanning is blind to string literals (commas, WHERE, txlog refs inside quotes)") {
+    val root = freshRoot("quotes")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+
+    // SET list: a quoted comma must not split the assignment; a quoted
+    // WHERE must not steal the real WHERE clause
+    TxSql.sql(spark,
+      s"UPDATE txlog.`$root` SET s = 'a,b WHERE c' WHERE id = 1")
+    val after = TxLog.read(spark, root).orderBy("id").collect()
+    assert(after(0).getString(1) === "a,b WHERE c")
+    assert(after(1).getString(1) === "y")
+
+    // doubled-quote escape inside the literal, plus a function call with
+    // a comma at paren depth 1 in a second assignment
+    TxSql.sql(spark,
+      s"UPDATE txlog.`$root` SET s = concat('it''s, fine', ')') WHERE id = 2")
+    val after2 = TxLog.read(spark, root).orderBy("id").collect()
+    assert(after2(1).getString(1) === "it's, fine)")
+
+    // a txlog.`...` occurrence INSIDE a literal is data, not a reference:
+    // it must pass through the rewrite verbatim
+    val row = TxSql.sql(spark,
+      s"SELECT 'see txlog.`not-a-table`' AS tip, count(*) AS n FROM txlog.`$root`")
+      .head
+    assert(row.getString(0) === "see txlog.`not-a-table`")
+    assert(row.getLong(1) === 2L)
+
+    // DELETE with a literal predicate value containing a comma
+    TxSql.sql(spark, s"DELETE FROM txlog.`$root` WHERE s = 'a,b WHERE c'")
+    assert(TxLog.read(spark, root).count() === 1L)
+
+    // missing top-level WHERE (only a quoted one) fails loudly, not wrongly
+    val e = intercept[IllegalArgumentException] {
+      TxSql.sql(spark, s"UPDATE txlog.`$root` SET s = 'x WHERE y'")
+    }
+    assert(e.getMessage.contains("WHERE"))
+  }
 }
