@@ -126,47 +126,103 @@ object TxLog {
   }
 
   // ---------------------------------------------------------------------
-  // Checkpoint: bounding metadata cost on long logs (the Delta
-  // `_last_checkpoint` discipline). Every manifest here is already a
-  // SELF-CONTAINED snapshot (no action replay), so the two costs that
-  // grow with commit count are (a) the directory listing that finds the
-  // latest version and (b) vacuum's parse of every retained manifest for
-  // its referenced-directory set. The checkpoint caches both: a floor
-  // version to probe forward from, and the cumulative set of data
-  // directories referenced by every manifest at or below that floor.
-  // Written every [[CheckpointInterval]] commits by the publish winner
-  // (incrementally: previous refs ∪ the new suffix), atomically replaced
-  // (tmp + ATOMIC_MOVE), and rebuilt from the retained manifests by
-  // [[pruneHistory]]. A stale or missing checkpoint is never a
-  // correctness problem: its refs are a superset of what the manifests
-  // at or below its floor reference (conservative for vacuum — orphans
-  // linger until the next refresh), and every fast path falls back to
-  // the full listing.
+  // Incremental manifests + snapshot checkpoints (the Delta log shape).
+  // A commit manifest carries either the COMPLETE file list (`f` lines —
+  // a "full" manifest: v1, adopts, overwrites) or only its DELTA vs the
+  // parent version (`+f`/`-f` lines under a `k delta` header): an append
+  // writes O(batch) manifest bytes, a metadata-only commit (rename, drop,
+  // fold note, restore of a near-identical state) writes ~zero entry
+  // lines — so a streaming table taking 10⁴ small appends pays 10⁴ small
+  // manifests, not 10⁴ re-listings of every prior file (which made
+  // cumulative manifest bytes QUADRATIC in commit count). [[publish]]
+  // picks whichever encoding is smaller, so an overwrite stays a
+  // self-contained resolution barrier.
+  //
+  // Readers resolve a version's file list as: nearest base at or below it
+  // (a full manifest, or a `ck-<v>` SNAPSHOT CHECKPOINT file written every
+  // [[CheckpointInterval]] commits by the publish winner) plus the delta
+  // suffix — O(interval) manifest parses for ANY retained version, never
+  // O(commit count). The `_last_checkpoint` pointer names the newest
+  // checkpoint (floor for forward-probing [[currentVersion]]); the ck
+  // file also carries the cumulative set of data directories referenced
+  // at or below its version, which is what keeps [[vacuum]] O(suffix).
+  // A stale or missing checkpoint is never a correctness problem: refs
+  // only ever over-protect, and every fast path falls back to the full
+  // listing.
   // ---------------------------------------------------------------------
 
   /** Commits between checkpoint refreshes. */
   val CheckpointInterval: Int = 10
 
-  private[graft] final case class Checkpoint(version: Long, refs: Set[String])
+  private[graft] final case class Checkpoint(version: Long, refs: Set[String],
+      entries: Seq[FileEntry] = Seq.empty)
 
-  private def checkpointPath(root: String): Path =
+  private def pointerPath(root: String): Path =
     logDir(root).resolve("_last_checkpoint")
 
+  private def ckPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"ck-$v%020d")
+
+  /** All snapshot-checkpoint versions present (a listing — used by cold
+    * resolution paths and vacuum's fallback, not the hot path). */
+  private def allCkVersions(root: String): Seq[Long] = {
+    logListings.set(logListings.get + 1L)
+    Option(logDir(root).toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("ck-").toLong).toOption
+        .filter(_ => f.getName.startsWith("ck-")))
+      .sorted
+  }
+
+  /** Parse one ck-<v> snapshot checkpoint file: full entry list at v plus
+    * the cumulative protective refs. */
+  private def parseCk(root: String, v: Long): Option[Checkpoint] = {
+    val p = ckPath(root, v)
+    if (!Files.isRegularFile(p)) return None
+    manifestParses.set(manifestParses.get + 1L)
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
+    if (!lines.lastOption.contains("commit")) return None
+    val entries = lines.collect {
+      case l if l.startsWith("f\t") => l.drop(2).split("\t", 2) match {
+        case Array(path) => FileEntry(path, None)
+        case Array(path, part) => FileEntry(path, decodePart(part))
+      }
+    }
+    Some(Checkpoint(v, lines.collect {
+      case l if l.startsWith("d\t") => l.drop(2)
+    }.toSet, entries))
+  }
+
+  /** Newest checkpoint via the `_last_checkpoint` pointer (hot path; no
+    * directory listing). None when the pointer or its ck file is missing
+    * or torn — callers fall back to listings. */
   private[graft] def readCheckpoint(root: String): Option[Checkpoint] = {
-    val p = checkpointPath(root)
+    val p = pointerPath(root)
     if (!Files.isRegularFile(p)) return None
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
     if (!lines.lastOption.contains("commit")) return None
-    for (v <- lines.collectFirst { case l if l.startsWith("v\t") => l.drop(2).toLong })
-      yield Checkpoint(v, lines.collect { case l if l.startsWith("d\t") => l.drop(2) }.toSet)
+    lines.collectFirst { case l if l.startsWith("v\t") => l.drop(2).toLong }
+      .flatMap(parseCk(root, _))
   }
 
+  /** Write ck-<v> (atomic), then swing the `_last_checkpoint` pointer to
+    * it (atomic). A crash between the two leaves the old pointer naming
+    * the old, still-present ck file — consistent, merely stale. */
   private def writeCheckpoint(root: String, ck: Checkpoint): Unit = {
-    val body = (s"v\t${ck.version}" +: ck.refs.toSeq.sorted.map("d\t" + _) :+ "commit")
+    val fLines = ck.entries.map(e =>
+      if (e.part.isEmpty) "f\t" + e.path
+      else s"f\t${e.path}\t${encodePart(e.part)}")
+    val body = (s"v\t${ck.version}" +: (fLines ++
+      ck.refs.toSeq.sorted.map("d\t" + _)) :+ "commit")
       .mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, checkpointPath(root),
+    Files.move(tmp, ckPath(root, ck.version),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ptr = s"v\t${ck.version}\ncommit\n"
+    val tmp2 = logDir(root).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp2, ptr.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp2, pointerPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -177,18 +233,28 @@ object TxLog {
   private def dirKey(e: FileEntry): String =
     e.path.split("/").take(2).mkString("/")
 
+  /** The directories a manifest REFERENCES for protection purposes: a
+    * full manifest references its whole list; a delta references its
+    * adds (its carried files were added by earlier manifests, whose refs
+    * the cumulative checkpoint chain already holds). */
+  private def refDirs(m: Manifest): Set[String] =
+    (if (m.delta) m.adds else m.entries).map(dirKey).toSet
+
   /** Refresh the checkpoint after publishing `published`: previous refs ∪
-    * the directories referenced by manifests in (prevFloor, published].
-    * Best-effort — a checkpoint is an optimization, so a failure here
-    * must never fail the commit that triggered it. */
-  private def maybeCheckpoint(root: String, published: Long): Unit =
+    * the directories added by manifests in (prevFloor, published], plus
+    * the COMPLETE file list at `published` (handed in by the publisher —
+    * no resolution walk needed). Best-effort — a checkpoint is an
+    * optimization, so a failure here must never fail the commit that
+    * triggered it. */
+  private def maybeCheckpoint(root: String, published: Long,
+      entries: Seq[FileEntry]): Unit =
     if (published % CheckpointInterval == 0)
       try {
         val prev = readCheckpoint(root).getOrElse(Checkpoint(0L, Set.empty))
-        val suffixRefs = ((prev.version + 1) to published).flatMap { v =>
-          parseManifest(manifestPath(root, v)).toSeq.flatMap(_.entries.map(dirKey))
-        }.toSet
-        writeCheckpoint(root, Checkpoint(published, prev.refs ++ suffixRefs))
+        val suffixRefs = ((prev.version + 1) to published).flatMap(v =>
+          parseManifest(manifestPath(root, v)).toSeq.flatMap(refDirs)).toSet
+        writeCheckpoint(root,
+          Checkpoint(published, prev.refs ++ suffixRefs, entries))
       } catch { case scala.util.control.NonFatal(_) => () }
 
   private def encodePart(part: Option[String]): String =
@@ -213,11 +279,18 @@ object TxLog {
     * present in old data files: a later re-add of the same logical name
     * must mint a FRESH physical name, or old files would resurrect the
     * dropped column's values instead of surfacing NULL. */
+  /** `delta = true` marks an INCREMENTAL manifest: `entries` is empty and
+    * the version's file list is parent's − `removes` + `adds` (headers —
+    * notes, schema, mapping, partition metadata — always ride complete in
+    * every manifest; only the FILE LIST is delta-encoded, because it is
+    * the only section that grows with table size). */
   private final case class Manifest(entries: Seq[FileEntry], notes: Set[String],
       partCol: Option[String],
       partType: org.apache.spark.sql.types.DataType,
       schemaJson: Option[String], timestampMs: Option[Long],
-      mapping: Map[String, String], retired: Set[String])
+      mapping: Map[String, String], retired: Set[String],
+      delta: Boolean = false, adds: Seq[FileEntry] = Seq.empty,
+      removes: Set[String] = Set.empty)
 
   /** Instrumentation for the metadata fast path: how many manifests were
     * parsed / directories listed ON THIS THREAD since the counters were
@@ -239,12 +312,20 @@ object TxLog {
     // landed — the hard-link publish makes partial content unreachable,
     // but the gate also protects any future non-POSIX fallback publisher
     if (!lines.lastOption.contains("commit")) return None
-    val entries = lines.collect {
-      case l if l.startsWith("f\t") => l.drop(2).split("\t", 2) match {
-        case Array(path) => FileEntry(path, None)
-        case Array(path, part) => FileEntry(path, decodePart(part))
-      }
+    def entryOf(rest: String): FileEntry = rest.split("\t", 2) match {
+      case Array(path) => FileEntry(path, None)
+      case Array(path, part) => FileEntry(path, decodePart(part))
     }
+    val delta = lines.exists(_.startsWith("k\tdelta"))
+    val entries = lines.collect {
+      case l if l.startsWith("f\t") => entryOf(l.drop(2))
+    }
+    val adds = lines.collect {
+      case l if l.startsWith("+f\t") => entryOf(l.drop(3))
+    }
+    val removes = lines.collect {
+      case l if l.startsWith("-f\t") => l.drop(3)
+    }.toSet
     val notes = lines.collect { case l if l.startsWith("n\t") => l.drop(2) }.toSet
     val (partCol, partType) = lines.collectFirst {
       case l if l.startsWith("p\t") => l.drop(2).split("\t", 2) match {
@@ -260,7 +341,46 @@ object TxLog {
       }
     }.toMap
     val retired = lines.collect { case l if l.startsWith("x\t") => l.drop(2) }.toSet
-    Some(Manifest(entries, notes, partCol, partType, schema, ts, mapping, retired))
+    Some(Manifest(entries, notes, partCol, partType, schema, ts, mapping, retired,
+      delta, adds, removes))
+  }
+
+  /** Resolve the COMPLETE file list of version `v` whose manifest is `m`:
+    * walk back to the nearest base (a full manifest or a ck-<u> snapshot
+    * checkpoint — one exists within [[CheckpointInterval]] versions by
+    * construction), then apply the delta suffix in version order. Kept
+    * files keep the base's order; adds append in commit order — a
+    * deterministic total order, same as the full encoding would have
+    * recorded. Throws when the chain is broken (a base was pruned without
+    * a checkpoint — pruneHistory's ordering makes that unreachable). */
+  private def resolveEntries(root: String, v: Long, m: Manifest): Seq[FileEntry] = {
+    if (!m.delta) return m.entries
+    // a checkpoint AT v is the resolved state after applying v itself —
+    // the floor version left by pruneHistory resolves through its own ck
+    parseCk(root, v) match {
+      case Some(ck) => return ck.entries
+      case None => ()
+    }
+    var deltas = List(m)
+    var u = v - 1
+    var base: Seq[FileEntry] = null
+    while (base == null && u >= 1) {
+      parseCk(root, u) match {
+        case Some(ck) => base = ck.entries
+        case None =>
+          parseManifest(manifestPath(root, u)) match {
+            case Some(mu) if !mu.delta => base = mu.entries
+            case Some(mu) => deltas = mu :: deltas; u -= 1
+            case None => throw new IllegalStateException(
+              s"txlog $root: cannot resolve version $v — the delta chain is " +
+                s"broken at version $u (manifest missing and no checkpoint)")
+          }
+      }
+    }
+    if (base == null) base = Seq.empty // chain bottoms out below version 1
+    deltas.foldLeft(base) { (acc, d) =>
+      acc.filterNot(e => d.removes(e.path)) ++ d.adds
+    }
   }
 
   /** Latest COMPLETE version, 0 when the table has no log yet. With a
@@ -302,7 +422,7 @@ object TxLog {
   def history(root: String): Seq[HistoryEntry] =
     allVersions(root).reverse.flatMap { v =>
       parseManifest(manifestPath(root, v)).map(m =>
-        HistoryEntry(v, m.timestampMs, m.entries.size, m.notes))
+        HistoryEntry(v, m.timestampMs, resolveEntries(root, v, m).size, m.notes))
     }
 
   /** Pin a snapshot of version `v` (default: latest). None for a table
@@ -310,8 +430,8 @@ object TxLog {
   def snapshot(root: String, v: Long = -1L): Option[Snapshot] = {
     val ver = if (v >= 0) v else currentVersion(root)
     parseManifest(manifestPath(root, ver)).map { m =>
-      Snapshot(ver, m.entries, m.notes, m.partCol, m.schemaJson,
-        m.partType, m.timestampMs, m.mapping, m.retired)
+      Snapshot(ver, resolveEntries(root, ver, m), m.notes, m.partCol,
+        m.schemaJson, m.partType, m.timestampMs, m.mapping, m.retired)
     }
   }
 
@@ -440,17 +560,36 @@ object TxLog {
     * the publish time (`t` header, exact [[versionAt]] travel) and the
     * partition column's committed type (`p\tname\ttype` — [[read]] casts
     * the re-attached literal back). Every [[CheckpointInterval]]-th
-    * version also refreshes the metadata checkpoint. */
+    * version also refreshes the metadata checkpoint.
+    *
+    * `parentEntries` — the expected version's COMPLETE file list (the
+    * caller holds it in its snapshot) — enables the DELTA encoding: when
+    * `adds + removes` is the smaller representation the manifest carries
+    * only the diff (`k delta` + `+f`/`-f` lines), making per-commit
+    * manifest bytes O(change), not O(table files). Passing None forces a
+    * full, self-contained manifest (v1, adopt). */
   private def publish(root: String, expected: Long, entries: Seq[FileEntry],
       partMeta: Option[(String, org.apache.spark.sql.types.DataType)],
       notes: Set[String], schemaJson: Option[String],
       mapping: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty): Long = {
+      retired: Set[String] = Set.empty,
+      parentEntries: Option[Seq[FileEntry]] = None): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
-    val fLines = partMeta match {
-      case None => entries.map(e => "f\t" + e.path)
-      case Some(_) => entries.map(e => s"f\t${e.path}\t${encodePart(e.part)}")
+    def entryLine(prefix: String, e: FileEntry): String = partMeta match {
+      case None => s"$prefix\t${e.path}"
+      case Some(_) => s"$prefix\t${e.path}\t${encodePart(e.part)}"
+    }
+    val fLines: Seq[String] = parentEntries match {
+      case Some(pe) =>
+        val newPaths = entries.map(_.path).toSet
+        val oldPaths = pe.map(_.path).toSet
+        val adds = entries.filterNot(e => oldPaths(e.path))
+        val removes = pe.map(_.path).filterNot(newPaths)
+        if (adds.size + removes.size < entries.size)
+          "k\tdelta" +: (adds.map(entryLine("+f", _)) ++ removes.map("-f\t" + _))
+        else entries.map(entryLine("f", _))
+      case None => entries.map(entryLine("f", _))
     }
     // schema JSON is single-line by construction (JSON escapes control
     // characters), so it rides as one `s` header line
@@ -471,7 +610,7 @@ object TxLog {
             s"txlog $root: version $next already published " +
               s"(this writer read stale version $expected); re-read and retry")
       }
-      maybeCheckpoint(root, next)
+      maybeCheckpoint(root, next, entries)
       next
     } finally Files.deleteIfExists(tmp)
   }
@@ -707,7 +846,8 @@ object TxLog {
         else snap.mapping - physName + (physName -> to)
       Some(publish(root, snap.version, snap.entries,
         snap.partCol.map(pc => (pc, snap.partType)), snap.notes + note,
-        Some(phys.json), next, snap.retired))
+        Some(phys.json), next, snap.retired,
+        parentEntries = Some(snap.entries)))
     }.get
 
   /** Metadata-only column DROP: the column leaves the logical schema;
@@ -735,7 +875,8 @@ object TxLog {
         phys.fields.patch(idx, Nil, 1))
       Some(publish(root, snap.version, snap.entries,
         snap.partCol.map(pc => (pc, snap.partType)), snap.notes + note,
-        Some(nextPhys.json), snap.mapping - physName, snap.retired + physName))
+        Some(nextPhys.json), snap.mapping - physName, snap.retired + physName,
+        parentEntries = Some(snap.entries)))
     }.get
 
   /** Overwrite-commit: the new version's content is exactly `df`. CAS on
@@ -762,7 +903,8 @@ object TxLog {
     publish(root, expected, entries,
       partCol.map(pc => (pc, df.schema(pc).dataType)),
       if (note.isEmpty) prevNotes else prevNotes + note,
-      Some(fileSchemaJson(df, partCol)))
+      Some(fileSchemaJson(df, partCol)),
+      parentEntries = snap0.map(_.entries))
   }
 
   /** Append-commit: the new version is the expected snapshot's files plus
@@ -805,7 +947,8 @@ object TxLog {
     publish(root, expected, snap.entries ++ entries,
       snap.partCol.map(pc => (pc, snap.partType)),
       notesFn(snap.notes),
-      Some(nextPhys.json), nextMapping, snap.retired)
+      Some(nextPhys.json), nextMapping, snap.retired,
+      parentEntries = Some(snap.entries))
   }
 
   /** Retry loop for optimistic writers: `attempt` receives the fresh
@@ -954,7 +1097,8 @@ object TxLog {
           publish(root, snap.version, keep ++ fresh,
             snap.partCol.map(pc => (pc, snap.partType)),
             if (note.isEmpty) snap.notes else snap.notes + note,
-            Some(nextPhys.json), nextMapping, snap.retired)
+            Some(nextPhys.json), nextMapping, snap.retired,
+            parentEntries = Some(snap.entries))
           Some(touched.sortBy(partName).map { pv =>
             PartStats(partName(pv), beforeCounts.getOrElse(pv, 0L),
               afterCounts.getOrElse(pv, 0L), batchCounts.getOrElse(pv, 0L))
@@ -1040,7 +1184,8 @@ object TxLog {
           s"restore: version $toVersion is not retained at $root"))
       Some(publish(root, cur.version, target.entries,
         target.partCol.map(pc => (pc, target.partType)),
-        cur.notes + note, target.schemaJson, target.mapping, target.retired))
+        cur.notes + note, target.schemaJson, target.mapping, target.retired,
+        parentEntries = Some(cur.entries)))
     }.get
 
   /** Transactional targeted UPDATE: rows where `cond` is TRUE get the
@@ -1237,7 +1382,8 @@ object TxLog {
             Some(publish(root, snap.version, keep ++ fresh,
               Some((pc, snap.partType)),
               snap.notes + "compact", snap.schemaJson,
-              snap.mapping, snap.retired))
+              snap.mapping, snap.retired,
+              parentEntries = Some(snap.entries)))
           }
       }
     }.get
@@ -1251,20 +1397,26 @@ object TxLog {
   def pruneHistory(root: String, keepLast: Int = 1): Unit = {
     val vs = allVersions(root)
     val retained = vs.takeRight(keepLast.max(1))
-      .flatMap(v => parseManifest(manifestPath(root, v)).map(v -> _))
-    // rebuild the (shrunk) checkpoint BEFORE deleting manifests, and let
-    // a write failure ABORT the prune: the crash window then leaves either
+      .flatMap(v => parseManifest(manifestPath(root, v))
+        .map(m => v -> resolveEntries(root, v, m)))
+    if (retained.isEmpty) return
+    val cutMin = retained.map(_._1).min
+    // rebuild the (shrunk) checkpoint BEFORE deleting anything, and let a
+    // write failure ABORT the prune: the crash window then leaves either
     // the old conservative checkpoint with every manifest intact, or the
     // new checkpoint whose floor manifest is retained — never a floor
-    // pointing at a deleted manifest. (Deleting first and swallowing a
-    // rebuild failure left exactly that stale-floor state, which vacuum's
-    // fast path would have turned into data loss.)
-    retained.lastOption.foreach { case (latest, _) =>
-      writeCheckpoint(root,
-        Checkpoint(latest, retained.flatMap(_._2.entries.map(dirKey)).toSet))
-    }
-    vs.dropRight(keepLast.max(1))
-      .foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    // pointing at a deleted manifest. The new floor sits at the OLDEST
+    // retained version and carries its complete resolved file list: it is
+    // the resolution base for every retained delta once the prefix (and
+    // any pre-cut checkpoint) is deleted. Refs shrink to the retained
+    // versions' resolved directories — what lets vacuum finally reclaim
+    // the pruned versions' files.
+    writeCheckpoint(root, Checkpoint(cutMin,
+      retained.flatMap(_._2.map(dirKey)).toSet,
+      retained.find(_._1 == cutMin).map(_._2).getOrElse(Seq.empty)))
+    vs.filter(_ < cutMin).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    allCkVersions(root).filter(_ < cutMin)
+      .foreach(v => Files.deleteIfExists(ckPath(root, v)))
   }
 
   /** Default [[vacuum]] retention: staged-but-unpublished data younger
@@ -1307,11 +1459,18 @@ object TxLog {
       case Some(ck) if Files.isRegularFile(manifestPath(root, ck.version)) =>
         val latest = probeLatest(root, ck.version)
         ck.refs ++ ((ck.version + 1) to latest).flatMap(v =>
-          parseManifest(manifestPath(root, v)).toSeq.flatMap(_.entries.map(dirKey)))
+          parseManifest(manifestPath(root, v)).toSeq.flatMap(refDirs))
       case _ =>
+        // full-parse fallback: every retained manifest's referenced dirs
+        // (adds for deltas, the whole list for fulls) PLUS every surviving
+        // snapshot checkpoint's file list — a delta may carry files by
+        // reference whose +f manifest was pruned; the ck entries are then
+        // the only metadata naming them
         allVersions(root)
           .flatMap(v => parseManifest(manifestPath(root, v)))
-          .flatMap(_.entries).map(dirKey).toSet
+          .flatMap(refDirs).toSet ++
+          allCkVersions(root).flatMap(parseCk(root, _))
+            .flatMap(_.entries.map(dirKey)).toSet
     }
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new java.io.File(s"$root/data")

@@ -298,10 +298,12 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root, 4L).count() === 4L)
 
     // pruneHistory rebuilds the checkpoint from the retained manifests —
-    // the refs SHRINK, and vacuum can finally reclaim the pruned versions
+    // the refs SHRINK, and vacuum can finally reclaim the pruned versions.
+    // The new floor sits at the OLDEST retained version (the resolution
+    // base for every retained delta chain).
     TxLog.pruneHistory(root, keepLast = 2)
     val ck2 = TxLog.readCheckpoint(root).get
-    assert(ck2.version === 25L)
+    assert(ck2.version === 24L)
     assert(ck2.refs.size === 2)
     assert(TxLog.vacuum(root, graceMs = 0L) === 23)
     assert(TxLog.read(spark, root, 24L).count() === 24L)
@@ -595,6 +597,46 @@ class TxLogSpec extends SparkSpec {
       TxLog.read(spark, root, 1L)).getMessage.contains("no committed version"))
   }
 
+  test("incremental manifests: per-commit bytes are O(batch), not O(table files)") {
+    val root = freshRoot("delta")
+    import spark.implicits._
+    def manifestBytes(v: Long): Long =
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, "_txlog", f"v-$v%020d"))
+    // a 1-row-per-batch append stream: the round-9 engine re-listed every
+    // prior file in every manifest, making cumulative manifest bytes
+    // QUADRATIC in commit count — the metadata scale-killer for a
+    // streaming table taking one small append per 30 s
+    TxLog.init(spark, root, Seq((0L, "v0")).toDF("id", "s"))
+    (1L to 24L).foreach { k =>
+      assert(TxLog.appendOnceMonotone(spark, root, "mb", k,
+        Seq((k, s"v$k")).toDF("id", "s")))
+    }
+    assert(TxLog.currentVersion(root) === 25L)
+    assert(TxLog.snapshot(root).get.files.size >= 25)
+    assert(TxLog.read(spark, root).count() === 25L)
+    // O(batch): a late 1-row append's manifest costs the same as an early
+    // one — no growth with the accumulated file count
+    assert(manifestBytes(25L) <= manifestBytes(3L) + 64L,
+      s"manifest bytes grew with table size: v3=${manifestBytes(3L)} " +
+        s"v25=${manifestBytes(25L)}")
+    // a metadata-only commit on the 25-file table writes ~no entry lines
+    TxLog.renameColumn(spark, root, "s", "t")
+    assert(manifestBytes(26L) < 512L,
+      s"rename manifest re-listed the table: ${manifestBytes(26L)} bytes")
+    // resolution of the latest version stays O(interval): nearest
+    // checkpoint (v20) + the delta suffix, never the 26-manifest chain
+    TxLog.logListings.set(0L); TxLog.manifestParses.set(0L)
+    assert(TxLog.snapshot(root).get.version === 26L)
+    assert(TxLog.logListings.get === 0L)
+    assert(TxLog.manifestParses.get <= 10L,
+      s"resolution parsed ${TxLog.manifestParses.get} manifests")
+    // every retained version still time-travels exactly
+    assert(TxLog.read(spark, root, 1L).count() === 1L)
+    assert(TxLog.read(spark, root, 13L).count() === 13L)
+    assert(TxLog.read(spark, root, 26L).columns.toSeq === Seq("id", "t"))
+  }
+
   test("vacuum stale-floor guard: a checkpoint whose floor manifest is gone falls back to the full parse") {
     val root = freshRoot("staleck")
     import spark.implicits._
@@ -613,8 +655,9 @@ class TxLogSpec extends SparkSpec {
         java.nio.file.Paths.get(root, "_txlog", f"v-$v%020d"))
     }
     // the guard must detect the missing floor manifest and full-parse:
-    // v12's dir survives, the 11 released dirs are reclaimed
-    assert(TxLog.vacuum(root, graceMs = 0L) === 11)
+    // v12's dir survives; the released dirs are reclaimed (v10's dir stays
+    // protected by the surviving ck-10 snapshot file — conservative)
+    assert(TxLog.vacuum(root, graceMs = 0L) === 10)
     assert(TxLog.read(spark, root).count() === 12L,
       "vacuum deleted data files of the current version under a stale checkpoint")
     assert(TxLog.currentVersion(root) === 12L)
@@ -630,11 +673,11 @@ class TxLogSpec extends SparkSpec {
     }
     TxLog.pruneHistory(root, keepLast = 2)
     // post-state invariant the new ordering guarantees at EVERY crash
-    // point: the checkpoint's floor manifest exists (floor = latest
+    // point: the checkpoint's floor manifest exists (floor = oldest
     // retained, written before any deletion), so vacuum's fast path is
     // always sound
     val ck = TxLog.readCheckpoint(root).get
-    assert(ck.version === 12L)
+    assert(ck.version === 11L)
     assert(java.nio.file.Files.isRegularFile(
       java.nio.file.Paths.get(root, "_txlog", f"v-${ck.version}%020d")))
     assert(TxLog.vacuum(root, graceMs = 0L) === 10)
