@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * query — fine in a fused benchmark plan, architecturally wrong at
   * 100 TB, where assignment alone is a full-corpus pass.
   *
-  * BUILD (once per corpus) writes Parquet artifacts under an index dir:
-  *   centroids/   constant-size coarse quantizer (k rows)
-  *   lists/       (vec_id, embedding) partitioned by list_id      [IVF]
+  * BUILD (once per corpus) writes Parquet artifacts under an index dir.
+  * The flat-IVF index — the only one with INCREMENTAL appends — is a
+  * transaction-log table (`lists/` is a [[TxLog]] root; metadata rides
+  * as `kv:` notes — see the IVF section comment below). The build-only
+  * variants stay immutable derived artifacts:
+  *   centroids/   constant-size coarse quantizer (k rows)   [IVF-PQ, ivfl]
   *   books/       residual PQ codebooks (M·K rows)                [IVF-PQ]
   *   codes/       (vec_id, codes) partitioned by list_id          [IVF-PQ]
   *   meta/        corpus row count + layout version — the staleness key
@@ -71,32 +74,103 @@ object IvfIndex {
     }
 
   // ------------------------------------------------------------------ IVF
+  //
+  // The flat-IVF index — the one with INCREMENTAL appends — is a txlog
+  // table: `<idx>/lists` is a TxLog root partitioned by list_id, and the
+  // index metadata rides as replaced `kv:` notes in the same atomic
+  // manifest publish as the list rows they describe (`kv:n` staleness
+  // count, `kv:layout` physical version, `kv:centroids` the immutable
+  // coarse-quantizer artifact directory). One append = ONE commit
+  // covering rows + count — the torn states the old claim/stage/janitor
+  // protocol (IndexCommit) existed to manage can no longer occur: a
+  // crashed append leaves only an unreferenced staged directory
+  // (invisible to every reader, vacuumable), and rebuilds are CAS-atomic
+  // replaceTable commits whose pinned prior versions keep concurrent
+  // probes consistent. Centroid artifacts are content-addressed
+  // (`centroids-<uuid>`) and immutable; the kv pointer flips atomically
+  // with the lists rebuild, and superseded artifact dirs are retired
+  // best-effort after the publish.
+
+  private def listsRoot(idx: String): String = s"$idx/lists"
+
+  /** Committed lists table properties: (kv map, snapshot). */
+  private def listsSnap(idx: String): Option[(Map[String, String], TxLog.Snapshot)] =
+    TxLog.snapshot(listsRoot(idx)).map(s => (TxLog.kvOf(s.notes), s))
+
+  /** Indexed-vector count of the committed flat-IVF index. */
+  def indexedCount(idx: String): Option[Long] =
+    listsSnap(idx).flatMap(_._1.get("n")).map(_.toLong)
+
+  /** The committed-latest list rows (spec/inspection surface; probes pin
+    * a snapshot version internally). */
+  def lists(s: SparkSession, idx: String): DataFrame =
+    TxLog.read(s, listsRoot(idx))
+
+  /** The committed centroid artifact of the flat-IVF index. */
+  def centroids(s: SparkSession, idx: String): DataFrame = {
+    val (kv, _) = listsSnap(idx).getOrElse(throw new IllegalStateException(
+      s"IvfIndex.centroids($idx): no committed index"))
+    s.read.parquet(s"$idx/${kv("centroids")}")
+  }
+
+  private def isFreshIvf(e: DataFrame, idx: String): Boolean =
+    listsSnap(idx).exists { case (kv, _) =>
+      kv.get("n").contains(e.count().toString) &&
+        kv.get("layout").contains(LayoutVersion.toString)
+    }
 
   /** Build the flat-IVF index: centroids + multi-assigned raw-vector
     * inverted lists (each vector in its AssignR nearest lists — see
-    * Similarity.AssignR for the recall/space trade). */
+    * Similarity.AssignR for the recall/space trade). The centroid
+    * artifact is written FIRST (immutable, content-addressed); the lists
+    * replaceTable then publishes rows + count + artifact pointer in one
+    * CAS-atomic commit, so a reader never sees a half-rebuilt index. */
   def buildIvf(e: DataFrame, idx: String): Unit = {
+    val s = e.sparkSession
+    val csDir = s"centroids-${java.util.UUID.randomUUID().toString.take(12)}"
     val cs = Similarity.centroids(e).cache()
-    cs.write.mode("overwrite").parquet(s"$idx/centroids")
-    Similarity.assignTo(e, cs, Similarity.AssignR)
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/lists")
+    cs.write.mode("overwrite").parquet(s"$idx/$csDir")
+    val n = e.count()
+    TxLog.replaceTable(s, listsRoot(idx),
+      Similarity.assignTo(e, cs, Similarity.AssignR),
+      partCol = Some("list_id"),
+      kv = Map("n" -> n.toString, "layout" -> LayoutVersion.toString,
+        "centroids" -> csDir))
     cs.unpersist()
-    writeMeta(e, idx)
-    IndexCommit.reset(idx) // rebuild overwrote the data: fresh history
+    retireStaleCentroids(idx, keep = csDir)
+  }
+
+  /** Best-effort removal of centroid artifact dirs no retained manifest
+    * references — superseded rebuilds' quantizers. Conservative: keeps
+    * every dir a RETAINED lists version still points at (time travel
+    * across a rebuild keeps working until pruneHistory). */
+  private def retireStaleCentroids(idx: String, keep: String): Unit = {
+    val live: Set[String] = TxLog.history(listsRoot(idx)).flatMap(h =>
+      TxLog.snapshot(listsRoot(idx), h.version)
+        .flatMap(s => TxLog.kvOf(s.notes).get("centroids"))).toSet + keep
+    Option(new java.io.File(idx).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("centroids-") &&
+        !live(d.getName))
+      .foreach(d => scala.util.Try {
+        d.listFiles().foreach(_.delete()); d.delete()
+      })
   }
 
   /** Probe the flat-IVF index at `idx`: top-`k` by cosine against the
     * one-row query frame `q` (column `qv`), scanning only the `nprobe`
-    * nearest lists. */
+    * nearest lists. Pins one snapshot: the centroid ranking and the list
+    * scan see the same committed version even under concurrent appends. */
   def probeIvf(spark: SparkSession, idx: String, q: DataFrame, k: Int,
       nprobe: Int, excludeVecId: Long): DataFrame = {
-    val cs = spark.read.parquet(s"$idx/centroids")
+    val (kv, snap) = listsSnap(idx).getOrElse(throw new IllegalStateException(
+      s"probeIvf($idx): no committed index"))
+    val cs = spark.read.parquet(s"$idx/${kv("centroids")}")
     val probed = cs.crossJoin(broadcast(q))
       .select(col("c_id"), Similarity.cosineFast(spark, "cv", "qv").as("csim"))
       .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
       .select("c_id").collect().map(_.getLong(0))
-    val scored = spark.read.parquet(s"$idx/lists")
-      .filter(col("list_id").isin(probed: _*)) // directory pruning
+    val scored = TxLog.read(spark, listsRoot(idx), snap.version)
+      .filter(col("list_id").isin(probed: _*)) // manifest partition pruning
       .filter(col("vec_id") =!= excludeVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
@@ -109,80 +183,49 @@ object IvfIndex {
   /** Incremental maintenance: fold a batch of NEW vectors into an
     * existing flat-IVF index without a rebuild. The new vectors are
     * assigned with the SAVED centroids (one narrow pass over the batch,
-    * never the corpus) and appended to the list partitions — dynamic
-    * partition append touches only the directories the batch lands in.
-    * The coarse quantizer stays fixed: standard IVF maintenance, since
-    * centroids drift slowly and probe quality degrades gracefully; the
-    * staleness meta is advanced so probes accept the grown corpus, and a
-    * full rebuild remains the policy lever for when drift accumulates
-    * (IvfIndexSpec pins append ≡ assigning the full corpus against the
-    * original centroids, plus an unchanged recall floor). */
-  def appendIvf(newVecs: DataFrame, idx: String): Unit = buildLock.synchronized {
+    * never the corpus) and appended as new files — carried alongside the
+    * prior entries by reference in the next manifest. The coarse
+    * quantizer stays fixed: standard IVF maintenance, since centroids
+    * drift slowly and probe quality degrades gracefully; `kv:n` advances
+    * IN the same commit so probes accept the grown corpus atomically,
+    * and a full rebuild remains the policy lever for when drift
+    * accumulates (IvfIndexSpec pins append ≡ assigning the full corpus
+    * against the original centroids, plus an unchanged recall floor).
+    * Concurrent appenders serialize through the manifest CAS: the loser
+    * re-runs its attempt — disjointness check, count derivation and all
+    * — against the fresh snapshot, so no count is ever lost. */
+  def appendIvf(newVecs: DataFrame, idx: String): Unit = {
     val s = newVecs.sparkSession
-    // cross-PROCESS coordination (the in-process buildLock can't see a
-    // second driver): read the commit version WITH the meta, claim the
-    // successor atomically right before the first data write — a racing
-    // stale writer loses the claim and aborts having written nothing —
-    // and refuse to append onto a crashed writer's partial batch.
-    require(IndexCommit.unfinalized(idx).isEmpty,
-      s"appendIvf($idx): unfinalized commit ${IndexCommit.unfinalized(idx).get} " +
-        "(a writer died mid-append; the data may hold a partial batch) — rebuild")
-    val readVersion = IndexCommit.version(idx)
-    val prev = s.read.parquet(s"$idx/meta").collect()(0).getLong(0)
+    val root = listsRoot(idx)
     // materialize the batch ONCE before any write: the lists append and
-    // the meta count must see the same rows even if `newVecs` is
+    // the committed count must see the same rows even if `newVecs` is
     // non-deterministic between jobs (the cache pins one evaluation)
     val nv = newVecs.cache()
-    val nNew = nv.count()
-    // precondition (single-writer contract): batch vec_ids must be
-    // disjoint from the index, or the meta count silently diverges from
-    // the distinct vectors in the lists. One semi-join against the index
-    // — bounded by index size, the price of an actual integrity check.
-    val dup = nv.join(s.read.parquet(s"$idx/lists").select("vec_id"),
-      Seq("vec_id"), "left_semi").limit(1).count()
-    require(dup == 0, s"appendIvf($idx): batch contains vec_ids already in the index")
-    val committed = IndexCommit.claim(idx, readVersion)
-    // rollback manifest BEFORE any data write: a crash from here to
-    // finalize is recoverable by [[recoverIvf]] instead of only a rebuild
-    IndexCommit.stage(idx, committed, Seq("lists", "meta"))
-    Similarity.assignTo(nv, s.read.parquet(s"$idx/centroids"), Similarity.AssignR)
-      .write.mode("append").partitionBy("list_id").parquet(s"$idx/lists")
-    writeMetaCount(s, prev + nNew, idx)
-    IndexCommit.finalizeCommit(idx, committed)
-    nv.unpersist()
-  }
-
-  /** Roll back a crashed [[appendIvf]] (claimed-but-unfinalized commit)
-    * to the last committed state via its staged manifest. If the crash
-    * hit the meta overwrite itself (old meta files already deleted —
-    * unrestorable by file deletion), the count is re-derived EXACTLY as
-    * `distinct vec_id` over the restored lists: every vector holds at
-    * least one list assignment (AssignR ≥ 1), so the distinct count is
-    * the corpus count. A crash before the meta write leaves meta intact
-    * and nothing is re-derived. None on a healthy index or a
-    * pre-manifest legacy claim (rebuild remains the only lever there).
-    * Caller asserts the crashed writer is dead — cleaning under a live
-    * slow writer would corrupt its in-flight batch. */
-  def recoverIvf(s: SparkSession, idx: String): Option[Long] =
-    IndexCommit.cleanPartial(idx).map { case (version, _) =>
-      val metaOk =
-        try {
-          val m = s.read.parquet(s"$idx/meta").collect()(0)
-          m.getAs[Long]("n"); m.getAs[Long]("v"); true
-        } catch { case _: Exception => false }
-      if (!metaOk) {
-        // explicit schema: a rolled-back empty-corpus lists dir holds only
-        // _SUCCESS, and a schema-inferring read would throw
-        // UNABLE_TO_INFER_SCHEMA after the claim was already retired
-        val listsSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType)))
-        val n = s.read.schema(listsSchema).parquet(s"$idx/lists")
-          .select("vec_id").distinct().count()
-        writeMetaCount(s, n, idx)
+    try {
+      val nNew = nv.count()
+      TxLog.withRetry(root) {
+        case None => throw new IllegalStateException(
+          s"appendIvf($idx): no committed index — build first")
+        case Some(snap) =>
+          val kv = TxLog.kvOf(snap.notes)
+          val prev = kv("n").toLong
+          // precondition (disjoint-id contract): batch vec_ids must be
+          // disjoint from the index, or the count silently diverges from
+          // the distinct vectors in the lists. One semi-join against the
+          // pinned snapshot — bounded by index size, the price of an
+          // actual integrity check.
+          val dup = nv.join(TxLog.read(s, root, snap.version).select("vec_id"),
+            Seq("vec_id"), "left_semi").limit(1).count()
+          require(dup == 0,
+            s"appendIvf($idx): batch contains vec_ids already in the index")
+          val assigned = Similarity.assignTo(nv,
+            s.read.parquet(s"$idx/${kv("centroids")}"), Similarity.AssignR)
+          Some(TxLog.commitAppendKv(s, root, assigned, snap.version, "",
+            Map("n" -> (prev + nNew).toString)))
       }
-      version
-    }
+      ()
+    } finally nv.unpersist()
+  }
 
   /** Labeled-IVF build — the filtered-ANN path ("ivfl" kind, its own
     * index dir so the unlabeled layouts stay untouched): identical list
@@ -252,7 +295,7 @@ object IvfIndex {
   def ivfTopKPersisted(e: DataFrame, sfDir: String, queryVecId: Long,
       k: Int, nprobe: Int): DataFrame = {
     val idx = pathFor("ivf", sfDir)
-    buildLock.synchronized { if (!isFresh(e, idx)) buildIvf(e, idx) }
+    buildLock.synchronized { if (!isFreshIvf(e, idx)) buildIvf(e, idx) }
     val q = broadcast(e.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv")))
     probeIvf(e.sparkSession, idx, q, k, nprobe, excludeVecId = queryVecId)
@@ -271,9 +314,10 @@ object IvfIndex {
   def knnJoinPersisted(e: DataFrame, sfDir: String, nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
     val idx = pathFor("ivf", sfDir)
-    buildLock.synchronized { if (!isFresh(e, idx)) buildIvf(e, idx) }
+    buildLock.synchronized { if (!isFreshIvf(e, idx)) buildIvf(e, idx) }
     val s = e.sparkSession
-    val cs = s.read.parquet(s"$idx/centroids")
+    val (kvm, lsnap) = listsSnap(idx).get
+    val cs = s.read.parquet(s"$idx/${kvm("centroids")}")
     // both small frames are CACHED: each feeds the eager probed-id
     // collect AND the returned plan's broadcasts — uncached, the query-
     // side corpus filter and the probe ranking would evaluate twice per
@@ -294,8 +338,8 @@ object IvfIndex {
       .collect().map(_.getLong(0)) // ≤ min(|q|·nprobe, #lists) — index metadata
     val rankW = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    s.read.parquet(s"$idx/lists")
-      .filter(col("list_id").isin(probedIds: _*)) // directory pruning
+    TxLog.read(s, listsRoot(idx), lsnap.version)
+      .filter(col("list_id").isin(probedIds: _*)) // manifest partition pruning
       .join(broadcast(probes), "list_id") // fan vectors to probing queries
       .join(broadcast(qs), "q_id")
       .filter(col("vec_id") =!= col("q_id"))

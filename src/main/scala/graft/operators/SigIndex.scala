@@ -12,140 +12,148 @@ import org.apache.spark.sql.functions._
   * everything per run; this is its build-once/probe-many sibling, the
   * dedup analog of IvfIndex's ANN split).
   *
-  * On-disk layout under `<idx>/`:
-  *   - `bands/`    (doc_id, band, bh) — LSH bucket membership,
-  *                 partitionBy(band) (16 directories; a probe's candidate
-  *                 join is keyed on (band, bh) and each band directory
-  *                 joins independently)
-  *   - `postings/` (doc_id, g) — the distinct shingles backing the EXACT
-  *                 Jaccard verification of candidates (the honest index
-  *                 cost: linear in corpus shingles; only candidate docs'
-  *                 postings are ever read back thanks to a semi-join)
-  *   - `meta/`     indexed-doc count — the staleness key (same contract
-  *                 as IvfIndex: testdata is deterministic per sf, so
-  *                 count suffices; production would version snapshots)
+  * The index IS a transaction-log table (`<idx>/t`, a [[TxLog]] root),
+  * partitioned by `kind`:
+  *   - `kind=b` rows (doc_id, band, bh) — LSH bucket membership; a
+  *     probe's candidate join is keyed on (band, bh)
+  *   - `kind=p` rows (doc_id, g) — the distinct shingles backing the
+  *     EXACT Jaccard verification of candidates (the honest index cost:
+  *     linear in corpus shingles; only candidate docs' postings are ever
+  *     read back thanks to a semi-join)
+  * and the indexed-doc count rides as the `kv:n` table property —
+  * REPLACED in the same atomic manifest publish as the rows it counts.
+  *
+  * That single-table shape is what retired the old side protocol
+  * (IndexCommit claim/stage/janitor): one batch = ONE manifest commit
+  * covering buckets + postings + count together, so there is no crash
+  * point where readers see a torn index — an append that dies mid-stage
+  * leaves only an unreferenced data directory (invisible, vacuumable),
+  * and at-least-once replay is [[TxLog.appendOnceMonotone]]'s O(1)
+  * high-water ledger instead of marker files. Rebuilds go through
+  * [[TxLog.replaceTable]]: CAS-atomic, tag ledger reset with the data.
   *
   * Probe scale shape: new-batch shingles/signatures are computed once
   * (narrow, batch-sized); the candidate join is keyed on (band, bh) —
   * O(batch·bands) rows against the persisted buckets, never corpus ×
   * batch; verification touches only candidate documents' postings
-  * (left-semi pushdown into the postings scan), and the exact-Jaccard
-  * join is bounded by candidate postings. Append folds a new batch into
-  * the same layout with a disjoint-id assertion (appendIvf's contract).
+  * (left-semi pushdown into the pinned-snapshot scan), and the exact
+  * Jaccard join is bounded by candidate postings. Probes pin a snapshot
+  * version, so a concurrent writer never shifts the ground under a
+  * running probe (snapshot isolation for free from the log).
   */
 object SigIndex {
 
   private def pathFor(sfDir: String): String =
     s"${IvfIndex.DefaultRoot}/sig-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** The index's txlog table root. */
+  private[operators] def tableRoot(idx: String): String = s"$idx/t"
+
   private val buildLock = new Object
 
-  // explicit read schemas: an index built over an EMPTY corpus writes only
-  // _SUCCESS markers (partitionBy with zero rows emits no files), and a
-  // schema-inferring read would throw UNABLE_TO_INFER_SCHEMA on probe
-  import org.apache.spark.sql.types._
-  private val bandsSchema = StructType(Seq(StructField("doc_id", LongType),
-    StructField("bh", LongType), StructField("band", IntegerType)))
-  private val postingsSchema = StructType(Seq(StructField("doc_id", LongType),
-    StructField("g", StringType)))
-
-  private def writeMetaCount(s: SparkSession, n: Long, idx: String): Unit =
-    s.range(1).select(lit(n).as("n"))
-      .write.mode("overwrite").parquet(s"$idx/meta")
+  /** Indexed-document count of the committed index (the `kv:n` staleness
+    * key). None for an index that never committed. */
+  def indexedCount(idx: String): Option[Long] =
+    TxLog.snapshot(tableRoot(idx))
+      .flatMap(s => TxLog.kvOf(s.notes).get("n")).map(_.toLong)
 
   private def isFresh(old: DataFrame, idx: String): Boolean =
-    new java.io.File(s"$idx/meta").isDirectory && {
-      try old.sparkSession.read.parquet(s"$idx/meta")
-        .collect()(0).getAs[Long]("n") == old.count()
-      catch { case _: Exception => false }
-    }
+    indexedCount(idx).contains(old.count())
 
-  /** Build the signature index over `docs` (replacing any prior index).
-    * Bands are clustered on the band key before the partitioned write so
-    * each `band=k` directory gets ONE file per commit instead of one per
-    * shuffle task — the file count a probe must list and open grows with
-    * commits, not with commits × tasks. (A single huge band file at
-    * extreme scale is the writer's `maxRecordsPerFile` knob, not ours.) */
-  def build(docs: DataFrame, idx: String, note: String = ""): Unit = {
+  /** The pinned band rows (doc_id, band, bh) of snapshot `v`. The `kind`
+    * partition filter constant-folds the postings file groups out of the
+    * plan — partition pruning via the manifest, no directory walk. */
+  private def bandsAt(s: SparkSession, idx: String, v: Long): DataFrame =
+    TxLog.read(s, tableRoot(idx), v).filter(col("kind") === "b")
+      .select("doc_id", "band", "bh")
+
+  /** The pinned posting rows (doc_id, g) of snapshot `v`. */
+  private def postingsAt(s: SparkSession, idx: String, v: Long): DataFrame =
+    TxLog.read(s, tableRoot(idx), v).filter(col("kind") === "p")
+      .select("doc_id", "g")
+
+  /** Committed-latest reads (spec/inspection surface). */
+  def bands(s: SparkSession, idx: String): DataFrame =
+    bandsAt(s, idx, TxLog.currentVersion(tableRoot(idx)))
+  def postings(s: SparkSession, idx: String): DataFrame =
+    postingsAt(s, idx, TxLog.currentVersion(tableRoot(idx)))
+
+  /** One frame holding both row kinds of a batch, clustered for the
+    * partitioned stage: bands bucket by `band` (band-clustered files →
+    * row-group stats stay tight), postings spread by shingle hash
+    * (balanced files). `parts` bounds files-per-commit — a micro-batch
+    * append stages a handful of files, not one per shuffle task. */
+  private def indexRows(sh: DataFrame, nbands: DataFrame, parts: Int): DataFrame = {
+    val p = sh.select(col("doc_id"), lit(null).cast("int").as("band"),
+      lit(null).cast("long").as("bh"), col("g"), lit("p").as("kind"))
+    val b = nbands.select(col("doc_id"), col("band"), col("bh"),
+      lit(null).cast("string").as("g"), lit("b").as("kind"))
+    p.unionByName(b).repartition(parts, col("kind"),
+      coalesce(col("band"), pmod(xxhash64(col("g")), lit(64)).cast("int")))
+  }
+
+  /** Build the signature index over `docs`, replacing any prior index in
+    * ONE CAS-atomic commit (no torn-rebuild window). `hwBatchId`, when
+    * set, stamps the stream's replay high-water into the same publish —
+    * the bootstrap batch's ledger entry. */
+  def build(docs: DataFrame, idx: String, hwBatchId: Option[Long] = None): Unit = {
     val sh = Dedup.shingles(docs).cache()
     try {
-      sh.write.mode("overwrite").parquet(s"$idx/postings")
-      Dedup.signatureBands(Dedup.minhashSignature(sh))
-        .repartition(col("band"))
-        .write.mode("overwrite").partitionBy("band").parquet(s"$idx/bands")
-      writeMetaCount(docs.sparkSession, docs.count(), idx)
-      IndexCommit.reset(idx, note) // rebuild overwrote the data: fresh history
+      val n = docs.count()
+      val rows = indexRows(sh, Dedup.signatureBands(Dedup.minhashSignature(sh)),
+        parts = 32)
+      TxLog.replaceTable(docs.sparkSession, tableRoot(idx), rows,
+        partCol = Some("kind"),
+        note = hwBatchId.map(id => s"hw:batch:$id").getOrElse(""),
+        kv = Map("n" -> n.toString))
     } finally sh.unpersist()
   }
 
-  /** Fold a new batch into the index. Precondition (asserted): the batch's
-    * doc_ids are disjoint from the indexed corpus — re-appending an
-    * indexed document would double its buckets and postings. Cross-process
-    * safety is [[IndexCommit]]'s optimistic claim (appendIvf's contract):
-    * of two racing drivers exactly one writes; the stale one aborts with
-    * ConcurrentModificationException before touching any data file. */
-  def append(newDocs: DataFrame, idx: String, note: String = ""): Unit = {
+  /** Fold a new batch into the index as ONE tagged txlog append — rows
+    * and the advanced `kv:n` count in the same atomic manifest.
+    * Precondition (asserted): the batch's doc_ids are disjoint from the
+    * indexed corpus — re-appending an indexed document would double its
+    * buckets and postings. Concurrent appenders serialize through the
+    * manifest CAS (the loser re-reads and retries); a crashed append
+    * leaves nothing visible. Replay safety: a caller that may retry the
+    * SAME logical batch should pass a stable `tag` — a tag already in
+    * the note ledger makes the append a no-op. */
+  def append(newDocs: DataFrame, idx: String, tag: String = ""): Unit = {
     val s = newDocs.sparkSession
-    require(IndexCommit.unfinalized(idx).isEmpty,
-      s"SigIndex.append($idx): unfinalized commit (a writer died mid-append) — rebuild")
-    val readVersion = IndexCommit.version(idx)
-    // disjointness check as a MAP-ONLY pass: broadcast the batch ids and
-    // semi-join the index scan against them — the previous form
-    // (distinct-then-semi) shuffled every indexed doc_id per append,
-    // an O(corpus) shuffle each micro-batch that dominated streaming
-    // ingest latency and would be the per-batch bottleneck at 100 TB.
-    // The distinct runs AFTER the semi-join, over matches only (zero
-    // rows on the healthy path).
-    val overlap = s.read.schema(bandsSchema).parquet(s"$idx/bands")
-      .join(broadcast(newDocs.select("doc_id")), Seq("doc_id"), "left_semi")
-      .select("doc_id").distinct().count()
-    require(overlap == 0L, s"append overlaps $overlap indexed doc_ids")
-    val prev = s.read.parquet(s"$idx/meta").collect()(0).getAs[Long]("n")
-    // materialize the batch count BEFORE the writes (appendIvf's
-    // count-before-write discipline: meta must describe what was written)
-    val batch = newDocs.cache()
-    val n = batch.count()
-    val sh = Dedup.shingles(batch).cache()
+    val root = tableRoot(idx)
+    val t = if (tag.nonEmpty) tag
+      else "append-" + java.util.UUID.randomUUID().toString.take(12)
+    val b = newDocs.cache()
+    val sh = Dedup.shingles(b).cache()
     try {
-      val committed = IndexCommit.claim(idx, readVersion)
-      // rollback manifest BEFORE any data write: a crash from here to
-      // finalize is recoverable by [[recover]] instead of only a rebuild
-      IndexCommit.stage(idx, committed, Seq("postings", "bands", "meta"))
-      sh.write.mode("append").parquet(s"$idx/postings")
-      // band-clustered append (see build): one file per band per commit
-      Dedup.signatureBands(Dedup.minhashSignature(sh))
-        .repartition(col("band"))
-        .write.mode("append").partitionBy("band").parquet(s"$idx/bands")
-      writeMetaCount(s, prev + n, idx)
-      IndexCommit.finalizeCommit(idx, committed, note)
-    } finally { sh.unpersist(); batch.unpersist() }
-  }
-
-  /** Roll back a crashed append (claimed-but-unfinalized commit) to the
-    * last committed state via its staged manifest, then re-derive the
-    * meta count from the surviving postings — necessary because a crash
-    * DURING the meta overwrite deletes the old meta files, which file
-    * deletion alone cannot restore. The re-derived count is `distinct
-    * doc_id` over postings: exact whenever every indexed document
-    * shingled (non-degenerate content); a corpus with shingle-less
-    * documents re-derives a smaller n, which the next `ensure` treats as
-    * stale and rebuilds — conservative, never wrong. A crash BEFORE the
-    * meta overwrite leaves meta intact, so the restored bytes are kept
-    * verbatim and nothing is re-derived. No-op (None) on a healthy index
-    * or a pre-manifest legacy claim (rebuild stays the only lever
-    * there). Caller asserts the crashed writer is dead. */
-  def recover(s: SparkSession, idx: String): Option[Long] =
-    IndexCommit.cleanPartial(idx).map { case (version, _) =>
-      val metaOk =
-        try { s.read.parquet(s"$idx/meta").collect()(0).getAs[Long]("n"); true }
-        catch { case _: Exception => false }
-      if (!metaOk) {
-        val n = s.read.schema(postingsSchema).parquet(s"$idx/postings")
-          .select("doc_id").distinct().count()
-        writeMetaCount(s, n, idx)
+      TxLog.withRetry(root) {
+        case None => throw new IllegalStateException(
+          s"SigIndex.append($idx): no committed index — build first")
+        case Some(snap) if snap.notes(t) => Some(snap.version) // replay: done
+        case Some(snap) =>
+          val prev = TxLog.kvOf(snap.notes).getOrElse("n",
+            throw new IllegalStateException(s"$idx: committed table has no kv:n"))
+            .toLong
+          // disjointness + batch count in ONE action: the overlap side is
+          // a map-only semi-join of the pinned band scan against the
+          // broadcast batch ids (never corpus × batch), cross-joined with
+          // the 1-row batch count — two scalars, one job tree. Runs PER
+          // CAS attempt: a retry re-checks against the fresh snapshot,
+          // so neither the count nor the disjointness can go stale.
+          val ovlAgg = bandsAt(s, idx, snap.version)
+            .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
+            .agg(count_distinct(col("doc_id")).as("ovl"))
+          val cnts = ovlAgg.crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
+          require(cnts.getAs[Long]("ovl") == 0L,
+            s"append overlaps ${cnts.getAs[Long]("ovl")} indexed doc_ids")
+          val rows = indexRows(sh,
+            Dedup.signatureBands(Dedup.minhashSignature(sh)), parts = 8)
+          Some(TxLog.commitAppendKv(s, root, rows, snap.version, t,
+            Map("n" -> (prev + cnts.getAs[Long]("n")).toString)))
       }
-      version
-    }
+      ()
+    } finally { sh.unpersist(); b.unpersist() }
+  }
 
   /** Near-dup pairs (old_id, new_id, jaccard ≥ [[Dedup.Tau]]) between the
     * persisted corpus and a new batch, without touching non-candidate
@@ -153,12 +161,22 @@ object SigIndex {
     * shingles + candidate pairs) that live until the session's cache is
     * cleared — the harness's per-query clearCache convention. Long-lived
     * callers that materialize the result themselves should use
-    * [[probeWithHandles]] and unpersist (streamingIngest does). */
+    * [[probeWithHandles]] and unpersist (streaming ingest does). */
   def probe(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame =
     probeWithHandles(s, idx, newDocs)._1
 
   /** [[probe]] plus the cached frames backing the (lazy) result — the
-    * caller unpersists them AFTER materializing.
+    * caller unpersists them AFTER materializing. */
+  def probeWithHandles(s: SparkSession, idx: String,
+      newDocs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val nsh = Dedup.shingles(newDocs).cache()
+    val (pairs, cand) = probePinned(s, idx,
+      TxLog.currentVersion(tableRoot(idx)), nsh)
+    (pairs, Seq(nsh, cand))
+  }
+
+  /** The probe core, against a PINNED snapshot version and pre-cached
+    * batch shingles.
     *
     * Scale shape: the NEW-batch side of every join against persisted
     * state is explicitly broadcast — a probe batch is broadcast-sized by
@@ -168,19 +186,18 @@ object SigIndex {
     * shuffle-joins both sides (batch stats are unknown behind the
     * aggregation), which re-shuffles the entire persisted index on every
     * micro-batch — the asymptotic killer for a 100 TB corpus probed by
-    * kilodoc batches. */
-  def probeWithHandles(s: SparkSession, idx: String,
-      newDocs: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val nsh = Dedup.shingles(newDocs).cache()
+    * kilodoc batches. Returns (pairs, candidate-cache). */
+  private def probePinned(s: SparkSession, idx: String, version: Long,
+      nsh: DataFrame): (DataFrame, DataFrame) = {
     val nbands = Dedup.signatureBands(Dedup.minhashSignature(nsh))
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
-    val cand = s.read.schema(bandsSchema).parquet(s"$idx/bands")
+    val cand = bandsAt(s, idx, version)
       .select(col("band"), col("bh"), col("doc_id").as("old_id"))
       .join(broadcast(nbands), Seq("band", "bh"))
       .select("old_id", "new_id").distinct().cache()
     // only candidate documents' postings leave the index — and the
     // candidate-id set is broadcast for the same map-only reason
-    val oldSh = s.read.schema(postingsSchema).parquet(s"$idx/postings")
+    val oldSh = postingsAt(s, idx, version)
       .join(broadcast(cand.select(col("old_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
     val both = oldSh.unionByName(nsh)
@@ -189,51 +206,43 @@ object SigIndex {
       .filter(col("jac") >= Dedup.Tau)
       .select(col("a_id").as("old_id"), col("b_id").as("new_id"),
         round(col("jac"), 6).cast("double").as("jaccard"))
-    (pairs, Seq(nsh, cand))
+    (pairs, cand)
   }
 
   /** One streaming-ingest micro-batch, IDEMPOTENT under at-least-once
     * replay (foreachBatch re-delivers a batch whenever the checkpoint
-    * commit didn't land). The discipline, ordered so every crash point
-    * replays cleanly:
+    * commit didn't land). Three Spark actions per batch — the fused
+    * disjointness/count job, the pairs write, and the single txlog
+    * append — ordered so every crash point replays cleanly:
     *
-    *   1. a batch whose note (`batch-<id>`) is already among the index's
-    *      finalized commits was FULLY processed by a previous attempt —
-    *      skip everything (its pairs partition is on disk: pairs write
-    *      precedes the commit);
+    *   1. a batch at or under the index's `hw:batch:` high-water was
+    *      FULLY processed by a previous attempt — skip everything (its
+    *      pairs partition is on disk: the pairs write precedes the
+    *      commit that advances the high-water);
     *   2. pairs land in the per-batch partition dir
     *      `pairsSink/batch_id=<id>` with mode OVERWRITE — a replayed
     *      pre-commit attempt rewrites the same content instead of
     *      duplicating rows (the probe still sees the index WITHOUT this
-    *      batch, because the append runs after);
-    *   3. the append carries the note into its finalized commit marker,
-    *      making step 1's check durable;
-    *   4. a bootstrap interrupted between data writes and its commit
-    *      marker leaves version 0 — detected and REBUILT rather than
-    *      mistaken for an appendable index (the overlap check would
-    *      otherwise reject the replay of the half-indexed batch).
-    *
-    * A crash strictly inside the append (claimed, unfinalized) still
-    * fails the stream loudly with the rebuild policy — plain-parquet
-    * appends are not atomic and pretending otherwise would be worse. */
+    *      batch: it pins the snapshot version read in step 1);
+    *   3. the append advances the high-water in the SAME manifest as the
+    *      batch's rows and count — there is no crash point where data
+    *      and ledger disagree, and a crash mid-stage leaves only an
+    *      unreferenced (invisible) data directory;
+    *   4. a bootstrap that crashed before its replaceTable published
+    *      leaves NO committed version — the replay simply bootstraps
+    *      again (same publish, same content).
+    */
   private[operators] def ingestBatch(s: SparkSession, idx: String,
       pairsSink: String, batch: DataFrame, batchId: Long): Unit = {
-    val note = s"batch-$batchId"
-    if (IndexCommit.committedNotes(idx).contains(note)) return // replay: done
-    // a claimed-but-unfinalized commit means an append crashed mid-write
-    // and the data dirs may hold PART of that batch. Refuse here, BEFORE
-    // the probe/pairs overwrite: probing a contaminated index would
-    // clobber this batch's pairs partition with wrong (partially
-    // self-matching) pairs on the way to the same failure.
-    require(IndexCommit.unfinalized(idx).isEmpty,
-      s"ingestBatch($idx): unfinalized commit (a writer died mid-append) — rebuild")
+    val root = tableRoot(idx)
+    if (TxLog.highWaterOf(root, "batch").exists(_ >= batchId)) return // replayed: done
     val b = batch.select("doc_id", "text").cache()
     try {
-      if (!new java.io.File(s"$idx/meta").isDirectory ||
-          IndexCommit.version(idx) == 0L) {
-        // pairs partition FIRST (the replay invariant: a finalized note
-        // implies its pairs are on disk — so nothing may finalize before
-        // the pairs write, including the bootstrap's build/reset). The
+      val snapOpt = TxLog.snapshot(root)
+      if (snapOpt.isEmpty) {
+        // pairs partition FIRST (the replay invariant: a committed
+        // high-water implies its pairs are on disk — so nothing may
+        // publish before the pairs write, including the bootstrap). The
         // bootstrap has no corpus to pair against, so the schema row is
         // constructed directly instead of probing the not-yet-built index.
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -242,15 +251,32 @@ object SigIndex {
               org.apache.spark.sql.types.StructField("new_id", org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
           .write.mode("overwrite").parquet(s"$pairsSink/batch_id=$batchId")
-        build(b, idx, note)
+        build(b, idx, hwBatchId = Some(batchId))
       } else {
-        // unpersist AFTER the write materializes the lazy probe —
-        // per-batch caches must not accumulate across a long stream
-        val (pairs, caches) = probeWithHandles(s, idx, b)
-        try pairs.write.mode("overwrite")
-          .parquet(s"$pairsSink/batch_id=$batchId")
-        finally caches.foreach(_.unpersist())
-        append(b, idx, note)
+        val snap = snapOpt.get
+        val prev = TxLog.kvOf(snap.notes)("n").toLong
+        val sh = Dedup.shingles(b).cache()
+        try {
+          // ACTION 1 — disjointness + batch count, fused (see append)
+          val ovlAgg = bandsAt(s, idx, snap.version)
+            .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
+            .agg(count_distinct(col("doc_id")).as("ovl"))
+          val cnts = ovlAgg.crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
+          require(cnts.getAs[Long]("ovl") == 0L,
+            s"ingestBatch($idx): batch $batchId overlaps " +
+              s"${cnts.getAs[Long]("ovl")} indexed doc_ids")
+          // ACTION 2 — pairs, probed against the PINNED pre-batch snapshot
+          val (pairs, cand) = probePinned(s, idx, snap.version, sh)
+          try pairs.write.mode("overwrite")
+            .parquet(s"$pairsSink/batch_id=$batchId")
+          finally cand.unpersist()
+          // ACTION 3 — one atomic append: rows + count + high-water
+          TxLog.appendOnceMonotone(s, root, "batch", batchId,
+            indexRows(sh, Dedup.signatureBands(Dedup.minhashSignature(sh)),
+              parts = 8),
+            kv = Map("n" -> (prev + cnts.getAs[Long]("n")).toString))
+          ()
+        } finally sh.unpersist()
       }
     } finally b.unpersist()
   }
@@ -261,10 +287,10 @@ object SigIndex {
     * Streaming sink. The first batch bootstraps the index (nothing to
     * pair with; an empty probe creates the pairs sink with the right
     * schema). Effectively-once under foreachBatch's at-least-once
-    * contract via [[ingestBatch]]'s note-keyed replay detection +
-    * per-batch pairs partitions; the specs pin both the single-pass
-    * semantics (emitted pairs ≡ the batch-at-a-time probes, final index
-    * ≡ indexing everything at once) and replay idempotence. */
+    * contract via [[ingestBatch]]'s high-water replay ledger + per-batch
+    * pairs partitions; the specs pin both the single-pass semantics
+    * (emitted pairs ≡ the batch-at-a-time probes, final index ≡ indexing
+    * everything at once) and replay idempotence. */
   def streamingIngest(stream: DataFrame, idx: String, pairsSink: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger

@@ -68,10 +68,12 @@ import scala.jdk.CollectionConverters._
   * What this deliberately does not do: multi-table transactions and
   * conflict-aware merges of CONCURRENT row-level edits (the losers retry
   * serially — optimistic concurrency, same as Delta's simplest level).
-  * [[IndexCommit]] stays for the persisted-index layouts: an index commit
-  * spans several band/list directories whose files are appended by Spark
-  * jobs mid-commit, which needs the claim/stage/janitor machinery rather
-  * than a pure immutable-file manifest.
+  * The persisted index layouts ([[SigIndex]], [[IvfIndex]]) commit
+  * THROUGH this log too: each index is one txlog table whose staleness
+  * count / artifact pointers ride as replaced `kv:` notes in the same
+  * atomic publish as the index rows — which is what retired the old
+  * claim/stage/janitor side protocol (a crashed index append is now just
+  * an unreferenced staged directory, invisible and vacuumable).
   */
 object TxLog {
 
@@ -621,12 +623,49 @@ object TxLog {
     * takes its table-exists branch instead of dying on a non-retryable
     * error (the publish CAS covers the narrower check-then-publish
     * window the same way). */
-  def init(spark: SparkSession, root: String, df: DataFrame, note: String = ""): Long = {
+  def init(spark: SparkSession, root: String, df: DataFrame, note: String = ""): Long =
+    initWith(spark, root, df, None,
+      if (note.isEmpty) Set.empty else Set(note))
+
+  /** [[init]]/[[initPartitioned]] with a full initial NOTE SET (tags plus
+    * `kv:` properties in one v1 publish) — the create leg of
+    * [[replaceTable]] and the kv-bearing effectively-once appends. */
+  private def initWith(spark: SparkSession, root: String, df: DataFrame,
+      partCol: Option[String], notes: Set[String]): Long = {
+    partCol.foreach(pc => requireStablePartType(df, pc, "init"))
     ensureUninitialized(root)
-    val files = stageData(spark, root, df)
-    publish(root, 0L, files.map(FileEntry(_, None)), None,
-      if (note.isEmpty) Set.empty else Set(note),
-      Some(fileSchemaJson(df, None)))
+    val entries = partCol match {
+      case Some(pc) => stagePartitioned(spark, root, df, pc)
+      case None => stageData(spark, root, df).map(FileEntry(_, None))
+    }
+    publish(root, 0L, entries,
+      partCol.map(pc => (pc, df.schema(pc).dataType)), notes,
+      Some(fileSchemaJson(df, partCol)))
+  }
+
+  /** Create-or-REPLACE in one commit, with an EXACT resulting note set —
+    * the rebuild commit of a derived table (a persisted index): the new
+    * version's content is `df` alone, and the accumulated effectively-once
+    * tags are DROPPED rather than carried, because they describe batches
+    * folded into data this commit just replaced (a replayed old batch id
+    * must re-append against the REBUILT content, not no-op against a
+    * ledger describing dead files). Readers pinned on prior versions keep
+    * them until pruneHistory + vacuum, and the publish is CAS-atomic —
+    * a reader never sees a half-rebuilt table (the torn-rebuild window
+    * the plain-directory index layouts used to have). */
+  def replaceTable(spark: SparkSession, root: String, df: DataFrame,
+      partCol: Option[String] = None, note: String = "",
+      kv: Map[String, String] = Map.empty): Long = {
+    val base = kvMerge(if (note.isEmpty) Set.empty[String] else Set(note), kv)
+    withRetry(root) {
+      case None =>
+        Some(initWith(spark, root, df, partCol, base))
+      case Some(snap) =>
+        require(snap.partCol == partCol,
+          s"replaceTable($root): table is partitioned on ${snap.partCol}, " +
+            s"caller asked for $partCol — partition layout is fixed at creation")
+        Some(commitOverwriteNotes(spark, root, df, snap.version, _ => base))
+    }.get
   }
 
   /** Create a PARTITIONED table (version 1) from `df`, hive-staged on
@@ -884,7 +923,16 @@ object TxLog {
     * snapshot's notes plus `note`). Partitioned tables restage through
     * the hive writer, preserving the manifest partition metadata. */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
-      expected: Long, note: String = ""): Long = {
+      expected: Long, note: String = ""): Long =
+    commitOverwriteNotes(spark, root, df, expected,
+      ns => if (note.isEmpty) ns else ns + note)
+
+  /** [[commitOverwrite]] with a note-set TRANSFORM — the overwrite
+    * sibling of [[commitAppendNotes]]; what lets [[replaceTable]] RESET
+    * the accumulated tag ledger in the same atomic publish as the data
+    * it replaced. */
+  private def commitOverwriteNotes(spark: SparkSession, root: String,
+      df: DataFrame, expected: Long, notesFn: Set[String] => Set[String]): Long = {
     val snap0 = snapshot(root, expected)
     val partCol = snap0.flatMap(_.partCol)
     val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
@@ -902,7 +950,7 @@ object TxLog {
     // adopted string-typed table upgrades to typed here).
     publish(root, expected, entries,
       partCol.map(pc => (pc, df.schema(pc).dataType)),
-      if (note.isEmpty) prevNotes else prevNotes + note,
+      notesFn(prevNotes),
       Some(fileSchemaJson(df, partCol)),
       parentEntries = snap0.map(_.entries))
   }
@@ -913,6 +961,19 @@ object TxLog {
       expected: Long, note: String = ""): Long =
     commitAppendNotes(spark, root, df, expected,
       ns => if (note.isEmpty) ns else ns + note)
+
+  /** [[commitAppend]] carrying replaced `kv:` properties (and optionally
+    * a tag) in the same publish — the version-PINNED form a
+    * [[withRetry]] writer uses when the new property values derive from
+    * the expected snapshot (e.g. an index count `prev + batch`): a CAS
+    * loss re-runs the caller's attempt against the fresh snapshot, so
+    * the derivation can never commit against a version it didn't read.
+    * ([[appendOnce]]'s kv merge alone can't promise that — its retry
+    * keeps the caller's stale values.) */
+  def commitAppendKv(spark: SparkSession, root: String, df: DataFrame,
+      expected: Long, tag: String, kv: Map[String, String]): Long =
+    commitAppendNotes(spark, root, df, expected,
+      ns => kvMerge(if (tag.isEmpty) ns else ns + tag, kv))
 
   /** [[commitAppend]] with a note-set TRANSFORM instead of a single added
     * tag — what lets [[appendOnceMonotone]] REPLACE its high-water note
@@ -1243,14 +1304,16 @@ object TxLog {
     * grow (a streaming sink) should use [[appendOnceMonotone]], whose
     * ledger is O(1) per stream instead. */
   def appendOnce(spark: SparkSession, root: String, tag: String,
-      df: DataFrame): Boolean = {
+      df: DataFrame, kv: Map[String, String] = Map.empty): Boolean = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $tag")
     withRetry(root) {
       case Some(snap) if snap.notes(tag) => Some(false)
       case None =>
-        init(spark, root, df, tag); Some(true)
+        initWith(spark, root, df, None, kvMerge(Set(tag), kv)); Some(true)
       case Some(snap) =>
-        commitAppend(spark, root, df, snap.version, tag); Some(true)
+        commitAppendNotes(spark, root, df, snap.version,
+          ns => kvMerge(ns + tag, kv))
+        Some(true)
     }.get
   }
 
@@ -1259,6 +1322,36 @@ object TxLog {
     notes.collect { case n if n.startsWith(s"hw:$prefix:") =>
       n.stripPrefix(s"hw:$prefix:").toLong
     }.reduceOption(_ max _)
+
+  /** Key-value table properties carried in the note set as
+    * `kv:<key>:<value>` lines and REPLACED per key on every commit that
+    * sets them — the `hw:` high-water discipline generalized (Delta's
+    * table-properties / `txn` shape): the ledger stays O(#keys) no matter
+    * how many commits set them, and a property changes ATOMICALLY with
+    * the data of the commit that carries it. This is what lets a derived
+    * structure (a persisted dedup/ANN index) keep its staleness count or
+    * artifact pointer in the SAME manifest publish as the rows it
+    * describes — no second commit protocol, no torn meta. */
+  def kvOf(notes: Set[String]): Map[String, String] =
+    notes.iterator.collect { case n if n.startsWith("kv:") =>
+      val rest = n.drop(3)
+      val i = rest.indexOf(':')
+      require(i > 0, s"malformed kv note: $n")
+      rest.take(i) -> rest.drop(i + 1)
+    }.toMap
+
+  /** Replace-merge `kv` into a note set (drop each key's prior value,
+    * add the new `kv:` lines). Keys are tag-charset; values must be
+    * single-line (notes are line-framed). */
+  private def kvMerge(ns: Set[String], kv: Map[String, String]): Set[String] = {
+    if (kv.isEmpty) return ns
+    kv.foreach { case (k, v) =>
+      require(k.matches("[A-Za-z0-9_-]+"), s"unsafe kv key: $k")
+      require(!v.exists(c => c == '\n' || c == '\r'), s"multi-line kv value for $k")
+    }
+    ns.filterNot(n => kv.keys.exists(k => n.startsWith(s"kv:$k:"))) ++
+      kv.map { case (k, v) => s"kv:$k:$v" }
+  }
 
   /** Effectively-once MONOTONE append — [[appendOnce]] for tag streams
     * whose ids only grow (Structured Streaming's foreachBatch batchIds):
@@ -1273,24 +1366,34 @@ object TxLog {
     * replayed legacy id no-ops, and the first monotone commit folds
     * implied legacy tags (numeric suffix ≤ id) into the high-water. */
   def appendOnceMonotone(spark: SparkSession, root: String, prefix: String,
-      id: Long, df: DataFrame): Boolean = {
+      id: Long, df: DataFrame, kv: Map[String, String] = Map.empty): Boolean = {
     require(prefix.matches("[A-Za-z0-9_-]+"), s"unsafe note prefix: $prefix")
     withRetry(root) {
       case None =>
-        init(spark, root, df, s"hw:$prefix:$id"); Some(true)
+        initWith(spark, root, df, None,
+          kvMerge(Set(s"hw:$prefix:$id"), kv))
+        Some(true)
       case Some(snap) if highWater(snap.notes, prefix).exists(_ >= id) ||
           snap.notes(s"$prefix-$id") =>
         Some(false)
       case Some(snap) =>
         commitAppendNotes(spark, root, df, snap.version, ns =>
-          ns.filterNot { n =>
+          kvMerge(ns.filterNot { n =>
             n.startsWith(s"hw:$prefix:") ||
               (n.startsWith(s"$prefix-") && scala.util.Try(
                 n.stripPrefix(s"$prefix-").toLong).toOption.exists(_ <= id))
-          } + s"hw:$prefix:$id")
+          } + s"hw:$prefix:$id", kv))
         Some(true)
     }.get
   }
+
+  /** Latest committed high-water of a monotone tag stream — what an
+    * at-least-once caller checks to recognize a fully-processed batch
+    * WITHOUT re-running any of its work (the read side of
+    * [[appendOnceMonotone]]'s ledger). None for an uninitialized table or
+    * a stream that never committed. */
+  def highWaterOf(root: String, prefix: String): Option[Long] =
+    snapshot(root).flatMap(s => highWater(s.notes, prefix))
 
   /** Structured-Streaming sink: every micro-batch commits as ONE tagged
     * txlog append — the log-backed replacement for a plain parquet

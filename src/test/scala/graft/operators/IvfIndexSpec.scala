@@ -61,18 +61,19 @@ class IvfIndexSpec extends SparkSpec {
     // list contents == multi-assigning the FULL corpus against the
     // ORIGINAL (half-built) centroids — append must not move anything
     // already there
-    val cs = spark.read.parquet(s"$base/centroids")
+    val cs = IvfIndex.centroids(spark, base)
     val want = Similarity.assignTo(emb, cs, Similarity.AssignR)
       .select("vec_id", "list_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = spark.read.parquet(s"$base/lists")
-      // partition-dir column comes back type-inferred (int) — normalize
+    val got = IvfIndex.lists(spark, base)
+      // committed partition type rides the manifest — normalize anyway
       .select(col("vec_id"), col("list_id").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
 
-    // staleness meta advanced: the grown corpus now reads as fresh
-    assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === n)
+    // staleness count advanced IN the append's own commit: the grown
+    // corpus now reads as fresh
+    assert(IvfIndex.indexedCount(base) === Some(n))
 
     // probe quality over the appended index: recall@10 vs brute force
     val q = broadcast(emb.filter(col("vec_id") === 0)
@@ -98,11 +99,11 @@ class IvfIndexSpec extends SparkSpec {
     val f1 = Future(IvfIndex.appendIvf(emb.filter(col("vec_id") % 3 === 1), base))
     val f2 = Future(IvfIndex.appendIvf(emb.filter(col("vec_id") % 3 === 2), base))
     Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
-    // meta advanced to exactly the full corpus (no lost or double count
-    // from interleaved read-meta/write-meta), and the lists hold every
-    // vector exactly AssignR times
-    assert(spark.read.parquet(s"$base/meta").collect()(0).getLong(0) === n)
-    val lists = spark.read.parquet(s"$base/lists")
+    // the count advanced to exactly the full corpus: the manifest-CAS
+    // loser re-derived its count against the winner's snapshot (no lost
+    // or double count), and the lists hold every vector AssignR times
+    assert(IvfIndex.indexedCount(base) === Some(n))
+    val lists = IvfIndex.lists(spark, base)
     assert(lists.select("vec_id").distinct().count() === n)
     assert(lists.count() === Similarity.AssignR * n)
   }
@@ -110,13 +111,15 @@ class IvfIndexSpec extends SparkSpec {
   test("appendIvf rejects a batch whose vec_ids overlap the index (disjoint-id contract)") {
     val base = "/root/repo/target/graft-ivfidx-test/ivf-overlap"
     IvfIndex.buildIvf(emb.filter(col("vec_id") < 30), base)
-    val before = spark.read.parquet(s"$base/lists").count()
+    val before = IvfIndex.lists(spark, base).count()
+    val vBefore = TxLog.currentVersion(s"$base/lists")
     val ex = intercept[IllegalArgumentException] {
       IvfIndex.appendIvf(emb.filter(col("vec_id") < 10), base) // already indexed
     }
     assert(ex.getMessage.contains("disjoint") || ex.getMessage.contains("already"))
-    // the rejected batch must not have written anything
-    assert(spark.read.parquet(s"$base/lists").count() === before)
+    // the rejected batch must not have committed anything
+    assert(IvfIndex.lists(spark, base).count() === before)
+    assert(TxLog.currentVersion(s"$base/lists") === vBefore)
   }
 
   test("IVF-PQ probe prunes the code scan and matches the inline result") {

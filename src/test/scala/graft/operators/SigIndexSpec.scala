@@ -30,16 +30,54 @@ class SigIndexSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture must exercise cross-batch near-dups")
   }
 
-  test("append with overlapping doc_ids is rejected before any write") {
+  test("append with overlapping doc_ids is rejected before any commit") {
     val b1 = docs.filter(col("doc_id") < 50)
     val dir = s"/root/repo/target/sigidx-ovl-${System.nanoTime()}"
     SigIndex.build(b1, dir)
-    val metaBefore = spark.read.parquet(s"$dir/meta").collect()(0).getLong(0)
+    val before = SigIndex.indexedCount(dir)
+    val vBefore = TxLog.currentVersion(SigIndex.tableRoot(dir))
     intercept[IllegalArgumentException] {
       SigIndex.append(docs.filter(col("doc_id") < 10), dir)
     }
-    assert(spark.read.parquet(s"$dir/meta").collect()(0).getLong(0) === metaBefore,
-      "failed append must not have advanced the meta count")
+    assert(SigIndex.indexedCount(dir) === before,
+      "failed append must not have advanced the committed count")
+    assert(TxLog.currentVersion(SigIndex.tableRoot(dir)) === vBefore,
+      "failed append must not have published a version")
+  }
+
+  test("concurrent appends serialize through the manifest CAS; the count stays exact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = s"/root/repo/target/sigidx-race-${System.nanoTime()}"
+    SigIndex.build(docs.filter(col("doc_id") % 3 === 0), dir)
+    // two disjoint batches race: the CAS loser re-reads the fresh
+    // snapshot and re-derives its count — no lost update
+    val f1 = Future(SigIndex.append(docs.filter(col("doc_id") % 3 === 1), dir))
+    val f2 = Future(SigIndex.append(docs.filter(col("doc_id") % 3 === 2), dir))
+    Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
+    assert(SigIndex.indexedCount(dir) === Some(docs.count()))
+    assert(SigIndex.postings(spark, dir).select("doc_id").distinct().count() ===
+      Dedup.shingles(docs).select("doc_id").distinct().count())
+  }
+
+  test("a crashed append (staged data, no manifest) is invisible and vacuumable") {
+    val dir = s"/root/repo/target/sigidx-crash-${System.nanoTime()}"
+    SigIndex.build(docs.filter(col("doc_id") < 100), dir)
+    val root = SigIndex.tableRoot(dir)
+    val vBefore = TxLog.currentVersion(root)
+    val bandsBefore = SigIndex.bands(spark, dir).count()
+    // simulate a writer that died after staging, before its CAS publish:
+    // a data directory exists that no manifest references
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .write.parquet(s"$root/data/c-crashed0001")
+    assert(TxLog.currentVersion(root) === vBefore, "no version published")
+    assert(SigIndex.bands(spark, dir).count() === bandsBefore,
+      "unpublished staging must be invisible to reads")
+    // the janitor is TxLog.vacuum now — no index-specific recovery code
+    assert(TxLog.vacuum(root, graceMs = 0L) >= 1)
+    assert(!new java.io.File(s"$root/data/c-crashed0001").exists())
+    assert(SigIndex.bands(spark, dir).count() === bandsBefore)
   }
 
   test("a batch sharing no shingles with the corpus probes to empty") {
@@ -100,8 +138,7 @@ class SigIndexSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must exercise cross-batch near-dups")
     // the folded index equals indexing everything at once: a fresh probe
     // of an out-of-corpus near-copy behaves identically on both
-    val n1 = spark.read.parquet(s"$idx/meta").collect()(0).getLong(0)
-    assert(n1 === docs.count())
+    assert(SigIndex.indexedCount(idx) === Some(docs.count()))
   }
 
   test("ingest batches replay idempotently (at-least-once foreachBatch)") {
@@ -114,9 +151,9 @@ class SigIndexSpec extends SparkSpec {
     SigIndex.ingestBatch(spark, idx, sink, b1, 0L)
     SigIndex.ingestBatch(spark, idx, sink, b2, 1L)
     def state() = (
-      spark.read.parquet(s"$idx/meta").collect()(0).getLong(0),
-      spark.read.parquet(s"$idx/postings").count(),
-      spark.read.parquet(s"$idx/bands").count(),
+      SigIndex.indexedCount(idx).get,
+      SigIndex.postings(spark, idx).count(),
+      SigIndex.bands(spark, idx).count(),
       spark.read.parquet(sink).select("old_id", "new_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     val before = state()
