@@ -80,8 +80,14 @@ object TxLog {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
   /** One manifest data file: path relative to root, plus its partition
-    * value when the table is partitioned (None = the hive default / null
-    * partition, or an unpartitioned table). */
+    * tag when the table is partitioned. Single-column tables carry the
+    * DECODED value (None = the hive default / null partition, or an
+    * unpartitioned table) — the round-9 semantics, unchanged. Multi-
+    * column tables carry `Some(enc1/enc2/…)`: one hive-ESCAPED value per
+    * partition column in `p`-header order, '/'-joined — unambiguous
+    * because escapePathName escapes '/' inside values; the joined string
+    * round-trips through the manifest's own encode/decode like any
+    * single value. */
   final case class FileEntry(path: String, part: Option[String])
 
   /** One pinned table version: the manifest's data files (relative to
@@ -98,14 +104,18 @@ object TxLog {
     * exact and portable, unlike file mtimes; None only on pre-header
     * manifests. */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
-      notes: Set[String], partCol: Option[String],
+      notes: Set[String],
+      partCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty,
       schemaJson: Option[String] = None,
-      partType: org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType,
       timestampMs: Option[Long] = None,
       mapping: Map[String, String] = Map.empty,
       retired: Set[String] = Set.empty) {
     def files: Seq[String] = entries.map(_.path)
+    /** Single-column convenience views (the pre-multi-column API). */
+    def partCol: Option[String] = partCols.headOption.map(_._1)
+    def partType: org.apache.spark.sql.types.DataType =
+      partCols.headOption.map(_._2)
+        .getOrElse(org.apache.spark.sql.types.StringType)
   }
 
   /** Per-partition outcome of [[upsertPartitioned]]. */
@@ -287,8 +297,7 @@ object TxLog {
     * every manifest; only the FILE LIST is delta-encoded, because it is
     * the only section that grows with table size). */
   private final case class Manifest(entries: Seq[FileEntry], notes: Set[String],
-      partCol: Option[String],
-      partType: org.apache.spark.sql.types.DataType,
+      partCols: Seq[(String, org.apache.spark.sql.types.DataType)],
       schemaJson: Option[String], timestampMs: Option[Long],
       mapping: Map[String, String], retired: Set[String],
       delta: Boolean = false, adds: Seq[FileEntry] = Seq.empty,
@@ -329,12 +338,16 @@ object TxLog {
       case l if l.startsWith("-f\t") => l.drop(3)
     }.toSet
     val notes = lines.collect { case l if l.startsWith("n\t") => l.drop(2) }.toSet
-    val (partCol, partType) = lines.collectFirst {
-      case l if l.startsWith("p\t") => l.drop(2).split("\t", 2) match {
-        case Array(name) => (Some(name), org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)
-        case Array(name, ddl) => (Some(name), org.apache.spark.sql.types.DataType.fromDDL(ddl))
+    // one `p` line per partition column, in partitioning order (hive path
+    // nesting order). Bare `p\tname` (pre-typed manifests) reads STRING.
+    val partCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      lines.collect {
+        case l if l.startsWith("p\t") => l.drop(2).split("\t", 2) match {
+          case Array(name) =>
+            (name, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)
+          case Array(name, ddl) => (name, org.apache.spark.sql.types.DataType.fromDDL(ddl))
+        }
       }
-    }.getOrElse((None, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType))
     val schema = lines.collectFirst { case l if l.startsWith("s\t") => l.drop(2) }
     val ts = lines.collectFirst { case l if l.startsWith("t\t") => l.drop(2).toLong }
     val mapping = lines.collect {
@@ -343,7 +356,7 @@ object TxLog {
       }
     }.toMap
     val retired = lines.collect { case l if l.startsWith("x\t") => l.drop(2) }.toSet
-    Some(Manifest(entries, notes, partCol, partType, schema, ts, mapping, retired,
+    Some(Manifest(entries, notes, partCols, schema, ts, mapping, retired,
       delta, adds, removes))
   }
 
