@@ -445,8 +445,8 @@ object TxLog {
   def snapshot(root: String, v: Long = -1L): Option[Snapshot] = {
     val ver = if (v >= 0) v else currentVersion(root)
     parseManifest(manifestPath(root, ver)).map { m =>
-      Snapshot(ver, resolveEntries(root, ver, m), m.notes, m.partCol,
-        m.schemaJson, m.partType, m.timestampMs, m.mapping, m.retired)
+      Snapshot(ver, resolveEntries(root, ver, m), m.notes, m.partCols,
+        m.schemaJson, m.timestampMs, m.mapping, m.retired)
     }
   }
 
