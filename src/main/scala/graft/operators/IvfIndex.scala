@@ -55,8 +55,11 @@ object IvfIndex {
     * on-disk shape changes so pre-existing indexes (whose corpus count
     * still matches) rebuild instead of being probed with wrong
     * assumptions. v2 = R-way multi-assigned IVF lists/codes
-    * (Similarity.AssignR); v3 = 64-bit PQ codes (M=16×4-dim subspaces). */
-  private val LayoutVersion = 3L
+    * (Similarity.AssignR); v3 = 64-bit PQ codes (M=16×4-dim subspaces);
+    * v4 = single-relation txlog lists (list_id rides IN the files —
+    * pre-v4 lists tables read through the per-partition union path and
+    * must rebuild to probe at the pruned-single-relation cost). */
+  private val LayoutVersion = 4L
 
   private def writeMetaCount(s: SparkSession, n: Long, idx: String): Unit =
     s.range(1).select(lit(n).as("n"), lit(LayoutVersion).as("v"))
@@ -131,8 +134,15 @@ object IvfIndex {
     val cs = Similarity.centroids(e).cache()
     cs.write.mode("overwrite").parquet(s"$idx/$csDir")
     val n = e.count()
+    // co-locate each list before the hive stage: without this the writer
+    // emits (#shuffle-partitions) tiny files PER list (1000+ files at
+    // gate scale — metadata weight every subsequent probe pays). One
+    // shuffle keyed on list_id → one file per list per write job; at
+    // corpus scales where a single list outgrows a task, the salt in
+    // TxLog.compact is the re-binning lever.
     TxLog.replaceTable(s, listsRoot(idx),
-      Similarity.assignTo(e, cs, Similarity.AssignR),
+      Similarity.assignTo(e, cs, Similarity.AssignR)
+        .repartition(col("list_id")),
       partCol = Some("list_id"),
       kv = Map("n" -> n.toString, "layout" -> LayoutVersion.toString,
         "centroids" -> csDir))
@@ -140,17 +150,34 @@ object IvfIndex {
     retireStaleCentroids(idx, keep = csDir)
   }
 
+  /** Staleness grace for unreferenced centroid artifacts — the same
+    * discipline as [[TxLog.vacuum]]'s staged-data window: a CONCURRENT
+    * cross-process rebuild writes its content-addressed centroids dir
+    * BEFORE its replaceTable publish, so between those two steps the dir
+    * is referenced by no manifest yet; an ungraced sweep racing that
+    * window would delete it and leave the subsequently published version
+    * pointing at a missing artifact (probes throw). Only dirs quiescent
+    * longer than any plausible in-flight rebuild are swept. */
+  private val CentroidGraceMs: Long = TxLog.DefaultVacuumGraceMs
+
   /** Best-effort removal of centroid artifact dirs no retained manifest
-    * references — superseded rebuilds' quantizers. Conservative: keeps
-    * every dir a RETAINED lists version still points at (time travel
-    * across a rebuild keeps working until pruneHistory). */
+    * references — superseded rebuilds' quantizers. Conservative twice
+    * over: keeps every dir a RETAINED lists version still points at
+    * (time travel across a rebuild keeps working until pruneHistory),
+    * and every dir younger than [[CentroidGraceMs]] (a concurrent
+    * rebuild's not-yet-committed artifact — buildLock only serializes
+    * THIS process's builders). */
   private def retireStaleCentroids(idx: String, keep: String): Unit = {
     val live: Set[String] = TxLog.history(listsRoot(idx)).flatMap(h =>
       TxLog.snapshot(listsRoot(idx), h.version)
         .flatMap(s => TxLog.kvOf(s.notes).get("centroids"))).toSet + keep
+    val cutoff = System.currentTimeMillis() - CentroidGraceMs
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+        .map(newestMtime).toSeq).max
     Option(new java.io.File(idx).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("centroids-") &&
-        !live(d.getName))
+        !live(d.getName) && newestMtime(d) <= cutoff)
       .foreach(d => scala.util.Try {
         d.listFiles().foreach(_.delete()); d.delete()
       })
@@ -169,8 +196,14 @@ object IvfIndex {
       .select(col("c_id"), Similarity.cosineFast(spark, "cv", "qv").as("csim"))
       .orderBy(col("csim").desc, col("c_id")).limit(nprobe)
       .select("c_id").collect().map(_.getLong(0))
-    val scored = TxLog.read(spark, listsRoot(idx), snap.version)
-      .filter(col("list_id").isin(probed: _*)) // manifest partition pruning
+    // manifest-level pruning: the entry list is filtered to the probed
+    // lists BEFORE any relation is built — plan cost O(nprobe), not
+    // O(#lists) unioned relations (the r10 3× probe regression, and a
+    // driver planning blow-up at real partition counts); the snapshot
+    // resolved once above serves both the kv read and this scan
+    val probedVals = probed.map(_.toString).toSet
+    val scored = TxLog.readPruned(spark, listsRoot(idx), snap)(
+        t => t.head.exists(probedVals))
       .filter(col("vec_id") =!= excludeVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
@@ -220,6 +253,7 @@ object IvfIndex {
             s"appendIvf($idx): batch contains vec_ids already in the index")
           val assigned = Similarity.assignTo(nv,
             s.read.parquet(s"$idx/${kv("centroids")}"), Similarity.AssignR)
+            .repartition(col("list_id")) // one file per touched list
           Some(TxLog.commitAppendKv(s, root, assigned, snap.version, "",
             Map("n" -> (prev + nNew).toString)))
       }
@@ -338,8 +372,10 @@ object IvfIndex {
       .collect().map(_.getLong(0)) // ≤ min(|q|·nprobe, #lists) — index metadata
     val rankW = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    TxLog.read(s, listsRoot(idx), lsnap.version)
-      .filter(col("list_id").isin(probedIds: _*)) // manifest partition pruning
+    // manifest-level pruning (see probeIvf): only the union of probed
+    // lists' files enter the plan, one relation per surviving list
+    val probedVals = probedIds.map(_.toString).toSet
+    TxLog.readPruned(s, listsRoot(idx), lsnap)(t => t.head.exists(probedVals))
       .join(broadcast(probes), "list_id") // fan vectors to probing queries
       .join(broadcast(qs), "q_id")
       .filter(col("vec_id") =!= col("q_id"))

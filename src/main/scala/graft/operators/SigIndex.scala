@@ -121,15 +121,19 @@ object SigIndex {
   def append(newDocs: DataFrame, idx: String, tag: String = ""): Unit = {
     val s = newDocs.sparkSession
     val root = tableRoot(idx)
-    val t = if (tag.nonEmpty) tag
-      else "append-" + java.util.UUID.randomUUID().toString.take(12)
+    // no tag → no ledger entry: a minted per-call UUID would ride in
+    // every subsequent manifest's note section forever (O(appends)
+    // metadata growth) while protecting nothing — the tag is never seen
+    // again. Callers that may REPLAY a batch pass a stable tag.
+    val t = tag
     val b = newDocs.cache()
     val sh = Dedup.shingles(b).cache()
     try {
       TxLog.withRetry(root) {
         case None => throw new IllegalStateException(
           s"SigIndex.append($idx): no committed index — build first")
-        case Some(snap) if snap.notes(t) => Some(snap.version) // replay: done
+        case Some(snap) if t.nonEmpty && snap.notes(t) =>
+          Some(snap.version) // replay: done
         case Some(snap) =>
           val prev = TxLog.kvOf(snap.notes).getOrElse("n",
             throw new IllegalStateException(s"$idx: committed table has no kv:n"))
@@ -254,7 +258,6 @@ object SigIndex {
         build(b, idx, hwBatchId = Some(batchId))
       } else {
         val snap = snapOpt.get
-        val prev = TxLog.kvOf(snap.notes)("n").toLong
         val sh = Dedup.shingles(b).cache()
         try {
           // ACTION 1 — disjointness + batch count, fused (see append)
@@ -270,11 +273,20 @@ object SigIndex {
           try pairs.write.mode("overwrite")
             .parquet(s"$pairsSink/batch_id=$batchId")
           finally cand.unpersist()
-          // ACTION 3 — one atomic append: rows + count + high-water
-          TxLog.appendOnceMonotone(s, root, "batch", batchId,
+          // ACTION 3 — one atomic append: rows + count + high-water.
+          // The advanced count derives from the snapshot the commit is
+          // CAS'd against (kvFn runs per retry attempt): a concurrent
+          // SigIndex.append interleaving with the stream can no longer
+          // make this commit publish a count computed from a version it
+          // didn't read — the stale-kv hazard commitAppendKv documents.
+          val batchN = cnts.getAs[Long]("n")
+          TxLog.appendOnceMonotoneKv(s, root, "batch", batchId,
             indexRows(sh, Dedup.signatureBands(Dedup.minhashSignature(sh)),
               parts = 8),
-            kv = Map("n" -> (prev + cnts.getAs[Long]("n")).toString))
+            kvFn = fresh => Map("n" -> (TxLog.kvOf(fresh.getOrElse(
+              throw new IllegalStateException(
+                s"ingestBatch($idx): index vanished mid-commit")).notes)("n")
+              .toLong + batchN).toString))
           ()
         } finally sh.unpersist()
       }

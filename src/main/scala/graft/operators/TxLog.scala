@@ -88,7 +88,8 @@ object TxLog {
     * because escapePathName escapes '/' inside values; the joined string
     * round-trips through the manifest's own encode/decode like any
     * single value. */
-  final case class FileEntry(path: String, part: Option[String])
+  final case class FileEntry(path: String, part: Option[String],
+      size: Option[Long] = None)
 
   /** One pinned table version: the manifest's data files (relative to
     * root), its accumulated note set (effectively-once tags), the
@@ -194,10 +195,7 @@ object TxLog {
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
     if (!lines.lastOption.contains("commit")) return None
     val entries = lines.collect {
-      case l if l.startsWith("f\t") => l.drop(2).split("\t", 2) match {
-        case Array(path) => FileEntry(path, None)
-        case Array(path, part) => FileEntry(path, decodePart(part))
-      }
+      case l if l.startsWith("f\t") => parseEntry(l.drop(2))
     }
     Some(Checkpoint(v, lines.collect {
       case l if l.startsWith("d\t") => l.drop(2)
@@ -220,9 +218,7 @@ object TxLog {
     * it (atomic). A crash between the two leaves the old pointer naming
     * the old, still-present ck file — consistent, merely stale. */
   private def writeCheckpoint(root: String, ck: Checkpoint): Unit = {
-    val fLines = ck.entries.map(e =>
-      if (e.part.isEmpty) "f\t" + e.path
-      else s"f\t${e.path}\t${encodePart(e.part)}")
+    val fLines = ck.entries.map(e => renderEntry("f", e, e.part.isDefined))
     val body = (s"v\t${ck.version}" +: (fLines ++
       ck.refs.toSeq.sorted.map("d\t" + _)) :+ "commit")
       .mkString("", "\n", "\n")
@@ -269,6 +265,32 @@ object TxLog {
           Checkpoint(published, prev.refs ++ suffixRefs, entries))
       } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Parse the body of an `f`/`+f` entry line:
+    * `path[\t<part>[\t<size>]]`. The optional third field is the file
+    * LENGTH in bytes (recorded by every stager since round 11) — what
+    * lets reads hand Spark a pre-listed file set with zero plan-time
+    * filesystem calls (the Delta/Iceberg manifest shape); legacy
+    * manifests without it fall back to the stat-per-path reader. */
+  private def parseEntry(rest: String): FileEntry = rest.split("\t", 3) match {
+    case Array(path) => FileEntry(path, None)
+    case Array(path, part) => FileEntry(path, decodePart(part))
+    case Array(path, part, size) =>
+      FileEntry(path, decodePart(part), Some(size.toLong))
+  }
+
+  /** Render one entry line body (inverse of [[parseEntry]]). `withPart`
+    * keeps the legacy 2-field form for sized-less partitioned entries;
+    * a recorded size always writes the full 3-field form (the partition
+    * slot then carries the hive default name for unpartitioned files,
+    * which decodes back to None). */
+  private def renderEntry(prefix: String, e: FileEntry,
+      withPart: Boolean): String =
+    e.size match {
+      case Some(sz) => s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz"
+      case None if withPart => s"$prefix\t${e.path}\t${encodePart(e.part)}"
+      case None => s"$prefix\t${e.path}"
+    }
+
   private def encodePart(part: Option[String]): String =
     part.map(ExternalCatalogUtils.escapePathName)
       .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
@@ -276,6 +298,35 @@ object TxLog {
   private def decodePart(s: String): Option[String] =
     if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
     else Some(ExternalCatalogUtils.unescapePathName(s))
+
+  /** Per-column partition VALUES → the [[FileEntry]] tag. Single-column
+    * tables carry the decoded value itself (the round-9 semantics, so
+    * existing manifests keep meaning what they meant); multi-column
+    * tables carry one hive-ESCAPED value per column in `p`-header order,
+    * '/'-joined — unambiguous because escapePathName escapes '/' inside
+    * values, and the joined string then rides through the manifest's own
+    * encode/decode like any single value. */
+  private def encodeTuple(values: Seq[Option[String]]): Option[String] =
+    if (values.size <= 1) values.headOption.flatten
+    else Some(values.map(v => v.map(ExternalCatalogUtils.escapePathName)
+      .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)).mkString("/"))
+
+  /** Inverse of [[encodeTuple]] for an `n`-column table: the per-column
+    * DECODED values (None = null partition) in `p`-header order. Loud on
+    * arity mismatch — a manifest whose entry tags disagree with its `p`
+    * headers is corrupt, not reinterpretable. */
+  private def decodeTuple(part: Option[String], n: Int): Seq[Option[String]] =
+    if (n <= 1) Seq(part)
+    else {
+      val s = part.getOrElse(throw new IllegalStateException(
+        s"multi-column partitioned entry with no partition tag"))
+      val comps = s.split("/", -1).toSeq
+      require(comps.size == n,
+        s"partition tag '$s' has ${comps.size} components, table has $n partition columns")
+      comps.map(c =>
+        if (c == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+        else Some(ExternalCatalogUtils.unescapePathName(c)))
+    }
 
   /** Parsed manifest content (version-independent). `partCol` carries
     * the committed partition type when the manifest recorded one
@@ -323,10 +374,7 @@ object TxLog {
     // landed — the hard-link publish makes partial content unreachable,
     // but the gate also protects any future non-POSIX fallback publisher
     if (!lines.lastOption.contains("commit")) return None
-    def entryOf(rest: String): FileEntry = rest.split("\t", 2) match {
-      case Array(path) => FileEntry(path, None)
-      case Array(path, part) => FileEntry(path, decodePart(part))
-    }
+    def entryOf(rest: String): FileEntry = parseEntry(rest)
     val delta = lines.exists(_.startsWith("k\tdelta"))
     val entries = lines.collect {
       case l if l.startsWith("f\t") => entryOf(l.drop(2))
@@ -478,14 +526,18 @@ object TxLog {
     * of [[upsertPartitioned]] — one definition so reader and merger
     * cannot diverge. */
   private def readGroups(spark: SparkSession, root: String,
-      entries: Seq[FileEntry], partCol: String,
-      partType: org.apache.spark.sql.types.DataType,
+      entries: Seq[FileEntry],
+      partCols: Seq[(String, org.apache.spark.sql.types.DataType)],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     balancedUnion(
       entries.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
         .map { case (pv, es) =>
-          readFiles(spark, es.map(e => s"$root/${e.path}"), schema)
-            .withColumn(partCol, pv.map(lit(_)).getOrElse(lit(null)).cast(partType))
+          val values = decodeTuple(pv, partCols.size)
+          partCols.zip(values).foldLeft(
+            readFiles(spark, es.map(e => s"$root/${e.path}"), schema)) {
+            case (df, ((pc, dt), v)) =>
+              df.withColumn(pc, v.map(lit(_)).getOrElse(lit(null)).cast(dt))
+          }
         })
 
   /** Latest version whose manifest was PUBLISHED at or before `epochMs`
@@ -512,12 +564,16 @@ object TxLog {
     val snap = snapshot(root, version).getOrElse(
       throw new IllegalStateException(s"no committed version at $root" +
         (if (version >= 0) s" (asked for $version)" else "")))
+    readSnapshot(spark, root, snap)
+  }
+
+  /** [[read]] against an ALREADY-RESOLVED snapshot — what a caller that
+    * holds a pinned [[Snapshot]] (an index probe, a multi-read
+    * transaction) uses to avoid re-parsing the manifest per read. */
+  def readSnapshot(spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"version ${snap.version} at $root has no data files")
     val schema = snap.schemaJson.map(parseSchema)
-    val phys = snap.partCol match {
-      case None => readFiles(spark, snap.files.map(f => s"$root/$f"), schema)
-      case Some(pc) => readGroups(spark, root, snap.entries, pc, snap.partType, schema)
-    }
+    val phys = readEntriesOf(spark, root, snap, snap.entries, schema)
     // column-mapping layer: surface logical names. The committed schema
     // pin already restricts the scan to live physical columns (dropped
     // ones in old files are simply not read), so only RENAMES need a
@@ -525,17 +581,77 @@ object TxLog {
     if (snap.mapping.isEmpty) phys else applyMapping(phys, snap, schema.get)
   }
 
+  /** The one physical read shape for a snapshot's (possibly pruned)
+    * entry list: single-relation tables — unpartitioned, or partitioned
+    * with the columns riding IN the files ([[partDataInFiles]]) — read
+    * as ONE explicit-file relation; legacy partitioned layouts fall back
+    * to the per-partition literal-attach union. */
+  private def readEntriesOf(spark: SparkSession, root: String, snap: Snapshot,
+      entries: Seq[FileEntry],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    if (snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema)) {
+      // single-relation path. With a committed schema AND manifest-
+      // recorded sizes (every table staged since round 11), the relation
+      // is built directly over the manifest's file list — ZERO plan-time
+      // filesystem calls, where the explicit-path reader re-stats every
+      // file (and beyond the parallel-discovery threshold launches a
+      // whole distributed listing job per query: O(files) metadata I/O
+      // that a 10⁵-file table pays in minutes).
+      if (schema.isDefined && entries.nonEmpty && entries.forall(_.size.isDefined))
+        org.apache.spark.sql.graftbridge.Bridge.manifestParquetRelation(spark,
+          entries.map(e => (s"$root/${e.path}", e.size.get)), schema.get)
+      else readFiles(spark, entries.map(e => s"$root/${e.path}"), schema)
+    } else readGroups(spark, root, entries, snap.partCols, schema)
+
+  /** Partition-PRUNED read: the manifest ENTRY LIST is filtered by
+    * `keep` (per-column decoded partition values, `p`-header order)
+    * BEFORE any relation is built, so plan cost is O(surviving
+    * partitions) — never O(table partitions). This is the scale path a
+    * partitioned [[read]] + filter cannot give: the unpruned read
+    * materializes one explicit-file relation per partition value and
+    * relies on constant-folding to drop them AFTER planning, which at
+    * 10⁵ partitions is a driver-side planning blow-up (and was the
+    * measured 3× regression on the IVF probes at just 16 lists). Index
+    * probes and partition-targeted maintenance go through here. */
+  def readPruned(spark: SparkSession, root: String, snap: Snapshot)(
+      keep: Seq[Option[String]] => Boolean): DataFrame = {
+    require(snap.partCols.nonEmpty,
+      s"readPruned: table at $root is not partitioned")
+    val n = snap.partCols.size
+    val surviving = snap.entries.filter(e => keep(decodeTuple(e.part, n)))
+    val schema = snap.schemaJson.map(parseSchema)
+    val phys =
+      if (surviving.isEmpty)
+        // schema-correct empty frame from ONE file — building the full
+        // per-partition union just to limit(0) it would pay exactly the
+        // planning cost this method exists to avoid
+        readEntriesOf(spark, root, snap, Seq(snap.entries.head), schema).limit(0)
+      else readEntriesOf(spark, root, snap, surviving, schema)
+    if (snap.mapping.isEmpty) phys else applyMapping(phys, snap, schema.get)
+  }
+
+  /** [[readPruned]] convenience for single-column tables: keep exactly
+    * the given partition VALUES (None = the null partition). */
+  def readPartitions(spark: SparkSession, root: String,
+      values: Set[Option[String]], version: Long = -1L): DataFrame = {
+    val snap = snapshot(root, version).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    readPruned(spark, root, snap)(t => values.contains(t.head))
+  }
+
   /** Stage `df` as one immutable data directory; returns the relative
     * parquet file paths. An empty result restages with one partition so
     * the schema-bearing empty part file exists (a manifest must never be
     * file-less — [[read]] needs a schema source). */
-  private def stageData(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+  private def stageData(spark: SparkSession, root: String,
+      df: DataFrame): Seq[FileEntry] = {
     val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = s"$root/$dirName"
     df.write.mode("overwrite").parquet(abs)
     def parts = Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => s"$dirName/${f.getName}").toSeq.sorted
+      .map(f => FileEntry(s"$dirName/${f.getName}", None, Some(f.length())))
+      .toSeq.sortBy(_.path)
     if (parts.isEmpty) df.repartition(1).write.mode("overwrite").parquet(abs)
     parts
   }
@@ -545,27 +661,86 @@ object TxLog {
     * recovered from its directory name into the manifest entry. The
     * hive writer drops the partition column from the data files — [[read]]
     * re-attaches it from the manifest. */
+  /** Walk a hive layout `c1=v1/c2=v2/…/part-*.parquet` of nesting depth
+    * `partCols.size` under `dir`, recovering each file's partition tuple
+    * from its directory chain. Shared by [[stagePartitioned]] and
+    * [[adopt]] so stager and adopter cannot diverge on the encoding. */
+  private def walkHive(dir: java.io.File, relPrefix: String,
+      partCols: Seq[String]): Seq[FileEntry] = {
+    def go(d: java.io.File, rel: String, depth: Int,
+        values: Seq[Option[String]]): Seq[FileEntry] =
+      if (depth == partCols.size)
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => FileEntry(s"$rel/${f.getName}", encodeTuple(values),
+            Some(f.length())))
+      else Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(sd => sd.isDirectory && sd.getName.startsWith(partCols(depth) + "="))
+        .flatMap { sd =>
+          val v = decodePart(sd.getName.stripPrefix(partCols(depth) + "="))
+          go(sd, s"$rel/${sd.getName}", depth + 1, values :+ v)
+        }
+    go(dir, relPrefix, 0, Seq.empty).sortBy(_.path)
+  }
+
+  /** Hive-staging partition columns under a SHADOW name so the writer's
+    * partitionBy drops the shadow and the REAL column stays in the data
+    * files — what makes a partitioned read ONE relation (see
+    * [[partDataInFiles]]). The prefix is rejected in user partition
+    * columns, so a shadow can never collide with a real column. */
+  private val ShadowPrefix = "__p_"
+
+  /** Does this snapshot's committed file schema carry the partition
+    * columns IN the data files (the single-relation layout staged since
+    * round 11), rather than only in directory names (legacy + adopted
+    * layouts, where [[readGroups]] re-attaches them as per-group
+    * literals)? Derived from the committed schema, so the flag is stable
+    * per table vintage: mixed commits stage to match it, and a FULL
+    * overwrite — which replaces every file — upgrades a legacy table to
+    * the single-relation layout. */
+  private def partDataInFiles(
+      partCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      schema: Option[org.apache.spark.sql.types.StructType]): Boolean =
+    partCols.nonEmpty && schema.exists(st =>
+      partCols.forall(pc => st.fields.exists(_.name.equalsIgnoreCase(pc._1))))
+
+  /** Stage `df` hive-partitioned. `keepInFiles` selects the layout:
+    * true (all newly created tables, every full overwrite) duplicates
+    * each partition column under a [[ShadowPrefix]] name and partitions
+    * by the shadows, so the data files KEEP the real columns — reads
+    * become one explicit-file relation with the partition predicate a
+    * plain parquet pushdown, never a per-partition union (the
+    * O(#partitions)-relations planning cost that regressed the IVF
+    * probes and would be a driver blow-up at 10⁵ partitions). false
+    * (mixed commits into legacy tables) preserves the round-9 layout so
+    * old and new files stay schema-uniform. */
   private def stagePartitioned(spark: SparkSession, root: String, df: DataFrame,
-      partCol: String): Seq[FileEntry] = {
+      partCols: Seq[String], keepInFiles: Boolean): Seq[FileEntry] = {
     val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = s"$root/$dirName"
-    df.write.mode("overwrite").partitionBy(partCol).parquet(abs)
-    val entries = Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
-      .flatMap { d =>
-        val part = decodePart(d.getName.stripPrefix(partCol + "="))
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(f => FileEntry(s"$dirName/${d.getName}/${f.getName}", part))
-      }.sortBy(_.path)
+    val (toWrite, byCols) =
+      if (keepInFiles) {
+        partCols.foreach(pc => require(
+          !df.columns.exists(_.equalsIgnoreCase(ShadowPrefix + pc)),
+          s"stage: column ${ShadowPrefix + pc} collides with the shadow " +
+            s"partitioning name of $pc"))
+        (partCols.foldLeft(df)((d, pc) =>
+          d.withColumn(ShadowPrefix + pc, col(pc))),
+          partCols.map(ShadowPrefix + _))
+      } else (df, partCols)
+    toWrite.write.mode("overwrite").partitionBy(byCols: _*).parquet(abs)
+    val entries = walkHive(new java.io.File(abs), dirName, byCols)
     if (entries.nonEmpty) entries
     else {
-      // empty table: one schema-bearing file (partition column dropped,
-      // mirroring what the hive writer would have stored)
-      df.drop(partCol).repartition(1).write.mode("overwrite").parquet(abs)
+      // empty table: one schema-bearing file matching the layout's file
+      // schema (legacy: partition columns dropped, as the hive writer
+      // would have; keepInFiles: columns retained)
+      val emptyDf = if (keepInFiles) df else df.drop(partCols: _*)
+      emptyDf.repartition(1).write.mode("overwrite").parquet(abs)
       Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(f => FileEntry(s"$dirName/${f.getName}", None)).toSeq.sortBy(_.path)
+        .map(f => FileEntry(s"$dirName/${f.getName}", None, Some(f.length())))
+        .toSeq.sortBy(_.path)
     }
   }
 
@@ -584,17 +759,15 @@ object TxLog {
     * manifest bytes O(change), not O(table files). Passing None forces a
     * full, self-contained manifest (v1, adopt). */
   private def publish(root: String, expected: Long, entries: Seq[FileEntry],
-      partMeta: Option[(String, org.apache.spark.sql.types.DataType)],
+      partMeta: Seq[(String, org.apache.spark.sql.types.DataType)],
       notes: Set[String], schemaJson: Option[String],
       mapping: Map[String, String] = Map.empty,
       retired: Set[String] = Set.empty,
       parentEntries: Option[Seq[FileEntry]] = None): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
-    def entryLine(prefix: String, e: FileEntry): String = partMeta match {
-      case None => s"$prefix\t${e.path}"
-      case Some(_) => s"$prefix\t${e.path}\t${encodePart(e.part)}"
-    }
+    def entryLine(prefix: String, e: FileEntry): String =
+      renderEntry(prefix, e, withPart = partMeta.nonEmpty)
     val fLines: Seq[String] = parentEntries match {
       case Some(pe) =>
         val newPaths = entries.map(_.path).toSet
@@ -608,7 +781,8 @@ object TxLog {
     }
     // schema JSON is single-line by construction (JSON escapes control
     // characters), so it rides as one `s` header line
-    val body = (partMeta.map { case (pc, dt) => s"p\t$pc\t${dt.catalogString}" }.toSeq ++
+    // one `p` line per partition column, in hive nesting order
+    val body = (partMeta.map { case (pc, dt) => s"p\t$pc\t${dt.catalogString}" } ++
       Seq(s"t\t${System.currentTimeMillis()}") ++
       schemaJson.map("s\t" + _).toSeq ++
       mapping.toSeq.sorted.map { case (p, l) => s"m\t$p\t$l" } ++
@@ -637,23 +811,25 @@ object TxLog {
     * error (the publish CAS covers the narrower check-then-publish
     * window the same way). */
   def init(spark: SparkSession, root: String, df: DataFrame, note: String = ""): Long =
-    initWith(spark, root, df, None,
+    initWith(spark, root, df, Seq.empty,
       if (note.isEmpty) Set.empty else Set(note))
 
   /** [[init]]/[[initPartitioned]] with a full initial NOTE SET (tags plus
     * `kv:` properties in one v1 publish) — the create leg of
     * [[replaceTable]] and the kv-bearing effectively-once appends. */
   private def initWith(spark: SparkSession, root: String, df: DataFrame,
-      partCol: Option[String], notes: Set[String]): Long = {
-    partCol.foreach(pc => requireStablePartType(df, pc, "init"))
+      partCols: Seq[String], notes: Set[String]): Long = {
+    partCols.foreach(pc => requireStablePartType(df, pc, "init"))
     ensureUninitialized(root)
-    val entries = partCol match {
-      case Some(pc) => stagePartitioned(spark, root, df, pc)
-      case None => stageData(spark, root, df).map(FileEntry(_, None))
-    }
+    val entries =
+      if (partCols.nonEmpty)
+        stagePartitioned(spark, root, df, partCols, keepInFiles = true)
+      else stageData(spark, root, df)
+    // new tables use the single-relation layout: partition columns ride
+    // in the files, so the committed file schema keeps them
     publish(root, 0L, entries,
-      partCol.map(pc => (pc, df.schema(pc).dataType)), notes,
-      Some(fileSchemaJson(df, partCol)))
+      partCols.map(pc => (pc, df.schema(pc).dataType)), notes,
+      Some(fileSchemaJson(df, Seq.empty)))
   }
 
   /** Create-or-REPLACE in one commit, with an EXACT resulting note set —
@@ -672,11 +848,12 @@ object TxLog {
     val base = kvMerge(if (note.isEmpty) Set.empty[String] else Set(note), kv)
     withRetry(root) {
       case None =>
-        Some(initWith(spark, root, df, partCol, base))
+        Some(initWith(spark, root, df, partCol.toSeq, base))
       case Some(snap) =>
-        require(snap.partCol == partCol,
-          s"replaceTable($root): table is partitioned on ${snap.partCol}, " +
-            s"caller asked for $partCol — partition layout is fixed at creation")
+        require(snap.partCols.map(_._1) == partCol.toSeq,
+          s"replaceTable($root): table is partitioned on " +
+            s"${snap.partCols.map(_._1)}, caller asked for $partCol — " +
+            "partition layout is fixed at creation")
         Some(commitOverwriteNotes(spark, root, df, snap.version, _ => base))
     }.get
   }
@@ -684,13 +861,25 @@ object TxLog {
   /** Create a PARTITIONED table (version 1) from `df`, hive-staged on
     * `partCol` with the partition values recorded in the manifest. */
   def initPartitioned(spark: SparkSession, root: String, df: DataFrame,
-      partCol: String, note: String = ""): Long = {
-    requireStablePartType(df, partCol, "initPartitioned")
+      partCol: String, note: String = ""): Long =
+    initPartitioned(spark, root, df, Seq(partCol), note)
+
+  /** Multi-column [[initPartitioned]]: hive-nested on `partCols` in
+    * order ((date, hour), (lang, source) — the real-table shapes); the
+    * manifest carries one `p` header per column and each file's value
+    * TUPLE as its entry tag. */
+  def initPartitioned(spark: SparkSession, root: String, df: DataFrame,
+      partCols: Seq[String], note: String): Long = {
+    require(partCols.nonEmpty, "initPartitioned: no partition columns")
+    require(partCols.map(_.toLowerCase).distinct.size == partCols.size,
+      s"initPartitioned: duplicate partition columns in $partCols")
+    partCols.foreach(pc => requireStablePartType(df, pc, "initPartitioned"))
     ensureUninitialized(root)
-    val entries = stagePartitioned(spark, root, df, partCol)
-    publish(root, 0L, entries, Some((partCol, df.schema(partCol).dataType)),
+    val entries = stagePartitioned(spark, root, df, partCols, keepInFiles = true)
+    publish(root, 0L, entries,
+      partCols.map(pc => (pc, df.schema(pc).dataType)),
       if (note.isEmpty) Set.empty else Set(note),
-      Some(fileSchemaJson(df, Some(partCol))))
+      Some(fileSchemaJson(df, Seq.empty)))
   }
 
   /** Convert an EXISTING plain parquet directory (partCol = None) or
@@ -701,31 +890,30 @@ object TxLog {
     * superseded; reclaiming them after a full rewrite is the operator's
     * explicit cleanup. */
   def adopt(spark: SparkSession, root: String, partCol: Option[String] = None,
-      note: String = "adopt"): Long = {
+      note: String = "adopt"): Long =
+    adoptPartitioned(spark, root, partCol.toSeq, note)
+
+  /** [[adopt]] for an existing MULTI-column hive layout
+    * (`c1=v1/c2=v2/…/part-*.parquet`), nesting order = `partCols`. */
+  def adoptPartitioned(spark: SparkSession, root: String,
+      partCols: Seq[String], note: String = "adopt"): Long = {
     ensureUninitialized(root)
     val rootF = new java.io.File(root)
-    val entries: Seq[FileEntry] = partCol match {
-      case None =>
+    val entries: Seq[FileEntry] =
+      if (partCols.isEmpty)
         Option(rootF.listFiles()).getOrElse(Array.empty).toSeq
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(f => FileEntry(f.getName, None)).sortBy(_.path)
-      case Some(pc) =>
-        Option(rootF.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(d => d.isDirectory && d.getName.startsWith(pc + "="))
-          .flatMap { d =>
-            val part = decodePart(d.getName.stripPrefix(pc + "="))
-            Option(d.listFiles()).getOrElse(Array.empty)
-              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .map(f => FileEntry(s"${d.getName}/${f.getName}", part))
-          }.sortBy(_.path)
-    }
+          .map(f => FileEntry(f.getName, None, Some(f.length()))).sortBy(_.path)
+      else walkHive(rootF, "", partCols).map(e =>
+        e.copy(path = e.path.stripPrefix("/")))
     require(entries.nonEmpty, s"adopt: no parquet data found at $root")
     // no committed schema: the adopted files' vintage is whatever it is —
     // reads stay on parquet inference until the first overwrite commit.
     // Likewise no committed partition type (hive paths are untyped), so
     // adopted partition columns read back as STRING until rewritten.
     publish(root, 0L, entries,
-      partCol.map(pc => (pc, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)),
+      partCols.map(pc =>
+        (pc, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)),
       Set(note), None)
   }
 
@@ -767,9 +955,9 @@ object TxLog {
     * `Lang` for partition column `lang` must not commit a file schema
     * still naming the column the hive writer dropped (schema-pinned
     * reads would surface a phantom all-NULL column). */
-  private def fileSchemaJson(df: DataFrame, partCol: Option[String]): String =
+  private def fileSchemaJson(df: DataFrame, partCols: Seq[String]): String =
     org.apache.spark.sql.types.StructType(
-      df.schema.filterNot(f => partCol.exists(_.equalsIgnoreCase(f.name)))).json
+      df.schema.filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))).json
 
   /** Additive-evolution gate for commits that MIX old files with new ones
     * (append, partition-scoped merge): every committed LOGICAL field must
@@ -812,7 +1000,13 @@ object TxLog {
     if (snap.mapping.isEmpty) df
     else df.select((phys.fields.map(f =>
       col(f.name).as(snap.mapping.getOrElse(f.name, f.name))) ++
-      snap.partCol.map(col(_)).toSeq).toSeq: _*)
+      // partition columns not in the file schema (legacy layouts) were
+      // re-attached by readGroups and must survive the projection; in
+      // the single-relation layout they are phys fields already
+      snap.partCols.collect {
+        case (pc, _) if !phys.fields.exists(_.name.equalsIgnoreCase(pc)) =>
+          col(pc)
+      }).toSeq: _*)
 
   /** Rewrite a LOGICAL batch to PHYSICAL column names for a mixed commit
     * (append / partition-scoped merge): mapped columns rename back to
@@ -836,7 +1030,7 @@ object TxLog {
     val newFields = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.types.StructField]
     val selectCols = df.schema.fields.map { f =>
-      if (snap.partCol.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+      if (snap.partCols.exists(_._1.equalsIgnoreCase(f.name))) col(f.name)
       else ciFind(physByLogical.keys, f.name) match {
         case Some(l) => col(f.name).as(physByLogical(l)) // mapped: rename back
         // identity only against UNMAPPED physical names: a physical name
@@ -882,9 +1076,10 @@ object TxLog {
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"renameColumn on uninitialized txlog $root"))
-      require(!snap.partCol.exists(_.equalsIgnoreCase(from)) &&
-        !snap.partCol.exists(_.equalsIgnoreCase(to)),
-        s"renameColumn: cannot rename the partition column ${snap.partCol.get}")
+      require(!snap.partCols.exists(p => p._1.equalsIgnoreCase(from) ||
+          p._1.equalsIgnoreCase(to)),
+        "renameColumn: cannot rename a partition column " +
+          s"(${snap.partCols.map(_._1).mkString(", ")})")
       val phys = parseSchema(effectiveSchemaJson(spark, root, snap))
       val logical = logicalSchema(phys, snap.mapping)
       require(logical.fields.exists(_.name.equalsIgnoreCase(from)),
@@ -897,7 +1092,7 @@ object TxLog {
         if (physName == to) snap.mapping - physName // renamed back to physical
         else snap.mapping - physName + (physName -> to)
       Some(publish(root, snap.version, snap.entries,
-        snap.partCol.map(pc => (pc, snap.partType)), snap.notes + note,
+        snap.partCols, snap.notes + note,
         Some(phys.json), next, snap.retired,
         parentEntries = Some(snap.entries)))
     }.get
@@ -913,7 +1108,7 @@ object TxLog {
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"dropColumn on uninitialized txlog $root"))
-      require(!snap.partCol.exists(_.equalsIgnoreCase(name)),
+      require(!snap.partCols.exists(_._1.equalsIgnoreCase(name)),
         s"dropColumn: cannot drop the partition column $name")
       val phys = parseSchema(effectiveSchemaJson(spark, root, snap))
       val logical = logicalSchema(phys, snap.mapping)
@@ -926,7 +1121,7 @@ object TxLog {
       val nextPhys = org.apache.spark.sql.types.StructType(
         phys.fields.patch(idx, Nil, 1))
       Some(publish(root, snap.version, snap.entries,
-        snap.partCol.map(pc => (pc, snap.partType)), snap.notes + note,
+        snap.partCols, snap.notes + note,
         Some(nextPhys.json), snap.mapping - physName, snap.retired + physName,
         parentEntries = Some(snap.entries)))
     }.get
@@ -947,13 +1142,15 @@ object TxLog {
   private def commitOverwriteNotes(spark: SparkSession, root: String,
       df: DataFrame, expected: Long, notesFn: Set[String] => Set[String]): Long = {
     val snap0 = snapshot(root, expected)
-    val partCol = snap0.flatMap(_.partCol)
+    val partCols = snap0.toSeq.flatMap(_.partCols.map(_._1))
     val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
-    partCol.foreach(pc => requireStablePartType(df, pc, "commitOverwrite"))
-    val entries = partCol match {
-      case Some(pc) => stagePartitioned(spark, root, df, pc)
-      case None => stageData(spark, root, df).map(FileEntry(_, None))
-    }
+    partCols.foreach(pc => requireStablePartType(df, pc, "commitOverwrite"))
+    // overwrite replaces EVERY file — the upgrade point where a legacy
+    // or adopted partitioned table flips to the single-relation layout
+    val entries =
+      if (partCols.nonEmpty)
+        stagePartitioned(spark, root, df, partCols, keepInFiles = true)
+      else stageData(spark, root, df)
     // CAS against exactly `expected` — anything else (e.g. latest-on-disk)
     // would publish OVER a concurrent writer's version this writer never
     // read: the textbook lost update. Overwrite replaces EVERY file, so
@@ -962,9 +1159,9 @@ object TxLog {
     // replaced every file, so its type is now the table's type (an
     // adopted string-typed table upgrades to typed here).
     publish(root, expected, entries,
-      partCol.map(pc => (pc, df.schema(pc).dataType)),
+      partCols.map(pc => (pc, df.schema(pc).dataType)),
       notesFn(prevNotes),
-      Some(fileSchemaJson(df, partCol)),
+      Some(fileSchemaJson(df, Seq.empty)),
       parentEntries = snap0.map(_.entries))
   }
 
@@ -1000,26 +1197,32 @@ object TxLog {
     // NULL). Adopted tables infer their previous schema once and upgrade
     // to schema-pinned with this commit.
     val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
+    // mixed commit: the batch stages to MATCH the table's layout vintage
+    // — partition columns in the files iff the committed schema carries
+    // them — so old and new files stay schema-uniform
+    val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
     requireAdditive(Some(logicalSchema(physPrev, snap.mapping).json),
-      fileSchemaJson(df, snap.partCol), "commitAppend")
-    // appended files mix with the snapshot's — the batch's partition
+      fileSchemaJson(df,
+        if (inFiles) Seq.empty else snap.partCols.map(_._1)), "commitAppend")
+    // appended files mix with the snapshot's — each batch partition
     // column must carry the committed type (same stability rule as
     // upsertPartitioned; a retyped partition column would stage hive
     // paths that decode inconsistently against the manifest's values)
-    snap.partCol.foreach { pc =>
-      require(df.schema(pc).dataType == snap.partType,
+    snap.partCols.foreach { case (pc, dt) =>
+      require(df.schema(pc).dataType == dt,
         s"commitAppend: table partition column $pc is " +
-          s"${snap.partType.simpleString}, batch brings " +
+          s"${dt.simpleString}, batch brings " +
           df.schema(pc).dataType.simpleString)
     }
     // the batch arrives LOGICAL; files store PHYSICAL names
     val (physDf, nextPhys, nextMapping) = toPhysical(df, snap, physPrev)
-    val entries = snap.partCol match {
-      case Some(pc) => stagePartitioned(spark, root, physDf, pc)
-      case None => stageData(spark, root, physDf).map(FileEntry(_, None))
-    }
+    val entries =
+      if (snap.partCols.nonEmpty)
+        stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
+          keepInFiles = inFiles)
+      else stageData(spark, root, physDf)
     publish(root, expected, snap.entries ++ entries,
-      snap.partCol.map(pc => (pc, snap.partType)),
+      snap.partCols,
       notesFn(snap.notes),
       Some(nextPhys.json), nextMapping, snap.retired,
       parentEntries = Some(snap.entries))
@@ -1092,51 +1295,78 @@ object TxLog {
   }
 
   private def requireStablePartType(df: DataFrame, partCol: String,
-      op: String): Unit =
+      op: String): Unit = {
+    require(!partCol.toLowerCase.startsWith(ShadowPrefix),
+      s"$op: partition column $partCol collides with the reserved " +
+        s"'$ShadowPrefix' shadow-staging prefix")
     require(StablePartTypes.contains(df.schema(partCol).dataType),
       s"$op: partition column $partCol has type " +
         s"${df.schema(partCol).dataType.simpleString}, whose rendering is not " +
         "stable across value/path forms (use string, integral, boolean or date)")
+  }
 
   def upsertPartitioned(spark: SparkSession, root: String, batch0: DataFrame,
-      key: String, partCol: String, note: String = ""): Seq[PartStats] = {
-    requireStablePartType(batch0, partCol, "upsertPartitioned")
+      key: String, partCol: String, note: String = ""): Seq[PartStats] =
+    upsertPartitioned(spark, root, batch0, key, Seq(partCol), note)
+
+  /** Multi-column [[upsertPartitioned]]: the touched set is the batch's
+    * distinct partition VALUE TUPLES, and only the files tagged with a
+    * touched tuple are read and restaged — (date, hour) / (lang, source)
+    * tables pay one (day, hour)'s worth of rewrite per hourly batch. */
+  def upsertPartitioned(spark: SparkSession, root: String, batch0: DataFrame,
+      key: String, partCols: Seq[String], note: String): Seq[PartStats] = {
+    require(partCols.nonEmpty, "upsertPartitioned: no partition columns")
+    partCols.foreach(pc => requireStablePartType(batch0, pc, "upsertPartitioned"))
     // ""→NULL first: Spark's own partitioned writer stores both under
     // __HIVE_DEFAULT_PARTITION__ and reads them back as null. The batch
     // is cached: its plan decides the touched-partition set AND the
     // staged output — an uncached nondeterministic batch could stage a
     // partition the touched set never saw, leaving its OLD files in the
     // manifest alongside the new ones (duplicate rows).
-    val batch =
-      (if (batch0.schema(partCol).dataType == org.apache.spark.sql.types.StringType)
-        batch0.withColumn(partCol,
-          when(col(partCol) === "", lit(null)).otherwise(col(partCol)))
-      else batch0).cache()
-    def partName(pv: Option[String]): String = pv.getOrElse(
-      ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+    val batch = partCols.foldLeft(batch0) { (df, pc) =>
+      if (df.schema(pc).dataType == org.apache.spark.sql.types.StringType)
+        df.withColumn(pc,
+          when(col(pc) === "", lit(null)).otherwise(col(pc)))
+      else df
+    }.cache()
+    val n = partCols.size
+    // stats rendering: the bare value for single-column tables (the
+    // round-9 shape callers already pin), hive dir style for tuples
+    def partName(vals: Seq[Option[String]]): String =
+      if (n == 1) vals.head.getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      else partCols.zip(vals).map { case (c, v) => s"$c=${encodePart(v)}" }
+        .mkString("/")
+    // per-tuple row counts of `df`, keyed by decoded value tuple
+    def tupleCounts(df: DataFrame): Map[Seq[Option[String]], Long] =
+      df.groupBy(partCols.map(col): _*).count().collect()
+        .map(r => (0 until n).map(i =>
+          Option(r.get(i)).map(_.toString).filter(_.nonEmpty)).toSeq ->
+          r.getLong(n)).toMap
     try withRetry(root) {
       case None =>
-        initPartitioned(spark, root, batch, partCol, note)
-        val counts = batch.groupBy(partCol).count().collect()
-          .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
-        Some(counts.toSeq.sortBy(c => partName(c._1)).map { case (pv, n) =>
-          PartStats(partName(pv), 0L, n, n)
+        initPartitioned(spark, root, batch, partCols, note)
+        Some(tupleCounts(batch).toSeq.sortBy(c => partName(c._1)).map {
+          case (pv, cnt) => PartStats(partName(pv), 0L, cnt, cnt)
         })
       case Some(snap) =>
-        require(snap.partCol.contains(partCol),
-          s"txlog $root is partitioned by ${snap.partCol}, not $partCol")
+        require(snap.partCols.map(_._1) == partCols,
+          s"txlog $root is partitioned by ${snap.partCols.map(_._1)}, not $partCols")
         // type stability: a batch whose partition column is typed
         // differently from the committed type would stage hive paths
         // that collide-or-miss against the manifest's decoded values
-        require(batch.schema(partCol).dataType == snap.partType,
-          s"upsertPartitioned: table partition column $partCol is " +
-            s"${snap.partType.simpleString}, batch brings " +
-            batch.schema(partCol).dataType.simpleString)
-        val touched: Seq[Option[String]] = batch.select(partCol).distinct().collect()
-          .map(r => Option(r.get(0)).map(_.toString).filter(_.nonEmpty))
-          .toSeq.distinct
-        val touchedSet = touched.toSet
-        val (rewrite, keep) = snap.entries.partition(e => touchedSet.contains(e.part))
+        snap.partCols.foreach { case (pc, dt) =>
+          require(batch.schema(pc).dataType == dt,
+            s"upsertPartitioned: table partition column $pc is " +
+              s"${dt.simpleString}, batch brings " +
+              batch.schema(pc).dataType.simpleString)
+        }
+        val touched: Seq[Seq[Option[String]]] =
+          batch.select(partCols.map(col): _*).distinct().collect()
+            .map(r => (0 until n).map(i =>
+              Option(r.get(i)).map(_.toString).filter(_.nonEmpty)).toSeq)
+            .toSeq.distinct
+        val touchedTags = touched.map(encodeTuple).toSet
+        val (rewrite, keep) = snap.entries.partition(e => touchedTags.contains(e.part))
         // the new version mixes kept old files with restaged ones — the
         // committed LOGICAL schema may only grow (same rule as
         // commitAppend); adopted tables infer their previous schema once
@@ -1144,17 +1374,17 @@ object TxLog {
         // union: checked after the union, coercion would stringify a
         // retyped column and slip it past the committed-type compare.
         val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
+        val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
         requireAdditive(Some(logicalSchema(physPrev, snap.mapping).json),
-          fileSchemaJson(batch, Some(partCol)), "upsertPartitioned")
+          fileSchemaJson(batch, if (inFiles) Seq.empty else partCols),
+          "upsertPartitioned")
         val current =
           if (rewrite.isEmpty) batch.limit(0)
           else applyMapping(
-            readGroups(spark, root, rewrite, partCol, snap.partType,
+            readEntriesOf(spark, root, snap, rewrite,
               snap.schemaJson.map(parseSchema)), snap, physPrev)
-        val beforeCounts = current.groupBy(partCol).count().collect()
-          .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
-        val batchCounts = batch.groupBy(partCol).count().collect()
-          .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+        val beforeCounts = tupleCounts(current)
+        val batchCounts = tupleCounts(batch)
         // cached: the SAME materialization feeds the after-counts and the
         // staged write, and the post-merge counts cost one aggregation
         // over it instead of one read-back job per touched partition.
@@ -1165,11 +1395,11 @@ object TxLog {
           .unionByName(batch, allowMissingColumns = true).cache()
         try {
           val (physDf, nextPhys, nextMapping) = toPhysical(merged, snap, physPrev)
-          val afterCounts = merged.groupBy(partCol).count().collect()
-            .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
-          val fresh = stagePartitioned(spark, root, physDf, partCol)
+          val afterCounts = tupleCounts(merged)
+          val fresh = stagePartitioned(spark, root, physDf, partCols,
+            keepInFiles = inFiles)
           publish(root, snap.version, keep ++ fresh,
-            snap.partCol.map(pc => (pc, snap.partType)),
+            snap.partCols,
             if (note.isEmpty) snap.notes else snap.notes + note,
             Some(nextPhys.json), nextMapping, snap.retired,
             parentEntries = Some(snap.entries))
@@ -1230,10 +1460,7 @@ object TxLog {
       if (added.isEmpty)
         // schema-correct empty frame: no files were added in the range
         read(spark, root, to.version).limit(0)
-      else to.partCol match {
-        case None => readFiles(spark, added.map(e => s"$root/${e.path}"), schema)
-        case Some(pc) => readGroups(spark, root, added, pc, to.partType, schema)
-      }
+      else readEntriesOf(spark, root, to, added, schema)
     if (to.mapping.isEmpty || added.isEmpty) phys
     else applyMapping(phys, to, schema.get)
   }
@@ -1257,7 +1484,7 @@ object TxLog {
         throw new IllegalArgumentException(
           s"restore: version $toVersion is not retained at $root"))
       Some(publish(root, cur.version, target.entries,
-        target.partCol.map(pc => (pc, target.partType)),
+        target.partCols,
         cur.notes + note, target.schemaJson, target.mapping, target.retired,
         parentEntries = Some(cur.entries)))
     }.get
@@ -1322,7 +1549,7 @@ object TxLog {
     withRetry(root) {
       case Some(snap) if snap.notes(tag) => Some(false)
       case None =>
-        initWith(spark, root, df, None, kvMerge(Set(tag), kv)); Some(true)
+        initWith(spark, root, df, Seq.empty, kvMerge(Set(tag), kv)); Some(true)
       case Some(snap) =>
         commitAppendNotes(spark, root, df, snap.version,
           ns => kvMerge(ns + tag, kv))
@@ -1379,12 +1606,27 @@ object TxLog {
     * replayed legacy id no-ops, and the first monotone commit folds
     * implied legacy tags (numeric suffix ≤ id) into the high-water. */
   def appendOnceMonotone(spark: SparkSession, root: String, prefix: String,
-      id: Long, df: DataFrame, kv: Map[String, String] = Map.empty): Boolean = {
+      id: Long, df: DataFrame, kv: Map[String, String] = Map.empty): Boolean =
+    appendOnceMonotoneKv(spark, root, prefix, id, df, _ => kv)
+
+  /** [[appendOnceMonotone]] whose replaced `kv:` properties are DERIVED
+    * from the snapshot the commit is CAS'd against (`kvFn` runs inside
+    * the retry loop, per attempt): the variant a caller needs when a
+    * property's new value depends on the current one — an index count
+    * `prev + batch` — because a CAS loss re-derives against the fresh
+    * snapshot instead of committing a value computed from a version this
+    * writer never read (the stale-kv hazard [[commitAppendKv]]'s pinned
+    * contract documents; a plain-kv retry keeps the caller's stale
+    * values). `kvFn` receives None exactly when the commit will
+    * bootstrap the table. */
+  def appendOnceMonotoneKv(spark: SparkSession, root: String, prefix: String,
+      id: Long, df: DataFrame,
+      kvFn: Option[Snapshot] => Map[String, String]): Boolean = {
     require(prefix.matches("[A-Za-z0-9_-]+"), s"unsafe note prefix: $prefix")
     withRetry(root) {
       case None =>
-        initWith(spark, root, df, None,
-          kvMerge(Set(s"hw:$prefix:$id"), kv))
+        initWith(spark, root, df, Seq.empty,
+          kvMerge(Set(s"hw:$prefix:$id"), kvFn(None)))
         Some(true)
       case Some(snap) if highWater(snap.notes, prefix).exists(_ >= id) ||
           snap.notes(s"$prefix-$id") =>
@@ -1395,7 +1637,7 @@ object TxLog {
             n.startsWith(s"hw:$prefix:") ||
               (n.startsWith(s"$prefix-") && scala.util.Try(
                 n.stripPrefix(s"$prefix-").toLong).toOption.exists(_ <= id))
-          } + s"hw:$prefix:$id", kv))
+          } + s"hw:$prefix:$id", kvFn(Some(snap))))
         Some(true)
     }.get
   }
@@ -1454,14 +1696,14 @@ object TxLog {
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"compact on uninitialized txlog $root"))
       val target = targetFiles.max(1)
-      snap.partCol match {
-        case None =>
+      snap.partCols match {
+        case Seq() =>
           if (snap.files.size <= target) Some(snap.version)
           else {
             val packed = read(spark, root, snap.version).coalesce(target)
             Some(commitOverwrite(spark, root, packed, snap.version, "compact"))
           }
-        case Some(pc) =>
+        case pcs =>
           val byPart = snap.entries.groupBy(_.part)
           val fragParts = byPart.collect {
             case (pv, es) if es.size > target => pv
@@ -1476,7 +1718,7 @@ object TxLog {
             // deterministic so a retried stage re-routes rows
             // identically (a random salt could duplicate/lose rows
             // under task retry, the classic repartition hazard)
-            val src = readGroups(spark, root, rewrite, pc, snap.partType,
+            val src = readEntriesOf(spark, root, snap, rewrite,
               snap.schemaJson.map(parseSchema))
             // hash() rejects map-typed columns — salt on the hashable ones
             def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -1490,13 +1732,14 @@ object TxLog {
               .map(f => col(f.name))
             val salt =
               if (hashable.isEmpty) lit(0) else pmod(hash(hashable: _*), lit(target))
-            val packed = src.repartition(col(pc), salt)
-            val fresh = stagePartitioned(spark, root, packed, pc)
+            val packed = src.repartition(pcs.map(p => col(p._1)) :+ salt: _*)
+            val fresh = stagePartitioned(spark, root, packed, pcs.map(_._1),
+              keepInFiles = partDataInFiles(pcs, snap.schemaJson.map(parseSchema)))
             // physical-level compaction: files restaged under their
             // PHYSICAL columns (readGroups is not mapping-applied here),
             // so the mapping/retired layers carry through unchanged
             Some(publish(root, snap.version, keep ++ fresh,
-              Some((pc, snap.partType)),
+              pcs,
               snap.notes + "compact", snap.schemaJson,
               snap.mapping, snap.retired,
               parentEntries = Some(snap.entries)))

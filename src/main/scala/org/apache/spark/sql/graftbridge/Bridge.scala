@@ -20,4 +20,45 @@ object Bridge {
   def parseExpression(spark: SparkSession, sql: String): org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.sqlParser.parseExpression(sql)
+
+  /** A parquet relation over a PRE-LISTED file set — (absolute path,
+    * length) pairs a transaction-log manifest already knows — with ZERO
+    * filesystem calls at plan time. The stock explicit-path reader
+    * re-stats every path through InMemoryFileIndex (and above the
+    * parallel-discovery threshold launches a distributed listing job):
+    * O(files) metadata I/O per query that a 10⁵-file table pays in
+    * minutes and an index probe pays in seconds. This is the Delta/
+    * Iceberg read shape — the log is the file index. */
+  def manifestParquetRelation(spark: SparkSession,
+      files: Seq[(String, Long)],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.execution.datasources._
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val statuses = files.map { case (p, len) =>
+      // mtime 0 is safe: nothing consults it (no FileStatusCache — the
+      // index is immutable by construction, manifests reference
+      // immutable staged files)
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(p))
+    }.toArray
+    val index = new FileIndex {
+      override def rootPaths: Seq[Path] = Seq.empty
+      override def listFiles(
+          partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
+          statuses))
+      override def inputFiles: Array[String] = files.map(_._1).toArray
+      override def refresh(): Unit = ()
+      override def sizeInBytes: Long = files.map(_._2).sum
+      override def partitionSchema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()
+    }
+    val rel = HadoopFsRelation(index,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = schema, bucketSpec = None,
+      fileFormat = new parquet.ParquetFileFormat(),
+      options = Map.empty)(spark)
+    ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
 }
