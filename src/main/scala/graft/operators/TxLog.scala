@@ -263,7 +263,35 @@ object TxLog {
           parseManifest(manifestPath(root, v)).toSeq.flatMap(refDirs)).toSet
         writeCheckpoint(root,
           Checkpoint(published, prev.refs ++ suffixRefs, entries))
+        thinCheckpoints(root, published)
       } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Exponential checkpoint retention, applied after each refresh: keep
+    * the newest few (age ≤ 3 intervals) plus exponentially-spaced
+    * ancestors (age ~2^k intervals → spacing 2^k intervals), delete the
+    * rest — O(log commits) snapshot checkpoints retained instead of one
+    * per interval, which made cumulative `_txlog` bytes quadratic-ish on
+    * long append streams (each ck carries the full, growing file list).
+    * Safe unconditionally for CORRECTNESS: checkpoints are pure
+    * resolution accelerators — every delta chain still bottoms out at a
+    * full manifest (v1, any overwrite) — with ONE exception: the floor
+    * checkpoint [[pruneHistory]] rebuilds at the oldest retained version
+    * is that version's only base once the prefix manifests are deleted,
+    * so any ck at or below the oldest manifest is always kept. Time
+    * travel to a thinned region pays O(distance-to-older-base) parses —
+    * archaeology costs linear, the hot paths stay O(interval) (the Delta
+    * log-retention trade). */
+  private def thinCheckpoints(root: String, newest: Long): Unit = {
+    val minManifest = allVersions(root).headOption.getOrElse(0L)
+    allCkVersions(root).filter(v => v < newest && v > minManifest).foreach { u =>
+      val age = newest - u
+      if (age > 3L * CheckpointInterval) {
+        val k = 63 - java.lang.Long.numberOfLeadingZeros(age / CheckpointInterval)
+        val gap = CheckpointInterval.toLong << k
+        if (u % gap != 0) Files.deleteIfExists(ckPath(root, u))
+      }
+    }
+  }
 
   /** Parse the body of an `f`/`+f` entry line:
     * `path[\t<part>[\t<size>]]`. The optional third field is the file
@@ -1662,7 +1690,19 @@ object TxLog {
     * costs 20k manifests of constant size — not 20k manifests of
     * linearly growing tag lists. Readers concurrent with the stream see
     * complete committed versions only, with snapshot isolation per
-    * [[read]]. */
+    * [[read]].
+    *
+    * Column mapping interleaved with the stream (contract, pinned in
+    * TxLogModelSpec): after a RENAME, a micro-batch still speaking the
+    * old logical schema is REFUSED by the additive gate — a stream's
+    * source schema is fixed at start, so the operator restarts the query
+    * against the new logical schema (silently minting a fresh column
+    * would fork the data); a batch speaking the new name lands in the
+    * same physical column, and [[readAppended]] across the boundary
+    * projects everything under the new logical names. After a DROP, a
+    * batch still carrying the column re-adds it under a fresh physical
+    * name (old rows surface NULL — the resurrection guard) and the
+    * stream keeps flowing. */
   def streamingSink(stream: DataFrame, root: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())

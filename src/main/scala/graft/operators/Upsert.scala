@@ -116,6 +116,71 @@ object Upsert {
         .withColumn("untouched_by_reference", lit(untouched))
     },
 
+    // S17: the MULTI-COLUMN partition-scoped merge — the real-table shape
+    // ((date, hour), (lang, source)): documents partitioned by
+    // (lang, day) with day = doc_id % 3, created through the log's own
+    // multi-column hive stage (one `p` header per column, entry tags =
+    // escaped '/'-joined value tuples). The batch touches exactly ONE
+    // (lang, day) TUPLE — updates every doc_id ≡ 0 (mod 10) in
+    // (minLang, day=1) and inserts 50 new docs into it — so every file
+    // of every OTHER tuple (including same-lang-different-day: pruning
+    // must be on the tuple, not a prefix) must carry into the new
+    // manifest by reference; that rides as the s12-style verdict boolean
+    // while the oracle's restated merge certifies the row set.
+    QueryDef("s17_multipart_upsert",
+      """WITH ml AS (SELECT min(lang) AS v FROM documents),
+        |merged AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lang = (SELECT v FROM ml) AND doc_id % 3 = 1
+        |                   AND doc_id % 10 = 0
+        |              THEN md5(text) ELSE text END AS text,
+        |         lang,
+        |         CAST(doc_id % 3 AS INTEGER) AS day
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(CAST(doc_id AS VARCHAR)),
+        |         (SELECT v FROM ml), CAST(1 AS INTEGER)
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(lang))) AS BIGINT) AS lck,
+        |       CAST(sum((doc_id + 1) * day) AS BIGINT) AS dck,
+        |       CAST(sum(CASE WHEN lang = (SELECT v FROM ml) AND day = 1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+        |       TRUE AS untouched_by_reference
+        |FROM merged""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "multipart-upsert-table")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        col("lang"), (col("doc_id") % 3).cast("int").as("day"))
+      TxLog.initPartitioned(s, root, docs, Seq("lang", "day"), "")
+      val minLang = docs.agg(min("lang")).head().getString(0)
+      val updates = docs.filter(col("lang") === minLang && col("day") === 1 &&
+          col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text"),
+          col("lang"), col("day"))
+      val inserts = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("text"),
+          lit(minLang).as("lang"), lit(1).cast("int").as("day"))
+      val before = TxLog.snapshot(root).get
+      TxLog.upsertPartitioned(s, root, updates.unionByName(inserts),
+        "doc_id", Seq("lang", "day"), "")
+      val after = TxLog.snapshot(root).get
+      // the touched tuple's manifest tag: escaped values, '/'-joined
+      val touchedTag = s"$minLang/1"
+      val untouched = before.entries.filterNot(_.part.contains(touchedTag)).toSet ==
+        after.entries.filterNot(_.part.contains(touchedTag)).toSet &&
+        before.entries.exists(e => !e.part.contains(touchedTag))
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary"))).cast("long").as("ck"),
+          sum((col("doc_id") + 1) * length(col("lang").cast("binary"))).cast("long").as("lck"),
+          sum((col("doc_id") + 1) * col("day")).cast("long").as("dck"),
+          sum(when(col("lang") === minLang && col("day") === 1, 1L)
+            .otherwise(0L)).cast("long").as("n_touched"))
+        .withColumn("untouched_by_reference", lit(untouched))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

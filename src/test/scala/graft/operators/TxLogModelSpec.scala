@@ -131,4 +131,138 @@ class TxLogModelSpec extends SparkSpec {
     runSequence(seed = 41L, ops = 14)
     runSequence(seed = 1337L, ops = 14)
   }
+
+  // ------------------------------------------------------- two-column
+
+  /** Partition derivation: keys functionally determine their (lang, day)
+    * tuple — the upsertPartitioned contract (keys must not migrate). */
+  private def langOf(k: Long): String = s"l${k % 3}"
+  private def dayOf(k: Long): Int = ((k / 3) % 2).toInt
+
+  private def toPartDf(m: Map[Long, String], valueCol: String) = {
+    val df = m.toSeq.toDF("id", valueCol)
+    df.withColumn("lang", concat(lit("l"), (col("id") % 3).cast("string")))
+      .withColumn("day", ((col("id") / 3) % 2).cast("int"))
+  }
+
+  private def partTableState(root: String, v: Long = -1L): Map[Long, String] = {
+    val df = TxLog.read(spark, root, v)
+    // partition-column integrity rides in every read-back: each row's
+    // (lang, day) must equal the key derivation, whatever op landed it
+    df.collect().map { r =>
+      val k = r.getAs[Long]("id")
+      assert(r.getAs[String]("lang") === langOf(k),
+        s"row $k carries wrong lang partition value")
+      assert(r.getAs[Int]("day") === dayOf(k),
+        s"row $k carries wrong day partition value")
+      k -> r.getAs[String]("v")
+    }.toMap
+  }
+
+  test("seeded op sequences on a (lang, day) two-column table") {
+    val rnd = new scala.util.Random(4242L)
+    val root = freshRoot("twocol")
+    def kv(n: Int): Map[Long, String] =
+      (0 until n).map(_ => rnd.nextInt(40).toLong -> s"v${rnd.nextInt(1000)}").toMap
+    var history = Vector.empty[Map[Long, String]]
+    def commit(m: Map[Long, String]): Unit = history = history :+ m
+
+    val init = kv(10) + (1L -> "seed")
+    TxLog.initPartitioned(spark, root, toPartDf(init, "v"), Seq("lang", "day"), "")
+    commit(init)
+
+    (1 to 12).foreach { i =>
+      val cur = history.last
+      rnd.nextInt(5) match {
+        case 0 => // tuple-scoped merge
+          val batch = kv(1 + rnd.nextInt(6))
+          TxLog.upsertPartitioned(spark, root, toPartDf(batch, "v"), "id",
+            Seq("lang", "day"), "")
+          commit(cur ++ batch)
+        case 1 => // predicate delete (partitioned overwrite restage)
+          val m = 2 + rnd.nextInt(5)
+          TxLog.delete(spark, root, col("id") % m === 0 && col("id") =!= 1L)
+          commit(cur.filter { case (k, _) => k % m != 0 || k == 1L })
+        case 2 => // per-partition compact (commits only when fragmented)
+          val before = TxLog.currentVersion(root)
+          if (TxLog.compact(spark, root, 1) != before) commit(cur)
+        case 3 => // metadata-only restore to a random retained version
+          val target = 1L + rnd.nextInt(history.size).toLong
+          TxLog.restore(spark, root, target)
+          commit(history((target - 1).toInt))
+        case 4 => // full overwrite (replaces every tuple's files)
+          val fresh = kv(4 + rnd.nextInt(5)) + (1L -> "seed")
+          TxLog.commitOverwrite(spark, root, toPartDf(fresh, "v"),
+            expected = TxLog.currentVersion(root))
+          commit(fresh)
+      }
+      assert(TxLog.currentVersion(root) === history.size.toLong,
+        s"op#$i: version diverged")
+      assert(partTableState(root) === history.last, s"op#$i: content diverged")
+    }
+    // time travel over every retained version, partition values included
+    (1L to history.size.toLong).foreach { v =>
+      assert(partTableState(root, v) === history((v - 1).toInt),
+        s"version $v diverged under time travel")
+    }
+    TxLog.pruneHistory(root, keepLast = 2)
+    TxLog.vacuum(root, graceMs = 0L)
+    assert(partTableState(root) === history.last)
+  }
+
+  // -------------------------------------- mapping × streaming-sink ops
+
+  /** The documented contract for column mapping interleaved with a
+    * streaming sink ([[TxLog.streamingSink]] commits each micro-batch
+    * via appendOnceMonotone, so the per-batch semantics ARE the sink
+    * semantics):
+    *  - after RENAME, a batch still speaking the old logical schema is
+    *    REFUSED loudly by the additive gate (a stream's source schema is
+    *    fixed at start — the operator restarts it against the new
+    *    logical schema; silently minting a fresh column would fork the
+    *    data), and the refusal publishes nothing;
+    *  - a batch speaking the new logical name lands in the SAME physical
+    *    column (no column forked);
+    *  - readAppended across the rename boundary projects everything
+    *    under the NEW logical names;
+    *  - after DROP, a batch still carrying the dropped column RE-ADDS it
+    *    under a fresh physical name: pre-drop rows surface NULL — the
+    *    resurrection guard — and the stream keeps flowing. */
+  test("column mapping interleaved with streaming-sink appends: refuse stale, never fork, never resurrect") {
+    val root = freshRoot("mapstream")
+    assert(TxLog.appendOnceMonotone(spark, root, "batch", 0L,
+      toDf(Map(1L -> "a"), "s")))
+    val v1 = TxLog.currentVersion(root)
+    TxLog.renameColumn(spark, root, "s", "t")
+    val vRename = TxLog.currentVersion(root)
+
+    // stale-schema batch refused, nothing published
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.appendOnceMonotone(spark, root, "batch", 1L, toDf(Map(2L -> "b"), "s"))
+    }
+    assert(ex.getMessage.contains("not additive"))
+    assert(TxLog.currentVersion(root) === vRename)
+
+    // new-schema batch lands in the SAME physical column (no fork): the
+    // committed physical schema stays 2 columns wide
+    assert(TxLog.appendOnceMonotone(spark, root, "batch", 1L,
+      toDf(Map(2L -> "b"), "t")))
+    assert(tableState(root) === MState(Map(1L -> "a", 2L -> "b"), "t"))
+    assert(TxLog.read(spark, root).columns.length === 2)
+
+    // incremental read across the rename boundary: new logical names
+    val app = TxLog.readAppended(spark, root, v1)
+    assert(app.columns.toSeq === Seq("id", "t"))
+    assert(app.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(2L -> "b"))
+
+    // drop, then a stream batch still carrying the column: re-added
+    // fresh, old rows NULL (no resurrection), stream keeps flowing
+    TxLog.dropColumn(spark, root, "t")
+    assert(TxLog.appendOnceMonotone(spark, root, "batch", 2L,
+      toDf(Map(3L -> "c"), "t")))
+    val vals = TxLog.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("t"))).toMap
+    assert(vals === Map(1L -> None, 2L -> None, 3L -> Some("c")))
+  }
 }

@@ -637,6 +637,41 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root, 26L).columns.toSeq === Seq("id", "t"))
   }
 
+  test("checkpoint chain thins exponentially; every retained version still time-travels") {
+    val root = freshRoot("thin")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((0L, "v0")).toDF("id", "s"))
+    (1L to 119L).foreach { k =>
+      assert(TxLog.appendOnceMonotone(spark, root, "mb", k,
+        Seq((k, s"v$k")).toDF("id", "s")))
+    }
+    assert(TxLog.currentVersion(root) === 120L)
+    // without thinning a 120-commit log holds 12 full-file-list
+    // checkpoints (one per interval) — cumulative _txlog bytes
+    // quadratic-ish on long streams. Retention: newest ~3 intervals
+    // dense, then exponential spacing → O(log commits) files.
+    val cks = Option(java.nio.file.Paths.get(root, "_txlog").toFile.listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("ck-")).sorted
+    assert(cks.length <= 6, s"expected ≤6 retained checkpoints, got ${cks.toSeq}")
+    assert(cks.last === f"ck-${120L}%020d") // newest always present
+    // correctness is checkpoint-independent: every version resolves
+    // (thinned regions walk further back — archaeology pays, hot path
+    // doesn't), latest resolution stays O(interval)
+    Seq(1L, 7L, 35L, 64L, 99L, 120L).foreach { v =>
+      assert(TxLog.read(spark, root, v).count() === v,
+        s"version $v diverged after checkpoint thinning")
+    }
+    TxLog.logListings.set(0L); TxLog.manifestParses.set(0L)
+    assert(TxLog.snapshot(root).get.version === 120L)
+    assert(TxLog.manifestParses.get <= 10L)
+    // prune + vacuum: the rebuilt floor checkpoint survives thinning
+    // (it is the only base for the retained delta suffix)
+    TxLog.pruneHistory(root, keepLast = 5)
+    TxLog.vacuum(root, graceMs = 0L)
+    assert(TxLog.read(spark, root, 116L).count() === 116L)
+    assert(TxLog.read(spark, root).count() === 120L)
+  }
+
   test("vacuum stale-floor guard: a checkpoint whose floor manifest is gone falls back to the full parse") {
     val root = freshRoot("staleck")
     import spark.implicits._

@@ -102,6 +102,58 @@ class UpsertSpec extends SparkSpec {
     assert(pruned.count() === src.filter(col("lang") === langs.head).count())
   }
 
+  test("two-column table: upsert rewrites only the touched (lang, day) tuple; readPruned scans exactly its files") {
+    val root = freshRoot("twocol")
+    val docs = src.withColumn("day", (col("doc_id") % 3).cast("int"))
+    TxLog.initPartitioned(spark, root, docs, Seq("lang", "day"), "")
+    val before = TxLog.snapshot(root).get
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    assert(langs.length >= 2)
+    val (touchLang, touchDay) = (langs.head, 1)
+    val touchedTag = s"$touchLang/$touchDay"
+    assert(before.entries.exists(_.part.contains(touchedTag)))
+    // same lang, different day MUST be untouched — tuple pruning, not a
+    // prefix match on the first column
+    assert(before.entries.exists(e =>
+      e.part.exists(t => t.startsWith(s"$touchLang/") && t != touchedTag)))
+
+    val batch = docs.filter(col("lang") === touchLang && col("day") === touchDay)
+      .limit(5).withColumn("text", lit("REPLACED"))
+    TxLog.upsertPartitioned(spark, root, batch, "doc_id", Seq("lang", "day"), "")
+    val after = TxLog.snapshot(root).get
+    assert(before.entries.filterNot(_.part.contains(touchedTag)).toSet ===
+      after.entries.filterNot(_.part.contains(touchedTag)).toSet,
+      "untouched tuples must carry by reference (same paths, tags, sizes)")
+    assert(after.entries.filter(_.part.contains(touchedTag)).toSet !=
+      before.entries.filter(_.part.contains(touchedTag)).toSet)
+
+    // manifest-level pruning: the pruned read's plan is ONE relation over
+    // exactly the touched tuple's files — never O(#tuples) relations, and
+    // never a file of any other tuple
+    val pruned = TxLog.readPruned(spark, root, after)(
+      t => t == Seq(Some(touchLang), Some(touchDay.toString)))
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length === 1)
+    val expectedFiles = after.entries.filter(_.part.contains(touchedTag))
+      .map(e => s"$root/${e.path}").toSet
+    val scanned = pruned.inputFiles.map(_.stripPrefix("file:")).toSet
+    assert(scanned === expectedFiles,
+      s"pruned scan must read exactly the tuple's manifest files\n" +
+        s"scanned: $scanned\nexpected: $expectedFiles")
+    assert(pruned.count() ===
+      TxLog.read(spark, root)
+        .filter(col("lang") === touchLang && col("day") === touchDay).count())
+
+    // two-column round-trip: values and types survive the shadow stage
+    val rt = TxLog.read(spark, root)
+    assert(rt.schema("day").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(rt.filter(col("day") === 1).count() ===
+      docs.filter(col("day") === 1).count())
+  }
+
   test("hive-escaped and NULL partition values merge into the writer's partitions") {
     val root = freshRoot("esc")
     import spark.implicits._
