@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // MICROS (not the INT96 default) so parquet footers carry valid
+      // timestamp statistics the txlog's data skipping can use — the
+      // Delta/Iceberg interop choice (INT96 stats are invalid per spec)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -89,7 +89,21 @@ object TxLog {
     * round-trips through the manifest's own encode/decode like any
     * single value. */
   final case class FileEntry(path: String, part: Option[String],
-      size: Option[Long] = None)
+      size: Option[Long] = None, stats: Option[FileStats] = None)
+
+  /** Per-file column statistic (the Delta/Iceberg data-skipping core,
+    * recorded from the staged file's OWN parquet footer — metadata-only,
+    * never a second data pass). `kind` names the compare domain ('l'
+    * integral, 'd' decimal/floating, 's' UTF-8 string, 'D' date-days,
+    * 't'/'T' timestamp-micros TZ/NTZ, 'b' boolean, 'n' nulls-only);
+    * min/max ride in the manifest as rendered strings and decode at
+    * prune time. ABSENCE of any piece never prunes — see [[Stats]]. */
+  final case class ColStat(kind: Char, nulls: Option[Long],
+      min: Option[String], max: Option[String])
+
+  /** Footer statistics for one manifest data file: exact row count plus
+    * per-top-level-column [[ColStat]]. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStat])
 
   /** One pinned table version: the manifest's data files (relative to
     * root), its accumulated note set (effectively-once tags), the
@@ -299,11 +313,13 @@ object TxLog {
     * lets reads hand Spark a pre-listed file set with zero plan-time
     * filesystem calls (the Delta/Iceberg manifest shape); legacy
     * manifests without it fall back to the stat-per-path reader. */
-  private def parseEntry(rest: String): FileEntry = rest.split("\t", 3) match {
+  private def parseEntry(rest: String): FileEntry = rest.split("\t", 4) match {
     case Array(path) => FileEntry(path, None)
     case Array(path, part) => FileEntry(path, decodePart(part))
     case Array(path, part, size) =>
       FileEntry(path, decodePart(part), Some(size.toLong))
+    case Array(path, part, size, stats) =>
+      FileEntry(path, decodePart(part), Some(size.toLong), Stats.parse(stats))
   }
 
   /** Render one entry line body (inverse of [[parseEntry]]). `withPart`
@@ -313,10 +329,12 @@ object TxLog {
     * which decodes back to None). */
   private def renderEntry(prefix: String, e: FileEntry,
       withPart: Boolean): String =
-    e.size match {
-      case Some(sz) => s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz"
-      case None if withPart => s"$prefix\t${e.path}\t${encodePart(e.part)}"
-      case None => s"$prefix\t${e.path}"
+    (e.size, e.stats) match {
+      case (Some(sz), Some(st)) =>
+        s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz\t${Stats.render(st)}"
+      case (Some(sz), None) => s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz"
+      case (None, _) if withPart => s"$prefix\t${e.path}\t${encodePart(e.part)}"
+      case (None, _) => s"$prefix\t${e.path}"
     }
 
   private def encodePart(part: Option[String]): String =
@@ -667,6 +685,102 @@ object TxLog {
     readPruned(spark, root, snap)(t => values.contains(t.head))
   }
 
+  /** Predicate-pruned read — DATA SKIPPING over the manifest's footer
+    * statistics. `predicateSql` (an ANSI boolean expression over the
+    * table's logical columns) is split into AND-conjuncts and evaluated
+    * against each entry's [[FileStats]] interval logic — with partition
+    * values contributing exact point stats, so partition AND clustered-
+    * column predicates prune through the one mechanism — and only files
+    * that COULD match get a relation. The surviving scan still applies
+    * the full predicate, so skipping is pure optimization: any stat the
+    * manifest lacks simply keeps its file (see [[Stats]] for the safety
+    * matrix). At 100 TB this is the difference between scanning the few
+    * files whose [min,max] straddle a selective range and scanning a
+    * million — the reason Delta/Iceberg put stats in the log, and what
+    * plain partition pruning cannot give on a SECOND dimension (cluster
+    * by the second key at write time → tight disjoint ranges → O(match)
+    * files touched). */
+  def readWhere(spark: SparkSession, root: String, predicateSql: String,
+      version: Long = -1L): DataFrame = {
+    val snap = snapshot(root, version).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val (kept, _) = pruneEntries(spark, snap, predicateSql)
+    val schema = snap.schemaJson.map(parseSchema)
+    val phys =
+      if (kept.isEmpty)
+        readEntriesOf(spark, root, snap, Seq(snap.entries.head), schema).limit(0)
+      else readEntriesOf(spark, root, snap, kept, schema)
+    val mapped =
+      if (snap.mapping.isEmpty) phys else applyMapping(phys, snap, schema.get)
+    mapped.filter(expr(predicateSql))
+  }
+
+  /** The manifest entries of `snap` that could satisfy `predicateSql`,
+    * plus the total entry count — the data-skipping decision surface,
+    * public for specs and skip-ratio verdicts. Attribute names are
+    * LOGICAL (the column-mapping layer translates to the physical names
+    * footer stats are recorded under); partition columns prune as exact
+    * synthetic point stats, so legacy layouts without footer stats still
+    * partition-prune here. */
+  def pruneEntries(spark: SparkSession, snap: Snapshot,
+      predicateSql: String): (Seq[FileEntry], Int) = {
+    val pred = org.apache.spark.sql.graftbridge.Bridge
+      .parseExpression(spark, predicateSql)
+    (snap.entries.filter(entryCouldMatch(snap, Stats.splitConjuncts(pred))),
+      snap.entries.size)
+  }
+
+  /** Could `e` contain a row satisfying every conjunct? The per-entry
+    * decision behind [[pruneEntries]], [[readWhere]] and the pruned
+    * [[delete]] — partition values contribute exact synthetic point
+    * stats, footer stats everything else, absence keeps the file. */
+  private def entryCouldMatch(snap: Snapshot,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])(
+      e: FileEntry): Boolean = {
+    val logToPhys = snap.mapping.map(_.swap)
+    def physName(attr: String): String =
+      logToPhys.find(_._1.equalsIgnoreCase(attr)).map(_._2).getOrElse(attr)
+    val n = snap.partCols.size
+    val partVals = decodeTuple(e.part, n)
+      def partStat(idx: Int): Option[ColStat] = partVals(idx) match {
+        case None =>
+          // null partition: EVERY row's value is null — the MaxValue
+          // null count exceeds any real row count, so null-rejecting
+          // conjuncts prune exactly (rows uses the same ceiling when
+          // footer stats are absent, which only ever under-prunes)
+          Some(ColStat('n', Some(Long.MaxValue), None, None))
+        case Some(v) =>
+          val enc: Option[(Char, String)] = snap.partCols(idx)._2 match {
+            case _: org.apache.spark.sql.types.ByteType |
+                 _: org.apache.spark.sql.types.ShortType |
+                 _: org.apache.spark.sql.types.IntegerType |
+                 _: org.apache.spark.sql.types.LongType =>
+              scala.util.Try(('l', BigDecimal(v).bigDecimal.toString)).toOption
+            case _: org.apache.spark.sql.types.FloatType |
+                 _: org.apache.spark.sql.types.DoubleType |
+                 _: org.apache.spark.sql.types.DecimalType =>
+              scala.util.Try(('d', BigDecimal(v).bigDecimal.toString)).toOption
+            case org.apache.spark.sql.types.StringType => Some(('s', v))
+            case org.apache.spark.sql.types.DateType =>
+              scala.util.Try(
+                ('D', java.time.LocalDate.parse(v).toEpochDay.toString)).toOption
+            case org.apache.spark.sql.types.BooleanType =>
+              Some(('b', v.toLowerCase))
+            case _ => None
+          }
+          enc.map { case (k, s) => ColStat(k, Some(0L), Some(s), Some(s)) }
+      }
+    def colOf(attr: String): Option[ColStat] = {
+      val p = physName(attr)
+      val pi = snap.partCols.indexWhere(_._1.equalsIgnoreCase(p))
+      if (pi >= 0) partStat(pi)
+      else e.stats.flatMap(
+        _.cols.find(_._1.equalsIgnoreCase(p)).map(_._2))
+    }
+    Stats.survives(
+      Some(e.stats.map(_.rows).getOrElse(Long.MaxValue)), colOf, conjuncts)
+  }
+
   /** Stage `df` as one immutable data directory; returns the relative
     * parquet file paths. An empty result restages with one partition so
     * the schema-bearing empty part file exists (a manifest must never be
@@ -681,7 +795,7 @@ object TxLog {
       .map(f => FileEntry(s"$dirName/${f.getName}", None, Some(f.length())))
       .toSeq.sortBy(_.path)
     if (parts.isEmpty) df.repartition(1).write.mode("overwrite").parquet(abs)
-    parts
+    Stats.attach(root, parts)
   }
 
   /** Stage `df` (which must carry `partCol`) as one immutable data
@@ -758,17 +872,18 @@ object TxLog {
       } else (df, partCols)
     toWrite.write.mode("overwrite").partitionBy(byCols: _*).parquet(abs)
     val entries = walkHive(new java.io.File(abs), dirName, byCols)
-    if (entries.nonEmpty) entries
+    if (entries.nonEmpty) Stats.attach(root, entries)
     else {
       // empty table: one schema-bearing file matching the layout's file
       // schema (legacy: partition columns dropped, as the hive writer
       // would have; keepInFiles: columns retained)
       val emptyDf = if (keepInFiles) df else df.drop(partCols: _*)
       emptyDf.repartition(1).write.mode("overwrite").parquet(abs)
-      Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(f => FileEntry(s"$dirName/${f.getName}", None, Some(f.length())))
-        .toSeq.sortBy(_.path)
+      Stats.attach(root,
+        Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => FileEntry(s"$dirName/${f.getName}", None, Some(f.length())))
+          .toSeq.sortBy(_.path))
     }
   }
 
@@ -939,7 +1054,10 @@ object TxLog {
     // reads stay on parquet inference until the first overwrite commit.
     // Likewise no committed partition type (hive paths are untyped), so
     // adopted partition columns read back as STRING until rewritten.
-    publish(root, 0L, entries,
+    // Footer stats ARE collected (one metadata read per adopted file —
+    // the only per-file cost of the zero-movement convert), so skipping
+    // works from v1.
+    publish(root, 0L, Stats.attach(root, entries),
       partCols.map(pc =>
         (pc, org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)),
       Set(note), None)
@@ -1449,9 +1567,55 @@ object TxLog {
       // SQL DELETE semantics: only rows where the predicate is TRUE are
       // removed; NULL-predicate rows survive. A bare `!victim` would drop
       // them too (!NULL is NULL, and filter keeps only TRUE).
-      val survivors = read(spark, root, snap.version)
-        .filter(not(victim <=> lit(true)))
-      Some(commitOverwrite(spark, root, survivors, snap.version, note))
+      //
+      // STATS-PRUNED PARTIAL REWRITE (the Delta DELETE shape): only
+      // files whose footer/partition statistics admit a TRUE victim row
+      // are read and restaged minus their victims; every other file
+      // carries into the new version BY REFERENCE. A targeted delete on
+      // a clustered key costs O(matching files), not an O(table)
+      // rewrite — at 100 TB the difference between rewriting one day's
+      // files and rewriting the lake. Unprunable predicates (no
+      // col-vs-literal conjuncts, no stats) keep the whole-table
+      // rewrite: absence of stats changes cost, never semantics.
+      val conjuncts = scala.util.Try(Stats.splitConjuncts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(spark, victim)))
+        .getOrElse(Seq.empty)
+      val (rewrite, carried) =
+        snap.entries.partition(entryCouldMatch(snap, conjuncts))
+      if (rewrite.isEmpty) {
+        // no file can contain a victim: metadata-only version bump
+        // preserves the every-delete-commits contract at zero data I/O
+        Some(publish(root, snap.version, snap.entries, snap.partCols,
+          if (note.isEmpty) snap.notes else snap.notes + note,
+          snap.schemaJson, snap.mapping, snap.retired,
+          parentEntries = Some(snap.entries)))
+      } else if (carried.isEmpty) {
+        val survivors = read(spark, root, snap.version)
+          .filter(not(victim <=> lit(true)))
+        Some(commitOverwrite(spark, root, survivors, snap.version, note))
+      } else {
+        // partial rewrite under the UNCHANGED schema + mapping (a mixed
+        // commit, like commitAppend — never the overwrite path, which
+        // may reset both): candidates read LOGICAL, victims dropped,
+        // survivors restaged PHYSICAL to the table's layout vintage
+        val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
+        val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
+        val candPhys = readEntriesOf(spark, root, snap, rewrite, Some(physPrev))
+        val candLogical =
+          if (snap.mapping.isEmpty) candPhys
+          else applyMapping(candPhys, snap, physPrev)
+        val survivors = candLogical.filter(not(victim <=> lit(true)))
+        val (physDf, _, _) = toPhysical(survivors, snap, physPrev)
+        val staged =
+          if (snap.partCols.nonEmpty)
+            stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
+              keepInFiles = inFiles)
+          else stageData(spark, root, physDf)
+        Some(publish(root, snap.version, carried ++ staged, snap.partCols,
+          if (note.isEmpty) snap.notes else snap.notes + note,
+          Some(physPrev.json), snap.mapping, snap.retired,
+          parentEntries = Some(snap.entries)))
+      }
     }.get
 
   /** Incremental read (file-level change feed for APPEND-ONLY ranges):
@@ -1529,18 +1693,65 @@ object TxLog {
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"update on uninitialized txlog $root"))
-      val cur = read(spark, root, snap.version)
-      assignments.foreach { case (c, _) =>
-        require(cur.columns.exists(_.equalsIgnoreCase(c)),
-          s"updateWhere: no column $c (have ${cur.columns.mkString(", ")})")
-      }
-      val updated = cur.select(cur.columns.map { c =>
-        assignments.find(_._1.equalsIgnoreCase(c)) match {
-          case Some((_, e)) => when(cond <=> lit(true), e).otherwise(col(c)).as(c)
-          case None => col(c)
+      def applyAssignments(df: DataFrame): DataFrame = {
+        assignments.foreach { case (c, _) =>
+          require(df.columns.exists(_.equalsIgnoreCase(c)),
+            s"updateWhere: no column $c (have ${df.columns.mkString(", ")})")
         }
-      }.toSeq: _*)
-      Some(commitOverwrite(spark, root, updated, snap.version, note))
+        df.select(df.columns.map { c =>
+          assignments.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, e)) =>
+              when(cond <=> lit(true), e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }.toSeq: _*)
+      }
+      // STATS-PRUNED PARTIAL REWRITE, same shape as [[delete]]: only
+      // files whose statistics admit a cond-TRUE row restage (with the
+      // assignments applied); the rest carry by reference under the
+      // UNCHANGED schema + mapping. A SET that retypes a column forces
+      // the whole-table path (mixed parquet vintages of one physical
+      // column would not read uniformly) — detected by schema compare.
+      val conjuncts = scala.util.Try(Stats.splitConjuncts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(spark, cond)))
+        .getOrElse(Seq.empty)
+      val (rewrite, carried) =
+        snap.entries.partition(entryCouldMatch(snap, conjuncts))
+      if (rewrite.isEmpty) {
+        // validate the assignments even when nothing can match
+        applyAssignments(read(spark, root, snap.version))
+        Some(publish(root, snap.version, snap.entries, snap.partCols,
+          if (note.isEmpty) snap.notes else snap.notes + note,
+          snap.schemaJson, snap.mapping, snap.retired,
+          parentEntries = Some(snap.entries)))
+      } else {
+        lazy val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
+        lazy val candPhys = readEntriesOf(spark, root, snap, rewrite, Some(physPrev))
+        lazy val candLogical =
+          if (snap.mapping.isEmpty) candPhys
+          else applyMapping(candPhys, snap, physPrev)
+        lazy val updated = applyAssignments(candLogical)
+        def sameTypes = updated.schema.fields.map(f =>
+          (f.name.toLowerCase, f.dataType)).toSeq ==
+          candLogical.schema.fields.map(f =>
+            (f.name.toLowerCase, f.dataType)).toSeq
+        if (carried.isEmpty || !sameTypes) {
+          val whole = applyAssignments(read(spark, root, snap.version))
+          Some(commitOverwrite(spark, root, whole, snap.version, note))
+        } else {
+          val (physDf, _, _) = toPhysical(updated, snap, physPrev)
+          val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
+          val staged =
+            if (snap.partCols.nonEmpty)
+              stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
+                keepInFiles = inFiles)
+            else stageData(spark, root, physDf)
+          Some(publish(root, snap.version, carried ++ staged, snap.partCols,
+            if (note.isEmpty) snap.notes else snap.notes + note,
+            Some(physPrev.json), snap.mapping, snap.retired,
+            parentEntries = Some(snap.entries)))
+        }
+      }
     }.get
   }
 

@@ -181,6 +181,44 @@ object Upsert {
         .withColumn("untouched_by_reference", lit(untouched))
     },
 
+    // S18: DATA SKIPPING over manifest footer statistics — the Delta/
+    // Iceberg move partition pruning can't make on a SECOND dimension.
+    // The documents table is committed to the log range-CLUSTERED by
+    // doc_id (repartitionByRange → tight disjoint per-file [min,max]),
+    // then a selective doc_id range runs through TxLog.readWhere, which
+    // prunes the manifest ENTRY LIST by footer-stat intervals before any
+    // relation is built. The oracle restates the range aggregation (the
+    // hash match certifies skipping changed nothing), and the verdict
+    // boolean carries the structural claim: files were actually skipped,
+    // and every file the plan scanned could contain a match.
+    QueryDef("s18_stats_skipping",
+      """WITH b AS (SELECT max(doc_id) AS hi FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(lang))) AS BIGINT) AS lck,
+        |       TRUE AS files_skipped
+        |FROM documents, b
+        |WHERE doc_id >= hi // 2 AND doc_id < hi // 2 + GREATEST(hi // 10, 1)""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "stats-skip-table")
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      TxLog.init(s, root, docs.repartitionByRange(16, col("doc_id")))
+      val hi = docs.agg(max("doc_id")).head().getLong(0)
+      val (lo, end) = (hi / 2, hi / 2 + math.max(hi / 10, 1))
+      val pred = s"doc_id >= $lo AND doc_id < $end"
+      val snap = TxLog.snapshot(root).get
+      val (kept, total) = TxLog.pruneEntries(s, snap, pred)
+      val scanned = TxLog.readWhere(s, root, pred)
+      val skipped = kept.size < total && kept.nonEmpty &&
+        scanned.inputFiles.length == kept.size
+      scanned
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"),
+          sum((col("doc_id") + 1) * length(col("lang").cast("binary")))
+            .cast("long").as("lck"))
+        .withColumn("files_skipped", lit(skipped))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

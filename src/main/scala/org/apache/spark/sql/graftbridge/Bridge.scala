@@ -21,6 +21,11 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.sqlParser.parseExpression(sql)
 
+  /** The catalyst Expression behind a classic Column (unresolved tree —
+    * what stats-based pruning pattern-matches on). */
+  def expression(spark: SparkSession, c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
   /** A parquet relation over a PRE-LISTED file set — (absolute path,
     * length) pairs a transaction-log manifest already knows — with ZERO
     * filesystem calls at plan time. The stock explicit-path reader
