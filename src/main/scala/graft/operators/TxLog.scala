@@ -645,7 +645,18 @@ object TxLog {
       // that a 10⁵-file table pays in minutes).
       if (schema.isDefined && entries.nonEmpty && entries.forall(_.size.isDefined))
         org.apache.spark.sql.graftbridge.Bridge.manifestParquetRelation(spark,
-          entries.map(e => (s"$root/${e.path}", e.size.get)), schema.get)
+          entries.map(e => (s"$root/${e.path}", e.size.get)), schema.get,
+          // AUTOMATIC skipping: the physical scan hands its pushed-down
+          // filters (resolved, physical column names) back to the file
+          // index at planning; footer stats drop files that cannot
+          // match. Every txlog read + filter skips — no readWhere
+          // opt-in needed (readWhere still prunes at RELATION-BUILD
+          // time, which additionally shrinks driver-side plan state).
+          filters => {
+            val conjuncts = filters.flatMap(Stats.splitConjuncts)
+            val matched = entries.map(entryCouldMatch(snap, conjuncts))
+            i => matched(i)
+          })
       else readFiles(spark, entries.map(e => s"$root/${e.path}"), schema)
     } else readGroups(spark, root, entries, snap.partCols, schema)
 

@@ -36,7 +36,9 @@ object Bridge {
     * Iceberg read shape — the log is the file index. */
   def manifestParquetRelation(spark: SparkSession,
       files: Seq[(String, Long)],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      judge: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => Int => Boolean = _ => _ => true): DataFrame = {
     import org.apache.spark.sql.execution.datasources._
     import org.apache.hadoop.fs.{FileStatus, Path}
     val statuses = files.map { case (p, len) =>
@@ -47,12 +49,27 @@ object Bridge {
     }.toArray
     val index = new FileIndex {
       override def rootPaths: Seq[Path] = Seq.empty
+      // AUTOMATIC data skipping (the Delta TahoeFileIndex shape): the
+      // physical scan hands its pushed-down filters here at planning,
+      // and `judge` — fed by the transaction log's per-file footer
+      // statistics, keyed by the SAME index as `files` — drops every
+      // file that cannot contain a matching row. No opt-in API needed:
+      // any .filter over a txlog read skips, including spark.sql text.
+      // An empty filter set (or a keep-all judge) lists everything.
       override def listFiles(
           partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
           dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-          : Seq[PartitionDirectory] =
+          : Seq[PartitionDirectory] = {
+        val filters = partitionFilters ++ dataFilters
+        val kept =
+          if (filters.isEmpty) statuses
+          else {
+            val keep = judge(filters)
+            statuses.zipWithIndex.collect { case (st, i) if keep(i) => st }
+          }
         Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
-          statuses))
+          kept))
+      }
       override def inputFiles: Array[String] = files.map(_._1).toArray
       override def refresh(): Unit = ()
       override def sizeInBytes: Long = files.map(_._2).sum

@@ -167,6 +167,32 @@ class StatsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("automatic skipping: plain read + filter scans fewer files (no opt-in)") {
+    val root = freshRoot("auto")
+    TxLog.init(spark, root, fixture)
+    val snap = TxLog.snapshot(root).get
+    val hi = fixture.agg(max("doc_id")).head().getLong(0)
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // materialize so the scan metric is populated
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val unfiltered = numFiles(TxLog.read(spark, root).select("doc_id"))
+    assert(unfiltered === snap.entries.size.toLong)
+    // a plain .filter over a plain read — no readWhere — skips files
+    val filtered = numFiles(TxLog.read(spark, root)
+      .filter(col("doc_id") >= hi - 3).select("doc_id"))
+    assert(filtered < unfiltered, s"expected skipping, scanned $filtered/$unfiltered")
+    // and through the SQL surface too
+    TxLog.read(spark, root).createOrReplaceTempView("auto_skip_t")
+    val viaSql = numFiles(spark.sql(
+      s"SELECT doc_id FROM auto_skip_t WHERE doc_id >= ${hi - 3}"))
+    assert(viaSql < unfiltered)
+    // correctness unchanged
+    assert(TxLog.read(spark, root).filter(col("doc_id") >= hi - 3).count() ===
+      fixture.filter(col("doc_id") >= hi - 3).count())
+  }
+
   test("pruned delete rewrites only candidate files, carries the rest") {
     val root = freshRoot("pdel")
     val base = fixture
