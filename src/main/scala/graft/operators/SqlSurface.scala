@@ -49,7 +49,7 @@ object SqlSurface {
     *   DELETE FROM txlog.`<root>` WHERE <predicate>
     *   UPDATE txlog.`<root>` SET col = <expr>[, ...] WHERE <predicate>
     *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn>
-    *   OPTIMIZE txlog.`<root>` [TARGET <n>]
+    *   OPTIMIZE txlog.`<root>` [TARGET <n>] [ZORDER BY (<col>[, ...])]
     *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
     *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
     *   DESCRIBE HISTORY txlog.`<root>`
@@ -83,7 +83,8 @@ object SqlSurface {
       ("(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s+\\((.+)\\)" +
         "(?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z0-9_]+)?\\s+ON\\s+([A-Za-z0-9_]+)\\s*;?\\s*$").r
     private val Optimize =
-      "(?is)^\\s*OPTIMIZE\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*$".r
+      ("(?is)^\\s*OPTIMIZE\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+TARGET\\s+(\\d+))?" +
+        "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
     private val Vacuum =
       "(?is)^\\s*VACUUM\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
     private val Restore =
@@ -196,9 +197,15 @@ object SqlSurface {
         // earlier version — self-referential backfills)
         val v = TxLog.upsert(spark, root, sql(spark, source), key)
         spark.range(1).select(lit(v).as("version"))
-      case Optimize(root, target) =>
-        val v = TxLog.compact(spark, root,
-          Option(target).map(_.toInt).getOrElse(8))
+      case Optimize(root, target, zorderCols) =>
+        val t = Option(target).map(_.toInt).getOrElse(8)
+        // ZORDER BY (c1, c2, ...) routes to the multi-dimensional
+        // clustering rewrite; bare OPTIMIZE stays bin-pack compaction
+        val v = Option(zorderCols) match {
+          case Some(cs) =>
+            TxLog.cluster(spark, root, splitTop(cs, ',').map(_.trim), t)
+          case None => TxLog.compact(spark, root, t)
+        }
         spark.range(1).select(lit(v).as("version"))
       case Vacuum(root, hours) =>
         val graceMs = Option(hours)

@@ -2009,6 +2009,123 @@ object TxLog {
       }
     }.get
 
+  /** Multi-dimensional clustering rewrite — `OPTIMIZE ... ZORDER BY`, the
+    * layout move that makes the manifest's footer statistics SELECTIVE on
+    * more than one column at once. A single-key range cluster (s18's
+    * shape) gives tight per-file [min,max] on that key and nothing else;
+    * interleaving the bits of per-column RANK buckets (256 buckets/dim,
+    * boundaries from a bounded deterministic sample — rank-based, so
+    * value skew can't collapse the curve) and range-partitioning on the
+    * resulting z-value gives every clustered column a narrow per-file
+    * interval, so [[readWhere]] / the automatic [[Stats]]-fed FileIndex
+    * skip on ANY of them. One full rewrite commit (CAS-atomic overwrite;
+    * same rows, new layout — content certified by spec); partitioned
+    * tables cluster WITHIN partitions (partition columns lead the range
+    * partitioning and the in-task sort, which also satisfies the hive
+    * writer's required ordering so no order-destroying re-sort is
+    * inserted). The bucket boundaries are driver-side literals and the
+    * z-expression is deterministic, so a retried stage re-routes rows
+    * identically. Clustering QUALITY only ever affects how many files a
+    * later predicate skips — correctness always comes from the footer
+    * stats themselves, never from this layout. */
+  def cluster(spark: SparkSession, root: String, cols: Seq[String],
+      targetFiles: Int = 8): Long =
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(
+        throw new IllegalStateException(s"cluster on uninitialized txlog $root"))
+      require(cols.nonEmpty, "cluster: need at least one clustering column")
+      require(cols.size <= 7,
+        "cluster: at most 7 clustering columns (63-bit z-value)")
+      val target = targetFiles.max(1)
+      val src = read(spark, root, snap.version)
+      val missing = cols.filterNot(c => src.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty, s"cluster: no such column(s): ${missing.mkString(", ")}")
+      cols.foreach { c =>
+        val dt = src.schema.find(_.name.equalsIgnoreCase(c)).get.dataType
+        require(dt match {
+          case _: org.apache.spark.sql.types.NumericType |
+               org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.BooleanType => true
+          case _ => false
+        }, s"cluster: $c ($dt) is not an orderable scalar clustering key")
+      }
+      val partNames = snap.partCols.map(_._1)
+      require(!cols.exists(c => partNames.exists(_.equalsIgnoreCase(c))),
+        "cluster: partition columns already prune exactly — cluster on data columns")
+      val zc = "__graft_z"
+      val lead = partNames.map(col)
+      val keys =
+        if (cols.size == 1) cols.map(col)
+        else Seq(col(zc))
+      // row count for the sample fraction: exact from manifest stats when
+      // present (zero I/O), one count scan on stat-less legacy tables
+      val rows = snap.entries.flatMap(_.stats.map(_.rows)).sum match {
+        case 0L => src.count()
+        case n => n
+      }
+      val framed =
+        if (cols.size == 1) src
+        else src.withColumn(zc, zValue(src, cols, rows))
+      val ordered = framed
+        .repartitionByRange(target, (lead ++ keys): _*)
+        .sortWithinPartitions((lead ++ keys): _*)
+        .drop(zc)
+      Some(commitOverwrite(spark, root, ordered, snap.version, "cluster"))
+    }.get
+
+  private val ZBits = 8 // 256 rank buckets per clustered dimension
+
+  /** The interleaved-bits z-value of `cols` as ONE codegen'd Column: per
+    * column, a rank bucket in [0, 256) via boundaries sampled ONCE on the
+    * driver (literals thereafter — rows never see a second pass over the
+    * table), then bit i of column j lands at position `i*k + j`. NULLs
+    * take bucket 0 (they sort first, matching the stats layer's
+    * nulls-keep behavior). */
+  private def zValue(df: DataFrame, cols: Seq[String], rows: Long): Column = {
+    val k = cols.size
+    val buckets = cols.map(c => rankBucket(df, c, rows).cast("long"))
+    (for (j <- 0 until k; i <- 0 until ZBits)
+      yield shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Rank-bucket expression for one column: 255 cut points from a
+    * deterministic bounded sample (cap ~20k values collected, whatever
+    * the table size), bucket = #cuts ≤ value via a higher-order `filter`
+    * over the cut-point literal array — O(256) codegen'd comparisons per
+    * row, no shuffle, no window. Works for every orderable type `lit`
+    * can carry (integrals, fractionals, decimals, strings, dates,
+    * timestamps); the driver-side sort uses the values' own Comparable,
+    * which only has to APPROXIMATE Spark's ordering — a divergent corner
+    * (UTF-8 vs UTF-16 supplementary order) costs clustering quality,
+    * never correctness. */
+  private def rankBucket(df: DataFrame, c: String, rows: Long): Column = {
+    // a spread sample, not a first-N prefix: the fraction targets ~40k
+    // survivors across the WHOLE table (a prefix-biased sample would
+    // cluster the tail of the table into one bucket), capped at 40k
+    // collected either way
+    val fraction = math.min(1.0, 40000.0 / math.max(rows, 1L))
+    val vals = df.select(col(c)).where(col(c).isNotNull)
+      .sample(withReplacement = false, fraction = fraction, seed = 42L)
+      .limit(40000).collect().map(_.get(0))
+    val sorted = vals.sortWith { (a, b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
+    val nB = 1 << ZBits
+    val cuts =
+      if (sorted.isEmpty) Array.empty[Any]
+      else (1 until nB).map(i => sorted(((i.toLong * sorted.length) / nB).toInt
+        .min(sorted.length - 1))).distinct.toArray
+    if (cuts.isEmpty) lit(0)
+    else {
+      val arr = array(cuts.map(v => lit(v)).toIndexedSeq: _*)
+      size(filter(arr, x => x <= col(c)))
+    }
+  }
+
   /** Drop all manifests except the newest `keepLast` (readers may no
     * longer pin the dropped versions; their exclusive data files become
     * vacuum-able). Rebuilds the checkpoint from the RETAINED manifests —

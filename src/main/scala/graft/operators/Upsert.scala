@@ -219,6 +219,52 @@ object Upsert {
         .withColumn("files_skipped", lit(skipped))
     },
 
+    // S19: MULTI-dimensional data skipping via the Z-ORDER clustering
+    // rewrite (OPTIMIZE ... ZORDER BY) — the layout move s18's single-key
+    // range cluster can't make: after interleaved-rank clustering on
+    // (doc_id, m), a selective predicate on EITHER column alone prunes
+    // the manifest entry list. The oracle restates both conditional
+    // aggregations from the raw table (the hash match certifies the
+    // rewrite moved no row and changed no byte), and the two structural
+    // claims — files skipped for a doc_id range AND for an m equality
+    // band, each through the same footer-stats path every read uses —
+    // ride as verdict booleans.
+    QueryDef("s19_zorder_skipping",
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS m, text FROM documents),
+        |b AS (SELECT max(doc_id) AS hi FROM d)
+        |SELECT CAST(sum(CASE WHEN doc_id >= hi // 2
+        |                      AND doc_id < hi // 2 + GREATEST(hi // 20, 1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+        |       CAST(sum(CASE WHEN m < 5
+        |                     THEN (doc_id + 1) * octet_length(encode(text))
+        |                     END) AS BIGINT) AS ck_m,
+        |       CAST(sum(CASE WHEN m < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_m,
+        |       TRUE AS zd_skips, TRUE AS zm_skips
+        |FROM d, b""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "zorder-table")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 97).as("m"), col("text"))
+      TxLog.init(s, root, docs)
+      TxLog.cluster(s, root, Seq("doc_id", "m"), targetFiles = 16)
+      val hi = docs.agg(max("doc_id")).head().getLong(0)
+      val (lo, end) = (hi / 2, hi / 2 + math.max(hi / 20, 1))
+      val snap = TxLog.snapshot(root).get
+      val (kd, total) = TxLog.pruneEntries(s, snap, s"doc_id >= $lo AND doc_id < $end")
+      val (km, _) = TxLog.pruneEntries(s, snap, "m < 5")
+      val zdSkips = kd.nonEmpty && kd.size < total
+      val zmSkips = km.nonEmpty && km.size < total
+      TxLog.read(s, root)
+        .agg(
+          sum(when(col("doc_id") >= lo && col("doc_id") < end, 1L).otherwise(0L))
+            .cast("long").as("n_range"),
+          sum(when(col("m") < 5,
+            (col("doc_id") + 1) * length(col("text").cast("binary"))))
+            .cast("long").as("ck_m"),
+          sum(when(col("m") < 5, 1L).otherwise(0L)).cast("long").as("n_m"))
+        .withColumn("zd_skips", lit(zdSkips))
+        .withColumn("zm_skips", lit(zmSkips))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering (`TxLog.cluster` / `OPTIMIZE ... ZORDER BY`): a
+  * pure LAYOUT rewrite — same rows, new file arrangement — whose whole
+  * point is that footer-stat pruning becomes selective on EVERY
+  * clustered column, not just one range key. */
+class ClusterSpec extends SparkSpec {
+
+  private def freshRoot(tag: String) =
+    s"/root/repo/target/cluster-$tag-${System.nanoTime()}"
+
+  /** doc_id plus an independent second dimension m = doc_id % 97 — a
+    * doc_id range cluster leaves every file's m-interval wide, z-order
+    * tightens both. */
+  private def fixture = Tables.documents(spark, sf)
+    .select(col("doc_id"), (col("doc_id") % 97).as("m"), col("text"))
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+    df.agg(count(lit(1)), sum((col("doc_id") + 1) * col("m")),
+      sum((col("doc_id") + 1) * length(col("text").cast("binary"))))
+      .head().toSeq
+
+  test("cluster is content-neutral: rows, schema, and checksums unchanged") {
+    val root = freshRoot("neutral")
+    TxLog.init(spark, root, fixture)
+    val before = checksum(TxLog.read(spark, root))
+    val v0 = TxLog.snapshot(root).get.version
+    val v1 = TxLog.cluster(spark, root, Seq("doc_id", "m"), targetFiles = 16)
+    assert(v1 === v0 + 1)
+    val after = TxLog.read(spark, root)
+    assert(checksum(after) === before)
+    assert(after.schema === TxLog.read(spark, root, v0).schema)
+  }
+
+  test("z-order prunes on BOTH dimensions; a single-key cluster does not") {
+    // sized so a doc_id-range file spans ≥ 2 full m-periods (250 rows/file
+    // vs period 97): under the single-key layout EVERY file then contains
+    // m < 5 rows, so only z-order can skip on the second dimension
+    val big = spark.range(4000).toDF("doc_id")
+      .select(col("doc_id"), (col("doc_id") % 97).as("m"),
+        md5(col("doc_id").cast("string").cast("binary")).as("text"))
+    val zRoot = freshRoot("z")
+    val rRoot = freshRoot("r")
+    TxLog.init(spark, zRoot, big)
+    TxLog.init(spark, rRoot, big)
+    TxLog.cluster(spark, zRoot, Seq("doc_id", "m"), targetFiles = 16)
+    TxLog.cluster(spark, rRoot, Seq("doc_id"), targetFiles = 16)
+    val hi = big.agg(max("doc_id")).head().getLong(0)
+    val dPred = s"doc_id >= ${hi / 2} AND doc_id < ${hi / 2 + math.max(hi / 20, 1)}"
+    val mPred = "m < 5"
+    def kept(root: String, pred: String): (Int, Int) = {
+      val snap = TxLog.snapshot(root).get
+      val (k, t) = TxLog.pruneEntries(spark, snap, pred)
+      (k.size, t)
+    }
+    // the range key prunes under both layouts
+    val (zd, zt) = kept(zRoot, dPred)
+    val (rd, rt) = kept(rRoot, dPred)
+    assert(zd > 0 && zd <= zt / 2, s"z layout: doc_id range kept $zd/$zt")
+    assert(rd > 0 && rd <= rt / 2, s"range layout: doc_id range kept $rd/$rt")
+    // the SECOND dimension only prunes under z-order: every single-key
+    // file spans ≥ 2 m-periods, so the range layout cannot skip at all
+    val (zm, _) = kept(zRoot, mPred)
+    val (rm, _) = kept(rRoot, mPred)
+    assert(zm > 0 && zm <= zt / 2, s"z layout: m band kept $zm/$zt")
+    assert(rm === rt, s"range layout should keep everything on m ($rm/$rt)")
+    // and pruning never changes the answer
+    assert(TxLog.readWhere(spark, zRoot, mPred).count() ===
+      big.filter(col("m") < 5).count())
+  }
+
+  test("OPTIMIZE ... ZORDER BY routes through the SQL surface") {
+    val root = freshRoot("sql")
+    TxLog.init(spark, root, fixture)
+    val v = SqlSurface.TxSql.sql(spark,
+      s"OPTIMIZE txlog.`$root` TARGET 16 ZORDER BY (doc_id, m)")
+      .head().getLong(0)
+    assert(v === TxLog.snapshot(root).get.version)
+    val hi = fixture.agg(max("doc_id")).head().getLong(0)
+    val (k, t) = TxLog.pruneEntries(spark, TxLog.snapshot(root).get,
+      s"doc_id >= ${hi / 2} AND doc_id < ${hi / 2 + math.max(hi / 20, 1)}")
+    assert(k.nonEmpty && k.size <= t / 2)
+    // bare OPTIMIZE still bin-packs
+    val v2 = SqlSurface.TxSql.sql(spark, s"OPTIMIZE txlog.`$root` TARGET 4")
+      .head().getLong(0)
+    assert(v2 === v + 1)
+    assert(TxLog.snapshot(root).get.files.size <= 4)
+  }
+
+  test("clustering a partitioned table clusters WITHIN partitions") {
+    val root = freshRoot("part")
+    val docs = fixture.withColumn("lang",
+      concat(lit("l"), (col("doc_id") % 3).cast("string")))
+    docs.write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
+    // adopted layouts flip to the stats-bearing single-relation layout on
+    // their first overwrite — which cluster IS
+    val before = checksum(TxLog.read(spark, root))
+    TxLog.cluster(spark, root, Seq("doc_id", "m"), targetFiles = 4)
+    val snap = TxLog.snapshot(root).get
+    assert(snap.partCols.map(_._1) === Seq("lang"))
+    assert(checksum(TxLog.read(spark, root)) === before)
+    // partition + clustered-column predicates compose in one prune
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (k, t) = TxLog.pruneEntries(spark, snap,
+      s"lang = 'l1' AND doc_id >= ${hi / 2} AND doc_id < ${hi / 2 + math.max(hi / 20, 1)}")
+    assert(k.nonEmpty && k.size < t / 2)
+    assert(k.forall(_.part.exists(_.contains("l1"))))
+  }
+
+  test("cluster rejects bad keys loudly") {
+    val root = freshRoot("bad")
+    TxLog.init(spark, root, fixture)
+    intercept[IllegalArgumentException] {
+      TxLog.cluster(spark, root, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.cluster(spark, root, Seq.empty)
+    }
+    val pRoot = freshRoot("badpart")
+    val docs = fixture.withColumn("lang", lit("en"))
+    docs.write.partitionBy("lang").parquet(pRoot)
+    TxLog.adopt(spark, pRoot, Some("lang"))
+    intercept[IllegalArgumentException] {
+      TxLog.cluster(spark, pRoot, Seq("lang", "doc_id"))
+    }
+  }
+
+  test("cluster handles null-bearing and string keys") {
+    val root = freshRoot("nulls")
+    val df = fixture
+      .withColumn("maybe", when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id") * 31 % 1000))
+      .withColumn("tag", concat(lit("t"), lpad((col("m") % 50).cast("string"), 3, "0")))
+    TxLog.init(spark, root, df)
+    val before = df.count()
+    TxLog.cluster(spark, root, Seq("tag", "maybe"), targetFiles = 8)
+    assert(TxLog.read(spark, root).count() === before)
+    // string-key band prunes
+    val snap = TxLog.snapshot(root).get
+    val (k, t) = TxLog.pruneEntries(spark, snap, "tag < 't005'")
+    assert(k.size < t)
+    assert(TxLog.readWhere(spark, root, "tag < 't005'").count() ===
+      df.filter(col("tag") < "t005").count())
+  }
+}
