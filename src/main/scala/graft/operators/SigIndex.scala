@@ -192,8 +192,8 @@ object SigIndex {
     * micro-batch — the asymptotic killer for a 100 TB corpus probed by
     * kilodoc batches. Returns (pairs, candidate-cache). */
   private def probePinned(s: SparkSession, idx: String, version: Long,
-      nsh: DataFrame): (DataFrame, DataFrame) = {
-    val nbands = Dedup.signatureBands(Dedup.minhashSignature(nsh))
+      nsh: DataFrame, nb: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val nbands = nb.getOrElse(Dedup.signatureBands(Dedup.minhashSignature(nsh)))
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
     val cand = bandsAt(s, idx, version)
       .select(col("band"), col("bh"), col("doc_id").as("old_id"))
@@ -217,7 +217,10 @@ object SigIndex {
     * replay (foreachBatch re-delivers a batch whenever the checkpoint
     * commit didn't land). Three Spark actions per batch — the fused
     * disjointness/count job, the pairs write, and the single txlog
-    * append — ordered so every crash point replays cleanly:
+    * append; the first two run CONCURRENTLY (independent job trees over
+    * the same pinned snapshot — the batch pays max, not sum, of their
+    * latencies), the commit strictly after both. Every crash/abort
+    * point replays cleanly:
     *
     *   1. a batch at or under the index's `hw:batch:` high-water was
     *      FULLY processed by a previous attempt — skip everything (its
@@ -227,7 +230,9 @@ object SigIndex {
     *      `pairsSink/batch_id=<id>` with mode OVERWRITE — a replayed
     *      pre-commit attempt rewrites the same content instead of
     *      duplicating rows (the probe still sees the index WITHOUT this
-    *      batch: it pins the snapshot version read in step 1);
+    *      batch: it pins the snapshot version read in step 1); a batch
+    *      REJECTED for overlap deletes its pairs partition before
+    *      throwing, so the fatal abort leaves nothing behind;
     *   3. the append advances the high-water in the SAME manifest as the
     *      batch's rows and count — there is no crash point where data
     *      and ledger disagree, and a crash mid-stage leaves only an
@@ -259,20 +264,53 @@ object SigIndex {
       } else {
         val snap = snapOpt.get
         val sh = Dedup.shingles(b).cache()
+        // the batch's banded signature, computed ONCE per batch and shared
+        // by the probe (candidate join side) and the index append (kind=b
+        // rows) — the minhash aggregation is the batch's priciest kernel,
+        // and without the cache each consumer re-runs it
+        val nb = Dedup.signatureBands(Dedup.minhashSignature(sh)).cache()
         try {
-          // ACTION 1 — disjointness + batch count, fused (see append)
-          val ovlAgg = bandsAt(s, idx, snap.version)
-            .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
-            .agg(count_distinct(col("doc_id")).as("ovl"))
-          val cnts = ovlAgg.crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
-          require(cnts.getAs[Long]("ovl") == 0L,
-            s"ingestBatch($idx): batch $batchId overlaps " +
-              s"${cnts.getAs[Long]("ovl")} indexed doc_ids")
-          // ACTION 2 — pairs, probed against the PINNED pre-batch snapshot
-          val (pairs, cand) = probePinned(s, idx, snap.version, sh)
+          // ACTIONS 1+2 OVERLAPPED — the disjointness/count job (a
+          // map-only semi-join of the pinned band scan against the
+          // broadcast batch ids) runs CONCURRENTLY with the pairs
+          // write: neither depends on the other's result, both pin the
+          // same pre-batch snapshot, and the scheduler interleaves the
+          // two job trees instead of paying their latencies in series.
+          // The disjointness REQUIRE still gates the only visible
+          // effect (the ACTION-3 commit); a rejected batch deletes its
+          // half-written pairs partition before throwing, so a fatal
+          // overlap abort leaves nothing behind.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val cntsF = Future {
+            bandsAt(s, idx, snap.version)
+              .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
+              .agg(count_distinct(col("doc_id")).as("ovl"))
+              .crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
+          }
+          // the ACTION-3 batch rows STAGE concurrently too — staged files
+          // are invisible until a manifest references them (an abandoned
+          // stage is a vacuumable CAS-loser dir), so only the manifest
+          // PUBLISH has to wait for the pairs write and the overlap gate
+          val rows = indexRows(sh, nb, parts = 8)
+          val stagedF = Future {
+            TxLog.stageAppend(s, tableRoot(idx), rows, snap)
+          }
+          val (pairs, cand) = probePinned(s, idx, snap.version, sh, Some(nb))
           try pairs.write.mode("overwrite")
             .parquet(s"$pairsSink/batch_id=$batchId")
           finally cand.unpersist()
+          val cnts = Await.result(cntsF, Duration.Inf)
+          if (cnts.getAs[Long]("ovl") != 0L) {
+            val dir = new org.apache.hadoop.fs.Path(s"$pairsSink/batch_id=$batchId")
+            scala.util.Try(
+              dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+                .delete(dir, true))
+            throw new IllegalArgumentException(
+              s"ingestBatch($idx): batch $batchId overlaps " +
+                s"${cnts.getAs[Long]("ovl")} indexed doc_ids")
+          }
           // ACTION 3 — one atomic append: rows + count + high-water.
           // The advanced count derives from the snapshot the commit is
           // CAS'd against (kvFn runs per retry attempt): a concurrent
@@ -280,15 +318,14 @@ object SigIndex {
           // make this commit publish a count computed from a version it
           // didn't read — the stale-kv hazard commitAppendKv documents.
           val batchN = cnts.getAs[Long]("n")
-          TxLog.appendOnceMonotoneKv(s, root, "batch", batchId,
-            indexRows(sh, Dedup.signatureBands(Dedup.minhashSignature(sh)),
-              parts = 8),
+          TxLog.appendOnceMonotoneKv(s, root, "batch", batchId, rows,
             kvFn = fresh => Map("n" -> (TxLog.kvOf(fresh.getOrElse(
               throw new IllegalStateException(
                 s"ingestBatch($idx): index vanished mid-commit")).notes)("n")
-              .toLong + batchN).toString))
+              .toLong + batchN).toString),
+            preStaged = Some(Await.result(stagedF, Duration.Inf)))
           ()
-        } finally sh.unpersist()
+        } finally { nb.unpersist(); sh.unpersist() }
       }
     } finally b.unpersist()
   }

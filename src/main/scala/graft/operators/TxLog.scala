@@ -1346,9 +1346,43 @@ object TxLog {
     * tag — what lets [[appendOnceMonotone]] REPLACE its high-water note
     * in the same atomic publish as the data. */
   private def commitAppendNotes(spark: SparkSession, root: String, df: DataFrame,
-      expected: Long, notesFn: Set[String] => Set[String]): Long = {
+      expected: Long, notesFn: Set[String] => Set[String],
+      preStaged: Option[StagedAppend] = None): Long = {
     val snap = snapshot(root, expected).getOrElse(
       throw new IllegalStateException(s"append to uninitialized txlog $root"))
+    val st = preStaged.filter(_.vintage == vintageOf(snap))
+      .getOrElse(stageAppend(spark, root, df, snap))
+    publish(root, expected, snap.entries ++ st.entries,
+      snap.partCols,
+      notesFn(snap.notes),
+      Some(st.nextPhysJson), st.nextMapping, snap.retired,
+      parentEntries = Some(snap.entries))
+  }
+
+  /** A batch staged for a later append: its (invisible) data-file
+    * entries plus the schema/mapping the publish must carry, pinned to
+    * the layout `vintage` it was staged against. Commits verify the
+    * vintage and silently restage when a concurrent schema/partition
+    * change landed in between; an abandoned pre-stage is an unreferenced
+    * data directory — exactly a CAS loser's, reclaimed by [[vacuum]]. */
+  final case class StagedAppend(entries: Seq[FileEntry],
+      nextPhysJson: String, nextMapping: Map[String, String], vintage: String)
+
+  /** The layout facts a staged batch depends on — any change invalidates
+    * a pre-stage (schema pin, column mapping, retired set, partitioning). */
+  private def vintageOf(snap: Snapshot): String =
+    s"${snap.schemaJson}|${snap.mapping.toSeq.sorted}|" +
+      s"${snap.retired.toSeq.sorted}|${snap.partCols}"
+
+  /** Stage `df` for an append against `snap`'s layout vintage WITHOUT
+    * publishing — what lets a multi-action writer (the streaming sig
+    * ingest) overlap the staging I/O with its other jobs and keep only
+    * the manifest publish on the critical path. All append gates run
+    * here (additive schema, partition-type stability, logical→physical
+    * translation); the staged directory stays invisible until a commit
+    * references it. */
+  def stageAppend(spark: SparkSession, root: String, df: DataFrame,
+      snap: Snapshot): StagedAppend = {
     // append MIXES the snapshot's files with the batch's: the committed
     // LOGICAL schema may only grow (old files surface added columns as
     // NULL). Adopted tables infer their previous schema once and upgrade
@@ -1378,11 +1412,7 @@ object TxLog {
         stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
           keepInFiles = inFiles)
       else stageData(spark, root, physDf)
-    publish(root, expected, snap.entries ++ entries,
-      snap.partCols,
-      notesFn(snap.notes),
-      Some(nextPhys.json), nextMapping, snap.retired,
-      parentEntries = Some(snap.entries))
+    StagedAppend(entries, nextPhys.json, nextMapping, vintageOf(snap))
   }
 
   /** Retry loop for optimistic writers: `attempt` receives the fresh
@@ -1871,7 +1901,8 @@ object TxLog {
     * bootstrap the table. */
   def appendOnceMonotoneKv(spark: SparkSession, root: String, prefix: String,
       id: Long, df: DataFrame,
-      kvFn: Option[Snapshot] => Map[String, String]): Boolean = {
+      kvFn: Option[Snapshot] => Map[String, String],
+      preStaged: Option[StagedAppend] = None): Boolean = {
     require(prefix.matches("[A-Za-z0-9_-]+"), s"unsafe note prefix: $prefix")
     withRetry(root) {
       case None =>
@@ -1887,7 +1918,7 @@ object TxLog {
             n.startsWith(s"hw:$prefix:") ||
               (n.startsWith(s"$prefix-") && scala.util.Try(
                 n.stripPrefix(s"$prefix-").toLong).toOption.exists(_ <= id))
-          } + s"hw:$prefix:$id", kvFn(Some(snap))))
+          } + s"hw:$prefix:$id", kvFn(Some(snap))), preStaged)
         Some(true)
     }.get
   }

@@ -749,4 +749,41 @@ class TxLogSpec extends SparkSpec {
     assert(!minted.head.equalsIgnoreCase("note") &&
       !minted.head.equalsIgnoreCase("note__v3"))
   }
+
+  test("pre-staged append: same result as inline; stale vintage restages") {
+    val root = freshRoot("prestage")
+    TxLog.init(spark, root, docs)
+    val n0 = docs.count()
+    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .limit(20)
+    // stage against the current snapshot, commit later — identical result
+    val snap1 = TxLog.snapshot(root).get
+    val st1 = TxLog.stageAppend(spark, root, batch, snap1)
+    assert(TxLog.read(spark, root).count() === n0) // staged ⇒ invisible
+    assert(TxLog.appendOnceMonotoneKv(spark, root, "ps", 1L, batch,
+      _ => Map("n" -> (n0 + 20).toString), preStaged = Some(st1)))
+    assert(TxLog.read(spark, root).count() === n0 + 20)
+    assert(TxLog.kvOf(TxLog.snapshot(root).get.notes)("n") === (n0 + 20).toString)
+    // a layout change between stage and commit invalidates the vintage:
+    // dropColumn rewires the mapping/retired layers, so committing the
+    // stale pre-stage must RESTAGE against the fresh layout — here the
+    // batch's text column becomes an additive re-add under a fresh
+    // physical name (resurrection guard), old rows surface it as NULL
+    val snap2 = TxLog.snapshot(root).get
+    val batch2 = docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .limit(5)
+    val st2 = TxLog.stageAppend(spark, root, batch2, snap2)
+    TxLog.dropColumn(spark, root, "text")
+    assert(TxLog.appendOnceMonotoneKv(spark, root, "ps", 2L, batch2,
+      _ => Map("n" -> (n0 + 25).toString), preStaged = Some(st2)))
+    val after = TxLog.read(spark, root)
+    assert(after.count() === n0 + 25)
+    assert(after.filter(col("doc_id") >= 2000000L && col("text").isNotNull)
+      .count() === 5)
+    assert(after.filter(col("doc_id") < 2000000L && col("text").isNotNull)
+      .count() === 0)
+    // the abandoned pre-stage is an unreferenced dir: vacuumable, never read
+    assert(TxLog.vacuum(root, graceMs = 0L) >= 1)
+    assert(TxLog.read(spark, root).count() === n0 + 25)
+  }
 }
