@@ -53,6 +53,7 @@ object SqlSurface {
     *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
     *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
     *   DESCRIBE HISTORY txlog.`<root>`
+    *   DESCRIBE DETAIL txlog.`<root>`
     *
     * SELECT statements are rewritten: each txlog reference pins the
     * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
@@ -92,6 +93,8 @@ object SqlSurface {
         "(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+(\\d+))\\s*;?\\s*$").r
     private val History =
       "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
+    private val Detail =
+      "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
 
     /** Character spans of string literals in `s`: '...' and "..." with
       * SQL doubled-quote escapes AND Spark's backslash escapes (Spark SQL
@@ -225,6 +228,31 @@ object SqlSurface {
         TxLog.history(root)
           .map(h => (h.version, h.timestampMs, h.nFiles, h.notes.toSeq.sorted))
           .toDF("version", "timestamp_ms", "n_files", "notes")
+      case Detail(root) =>
+        // one-row current-version summary, all from the manifest (zero
+        // data I/O): sizes/rows are exact when every entry carries them
+        // (any table staged since round 11), null on older vintages —
+        // absence degrades, never guesses (the stats-layer rule)
+        import spark.implicits._
+        val snap = TxLog.snapshot(root).getOrElse(
+          throw new IllegalStateException(s"no committed version at $root"))
+        val sizes = snap.entries.map(_.size)
+        val rows = snap.entries.map(_.stats.map(_.rows))
+        val fields = snap.schemaJson.map { j =>
+          val phys = org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          phys.fields.map(f =>
+            snap.mapping.getOrElse(f.name, f.name)).toSeq
+        }
+        Seq((snap.version, snap.timestampMs,
+          snap.entries.size,
+          if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None,
+          if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None,
+          snap.partCols.map(_._1),
+          fields,
+          snap.notes.size))
+          .toDF("version", "timestamp_ms", "n_files", "size_bytes",
+            "n_rows", "part_cols", "fields", "n_notes")
       case _ =>
         val created = scala.collection.mutable.ListBuffer.empty[String]
         // literal-blind rewrite: a txlog.`...` occurrence INSIDE a string

@@ -186,6 +186,30 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.history(root).map(_.version) === Seq(3L))
   }
 
+  test("DESCRIBE DETAIL: one-row manifest summary, exact sizes and rows") {
+    val root = freshRoot("detail")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    TxLog.renameColumn(spark, root, "s", "label")
+    val d = TxSql.sql(spark, s"DESCRIBE DETAIL txlog.`$root`").collect()(0)
+    val snap = TxLog.snapshot(root).get
+    assert(d.getAs[Long]("version") === snap.version)
+    assert(d.getAs[Int]("n_files") === snap.entries.size)
+    assert(d.getAs[Long]("size_bytes") === snap.entries.flatMap(_.size).sum)
+    assert(d.getAs[Long]("n_rows") === 3L)
+    assert(d.getAs[scala.collection.Seq[String]]("part_cols").isEmpty)
+    // fields surface LOGICAL names (the mapping applied)
+    assert(d.getAs[scala.collection.Seq[String]]("fields").toSet === Set("id", "label"))
+    // partitioned: part_cols ride through
+    val pRoot = freshRoot("detailp")
+    val docs = Seq((1L, "x", "en"), (2L, "y", "fr")).toDF("id", "t", "lang")
+    docs.write.partitionBy("lang").parquet(pRoot)
+    TxLog.adopt(spark, pRoot, Some("lang"))
+    val dp = TxSql.sql(spark, s"DESCRIBE DETAIL txlog.`$pRoot`").collect()(0)
+    assert(dp.getAs[scala.collection.Seq[String]]("part_cols") === Seq("lang"))
+    assert(dp.getAs[Long]("n_rows") === 2L)
+  }
+
   test("two versions of the same table join in one statement; no catalog residue") {
     val root = freshRoot("join")
     import spark.implicits._
