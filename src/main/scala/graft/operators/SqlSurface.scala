@@ -54,6 +54,7 @@ object SqlSurface {
     *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
     *   DESCRIBE HISTORY txlog.`<root>`
     *   DESCRIBE DETAIL txlog.`<root>`
+    *   SHOW PARTITIONS txlog.`<root>`
     *
     * SELECT statements are rewritten: each txlog reference pins the
     * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
@@ -95,6 +96,8 @@ object SqlSurface {
       "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
     private val Detail =
       "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
+    private val ShowParts =
+      "(?is)^\\s*SHOW\\s+PARTITIONS\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
 
     /** Character spans of string literals in `s`: '...' and "..." with
       * SQL doubled-quote escapes AND Spark's backslash escapes (Spark SQL
@@ -253,6 +256,19 @@ object SqlSurface {
           snap.notes.size))
           .toDF("version", "timestamp_ms", "n_files", "size_bytes",
             "n_rows", "part_cols", "fields", "n_notes")
+      case ShowParts(root) =>
+        // per-partition census from the manifest's value tags + footer
+        // stats — zero data I/O, zero directory listing (the hive-path
+        // SHOW PARTITIONS walks the filesystem; this reads one manifest)
+        import spark.implicits._
+        val snap = TxLog.snapshot(root).getOrElse(
+          throw new IllegalStateException(s"no committed version at $root"))
+        val names = snap.partCols.map(_._1)
+        TxLog.partitionCensus(root).map { case (tuple, nFiles, nRows) =>
+          (names.zip(tuple).map { case (k, v) =>
+            s"$k=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+          }.mkString("/"), nFiles, nRows)
+        }.toDF("partition", "n_files", "n_rows")
       case _ =>
         val created = scala.collection.mutable.ListBuffer.empty[String]
         // literal-blind rewrite: a txlog.`...` occurrence INSIDE a string

@@ -687,6 +687,23 @@ object TxLog {
     if (snap.mapping.isEmpty) phys else applyMapping(phys, snap, schema.get)
   }
 
+  /** Per-partition census straight from the manifest: decoded value
+    * tuple (`p`-header order, None = the null/default partition), file
+    * count, and exact row count when every file carries footer stats
+    * (None otherwise — absence degrades, never guesses). Zero data I/O,
+    * zero directory listing — the `SHOW PARTITIONS` backend. */
+  def partitionCensus(root: String): Seq[(Seq[Option[String]], Int, Option[Long])] = {
+    val snap = snapshot(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(snap.partCols.nonEmpty,
+      s"partitionCensus: table at $root is not partitioned")
+    val n = snap.partCols.size
+    snap.entries.groupBy(e => decodeTuple(e.part, n)).toSeq.map { case (t, es) =>
+      val rs = es.map(_.stats.map(_.rows))
+      (t, es.size, if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None)
+    }.sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+  }
+
   /** [[readPruned]] convenience for single-column tables: keep exactly
     * the given partition VALUES (None = the null partition). */
   def readPartitions(spark: SparkSession, root: String,

@@ -208,6 +208,14 @@ class TxSqlSpec extends SparkSpec {
     val dp = TxSql.sql(spark, s"DESCRIBE DETAIL txlog.`$pRoot`").collect()(0)
     assert(dp.getAs[scala.collection.Seq[String]]("part_cols") === Seq("lang"))
     assert(dp.getAs[Long]("n_rows") === 2L)
+    // SHOW PARTITIONS: the manifest census — values, file and row counts
+    val parts = TxSql.sql(spark, s"SHOW PARTITIONS txlog.`$pRoot`")
+      .orderBy("partition").collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("lang=en", "lang=fr"))
+    assert(parts.forall(r => r.getInt(1) >= 1 && r.getLong(2) === 1L))
+    intercept[IllegalArgumentException] {
+      TxSql.sql(spark, s"SHOW PARTITIONS txlog.`$root`") // unpartitioned
+    }
   }
 
   test("two versions of the same table join in one statement; no catalog residue") {
