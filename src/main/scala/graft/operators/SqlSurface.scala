@@ -55,6 +55,7 @@ object SqlSurface {
     *   DESCRIBE HISTORY txlog.`<root>`
     *   DESCRIBE DETAIL txlog.`<root>`
     *   SHOW PARTITIONS txlog.`<root>`
+    *   ALTER TABLE txlog.`<root>` SET TBLPROPERTIES ('k' = 'v'[, ...])
     *
     * SELECT statements are rewritten: each txlog reference pins the
     * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
@@ -98,6 +99,12 @@ object SqlSurface {
       "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
     private val ShowParts =
       "(?is)^\\s*SHOW\\s+PARTITIONS\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
+    private val AlterProps =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+SET\\s+" +
+        "TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
+    // one `'k' = 'v'` (or unquoted-key `k = 'v'`) property pair
+    private val PropPair =
+      "(?s)^\\s*(?:'([^']+)'|([A-Za-z0-9_]+))\\s*=\\s*'(.*)'\\s*$".r
 
     /** Character spans of string literals in `s`: '...' and "..." with
       * SQL doubled-quote escapes AND Spark's backslash escapes (Spark SQL
@@ -231,6 +238,16 @@ object SqlSurface {
         TxLog.history(root)
           .map(h => (h.version, h.timestampMs, h.nFiles, h.notes.toSeq.sorted))
           .toDF("version", "timestamp_ms", "n_files", "notes")
+      case AlterProps(root, propList) =>
+        // table properties (kv notes) land as their own metadata-only
+        // version — the `delete_mode = mor` deletion-vector switch etc.
+        val kv = splitTop(propList, ',').map {
+          case PropPair(qk, bk, v) => Option(qk).getOrElse(bk) -> v
+          case bad => throw new IllegalArgumentException(
+            s"SET TBLPROPERTIES: malformed property pair: $bad")
+        }.toMap
+        val v = TxLog.setProperties(root, kv)
+        spark.range(1).select(lit(v).as("version"))
       case Detail(root) =>
         // one-row current-version summary, all from the manifest (zero
         // data I/O): sizes/rows are exact when every entry carries them
@@ -240,7 +257,9 @@ object SqlSurface {
         val snap = TxLog.snapshot(root).getOrElse(
           throw new IllegalStateException(s"no committed version at $root"))
         val sizes = snap.entries.map(_.size)
-        val rows = snap.entries.map(_.stats.map(_.rows))
+        // live rows: footer rows minus deletion-vector rows, exact under
+        // merge-on-read deletes
+        val rows = snap.entries.map(_.liveRows)
         val fields = snap.schemaJson.map { j =>
           val phys = org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -253,9 +272,12 @@ object SqlSurface {
           if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None,
           snap.partCols.map(_._1),
           fields,
-          snap.notes.size))
+          snap.notes.size,
+          snap.entries.count(_.dv.isDefined),
+          snap.entries.flatMap(_.dv.map(_._2)).sum))
           .toDF("version", "timestamp_ms", "n_files", "size_bytes",
-            "n_rows", "part_cols", "fields", "n_notes")
+            "n_rows", "part_cols", "fields", "n_notes",
+            "dv_files", "dv_rows")
       case ShowParts(root) =>
         // per-partition census from the manifest's value tags + footer
         // stats — zero data I/O, zero directory listing (the hive-path

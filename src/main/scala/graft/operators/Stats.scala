@@ -341,7 +341,7 @@ private[operators] object Stats {
     * rows anyway and the conjunct shape is unusual; keep). */
   private def litToDomain(kind: Char, l: Literal): Option[(Any, Boolean)] = {
     if (l.value == null) return None
-    (kind, l.dataType) match {
+    val raw: Option[(Any, Boolean)] = (kind, l.dataType) match {
       case ('l', ByteType | ShortType | IntegerType | LongType) =>
         Some((BigDecimal(l.value.toString), true))
       case ('l', FloatType | DoubleType) =>
@@ -365,7 +365,22 @@ private[operators] object Stats {
       case ('b', BooleanType) => Some((l.value.asInstanceOf[Boolean], true))
       case _ => None
     }
+    // Cross-domain numeric compares run through Spark's lossy double
+    // cast, whose rounding error is half an ulp of the MAGNITUDE — ~1 at
+    // 2^53 (what the ±1 widening covers) but ~512 at 2^62 and ~1024 near
+    // Long.MaxValue. Beyond 2^53 a constant widening can wrongly prune a
+    // file whose casted values would match (silent missing rows,
+    // surviving delete victims), so such literals never prune at all.
+    raw match {
+      case Some((bd: BigDecimal, false)) if bd.abs >= InexactPruneCap => None
+      case other => other
+    }
   }
+
+  /** 2^53 — the last magnitude at which a double is within ±1 of every
+    * integer, i.e. the widest range where [[widenLo]]/[[widenHi]]'s ±1
+    * covers the double-cast rounding error of an inexact compare. */
+  private val InexactPruneCap = BigDecimal(2).pow(53)
 
   private def widenLo(kind: Char, v: Any): Any = kind match {
     case 'l' | 'd' => v.asInstanceOf[BigDecimal] - 1

@@ -88,8 +88,20 @@ object TxLog {
     * because escapePathName escapes '/' inside values; the joined string
     * round-trips through the manifest's own encode/decode like any
     * single value. */
+  /** `dv` — the entry's DELETION VECTOR (merge-on-read delete state):
+    * (sidecar rel path, deleted-row count). The sidecar is a parquet
+    * file of (f: rel data-file path, p: row index) pairs; reads
+    * anti-join the file's positions out, so a MoR delete never rewrites
+    * the data file — O(deleted rows) written instead of O(file bytes).
+    * Any rewrite of the file (COW delete/update, compact, cluster,
+    * overwrite) purges the vector: the restaged file has the survivors
+    * only. Exact live rows = stats.rows − dv.rows. */
   final case class FileEntry(path: String, part: Option[String],
-      size: Option[Long] = None, stats: Option[FileStats] = None)
+      size: Option[Long] = None, stats: Option[FileStats] = None,
+      dv: Option[(String, Long)] = None) {
+    /** Exact live row count when the footer stats are recorded. */
+    def liveRows: Option[Long] = stats.map(_.rows - dv.map(_._2).getOrElse(0L))
+  }
 
   /** Per-file column statistic (the Delta/Iceberg data-skipping core,
     * recorded from the staged file's OWN parquet footer — metadata-only,
@@ -252,15 +264,24 @@ object TxLog {
   /** Normalized data-directory key of a manifest entry — the unit vacuum
     * sweeps (`data/c-<uuid>`; adopted files normalize to keys outside
     * `data/`, which vacuum never touches). */
-  private def dirKey(e: FileEntry): String =
-    e.path.split("/").take(2).mkString("/")
+  private def dirKey(e: FileEntry): String = dirKeyPath(e.path)
+
+  private def dirKeyPath(path: String): String =
+    path.split("/").take(2).mkString("/")
 
   /** The directories a manifest REFERENCES for protection purposes: a
     * full manifest references its whole list; a delta references its
     * adds (its carried files were added by earlier manifests, whose refs
     * the cumulative checkpoint chain already holds). */
   private def refDirs(m: Manifest): Set[String] =
-    (if (m.delta) m.adds else m.entries).map(dirKey).toSet
+    (if (m.delta) m.adds else m.entries).flatMap(refKeys).toSet
+
+  /** Protection keys of one entry: its data directory plus, when the
+    * entry carries a deletion vector, the sidecar's directory — a dv
+    * sidecar must survive vacuum exactly as long as a retained manifest
+    * references it. */
+  private def refKeys(e: FileEntry): Seq[String] =
+    dirKey(e) +: e.dv.map(d => dirKeyPath(d._1)).toSeq
 
   /** Refresh the checkpoint after publishing `published`: previous refs ∪
     * the directories added by manifests in (prevFloor, published], plus
@@ -297,7 +318,16 @@ object TxLog {
     * log-retention trade). */
   private def thinCheckpoints(root: String, newest: Long): Unit = {
     val minManifest = allVersions(root).headOption.getOrElse(0L)
-    allCkVersions(root).filter(v => v < newest && v > minManifest).foreach { u =>
+    val cks = allCkVersions(root)
+    // Never delete the OLDEST surviving checkpoint. Since round 12
+    // pruneHistory rewrites its floor manifest as a FULL manifest before
+    // deleting the prefix, so no ck is load-bearing on tables it pruned —
+    // but a table pruned by earlier vintages can still have a delta floor
+    // manifest whose ONLY base is its ck, and racing pruneHistory this
+    // loop may hold a stale minManifest below the new floor. Keeping the
+    // minimum ck (an O(1) retention cost) covers both.
+    val oldestCk = cks.headOption.getOrElse(Long.MinValue)
+    cks.filter(v => v < newest && v > minManifest && v != oldestCk).foreach { u =>
       val age = newest - u
       if (age > 3L * CheckpointInterval) {
         val k = 63 - java.lang.Long.numberOfLeadingZeros(age / CheckpointInterval)
@@ -313,13 +343,20 @@ object TxLog {
     * lets reads hand Spark a pre-listed file set with zero plan-time
     * filesystem calls (the Delta/Iceberg manifest shape); legacy
     * manifests without it fall back to the stat-per-path reader. */
-  private def parseEntry(rest: String): FileEntry = rest.split("\t", 4) match {
+  private def parseEntry(rest: String): FileEntry = rest.split("\t", 5) match {
     case Array(path) => FileEntry(path, None)
     case Array(path, part) => FileEntry(path, decodePart(part))
     case Array(path, part, size) =>
       FileEntry(path, decodePart(part), Some(size.toLong))
     case Array(path, part, size, stats) =>
       FileEntry(path, decodePart(part), Some(size.toLong), Stats.parse(stats))
+    case Array(path, part, size, stats, dv) =>
+      // 5th field: deletion vector, `<deletedRows>:<sidecarRelPath>`;
+      // the stats slot holds `-` when the entry has a dv but no footer
+      // stats (Stats.parse rejects it to None)
+      val Array(rows, dvPath) = dv.split(":", 2)
+      FileEntry(path, decodePart(part), Some(size.toLong), Stats.parse(stats),
+        Some((dvPath, rows.toLong)))
   }
 
   /** Render one entry line body (inverse of [[parseEntry]]). `withPart`
@@ -328,14 +365,18 @@ object TxLog {
     * slot then carries the hive default name for unpartitioned files,
     * which decodes back to None). */
   private def renderEntry(prefix: String, e: FileEntry,
-      withPart: Boolean): String =
+      withPart: Boolean): String = {
+    val dvSuffix = e.dv.map { case (p, rows) => s"\t$rows:$p" }.getOrElse("")
     (e.size, e.stats) match {
       case (Some(sz), Some(st)) =>
-        s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz\t${Stats.render(st)}"
+        s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz\t${Stats.render(st)}$dvSuffix"
+      case (Some(sz), None) if e.dv.isDefined =>
+        s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz\t-$dvSuffix"
       case (Some(sz), None) => s"$prefix\t${e.path}\t${encodePart(e.part)}\t$sz"
       case (None, _) if withPart => s"$prefix\t${e.path}\t${encodePart(e.part)}"
       case (None, _) => s"$prefix\t${e.path}"
     }
+  }
 
   private def encodePart(part: Option[String]): String =
     part.map(ExternalCatalogUtils.escapePathName)
@@ -634,8 +675,22 @@ object TxLog {
     * to the per-partition literal-attach union. */
   private def readEntriesOf(spark: SparkSession, root: String, snap: Snapshot,
       entries: Seq[FileEntry],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      schema: Option[org.apache.spark.sql.types.StructType],
+      keepPos: Boolean = false): DataFrame =
     if (snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema)) {
+      val needDv = keepPos || entries.exists(_.dv.isDefined)
+      // merge-on-read deletion vectors: materialize the scan's file path
+      // + in-file row index as ordinary columns, anti-join the entries'
+      // recorded positions out, drop the bookkeeping. Filters and the
+      // anti-join commute (both only remove rows), so the application
+      // point is transparent to every consumer.
+      def finish(raw: DataFrame): DataFrame =
+        if (!needDv) raw
+        else {
+          val applied = applyDv(spark, root, withPos(raw), entries)
+          if (keepPos) applied else applied.drop(DvFileCol, DvPosCol)
+        }
+      finish {
       // single-relation path. With a committed schema AND manifest-
       // recorded sizes (every table staged since round 11), the relation
       // is built directly over the manifest's file list — ZERO plan-time
@@ -658,7 +713,75 @@ object TxLog {
             i => matched(i)
           })
       else readFiles(spark, entries.map(e => s"$root/${e.path}"), schema)
-    } else readGroups(spark, root, entries, snap.partCols, schema)
+      }
+    } else {
+      // legacy per-partition-union layouts predate MoR deletes ([[deleteMoR]]
+      // refuses them), so no dv can reach this branch
+      require(!keepPos && !entries.exists(_.dv.isDefined),
+        "deletion vectors on a legacy partition layout")
+      readGroups(spark, root, entries, snap.partCols, schema)
+    }
+
+  /** Bookkeeping columns for deletion-vector application: the scan's
+    * normalized absolute file path and in-file row index (Spark's hidden
+    * `_metadata` file columns, materialized as ordinary columns so they
+    * survive joins and projections). Underscored names outside any
+    * user-facing namespace. */
+  private val DvFileCol = "__dv_file"
+  private val DvPosCol = "__dv_pos"
+
+  /** `_metadata.file_path` renders with or without the `file:` scheme
+    * depending on which FileIndex listed the file (the manifest-fed
+    * index hands schemeless paths, InMemoryFileIndex qualifies them);
+    * normalize both to plain absolute paths so they join against
+    * [[absNorm]]. */
+  private def withPos(raw: DataFrame): DataFrame = raw
+    .withColumn(DvFileCol,
+      regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  /** Normalized absolute path of a manifest-relative file — the join key
+    * [[withPos]] produces on the scan side. */
+  private def absNorm(root: String, rel: String): String =
+    java.nio.file.Paths.get(root, rel).toAbsolutePath.normalize.toString
+
+  /** DV sidecar row budget under which the positions frame broadcasts;
+    * beyond it the anti-join falls back to a shuffle join (still exact —
+    * a lake that accumulated hundreds of millions of undeleted positions
+    * should compact, not broadcast). */
+  private[operators] val DvBroadcastRows = 4L * 1000 * 1000
+
+  private val DvSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("f",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("p",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Anti-join the deletion-vector positions of `entries` out of a scan
+    * that already carries [[DvFileCol]]/[[DvPosCol]]. The sidecars store
+    * manifest-RELATIVE file paths (a copied/restored log keeps working);
+    * a driver-built (rel → abs) dimension — O(dv'd entries), data the
+    * manifest already holds in RAM — maps them to the scan's key and
+    * simultaneously drops STALE sidecar rows (positions of files since
+    * rewritten or dropped: the inner join keeps live entries only). The
+    * positions side broadcasts below [[DvBroadcastRows]] (the manifest
+    * knows the exact count without touching storage). */
+  private def applyDv(spark: SparkSession, root: String, pos: DataFrame,
+      entries: Seq[FileEntry]): DataFrame = {
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return pos
+    val sidecars = dvd.map(_.dv.get._1).distinct
+    import spark.implicits._
+    val dim = dvd.map(e => (e.path, absNorm(root, e.path)))
+      .toDF("f", DvFileCol)
+    val positions = readFiles(spark,
+      sidecars.map(p => s"$root/$p"), Some(DvSidecarSchema))
+      .join(broadcast(dim), Seq("f"))
+      .select(col(DvFileCol), col("p").as(DvPosCol))
+    val dvRows = dvd.map(_.dv.get._2).sum
+    val right = if (dvRows <= DvBroadcastRows) broadcast(positions) else positions
+    pos.join(right, Seq(DvFileCol, DvPosCol), "left_anti")
+  }
 
   /** Partition-PRUNED read: the manifest ENTRY LIST is filtered by
     * `keep` (per-column decoded partition values, `p`-header order)
@@ -699,7 +822,9 @@ object TxLog {
       s"partitionCensus: table at $root is not partitioned")
     val n = snap.partCols.size
     snap.entries.groupBy(e => decodeTuple(e.part, n)).toSeq.map { case (t, es) =>
-      val rs = es.map(_.stats.map(_.rows))
+      // liveRows: physical footer rows minus deletion-vector rows —
+      // exact under merge-on-read deletes, one manifest read, no data I/O
+      val rs = es.map(_.liveRows)
       (t, es.size, if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None)
     }.sortBy(_._1.map(_.getOrElse("")).mkString(" "))
   }
@@ -883,9 +1008,22 @@ object TxLog {
     * O(#partitions)-relations planning cost that regressed the IVF
     * probes and would be a driver blow-up at 10⁵ partitions). false
     * (mixed commits into legacy tables) preserves the round-9 layout so
-    * old and new files stay schema-uniform. */
+    * old and new files stay schema-uniform.
+    *
+    * `placeholderIfEmpty` — when the frame stages ZERO rows, full-table
+    * stagers (init, overwrite) still need one schema-bearing file, but
+    * mixed commits whose final file list carries OTHER entries (partial
+    * DELETE/UPDATE rewrites where every candidate row was a victim,
+    * empty append batches, compaction of empty files) must pass false:
+    * their placeholder would be pure noise, and before round 12 it was
+    * worse — it published with NO partition tag, which poisons every
+    * later [[decodeTuple]] on a multi-column table (arity check throws)
+    * and mislabels the file as the null partition on a single-column
+    * one. The placeholder that IS published carries the explicit
+    * all-null value tuple, so it always decodes cleanly. */
   private def stagePartitioned(spark: SparkSession, root: String, df: DataFrame,
-      partCols: Seq[String], keepInFiles: Boolean): Seq[FileEntry] = {
+      partCols: Seq[String], keepInFiles: Boolean,
+      placeholderIfEmpty: Boolean = true): Seq[FileEntry] = {
     val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = s"$root/$dirName"
     val (toWrite, byCols) =
@@ -901,16 +1039,21 @@ object TxLog {
     toWrite.write.mode("overwrite").partitionBy(byCols: _*).parquet(abs)
     val entries = walkHive(new java.io.File(abs), dirName, byCols)
     if (entries.nonEmpty) Stats.attach(root, entries)
+    else if (!placeholderIfEmpty) Seq.empty
     else {
       // empty table: one schema-bearing file matching the layout's file
       // schema (legacy: partition columns dropped, as the hive writer
-      // would have; keepInFiles: columns retained)
+      // would have; keepInFiles: columns retained). The entry is tagged
+      // with the EXPLICIT all-null value tuple — Some(...) for n ≥ 2
+      // columns — never the bare no-tag form, which decodeTuple rightly
+      // treats as manifest corruption on multi-column tables.
       val emptyDf = if (keepInFiles) df else df.drop(partCols: _*)
       emptyDf.repartition(1).write.mode("overwrite").parquet(abs)
+      val nullTuple = encodeTuple(Seq.fill(partCols.size)(None))
       Stats.attach(root,
         Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(f => FileEntry(s"$dirName/${f.getName}", None, Some(f.length())))
+          .map(f => FileEntry(s"$dirName/${f.getName}", nullTuple, Some(f.length())))
           .toSeq.sortBy(_.path))
     }
   }
@@ -942,9 +1085,15 @@ object TxLog {
     val fLines: Seq[String] = parentEntries match {
       case Some(pe) =>
         val newPaths = entries.map(_.path).toSet
-        val oldPaths = pe.map(_.path).toSet
-        val adds = entries.filterNot(e => oldPaths(e.path))
-        val removes = pe.map(_.path).filterNot(newPaths)
+        val oldByPath = pe.map(e => e.path -> e).toMap
+        // an entry counts as an ADD when its path is new OR its content
+        // changed in place (a deletion-vector update rewrites the entry
+        // under the same path) — a path-only diff would silently drop
+        // same-path changes from the delta; changed paths also emit a
+        // remove so the replay (filterNot removes ++ adds) replaces them
+        val adds = entries.filter(e => !oldByPath.get(e.path).contains(e))
+        val changed = adds.map(_.path).toSet
+        val removes = pe.map(_.path).filter(p => !newPaths(p) || changed(p))
         if (adds.size + removes.size < entries.size)
           "k\tdelta" +: (adds.map(entryLine("+f", _)) ++ removes.map("-f\t" + _))
         else entries.map(entryLine("f", _))
@@ -1427,7 +1576,8 @@ object TxLog {
     val entries =
       if (snap.partCols.nonEmpty)
         stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
-          keepInFiles = inFiles)
+          keepInFiles = inFiles,
+          placeholderIfEmpty = snap.entries.isEmpty)
       else stageData(spark, root, physDf)
     StagedAppend(entries, nextPhys.json, nextMapping, vintageOf(snap))
   }
@@ -1601,7 +1751,7 @@ object TxLog {
           val (physDf, nextPhys, nextMapping) = toPhysical(merged, snap, physPrev)
           val afterCounts = tupleCounts(merged)
           val fresh = stagePartitioned(spark, root, physDf, partCols,
-            keepInFiles = inFiles)
+            keepInFiles = inFiles, placeholderIfEmpty = keep.isEmpty)
           publish(root, snap.version, keep ++ fresh,
             snap.partCols,
             if (note.isEmpty) snap.notes else snap.notes + note,
@@ -1616,9 +1766,20 @@ object TxLog {
   }
 
   /** Transactional targeted delete: survivors republished as a new
-    * version (copy-on-write rewrite, manifest-atomic). */
+    * version (copy-on-write rewrite, manifest-atomic). A table whose
+    * `delete_mode` property is `mor` routes to [[deleteMoR]] instead —
+    * the Delta `enableDeletionVectors` shape: SQL `DELETE` statements
+    * and API callers get merge-on-read deletes by flipping one table
+    * property, no call-site change. */
   def delete(spark: SparkSession, root: String, victim: Column,
-      note: String = ""): Long =
+      note: String = ""): Long = {
+    if (snapshot(root).exists(s => kvOf(s.notes).get("delete_mode").contains("mor")))
+      return deleteMoR(spark, root, victim, note)
+    deleteCow(spark, root, victim, note)
+  }
+
+  private def deleteCow(spark: SparkSession, root: String, victim: Column,
+      note: String): Long =
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"delete on uninitialized txlog $root"))
@@ -1666,8 +1827,11 @@ object TxLog {
         val (physDf, _, _) = toPhysical(survivors, snap, physPrev)
         val staged =
           if (snap.partCols.nonEmpty)
+            // carried.nonEmpty here (the carried-empty case went through
+            // the overwrite path above), so a zero-survivor restage needs
+            // no schema placeholder
             stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
-              keepInFiles = inFiles)
+              keepInFiles = inFiles, placeholderIfEmpty = false)
           else stageData(spark, root, physDf)
         Some(publish(root, snap.version, carried ++ staged, snap.partCols,
           if (note.isEmpty) snap.notes else snap.notes + note,
@@ -1675,6 +1839,137 @@ object TxLog {
           parentEntries = Some(snap.entries)))
       }
     }.get
+
+  /** MERGE-ON-READ targeted delete — deletion vectors (the Delta/Iceberg
+    * v2 position-delete shape). Instead of rewriting every file that
+    * holds a victim row (copy-on-write: O(candidate file bytes) written
+    * for possibly a handful of rows), the commit records the victims'
+    * (file, row-index) positions in a small parquet SIDECAR and points
+    * each touched entry's `dv` field at it; [[readEntriesOf]] anti-joins
+    * the positions out of every subsequent scan. Cost model at 100 TB:
+    * a targeted delete writes O(deleted rows), not O(files straddling
+    * the predicate) — the difference between a compliance-delete of one
+    * user's rows costing kilobytes vs rewriting a terabyte tier. Reads
+    * pay one broadcast anti-join while vectors are live; [[compact]] /
+    * OPTIMIZE purges them (restages survivors, drops the dv), restoring
+    * zero-overhead scans — the standard MoR maintenance contract.
+    *
+    * Semantics are identical to [[delete]] (SQL DELETE: TRUE-predicate
+    * rows go, NULL-predicate rows survive; every call commits a version;
+    * stats-pruning narrows the candidate set). Repeated MoR deletes
+    * ACCUMULATE: each commit writes one fresh sidecar carrying the
+    * touched files' prior positions plus the new victims (prior sidecars
+    * remain referenced only by untouched entries and age out via
+    * pruneHistory + vacuum). A file whose every row is deleted drops
+    * from the manifest outright when footer stats prove it empty.
+    * Requires the manifest-fed read layout (committed schema + sizes;
+    * partition columns in the files) — legacy adopted layouts keep
+    * copy-on-write. */
+  def deleteMoR(spark: SparkSession, root: String, victim: Column,
+      note: String = ""): Long =
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(
+        throw new IllegalStateException(s"delete on uninitialized txlog $root"))
+      val schema = snap.schemaJson.map(parseSchema)
+      require(snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema),
+        s"deleteMoR: legacy partition layout at $root cannot carry deletion " +
+          "vectors — a full overwrite upgrades the layout, or use delete()")
+      require(schema.isDefined && snap.entries.forall(_.size.isDefined),
+        s"deleteMoR: table at $root predates the manifest-fed read layout")
+      val conjuncts = scala.util.Try(Stats.splitConjuncts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(spark, victim)))
+        .getOrElse(Seq.empty)
+      val cand = snap.entries.filter(entryCouldMatch(snap, conjuncts))
+      def bump(): Long = publish(root, snap.version, snap.entries,
+        snap.partCols, if (note.isEmpty) snap.notes else snap.notes + note,
+        snap.schemaJson, snap.mapping, snap.retired,
+        parentEntries = Some(snap.entries))
+      if (cand.isEmpty) Some(bump())
+      else {
+        val physPrev = schema.get
+        // candidates read DV-APPLIED (keepPos threads the scan position
+        // columns through): an already-deleted row must not re-enter the
+        // sidecar, and victims are evaluated on live rows only
+        val candPos = readEntriesOf(spark, root, snap, cand, schema,
+          keepPos = true)
+        val logical =
+          if (snap.mapping.isEmpty) candPos
+          else candPos.select((physPrev.fields.map(f =>
+            col(f.name).as(snap.mapping.getOrElse(f.name, f.name))) :+
+            col(DvFileCol) :+ col(DvPosCol)).toSeq: _*)
+        import spark.implicits._
+        val dim = cand.map(e => (absNorm(root, e.path), e.path))
+          .toDF(DvFileCol, "f")
+        val victims = logical.filter(victim <=> lit(true))
+          .join(broadcast(dim), Seq(DvFileCol))
+          .select(col("f"), col(DvPosCol).as("p"))
+        val prior = cand.filter(_.dv.isDefined)
+        val priorRows = prior.map(_.dv.get._2).sum
+        val allPos =
+          if (prior.isEmpty) victims
+          else victims.unionByName(
+            readFiles(spark, prior.map(_.dv.get._1).distinct
+              .map(p => s"$root/$p"), Some(DvSidecarSchema))
+              .join(broadcast(prior.map(e => Tuple1(e.path)).toDF("f")),
+                Seq("f"), "left_semi"))
+        val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}"
+        allPos.repartition(1).write.mode("overwrite").parquet(s"$root/$dvDir")
+        val dvFile = Option(new java.io.File(s"$root/$dvDir").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq match {
+          case Seq(one) => s"$dvDir/${one.getName}"
+          case other => throw new IllegalStateException(
+            s"deleteMoR: expected one sidecar file, found ${other.size}")
+        }
+        val counts = readFiles(spark, Seq(s"$root/$dvFile"),
+          Some(DvSidecarSchema))
+          .groupBy("f").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.values.sum == priorRows) {
+          // zero new victims: metadata-only bump; the staged sidecar is a
+          // CAS-loser-shaped orphan, reclaimed by vacuum
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$root/$dvDir"))
+          Some(bump())
+        } else {
+          val next = snap.entries.flatMap { e =>
+            counts.get(e.path) match {
+              case None => Some(e)
+              case Some(c) if e.stats.exists(_.rows == c) => None // all gone
+              case Some(c) => Some(e.copy(dv = Some((dvFile, c))))
+            }
+          }
+          // never publish an empty file list (readSnapshot's contract):
+          // if every entry proved fully deleted, keep them dv'd instead —
+          // reads apply the vectors to an exact zero rows
+          val entries =
+            if (next.nonEmpty) next
+            else snap.entries.map(e => counts.get(e.path) match {
+              case Some(c) => e.copy(dv = Some((dvFile, c)))
+              case None => e
+            })
+          Some(publish(root, snap.version, entries, snap.partCols,
+            if (note.isEmpty) snap.notes else snap.notes + note,
+            snap.schemaJson, snap.mapping, snap.retired,
+            parentEntries = Some(snap.entries)))
+        }
+      }
+    }.get
+
+  /** Metadata-only table-property commit (`ALTER TABLE ... SET
+    * TBLPROPERTIES`): replace-merges `kv` into the note set — the
+    * `delete_mode = mor` switch and friends land atomically as their own
+    * version, zero data I/O. */
+  def setProperties(root: String, kv: Map[String, String]): Long = {
+    require(kv.nonEmpty, "setProperties: no properties")
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"setProperties on uninitialized txlog $root"))
+      Some(publish(root, snap.version, snap.entries, snap.partCols,
+        kvMerge(snap.notes, kv), snap.schemaJson, snap.mapping, snap.retired,
+        parentEntries = Some(snap.entries)))
+    }.get
+  }
 
   /** Incremental read (file-level change feed for APPEND-ONLY ranges):
     * the rows added between `fromVersion` (exclusive) and `toVersion`
@@ -1704,6 +1999,17 @@ object TxLog {
       s"readAppended: versions ${from.version}..${to.version} removed or " +
         s"rewrote ${removed.size} file(s) — not an append-only range " +
         "(use read + a keyed diff for rewrite ranges)")
+    // merge-on-read deletes leave paths in place but change the entry's
+    // deletion vector — just as much a non-append as a rewrite. A file
+    // both ADDED and dv'd inside the range carries a dv with no `from`
+    // counterpart; catch both shapes.
+    val fromDv = from.entries.map(e => e.path -> e.dv).toMap
+    val dvChanged = to.entries.filter(e =>
+      fromDv.get(e.path).map(_ != e.dv).getOrElse(e.dv.isDefined))
+    require(dvChanged.isEmpty,
+      s"readAppended: versions ${from.version}..${to.version} changed the " +
+        s"deletion vector of ${dvChanged.size} file(s) — a delete landed in " +
+        "the range; not append-only (use read + a keyed diff)")
     val added = to.entries.filterNot(e => fromPaths(e.path))
     val schema = to.schemaJson.map(parseSchema)
     val phys =
@@ -1801,8 +2107,9 @@ object TxLog {
           val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
           val staged =
             if (snap.partCols.nonEmpty)
+              // carried.nonEmpty on this branch — no placeholder needed
               stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
-                keepInFiles = inFiles)
+                keepInFiles = inFiles, placeholderIfEmpty = false)
             else stageData(spark, root, physDf)
           Some(publish(root, snap.version, carried ++ staged, snap.partCols,
             if (note.isEmpty) snap.notes else snap.notes + note,
@@ -2008,7 +2315,12 @@ object TxLog {
       val target = targetFiles.max(1)
       snap.partCols match {
         case Seq() =>
-          if (snap.files.size <= target) Some(snap.version)
+          // deletion vectors make an otherwise at-target table a rewrite
+          // candidate: compaction is the documented DV PURGE path (the
+          // restaged files hold survivors only, the sidecars age out via
+          // pruneHistory + vacuum)
+          if (snap.files.size <= target && !snap.entries.exists(_.dv.isDefined))
+            Some(snap.version)
           else {
             val packed = read(spark, root, snap.version).coalesce(target)
             Some(commitOverwrite(spark, root, packed, snap.version, "compact"))
@@ -2016,7 +2328,7 @@ object TxLog {
         case pcs =>
           val byPart = snap.entries.groupBy(_.part)
           val fragParts = byPart.collect {
-            case (pv, es) if es.size > target => pv
+            case (pv, es) if es.size > target || es.exists(_.dv.isDefined) => pv
           }.toSet
           if (fragParts.isEmpty) Some(snap.version)
           else {
@@ -2044,7 +2356,8 @@ object TxLog {
               if (hashable.isEmpty) lit(0) else pmod(hash(hashable: _*), lit(target))
             val packed = src.repartition(pcs.map(p => col(p._1)) :+ salt: _*)
             val fresh = stagePartitioned(spark, root, packed, pcs.map(_._1),
-              keepInFiles = partDataInFiles(pcs, snap.schemaJson.map(parseSchema)))
+              keepInFiles = partDataInFiles(pcs, snap.schemaJson.map(parseSchema)),
+              placeholderIfEmpty = keep.isEmpty)
             // physical-level compaction: files restaged under their
             // PHYSICAL columns (readGroups is not mapping-applied here),
             // so the mapping/retired layers carry through unchanged
@@ -2197,12 +2510,50 @@ object TxLog {
     // any pre-cut checkpoint) is deleted. Refs shrink to the retained
     // versions' resolved directories — what lets vacuum finally reclaim
     // the pruned versions' files.
+    // If the floor manifest is a DELTA, rewrite it in place as a FULL
+    // manifest (same headers, same timestamp, resolved file list) BEFORE
+    // anything is deleted. Afterwards no ck-<v> file is load-bearing for
+    // resolution — checkpoints go back to being pure accelerators — which
+    // closes the race where a concurrent writer's thinCheckpoints,
+    // holding a stale oldest-manifest floor, deletes ck-cutMin after this
+    // prune removed the prefix manifests (the delta floor would then be
+    // unresolvable). A reader racing the swap sees either the old delta
+    // (prefix still intact — deletions come after) or the equivalent full
+    // manifest: ATOMIC_MOVE, no torn state.
+    retained.find(_._1 == cutMin).foreach { case (_, resolved) =>
+      parseManifest(manifestPath(root, cutMin)).filter(_.delta).foreach { fm =>
+        rewriteAsFull(root, cutMin, fm, resolved)
+      }
+    }
     writeCheckpoint(root, Checkpoint(cutMin,
-      retained.flatMap(_._2.map(dirKey)).toSet,
+      retained.flatMap(_._2.flatMap(refKeys)).toSet,
       retained.find(_._1 == cutMin).map(_._2).getOrElse(Seq.empty)))
     vs.filter(_ < cutMin).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     allCkVersions(root).filter(_ < cutMin)
       .foreach(v => Files.deleteIfExists(ckPath(root, v)))
+  }
+
+  /** Replace version `v`'s DELTA manifest with the equivalent FULL
+    * manifest: identical headers (partition columns, original publish
+    * timestamp — versionAt semantics survive — schema, mapping, retired,
+    * notes), the resolved complete file list instead of the delta
+    * encoding. Atomic swap; content-equivalent by construction, so any
+    * concurrent reader is correct either way. */
+  private def rewriteAsFull(root: String, v: Long, m: Manifest,
+      resolved: Seq[FileEntry]): Unit = {
+    val body = (m.partCols.map { case (pc, dt) => s"p\t$pc\t${dt.catalogString}" } ++
+      m.timestampMs.map(ts => s"t\t$ts").toSeq ++
+      m.schemaJson.map("s\t" + _).toSeq ++
+      m.mapping.toSeq.sorted.map { case (p, l) => s"m\t$p\t$l" } ++
+      m.retired.toSeq.sorted.map("x\t" + _) ++
+      resolved.map(renderEntry("f", _, withPart = m.partCols.nonEmpty)) ++
+      m.notes.toSeq.sorted.map("n\t" + _) :+ "commit")
+      .mkString("", "\n", "\n")
+    val tmp = logDir(root).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Default [[vacuum]] retention: staged-but-unpublished data younger
@@ -2256,12 +2607,13 @@ object TxLog {
           .flatMap(v => parseManifest(manifestPath(root, v)))
           .flatMap(refDirs).toSet ++
           allCkVersions(root).flatMap(parseCk(root, _))
-            .flatMap(_.entries.map(dirKey)).toSet
+            .flatMap(_.entries.flatMap(refKeys)).toSet
     }
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new java.io.File(s"$root/data")
     val orphans = Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("c-") &&
+      .filter(d => d.isDirectory &&
+        (d.getName.startsWith("c-") || d.getName.startsWith("dv-")) &&
         !referenced.contains(s"data/${d.getName}") &&
         quiescentSince(d) <= cutoff)
     orphans.foreach(org.apache.commons.io.FileUtils.deleteQuietly)

@@ -265,6 +265,60 @@ object Upsert {
         .withColumn("zm_skips", lit(zmSkips))
     },
 
+    // S20: DELETION VECTORS — merge-on-read DELETE (the Delta/Iceberg v2
+    // position-delete shape). The table flips `delete_mode = mor` via
+    // SQL ALTER TABLE, two DELETEs land (one SQL, one API — both routed
+    // to the MoR path by the property), and the oracle restates the
+    // double-surviving table: the hash match certifies the vectors
+    // subtract EXACTLY the victims and accumulate correctly across
+    // commits. Structural claims ride as verdict booleans: the data
+    // files were byte-untouched across both deletes (same paths, same
+    // sizes — the whole point: O(deleted rows) written, not O(files)),
+    // and OPTIMIZE afterwards purges every vector while preserving the
+    // row multiset (checksummed before/after).
+    QueryDef("s20_deletion_vectors",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       TRUE AS files_untouched, TRUE AS dv_recorded,
+        |       TRUE AS purge_clean
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "dv-table")
+      TxLog.init(s, root,
+        Tables.documents(s, dir).select("doc_id", "text").repartition(8))
+      val before = TxLog.snapshot(root).get
+      SqlSurface.TxSql.sql(s,
+        s"ALTER TABLE txlog.`$root` SET TBLPROPERTIES ('delete_mode' = 'mor')")
+      SqlSurface.TxSql.sql(s, s"DELETE FROM txlog.`$root` WHERE doc_id % 13 = 0")
+      TxLog.delete(s, root, col("doc_id") % 17 === 0)
+      val after = TxLog.snapshot(root).get
+      val filesUntouched =
+        after.entries.map(e => (e.path, e.size)) ==
+          before.entries.map(e => (e.path, e.size))
+      val dvRecorded = after.entries.exists(_.dv.isDefined) &&
+        after.entries.flatMap(_.liveRows).sum ==
+          after.entries.flatMap(_.stats.map(_.rows)).sum -
+            after.entries.flatMap(_.dv.map(_._2)).sum
+      val agg = TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"))
+      val Seq(nBefore, ckBefore) =
+        agg.head().toSeq.map(_.asInstanceOf[Long]).toSeq
+      // OPTIMIZE purges the vectors; the row multiset must not move
+      TxLog.compact(s, root, targetFiles = 8)
+      val purged = TxLog.snapshot(root).get.entries.forall(_.dv.isEmpty)
+      val aggAfter = TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long")).head()
+      val purgeClean = purged && aggAfter.getLong(0) == nBefore &&
+        aggAfter.getLong(1) == ckBefore
+      agg
+        .withColumn("files_untouched", lit(filesUntouched))
+        .withColumn("dv_recorded", lit(dvRecorded))
+        .withColumn("purge_clean", lit(purgeClean))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

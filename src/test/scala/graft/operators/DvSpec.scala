@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.operators.SqlSurface.TxSql
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors (merge-on-read DELETE): semantics must be EXACTLY
+  * [[TxLog.delete]]'s (SQL DELETE, NULL-predicate rows survive), while
+  * the data files are provably untouched — the commit writes positions,
+  * not bytes. Accumulation, purge-on-rewrite, time travel, vacuum
+  * protection, the append-feed refusal, and the `delete_mode` property
+  * routing are all pinned here. */
+class DvSpec extends SparkSpec {
+
+  private def freshRoot(tag: String) =
+    s"/root/repo/target/dv-$tag-${System.nanoTime()}"
+
+  private def docs = Tables.documents(spark, sf)
+    .select("doc_id", "text", "lang")
+
+  test("deleteMoR: COW-identical results, zero data files rewritten") {
+    val root = freshRoot("basic")
+    TxLog.init(spark, root, docs.repartition(4))
+    val before = TxLog.snapshot(root).get
+    val v = TxLog.deleteMoR(spark, root, col("doc_id") % 7 === 0)
+    assert(v === 2L)
+    val after = TxLog.snapshot(root).get
+    // the data files are byte-identical: same paths, same sizes — only
+    // the dv field changed
+    assert(after.entries.map(e => (e.path, e.size)) ===
+      before.entries.map(e => (e.path, e.size)))
+    assert(after.entries.exists(_.dv.isDefined))
+    val got = TxLog.read(spark, root)
+    val want = docs.filter(col("doc_id") % 7 =!= 0)
+    assert(got.count() === want.count())
+    assert(got.agg(sum(col("doc_id"))).head().getLong(0) ===
+      want.agg(sum(col("doc_id"))).head().getLong(0))
+    // exact live-row accounting without touching data
+    assert(after.entries.flatMap(_.liveRows).sum === want.count())
+    // while vectors live, the scan applies them via a broadcast anti-join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+  }
+
+  test("NULL-predicate rows survive a MoR delete (SQL DELETE semantics)") {
+    val root = freshRoot("nullpred")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      Seq((1L, Some(1)), (2L, None), (3L, Some(3))).toDF("id", "v"))
+    TxLog.deleteMoR(spark, root, col("v") > 1)
+    assert(TxLog.read(spark, root).select("id").as[Long].collect().sorted
+      === Array(1L, 2L))
+  }
+
+  test("repeated MoR deletes accumulate exactly; fully-deleted files drop") {
+    val root = freshRoot("accum")
+    TxLog.init(spark, root, docs.repartitionByRange(4, col("doc_id")))
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    TxLog.deleteMoR(spark, root, col("doc_id") % 2 === 0)
+    TxLog.deleteMoR(spark, root, col("doc_id") % 3 === 0)
+    val want = docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 3 =!= 0)
+    assert(TxLog.read(spark, root).count() === want.count())
+    // a range-delete that empties whole files drops their entries outright
+    val n3 = TxLog.snapshot(root).get.entries.size
+    TxLog.deleteMoR(spark, root, col("doc_id") > hi / 2)
+    val after = TxLog.snapshot(root).get
+    assert(after.entries.size < n3,
+      "fully-deleted files must leave the manifest")
+    assert(TxLog.read(spark, root).count() ===
+      want.filter(col("doc_id") <= hi / 2).count())
+    // delete EVERYTHING: entries stay (dv'd), reads are an exact zero
+    TxLog.deleteMoR(spark, root, lit(true))
+    assert(TxLog.read(spark, root).count() === 0L)
+    assert(TxLog.read(spark, root).columns.toSeq === docs.columns.toSeq)
+  }
+
+  test("compaction purges vectors: rewritten survivors, dv-free manifest") {
+    val root = freshRoot("purge")
+    TxLog.init(spark, root, docs.repartition(2))
+    TxLog.deleteMoR(spark, root, col("doc_id") % 5 === 0)
+    val want = docs.filter(col("doc_id") % 5 =!= 0)
+    // at-target file count would normally no-op — live vectors make it
+    // a rewrite candidate (compact IS the purge path)
+    TxLog.compact(spark, root, targetFiles = 2)
+    val snap = TxLog.snapshot(root).get
+    assert(snap.entries.forall(_.dv.isEmpty), "compact must purge vectors")
+    assert(TxLog.read(spark, root).count() === want.count())
+    // post-purge scans carry no anti-join
+    val plan = TxLog.read(spark, root).queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"))
+    // the orphaned sidecar is reclaimed once history is pruned
+    TxLog.pruneHistory(root, keepLast = 1)
+    assert(TxLog.vacuum(root, graceMs = 0L) >= 1)
+    assert(TxLog.read(spark, root).count() === want.count())
+  }
+
+  test("MoR delete on a (lang, day) partitioned table; census stays exact") {
+    val root = freshRoot("part")
+    val d = docs.withColumn("day", (col("doc_id") % 3).cast("int"))
+    TxLog.initPartitioned(spark, root, d, Seq("lang", "day"), "")
+    val lang = d.select("lang").distinct().collect().map(_.getString(0)).min
+    TxLog.deleteMoR(spark, root, col("lang") === lang && col("day") === 1)
+    val want = d.filter(not(col("lang") === lang && col("day") === 1))
+    assert(TxLog.read(spark, root).count() === want.count())
+    // partition census reports LIVE rows (footer minus dv)
+    val census = TxLog.partitionCensus(root)
+    census.foreach { case (tuple, _, nRows) =>
+      val Seq(l, day) = tuple
+      val exp = d.filter(col("lang") <=> lit(l.orNull) &&
+        col("day") <=> lit(day.map(_.toInt).orNull)).count()
+      val expLive =
+        if (l.contains(lang) && day.contains("1")) 0L else exp
+      assert(nRows.contains(expLive), s"census wrong for $tuple")
+    }
+    // vectors live only where victims lived: untouched tuples' entries
+    // carry none
+    assert(TxLog.snapshot(root).get.entries
+      .filter(e => !e.part.contains(s"$lang/1"))
+      .forall(_.dv.isEmpty))
+  }
+
+  test("time travel: pre-delete versions keep their rows; restore works") {
+    val root = freshRoot("travel")
+    TxLog.init(spark, root, docs)
+    val full = docs.count()
+    TxLog.deleteMoR(spark, root, col("doc_id") % 2 === 0)
+    assert(TxLog.read(spark, root, 1L).count() === full)
+    assert(TxLog.read(spark, root, 2L).count() ===
+      docs.filter(col("doc_id") % 2 =!= 0).count())
+    TxLog.restore(spark, root, 1L)
+    assert(TxLog.read(spark, root).count() === full)
+  }
+
+  test("readAppended refuses ranges containing a MoR delete") {
+    val root = freshRoot("feed")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    TxLog.appendOnce(spark, root, "b1", Seq((3L, "c")).toDF("id", "s"))
+    assert(TxLog.readAppended(spark, root, 1L).count() === 1L)
+    // partial MoR delete: the file STAYS (same path) but its dv changed —
+    // exactly the shape a path-only diff would miss
+    TxLog.deleteMoR(spark, root, col("id") === 1L)
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.readAppended(spark, root, 1L).count()
+    }
+    assert(ex.getMessage.contains("deletion vector"))
+    // a file added AND partially dv'd inside the range is caught too
+    TxLog.appendOnce(spark, root, "b2",
+      Seq((4L, "d"), (5L, "e")).toDF("id", "s").coalesce(1))
+    TxLog.deleteMoR(spark, root, col("id") === 4L)
+    intercept[IllegalArgumentException] {
+      TxLog.readAppended(spark, root, 3L).count()
+    }
+    // a file added AND FULLY deleted inside the range nets out of both
+    // manifests — the feed returns exactly the zero surviving rows (the
+    // same net-out a COW rewrite of an intra-range append produces)
+    TxLog.appendOnce(spark, root, "b3", Seq((6L, "f")).toDF("id", "s"))
+    TxLog.deleteMoR(spark, root, col("id") === 6L)
+    assert(TxLog.readAppended(spark, root, 5L).count() === 0L)
+  }
+
+  test("column mapping composes: rename, MoR delete via the new name, drop") {
+    val root = freshRoot("mapping")
+    TxLog.init(spark, root, docs)
+    TxLog.renameColumn(spark, root, "lang", "language")
+    TxLog.deleteMoR(spark, root, col("language") === "en")
+    val want = docs.filter(col("lang") =!= "en")
+    val got = TxLog.read(spark, root)
+    assert(got.columns.toSeq === Seq("doc_id", "text", "language"))
+    assert(got.count() === want.count())
+    // data skipping stays exact with vectors live
+    assert(TxLog.readWhere(spark, root, "doc_id < 100").count() ===
+      want.filter(col("doc_id") < 100).count())
+  }
+
+  test("delete_mode=mor property routes delete(); SQL surface end-to-end") {
+    val root = freshRoot("sqlmode")
+    TxLog.init(spark, root, docs)
+    val v = TxSql.sql(spark,
+      s"ALTER TABLE txlog.`$root` SET TBLPROPERTIES ('delete_mode' = 'mor')")
+      .head().getLong(0)
+    assert(v === 2L)
+    assert(TxLog.kvOf(TxLog.snapshot(root).get.notes)
+      .get("delete_mode").contains("mor"))
+    val before = TxLog.snapshot(root).get.entries.map(_.path)
+    // both the API default and SQL DELETE now take the MoR path
+    TxSql.sql(spark, s"DELETE FROM txlog.`$root` WHERE doc_id % 11 = 0")
+    TxLog.delete(spark, root, col("doc_id") % 13 === 0)
+    val after = TxLog.snapshot(root).get
+    assert(after.entries.map(_.path) === before,
+      "property-routed deletes must not rewrite data files")
+    assert(TxLog.read(spark, root).count() ===
+      docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 13 =!= 0).count())
+    // DESCRIBE DETAIL surfaces live rows + dv accounting
+    val det = TxSql.sql(spark, s"DESCRIBE DETAIL txlog.`$root`").head()
+    assert(det.getAs[Long]("n_rows") === TxLog.read(spark, root).count())
+    assert(det.getAs[Int]("dv_files") > 0)
+    assert(det.getAs[Long]("dv_rows") ===
+      docs.filter(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0).count())
+  }
+
+  test("COW update after MoR delete: no resurrection, vectors purge on rewrite") {
+    val root = freshRoot("cowafter")
+    TxLog.init(spark, root, docs.repartition(3))
+    TxLog.deleteMoR(spark, root, col("doc_id") % 4 === 0)
+    // an UPDATE whose rewrite touches dv'd files must apply the vectors
+    // before restaging — a resurrected %4 row would surface here
+    TxLog.updateWhere(spark, root, col("doc_id") % 4 === 1,
+      Seq("text" -> lit("UPDATED")))
+    val got = TxLog.read(spark, root)
+    val want = docs.filter(col("doc_id") % 4 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 4 === 1, lit("UPDATED")).otherwise(col("text")))
+    assert(got.count() === want.count())
+    assert(got.filter(col("doc_id") % 4 === 0).count() === 0L)
+    assert(got.filter(col("text") === "UPDATED").count() ===
+      want.filter(col("text") === "UPDATED").count())
+  }
+}

@@ -110,6 +110,39 @@ class StatsSpec extends SparkSpec {
     assert(TxLog.readWhere(spark, root, "allnull IS NOT NULL").count() === 0L)
   }
 
+  test("cross-domain literals beyond 2^53 never prune (double-cast rounding > ±1)") {
+    import spark.implicits._
+    // Spark compares long-vs-double through a double cast whose rounding
+    // error is half an ulp of the magnitude — 512 near 2^63, far beyond
+    // the ±1 widening. Both rows below MATCH their predicate after the
+    // cast, yet their exact stats sit ~500 outside the ±1-widened
+    // literal: a prune here silently loses rows / spares delete victims.
+    val bigDbl = 9223372036854774784L.toDouble // exactly representable
+    val x0 = 9223372036854774784L - 500L       // x0.toDouble == bigDbl
+    assert(x0.toDouble === bigDbl)
+    val rootL = freshRoot("hugelong")
+    TxLog.init(spark, rootL,
+      Seq(x0, 1L, 2L).toDF("x").repartitionByRange(2, col("x")))
+    val predL = "x = 9.223372036854774784E18"
+    val gotL = TxLog.readWhere(spark, rootL, predL).count()
+    assert(gotL === TxLog.read(spark, rootL).filter(expr(predL)).count())
+    assert(gotL === 1L, "huge-magnitude double literal wrongly pruned the long file")
+
+    // the mirror: double column vs integral literal that casts onto it
+    val rootD = freshRoot("hugedbl")
+    TxLog.init(spark, rootD,
+      Seq(bigDbl, 1.0, 2.0).toDF("d").repartitionByRange(2, col("d")))
+    val predD = s"d = ${9223372036854774784L - 500L}L"
+    val gotD = TxLog.readWhere(spark, rootD, predD).count()
+    assert(gotD === TxLog.read(spark, rootD).filter(expr(predD)).count())
+    assert(gotD === 1L, "huge-magnitude long literal wrongly pruned the double file")
+
+    // sanity: small-magnitude cross-domain compares still prune
+    val snap = TxLog.snapshot(rootL).get
+    val (kept, total) = TxLog.pruneEntries(spark, snap, "x = 1.0")
+    assert(kept.size < total)
+  }
+
   test("timestamp columns never prune against bare numeric literals") {
     val root = freshRoot("tsunit")
     TxLog.init(spark, root, fixture)

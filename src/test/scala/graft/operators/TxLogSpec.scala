@@ -672,6 +672,39 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === 120L)
   }
 
+  test("pruneHistory rewrites a delta floor manifest as full; no checkpoint is load-bearing") {
+    val root = freshRoot("fullfloor")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "v1")).toDF("id", "s"))
+    (2L to 25L).foreach { k =>
+      assert(TxLog.appendOnceMonotone(spark, root, "mb", k,
+        Seq((k, s"v$k")).toDF("id", "s")))
+    }
+    // keepLast=8 puts the floor at v18 — mid-interval, so its manifest
+    // was published as a DELTA. pruneHistory must have rewritten it as a
+    // FULL manifest before deleting the prefix: afterwards checkpoints
+    // are pure accelerators, so a racing thinCheckpoints that removes
+    // ck-18 (the round-11 TOCTOU: stale oldest-manifest floor) can no
+    // longer break resolution.
+    TxLog.pruneHistory(root, keepLast = 8)
+    val dir = java.nio.file.Paths.get(root, "_txlog")
+    val floorLines = java.nio.file.Files.readAllLines(
+      dir.resolve(f"v-${18L}%020d"))
+    assert(!floorLines.contains("k\tdelta"), "floor manifest still a delta")
+    // simulate the worst outcome of the race: EVERY checkpoint artifact
+    // gone — resolution of every retained version must survive on
+    // manifests alone
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("ck-") || f.getName == "_last_checkpoint")
+      .foreach(f => assert(f.delete()))
+    (18L to 25L).foreach { v =>
+      assert(TxLog.read(spark, root, v).count() === v,
+        s"version $v unresolvable after checkpoint loss")
+    }
+    // versionAt survives the rewrite (the original `t` header rode along)
+    assert(TxLog.snapshot(root, 18L).get.timestampMs.isDefined)
+  }
+
   test("vacuum stale-floor guard: a checkpoint whose floor manifest is gone falls back to the full parse") {
     val root = freshRoot("staleck")
     import spark.implicits._

@@ -154,6 +154,57 @@ class UpsertSpec extends SparkSpec {
       docs.filter(col("day") === 1).count())
   }
 
+  test("delete that empties a (lang, day) tuple leaves the manifest decodable everywhere") {
+    val root = freshRoot("emptytuple")
+    val docs = src.withColumn("day", (col("doc_id") % 3).cast("int"))
+    TxLog.initPartitioned(spark, root, docs, Seq("lang", "day"), "")
+    val before = TxLog.snapshot(root).get
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    val (goneLang, goneDay) = (langs.head, 1)
+    val goneTag = s"$goneLang/$goneDay"
+    assert(before.entries.exists(_.part.contains(goneTag)))
+    // partition-column predicate → stats-pruned PARTIAL rewrite where
+    // every row of the pruned files is a victim: the survivors frame
+    // stages EMPTY. Before round 12 that published a placeholder entry
+    // with NO partition tag, poisoning every later decodeTuple on the
+    // two-column manifest (filtered reads, SHOW PARTITIONS, further DML).
+    TxLog.delete(spark, root,
+      col("lang") === goneLang && col("day") === goneDay, "empty-the-tuple")
+    val after = TxLog.snapshot(root).get
+    // no untagged entry was minted; the tuple's files are simply gone
+    assert(after.entries.forall(_.part.isDefined))
+    assert(!after.entries.exists(_.part.contains(goneTag)))
+    // every decodeTuple consumer still works on the post-delete manifest
+    assert(TxLog.read(spark, root)
+      .filter(col("lang") === goneLang && col("day") === goneDay).count() === 0L)
+    assert(TxLog.readWhere(spark, root, s"lang = '$goneLang'").count() ===
+      docs.filter(col("lang") === goneLang && col("day") =!= goneDay).count())
+    val census = TxLog.partitionCensus(root)
+    assert(!census.exists(_._1 === Seq(Some(goneLang), Some(goneDay.toString))))
+    // a SECOND delete on the same table must not trip over the manifest
+    TxLog.delete(spark, root, col("day") === 2, "again")
+    assert(TxLog.read(spark, root).filter(col("day") === 2).count() === 0L)
+  }
+
+  test("empty init of a two-column table publishes a decodable all-null placeholder") {
+    val root = freshRoot("emptyinit")
+    val docs = src.withColumn("day", (col("doc_id") % 3).cast("int"))
+    TxLog.initPartitioned(spark, root, docs.filter(lit(false)),
+      Seq("lang", "day"), "")
+    val snap = TxLog.snapshot(root).get
+    // the schema-bearing placeholder carries the explicit all-null tuple
+    assert(snap.entries.nonEmpty)
+    assert(snap.entries.forall(_.part.isDefined))
+    assert(TxLog.read(spark, root).count() === 0L)
+    assert(TxLog.read(spark, root).columns.toSeq === docs.columns.toSeq)
+    assert(TxLog.readWhere(spark, root, "day = 1").count() === 0L)
+    assert(TxLog.partitionCensus(root).forall(_._2 >= 0)) // decodes cleanly
+    // and the table is usable: an upsert into a real tuple lands
+    TxLog.upsertPartitioned(spark, root,
+      docs.filter(col("day") === 1).limit(5), "doc_id", Seq("lang", "day"), "")
+    assert(TxLog.read(spark, root).count() === 5L)
+  }
+
   test("hive-escaped and NULL partition values merge into the writer's partitions") {
     val root = freshRoot("esc")
     import spark.implicits._
