@@ -56,6 +56,8 @@ object SqlSurface {
     *   DESCRIBE DETAIL txlog.`<root>`
     *   SHOW PARTITIONS txlog.`<root>`
     *   ALTER TABLE txlog.`<root>` SET TBLPROPERTIES ('k' = 'v'[, ...])
+    *   ALTER TABLE txlog.`<root>` ADD CONSTRAINT <name> CHECK (<expr>)
+    *   ALTER TABLE txlog.`<root>` DROP CONSTRAINT <name>
     *
     * SELECT statements are rewritten: each txlog reference pins the
     * requested version via [[TxLog.read]] (TIMESTAMP AS OF resolves
@@ -102,6 +104,12 @@ object SqlSurface {
     private val AlterProps =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+SET\\s+" +
         "TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
+    private val AddConstraint =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+ADD\\s+" +
+        "CONSTRAINT\\s+([A-Za-z0-9_-]+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$").r
+    private val DropConstraint =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+DROP\\s+" +
+        "CONSTRAINT\\s+([A-Za-z0-9_-]+)\\s*;?\\s*$").r
     // one `'k' = 'v'` (or unquoted-key `k = 'v'`) property pair
     private val PropPair =
       "(?s)^\\s*(?:'([^']+)'|([A-Za-z0-9_]+))\\s*=\\s*'(.*)'\\s*$".r
@@ -238,6 +246,12 @@ object SqlSurface {
         TxLog.history(root)
           .map(h => (h.version, h.timestampMs, h.nFiles, h.notes.toSeq.sorted))
           .toDF("version", "timestamp_ms", "n_files", "notes")
+      case AddConstraint(root, name, check) =>
+        val v = TxLog.addConstraint(spark, root, name, check.trim)
+        spark.range(1).select(lit(v).as("version"))
+      case DropConstraint(root, name) =>
+        val v = TxLog.dropConstraint(root, name)
+        spark.range(1).select(lit(v).as("version"))
       case AlterProps(root, propList) =>
         // table properties (kv notes) land as their own metadata-only
         // version — the `delete_mode = mor` deletion-vector switch etc.

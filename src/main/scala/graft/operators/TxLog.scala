@@ -1403,6 +1403,7 @@ object TxLog {
           p._1.equalsIgnoreCase(to)),
         "renameColumn: cannot rename a partition column " +
           s"(${snap.partCols.map(_._1).mkString(", ")})")
+      requireUnconstrained(spark, snap.notes, from, "renameColumn")
       val phys = parseSchema(effectiveSchemaJson(spark, root, snap))
       val logical = logicalSchema(phys, snap.mapping)
       require(logical.fields.exists(_.name.equalsIgnoreCase(from)),
@@ -1433,6 +1434,7 @@ object TxLog {
         throw new IllegalStateException(s"dropColumn on uninitialized txlog $root"))
       require(!snap.partCols.exists(_._1.equalsIgnoreCase(name)),
         s"dropColumn: cannot drop the partition column $name")
+      requireUnconstrained(spark, snap.notes, name, "dropColumn")
       val phys = parseSchema(effectiveSchemaJson(spark, root, snap))
       val logical = logicalSchema(phys, snap.mapping)
       val idx = logical.fields.indexWhere(_.name.equalsIgnoreCase(name))
@@ -1468,6 +1470,11 @@ object TxLog {
     val partCols = snap0.toSeq.flatMap(_.partCols.map(_._1))
     val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
     partCols.foreach(pc => requireStablePartType(df, pc, "commitOverwrite"))
+    // CHECK constraints validate the replacing frame (covers upsert,
+    // whole-table UPDATE, replaceTable; row-preserving maintenance
+    // rewrites — compact, cluster — re-validate rows that already
+    // passed, a no-op beyond one aggregate over data they read anyway)
+    enforceConstraints(spark, df, prevNotes, "commitOverwrite")
     // overwrite replaces EVERY file — the upgrade point where a legacy
     // or adopted partitioned table flips to the single-relation layout
     val entries =
@@ -1571,6 +1578,10 @@ object TxLog {
           s"${dt.simpleString}, batch brings " +
           df.schema(pc).dataType.simpleString)
     }
+    // CHECK constraints gate the batch at stage time (like every other
+    // append gate): a violating batch stages nothing and publishes
+    // nothing — streaming sinks surface the error and retry the batch
+    enforceConstraints(spark, df, snap.notes, "commitAppend")
     // the batch arrives LOGICAL; files store PHYSICAL names
     val (physDf, nextPhys, nextMapping) = toPhysical(df, snap, physPrev)
     val entries =
@@ -1732,6 +1743,9 @@ object TxLog {
         requireAdditive(Some(logicalSchema(physPrev, snap.mapping).json),
           fileSchemaJson(batch, if (inFiles) Seq.empty else partCols),
           "upsertPartitioned")
+        // CHECK constraints validate the incoming batch (survivors are
+        // existing rows that already passed at their own commit)
+        enforceConstraints(spark, batch, snap.notes, "upsertPartitioned")
         val current =
           if (rewrite.isEmpty) batch.limit(0)
           else applyMapping(
@@ -1971,6 +1985,104 @@ object TxLog {
     }.get
   }
 
+  /** CHECK constraint note-key prefix: `kv:chk_<name>:<exprSql>`. */
+  private val ChkPrefix = "chk_"
+
+  /** The table's CHECK constraints (name → boolean SQL expression) from
+    * a note set. */
+  def constraintsOf(notes: Set[String]): Map[String, String] =
+    kvOf(notes).collect { case (k, v) if k.startsWith(ChkPrefix) =>
+      k.stripPrefix(ChkPrefix) -> v
+    }
+
+  /** Add a CHECK constraint (Delta `ALTER TABLE ... ADD CONSTRAINT ...
+    * CHECK (...)` shape): the CURRENT table must already satisfy it —
+    * one aggregate pass, refused loudly otherwise — and every later
+    * commit that introduces rows (append, streaming batch, upsert,
+    * overwrite, UPDATE assignments) re-validates its incoming frame.
+    * SQL CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL passes. Enforcement evaluates absent columns as NULL
+    * (an additive batch missing a later column is checked as its rows
+    * will read). The constraint rides as a `kv:chk_<name>:` note, so it
+    * binds atomically with the version that added it and time travel
+    * sees each version's own constraint set. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      exprSql: String): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"unsafe constraint name: $name")
+    require(!exprSql.exists(c => c == '\n' || c == '\r'),
+      "multi-line constraint expression")
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"addConstraint on uninitialized txlog $root"))
+      enforceConstraints(spark, readSnapshot(spark, root, snap),
+        Set(s"kv:$ChkPrefix$name:$exprSql"), s"addConstraint $name")
+      Some(publish(root, snap.version, snap.entries, snap.partCols,
+        kvMerge(snap.notes, Map(s"$ChkPrefix$name" -> exprSql)),
+        snap.schemaJson, snap.mapping, snap.retired,
+        parentEntries = Some(snap.entries)))
+    }.get
+  }
+
+  /** Remove a CHECK constraint — metadata-only commit. */
+  def dropConstraint(root: String, name: String): Long =
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"dropConstraint on uninitialized txlog $root"))
+      require(constraintsOf(snap.notes).contains(name),
+        s"dropConstraint: no constraint $name " +
+          s"(have ${constraintsOf(snap.notes).keys.toSeq.sorted.mkString(", ")})")
+      Some(publish(root, snap.version, snap.entries, snap.partCols,
+        snap.notes.filterNot(_.startsWith(s"kv:$ChkPrefix$name:")),
+        snap.schemaJson, snap.mapping, snap.retired,
+        parentEntries = Some(snap.entries)))
+    }.get
+
+  /** Column names (lowercased leaf attributes) a constraint expression
+    * references — what gates rename/drop of constrained columns. */
+  private def constraintRefs(spark: SparkSession, exprSql: String): Set[String] =
+    scala.util.Try {
+      org.apache.spark.sql.graftbridge.Bridge.parseExpression(spark, exprSql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        }.toSet
+    }.getOrElse(Set.empty)
+
+  /** Refuse rename/drop of a column any CHECK constraint references —
+    * the constraint text would silently dangle (or worse, bind to a
+    * later re-added column). Drop the constraint first. */
+  private def requireUnconstrained(spark: SparkSession, notes: Set[String],
+      column: String, op: String): Unit =
+    constraintsOf(notes).foreach { case (n, e) =>
+      require(!constraintRefs(spark, e)
+          .contains(column.toLowerCase(java.util.Locale.ROOT)),
+        s"$op: column $column is referenced by CHECK constraint $n ($e) — " +
+          "drop the constraint first")
+    }
+
+  /** Validate `df` against every CHECK constraint in `notes` in ONE
+    * aggregate pass; throws naming the first violated constraint and its
+    * row count. Columns a constraint references that `df` lacks evaluate
+    * as NULL (SQL CHECK passes NULL). */
+  private def enforceConstraints(spark: SparkSession, df: DataFrame,
+      notes: Set[String], context: String): Unit = {
+    val chks = constraintsOf(notes).toSeq.sortBy(_._1)
+    if (chks.isEmpty) return
+    val have = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val missing = chks.flatMap(c => constraintRefs(spark, c._2))
+      .distinct.filterNot(have)
+    val padded = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+    val aggs = chks.map { case (n, e) =>
+      sum(when(expr(e) <=> lit(false), 1L).otherwise(0L)).as(s"chk_$n")
+    }
+    val row = padded.agg(aggs.head, aggs.drop(1): _*).head()
+    chks.zipWithIndex.foreach { case ((n, e), i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(v == 0L,
+        s"$context: CHECK constraint $n violated by $v row(s): $e")
+    }
+  }
+
   /** Incremental read (file-level change feed for APPEND-ONLY ranges):
     * the rows added between `fromVersion` (exclusive) and `toVersion`
     * (inclusive, default latest) — exactly the frames a downstream
@@ -2019,6 +2131,132 @@ object TxLog {
       else readEntriesOf(spark, root, to, added, schema)
     if (to.mapping.isEmpty || added.isEmpty) phys
     else applyMapping(phys, to, schema.get)
+  }
+
+  /** ROW-LEVEL change feed (Delta CDF / Iceberg changelog shape): every
+    * row inserted or deleted in versions (`fromVersion`, `toVersion`],
+    * tagged `_change_type` ('insert' | 'delete') and `_commit_version`.
+    * Resolved from the manifests plus deletion-vector sidecars — no CDC
+    * files are written at commit time because the log already records
+    * row-level deletes as positions:
+    *
+    *   - files ADDED by a commit → their rows (dv-applied as of that
+    *     commit) are inserts;
+    *   - a commit that only REMOVES files (a full-file MoR drop, a
+    *     RESTORE that undoes appends) → the removed files' live rows at
+    *     the parent version are deletes;
+    *   - a GROWN deletion vector → exactly the new positions' rows are
+    *     deletes; a SHRUNK one (restore across a MoR delete) → the
+    *     resurrected positions' rows are inserts.
+    *
+    * Commits that both add and remove data files (COW DELETE/UPDATE,
+    * upsert, compact, overwrite, z-order) are REFUSED loudly: a file
+    * rewrite does not record row attribution, and inferring it needs a
+    * keyed diff the caller must opt into — never a silent wrong answer.
+    * (Compaction of a MoR table purges vectors by rewriting, so run
+    * change-feed consumers BEFORE maintenance, or between maintenance
+    * windows — the Delta CDC retention trade.)
+    *
+    * Cost: O(changed files + changed positions) per version in the
+    * range — append-only versions read exactly their new files, MoR
+    * deletes read exactly the victim positions' rows. Each version's
+    * rows read under that version's own schema + mapping; frames align
+    * by name with later-added columns surfacing NULL. */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val to = snapshot(root, toVersion).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")).version
+    require(snapshot(root, fromVersion).isDefined,
+      s"readChanges: version $fromVersion is not retained at $root")
+    require(to >= fromVersion, s"readChanges: $toVersion precedes $fromVersion")
+    val frames = ((fromVersion + 1) to to).flatMap { v =>
+      val prev = snapshot(root, v - 1).getOrElse(throw new IllegalStateException(
+        s"readChanges: version ${v - 1} is not retained at $root"))
+      val cur = snapshot(root, v).get
+      val prevByPath = prev.entries.map(e => e.path -> e).toMap
+      val curByPath = cur.entries.map(e => e.path -> e).toMap
+      val added = cur.entries.filterNot(e => prevByPath.contains(e.path))
+      val removed = prev.entries.filterNot(e => curByPath.contains(e.path))
+      require(added.isEmpty || removed.isEmpty,
+        s"readChanges: version $v rewrote data files (adds and removes in " +
+          "one commit — COW DML, upsert, compact, or overwrite); row " +
+          "attribution is not recorded for rewrites, use read + a keyed diff")
+      val changedDv = cur.entries.flatMap { e =>
+        prevByPath.get(e.path).filter(_.dv != e.dv).map(p => (p, e))
+      }
+      def tag(df: DataFrame, t: String): DataFrame = df
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(v))
+      val inserts =
+        if (added.isEmpty) None
+        else Some(tag(readVersionSubset(spark, root, cur, added), "insert"))
+      val dropDeletes =
+        if (removed.isEmpty) None
+        else Some(tag(readVersionSubset(spark, root, prev, removed), "delete"))
+      val dvFrames = changedDv.flatMap { case (pe, ce) =>
+        val oldPos = entryPositions(spark, root, pe)
+        val newPos = entryPositions(spark, root, ce)
+        val grown = newPos.exceptAll(oldPos)
+        val shrunk = oldPos.exceptAll(newPos)
+        // rows read from the file RAW (dv stripped) at the positions
+        Seq(
+          Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), grown), "delete")),
+          if (pe.dv.isEmpty) None
+          else Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), shrunk),
+            "insert"))).flatten
+      }
+      inserts.toSeq ++ dropDeletes.toSeq ++ dvFrames
+    }
+    if (frames.isEmpty)
+      readSnapshot(spark, root, snapshot(root, to).get).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** One version's LOGICAL read restricted to an entry subset (the
+    * change-feed building block: added files at their commit, removed
+    * files at their parent). */
+  private def readVersionSubset(spark: SparkSession, root: String,
+      snap: Snapshot, entries: Seq[FileEntry]): DataFrame = {
+    val schema = snap.schemaJson.map(parseSchema)
+    val phys = readEntriesOf(spark, root, snap, entries, schema)
+    if (snap.mapping.isEmpty) phys else applyMapping(phys, snap, schema.get)
+  }
+
+  /** The (f: rel path, p: row index) deletion-vector positions of one
+    * entry — empty frame when it carries none. */
+  private def entryPositions(spark: SparkSession, root: String,
+      e: FileEntry): DataFrame = e.dv match {
+    case None =>
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("f", "p")
+    case Some((sidecar, _)) =>
+      readFiles(spark, Seq(s"$root/$sidecar"), Some(DvSidecarSchema))
+        .filter(col("f") === e.path)
+  }
+
+  /** The LOGICAL rows of `entries` (read RAW — vectors stripped) at the
+    * given (f, p) positions: how the change feed materializes deleted /
+    * resurrected rows from a position diff. */
+  private def rowsAtPositions(spark: SparkSession, root: String,
+      snap: Snapshot, entries: Seq[FileEntry],
+      positions: DataFrame): DataFrame = {
+    val schema = snap.schemaJson.map(parseSchema)
+    val stripped = entries.map(_.copy(dv = None))
+    val pos = readEntriesOf(spark, root, snap, stripped, schema, keepPos = true)
+    val logical =
+      if (snap.mapping.isEmpty) pos
+      else pos.select((schema.get.fields.map(f =>
+        col(f.name).as(snap.mapping.getOrElse(f.name, f.name))) :+
+        col(DvFileCol) :+ col(DvPosCol)).toSeq: _*)
+    import spark.implicits._
+    val dim = entries.map(e => (absNorm(root, e.path), e.path))
+      .toDF(DvFileCol, "f")
+    logical.join(broadcast(dim), Seq(DvFileCol))
+      .join(broadcast(positions.withColumnRenamed("p", DvPosCol)),
+        Seq("f", DvPosCol), "left_semi")
+      .drop(DvFileCol, DvPosCol, "f")
   }
 
   /** Metadata-only RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`):
@@ -2103,6 +2341,9 @@ object TxLog {
           val whole = applyAssignments(read(spark, root, snap.version))
           Some(commitOverwrite(spark, root, whole, snap.version, note))
         } else {
+          // CHECK constraints validate the assignments' output — only
+          // the restaged candidates can have changed
+          enforceConstraints(spark, updated, snap.notes, "updateWhere")
           val (physDf, _, _) = toPhysical(updated, snap, physPrev)
           val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
           val staged =

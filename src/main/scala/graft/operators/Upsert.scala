@@ -319,6 +319,87 @@ object Upsert {
         .withColumn("purge_clean", lit(purgeClean))
     },
 
+    // S21: ROW-LEVEL CHANGE FEED (Delta CDF shape, resolved from
+    // manifests + deletion-vector sidecars — no CDC files written at
+    // commit time). v2 appends 50 new docs, v3 MoR-deletes every
+    // doc_id ≡ 0 (mod 13) — whose victims land in BOTH vintages, and
+    // three of the just-appended rows appear as insert AND delete. The
+    // oracle restates the exact change set (type, payload checksum,
+    // commit version) from the immutable source: the hash match
+    // certifies row-exact attribution, not just counts.
+    QueryDef("s21_change_feed",
+      """WITH ins AS (SELECT doc_id + 1000000 AS doc_id,
+        |                    md5(CAST(doc_id AS VARCHAR)) AS text
+        |             FROM documents WHERE doc_id < 50),
+        |all_rows AS (SELECT doc_id, text FROM documents
+        |             UNION ALL SELECT doc_id, text FROM ins),
+        |changes AS (
+        |  SELECT 'insert' AS change_type, doc_id, text, 2 AS v FROM ins
+        |  UNION ALL
+        |  SELECT 'delete', doc_id, text, 3 FROM all_rows WHERE doc_id % 13 = 0)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(max(v) AS BIGINT) AS v
+        |FROM changes GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "cdf-table")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TxLog.init(s, root, docs.repartition(8))
+      val ins = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("text"))
+      TxLog.appendOnce(s, root, "batch", ins)
+      TxLog.deleteMoR(s, root, col("doc_id") % 13 === 0)
+      TxLog.readChanges(s, root, 1L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"),
+          max(col("_commit_version")).cast("long").as("v"))
+        // rows compare in EMITTED order — pin it
+        .orderBy("change_type")
+    },
+
+    // S22: CHECK CONSTRAINTS (Delta ALTER TABLE ... ADD CONSTRAINT
+    // shape). Two constraints land via SQL; a batch with one violating
+    // row is refused ATOMICALLY (exception, no version published, no row
+    // leaked — both carried as verdict booleans), a valid batch then
+    // appends, and the oracle restates the final table: the hash match
+    // certifies the gate let exactly the right rows through.
+    QueryDef("s22_check_constraints",
+      """WITH ins AS (SELECT doc_id + 1000000 AS doc_id,
+        |                    md5(CAST(doc_id AS VARCHAR)) AS text
+        |             FROM documents WHERE doc_id < 20)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       TRUE AS violating_refused, TRUE AS nothing_leaked
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id, text FROM ins)""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "chk-table")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TxLog.init(s, root, docs)
+      SqlSurface.TxSql.sql(s,
+        s"ALTER TABLE txlog.`$root` ADD CONSTRAINT pos_id CHECK (doc_id >= 0)")
+      SqlSurface.TxSql.sql(s,
+        s"ALTER TABLE txlog.`$root` ADD CONSTRAINT has_text CHECK (length(text) > 0)")
+      val vBefore = TxLog.currentVersion(root)
+      val nBefore = TxLog.read(s, root).count()
+      import s.implicits._
+      val refused = scala.util.Try(TxLog.appendOnce(s, root, "bad",
+        Seq((-1L, "x"), (5000000L, "fine")).toDF("doc_id", "text"))).isFailure
+      val leaked = TxLog.currentVersion(root) != vBefore ||
+        TxLog.read(s, root).count() != nBefore
+      val ins = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("text"))
+      TxLog.appendOnce(s, root, "good", ins)
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"))
+        .withColumn("violating_refused", lit(refused))
+        .withColumn("nothing_leaked", lit(!leaked))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

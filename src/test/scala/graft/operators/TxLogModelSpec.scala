@@ -55,7 +55,7 @@ class TxLogModelSpec extends SparkSpec {
 
     var monotoneId = -1L
     (1 to ops).foreach { i =>
-      val opKind = rnd.nextInt(8)
+      val opKind = rnd.nextInt(9)
       val cur = model.current
       opKind match {
         case 0 => // keyed upsert — a full rewrite: materializes the logical name
@@ -104,6 +104,14 @@ class TxLogModelSpec extends SparkSpec {
           val next = if (cur.valueCol == "s") "t" else "s"
           TxLog.renameColumn(spark, root, cur.valueCol, next)
           model.commit(MState(cur.data, next))
+        case 8 => // merge-on-read delete: COW-delete semantics, zero rewrite —
+          // composes with everything above (a later upsert/compact/overwrite
+          // purges the vectors, restore crosses them, time travel pins them)
+          val m = 2 + rnd.nextInt(5)
+          TxLog.deleteMoR(spark, root, col("id") % m === 0 && col("id") =!= 1L)
+          model.commit(MState(
+            cur.data.filter { case (k, _) => k % m != 0 || k == 1L },
+            cur.valueCol))
       }
       assert(TxLog.currentVersion(root) === model.version,
         s"seed=$seed op#$i kind=$opKind: version diverged")
@@ -173,7 +181,7 @@ class TxLogModelSpec extends SparkSpec {
 
     (1 to 12).foreach { i =>
       val cur = history.last
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // tuple-scoped merge
           val batch = kv(1 + rnd.nextInt(6))
           TxLog.upsertPartitioned(spark, root, toPartDf(batch, "v"), "id",
@@ -195,6 +203,12 @@ class TxLogModelSpec extends SparkSpec {
           TxLog.commitOverwrite(spark, root, toPartDf(fresh, "v"),
             expected = TxLog.currentVersion(root))
           commit(fresh)
+        case 5 => // merge-on-read delete on the two-column layout —
+          // vectors on hive-staged files, partition values re-derived
+          // and checked row-by-row on every read-back
+          val m = 2 + rnd.nextInt(5)
+          TxLog.deleteMoR(spark, root, col("id") % m === 0 && col("id") =!= 1L)
+          commit(cur.filter { case (k, _) => k % m != 0 || k == 1L })
       }
       assert(TxLog.currentVersion(root) === history.size.toLong,
         s"op#$i: version diverged")
