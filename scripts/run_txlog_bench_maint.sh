@@ -9,4 +9,4 @@ exec java -Xmx8g -cp "$CP" \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   --add-opens java.base/sun.security.action=ALL-UNNAMED \
-  graft.TxLogBench /root/repo/TXLOG_BENCH_r10_maint.json 10000 2000
+  graft.TxLogBench "${1:-/root/repo/TXLOG_BENCH_r12_maint.json}" "${2:-10000}" "${3:-2000}"

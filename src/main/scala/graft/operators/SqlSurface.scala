@@ -54,6 +54,7 @@ object SqlSurface {
     *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
     *   DESCRIBE HISTORY txlog.`<root>`
     *   DESCRIBE DETAIL txlog.`<root>`
+    *   DESCRIBE CHANGES txlog.`<root>` FROM <v> [TO <v>]
     *   SHOW PARTITIONS txlog.`<root>`
     *   ALTER TABLE txlog.`<root>` SET TBLPROPERTIES ('k' = 'v'[, ...])
     *   ALTER TABLE txlog.`<root>` ADD CONSTRAINT <name> CHECK (<expr>)
@@ -97,6 +98,9 @@ object SqlSurface {
         "(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+(\\d+))\\s*;?\\s*$").r
     private val History =
       "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
+    private val Changes =
+      ("(?is)^\\s*DESCRIBE\\s+CHANGES\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+" +
+        "FROM\\s+(\\d+)(?:\\s+TO\\s+(\\d+))?\\s*;?\\s*$").r
     private val Detail =
       "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
     private val ShowParts =
@@ -246,6 +250,11 @@ object SqlSurface {
         TxLog.history(root)
           .map(h => (h.version, h.timestampMs, h.nFiles, h.notes.toSeq.sorted))
           .toDF("version", "timestamp_ms", "n_files", "notes")
+      case Changes(root, from, to) =>
+        // the row-level change feed as a statement: rows inserted/deleted
+        // in versions (from, to], tagged _change_type/_commit_version
+        TxLog.readChanges(spark, root, from.toLong,
+          Option(to).map(_.toLong).getOrElse(-1L))
       case AddConstraint(root, name, check) =>
         val v = TxLog.addConstraint(spark, root, name, check.trim)
         spark.range(1).select(lit(v).as("version"))

@@ -1970,6 +1970,140 @@ object TxLog {
       }
     }.get
 
+  /** MERGE-ON-READ targeted UPDATE — the [[deleteMoR]] machinery
+    * extended with the replacement rows: ONE commit records the matched
+    * rows' positions in a deletion-vector sidecar (their files stay
+    * byte-untouched) AND appends the assignment-applied rows as new
+    * files. Cost at 100 TB: O(changed rows) written — an UPDATE touching
+    * 0.1% of a tier writes that 0.1%, where the copy-on-write
+    * [[updateWhere]] restages every candidate file. A pleasant
+    * consequence: [[readChanges]] attributes such a commit EXACTLY —
+    * the grown vectors read as the pre-image deletes, the appended files
+    * as the post-image inserts (textbook CDC, no extra recording).
+    *
+    * Semantics are [[updateWhere]]'s (SQL UPDATE: assignments evaluate
+    * against the ORIGINAL row, NULL-condition rows unmatched; every call
+    * commits). A retyping SET is refused — the appended files must stay
+    * schema-uniform with the candidates they logically replace (use
+    * updateWhere, whose full rewrite may retype). Partition-column
+    * assignments are fine: the replacement rows restage into their new
+    * hive partitions. Requires the manifest-fed layout, like deleteMoR. */
+  def updateMoR(spark: SparkSession, root: String, cond: Column,
+      assignments: Seq[(String, Column)], note: String = ""): Long = {
+    require(assignments.nonEmpty, "updateMoR: no SET assignments")
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(
+        throw new IllegalStateException(s"update on uninitialized txlog $root"))
+      val schema = snap.schemaJson.map(parseSchema)
+      require(snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema),
+        s"updateMoR: legacy partition layout at $root cannot carry deletion " +
+          "vectors — a full overwrite upgrades the layout, or use updateWhere()")
+      require(schema.isDefined && snap.entries.forall(_.size.isDefined),
+        s"updateMoR: table at $root predates the manifest-fed read layout")
+      val physPrev = schema.get
+      val conjuncts = scala.util.Try(Stats.splitConjuncts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(spark, cond)))
+        .getOrElse(Seq.empty)
+      val cand = snap.entries.filter(entryCouldMatch(snap, conjuncts))
+      def bump(): Long = publish(root, snap.version, snap.entries,
+        snap.partCols, if (note.isEmpty) snap.notes else snap.notes + note,
+        snap.schemaJson, snap.mapping, snap.retired,
+        parentEntries = Some(snap.entries))
+      if (cand.isEmpty) Some(bump())
+      else {
+        val candPos = readEntriesOf(spark, root, snap, cand, schema,
+          keepPos = true)
+        val logical =
+          if (snap.mapping.isEmpty) candPos
+          else candPos.select((physPrev.fields.map(f =>
+            col(f.name).as(snap.mapping.getOrElse(f.name, f.name))) :+
+            col(DvFileCol) :+ col(DvPosCol)).toSeq: _*)
+        assignments.foreach { case (c, _) =>
+          require(logical.columns.exists(_.equalsIgnoreCase(c)),
+            s"updateMoR: no column $c")
+        }
+        // matched ORIGINAL rows, cached: they feed both the position
+        // sidecar and the replacement-row staging
+        val victims = logical.filter(cond <=> lit(true)).cache()
+        try {
+          import spark.implicits._
+          val dim = cand.map(e => (absNorm(root, e.path), e.path))
+            .toDF(DvFileCol, "f")
+          val newPos = victims.join(broadcast(dim), Seq(DvFileCol))
+            .select(col("f"), col(DvPosCol).as("p"))
+          val prior = cand.filter(_.dv.isDefined)
+          val priorRows = prior.map(_.dv.get._2).sum
+          val allPos =
+            if (prior.isEmpty) newPos
+            else newPos.unionByName(
+              readFiles(spark, prior.map(_.dv.get._1).distinct
+                .map(p => s"$root/$p"), Some(DvSidecarSchema))
+                .join(broadcast(prior.map(e => Tuple1(e.path)).toDF("f")),
+                  Seq("f"), "left_semi"))
+          val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}"
+          allPos.repartition(1).write.mode("overwrite").parquet(s"$root/$dvDir")
+          val dvFile = Option(new java.io.File(s"$root/$dvDir").listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq match {
+            case Seq(one) => s"$dvDir/${one.getName}"
+            case other => throw new IllegalStateException(
+              s"updateMoR: expected one sidecar file, found ${other.size}")
+          }
+          val counts = readFiles(spark, Seq(s"$root/$dvFile"),
+            Some(DvSidecarSchema))
+            .groupBy("f").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (counts.values.sum == priorRows) {
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"$root/$dvDir"))
+            Some(bump())
+          } else {
+            // replacement rows: assignments against the original row —
+            // every row here matched, so the expressions apply directly
+            val original = victims.drop(DvFileCol, DvPosCol)
+            val updated = original.select(original.columns.map { c =>
+              assignments.find(_._1.equalsIgnoreCase(c)) match {
+                case Some((_, e)) => e.as(c)
+                case None => col(c)
+              }
+            }.toSeq: _*)
+            def typesOf(df: DataFrame) = df.schema.fields
+              .map(f => (f.name.toLowerCase, f.dataType)).toSeq
+            require(typesOf(updated) == typesOf(original),
+              "updateMoR: retyping SET — the appended rows must stay " +
+                "schema-uniform with the files they replace; use updateWhere")
+            enforceConstraints(spark, updated, snap.notes, "updateMoR")
+            val (physDf, _, _) = toPhysical(updated, snap, physPrev)
+            val staged =
+              if (snap.partCols.nonEmpty)
+                stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
+                  keepInFiles = true, placeholderIfEmpty = false)
+              else stageData(spark, root, physDf)
+            val next = snap.entries.flatMap { e =>
+              counts.get(e.path) match {
+                case None => Some(e)
+                case Some(c) if e.stats.exists(_.rows == c) => None
+                case Some(c) => Some(e.copy(dv = Some((dvFile, c))))
+              }
+            }
+            // version-pinned CDC marker: THIS commit's added files hold
+            // only post-image rows (never carried survivors), so the
+            // change feed may attribute it row-level even when a fully
+            // updated file drops (adds + removes in one commit — the
+            // shape readChanges otherwise refuses as a rewrite)
+            val marked = kvMerge(
+              if (note.isEmpty) snap.notes else snap.notes + note,
+              Map("cdc_rowlevel" -> (snap.version + 1).toString))
+            Some(publish(root, snap.version, next ++ staged, snap.partCols,
+              marked,
+              snap.schemaJson, snap.mapping, snap.retired,
+              parentEntries = Some(snap.entries)))
+          }
+        } finally victims.unpersist()
+      }
+    }.get
+  }
+
   /** Metadata-only table-property commit (`ALTER TABLE ... SET
     * TBLPROPERTIES`): replace-merges `kv` into the note set — the
     * `delete_mode = mor` switch and friends land atomically as their own
@@ -2177,7 +2311,12 @@ object TxLog {
       val curByPath = cur.entries.map(e => e.path -> e).toMap
       val added = cur.entries.filterNot(e => prevByPath.contains(e.path))
       val removed = prev.entries.filterNot(e => curByPath.contains(e.path))
-      require(added.isEmpty || removed.isEmpty,
+      // a version-pinned `cdc_rowlevel` marker (updateMoR) certifies the
+      // commit's added files hold ONLY post-image rows — adds + removes
+      // in one commit is then attributable (removed files' live rows are
+      // the pre-images, added files the post-images)
+      val rowLevel = kvOf(cur.notes).get("cdc_rowlevel").contains(v.toString)
+      require(added.isEmpty || removed.isEmpty || rowLevel,
         s"readChanges: version $v rewrote data files (adds and removes in " +
           "one commit — COW DML, upsert, compact, or overwrite); row " +
           "attribution is not recorded for rewrites, use read + a keyed diff")
@@ -2292,6 +2431,12 @@ object TxLog {
   def updateWhere(spark: SparkSession, root: String, cond: Column,
       assignments: Seq[(String, Column)], note: String = ""): Long = {
     require(assignments.nonEmpty, "updateWhere: no SET assignments")
+    // `update_mode = mor` routes to the merge-on-read path (the
+    // delete_mode twin): SQL UPDATE statements and API callers flip one
+    // table property, no call-site change. A retyping SET still needs
+    // the copy-on-write path — updateMoR refuses it loudly.
+    if (snapshot(root).exists(s => kvOf(s.notes).get("update_mode").contains("mor")))
+      return updateMoR(spark, root, cond, assignments, note)
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"update on uninitialized txlog $root"))

@@ -400,6 +400,66 @@ object Upsert {
         .withColumn("nothing_leaked", lit(!leaked))
     },
 
+    // S23: MERGE-ON-READ UPDATE — deletion vectors + appended post-image
+    // rows in one commit. The table flips `update_mode = mor`; two
+    // UPDATEs land (one SQL, one API; disjoint predicates, so they
+    // compose without interaction) and the oracle restates the final
+    // table. Verdict booleans carry the structure: the original data
+    // files were never rewritten across both updates, and the change
+    // feed attributes BOTH commits row-exactly (pre-image deletes hash
+    // to the original rows, post-image inserts to the final rows).
+    QueryDef("s23_mor_update",
+      """WITH upd1 AS (SELECT doc_id,
+        |                     CASE WHEN doc_id % 10 = 3 THEN 'U1:' || text
+        |                          ELSE text END AS text
+        |              FROM documents),
+        |upd2 AS (SELECT doc_id,
+        |                CASE WHEN doc_id % 10 = 7 THEN 'U2:' || text
+        |                     ELSE text END AS text
+        |         FROM upd1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST((SELECT count(*) FROM documents
+        |             WHERE doc_id % 10 IN (3, 7)) AS BIGINT) AS n_changed,
+        |       TRUE AS files_untouched, TRUE AS cdc_rowexact
+        |FROM upd2""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "morupd-table")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TxLog.init(s, root, docs.repartition(8))
+      val origPaths = TxLog.snapshot(root).get.entries.map(e => (e.path, e.size))
+      SqlSurface.TxSql.sql(s,
+        s"ALTER TABLE txlog.`$root` SET TBLPROPERTIES ('update_mode' = 'mor')")
+      SqlSurface.TxSql.sql(s,
+        s"UPDATE txlog.`$root` SET text = 'U1:' || text WHERE doc_id % 10 = 3")
+      TxLog.updateWhere(s, root, col("doc_id") % 10 === 7,
+        Seq("text" -> concat(lit("U2:"), col("text"))))
+      val after = TxLog.snapshot(root).get
+      val filesUntouched = origPaths.forall { case (p, sz) =>
+        after.entries.exists(e => e.path == p && e.size == sz)
+      }
+      def ckOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).cast("long"),
+          coalesce(sum((col("doc_id") + 1) *
+            length(col("text").cast("binary"))), lit(0L)).cast("long")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val changed = col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7
+      val feed = TxLog.readChanges(s, root, 2L)
+      val (nDel, ckDel) = ckOf(feed.filter(col("_change_type") === "delete"))
+      val (nIns, ckIns) = ckOf(feed.filter(col("_change_type") === "insert"))
+      val (nPre, ckPre) = ckOf(docs.filter(changed))
+      val (nPost, ckPost) = ckOf(TxLog.read(s, root).filter(changed))
+      val cdcRowExact = nDel == nPre && ckDel == ckPre &&
+        nIns == nPost && ckIns == ckPost
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"))
+        .withColumn("n_changed", lit(nPre))
+        .withColumn("files_untouched", lit(filesUntouched))
+        .withColumn("cdc_rowexact", lit(cdcRowExact))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

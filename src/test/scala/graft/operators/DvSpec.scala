@@ -202,6 +202,94 @@ class DvSpec extends SparkSpec {
       docs.filter(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0).count())
   }
 
+  test("updateMoR: COW-identical results; O(changed rows) written, files untouched") {
+    val root = freshRoot("upd")
+    TxLog.init(spark, root, docs.repartition(4))
+    val before = TxLog.snapshot(root).get
+    TxLog.updateMoR(spark, root, col("doc_id") % 10 === 3,
+      Seq("text" -> concat(lit("U:"), col("text"))))
+    val after = TxLog.snapshot(root).get
+    // original files byte-identical (dv'd, not rewritten); new files appended
+    val beforePaths = before.entries.map(e => (e.path, e.size)).toSet
+    assert(before.entries.forall(e =>
+      after.entries.exists(a => a.path == e.path && a.size == e.size)))
+    assert(after.entries.exists(e => !beforePaths.contains((e.path, e.size))),
+      "no replacement files appended")
+    assert(after.entries.exists(_.dv.isDefined))
+    val got = TxLog.read(spark, root)
+    val want = docs.withColumn("text",
+      when(col("doc_id") % 10 === 3, concat(lit("U:"), col("text")))
+        .otherwise(col("text")))
+    assert(got.count() === want.count())
+    assert(got.agg(sum((col("doc_id") + 1) *
+        length(col("text").cast("binary")))).head().getLong(0) ===
+      want.agg(sum((col("doc_id") + 1) *
+        length(col("text").cast("binary")))).head().getLong(0))
+    // a retyping SET is refused loudly
+    intercept[IllegalArgumentException] {
+      TxLog.updateMoR(spark, root, col("doc_id") === 1,
+        Seq("text" -> col("doc_id")))
+    }
+  }
+
+  test("updateMoR feeds CDC: pre-image deletes + post-image inserts, incl. full-file turnover") {
+    val root = freshRoot("updcdc")
+    import spark.implicits._
+    // one 2-row file + one 3-row file; the update hits ALL rows of file A
+    // (its entry DROPS — adds+removes in one commit, accepted via the
+    // version-pinned cdc_rowlevel marker) and one row of file B
+    TxLog.init(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    TxLog.appendOnce(spark, root, "b1",
+      Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "s").coalesce(1))
+    TxLog.updateMoR(spark, root, col("id") <= 3,
+      Seq("s" -> upper(col("s"))))
+    val feed = TxLog.readChanges(spark, root, 2L).cache()
+    try {
+      val del = feed.filter(col("_change_type") === "delete")
+        .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val ins = feed.filter(col("_change_type") === "insert")
+        .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(del.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(ins.toSeq === Seq((1L, "A"), (2L, "B"), (3L, "C")))
+    } finally feed.unpersist()
+    // and the table reads the post-images
+    assert(TxLog.read(spark, root).filter(col("s") === "A").count() === 1L)
+    assert(TxLog.read(spark, root).count() === 5L)
+  }
+
+  test("update_mode=mor routes updateWhere and SQL UPDATE; partition moves work") {
+    val root = freshRoot("updmode")
+    val d = docs.withColumn("day", (col("doc_id") % 3).cast("int"))
+    TxLog.initPartitioned(spark, root, d, Seq("day"), "")
+    TxLog.setProperties(root, Map("update_mode" -> "mor"))
+    val before = TxLog.snapshot(root).get.entries.map(_.path).toSet
+    // partition-column assignment: matched rows MOVE to day=2
+    TxLog.updateWhere(spark, root, col("doc_id") % 10 === 7,
+      Seq("day" -> lit(2).cast("int")))
+    val after = TxLog.snapshot(root).get
+    assert(before.subsetOf(after.entries.map(_.path).toSet),
+      "MoR-routed update rewrote original files")
+    val got = TxLog.read(spark, root)
+    val want = d.withColumn("day",
+      when(col("doc_id") % 10 === 7, lit(2).cast("int")).otherwise(col("day")))
+    assert(got.filter(col("day") === 2).count() ===
+      want.filter(col("day") === 2).count())
+    assert(got.count() === want.count())
+    // SQL UPDATE takes the same path (no file rewritten)
+    SqlSurface.TxSql.sql(spark,
+      s"UPDATE txlog.`$root` SET text = 'SQLMOR' WHERE doc_id = 42")
+    assert(TxLog.snapshot(root).get.entries.map(_.path).toSet
+      .intersect(before) === before)
+    assert(TxLog.read(spark, root)
+      .filter(col("text") === "SQLMOR").count() ===
+      d.filter(col("doc_id") === 42).count())
+    // compaction purges everything back to a vector-free layout
+    TxLog.compact(spark, root, targetFiles = 1)
+    assert(TxLog.snapshot(root).get.entries.forall(_.dv.isEmpty))
+    assert(TxLog.read(spark, root).count() === want.count())
+  }
+
   test("COW update after MoR delete: no resurrection, vectors purge on rewrite") {
     val root = freshRoot("cowafter")
     TxLog.init(spark, root, docs.repartition(3))

@@ -186,6 +186,22 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.history(root).map(_.version) === Seq(3L))
   }
 
+  test("DESCRIBE CHANGES: the row-level feed as a statement (FROM, FROM..TO)") {
+    val root = freshRoot("changes")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root, "b1", Seq((3L, "c")).toDF("id", "s"))
+    TxLog.deleteMoR(spark, root, col("id") === 1L)
+    val feed = TxSql.sql(spark, s"DESCRIBE CHANGES txlog.`$root` FROM 1")
+      .collect().map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("id"), r.getAs[Long]("_commit_version"))).sorted
+    assert(feed.toSeq === Seq(("delete", 1L, 3L), ("insert", 3L, 2L)))
+    // bounded TO: only the append
+    val sub = TxSql.sql(spark, s"DESCRIBE CHANGES txlog.`$root` FROM 1 TO 2")
+    assert(sub.count() === 1L)
+    assert(sub.head().getAs[String]("_change_type") === "insert")
+  }
+
   test("DESCRIBE DETAIL: one-row manifest summary, exact sizes and rows") {
     val root = freshRoot("detail")
     import spark.implicits._
