@@ -444,9 +444,18 @@ object Upsert {
         (r.getLong(0), r.getLong(1))
       }
       val changed = col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7
-      val feed = TxLog.readChanges(s, root, 2L)
-      val (nDel, ckDel) = ckOf(feed.filter(col("_change_type") === "delete"))
-      val (nIns, ckIns) = ckOf(feed.filter(col("_change_type") === "insert"))
+      // one pass over the feed for both change types (the feed re-reads
+      // sidecars and position diffs - evaluating it twice doubles that)
+      def sideAgg(t: String) = Seq(
+        sum(when(col("_change_type") === t, 1L).otherwise(0L)).cast("long"),
+        coalesce(sum(when(col("_change_type") === t,
+          (col("doc_id") + 1) * length(col("text").cast("binary")))),
+          lit(0L)).cast("long"))
+      val fr = TxLog.readChanges(s, root, 2L)
+        .agg(sideAgg("delete").head,
+          (sideAgg("delete").tail ++ sideAgg("insert")): _*).head()
+      val (nDel, ckDel, nIns, ckIns) =
+        (fr.getLong(0), fr.getLong(1), fr.getLong(2), fr.getLong(3))
       val (nPre, ckPre) = ckOf(docs.filter(changed))
       val (nPost, ckPost) = ckOf(TxLog.read(s, root).filter(changed))
       val cdcRowExact = nDel == nPre && ckDel == ckPre &&

@@ -125,6 +125,33 @@ class TxLogModelSpec extends SparkSpec {
         s"seed=$seed: version $v diverged under time travel")
     }
 
+    // CDC consistency: for every version step the change feed either
+    // refuses (rewrite-shaped commit) or transforms the parent state
+    // into the child state EXACTLY — parent minus the delete rows plus
+    // the insert rows, as key→value multisets. This is the row-level
+    // attribution contract checked against the reference model across
+    // arbitrary op interleavings, not a hand-picked scenario.
+    (2L to model.version).foreach { v =>
+      val feedOrRefusal = scala.util.Try(
+        TxLog.readChanges(spark, root, v - 1, v).collect())
+      feedOrRefusal.foreach { rows =>
+        val parent = model.history((v - 2).toInt).data
+        val child = model.history((v - 1).toInt).data
+        val dels = rows.filter(_.getAs[String]("_change_type") == "delete")
+          .map(r => r.getLong(0) -> r.getString(1))
+        val ins = rows.filter(_.getAs[String]("_change_type") == "insert")
+          .map(r => r.getLong(0) -> r.getString(1))
+        dels.foreach { case (k, value) =>
+          assert(parent.get(k).contains(value),
+            s"seed=$seed v=$v: feed deleted ($k,$value) not in parent")
+        }
+        val applied = (parent -- dels.map(_._1)) ++ ins
+        assert(applied === child,
+          s"seed=$seed v=$v: feed-applied parent != child state")
+        assert(rows.forall(_.getAs[Long]("_commit_version") == v))
+      }
+    }
+
     // maintenance epilogue: prune + ungraced vacuum, latest still intact
     TxLog.pruneHistory(root, keepLast = 2)
     TxLog.vacuum(root, graceMs = 0L)
