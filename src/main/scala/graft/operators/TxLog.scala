@@ -748,8 +748,12 @@ object TxLog {
   /** DV sidecar row budget under which the positions frame broadcasts;
     * beyond it the anti-join falls back to a shuffle join (still exact —
     * a lake that accumulated hundreds of millions of undeleted positions
-    * should compact, not broadcast). */
-  private[operators] val DvBroadcastRows = 4L * 1000 * 1000
+    * should compact, not broadcast). System-property override
+    * (`graft.dv.broadcastRows`) exists so the fallback plan is testable
+    * without staging millions of positions. */
+  private[operators] def DvBroadcastRows: Long =
+    sys.props.get("graft.dv.broadcastRows").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
 
   private val DvSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("f",

@@ -290,6 +290,40 @@ class DvSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === want.count())
   }
 
+  test("beyond the broadcast budget the anti-join falls back to a shuffle join, still exact") {
+    val root = freshRoot("shuffle")
+    TxLog.init(spark, root, docs.repartition(4))
+    TxLog.deleteMoR(spark, root, col("doc_id") % 6 === 0)
+    val want = docs.filter(col("doc_id") % 6 =!= 0)
+    val prev = sys.props.get("graft.dv.broadcastRows")
+    try {
+      sys.props("graft.dv.broadcastRows") = "0"
+      // past the budget we withhold the broadcast HINT; at test scale
+      // Spark's auto-broadcast would still pick it (the positions frame
+      // is tiny), so disable that too — at real scale a positions side
+      // past the budget also exceeds autoBroadcastJoinThreshold
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val got = TxLog.read(spark, root)
+        val plan = got.queryExecution.executedPlan.toString
+        // the ANTI join must not broadcast (the rel→abs dim join inside
+        // the positions frame keeps its explicit broadcast — that side
+        // is O(dv'd entries), always small)
+        val antiLines = plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+        assert(antiLines.nonEmpty)
+        assert(antiLines.forall(!_.contains("BroadcastHashJoin")),
+          s"expected non-broadcast anti-join:\n$plan")
+        assert(got.count() === want.count())
+        assert(got.agg(sum(col("doc_id"))).head().getLong(0) ===
+          want.agg(sum(col("doc_id"))).head().getLong(0))
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.dv.broadcastRows") = v
+        case None => sys.props.remove("graft.dv.broadcastRows")
+      }
+    }
+  }
+
   test("COW update after MoR delete: no resurrection, vectors purge on rewrite") {
     val root = freshRoot("cowafter")
     TxLog.init(spark, root, docs.repartition(3))
