@@ -96,7 +96,8 @@ object SigIndex {
     * ONE CAS-atomic commit (no torn-rebuild window). `hwBatchId`, when
     * set, stamps the stream's replay high-water into the same publish —
     * the bootstrap batch's ledger entry. */
-  def build(docs: DataFrame, idx: String, hwBatchId: Option[Long] = None): Unit = {
+  def build(docs: DataFrame, idx: String, hwBatchId: Option[Long] = None,
+      extraKv: Map[String, String] = Map.empty): Unit = {
     val sh = Dedup.shingles(docs).cache()
     try {
       val n = docs.count()
@@ -105,8 +106,105 @@ object SigIndex {
       TxLog.replaceTable(docs.sparkSession, tableRoot(idx), rows,
         partCol = Some("kind"),
         note = hwBatchId.map(id => s"hw:batch:$id").getOrElse(""),
-        kv = Map("n" -> n.toString))
+        kv = Map("n" -> n.toString) ++ extraKv)
     } finally sh.unpersist()
+  }
+
+  /** [[build]] from a CORPUS transaction-log table, recording the corpus
+    * version the index reflects as the `kv:sync_v` property — the
+    * high-water [[sync]] advances. */
+  def buildFrom(s: SparkSession, corpusRoot: String, idx: String): Long = {
+    val v = TxLog.currentVersion(corpusRoot)
+    build(TxLog.read(s, corpusRoot, v), idx,
+      extraKv = Map("sync_v" -> v.toString))
+    v
+  }
+
+  /** Remove documents from the index — the right-to-be-forgotten leg,
+    * and [[sync]]'s delete path. One merge-on-read delete commit covers
+    * both row kinds (buckets + postings share doc_id) with the `kv:n`
+    * count decremented ATOMICALLY via deleteMoR's kvFn: the decrement is
+    * derived from the attempt's fresh snapshot (only ids actually
+    * indexed count), so a CAS loss re-derives — the count can never
+    * commit against a version this writer didn't read. Idempotent by
+    * construction: re-forgetting absent ids deletes nothing and
+    * decrements nothing, so callers need no replay ledger. Index files
+    * are untouched (positions only) — compaction purges the vectors on
+    * the normal maintenance cadence. */
+  def forget(s: SparkSession, idx: String, ids: Seq[Long],
+      extraKv: Map[String, String] = Map.empty): Unit = {
+    val root = tableRoot(idx)
+    if (ids.isEmpty) {
+      if (extraKv.nonEmpty) TxLog.setProperties(root, extraKv)
+      return
+    }
+    // a driver-held id list: forget batches are compliance-sized (the
+    // feed's deletes per sync cycle), never the corpus
+    require(ids.size <= 1000000,
+      s"SigIndex.forget: ${ids.size} ids — pass bounded batches")
+    TxLog.deleteMoR(s, root, col("doc_id").isInCollection(ids),
+      kvFn = { snap =>
+        val prev = TxLog.kvOf(snap.notes).getOrElse("n",
+          throw new IllegalStateException(s"$idx: committed table has no kv:n"))
+          .toLong
+        val present = bandsAt(s, idx, snap.version)
+          .filter(col("doc_id").isInCollection(ids))
+          .select("doc_id").distinct().count()
+        Map("n" -> (prev - present).toString) ++ extraKv
+      })
+    ()
+  }
+
+  /** Follow a corpus table's ROW-LEVEL change feed: everything the
+    * corpus inserted/deleted since the last sync (appends, MoR deletes,
+    * MoR updates — which arrive as delete(pre) + insert(post) of the
+    * same doc_id) folds into the index, and `kv:sync_v` advances to the
+    * corpus version in the SAME commit as the last fold step. Deletes
+    * apply FIRST so an updated document's re-insert appends disjoint.
+    * Crash safety: forget is idempotent and sync_v only advances with
+    * the final step, so a half-applied cycle simply re-runs. Rewrite
+    * commits in the corpus range (compact, COW DML) make readChanges
+    * refuse — rebuild via [[buildFrom]] then (the CDC-retention trade:
+    * sync before maintenance). Returns the corpus version synced to. */
+  def sync(s: SparkSession, idx: String, corpusRoot: String): Long = {
+    val root = tableRoot(idx)
+    val snap = TxLog.snapshot(root).getOrElse(
+      throw new IllegalStateException(
+        s"SigIndex.sync($idx): no committed index — buildFrom first"))
+    val from = TxLog.kvOf(snap.notes).getOrElse("sync_v",
+      throw new IllegalStateException(
+        s"SigIndex.sync($idx): no kv:sync_v — index was not built " +
+          "from a corpus table (use buildFrom)")).toLong
+    val to = TxLog.currentVersion(corpusRoot)
+    if (to <= from) return from
+    val feed = TxLog.readChanges(s, corpusRoot, from, to).cache()
+    try {
+      // the feed is an EVENT LOG, not a net diff: a row inserted and
+      // later deleted inside the range must net out, an updated row must
+      // fold as its LAST post-image. Net per doc_id: the latest event
+      // wins, with insert outranking delete at the SAME version (an
+      // update emits both at one commit — the insert is the survivor).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("_commit_version").desc,
+          when(col("_change_type") === "insert", 0).otherwise(1))
+      val lastIns = feed.withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1 && col("_change_type") === "insert")
+        .drop("_r", "_change_type", "_commit_version")
+      // forget EVERY touched doc_id (absent ones are no-ops and don't
+      // decrement — forget's present-check), then append the net
+      // survivors: updated docs re-enter disjoint, netted-out docs never
+      // re-enter
+      val touched = feed.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (lastIns.isEmpty)
+        forget(s, idx, touched, extraKv = Map("sync_v" -> to.toString))
+      else {
+        forget(s, idx, touched)
+        append(lastIns, idx, tag = s"sync-$to",
+          extraKv = Map("sync_v" -> to.toString))
+      }
+    } finally feed.unpersist()
+    to
   }
 
   /** Fold a new batch into the index as ONE tagged txlog append — rows
@@ -118,7 +216,8 @@ object SigIndex {
     * leaves nothing visible. Replay safety: a caller that may retry the
     * SAME logical batch should pass a stable `tag` — a tag already in
     * the note ledger makes the append a no-op. */
-  def append(newDocs: DataFrame, idx: String, tag: String = ""): Unit = {
+  def append(newDocs: DataFrame, idx: String, tag: String = "",
+      extraKv: Map[String, String] = Map.empty): Unit = {
     val s = newDocs.sparkSession
     val root = tableRoot(idx)
     // no tag → no ledger entry: a minted per-call UUID would ride in
@@ -153,7 +252,7 @@ object SigIndex {
           val rows = indexRows(sh,
             Dedup.signatureBands(Dedup.minhashSignature(sh)), parts = 8)
           Some(TxLog.commitAppendKv(s, root, rows, snap.version, t,
-            Map("n" -> (prev + cnts.getAs[Long]("n")).toString)))
+            Map("n" -> (prev + cnts.getAs[Long]("n")).toString) ++ extraKv))
       }
       ()
     } finally { sh.unpersist(); b.unpersist() }
@@ -378,6 +477,54 @@ object SigIndex {
       val idx = pathFor(dir)
       buildLock.synchronized { if (!isFresh(old, idx)) build(old, idx) }
       probe(s, idx, docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("old_id", "new_id")
+    },
+
+    // D17: the index FOLLOWS the corpus's row-level change feed — the
+    // full composition: a corpus transaction-log table takes an append,
+    // a merge-on-read DELETE and a merge-on-read UPDATE; one
+    // SigIndex.sync folds the feed into the persisted index (net per
+    // doc_id: forget touched ids, re-append net survivors — updated
+    // documents re-enter with their POST-image shingles); the probe then
+    // runs against the synced index and the oracle computes the exact
+    // Jaccard pair set from the RESTATED final corpus — so the hash
+    // match certifies deletes dropped out, updates re-indexed under the
+    // edited text, and appends landed, all through the feed path.
+    QueryDef("d17_index_follows_feed",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 1 THEN text || ' EDITED'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 <> 0),
+        |probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |allr AS (SELECT * FROM corpus UNION ALL SELECT * FROM probe),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM allr),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |             FROM ws WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS old_id, y.doc_id AS new_id, count(*) AS c
+        |          FROM sh x JOIN sh y ON x.g = y.g
+        |          WHERE x.doc_id % 3 <> 2 AND y.doc_id % 3 = 2
+        |          GROUP BY 1, 2)
+        |SELECT old_id, new_id,
+        |       CAST(round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON old_id = sa.doc_id
+        |           JOIN sz sb ON new_id = sb.doc_id
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= ${Dedup.Tau}
+        |ORDER BY old_id, new_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpusRoot = TxLog.freshRoot(dir, "sigsync-corpus")
+      val idx = s"${TxLog.freshRoot(dir, "sigsync-index")}"
+      TxLog.init(s, corpusRoot,
+        docs.filter(col("doc_id") % 3 === 0).repartition(4))
+      buildFrom(s, corpusRoot, idx)
+      TxLog.appendOnce(s, corpusRoot, "b1", docs.filter(col("doc_id") % 3 === 1))
+      TxLog.deleteMoR(s, corpusRoot, col("doc_id") % 7 === 0)
+      TxLog.updateMoR(s, corpusRoot, col("doc_id") % 11 === 1,
+        Seq("text" -> concat(col("text"), lit(" EDITED"))))
+      sync(s, idx, corpusRoot)
+      probe(s, idx, docs.filter(col("doc_id") % 3 === 2))
         .orderBy("old_id", "new_id")
     }
   )

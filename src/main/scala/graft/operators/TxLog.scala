@@ -1883,8 +1883,14 @@ object TxLog {
     * Requires the manifest-fed read layout (committed schema + sizes;
     * partition columns in the files) — legacy adopted layouts keep
     * copy-on-write. */
+  /** `kvFn` — replaced `kv:` properties derived from the attempt's FRESH
+    * snapshot and published atomically with the delete (the
+    * [[commitAppendKv]] discipline: a CAS loss re-runs the derivation, so
+    * a maintained counter — an index's `kv:n` — can never commit against
+    * a version the writer didn't read). May run Spark jobs. */
   def deleteMoR(spark: SparkSession, root: String, victim: Column,
-      note: String = ""): Long =
+      note: String = "",
+      kvFn: Snapshot => Map[String, String] = _ => Map.empty): Long =
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"delete on uninitialized txlog $root"))
@@ -1898,8 +1904,10 @@ object TxLog {
         org.apache.spark.sql.graftbridge.Bridge.expression(spark, victim)))
         .getOrElse(Seq.empty)
       val cand = snap.entries.filter(entryCouldMatch(snap, conjuncts))
+      def notesOut: Set[String] = kvMerge(
+        if (note.isEmpty) snap.notes else snap.notes + note, kvFn(snap))
       def bump(): Long = publish(root, snap.version, snap.entries,
-        snap.partCols, if (note.isEmpty) snap.notes else snap.notes + note,
+        snap.partCols, notesOut,
         snap.schemaJson, snap.mapping, snap.retired,
         parentEntries = Some(snap.entries))
       if (cand.isEmpty) Some(bump())
@@ -1967,7 +1975,7 @@ object TxLog {
               case None => e
             })
           Some(publish(root, snap.version, entries, snap.partCols,
-            if (note.isEmpty) snap.notes else snap.notes + note,
+            notesOut,
             snap.schemaJson, snap.mapping, snap.retired,
             parentEntries = Some(snap.entries)))
         }

@@ -30,6 +30,43 @@ class SigIndexSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture must exercise cross-batch near-dups")
   }
 
+  test("sync follows the corpus change feed: appends, MoR deletes, MoR updates — sync == rebuild") {
+    val corpus = s"/root/repo/target/sigidx-corpus-${System.nanoTime()}"
+    val idxDir = s"/root/repo/target/sigidx-sync-${System.nanoTime()}"
+    val rebuildDir = s"/root/repo/target/sigidx-syncfull-${System.nanoTime()}"
+    val base = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+    TxLog.init(spark, corpus, base.repartition(4))
+    assert(SigIndex.buildFrom(spark, corpus, idxDir) === 1L)
+    // corpus evolves: an append, a MoR delete, and a MoR UPDATE (which
+    // feeds as delete(pre) + insert(post) of the SAME doc_id — the
+    // forget-then-append ordering sync must get right)
+    TxLog.appendOnce(spark, corpus, "b1",
+      docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text"))
+    TxLog.deleteMoR(spark, corpus, col("doc_id") % 7 === 0)
+    TxLog.updateMoR(spark, corpus, col("doc_id") % 11 === 1,
+      Seq("text" -> concat(col("text"), lit(" EDITED"))))
+    val synced = SigIndex.sync(spark, idxDir, corpus)
+    assert(synced === 4L)
+    assert(SigIndex.sync(spark, idxDir, corpus) === 4L, "re-sync must no-op")
+    // the synced index must EQUAL an index built from the final corpus:
+    // same count, same probe results
+    SigIndex.build(TxLog.read(spark, corpus), rebuildDir)
+    assert(SigIndex.indexedCount(idxDir) === SigIndex.indexedCount(rebuildDir))
+    assert(SigIndex.indexedCount(idxDir) ===
+      Some(TxLog.read(spark, corpus).count()))
+    val probeBatch = docs.filter(col("doc_id") % 3 === 2)
+    def pairs(d: String) = SigIndex.probe(spark, d, probeBatch)
+      .orderBy("old_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inc = pairs(idxDir)
+    assert(inc === pairs(rebuildDir))
+    assert(inc.nonEmpty, "fixture must exercise cross-corpus near-dups")
+    // forget is idempotent: re-forgetting absent ids moves nothing
+    val n = SigIndex.indexedCount(idxDir)
+    SigIndex.forget(spark, idxDir, Seq(0L, 7L, 14L))
+    assert(SigIndex.indexedCount(idxDir) === n)
+  }
+
   test("append with overlapping doc_ids is rejected before any commit") {
     val b1 = docs.filter(col("doc_id") < 50)
     val dir = s"/root/repo/target/sigidx-ovl-${System.nanoTime()}"
