@@ -2038,6 +2038,23 @@ object TxLog {
         // sidecar and the replacement-row staging
         val victims = logical.filter(cond <=> lit(true)).cache()
         try {
+          // replacement rows: assignments against the original row —
+          // every row here matched, so the expressions apply directly.
+          // Built (and the retype gate run) BEFORE any staging I/O, so a
+          // refusal costs nothing and the property-routed updateWhere
+          // fallback to copy-on-write is cheap.
+          val original = victims.drop(DvFileCol, DvPosCol)
+          val updated = original.select(original.columns.map { c =>
+            assignments.find(_._1.equalsIgnoreCase(c)) match {
+              case Some((_, e)) => e.as(c)
+              case None => col(c)
+            }
+          }.toSeq: _*)
+          def typesOf(df: DataFrame) = df.schema.fields
+            .map(f => (f.name.toLowerCase, f.dataType)).toSeq
+          require(typesOf(updated) == typesOf(original),
+            "updateMoR: retyping SET — the appended rows must stay " +
+              "schema-uniform with the files they replace; use updateWhere")
           import spark.implicits._
           val dim = cand.map(e => (absNorm(root, e.path), e.path))
             .toDF(DvFileCol, "f")
@@ -2070,20 +2087,6 @@ object TxLog {
               new java.io.File(s"$root/$dvDir"))
             Some(bump())
           } else {
-            // replacement rows: assignments against the original row —
-            // every row here matched, so the expressions apply directly
-            val original = victims.drop(DvFileCol, DvPosCol)
-            val updated = original.select(original.columns.map { c =>
-              assignments.find(_._1.equalsIgnoreCase(c)) match {
-                case Some((_, e)) => e.as(c)
-                case None => col(c)
-              }
-            }.toSeq: _*)
-            def typesOf(df: DataFrame) = df.schema.fields
-              .map(f => (f.name.toLowerCase, f.dataType)).toSeq
-            require(typesOf(updated) == typesOf(original),
-              "updateMoR: retyping SET — the appended rows must stay " +
-                "schema-uniform with the files they replace; use updateWhere")
             enforceConstraints(spark, updated, snap.notes, "updateMoR")
             val (physDf, _, _) = toPhysical(updated, snap, physPrev)
             val staged =
@@ -2445,10 +2448,22 @@ object TxLog {
     require(assignments.nonEmpty, "updateWhere: no SET assignments")
     // `update_mode = mor` routes to the merge-on-read path (the
     // delete_mode twin): SQL UPDATE statements and API callers flip one
-    // table property, no call-site change. A retyping SET still needs
-    // the copy-on-write path — updateMoR refuses it loudly.
+    // table property, no call-site change. Updates MoR cannot express —
+    // a retyping SET (appended files must stay schema-uniform with the
+    // candidates) or a legacy partition layout — FALL BACK to this
+    // copy-on-write path rather than stranding the caller behind the
+    // property (the Delta behavior: DVs where possible, rewrite where
+    // not). Direct updateMoR callers still get the loud refusal.
     if (snapshot(root).exists(s => kvOf(s.notes).get("update_mode").contains("mor")))
-      return updateMoR(spark, root, cond, assignments, note)
+      try return updateMoR(spark, root, cond, assignments, note)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              (e.getMessage.contains("retyping SET") ||
+                e.getMessage.contains("legacy partition layout") ||
+                e.getMessage.contains("predates the manifest-fed")) =>
+        // fall through to copy-on-write below
+      }
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"update on uninitialized txlog $root"))

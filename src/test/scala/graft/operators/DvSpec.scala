@@ -324,6 +324,36 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("update_mode=mor: a retyping SET falls back to copy-on-write instead of stranding") {
+    val root = freshRoot("retypefb")
+    import spark.implicits._
+    val base = (1L to 100L).map(i => (i, i.toInt)).toDF("id", "v")
+    TxLog.init(spark, root, base.repartition(3))
+    TxLog.setProperties(root, Map("update_mode" -> "mor"))
+    // direct updateMoR still refuses loudly...
+    intercept[IllegalArgumentException] {
+      TxLog.updateMoR(spark, root, col("id") === 1,
+        Seq("v" -> col("v").cast("long")))
+    }
+    // ...but the property-routed updateWhere (and thus SQL UPDATE) falls
+    // back to the copy-on-write rewrite, which may retype (int -> long —
+    // unmatched rows' ints coerce under the when/otherwise unification)
+    TxLog.updateWhere(spark, root, col("id") % 2 === 0,
+      Seq("v" -> (col("v").cast("long") * 10L)))
+    val got = TxLog.read(spark, root)
+    assert(got.schema("v").dataType === org.apache.spark.sql.types.LongType)
+    assert(got.filter(col("id") % 2 === 0)
+      .filter(col("v") =!= col("id") * 10L).count() === 0L)
+    assert(got.filter(col("id") % 2 === 1)
+      .filter(col("v") =!= col("id")).count() === 0L)
+    assert(got.count() === 100L)
+    // non-retyping updates keep taking the MoR path under the property
+    val paths = TxLog.snapshot(root).get.entries.map(_.path).toSet
+    TxLog.updateWhere(spark, root, col("id") === 3, Seq("v" -> lit(-3L)))
+    assert(paths.subsetOf(TxLog.snapshot(root).get.entries.map(_.path).toSet),
+      "non-retyping property-routed update rewrote files")
+  }
+
   test("COW update after MoR delete: no resurrection, vectors purge on rewrite") {
     val root = freshRoot("cowafter")
     TxLog.init(spark, root, docs.repartition(3))
