@@ -145,8 +145,21 @@ object Bench {
     }
     val anchorRatio =
       if (shared.isEmpty) -1.0 else shared.map(_._1).sum / shared.map(_._2).sum
+    // PER-QUERY anchor watchlist: the per-round baseline refresh ratchets
+    // (a +10%/round drifter never breaches its own budget), so every
+    // bench line also names the top drifters vs the FROZEN anchor —
+    // ratio > 1.25 with a 0.3 s absolute floor (sub-anchor noise), top
+    // 10 by ratio. Adjudication rule: a listed query gets a min-of-3
+    // re-run; a measured cause or a "noise" verdict lands in DIAG_rN.md.
+    val drifters = results.collect {
+      case (k, v, true, _) if anchor.get(k).exists(a =>
+        v / a > 1.25 && v - a > 0.3) => (k, v, anchor(k))
+    }.sortBy { case (_, v, a) => -(v / a) }.take(10)
+      .map { case (k, v, a) =>
+        s"""{"q":"$k","sec":${fmt(v)},"anchor":${fmt(a)},"ratio":${fmt(v / a)}}""" }
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"budget_exceeded":$exceeded,"baseline_queries":${baseline.size},"anchor_ratio":${fmt(anchorRatio)},"anchor_queries":${shared.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"budget_exceeded":$exceeded,"baseline_queries":${baseline.size},"anchor_ratio":${fmt(anchorRatio)},"anchor_queries":${shared.size},"anchor_drifters":$drifters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

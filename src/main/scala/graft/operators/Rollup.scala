@@ -34,7 +34,10 @@ object Rollup {
   /** Tags already folded into the store at `dir` (empty for no store) —
     * the store's txlog note set. */
   def foldedTags(dir: String): Set[String] =
-    TxLog.snapshot(dir).map(_.notes).getOrElse(Set.empty)
+    // TAGS only: `kv:` notes are table properties (e.g. the change-feed
+    // attribution markers every overwrite commit carries), not fold tags
+    TxLog.snapshot(dir).map(_.notes.filterNot(_.startsWith("kv:")))
+      .getOrElse(Set.empty)
 
   /** Aggregate a raw events batch to the store grain. */
   def grain(batch: DataFrame): DataFrame =

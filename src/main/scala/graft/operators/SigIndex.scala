@@ -133,25 +133,53 @@ object SigIndex {
     * the normal maintenance cadence. */
   def forget(s: SparkSession, idx: String, ids: Seq[Long],
       extraKv: Map[String, String] = Map.empty): Unit = {
-    val root = tableRoot(idx)
     if (ids.isEmpty) {
-      if (extraKv.nonEmpty) TxLog.setProperties(root, extraKv)
+      if (extraKv.nonEmpty) TxLog.setProperties(tableRoot(idx), extraKv)
       return
     }
-    // a driver-held id list: forget batches are compliance-sized (the
-    // feed's deletes per sync cycle), never the corpus
-    require(ids.size <= 1000000,
-      s"SigIndex.forget: ${ids.size} ids — pass bounded batches")
-    TxLog.deleteMoR(s, root, col("doc_id").isInCollection(ids),
-      kvFn = { snap =>
-        val prev = TxLog.kvOf(snap.notes).getOrElse("n",
-          throw new IllegalStateException(s"$idx: committed table has no kv:n"))
-          .toLong
-        val present = bandsAt(s, idx, snap.version)
-          .filter(col("doc_id").isInCollection(ids))
-          .select("doc_id").distinct().count()
-        Map("n" -> (prev - present).toString) ++ extraKv
-      })
+    // small compliance batches keep the literal-predicate path (the In
+    // list is stats-prunable); anything larger goes distributed — no
+    // driver-held bound, no million-element In to plan
+    if (ids.size <= 10000)
+      forgetWith(s, idx, extraKv,
+        victims = fn => TxLog.deleteMoR(s, tableRoot(idx),
+          col("doc_id").isInCollection(ids), kvFn = fn),
+        present = _.filter(col("doc_id").isInCollection(ids)))
+    else {
+      import s.implicits._
+      forget(s, idx, ids.toDF("doc_id"), extraKv)
+    }
+  }
+
+  /** [[forget]] with the ids held in a DATAFRAME (one `doc_id` column) —
+    * the feed-sized path: the id set never visits the driver; the delete
+    * is [[TxLog.deleteMoRKeys]]'s semi-join, the `kv:n` decrement counts
+    * present ids by the same join. */
+  def forget(s: SparkSession, idx: String, ids: DataFrame,
+      extraKv: Map[String, String]): Unit = {
+    val keys = ids.select(col("doc_id")).distinct().cache()
+    try {
+      if (keys.isEmpty) {
+        if (extraKv.nonEmpty) TxLog.setProperties(tableRoot(idx), extraKv)
+      } else forgetWith(s, idx, extraKv,
+        victims = fn => TxLog.deleteMoRKeys(s, tableRoot(idx), "doc_id",
+          keys, kvFn = fn),
+        present = _.join(keys, Seq("doc_id"), "left_semi"))
+    } finally keys.unpersist()
+  }
+
+  private def forgetWith(s: SparkSession, idx: String,
+      extraKv: Map[String, String],
+      victims: (TxLog.Snapshot => Map[String, String]) => Long,
+      present: DataFrame => DataFrame): Unit = {
+    victims { snap =>
+      val prev = TxLog.kvOf(snap.notes).getOrElse("n",
+        throw new IllegalStateException(s"$idx: committed table has no kv:n"))
+        .toLong
+      val n = present(bandsAt(s, idx, snap.version))
+        .select("doc_id").distinct().count()
+      Map("n" -> (prev - n).toString) ++ extraKv
+    }
     ()
   }
 
@@ -162,10 +190,14 @@ object SigIndex {
     * corpus version in the SAME commit as the last fold step. Deletes
     * apply FIRST so an updated document's re-insert appends disjoint.
     * Crash safety: forget is idempotent and sync_v only advances with
-    * the final step, so a half-applied cycle simply re-runs. Rewrite
-    * commits in the corpus range (compact, COW DML) make readChanges
-    * refuse — rebuild via [[buildFrom]] then (the CDC-retention trade:
-    * sync before maintenance). Returns the corpus version synced to. */
+    * the final step, so a half-applied cycle simply re-runs. MAINTENANCE
+    * in the corpus range is free: compact / OPTIMIZE commits carry
+    * `cdc_noop` and contribute nothing to the feed (a nightly OPTIMIZE
+    * never forces a rebuild). COW DML attributes exactly through
+    * commit-time change files when the corpus sets `change_feed=true`,
+    * and coarsely (rewrite churn folds as forget+re-append of identical
+    * docs — correct, heavier) otherwise. Only pre-attribution history
+    * still needs [[buildFrom]]. Returns the corpus version synced to. */
   def sync(s: SparkSession, idx: String, corpusRoot: String): Long = {
     val root = tableRoot(idx)
     val snap = TxLog.snapshot(root).getOrElse(
@@ -177,13 +209,66 @@ object SigIndex {
           "from a corpus table (use buildFrom)")).toLong
     val to = TxLog.currentVersion(corpusRoot)
     if (to <= from) return from
-    val feed = TxLog.readChanges(s, corpusRoot, from, to).cache()
+    foldFeed(s, idx, TxLog.readChanges(s, corpusRoot, from, to), to)
+    to
+  }
+
+  /** [[sync]] as a CONTINUOUSLY RUNNING Structured Streaming query: the
+    * corpus table becomes a stream SOURCE
+    * ([[graft.streaming.TxLogFeedProvider]] — offsets are manifest
+    * versions) and every micro-batch folds its change rows into the
+    * index with [[sync]]'s exact netting. Exactly-once end to end: each
+    * fold advances `kv:sync_v` atomically with its last commit, and
+    * [[foldFeed]] no-ops any batch at-or-under the committed high water
+    * — so foreachBatch's at-least-once replay after a crash re-delivers
+    * a range the index already absorbed and nothing moves. The default
+    * AvailableNow trigger drains the backlog and stops (the d17 shape);
+    * a ProcessingTime trigger makes it a resident follower. */
+  def syncStream(s: SparkSession, idx: String, corpusRoot: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val snap = TxLog.snapshot(tableRoot(idx)).getOrElse(
+      throw new IllegalStateException(
+        s"SigIndex.syncStream($idx): no committed index — buildFrom first"))
+    val from = TxLog.kvOf(snap.notes).getOrElse("sync_v",
+      throw new IllegalStateException(
+        s"SigIndex.syncStream($idx): no kv:sync_v (use buildFrom)")).toLong
+    s.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", corpusRoot).option("mode", "changes")
+      .option("startingVersion", from.toString).load()
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val to = batch.agg(max(col("_commit_version"))).head() match {
+            case r if r.isNullAt(0) => -1L // empty batch: nothing to fold
+            case r => r.getLong(0)
+          }
+          if (to >= 0) foldFeed(batch.sparkSession, idx, batch.toDF(), to)
+          ()
+      }.option("checkpointLocation", checkpoint)
+      .trigger(trigger).start()
+  }
+
+  /** Fold one change-feed range `(…, to]` into the index — [[sync]]'s
+    * core, shared with [[syncStream]]'s micro-batches. The feed is an
+    * EVENT LOG, not a net diff: a row inserted and later deleted inside
+    * the range must net out, an updated row folds as its LAST post-image
+    * (latest event wins; insert outranks delete at the SAME version — an
+    * update emits both in one commit and the insert is the survivor).
+    * IDEMPOTENT per range: a `to` at-or-under the committed `kv:sync_v`
+    * returns without touching anything (the replay guard — without it, a
+    * redelivered batch's forget would delete docs whose tagged re-append
+    * then no-ops), and a crash between the forget and the append re-runs
+    * cleanly (forget re-deletes nothing, the tagged append still lands). */
+  private def foldFeed(s: SparkSession, idx: String, feed0: DataFrame,
+      to: Long): Unit = {
+    val committed = TxLog.snapshot(tableRoot(idx))
+      .flatMap(sn => TxLog.kvOf(sn.notes).get("sync_v")).map(_.toLong)
+    if (committed.exists(to <= _)) return
+    val feed = feed0.cache()
     try {
-      // the feed is an EVENT LOG, not a net diff: a row inserted and
-      // later deleted inside the range must net out, an updated row must
-      // fold as its LAST post-image. Net per doc_id: the latest event
-      // wins, with insert outranking delete at the SAME version (an
-      // update emits both at one commit — the insert is the survivor).
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(col("_commit_version").desc,
           when(col("_change_type") === "insert", 0).otherwise(1))
@@ -193,18 +278,17 @@ object SigIndex {
       // forget EVERY touched doc_id (absent ones are no-ops and don't
       // decrement — forget's present-check), then append the net
       // survivors: updated docs re-enter disjoint, netted-out docs never
-      // re-enter
+      // re-enter. The touched set stays a DATAFRAME end to end — a
+      // rebuild-sized feed never lands on the driver
       val touched = feed.select("doc_id").distinct()
-        .collect().map(_.getLong(0)).toSeq
       if (lastIns.isEmpty)
         forget(s, idx, touched, extraKv = Map("sync_v" -> to.toString))
       else {
-        forget(s, idx, touched)
+        forget(s, idx, touched, extraKv = Map.empty)
         append(lastIns, idx, tag = s"sync-$to",
           extraKv = Map("sync_v" -> to.toString))
       }
     } finally feed.unpersist()
-    to
   }
 
   /** Fold a new batch into the index as ONE tagged txlog append — rows
@@ -482,50 +566,79 @@ object SigIndex {
 
     // D17: the index FOLLOWS the corpus's row-level change feed — the
     // full composition: a corpus transaction-log table takes an append,
-    // a merge-on-read DELETE and a merge-on-read UPDATE; one
-    // SigIndex.sync folds the feed into the persisted index (net per
-    // doc_id: forget touched ids, re-append net survivors — updated
-    // documents re-enter with their POST-image shingles); the probe then
-    // runs against the synced index and the oracle computes the exact
-    // Jaccard pair set from the RESTATED final corpus — so the hash
-    // match certifies deletes dropped out, updates re-indexed under the
-    // edited text, and appends landed, all through the feed path.
-    QueryDef("d17_index_follows_feed",
-      s"""WITH corpus AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 11 = 1 THEN text || ' EDITED'
-        |              ELSE text END AS text
-        |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 <> 0),
-        |probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
-        |allr AS (SELECT * FROM corpus UNION ALL SELECT * FROM probe),
-        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM allr),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        |             FROM ws WHERE len(w) >= 3)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT x.doc_id AS old_id, y.doc_id AS new_id, count(*) AS c
-        |          FROM sh x JOIN sh y ON x.g = y.g
-        |          WHERE x.doc_id % 3 <> 2 AND y.doc_id % 3 = 2
-        |          GROUP BY 1, 2)
-        |SELECT old_id, new_id,
-        |       CAST(round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
-        |FROM inter JOIN sz sa ON old_id = sa.doc_id
-        |           JOIN sz sb ON new_id = sb.doc_id
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= ${Dedup.Tau}
-        |ORDER BY old_id, new_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val corpusRoot = TxLog.freshRoot(dir, "sigsync-corpus")
-      val idx = s"${TxLog.freshRoot(dir, "sigsync-index")}"
-      TxLog.init(s, corpusRoot,
-        docs.filter(col("doc_id") % 3 === 0).repartition(4))
-      buildFrom(s, corpusRoot, idx)
-      TxLog.appendOnce(s, corpusRoot, "b1", docs.filter(col("doc_id") % 3 === 1))
-      TxLog.deleteMoR(s, corpusRoot, col("doc_id") % 7 === 0)
-      TxLog.updateMoR(s, corpusRoot, col("doc_id") % 11 === 1,
-        Seq("text" -> concat(col("text"), lit(" EDITED"))))
-      sync(s, idx, corpusRoot)
-      probe(s, idx, docs.filter(col("doc_id") % 3 === 2))
-        .orderBy("old_id", "new_id")
+    // a merge-on-read DELETE, a merge-on-read UPDATE, and then a
+    // COMPACT (the nightly-OPTIMIZE shape: a full rewrite that purges
+    // the vectors — `cdc_noop` keeps it INVISIBLE to the feed, so sync
+    // no longer needs a rebuild after maintenance); one SigIndex.sync
+    // folds the feed into the persisted index (net per doc_id: forget
+    // touched ids, re-append net survivors — updated documents re-enter
+    // with their POST-image shingles); the probe then runs against the
+    // synced index and the oracle computes the exact Jaccard pair set
+    // from the RESTATED final corpus — so the hash match certifies
+    // deletes dropped out, updates re-indexed under the edited text,
+    // appends landed, and maintenance contributed NOTHING, all through
+    // the feed path.
+    QueryDef("d17_index_follows_feed", FollowOracleSql) { (s, dir) =>
+      runFollowLifecycle(s, dir, "sigsync",
+        (sp, idx, corpus) => { sync(sp, idx, corpus); () })
+    },
+
+    // D18: the SAME certificate with the sync as a CONTINUOUSLY RUNNING
+    // Structured Streaming query — the corpus is the stream source
+    // (offsets = manifest versions, graft.streaming.TxLogFeedProvider)
+    // and syncStream's micro-batches fold the feed with exactly-once
+    // replay guards. One oracle serves both: stream ≡ batch ≡ rebuild.
+    QueryDef("d18_index_follows_stream", FollowOracleSql) { (s, dir) =>
+      runFollowLifecycle(s, dir, "sigstream",
+        (sp, idx, corpus) => syncStream(sp, idx, corpus,
+          TxLog.freshRoot(dir, "sigstream-ckpt")).awaitTermination())
     }
   )
+
+  /** The d17/d18 oracle: the exact Jaccard pair set recomputed from the
+    * RESTATED final corpus (append + MoR delete + MoR update + compact
+    * applied) against the held-out probe third. */
+  private def FollowOracleSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 1 THEN text || ' EDITED'
+      |              ELSE text END AS text
+      |  FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 <> 0),
+      |probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      |allr AS (SELECT * FROM corpus UNION ALL SELECT * FROM probe),
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM allr),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |             FROM ws WHERE len(w) >= 3)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS old_id, y.doc_id AS new_id, count(*) AS c
+      |          FROM sh x JOIN sh y ON x.g = y.g
+      |          WHERE x.doc_id % 3 <> 2 AND y.doc_id % 3 = 2
+      |          GROUP BY 1, 2)
+      |SELECT old_id, new_id,
+      |       CAST(round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+      |FROM inter JOIN sz sa ON old_id = sa.doc_id
+      |           JOIN sz sb ON new_id = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= ${Dedup.Tau}
+      |ORDER BY old_id, new_id""".stripMargin
+
+  /** The shared d17/d18 lifecycle: corpus init → index build → append →
+    * MoR delete → MoR update → compact → `syncVia` → probe. */
+  private def runFollowLifecycle(s: SparkSession, dir: String, tag: String,
+      syncVia: (SparkSession, String, String) => Unit): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val corpusRoot = TxLog.freshRoot(dir, s"$tag-corpus")
+    val idx = s"${TxLog.freshRoot(dir, s"$tag-index")}"
+    TxLog.init(s, corpusRoot,
+      docs.filter(col("doc_id") % 3 === 0).repartition(4))
+    buildFrom(s, corpusRoot, idx)
+    TxLog.appendOnce(s, corpusRoot, "b1", docs.filter(col("doc_id") % 3 === 1))
+    TxLog.deleteMoR(s, corpusRoot, col("doc_id") % 7 === 0)
+    TxLog.updateMoR(s, corpusRoot, col("doc_id") % 11 === 1,
+      Seq("text" -> concat(col("text"), lit(" EDITED"))))
+    TxLog.compact(s, corpusRoot, targetFiles = 4)
+    syncVia(s, idx, corpusRoot)
+    probe(s, idx, docs.filter(col("doc_id") % 3 === 2))
+      .orderBy("old_id", "new_id")
+  }
 }

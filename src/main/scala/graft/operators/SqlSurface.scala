@@ -49,6 +49,9 @@ object SqlSurface {
     *   DELETE FROM txlog.`<root>` WHERE <predicate>
     *   UPDATE txlog.`<root>` SET col = <expr>[, ...] WHERE <predicate>
     *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn>
+    *     [WHEN MATCHED [AND <cond>] THEN {UPDATE SET * | UPDATE SET c = <expr>[, ...] | DELETE}]...
+    *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]...
+    *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN {UPDATE SET c = <expr>[, ...] | DELETE}]...
     *   OPTIMIZE txlog.`<root>` [TARGET <n>] [ZORDER BY (<col>[, ...])]
     *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
     *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
@@ -85,9 +88,12 @@ object SqlSurface {
     // literal (`SET note = 'x WHERE y' WHERE id = 3`)
     private val Update =
       "(?is)^\\s*UPDATE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+SET\\s+(.+?)\\s*;?\\s*$".r
-    private val Merge =
-      ("(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s+\\((.+)\\)" +
-        "(?:\\s+(?:AS\\s+)?(?!ON\\b)[A-Za-z0-9_]+)?\\s+ON\\s+([A-Za-z0-9_]+)\\s*;?\\s*$").r
+    // MERGE head only — the USING subquery is extracted by a
+    // balanced-paren scan (a regex would bind the close paren inside a
+    // WHEN clause's parenthesized condition), WHEN clauses by the
+    // quote/paren-aware keyword scanner below
+    private val MergeHead =
+      "(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s*\\(".r
     private val Optimize =
       ("(?is)^\\s*OPTIMIZE\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+TARGET\\s+(\\d+))?" +
         "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
@@ -199,6 +205,140 @@ object SqlSurface {
 
     private val Assign = "(?s)^\\s*([A-Za-z0-9_]+)\\s*=\\s*(.+)$".r
 
+    /** EVERY top-level occurrence of keyword `kw` (the [[topKeyword]]
+      * scan, continued) — what splits a MERGE's WHEN clause list. */
+    private def topKeywordAll(s: String, kw: String): Seq[Int] = {
+      val spans = quotedSpans(s)
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      val k = kw.toLowerCase(java.util.Locale.ROOT)
+      def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+      val out = scala.collection.mutable.ListBuffer.empty[Int]
+      var depth = 0
+      var i = 0
+      while (i < s.length) {
+        if (!inQuote(spans, i)) s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && lower.startsWith(k, i) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + k.length >= s.length || !wordChar(s.charAt(i + k.length))))
+              out += i
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+
+    private val MergeTail =
+      ("(?is)^\\s*(?:(?:AS\\s+)?(?!ON\\b)([A-Za-z0-9_]+)\\s+)?" +
+        "ON\\s+([A-Za-z0-9_]+)\\s*(.*?)\\s*;?\\s*$").r
+    private val WhenMatched = "(?is)^MATCHED\\s*(.*)$".r
+    private val WhenNotBySource = "(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s*(.*)$".r
+    private val WhenNotMatched = "(?is)^NOT\\s+MATCHED\\s*(.*)$".r
+    private val ActUpdateAll = "(?is)^UPDATE\\s+SET\\s*\\*$".r
+    private val ActUpdate = "(?is)^UPDATE\\s+SET\\s+(.+)$".r
+    private val ActDelete = "(?is)^DELETE$".r
+    private val ActInsert = "(?is)^INSERT\\s*\\*$".r
+
+    /** Full conditional-MERGE parse (Delta's MERGE grammar, reduced to
+      * the single-key equi-join this surface speaks):
+      *
+      *   MERGE INTO txlog.`root` USING (<select>) [alias] ON <key>
+      *     [WHEN MATCHED [AND cond] THEN UPDATE SET *|list | DELETE]…
+      *     [WHEN NOT MATCHED [AND cond] THEN INSERT *]…
+      *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET list | DELETE]…
+      *
+      * No WHEN clause at all = the keyed last-write-wins upsert
+      * shorthand (UPDATE SET * / INSERT *), unchanged since round 10.
+      * Conditions and assignments see target columns bare and the source
+      * row as `<alias>.<col>` (default alias `src`) — [[TxLog.mergeInto]]
+      * scoping. */
+    private object MergeStmt {
+      def unapply(stmt: String): Option[(String, String, String, String,
+          Seq[TxLog.MergeClause], Seq[TxLog.MergeClause],
+          Seq[TxLog.MergeClause])] = {
+        val m = MergeHead.findFirstMatchIn(stmt).getOrElse(return None)
+        val root = m.group(1)
+        val spans = quotedSpans(stmt)
+        var i = m.end
+        var depth = 1
+        val start = i
+        while (i < stmt.length && depth > 0) {
+          if (!inQuote(spans, i)) stmt.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        require(depth == 0, "MERGE: unbalanced parens in USING subquery")
+        val source = stmt.substring(start, i - 1)
+        stmt.substring(i) match {
+          case MergeTail(alias, key, whenText) =>
+            val (mt, nm, ns) = parseWhenClauses(whenText)
+            Some((root, source, Option(alias).getOrElse("src"), key,
+              mt, nm, ns))
+          case bad => throw new IllegalArgumentException(
+            s"MERGE: expected [alias] ON <key> [WHEN ...], got: $bad")
+        }
+      }
+    }
+
+    private def parseWhenClauses(text: String): (Seq[TxLog.MergeClause],
+        Seq[TxLog.MergeClause], Seq[TxLog.MergeClause]) = {
+      val t = text.trim
+      if (t.isEmpty) return (Seq.empty, Seq.empty, Seq.empty)
+      val cuts = topKeywordAll(t, "WHEN")
+      require(cuts.nonEmpty && t.substring(0, cuts.head).trim.isEmpty,
+        s"MERGE: unexpected text before first WHEN clause: $t")
+      val segs = cuts.zipAll(cuts.drop(1), 0, t.length).map {
+        case (a, b) => t.substring(a + "WHEN".length, b).trim
+      }
+      val matched = scala.collection.mutable.ListBuffer.empty[TxLog.MergeClause]
+      val notMatched = scala.collection.mutable.ListBuffer.empty[TxLog.MergeClause]
+      val bySource = scala.collection.mutable.ListBuffer.empty[TxLog.MergeClause]
+      segs.foreach { seg =>
+        val thenAt = topKeyword(seg, "THEN").getOrElse(
+          throw new IllegalArgumentException(s"MERGE: WHEN clause lacks THEN: $seg"))
+        val head = seg.substring(0, thenAt).trim
+        val action = seg.substring(thenAt + "THEN".length).trim match {
+          case ActDelete() => TxLog.MergeDelete
+          case ActInsert() => TxLog.MergeInsert
+          case ActUpdateAll() => TxLog.MergeUpdate()
+          case ActUpdate(setList) => TxLog.MergeUpdate(
+            splitTop(setList, ',').map {
+              case Assign(c, e) => c -> expr(e)
+              case bad => throw new IllegalArgumentException(
+                s"MERGE: malformed SET assignment: $bad")
+            })
+          case bad => throw new IllegalArgumentException(
+            s"MERGE: unknown action: $bad")
+        }
+        def condOf(rest: String): Option[org.apache.spark.sql.Column] = {
+          val r = rest.trim
+          if (r.isEmpty) None
+          else {
+            require(r.toLowerCase(java.util.Locale.ROOT).startsWith("and") &&
+              (r.length == 3 || !Character.isLetterOrDigit(r.charAt(3))),
+              s"MERGE: expected AND <cond> before THEN, got: $r")
+            Some(expr(r.substring(3)))
+          }
+        }
+        head match {
+          case WhenNotBySource(rest) =>
+            bySource += TxLog.MergeClause(condOf(rest), action)
+          case WhenNotMatched(rest) =>
+            notMatched += TxLog.MergeClause(condOf(rest), action)
+          case WhenMatched(rest) =>
+            matched += TxLog.MergeClause(condOf(rest), action)
+          case bad => throw new IllegalArgumentException(
+            s"MERGE: unknown WHEN clause: WHEN $bad")
+        }
+      }
+      (matched.toSeq, notMatched.toSeq, bySource.toSeq)
+    }
+
     def sql(spark: SparkSession, stmt: String): DataFrame = stmt match {
       case Delete(root, pred) =>
         val v = TxLog.delete(spark, root, expr(pred))
@@ -216,11 +356,17 @@ object SqlSurface {
         }
         val v = TxLog.updateWhere(spark, root, expr(pred), assignments)
         spark.range(1).select(lit(v).as("version"))
-      case Merge(root, source, key) =>
+      case MergeStmt(root, source, alias, key, matched, notMatched, bySource) =>
         // the USING subquery goes back through TxSql: it may itself
         // reference txlog tables (including THIS one, pinned at an
         // earlier version — self-referential backfills)
-        val v = TxLog.upsert(spark, root, sql(spark, source), key)
+        val src = sql(spark, source)
+        val v =
+          if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty)
+            // no WHEN clauses: the keyed last-write-wins upsert shorthand
+            TxLog.upsert(spark, root, src, key)
+          else TxLog.mergeInto(spark, root, src, key, matched, notMatched,
+            bySource, srcAlias = alias)
         spark.range(1).select(lit(v).as("version"))
       case Optimize(root, target, zorderCols) =>
         val t = Option(target).map(_.toInt).getOrElse(8)
@@ -794,13 +940,17 @@ object SqlSurface {
     },
 
     // SQL4: the full DML surface as STATEMENTS — UPDATE (copy-on-write,
-    // assignments against the original row) and MERGE (keyed
-    // last-write-wins upsert, Delta's UPDATE SET * / INSERT * shorthand)
+    // assignments against the original row), MERGE shorthand (keyed
+    // last-write-wins upsert, Delta's UPDATE SET * / INSERT * shape)
     // whose USING subquery TIME TRAVELS into version 1 of the very table
-    // being merged — the self-referential backfill shape. The oracle
-    // restates v1/v2/v3 from the immutable source; a hash match
-    // certifies statement semantics AND that the DML versions chain
-    // correctly (v3 derives from v2's survivors, not v1's).
+    // being merged — the self-referential backfill shape — and, as v4,
+    // the FULL CONDITIONAL MERGE: WHEN MATCHED AND … THEN UPDATE,
+    // WHEN MATCHED THEN DELETE, WHEN NOT MATCHED AND … THEN INSERT *,
+    // WHEN NOT MATCHED BY SOURCE AND … THEN DELETE (the reconciliation
+    // shape), all in one statement. The oracle restates v1..v4 from the
+    // immutable source (the conditional merge CTE-restated per clause);
+    // a hash match certifies statement semantics AND that the DML
+    // versions chain correctly (each derives from its parent).
     QueryDef("sql4_txlog_dml",
       """WITH base AS (SELECT doc_id, text FROM documents),
         |v2 AS (SELECT doc_id,
@@ -813,7 +963,17 @@ object SqlSurface {
         |        FROM base WHERE doc_id < 30),
         |v3 AS (SELECT doc_id, text FROM v2
         |       WHERE doc_id NOT IN (SELECT doc_id FROM src)
-        |       UNION ALL SELECT doc_id, text FROM src)
+        |       UNION ALL SELECT doc_id, text FROM src),
+        |v4 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 AND doc_id < 1000000 AND doc_id % 2 = 0
+        |              THEN 'C' || CAST(doc_id AS VARCHAR) ELSE text END AS text
+        |       FROM v3
+        |       WHERE NOT (doc_id % 5 = 0 AND doc_id < 1000000 AND doc_id % 2 <> 0)
+        |         AND NOT (NOT (doc_id % 5 = 0 AND doc_id < 1000000)
+        |                  AND doc_id % 9 = 1)
+        |       UNION ALL
+        |       SELECT doc_id + 2000000, 'N' || CAST(doc_id AS VARCHAR)
+        |       FROM base WHERE doc_id < 40 AND (doc_id + 2000000) % 3 = 0)
         |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
         |FROM base
@@ -825,6 +985,10 @@ object SqlSurface {
         |SELECT 3, CAST(count(*) AS BIGINT),
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
         |FROM v3
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
+        |FROM v4
         |ORDER BY version""".stripMargin) { (s, dir) =>
       val root = TxLog.freshRoot(dir, "txlog-dml")
       TxLog.init(s, root, Tables.documents(s, dir).select("doc_id", "text")) // v1
@@ -840,7 +1004,21 @@ object SqlSurface {
            |  FROM txlog.`$root` VERSION AS OF 1 WHERE doc_id < 30
            |) ON doc_id""".stripMargin)
       require(mg.head.getLong(0) == 3L, "SQL MERGE did not publish version 3")
-      (1 to 3).map { v =>
+      val cm = TxSql.sql(s,
+        s"""MERGE INTO txlog.`$root` USING (
+           |  SELECT doc_id, 'C' || CAST(doc_id AS STRING) AS text
+           |  FROM txlog.`$root` VERSION AS OF 1 WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, 'N' || CAST(doc_id AS STRING)
+           |  FROM txlog.`$root` VERSION AS OF 1 WHERE doc_id < 40
+           |) s ON doc_id
+           |WHEN MATCHED AND doc_id % 2 = 0 THEN UPDATE SET text = s.text
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND s.doc_id % 3 = 0 THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND doc_id % 9 = 1 THEN DELETE""".stripMargin)
+      require(cm.head.getLong(0) == 4L,
+        "conditional MERGE did not publish version 4")
+      (1 to 4).map { v =>
         TxSql.sql(s,
           s"""SELECT $v AS version, CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT) AS ck

@@ -274,7 +274,13 @@ object TxLog {
     * adds (its carried files were added by earlier manifests, whose refs
     * the cumulative checkpoint chain already holds). */
   private def refDirs(m: Manifest): Set[String] =
-    (if (m.delta) m.adds else m.entries).flatMap(refKeys).toSet
+    (if (m.delta) m.adds else m.entries).flatMap(refKeys).toSet ++
+      // a commit's change files (`kv:cdc_files:<v>:<dir>`) must survive
+      // vacuum exactly as long as a retained manifest pins them — the
+      // same lifecycle as dv sidecars (notes ride in full in every
+      // manifest, delta or not, so every retained manifest protects the
+      // change dirs its note set names)
+      kvOf(m.notes).get("cdc_files").map(v => v.drop(v.indexOf(':') + 1))
 
   /** Protection keys of one entry: its data directory plus, when the
     * entry carries a deletion vector, the sidecar's directory — a dv
@@ -1468,8 +1474,15 @@ object TxLog {
     * sibling of [[commitAppendNotes]]; what lets [[replaceTable]] RESET
     * the accumulated tag ledger in the same atomic publish as the data
     * it replaced. */
+  /** `cdcKv` — change-feed attribution for the publishing version
+    * (passed `expected + 1`): overwrite IS a full replace, so the
+    * default `cdc_full` marker is its exact attribution; callers with a
+    * more precise story (compact's `cdc_noop`, a COW DELETE's change
+    * files) override. */
   private def commitOverwriteNotes(spark: SparkSession, root: String,
-      df: DataFrame, expected: Long, notesFn: Set[String] => Set[String]): Long = {
+      df: DataFrame, expected: Long, notesFn: Set[String] => Set[String],
+      cdcKv: Long => Map[String, String] =
+        v => Map("cdc_full" -> v.toString)): Long = {
     val snap0 = snapshot(root, expected)
     val partCols = snap0.toSeq.flatMap(_.partCols.map(_._1))
     val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
@@ -1494,7 +1507,7 @@ object TxLog {
     // adopted string-typed table upgrades to typed here).
     publish(root, expected, entries,
       partCols.map(pc => (pc, df.schema(pc).dataType)),
-      notesFn(prevNotes),
+      kvMerge(notesFn(prevNotes), cdcKv(expected + 1)),
       Some(fileSchemaJson(df, Seq.empty)),
       parentEntries = snap0.map(_.entries))
   }
@@ -1629,8 +1642,127 @@ object TxLog {
         val current = read(spark, root, snap.version)
         val merged = current.join(batch.select(key), Seq(key), "left_anti")
           .unionByName(batch)
-        Some(commitOverwrite(spark, root, merged, snap.version, note))
+        // precise change rows when the table opted in: replaced rows are
+        // pre-image deletes, the whole batch post-image inserts
+        Some(commitOverwriteNotes(spark, root, merged, snap.version,
+          ns => if (note.isEmpty) ns else ns + note,
+          v => cdcKvFor(root, snap.notes, v,
+            current.join(batch.select(key), Seq(key), "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .unionByName(batch.withColumn("_change_type", lit("insert")),
+                allowMissingColumns = true))))
     }.get
+
+  /** One conditional-MERGE clause: `cond` (None = unconditional) gates
+    * `action` for its category; within a category the FIRST clause whose
+    * condition is TRUE wins (SQL MERGE clause order). */
+  sealed trait MergeAction
+  /** `UPDATE SET c = expr, …` — empty assignments = `UPDATE SET *`
+    * (every target column from the source row). */
+  final case class MergeUpdate(assignments: Seq[(String, Column)] = Seq.empty)
+      extends MergeAction
+  case object MergeDelete extends MergeAction
+  /** `INSERT *` — the source row under the target schema. */
+  case object MergeInsert extends MergeAction
+  final case class MergeClause(cond: Option[Column], action: MergeAction)
+
+  /** CONDITIONAL keyed MERGE — the full reconciliation shape
+    * ([[upsert]] is the `UPDATE SET * / INSERT *` shorthand):
+    *
+    *   WHEN MATCHED [AND cond] THEN UPDATE SET … | DELETE
+    *   WHEN NOT MATCHED [AND cond] THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … | DELETE
+    *
+    * SCOPING: conditions and assignment expressions see the TARGET row's
+    * columns bare and the SOURCE row as a struct named `srcAlias`
+    * (default `src`) — `col("src.qty") > col("qty")` is "source qty
+    * exceeds target qty". NOT-MATCHED clauses see only `srcAlias` (the
+    * target side is all-NULL there); NOT-MATCHED-BY-SOURCE only bare
+    * target columns. Unmatched-by-every-clause rows carry unchanged
+    * (matched / by-source categories) or are ignored (not-matched).
+    *
+    * The plan is ONE full-outer hash join on the key plus a projection —
+    * the SQL-MERGE minimum; at 100 TB the join shuffles both sides once
+    * on the key and everything downstream is narrow. Source keys must be
+    * unique (checked — SQL MERGE's multi-match error). Commits one
+    * copy-on-write overwrite version, `cdc_full`-attributed. */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+      key: String, matched: Seq[MergeClause] = Seq.empty,
+      notMatched: Seq[MergeClause] = Seq.empty,
+      notMatchedBySource: Seq[MergeClause] = Seq.empty,
+      srcAlias: String = "src", note: String = ""): Long = {
+    require(source.columns.exists(_.equalsIgnoreCase(key)),
+      s"mergeInto: source lacks key column $key")
+    matched.foreach(c => require(c.action != MergeInsert,
+      "mergeInto: WHEN MATCHED takes UPDATE or DELETE"))
+    notMatched.foreach(c => require(c.action == MergeInsert,
+      "mergeInto: WHEN NOT MATCHED takes INSERT *"))
+    notMatchedBySource.foreach(c => require(c.action != MergeInsert,
+      "mergeInto: WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE"))
+    val dup = source.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).count() > 0
+    require(!dup, s"mergeInto: source has duplicate $key values — SQL " +
+      "MERGE requires at most one source row per target row")
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"mergeInto on uninitialized txlog $root"))
+      val target = read(spark, root, snap.version)
+      val cols = target.columns.toSeq
+      require(!cols.exists(_.equalsIgnoreCase(srcAlias)),
+        s"mergeInto: target column $srcAlias collides with the source " +
+          "alias — pass a different srcAlias")
+      val needsAll = (matched.map(_.action) ++ notMatched.map(_.action))
+        .exists { case MergeUpdate(Seq()) | MergeInsert => true; case _ => false }
+      if (needsAll) cols.foreach(c =>
+        require(source.columns.exists(_.equalsIgnoreCase(c)),
+          s"mergeInto: SET * / INSERT * needs source column $c"))
+      // ONE full-outer join: target columns ride bare, the source row as
+      // a single struct column (no name collisions, and the presence
+      // test is one null check per side)
+      val s = source.select(
+        struct(source.columns.map(col).toIndexedSeq: _*).as(srcAlias))
+      val t = target.withColumn("__tgt_present", lit(true))
+      // `===`, not `<=>`: SQL join semantics — a NULL key never matches,
+      // so NULL-keyed target rows fall to NOT MATCHED BY SOURCE and
+      // NULL-keyed source rows to NOT MATCHED
+      val j = t.join(s, col(key) === col(s"$srcAlias.$key"), "full_outer")
+      val keepTarget = struct(cols.map(col).toIndexedSeq: _*)
+      val rowType = org.apache.spark.sql.types.StructType(
+        target.schema.fields)
+      val dropRow = lit(null).cast(rowType)
+      // cast each source field to the target type: SET * / INSERT * may
+      // bring a widable vintage (int batch into a long column) and every
+      // CASE branch must carry the identical struct type
+      val srcRow = struct(cols.map(c =>
+        col(s"$srcAlias.$c").cast(target.schema(c).dataType).as(c))
+        .toIndexedSeq: _*)
+      def actionRow(a: MergeAction): Column = a match {
+        case MergeDelete => dropRow
+        case MergeInsert => srcRow
+        case MergeUpdate(Seq()) => srcRow
+        case MergeUpdate(as) => struct(cols.map { c =>
+          as.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, e)) => e.cast(target.schema(c).dataType).as(c)
+            case None => col(c).as(c)
+          }
+        }.toIndexedSeq: _*)
+      }
+      def chain(clauses: Seq[MergeClause], default: Column): Column =
+        clauses.foldRight(default) { (cl, acc) =>
+          when(cl.cond.map(_ <=> lit(true)).getOrElse(lit(true)),
+            actionRow(cl.action)).otherwise(acc)
+        }
+      val out = j.select(
+        when(col("__tgt_present").isNotNull && col(srcAlias).isNotNull,
+          chain(matched, keepTarget))
+          .when(col("__tgt_present").isNull, chain(notMatched, dropRow))
+          .otherwise(chain(notMatchedBySource, keepTarget)).as("__row"))
+        .filter(col("__row").isNotNull)
+        .select(cols.map(c => col(s"__row.$c").as(c)).toIndexedSeq: _*)
+      Some(commitOverwriteNotes(spark, root, out, snap.version,
+        ns => if (note.isEmpty) ns else ns + note))
+    }.get
+  }
 
   /** Partition-scoped keyed MERGE: only the partitions the batch touches
     * are read and rewritten; every other file is carried into the new
@@ -1772,7 +1904,13 @@ object TxLog {
             keepInFiles = inFiles, placeholderIfEmpty = keep.isEmpty)
           publish(root, snap.version, keep ++ fresh,
             snap.partCols,
-            if (note.isEmpty) snap.notes else snap.notes + note,
+            kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
+              cdcKvFor(root, snap.notes, snap.version + 1,
+                current.join(batch.select(key), Seq(key), "left_semi")
+                  .withColumn("_change_type", lit("delete"))
+                  .unionByName(
+                    batch.withColumn("_change_type", lit("insert")),
+                    allowMissingColumns = true))),
             Some(nextPhys.json), nextMapping, snap.retired,
             parentEntries = Some(snap.entries))
           Some(touched.sortBy(partName).map { pv =>
@@ -1788,11 +1926,16 @@ object TxLog {
     * `delete_mode` property is `mor` routes to [[deleteMoR]] instead —
     * the Delta `enableDeletionVectors` shape: SQL `DELETE` statements
     * and API callers get merge-on-read deletes by flipping one table
-    * property, no call-site change. */
+    * property, no call-site change. A layout deleteMoR cannot carry
+    * (legacy partition layout, pre-manifest vintage) falls back to
+    * copy-on-write — the typed [[MoRUnsupportedException]] dispatch,
+    * same as updateWhere's — instead of stranding property-routed
+    * callers. Direct deleteMoR callers still get the loud refusal. */
   def delete(spark: SparkSession, root: String, victim: Column,
       note: String = ""): Long = {
     if (snapshot(root).exists(s => kvOf(s.notes).get("delete_mode").contains("mor")))
-      return deleteMoR(spark, root, victim, note)
+      try return deleteMoR(spark, root, victim, note)
+      catch { case _: MoRUnsupportedException => }
     deleteCow(spark, root, victim, note)
   }
 
@@ -1829,7 +1972,11 @@ object TxLog {
       } else if (carried.isEmpty) {
         val survivors = read(spark, root, snap.version)
           .filter(not(victim <=> lit(true)))
-        Some(commitOverwrite(spark, root, survivors, snap.version, note))
+        Some(commitOverwriteNotes(spark, root, survivors, snap.version,
+          ns => if (note.isEmpty) ns else ns + note,
+          v => cdcKvFor(root, snap.notes, v,
+            read(spark, root, snap.version).filter(victim <=> lit(true))
+              .withColumn("_change_type", lit("delete")))))
       } else {
         // partial rewrite under the UNCHANGED schema + mapping (a mixed
         // commit, like commitAppend — never the overwrite path, which
@@ -1852,7 +1999,10 @@ object TxLog {
               keepInFiles = inFiles, placeholderIfEmpty = false)
           else stageData(spark, root, physDf)
         Some(publish(root, snap.version, carried ++ staged, snap.partCols,
-          if (note.isEmpty) snap.notes else snap.notes + note,
+          kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
+            cdcKvFor(root, snap.notes, snap.version + 1,
+              candLogical.filter(victim <=> lit(true))
+                .withColumn("_change_type", lit("delete")))),
           Some(physPrev.json), snap.mapping, snap.retired,
           parentEntries = Some(snap.entries)))
       }
@@ -1883,6 +2033,81 @@ object TxLog {
     * Requires the manifest-fed read layout (committed schema + sizes;
     * partition columns in the files) — legacy adopted layouts keep
     * copy-on-write. */
+  /** CHANGE ATTRIBUTION — what lets [[readChanges]] never refuse a
+    * rewrite commit this code wrote. Three version-PINNED kv markers
+    * (the value names the committing version, so the copies the note
+    * set carries forward are inert):
+    *
+    *  - `kv:cdc_noop:<v>` — row-preserving maintenance rewrite (compact,
+    *    OPTIMIZE / z-order): logical content identical to the parent;
+    *    the change feed emits NOTHING for the version. Zero cost.
+    *  - `kv:cdc_full:<v>` — the removed files' live rows (read at the
+    *    parent, dv-applied) are exact pre-image deletes and the added
+    *    files exact post-image inserts. Emitted by overwrite-shaped
+    *    commits (replaceTable, restore, raw overwrite) where it is the
+    *    exact logical change, and by COW DML / upserts on tables WITHOUT
+    *    `change_feed` — there it is coarse (a restaged survivor reads as
+    *    delete+insert of the identical row: net effect exact, rewrite
+    *    churn included) but never a refusal. Zero extra bytes either way.
+    *  - `kv:cdc_files:<v>:<dir>` — the commit wrote its EXACT changed
+    *    rows, tagged `_change_type` ∈ {insert, delete}, to change files
+    *    under `data/cdc-*` at commit time (the public Delta CDF shape).
+    *    Enabled per table by the `change_feed=true` property; written by
+    *    COW DELETE/UPDATE and upserts, O(changed rows) extra I/O. The
+    *    feed then reads the files and ignores the rewrite entirely.
+    *
+    * MoR commits need none of this: deleteMoR's grown vectors are exact,
+    * and updateMoR pins `cdc_rowlevel` (adds are pure post-images). */
+  private def writeCdcFiles(root: String, changes: DataFrame): String = {
+    val dir = s"data/cdc-${java.util.UUID.randomUUID().toString.take(12)}"
+    changes.write.mode("overwrite").parquet(s"$root/$dir")
+    dir
+  }
+
+  private def wantsChangeFiles(notes: Set[String]): Boolean =
+    kvOf(notes).get("change_feed").contains("true")
+
+  /** Attribution kv for a rewrite commit publishing version `next`:
+    * precise change files when the table opted in (`changes` is then
+    * materialized and written), the coarse full-diff marker otherwise. */
+  private def cdcKvFor(root: String, notes: Set[String], next: Long,
+      changes: => DataFrame): Map[String, String] =
+    if (wantsChangeFiles(notes))
+      Map("cdc_files" -> s"$next:${writeCdcFiles(root, changes)}")
+    else Map("cdc_full" -> next.toString)
+
+  /** Typed refusal from the MERGE-ON-READ writers ([[deleteMoR]] /
+    * [[updateMoR]]) for statements or table layouts MoR cannot express —
+    * a retyping SET, a legacy partition layout, a pre-manifest read
+    * layout. Extends IllegalArgumentException so direct callers keep the
+    * loud argument-error contract, while the `delete_mode` /
+    * `update_mode` = mor property routing dispatches on this TYPE to
+    * fall back to copy-on-write — a reworded refusal message can never
+    * silently disable the fallback (the round-12 substring hazard). */
+  final class MoRUnsupportedException(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** Prior DV positions a MoR commit must carry forward: each touched
+    * entry's positions read from ITS OWN sidecar only. Reading every
+    * distinct prior sidecar semi-joined against the FULL candidate path
+    * set (the round-12 shape) duplicated a path whose positions live in
+    * two sidecars — accumulation copies an older sidecar's rows for a
+    * file into the newer one it re-points at, so when candidates span
+    * commits that touched different file subsets, both sidecars still
+    * hold the older rows. The duplicate rows inflated `counts`, and an
+    * inflated count reaching `stats.rows` dropped an entry that still
+    * had live rows (silent data loss). Grouping by each entry's own
+    * sidecar pointer reads every position exactly once. */
+  private def carryPriorDvPositions(spark: SparkSession, root: String,
+      prior: Seq[FileEntry]): DataFrame = {
+    import spark.implicits._
+    prior.groupBy(_.dv.get._1).toSeq.map { case (sc, es) =>
+      readFiles(spark, Seq(s"$root/$sc"), Some(DvSidecarSchema))
+        .join(broadcast(es.map(e => Tuple1(e.path)).toDF("f")),
+          Seq("f"), "left_semi")
+    }.reduce(_.unionByName(_))
+  }
+
   /** `kvFn` — replaced `kv:` properties derived from the attempt's FRESH
     * snapshot and published atomically with the delete (the
     * [[commitAppendKv]] discipline: a CAS loss re-runs the derivation, so
@@ -1891,17 +2116,55 @@ object TxLog {
   def deleteMoR(spark: SparkSession, root: String, victim: Column,
       note: String = "",
       kvFn: Snapshot => Map[String, String] = _ => Map.empty): Long =
+    deleteMoRImpl(spark, root, note, kvFn,
+      pruneWith = victim,
+      selectVictims = _.filter(victim <=> lit(true)))
+
+  /** [[deleteMoR]] with the victim set held in a DATAFRAME instead of a
+    * literal predicate — the distributed right-to-be-forgotten shape.
+    * Deletes every row whose `keyCol` appears in `keys` (IN semantics:
+    * NULL keys never match). The key set never visits the driver: the
+    * victim selection is a semi-join of the DV-applied candidates
+    * against `keys`, so a feed-sized forget batch (millions of ids at
+    * 100 TB) plans as one join, not a million-element In literal. File
+    * pruning still works when the key domain is bounded: the keys' OWN
+    * min/max (one scalar agg) becomes a range conjunct against the
+    * footer stats. Callers reusing `keys` across CAS retries should
+    * cache it. */
+  def deleteMoRKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame, note: String = "",
+      kvFn: Snapshot => Map[String, String] = _ => Map.empty): Long = {
+    require(keys.columns.exists(_.equalsIgnoreCase(keyCol)),
+      s"deleteMoRKeys: keys frame lacks column $keyCol")
+    val k = keys.select(col(keyCol)).distinct()
+    // range conjunct from the key set itself: a clustered delete (one
+    // day's ids, one tenant's range) skips files whose stats exclude it
+    val pruneWith = scala.util.Try {
+      val r = k.agg(min(col(keyCol)), max(col(keyCol))).head()
+      if (r.isNullAt(0)) lit(true)
+      else col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1))
+    }.getOrElse(lit(true))
+    deleteMoRImpl(spark, root, note, kvFn,
+      pruneWith = pruneWith,
+      selectVictims = df => df.join(k, df(keyCol) === k(keyCol), "left_semi"))
+  }
+
+  private def deleteMoRImpl(spark: SparkSession, root: String,
+      note: String, kvFn: Snapshot => Map[String, String],
+      pruneWith: Column, selectVictims: DataFrame => DataFrame): Long =
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"delete on uninitialized txlog $root"))
       val schema = snap.schemaJson.map(parseSchema)
-      require(snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema),
-        s"deleteMoR: legacy partition layout at $root cannot carry deletion " +
-          "vectors — a full overwrite upgrades the layout, or use delete()")
-      require(schema.isDefined && snap.entries.forall(_.size.isDefined),
-        s"deleteMoR: table at $root predates the manifest-fed read layout")
+      if (!(snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema)))
+        throw new MoRUnsupportedException(
+          s"deleteMoR: legacy partition layout at $root cannot carry deletion " +
+            "vectors — a full overwrite upgrades the layout, or use delete()")
+      if (!(schema.isDefined && snap.entries.forall(_.size.isDefined)))
+        throw new MoRUnsupportedException(
+          s"deleteMoR: table at $root predates the manifest-fed read layout")
       val conjuncts = scala.util.Try(Stats.splitConjuncts(
-        org.apache.spark.sql.graftbridge.Bridge.expression(spark, victim)))
+        org.apache.spark.sql.graftbridge.Bridge.expression(spark, pruneWith)))
         .getOrElse(Seq.empty)
       val cand = snap.entries.filter(entryCouldMatch(snap, conjuncts))
       def notesOut: Set[String] = kvMerge(
@@ -1926,18 +2189,14 @@ object TxLog {
         import spark.implicits._
         val dim = cand.map(e => (absNorm(root, e.path), e.path))
           .toDF(DvFileCol, "f")
-        val victims = logical.filter(victim <=> lit(true))
+        val victims = selectVictims(logical)
           .join(broadcast(dim), Seq(DvFileCol))
           .select(col("f"), col(DvPosCol).as("p"))
         val prior = cand.filter(_.dv.isDefined)
         val priorRows = prior.map(_.dv.get._2).sum
         val allPos =
           if (prior.isEmpty) victims
-          else victims.unionByName(
-            readFiles(spark, prior.map(_.dv.get._1).distinct
-              .map(p => s"$root/$p"), Some(DvSidecarSchema))
-              .join(broadcast(prior.map(e => Tuple1(e.path)).toDF("f")),
-                Seq("f"), "left_semi"))
+          else victims.unionByName(carryPriorDvPositions(spark, root, prior))
         val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}"
         allPos.repartition(1).write.mode("overwrite").parquet(s"$root/$dvDir")
         val dvFile = Option(new java.io.File(s"$root/$dvDir").listFiles())
@@ -2007,11 +2266,13 @@ object TxLog {
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"update on uninitialized txlog $root"))
       val schema = snap.schemaJson.map(parseSchema)
-      require(snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema),
-        s"updateMoR: legacy partition layout at $root cannot carry deletion " +
-          "vectors — a full overwrite upgrades the layout, or use updateWhere()")
-      require(schema.isDefined && snap.entries.forall(_.size.isDefined),
-        s"updateMoR: table at $root predates the manifest-fed read layout")
+      if (!(snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema)))
+        throw new MoRUnsupportedException(
+          s"updateMoR: legacy partition layout at $root cannot carry deletion " +
+            "vectors — a full overwrite upgrades the layout, or use updateWhere()")
+      if (!(schema.isDefined && snap.entries.forall(_.size.isDefined)))
+        throw new MoRUnsupportedException(
+          s"updateMoR: table at $root predates the manifest-fed read layout")
       val physPrev = schema.get
       val conjuncts = scala.util.Try(Stats.splitConjuncts(
         org.apache.spark.sql.graftbridge.Bridge.expression(spark, cond)))
@@ -2052,9 +2313,10 @@ object TxLog {
           }.toSeq: _*)
           def typesOf(df: DataFrame) = df.schema.fields
             .map(f => (f.name.toLowerCase, f.dataType)).toSeq
-          require(typesOf(updated) == typesOf(original),
-            "updateMoR: retyping SET — the appended rows must stay " +
-              "schema-uniform with the files they replace; use updateWhere")
+          if (typesOf(updated) != typesOf(original))
+            throw new MoRUnsupportedException(
+              "updateMoR: retyping SET — the appended rows must stay " +
+                "schema-uniform with the files they replace; use updateWhere")
           import spark.implicits._
           val dim = cand.map(e => (absNorm(root, e.path), e.path))
             .toDF(DvFileCol, "f")
@@ -2064,11 +2326,7 @@ object TxLog {
           val priorRows = prior.map(_.dv.get._2).sum
           val allPos =
             if (prior.isEmpty) newPos
-            else newPos.unionByName(
-              readFiles(spark, prior.map(_.dv.get._1).distinct
-                .map(p => s"$root/$p"), Some(DvSidecarSchema))
-                .join(broadcast(prior.map(e => Tuple1(e.path)).toDF("f")),
-                  Seq("f"), "left_semi"))
+            else newPos.unionByName(carryPriorDvPositions(spark, root, prior))
           val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}"
           allPos.repartition(1).write.mode("overwrite").parquet(s"$root/$dvDir")
           val dvFile = Option(new java.io.File(s"$root/$dvDir").listFiles())
@@ -2193,9 +2451,24 @@ object TxLog {
       org.apache.spark.sql.graftbridge.Bridge.parseExpression(spark, exprSql)
         .collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
-        }.toSet
-    }.getOrElse(Set.empty)
+            // EVERY name part, not just the leaf: a nested reference
+            // `a.b` gates rename/drop of the actual top-level column `a`
+            // (and, conservatively, of `b`) — leaf-only matching let the
+            // real column slip past the gate while blocking a stranger
+            a.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+        }.flatten.toSet
+    } match {
+      case scala.util.Success(refs) => refs
+      case scala.util.Failure(ex) =>
+        // a silent empty set here would BYPASS the rename/drop gate and
+        // skip NULL-padding — exactly the dangling-constraint hazard the
+        // gate exists to prevent; an unparseable stored constraint is a
+        // corrupted table, not a no-op
+        throw new IllegalStateException(
+          s"CHECK constraint expression failed to parse: $exprSql — drop " +
+            "the constraint (ALTER TABLE ... DROP CONSTRAINT) or repair " +
+            "the stored text", ex)
+    }
 
   /** Refuse rename/drop of a column any CHECK constraint references —
     * the constraint text would silently dangle (or worse, bind to a
@@ -2285,9 +2558,9 @@ object TxLog {
   /** ROW-LEVEL change feed (Delta CDF / Iceberg changelog shape): every
     * row inserted or deleted in versions (`fromVersion`, `toVersion`],
     * tagged `_change_type` ('insert' | 'delete') and `_commit_version`.
-    * Resolved from the manifests plus deletion-vector sidecars — no CDC
-    * files are written at commit time because the log already records
-    * row-level deletes as positions:
+    * Resolved from the manifests plus deletion-vector sidecars — append
+    * and MoR commits never write CDC files, because the log already
+    * records row-level deletes as positions:
     *
     *   - files ADDED by a commit → their rows (dv-applied as of that
     *     commit) are inserts;
@@ -2298,13 +2571,18 @@ object TxLog {
     *     deletes; a SHRUNK one (restore across a MoR delete) → the
     *     resurrected positions' rows are inserts.
     *
-    * Commits that both add and remove data files (COW DELETE/UPDATE,
-    * upsert, compact, overwrite, z-order) are REFUSED loudly: a file
-    * rewrite does not record row attribution, and inferring it needs a
-    * keyed diff the caller must opt into — never a silent wrong answer.
-    * (Compaction of a MoR table purges vectors by rewriting, so run
-    * change-feed consumers BEFORE maintenance, or between maintenance
-    * windows — the Delta CDC retention trade.)
+    * Commits that both add and remove data files attribute through the
+    * version-pinned markers every rewrite writer records (see
+    * [[writeCdcFiles]]): maintenance rewrites (compact, OPTIMIZE /
+    * z-order) carry `cdc_noop` and emit NOTHING — a nightly OPTIMIZE is
+    * invisible to feed consumers; tables with `change_feed=true` get
+    * exact commit-time change files (`cdc_files`) from COW DML and
+    * upserts; everything else (overwrite, restore, un-opted COW DML)
+    * attributes from the manifest diff under `cdc_full` — removed files'
+    * live rows as deletes, added files as inserts, which is exact for a
+    * replace and coarse-but-correct (survivor churn included) for a
+    * partial rewrite. Only an UNMARKED mixed commit — history written
+    * before attribution existed — still refuses loudly.
     *
     * Cost: O(changed files + changed positions) per version in the
     * range — append-only versions read exactly their new files, MoR
@@ -2322,44 +2600,63 @@ object TxLog {
       val prev = snapshot(root, v - 1).getOrElse(throw new IllegalStateException(
         s"readChanges: version ${v - 1} is not retained at $root"))
       val cur = snapshot(root, v).get
-      val prevByPath = prev.entries.map(e => e.path -> e).toMap
-      val curByPath = cur.entries.map(e => e.path -> e).toMap
-      val added = cur.entries.filterNot(e => prevByPath.contains(e.path))
-      val removed = prev.entries.filterNot(e => curByPath.contains(e.path))
-      // a version-pinned `cdc_rowlevel` marker (updateMoR) certifies the
-      // commit's added files hold ONLY post-image rows — adds + removes
-      // in one commit is then attributable (removed files' live rows are
-      // the pre-images, added files the post-images)
-      val rowLevel = kvOf(cur.notes).get("cdc_rowlevel").contains(v.toString)
-      require(added.isEmpty || removed.isEmpty || rowLevel,
-        s"readChanges: version $v rewrote data files (adds and removes in " +
-          "one commit — COW DML, upsert, compact, or overwrite); row " +
-          "attribution is not recorded for rewrites, use read + a keyed diff")
-      val changedDv = cur.entries.flatMap { e =>
-        prevByPath.get(e.path).filter(_.dv != e.dv).map(p => (p, e))
-      }
+      val kv = kvOf(cur.notes)
       def tag(df: DataFrame, t: String): DataFrame = df
         .withColumn("_change_type", lit(t))
         .withColumn("_commit_version", lit(v))
-      val inserts =
-        if (added.isEmpty) None
-        else Some(tag(readVersionSubset(spark, root, cur, added), "insert"))
-      val dropDeletes =
-        if (removed.isEmpty) None
-        else Some(tag(readVersionSubset(spark, root, prev, removed), "delete"))
-      val dvFrames = changedDv.flatMap { case (pe, ce) =>
-        val oldPos = entryPositions(spark, root, pe)
-        val newPos = entryPositions(spark, root, ce)
-        val grown = newPos.exceptAll(oldPos)
-        val shrunk = oldPos.exceptAll(newPos)
-        // rows read from the file RAW (dv stripped) at the positions
-        Seq(
-          Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), grown), "delete")),
-          if (pe.dv.isEmpty) None
-          else Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), shrunk),
-            "insert"))).flatten
+      // version-pinned attribution markers, in precedence order — see
+      // [[writeCdcFiles]]' scaladoc for the three-marker contract
+      if (kv.get("cdc_noop").contains(v.toString))
+        Seq.empty // row-preserving maintenance rewrite: nothing changed
+      else kv.get("cdc_files").filter(_.startsWith(s"$v:")) match {
+        case Some(pin) =>
+          // the commit recorded its EXACT changed rows at commit time —
+          // the files are authoritative, the rewrite is never diffed
+          val dir = pin.drop(s"$v:".length)
+          Seq(spark.read.parquet(s"$root/$dir")
+            .withColumn("_commit_version", lit(v)))
+        case None =>
+          val prevByPath = prev.entries.map(e => e.path -> e).toMap
+          val curByPath = cur.entries.map(e => e.path -> e).toMap
+          val added = cur.entries.filterNot(e => prevByPath.contains(e.path))
+          val removed = prev.entries.filterNot(e => curByPath.contains(e.path))
+          // `cdc_rowlevel` (updateMoR) certifies the commit's added files
+          // hold ONLY post-image rows; `cdc_full` certifies removed files'
+          // live rows are pre-image deletes and added files post-image
+          // inserts (exact for overwrite/restore, coarse-but-exact-events
+          // for COW DML on tables without change_feed) — either makes an
+          // adds+removes commit attributable
+          val attributable =
+            kv.get("cdc_rowlevel").contains(v.toString) ||
+              kv.get("cdc_full").contains(v.toString)
+          require(added.isEmpty || removed.isEmpty || attributable,
+            s"readChanges: version $v rewrote data files (adds and removes " +
+              "in one commit) and carries no attribution marker — a commit " +
+              "written before change attribution existed; use read + a " +
+              "keyed diff across it")
+          val changedDv = cur.entries.flatMap { e =>
+            prevByPath.get(e.path).filter(_.dv != e.dv).map(p => (p, e))
+          }
+          val inserts =
+            if (added.isEmpty) None
+            else Some(tag(readVersionSubset(spark, root, cur, added), "insert"))
+          val dropDeletes =
+            if (removed.isEmpty) None
+            else Some(tag(readVersionSubset(spark, root, prev, removed), "delete"))
+          val dvFrames = changedDv.flatMap { case (pe, ce) =>
+            val oldPos = entryPositions(spark, root, pe)
+            val newPos = entryPositions(spark, root, ce)
+            val grown = newPos.exceptAll(oldPos)
+            val shrunk = oldPos.exceptAll(newPos)
+            // rows read from the file RAW (dv stripped) at the positions
+            Seq(
+              Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), grown), "delete")),
+              if (pe.dv.isEmpty) None
+              else Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), shrunk),
+                "insert"))).flatten
+          }
+          inserts.toSeq ++ dropDeletes.toSeq ++ dvFrames
       }
-      inserts.toSeq ++ dropDeletes.toSeq ++ dvFrames
     }
     if (frames.isEmpty)
       readSnapshot(spark, root, snapshot(root, to).get).limit(0)
@@ -2431,9 +2728,15 @@ object TxLog {
       val target = snapshot(root, toVersion).getOrElse(
         throw new IllegalArgumentException(
           s"restore: version $toVersion is not retained at $root"))
+      // a restore's manifest diff IS its exact logical change: files the
+      // rollback removes are pre-image deletes, files it brings back are
+      // post-image inserts, carried entries are untouched rows — so the
+      // coarse full-diff attribution is exact here
       Some(publish(root, cur.version, target.entries,
         target.partCols,
-        cur.notes + note, target.schemaJson, target.mapping, target.retired,
+        kvMerge(cur.notes + note,
+          Map("cdc_full" -> (cur.version + 1).toString)),
+        target.schemaJson, target.mapping, target.retired,
         parentEntries = Some(cur.entries)))
     }.get
 
@@ -2457,12 +2760,10 @@ object TxLog {
     if (snapshot(root).exists(s => kvOf(s.notes).get("update_mode").contains("mor")))
       try return updateMoR(spark, root, cond, assignments, note)
       catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              (e.getMessage.contains("retyping SET") ||
-                e.getMessage.contains("legacy partition layout") ||
-                e.getMessage.contains("predates the manifest-fed")) =>
-        // fall through to copy-on-write below
+        // typed refusal: MoR cannot express this update on this table —
+        // fall through to copy-on-write below (never matched on message
+        // text; see [[MoRUnsupportedException]])
+        case _: MoRUnsupportedException =>
       }
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
@@ -2509,9 +2810,26 @@ object TxLog {
           (f.name.toLowerCase, f.dataType)).toSeq ==
           candLogical.schema.fields.map(f =>
             (f.name.toLowerCase, f.dataType)).toSeq
+        // precise change-feed rows (when the table opted in): matched
+        // ORIGINAL rows as pre-image deletes, the assignments applied to
+        // exactly those rows as post-image inserts
+        def changesOf(src: DataFrame): DataFrame = {
+          val pre = src.filter(cond <=> lit(true))
+          val post = pre.select(pre.columns.map { c =>
+            assignments.find(_._1.equalsIgnoreCase(c)) match {
+              case Some((_, e)) => e.as(c)
+              case None => col(c)
+            }
+          }.toSeq: _*)
+          pre.withColumn("_change_type", lit("delete"))
+            .unionByName(post.withColumn("_change_type", lit("insert")))
+        }
         if (carried.isEmpty || !sameTypes) {
           val whole = applyAssignments(read(spark, root, snap.version))
-          Some(commitOverwrite(spark, root, whole, snap.version, note))
+          Some(commitOverwriteNotes(spark, root, whole, snap.version,
+            ns => if (note.isEmpty) ns else ns + note,
+            v => cdcKvFor(root, snap.notes, v,
+              changesOf(read(spark, root, snap.version)))))
         } else {
           // CHECK constraints validate the assignments' output — only
           // the restaged candidates can have changed
@@ -2525,7 +2843,9 @@ object TxLog {
                 keepInFiles = inFiles, placeholderIfEmpty = false)
             else stageData(spark, root, physDf)
           Some(publish(root, snap.version, carried ++ staged, snap.partCols,
-            if (note.isEmpty) snap.notes else snap.notes + note,
+            kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
+              cdcKvFor(root, snap.notes, snap.version + 1,
+                changesOf(candLogical))),
             Some(physPrev.json), snap.mapping, snap.retired,
             parentEntries = Some(snap.entries)))
         }
@@ -2736,7 +3056,9 @@ object TxLog {
             Some(snap.version)
           else {
             val packed = read(spark, root, snap.version).coalesce(target)
-            Some(commitOverwrite(spark, root, packed, snap.version, "compact"))
+            // row-preserving rewrite: the change feed skips it outright
+            Some(commitOverwriteNotes(spark, root, packed, snap.version,
+              ns => ns + "compact", v => Map("cdc_noop" -> v.toString)))
           }
         case pcs =>
           val byPart = snap.entries.groupBy(_.part)
@@ -2776,7 +3098,9 @@ object TxLog {
             // so the mapping/retired layers carry through unchanged
             Some(publish(root, snap.version, keep ++ fresh,
               pcs,
-              snap.notes + "compact", snap.schemaJson,
+              kvMerge(snap.notes + "compact",
+                Map("cdc_noop" -> (snap.version + 1).toString)),
+              snap.schemaJson,
               snap.mapping, snap.retired,
               parentEntries = Some(snap.entries)))
           }
@@ -2847,7 +3171,9 @@ object TxLog {
         .repartitionByRange(target, (lead ++ keys): _*)
         .sortWithinPartitions((lead ++ keys): _*)
         .drop(zc)
-      Some(commitOverwrite(spark, root, ordered, snap.version, "cluster"))
+      // row-preserving layout rewrite: the change feed skips it outright
+      Some(commitOverwriteNotes(spark, root, ordered, snap.version,
+        ns => ns + "cluster", v => Map("cdc_noop" -> v.toString)))
     }.get
 
   private val ZBits = 8 // 256 rank buckets per clustered dimension
@@ -3026,7 +3352,8 @@ object TxLog {
     val dataDir = new java.io.File(s"$root/data")
     val orphans = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory &&
-        (d.getName.startsWith("c-") || d.getName.startsWith("dv-")) &&
+        (d.getName.startsWith("c-") || d.getName.startsWith("dv-") ||
+          d.getName.startsWith("cdc-")) &&
         !referenced.contains(s"data/${d.getName}") &&
         quiescentSince(d) <= cutoff)
     orphans.foreach(org.apache.commons.io.FileUtils.deleteQuietly)

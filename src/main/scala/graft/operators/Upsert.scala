@@ -319,14 +319,18 @@ object Upsert {
         .withColumn("purge_clean", lit(purgeClean))
     },
 
-    // S21: ROW-LEVEL CHANGE FEED (Delta CDF shape, resolved from
-    // manifests + deletion-vector sidecars — no CDC files written at
-    // commit time). v2 appends 50 new docs, v3 MoR-deletes every
-    // doc_id ≡ 0 (mod 13) — whose victims land in BOTH vintages, and
-    // three of the just-appended rows appear as insert AND delete. The
-    // oracle restates the exact change set (type, payload checksum,
-    // commit version) from the immutable source: the hash match
-    // certifies row-exact attribution, not just counts.
+    // S21: ROW-LEVEL CHANGE FEED (Delta CDF shape) — through EVERY
+    // commit kind, maintenance and rewrites included. The lifecycle:
+    // v2 enables `change_feed`, v3 appends 50 docs, v4 MoR-deletes
+    // doc_id ≡ 0 (mod 13) (victims in BOTH vintages), v5 COMPACTS (a
+    // rewrite that purges the vectors — `cdc_noop` makes it INVISIBLE
+    // to the feed), v6 upserts every doc_id ≡ 5 (mod 10) (replaced rows
+    // surface as pre-image deletes + post-image inserts from the
+    // commit-time change files — previously-deleted keys re-enter as
+    // pure inserts). One feed read over the whole range, grouped by
+    // (type, version); the oracle restates the exact change set from
+    // the immutable source. A single spurious row from the compact —
+    // or one missed upsert pre-image — breaks the hash.
     QueryDef("s21_change_feed",
       """WITH ins AS (SELECT doc_id + 1000000 AS doc_id,
         |                    md5(CAST(doc_id AS VARCHAR)) AS text
@@ -334,29 +338,42 @@ object Upsert {
         |all_rows AS (SELECT doc_id, text FROM documents
         |             UNION ALL SELECT doc_id, text FROM ins),
         |changes AS (
-        |  SELECT 'insert' AS change_type, doc_id, text, 2 AS v FROM ins
+        |  SELECT 'insert' AS change_type, doc_id, text, 3 AS v FROM ins
         |  UNION ALL
-        |  SELECT 'delete', doc_id, text, 3 FROM all_rows WHERE doc_id % 13 = 0)
-        |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
-        |       CAST(max(v) AS BIGINT) AS v
-        |FROM changes GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, dir) =>
+        |  SELECT 'delete', doc_id, text, 4 FROM all_rows WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 'delete', doc_id, text, 6 FROM documents
+        |  WHERE doc_id % 10 = 5 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', doc_id, 'UP:' || text, 6 FROM documents
+        |  WHERE doc_id % 10 = 5)
+        |SELECT change_type, CAST(v AS BIGINT) AS v,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
+        |FROM changes GROUP BY change_type, v
+        |ORDER BY v, change_type""".stripMargin) { (s, dir) =>
       val root = TxLog.freshRoot(dir, "cdf-table")
       val docs = Tables.documents(s, dir).select("doc_id", "text")
-      TxLog.init(s, root, docs.repartition(8))
+      TxLog.init(s, root, docs.repartition(8))                        // v1
+      TxLog.setProperties(root, Map("change_feed" -> "true"))         // v2
       val ins = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           md5(col("doc_id").cast("string").cast("binary")).as("text"))
-      TxLog.appendOnce(s, root, "batch", ins)
-      TxLog.deleteMoR(s, root, col("doc_id") % 13 === 0)
+      TxLog.appendOnce(s, root, "batch", ins)                         // v3
+      TxLog.deleteMoR(s, root, col("doc_id") % 13 === 0)              // v4
+      TxLog.compact(s, root, targetFiles = 4)                         // v5
+      TxLog.upsert(s, root,                                           // v6
+        docs.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), concat(lit("UP:"), col("text")).as("text")),
+        "doc_id")
       TxLog.readChanges(s, root, 1L)
-        .groupBy(col("_change_type").as("change_type"))
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").cast("long").as("v"))
         .agg(count(lit(1)).cast("long").as("n"),
           sum((col("doc_id") + 1) * length(col("text").cast("binary")))
-            .cast("long").as("ck"),
-          max(col("_commit_version")).cast("long").as("v"))
+            .cast("long").as("ck"))
         // rows compare in EMITTED order — pin it
-        .orderBy("change_type")
+        .orderBy("v", "change_type")
     },
 
     // S22: CHECK CONSTRAINTS (Delta ALTER TABLE ... ADD CONSTRAINT

@@ -14,6 +14,18 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-tag a BATCH DataFrame as a STREAMING one — what a DSv1
+    * streaming `Source.getBatch` must hand MicroBatchExecution (it
+    * asserts `isStreaming` on the returned frame). The rows still
+    * compute distributed from the batch plan's RDD lineage; nothing
+    * materializes on the driver. The FileStreamSource/Delta shape. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Parse a SQL expression string to a catalyst Expression (Spark 4's
     * Column wraps a lazily-converted ColumnNode, so going through the
     * parser is the reliable way to obtain a transformable tree). */

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Row-level change feed ([[TxLog.readChanges]]): inserts from appends,
   * deletes from deletion-vector position diffs and pure-remove commits,
-  * resurrections from dv shrinks (restore), loud refusal on
-  * rewrite-shaped commits — all resolved from manifests + sidecars, no
-  * CDC files written at commit time. */
+  * resurrections from dv shrinks (restore) — plus, since round 13,
+  * CHANGE ATTRIBUTION through every rewrite commit: maintenance
+  * rewrites are invisible (`cdc_noop`), `change_feed=true` tables get
+  * exact commit-time change files from COW DML/upserts (`cdc_files`),
+  * everything else attributes coarsely-but-exactly from the manifest
+  * diff (`cdc_full`). Only unmarked pre-attribution history refuses. */
 class CdfSpec extends SparkSpec {
 
   private def freshRoot(tag: String) =
@@ -99,19 +102,118 @@ class CdfSpec extends SparkSpec {
     assert(whole.filter(col("_change_type") === "insert").count() === want.count())
   }
 
-  test("rewrite-shaped commits refuse loudly; metadata-only commits are silent") {
-    val root = freshRoot("refuse")
+  test("COW rewrite WITHOUT change_feed attributes coarsely (cdc_full): " +
+      "exact events incl. survivor churn, never a refusal") {
+    val root = freshRoot("coarse")
     TxLog.init(spark, root, docs.repartition(4))
     TxLog.setProperties(root, Map("owner" -> "cdf-test"))
     assert(TxLog.readChanges(spark, root, 1L).count() === 0L)
     TxLog.updateWhere(spark, root, col("doc_id") % 10 === 0,
       Seq("text" -> lit("UPDATED")))
+    val feed = TxLog.readChanges(spark, root, 2L).cache()
+    try {
+      // coarse = full-diff: every rewritten row appears as delete(pre) +
+      // insert(post); the NET state the feed implies is exactly the table
+      val n = docs.count()
+      assert(feed.filter(col("_change_type") === "delete").count() === n)
+      assert(feed.filter(col("_change_type") === "insert").count() === n)
+      assert(feed.filter(col("_change_type") === "insert")
+        .filter(col("text") === "UPDATED").count() ===
+        docs.filter(col("doc_id") % 10 === 0).count())
+      // pre-images carry the ORIGINAL payload
+      assert(feed.filter(col("_change_type") === "delete")
+        .filter(col("text") === "UPDATED").count() === 0L)
+    } finally feed.unpersist()
+  }
+
+  test("change_feed=true: COW UPDATE/DELETE write exact commit-time " +
+      "change files — only the changed rows surface") {
+    val root = freshRoot("precise")
+    TxLog.init(spark, root, docs.repartition(4))
+    TxLog.setProperties(root, Map("change_feed" -> "true"))
+    TxLog.updateWhere(spark, root, col("doc_id") % 10 === 0,
+      Seq("text" -> lit("UPDATED")))
+    val matched = docs.filter(col("doc_id") % 10 === 0)
+    val upd = TxLog.readChanges(spark, root, 2L, 3L).cache()
+    try {
+      assert(upd.count() === 2L * matched.count(),
+        "exactly pre+post of the matched rows — no survivor churn")
+      assert(upd.filter(col("_change_type") === "delete").count() ===
+        matched.count())
+      assert(upd.filter(col("_change_type") === "delete")
+        .agg(sum("doc_id")).head().getLong(0) ===
+        matched.agg(sum("doc_id")).head().getLong(0))
+      assert(upd.filter(col("_change_type") === "insert")
+        .filter(col("text") =!= "UPDATED").count() === 0L)
+    } finally upd.unpersist()
+    // COW DELETE under the same property: victims only
+    TxLog.delete(spark, root, col("doc_id") % 10 === 0)
+    val del = TxLog.readChanges(spark, root, 3L, 4L)
+    assert(del.filter(col("_change_type") === "insert").count() === 0L)
+    assert(del.count() === matched.count())
+    // the change files live under data/cdc-* and are manifest-protected
+    val cdcDirs = new java.io.File(s"$root/data").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cdc-"))
+    assert(cdcDirs.length === 2)
+    TxLog.vacuum(root, graceMs = 0L)
+    assert(new java.io.File(s"$root/data").listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("cdc-")) === 2,
+      "vacuum must protect change files while their manifest is retained")
+    assert(TxLog.readChanges(spark, root, 2L, 4L).count() === 3L * matched.count())
+  }
+
+  test("maintenance rewrites (compact / OPTIMIZE z-order) are INVISIBLE " +
+      "to the change feed") {
+    val root = freshRoot("noop")
+    TxLog.init(spark, root, docs.repartition(8))
+    TxLog.deleteMoR(spark, root, col("doc_id") % 7 === 0) // v2: real deletes
+    TxLog.compact(spark, root, 2)                          // v3: purges dvs
+    TxLog.cluster(spark, root, Seq("doc_id"), 2)           // v4: layout only
+    val want = docs.filter(col("doc_id") % 7 === 0)
+    // each maintenance version alone: empty feed
+    assert(TxLog.readChanges(spark, root, 2L, 3L).count() === 0L)
+    assert(TxLog.readChanges(spark, root, 3L, 4L).count() === 0L)
+    // the whole range: exactly the MoR delete's events, nothing else
+    val feed = TxLog.readChanges(spark, root, 1L)
+    assert(feed.filter(col("_change_type") === "delete").count() === want.count())
+    assert(feed.count() === want.count())
+  }
+
+  test("upsert with change_feed: replaced rows are pre-image deletes, " +
+      "the batch post-image inserts") {
+    val root = freshRoot("upsert")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    TxLog.setProperties(root, Map("change_feed" -> "true"))
+    TxLog.upsert(spark, root,
+      Seq((2L, "B"), (4L, "d")).toDF("id", "s"), "id")
+    val feed = TxLog.readChanges(spark, root, 2L, 3L)
+    val got = feed.select("_change_type", "id", "s")
+      .as[(String, Long, String)].collect().sorted
+    assert(got === Array(("delete", 2L, "b"), ("insert", 2L, "B"),
+      ("insert", 4L, "d")))
+  }
+
+  test("unmarked pre-attribution mixed commits still refuse loudly") {
+    val root = freshRoot("legacy")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.updateWhere(spark, root, col("id") === 1L, Seq("s" -> lit("A")))
+    // simulate a pre-r13 manifest: strip the attribution marker from v2
+    val p = java.nio.file.Paths.get(
+      s"$root/_txlog/v-${"%020d".format(2)}")
+    val lines = java.nio.file.Files.readAllLines(p)
+    val stripped = new java.util.ArrayList[String]()
+    lines.forEach(l => if (!l.startsWith("n\tkv:cdc_")) stripped.add(l))
+    java.nio.file.Files.delete(p)
+    java.nio.file.Files.write(p, stripped)
     val ex = intercept[IllegalArgumentException] {
       TxLog.readChanges(spark, root, 1L).count()
     }
-    assert(ex.getMessage.contains("rewrote data files"))
+    assert(ex.getMessage.contains("no attribution marker"))
     // a sub-range BEFORE the rewrite still reads
-    assert(TxLog.readChanges(spark, root, 1L, 2L).count() === 0L)
+    assert(TxLog.readChanges(spark, root, 1L, 1L).count() === 0L)
   }
 
   test("column mapping: the feed speaks logical names across a rename") {

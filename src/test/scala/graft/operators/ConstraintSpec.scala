@@ -109,6 +109,36 @@ class ConstraintSpec extends SparkSpec {
     assert(TxLog.read(spark, root).columns.toSeq === Seq("id", "body"))
   }
 
+  test("unparseable stored constraint fails the gate LOUDLY; nested refs " +
+      "gate their top-level column") {
+    val root = freshRoot("loud")
+    TxLog.init(spark, root, docs)
+    // inject a corrupt constraint below addConstraint's validation (the
+    // note surface is just kv properties) — the gate must refuse to
+    // compute references rather than silently passing the rename
+    TxLog.setProperties(root, Map("chk_corrupt" -> "((( not sql"))
+    val ex = intercept[IllegalStateException] {
+      TxLog.renameColumn(spark, root, "doc_id", "id")
+    }
+    assert(ex.getMessage.contains("failed to parse"))
+    TxLog.dropConstraint(root, "corrupt")
+    TxLog.renameColumn(spark, root, "doc_id", "id")
+    assert(TxLog.read(spark, root).columns.contains("id"))
+    // a nested-field reference (`meta.id`) gates the actual TOP-LEVEL
+    // column `meta` — leaf-only matching would let it rename/drop away
+    // and strand the constraint
+    val sroot = freshRoot("nestedgate")
+    TxLog.init(spark, sroot,
+      docs.select(struct(col("doc_id").as("id")).as("meta"), col("text")))
+    TxLog.addConstraint(spark, sroot, "meta_id", "meta.id >= 0")
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, sroot, "meta")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, sroot, "meta", "info")
+    }
+  }
+
   test("SQL surface: ADD/DROP CONSTRAINT; streaming-shaped appendOnceMonotone gated") {
     val root = freshRoot("sql")
     import spark.implicits._

@@ -133,6 +133,96 @@ class DvSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === full)
   }
 
+  test("batched MoR deletes over OVERLAPPING file subsets carry each " +
+      "entry's positions from its own sidecar exactly once") {
+    // the round-12 shape read every prior sidecar semi-joined against the
+    // full candidate path set: a file whose positions live in TWO
+    // sidecars (d1 touched A+B → S1; d2, stats-pruned to A only, wrote S2
+    // carrying S1's A-rows) had them double-counted by d3 (prior =
+    // {A→S2, B→S1}), and the inflated count reaching stats.rows dropped
+    // file A with a live row still in it — silent data loss
+    val root = freshRoot("overlap")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      (0L to 3L).map(i => (i, s"a$i")).toDF("id", "s").repartition(1))
+    TxLog.appendOnce(spark, root, "b",
+      (10L to 13L).map(i => (i, s"b$i")).toDF("id", "s").repartition(1))
+    assert(TxLog.snapshot(root).get.entries.size === 2)
+    TxLog.deleteMoR(spark, root, col("id").isin(0L, 10L)) // touches A and B
+    TxLog.deleteMoR(spark, root, col("id") === 1L)        // pruned to A only
+    // prior sidecars now differ per entry: A points at d2's, B at d1's
+    val mid = TxLog.snapshot(root).get
+    assert(mid.entries.flatMap(_.dv.map(_._1)).distinct.size === 2,
+      "fixture must produce two live sidecars for the overlap to matter")
+    TxLog.deleteMoR(spark, root, col("id").isin(2L, 11L)) // touches A and B
+    val after = TxLog.snapshot(root).get
+    // file A has exactly one live row (id=3): double-counting S1's A-row
+    // through S2 would inflate A's count to stats.rows and drop the entry
+    assert(after.entries.size === 2,
+      "no entry may drop while it still has live rows")
+    assert(after.entries.flatMap(_.liveRows).sorted === Seq(1L, 2L))
+    assert(TxLog.read(spark, root).select("id").as[Long].collect().sorted
+      === Array(3L, 12L, 13L))
+    // and the zero-new-victims short-circuit stays exact: re-deleting an
+    // already-deleted row (file A stays a stats candidate, zero live
+    // victims) must read counts == priorRows and take the metadata bump
+    val files0 = new java.io.File(s"$root/data").listFiles().length
+    TxLog.deleteMoR(spark, root, col("id") === 2L)
+    assert(TxLog.read(spark, root).count() === 3L)
+    assert(TxLog.snapshot(root).get.entries.flatMap(_.dv.map(_._1)).sorted
+      === after.entries.flatMap(_.dv.map(_._1)).sorted,
+      "zero-victim delete must leave every dv pointer unchanged")
+    assert(new java.io.File(s"$root/data").listFiles().length === files0,
+      "zero-victim delete must not leave a staged sidecar behind")
+  }
+
+  test("deleteMoRKeys: DataFrame-held victims, semi-join delete, " +
+      "key-range file pruning") {
+    val root = freshRoot("keys")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      (0L to 3L).map(i => (i, s"a$i")).toDF("id", "s").repartition(1))
+    TxLog.appendOnce(spark, root, "b",
+      (10L to 13L).map(i => (i, s"b$i")).toDF("id", "s").repartition(1))
+    // the key set never becomes literals: victims select by semi-join,
+    // and the keys' own min/max (1..2) prunes file B via footer stats
+    TxLog.deleteMoRKeys(spark, root, "id",
+      Seq(1L, 2L, 2L).toDF("id")) // dup key must not double-count
+    val snap = TxLog.snapshot(root).get
+    val dvd = snap.entries.filter(_.dv.isDefined)
+    assert(dvd.size === 1 && dvd.head.dv.get._2 === 2L,
+      "only the file whose stats admit the key range may carry a vector")
+    assert(TxLog.read(spark, root).select("id").as[Long].collect().sorted
+      === Array(0L, 3L, 10L, 11L, 12L, 13L))
+    // NULL keys never match (IN semantics); absent keys are no-ops
+    TxLog.deleteMoRKeys(spark, root, "id",
+      Seq[java.lang.Long](null, 999L).toDF("id"))
+    assert(TxLog.read(spark, root).count() === 6L)
+  }
+
+  test("updateMoR over overlapping prior sidecars: exact positions, " +
+      "no double-count") {
+    val root = freshRoot("overlapupd")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      (0L to 3L).map(i => (i, s"a$i")).toDF("id", "s").repartition(1))
+    TxLog.appendOnce(spark, root, "b",
+      (10L to 13L).map(i => (i, s"b$i")).toDF("id", "s").repartition(1))
+    TxLog.deleteMoR(spark, root, col("id").isin(0L, 10L))
+    TxLog.deleteMoR(spark, root, col("id") === 1L)
+    // MoR update touching both files against split prior sidecars
+    TxLog.updateMoR(spark, root, col("id").isin(2L, 11L),
+      Seq("s" -> lit("U")))
+    val got = TxLog.read(spark, root).select("id", "s").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(got === Array((2L, "U"), (3L, "a3"), (11L, "U"),
+      (12L, "b12"), (13L, "b13")))
+    // census stays exact: original files' live rows = 1 (A) + 2 (B),
+    // plus the two appended post-image rows
+    val after = TxLog.snapshot(root).get
+    assert(after.entries.flatMap(_.liveRows).sum === 5L)
+  }
+
   test("readAppended refuses ranges containing a MoR delete") {
     val root = freshRoot("feed")
     import spark.implicits._
@@ -322,6 +412,24 @@ class DvSpec extends SparkSpec {
         case None => sys.props.remove("graft.dv.broadcastRows")
       }
     }
+  }
+
+  test("delete_mode=mor on a pre-manifest (adopted) table falls back to " +
+      "copy-on-write; direct deleteMoR refuses with the typed exception") {
+    val root = freshRoot("adoptfb")
+    import spark.implicits._
+    (1L to 50L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(root)
+    TxLog.adopt(spark, root)
+    TxLog.setProperties(root, Map("delete_mode" -> "mor"))
+    // the refusal is the TYPE, not a message substring
+    intercept[TxLog.MoRUnsupportedException] {
+      TxLog.deleteMoR(spark, root, col("id") <= 10L)
+    }
+    // ...but the property-routed path lands a copy-on-write delete
+    TxLog.delete(spark, root, col("id") <= 10L)
+    assert(TxLog.read(spark, root).count() === 40L)
+    assert(TxLog.snapshot(root).get.entries.forall(_.dv.isEmpty))
   }
 
   test("update_mode=mor: a retyping SET falls back to copy-on-write instead of stranding") {

@@ -67,6 +67,47 @@ class SigIndexSpec extends SparkSpec {
     assert(SigIndex.indexedCount(idxDir) === n)
   }
 
+  test("syncStream: the index follows the corpus as a CONTINUOUS stream " +
+      "(stream == sync == rebuild), resumable from the checkpoint") {
+    val corpus = s"/root/repo/target/sigidx-scorpus-${System.nanoTime()}"
+    val idxDir = s"/root/repo/target/sigidx-stream-${System.nanoTime()}"
+    val rebuildDir = s"/root/repo/target/sigidx-sfull-${System.nanoTime()}"
+    val ckpt = s"/root/repo/target/sigidx-sckpt-${System.nanoTime()}"
+    val base = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+    TxLog.init(spark, corpus, base.repartition(4))
+    assert(SigIndex.buildFrom(spark, corpus, idxDir) === 1L)
+    TxLog.appendOnce(spark, corpus, "b1",
+      docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text"))
+    TxLog.deleteMoR(spark, corpus, col("doc_id") % 7 === 0)
+    // drain the backlog as a stream (AvailableNow: run-to-current, stop)
+    SigIndex.syncStream(spark, idxDir, corpus, ckpt)
+      .awaitTermination()
+    assert(SigIndex.indexedCount(idxDir) ===
+      Some(TxLog.read(spark, corpus).count()))
+    // the corpus keeps moving: an update and a compact land AFTER the
+    // first drain; a SECOND stream run resumes from the same checkpoint
+    // (offsets are manifest versions) and folds only the new range —
+    // the compact is cdc_noop-invisible and must disturb nothing
+    TxLog.updateMoR(spark, corpus, col("doc_id") % 11 === 1,
+      Seq("text" -> concat(col("text"), lit(" EDITED"))))
+    TxLog.compact(spark, corpus, targetFiles = 4)
+    SigIndex.syncStream(spark, idxDir, corpus, ckpt)
+      .awaitTermination()
+    SigIndex.build(TxLog.read(spark, corpus), rebuildDir)
+    assert(SigIndex.indexedCount(idxDir) === SigIndex.indexedCount(rebuildDir))
+    val probeBatch = docs.filter(col("doc_id") % 3 === 2)
+    def pairs(d: String) = SigIndex.probe(spark, d, probeBatch)
+      .orderBy("old_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs(idxDir) === pairs(rebuildDir))
+    assert(pairs(idxDir).nonEmpty, "fixture must exercise near-dups")
+    // a THIRD run with nothing new: the stream sees no offset movement
+    // and the index is untouched (replay guard + version offsets)
+    val v = TxLog.currentVersion(SigIndex.tableRoot(idxDir))
+    SigIndex.syncStream(spark, idxDir, corpus, ckpt).awaitTermination()
+    assert(TxLog.currentVersion(SigIndex.tableRoot(idxDir)) === v)
+  }
+
   test("append with overlapping doc_ids is rejected before any commit") {
     val b1 = docs.filter(col("doc_id") < 50)
     val dir = s"/root/repo/target/sigidx-ovl-${System.nanoTime()}"

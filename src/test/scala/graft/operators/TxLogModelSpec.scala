@@ -306,4 +306,89 @@ class TxLogModelSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("t"))).toMap
     assert(vals === Map(1L -> None, 2L -> None, 3L -> Some("c")))
   }
+
+  // -------------------------------------------------- MoR concurrency
+
+  /** CONCURRENT merge-on-read era: two writers race deleteMoR /
+    * updateMoR / append / compact against ONE table through the manifest
+    * CAS. Each writer owns a DISJOINT key space, so every serialization
+    * of the commits produces the SAME final set — which is exactly what
+    * makes the outcome checkable without knowing the interleaving. The
+    * races this pins: two MoR commits hitting the SAME files (the keys
+    * interleave across files) force the CAS loser to re-derive its
+    * sidecar from the winner's fresh snapshot — a retry that dropped or
+    * double-carried prior positions would lose deletes, resurrect rows,
+    * or desync the liveRows census; a compact racing a delete purges
+    * vectors mid-stream and the retried delete must re-prune against the
+    * restaged files. */
+  test("concurrent deleteMoR/updateMoR/append/compact CAS races: " +
+      "serializable outcome, no DV position lost") {
+    val root = freshRoot("morconc")
+    TxLog.init(spark, root,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("id", "s").repartition(4))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // writer A: keys [0, 200) — three MoR deletes and one MoR update
+    val a = Future {
+      (1 to 3).foreach { i =>
+        TxLog.deleteMoR(spark, root,
+          col("id") >= i * 20L && col("id") < i * 20L + 5L)
+      }
+      TxLog.updateMoR(spark, root,
+        col("id") >= 100L && col("id") < 110L,
+        Seq("s" -> concat(lit("A"), col("s"))))
+    }
+    // writer B: keys [200, 400) — deletes + an update + fresh appends,
+    // with a compact in the middle (purges vectors, content-preserving)
+    val b = Future {
+      (1 to 3).foreach { i =>
+        TxLog.deleteMoR(spark, root,
+          col("id") >= 200L + i * 20L && col("id") < 200L + i * 20L + 5L)
+        if (i == 2) TxLog.compact(spark, root, targetFiles = 2)
+      }
+      TxLog.updateMoR(spark, root,
+        col("id") >= 300L && col("id") < 310L,
+        Seq("s" -> concat(lit("B"), col("s"))))
+      TxLog.appendOnce(spark, root, "fresh",
+        (1000L until 1010L).map(k => (k, s"v$k")).toDF("id", "s"))
+    }
+    Await.result(a, 5.minutes)
+    Await.result(b, 5.minutes)
+    // expected set under ANY serialization (disjoint key spaces commute)
+    val deletedA = (1 to 3).flatMap(i => (i * 20L) until (i * 20L + 5L)).toSet
+    val deletedB = (1 to 3).flatMap(i => (200L + i * 20L) until (200L + i * 20L + 5L)).toSet
+    val expected = ((0L until 400L).filterNot(k =>
+      deletedA(k) || deletedB(k)).map { k =>
+      val v = s"v$k"
+      k -> (if (k >= 100L && k < 110L) s"A$v"
+            else if (k >= 300L && k < 310L) s"B$v" else v)
+    } ++ (1000L until 1010L).map(k => k -> s"v$k")).toMap
+    assert(tableState(root).data === expected,
+      "concurrent MoR commits must serialize to the disjoint-union state")
+    // the liveRows census agrees with the data — an inflated or lost DV
+    // position count would break this even when the read looks right
+    val snap = TxLog.snapshot(root).get
+    if (snap.entries.forall(_.stats.isDefined))
+      assert(snap.entries.flatMap(_.liveRows).sum === expected.size.toLong)
+    // every retained version is a consistent snapshot: version k's count
+    // is readable and the feed across the whole range nets to the final
+    // state (attribution held through every racy commit)
+    val feed = TxLog.readChanges(spark, root, 1L)
+    val byKey = feed.collect().groupBy(_.getLong(0))
+    val net = (0L until 400L).map(k => k -> s"v$k").toMap ++ byKey.flatMap {
+      case (k, evs) =>
+        val last = evs.maxBy(r => (r.getAs[Long]("_commit_version"),
+          if (r.getAs[String]("_change_type") == "insert") 1 else 0))
+        if (last.getAs[String]("_change_type") == "insert")
+          Some(k -> last.getString(1))
+        else None
+    } -- byKey.collect { case (k, evs)
+        if evs.maxBy(r => (r.getAs[Long]("_commit_version"),
+          if (r.getAs[String]("_change_type") == "insert") 1 else 0))
+          .getAs[String]("_change_type") == "delete" => k }
+    assert(net === expected,
+      "replaying the change feed over the base must reproduce the table")
+  }
 }

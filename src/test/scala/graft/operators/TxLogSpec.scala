@@ -63,7 +63,9 @@ class TxLogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("stale"))
     assert(TxLog.read(spark, root).count() === 50)
-    assert(TxLog.snapshot(root).get.notes === Set("winner"))
+    // (the cdc attribution marker rides as a kv: note — tags only here)
+    assert(TxLog.snapshot(root).get.notes
+      .filterNot(_.startsWith("kv:")) === Set("winner"))
     // loser staged one orphan data dir; winner+v1 dirs stay referenced.
     // Default-grace vacuum refuses the fresh orphan (it could be an
     // in-flight commit); only the ungraced maintenance sweep takes it.
@@ -119,7 +121,8 @@ class TxLogSpec extends SparkSpec {
     val t2 = new Thread(() => assert(foldBatch("b2", 7)))
     t1.start(); t2.start(); t1.join(); t2.join()
     assert(TxLog.read(spark, root).count() === 22)
-    assert(TxLog.snapshot(root).get.notes === Set("b0", "b1", "b2"))
+    assert(TxLog.snapshot(root).get.notes
+      .filterNot(_.startsWith("kv:")) === Set("b0", "b1", "b2"))
   }
 
   test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {

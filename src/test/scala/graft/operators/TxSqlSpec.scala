@@ -87,6 +87,66 @@ class TxSqlSpec extends SparkSpec {
       Seq((1L, "A"), (2L, "b"), (3L, "C")))
   }
 
+  test("conditional MERGE: every clause category, first-true-wins order, " +
+      "src-alias scoping") {
+    val root = freshRoot("cmerge")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40),
+        (5L, "e", 50)).toDF("id", "s", "qty"))
+    // source: matches 1..3 (with per-row qty), brings 6 and 7
+    val res = TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT * FROM VALUES (1, 'A', 99), (2, 'B', 5), (3, 'X', 77),
+         |                       (6, 'f', 60), (7, 'g', 7) AS t(id, s, qty)
+         |) src ON id
+         |WHEN MATCHED AND src.qty > qty THEN UPDATE SET s = src.s, qty = src.qty
+         |WHEN MATCHED AND src.s = 'X' THEN DELETE
+         |WHEN NOT MATCHED AND src.qty >= 10 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND qty >= 50 THEN UPDATE SET s = 'stale'
+         |""".stripMargin)
+    assert(res.head.getLong(0) === 2L)
+    val rows = TxLog.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows === Seq(
+      (1L, "A", 99),     // matched, src.qty 99 > 10 → updated (clause 1)
+      (2L, "b", 20),     // matched, 5 > 20 false, 'B' != 'X' → carried
+      // 3 matched: clause 1 false (77 > 30 TRUE — wait, see below)
+      (3L, "X", 77),     // matched, src.qty 77 > 30 → clause 1 wins over DELETE
+      (4L, "d", 40),     // not matched by source, qty < 50 → carried
+      (5L, "stale", 50), // not matched by source, qty >= 50 → updated
+      (6L, "f", 60)))    // not matched, qty >= 10 → inserted; 7 (qty 7) not
+  }
+
+  test("conditional MERGE: NOT MATCHED BY SOURCE DELETE (reconciliation) " +
+      "and NULL-condition rows carry unchanged") {
+    val root = freshRoot("recon")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      Seq((1L, Some(1)), (2L, None), (3L, Some(3))).toDF("id", "v"))
+    // reconcile to the source: rows absent from the source go — except
+    // the NULL-condition row (SQL: a NULL WHEN-cond never fires)
+    TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT * FROM VALUES (1, 100) AS t(id, v)
+         |) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND v > 0 THEN DELETE""".stripMargin)
+    val rows = TxLog.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    // id=3 deleted (v>0), id=2 survives (NULL cond), id=1 updated
+    assert(rows.toSeq === Seq((1L, 100), (2L, -1)))
+    // duplicate source keys refuse (SQL MERGE multi-match error)
+    val ex = intercept[IllegalArgumentException] {
+      TxSql.sql(spark,
+        s"""MERGE INTO txlog.`$root` USING (
+           |  SELECT * FROM VALUES (1, 1), (1, 2) AS t(id, v)
+           |) ON id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
   test("OPTIMIZE and VACUUM statements: compaction with metadata no-op, grace-windowed sweep") {
     val root = freshRoot("opt")
     import spark.implicits._

@@ -568,4 +568,79 @@ class StreamingSpec extends SparkSpec {
       assert(wau(d0 + d) === 10L * math.min(d + 1, 7), s"day $d")
     }
   }
+
+  test("txlog stream source: stream == batch change feed over a live " +
+      "table, offsets are versions, checkpoint resumes exactly") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-txlog-${System.nanoTime()}"
+    val ckpt = s"/root/repo/target/stream-txlog-ck-${System.nanoTime()}"
+    TxLog.init(spark, root,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("id", "s").repartition(2))
+    TxLog.appendOnce(spark, root,
+      "b1", (100L until 120L).map(k => (k, s"v$k")).toDF("id", "s"))
+    TxLog.deleteMoR(spark, root, col("id") % 10 === 0)
+    // foreachBatch sink: checkpoint-recoverable (the memory sink is not),
+    // rows land in a driver buffer — test-sized only
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, String, Long)]()
+    def drain(): Array[(Long, String, String, Long)] = {
+      val q = spark.readStream
+        .format("graft.streaming.TxLogFeedProvider")
+        .option("root", root).option("startingVersion", "1").load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            b.select("id", "s", "_change_type", "_commit_version")
+              .as[(Long, String, String, Long)].collect().foreach(buf.add)
+            ()
+        }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      val out = buf.toArray(Array.empty[(Long, String, String, Long)]).sorted
+      buf.clear()
+      out
+    }
+    // first drain: versions (1..3] as one resumable query
+    val want1 = TxLog.readChanges(spark, root, 1L, 3L)
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sorted
+    val got1 = drain()
+    assert(got1 === want1, "stream must equal the batch change feed")
+    assert(got1.nonEmpty && got1.exists(_._3 == "delete"))
+    // the table keeps moving while the stream is down; the checkpoint
+    // resumes at version 3 and delivers ONLY (3..5] — including through
+    // a compact (invisible) and an upsert (attributed)
+    TxLog.compact(spark, root, targetFiles = 2)
+    TxLog.upsert(spark, root,
+      Seq((5L, "UP"), (200L, "new")).toDF("id", "s"), "id")
+    val want2 = TxLog.readChanges(spark, root, 3L, 5L)
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sorted
+    val got2 = drain()
+    assert(got2 === want2, "resumed stream must deliver exactly the new range")
+    assert(!got2.exists(_._4 == 4L), "the compact version must be invisible")
+    // appends-only mode (readAppended semantics: pure-append ranges —
+    // the right source shape for an append-only event table)
+    val root2 = s"/root/repo/target/stream-txlog-app-${System.nanoTime()}"
+    TxLog.init(spark, root2,
+      (0L until 50L).map(k => (k, s"v$k")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root2, "a1",
+      (50L until 70L).map(k => (k, s"v$k")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root2, "a2",
+      (70L until 80L).map(k => (k, s"v$k")).toDF("id", "s"))
+    val qa = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root2).option("mode", "appends")
+      .option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("txapp")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt-app")
+      .trigger(Trigger.AvailableNow()).start()
+    qa.awaitTermination(120000)
+    val gotA = spark.table("txapp").select("id").as[Long].collect().sorted
+    val wantA = TxLog.readAppended(spark, root2, 1L)
+      .select("id").as[Long].collect().sorted
+    assert(gotA === wantA && gotA.length === 30)
+  }
 }
