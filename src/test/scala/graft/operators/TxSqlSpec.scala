@@ -118,6 +118,44 @@ class TxSqlSpec extends SparkSpec {
       (6L, "f", 60)))    // not matched, qty >= 10 → inserted; 7 (qty 7) not
   }
 
+  test("conditional MERGE plan shape: ONE full-outer join on the key, " +
+      "no cartesian product, no driver-side row movement") {
+    val root = freshRoot("cmplan")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      (1L to 2000L).map(k => (k, s"v$k")).toDF("id", "s"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      TxLog.mergeInto(spark, root,
+        (1500L to 2500L).map(k => (k, s"n$k")).toDF("id", "s"), "id",
+        matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
+        notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)))
+      // listener delivery is async; poll briefly for the plan to land
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!plans.toArray(Array.empty[String]).exists(_.contains("FullOuter"))
+        && System.nanoTime() < deadline) Thread.sleep(50)
+      val all = plans.toArray(Array.empty[String])
+      assert(all.exists(_.contains("FullOuter")),
+        "the merge must plan as one full-outer join")
+      assert(!all.exists(_.contains("CartesianProduct")),
+        "no plan in the merge may contain a cartesian product")
+      // exactly one join in the plan that carries the full-outer merge
+      val mergePlan = all.filter(_.contains("FullOuter"))
+      assert(mergePlan.forall(p =>
+        "Join".r.findAllIn(p).size >= 1 && !p.contains("BroadcastNestedLoop")))
+    } finally spark.listenerManager.unregister(listener)
+    assert(TxLog.read(spark, root).count() === 2500L)
+  }
+
   test("conditional MERGE: NOT MATCHED BY SOURCE DELETE (reconciliation) " +
       "and NULL-condition rows carry unchanged") {
     val root = freshRoot("recon")
