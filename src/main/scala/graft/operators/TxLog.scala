@@ -1703,10 +1703,37 @@ object TxLog {
       .filter(col("count") > 1).limit(1).count() > 0
     require(!dup, s"mergeInto: source has duplicate $key values — SQL " +
       "MERGE requires at most one source row per target row")
+    // the source's key range: one scalar agg, computed once (the source
+    // is fixed across CAS retries) — what lets footer stats prune the
+    // candidate file set below
+    val keyRange: Option[Column] = scala.util.Try {
+      val r = source.agg(min(col(key)), max(col(key))).head()
+      if (r.isNullAt(0)) None
+      else Some(col(key) >= lit(r.get(0)) && col(key) <= lit(r.get(1)))
+    }.toOption.flatten
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"mergeInto on uninitialized txlog $root"))
-      val target = read(spark, root, snap.version)
+      // STATS-PRUNED PARTIAL MERGE (the Delta MERGE file-pruning shape):
+      // without NOT-MATCHED-BY-SOURCE clauses, a file whose footer stats
+      // exclude the source's whole key range provably holds no matching
+      // row — matched and not-matched resolve against the CANDIDATE
+      // files alone, so only those rewrite and everything else carries
+      // by reference. A day's batch merged into a key-clustered 100 TB
+      // table rewrites that day's files, not the table. BY-SOURCE
+      // clauses inspect every target row, so they keep the whole-table
+      // path; so does an unprunable table (no stats → all candidates).
+      val conjuncts =
+        if (notMatchedBySource.nonEmpty) Seq.empty
+        else keyRange.map(c => scala.util.Try(Stats.splitConjuncts(
+          org.apache.spark.sql.graftbridge.Bridge.expression(spark, c)))
+          .getOrElse(Seq.empty)).getOrElse(Seq.empty)
+      val (rewriteEntries, carried) =
+        snap.entries.partition(entryCouldMatch(snap, conjuncts))
+      val usePartial = notMatchedBySource.isEmpty && carried.nonEmpty
+      val target =
+        if (usePartial) readVersionSubset(spark, root, snap, rewriteEntries)
+        else read(spark, root, snap.version)
       val cols = target.columns.toSeq
       require(!cols.exists(_.equalsIgnoreCase(srcAlias)),
         s"mergeInto: target column $srcAlias collides with the source " +
@@ -1747,20 +1774,69 @@ object TxLog {
           }
         }.toIndexedSeq: _*)
       }
-      def chain(clauses: Seq[MergeClause], default: Column): Column =
+      def chain(clauses: Seq[MergeClause], default: Column,
+          render: MergeAction => Column): Column =
         clauses.foldRight(default) { (cl, acc) =>
           when(cl.cond.map(_ <=> lit(true)).getOrElse(lit(true)),
-            actionRow(cl.action)).otherwise(acc)
+            render(cl.action)).otherwise(acc)
         }
-      val out = j.select(
+      val rowExpr =
         when(col("__tgt_present").isNotNull && col(srcAlias).isNotNull,
-          chain(matched, keepTarget))
-          .when(col("__tgt_present").isNull, chain(notMatched, dropRow))
-          .otherwise(chain(notMatchedBySource, keepTarget)).as("__row"))
+          chain(matched, keepTarget, actionRow))
+          .when(col("__tgt_present").isNull,
+            chain(notMatched, dropRow, actionRow))
+          .otherwise(chain(notMatchedBySource, keepTarget, actionRow))
+      val out = j.select(rowExpr.as("__row"))
         .filter(col("__row").isNotNull)
         .select(cols.map(c => col(s"__row.$c").as(c)).toIndexedSeq: _*)
-      Some(commitOverwriteNotes(spark, root, out, snap.version,
-        ns => if (note.isEmpty) ns else ns + note))
+      // PRECISE change rows (change_feed tables): re-derive which clause
+      // fired per row — fired UPDATE emits pre(delete)+post(insert),
+      // fired DELETE the pre-image, fired INSERT the post-image; rows no
+      // clause touched emit nothing (never rewrite churn)
+      def changes: DataFrame = {
+        val noMark = lit(null).cast("string")
+        def mark(a: MergeAction): Column = a match {
+          case MergeDelete => lit("d")
+          case MergeInsert => lit("i")
+          case _ => lit("u")
+        }
+        val markExpr =
+          when(col("__tgt_present").isNotNull && col(srcAlias).isNotNull,
+            chain(matched, noMark, mark))
+            .when(col("__tgt_present").isNull,
+              chain(notMatched, noMark, mark))
+            .otherwise(chain(notMatchedBySource, noMark, mark))
+        val tagged = j.select(markExpr.as("__m"), rowExpr.as("__row"),
+          when(col("__tgt_present").isNotNull, keepTarget).as("__pre"))
+        tagged.filter(col("__m").isin("u", "d"))
+          .select(col("__pre.*")).withColumn("_change_type", lit("delete"))
+          .unionByName(tagged.filter(col("__m").isin("u", "i"))
+            .select(col("__row.*"))
+            .withColumn("_change_type", lit("insert")))
+      }
+      if (!usePartial)
+        Some(commitOverwriteNotes(spark, root, out, snap.version,
+          ns => if (note.isEmpty) ns else ns + note,
+          v => cdcKvFor(root, snap.notes, v, changes)))
+      else {
+        // partial publish under the UNCHANGED schema + mapping (the
+        // deleteCow/updateWhere mixed-commit shape): candidates rewrite
+        // merged, every pruned file carries by reference
+        enforceConstraints(spark, out, snap.notes, "mergeInto")
+        val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
+        val (physDf, _, _) = toPhysical(out, snap, physPrev)
+        val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
+        val staged =
+          if (snap.partCols.nonEmpty)
+            stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
+              keepInFiles = inFiles, placeholderIfEmpty = false)
+          else stageData(spark, root, physDf)
+        Some(publish(root, snap.version, carried ++ staged, snap.partCols,
+          kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
+            cdcKvFor(root, snap.notes, snap.version + 1, changes)),
+          Some(physPrev.json), snap.mapping, snap.retired,
+          parentEntries = Some(snap.entries)))
+      }
     }.get
   }
 

@@ -486,6 +486,62 @@ object Upsert {
         .withColumn("cdc_rowexact", lit(cdcRowExact))
     },
 
+    // S24: STATS-PRUNED CONDITIONAL MERGE — the full WHEN-clause surface
+    // (conditional UPDATE with a source-struct assignment, conditional
+    // DELETE, INSERT *) executed against a range-split table whose LOWER
+    // half's footer stats exclude the source's entire key range: the
+    // merge rewrites only the upper file and the lower file carries BYTE
+    // IDENTICAL (verdict boolean under the hash). The oracle restates
+    // every clause's effect per-row from the immutable source; at 100 TB
+    // this is "a day's batch merges into a key-clustered table touching
+    // that day's files".
+    QueryDef("s24_conditional_merge",
+      """WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id >= (SELECT mid FROM m)
+        |                   AND doc_id % 3 = 0 AND doc_id % 2 = 0
+        |              THEN 'M:' || text ELSE text END AS text
+        |  FROM documents
+        |  WHERE NOT (doc_id >= (SELECT mid FROM m)
+        |             AND doc_id % 3 = 0 AND doc_id % 2 <> 0)
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'N' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       TRUE AS pruned_carry
+        |FROM v""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "cmerge-table")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+      TxLog.init(s, root, docs.filter(col("doc_id") < mid).coalesce(1))
+      TxLog.appendOnce(s, root, "hi",
+        docs.filter(col("doc_id") >= mid).coalesce(1))
+      val before = TxLog.snapshot(root).get
+      val source = docs
+        .filter(col("doc_id") >= mid && col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(lit("M:"), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("N"), col("doc_id").cast("string")).as("text")))
+      TxLog.mergeInto(s, root, source, "doc_id",
+        matched = Seq(
+          TxLog.MergeClause(Some(col("doc_id") % 2 === 0),
+            TxLog.MergeUpdate(Seq("text" -> col("src.text")))),
+          TxLog.MergeClause(None, TxLog.MergeDelete)),
+        notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)))
+      val after = TxLog.snapshot(root).get
+      val low = before.entries.head
+      val prunedCarry = after.entries.map(e => (e.path, e.size))
+        .contains((low.path, low.size))
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"))
+        .withColumn("pruned_carry", lit(prunedCarry))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

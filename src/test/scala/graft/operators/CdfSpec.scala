@@ -195,6 +195,31 @@ class CdfSpec extends SparkSpec {
       ("insert", 4L, "d")))
   }
 
+  test("conditional MERGE on a change_feed table: exactly the fired " +
+      "clauses' rows surface, no carried-row churn") {
+    val root = freshRoot("cmerge")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s"))
+    TxLog.setProperties(root, Map("change_feed" -> "true"))
+    TxLog.mergeInto(spark, root,
+      Seq((1L, "A"), (2L, "kill"), (9L, "new")).toDF("id", "s"), "id",
+      matched = Seq(
+        TxLog.MergeClause(Some(col("src.s") === "kill"), TxLog.MergeDelete),
+        TxLog.MergeClause(None, TxLog.MergeUpdate())),
+      notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)))
+    val feed = TxLog.readChanges(spark, root, 2L, 3L)
+      .select("_change_type", "id", "s").as[(String, Long, String)]
+      .collect().sorted
+    // update 1 → pre+post; delete 2 → pre; insert 9 → post; rows 3 and 4
+    // were carried and must NOT appear (precise, not coarse)
+    assert(feed === Array(
+      ("delete", 1L, "a"), ("delete", 2L, "b"),
+      ("insert", 1L, "A"), ("insert", 9L, "new")))
+    assert(TxLog.read(spark, root).select("id").as[Long].collect().sorted
+      === Array(1L, 3L, 4L, 9L))
+  }
+
   test("unmarked pre-attribution mixed commits still refuse loudly") {
     val root = freshRoot("legacy")
     import spark.implicits._

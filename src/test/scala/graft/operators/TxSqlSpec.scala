@@ -156,6 +156,46 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === 2500L)
   }
 
+  test("conditional MERGE prunes by the source key range: files outside " +
+      "it carry by reference; a BY SOURCE clause forces the full pass") {
+    val root = freshRoot("cmprune")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      (0L until 1000L).map(k => (k, s"v$k")).toDF("id", "s").coalesce(1))
+    TxLog.appendOnce(spark, root, "b",
+      (1000L until 2000L).map(k => (k, s"v$k")).toDF("id", "s").coalesce(1))
+    val before = TxLog.snapshot(root).get
+    assert(before.entries.size === 2)
+    // source keys live entirely in file B's range (plus fresh inserts)
+    TxLog.mergeInto(spark, root,
+      ((1500L until 1510L).map(k => (k, "U")) ++
+        (5000L until 5005L).map(k => (k, "N"))).toDF("id", "s"), "id",
+      matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
+      notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)))
+    val after = TxLog.snapshot(root).get
+    val keptA = before.entries.head
+    assert(after.entries.map(e => (e.path, e.size)).contains(
+      (keptA.path, keptA.size)),
+      "the file whose stats exclude the source key range must carry " +
+        "byte-identical")
+    val got = TxLog.read(spark, root)
+    assert(got.count() === 2005L)
+    assert(got.filter(col("s") === "U").count() === 10L)
+    assert(got.filter(col("s") === "N").count() === 5L)
+    assert(got.filter(col("id") < 1000L && col("s").startsWith("v"))
+      .count() === 1000L)
+    // a NOT MATCHED BY SOURCE clause inspects every row: whole-table pass
+    TxLog.mergeInto(spark, root,
+      Seq((1L, "x")).toDF("id", "s"), "id",
+      matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
+      notMatchedBySource = Seq(TxLog.MergeClause(
+        Some(col("id") >= 5000L), TxLog.MergeDelete)))
+    val after2 = TxLog.snapshot(root).get
+    assert(!after2.entries.map(_.path).contains(keptA.path),
+      "a BY SOURCE merge must restage everything (every row inspected)")
+    assert(TxLog.read(spark, root).count() === 2000L)
+  }
+
   test("conditional MERGE: NOT MATCHED BY SOURCE DELETE (reconciliation) " +
       "and NULL-condition rows carry unchanged") {
     val root = freshRoot("recon")
