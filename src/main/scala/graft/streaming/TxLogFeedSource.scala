@@ -62,7 +62,8 @@ class TxLogFeedProvider extends StreamSourceProvider with DataSourceRegister {
 }
 
 private[streaming] object TxLogFeedSource {
-  final case class Opts(root: String, mode: String, startingVersion: Option[Long])
+  final case class Opts(root: String, mode: String,
+      startingVersion: Option[Long], maxVersionsPerBatch: Option[Long])
 
   /** DataFrameReader options are caller-cased: normalize keys once. */
   def opts(parameters: Map[String, String]): Opts = {
@@ -73,7 +74,10 @@ private[streaming] object TxLogFeedSource {
     val mode = p.getOrElse("mode", "changes")
     require(mode == "changes" || mode == "appends",
       s"txlog-feed: mode must be changes|appends, got $mode")
-    Opts(root, mode, p.get("startingversion").map(_.toLong))
+    val maxV = p.get("maxversionsperbatch").map(_.toLong)
+    maxV.foreach(n => require(n >= 1,
+      s"txlog-feed: maxVersionsPerBatch must be >= 1, got $n"))
+    Opts(root, mode, p.get("startingversion").map(_.toLong), maxV)
   }
 
   /** The stream's fixed schema: the table's CURRENT logical schema,
@@ -86,7 +90,8 @@ private[streaming] object TxLogFeedSource {
 }
 
 class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   // the first batch's floor: an explicit startingVersion, or the version
   // current at stream START (only new commits flow) — resolved ONCE so a
   // slow first trigger can't move the anchor
@@ -95,16 +100,50 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
 
   override val schema: StructType = TxLogFeedSource.schemaFor(spark, o)
 
-  private def versionOf(x: Offset): Long = x match {
-    case l: LongOffset => l.offset
-    // a checkpoint-recovered offset arrives serialized; LongOffset.json
-    // is the bare number
-    case other => other.json.trim.toLong
+  private def versionOf(x: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    x match {
+      case l: LongOffset => l.offset
+      // a checkpoint-recovered offset arrives serialized; LongOffset.json
+      // is the bare number
+      case other => other.json.trim.toLong
+    }
+
+  // ADMISSION CONTROL (the FileStreamSource pattern): `latestOffset`
+  // replaces getOffset as the engine's next-end oracle, which lets the
+  // source (a) rate-limit a backlog into bounded micro-batches
+  // (`maxVersionsPerBatch` — a consumer restarted a week behind folds
+  // the week version-range by version-range instead of as one giant
+  // batch) and (b) support Trigger.AvailableNow EXACTLY: the available
+  // ceiling is pinned once at prepare time, the query drains to it in
+  // rate-limited steps and stops — no single-batch fallback.
+  @volatile private var availableCeiling: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableCeiling = Some(TxLog.currentVersion(o.root))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(versionOf).getOrElse(start0)
+    val avail = availableCeiling.getOrElse(TxLog.currentVersion(o.root))
+    val end = o.maxVersionsPerBatch match {
+      case Some(n) if avail - from > n => from + n
+      case _ => avail
+    }
+    if (end <= from) null else LongOffset(end)
   }
 
   override def getOffset: Option[Offset] = {
-    val v = TxLog.currentVersion(o.root)
-    if (v <= start0) None else Some(LongOffset(v))
+    // kept for the plain v1 path; with SupportsAdmissionControl the
+    // engine drives latestOffset instead
+    Option(latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
+      .map(v => LongOffset(versionOf(v)))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -54,8 +54,10 @@ class TxLogModelSpec extends SparkSpec {
     model.commit(MState(init, "s"))
 
     var monotoneId = -1L
+    val opLog = scala.collection.mutable.ListBuffer.empty[String]
     (1 to ops).foreach { i =>
-      val opKind = rnd.nextInt(9)
+      val opKind = rnd.nextInt(10)
+      opLog += s"v${model.version + 1}=op$opKind"
       val cur = model.current
       opKind match {
         case 0 => // keyed upsert — a full rewrite: materializes the logical name
@@ -112,6 +114,37 @@ class TxLogModelSpec extends SparkSpec {
           model.commit(MState(
             cur.data.filter { case (k, _) => k % m != 0 || k == 1L },
             cur.valueCol))
+        case 9 => // CONDITIONAL MERGE: update matched evens, delete matched
+          // odds (key 1 protected — the table must never empty), insert
+          // new keys ≡ 0 (mod 3), and half the time reconcile away
+          // unmatched keys ≡ m (mod 7) — every clause category composed
+          // with every other op, mirrored exactly in the model
+          val batch = kv(1 + rnd.nextInt(6))
+          val m7 = rnd.nextInt(7)
+          val withBySource = rnd.nextBoolean()
+          TxLog.mergeInto(spark, root, toDf(batch, cur.valueCol), "id",
+            matched = Seq(
+              TxLog.MergeClause(Some(col("id") % 2 === 0),
+                TxLog.MergeUpdate()),
+              TxLog.MergeClause(Some(col("id") =!= 1L), TxLog.MergeDelete)),
+            notMatched = Seq(
+              TxLog.MergeClause(Some(col("src.id") % 3 === 0),
+                TxLog.MergeInsert)),
+            notMatchedBySource =
+              if (!withBySource) Seq.empty
+              else Seq(TxLog.MergeClause(
+                Some(col("id") % 7 === m7 && col("id") =!= 1L),
+                TxLog.MergeDelete)))
+          val merged = cur.data.flatMap { case (k, v) =>
+            if (batch.contains(k)) {
+              if (k % 2 == 0) Some(k -> batch(k))
+              else if (k != 1L) None
+              else Some(k -> v)
+            } else if (withBySource && k % 7 == m7 && k != 1L) None
+            else Some(k -> v)
+          } ++ batch.filter { case (k, _) =>
+            !cur.data.contains(k) && k % 3 == 0 }
+          model.commit(MState(merged, cur.valueCol))
       }
       assert(TxLog.currentVersion(root) === model.version,
         s"seed=$seed op#$i kind=$opKind: version diverged")
@@ -137,13 +170,24 @@ class TxLogModelSpec extends SparkSpec {
       feedOrRefusal.foreach { rows =>
         val parent = model.history((v - 2).toInt).data
         val child = model.history((v - 1).toInt).data
+        // the feed speaks each version's OWN schema: across a rename the
+        // range's frames align by name and the value rides under whichever
+        // logical name its version used (the other column is NULL) — an
+        // attribution-marked restore across a rename exercises this. The
+        // model's values are never null, so "the non-null value column"
+        // is exact.
+        val meta = Set("id", "_change_type", "_commit_version")
+        def valueOf(r: org.apache.spark.sql.Row): String =
+          r.schema.fieldNames.filterNot(meta).iterator
+            .map(n => r.getAs[String](n)).find(_ != null).orNull
         val dels = rows.filter(_.getAs[String]("_change_type") == "delete")
-          .map(r => r.getLong(0) -> r.getString(1))
+          .map(r => r.getAs[Long]("id") -> valueOf(r))
         val ins = rows.filter(_.getAs[String]("_change_type") == "insert")
-          .map(r => r.getLong(0) -> r.getString(1))
+          .map(r => r.getAs[Long]("id") -> valueOf(r))
         dels.foreach { case (k, value) =>
           assert(parent.get(k).contains(value),
-            s"seed=$seed v=$v: feed deleted ($k,$value) not in parent")
+            s"seed=$seed v=$v: feed deleted ($k,$value) not in parent " +
+              s"(ops: ${opLog.mkString(", ")})")
         }
         val applied = (parent -- dels.map(_._1)) ++ ins
         assert(applied === child,

@@ -196,6 +196,46 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === 2000L)
   }
 
+  test("conditional MERGE on a PARTITIONED table: partial path restages " +
+      "hive partitions, partition columns survive") {
+    val root = freshRoot("cmpart")
+    import spark.implicits._
+    // keys CLUSTER by partition (l0: 0..99, l1: 100..199, l2: 200..299),
+    // so per-file footer stats have disjoint key ranges and the source's
+    // range [150, 160] prunes l0 and l2 outright
+    TxLog.initPartitioned(spark, root,
+      (0L until 300L).map(k => (k, s"v$k", s"l${k / 100}"))
+        .toDF("id", "s", "lang"), Seq("lang"), note = "")
+    val before = TxLog.snapshot(root).get
+    TxLog.mergeInto(spark, root,
+      (150L to 160L).map(k => (k, "U", "l1")).toDF("id", "s", "lang"), "id",
+      matched = Seq(TxLog.MergeClause(None,
+        TxLog.MergeUpdate(Seq("s" -> col("src.s"))))),
+      notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)))
+    val after = TxLog.snapshot(root).get
+    val untouched = before.entries.filter(e =>
+      e.part.exists(p => p == "l0" || p == "l2")).map(e => (e.path, e.size))
+    assert(untouched.nonEmpty && untouched.forall(
+      after.entries.map(e => (e.path, e.size)).contains(_)),
+      "partitions whose stats exclude the source key range must carry " +
+        "byte-identical through the merge")
+    val got = TxLog.read(spark, root)
+    assert(got.count() === 300L)
+    assert(got.filter(col("s") === "U").count() === 11L)
+    assert(got.filter(col("id") === 150L).select("lang").head()
+      .getString(0) === "l1",
+      "the matched row's partition value must survive the update")
+    // a merge INSERT bringing a NEW partition value lands in its own
+    // hive partition
+    TxLog.mergeInto(spark, root,
+      Seq((900L, "N", "l9")).toDF("id", "s", "lang"), "id",
+      notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)))
+    val census = TxLog.read(spark, root).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census === Map("l0" -> 100L, "l1" -> 100L, "l2" -> 100L,
+      "l9" -> 1L))
+  }
+
   test("conditional MERGE: NOT MATCHED BY SOURCE DELETE (reconciliation) " +
       "and NULL-condition rows carry unchanged") {
     val root = freshRoot("recon")

@@ -584,15 +584,21 @@ class StreamingSpec extends SparkSpec {
     // rows land in a driver buffer — test-sized only
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[
       (Long, String, String, Long)]()
-    def drain(): Array[(Long, String, String, Long)] = {
-      val q = spark.readStream
+    val batchVersions = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def drain(maxVersionsPerBatch: Option[Int] = None)
+        : Array[(Long, String, String, Long)] = {
+      val rd = spark.readStream
         .format("graft.streaming.TxLogFeedProvider")
-        .option("root", root).option("startingVersion", "1").load()
+        .option("root", root).option("startingVersion", "1")
+      val q = maxVersionsPerBatch
+        .fold(rd)(n => rd.option("maxVersionsPerBatch", n.toString)).load()
         .writeStream.foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               _: Long) =>
-            b.select("id", "s", "_change_type", "_commit_version")
-              .as[(Long, String, String, Long)].collect().foreach(buf.add)
+            val rows = b.select("id", "s", "_change_type", "_commit_version")
+              .as[(Long, String, String, Long)].collect()
+            rows.foreach(buf.add)
+            batchVersions.add(rows.map(_._4).toSet)
             ()
         }.option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -602,13 +608,24 @@ class StreamingSpec extends SparkSpec {
       buf.clear()
       out
     }
-    // first drain: versions (1..3] as one resumable query
+    // first drain: versions (1..3], RATE-LIMITED to one version per
+    // micro-batch — AvailableNow must still drain the whole backlog
+    // (the source pins the available ceiling at prepare time) in
+    // version-bounded steps, not one giant batch
     val want1 = TxLog.readChanges(spark, root, 1L, 3L)
       .select("id", "s", "_change_type", "_commit_version")
       .as[(Long, String, String, Long)].collect().sorted
-    val got1 = drain()
+    val got1 = drain(maxVersionsPerBatch = Some(1))
     assert(got1 === want1, "stream must equal the batch change feed")
     assert(got1.nonEmpty && got1.exists(_._3 == "delete"))
+    val perBatch = batchVersions.toArray(Array.empty[Set[Long]])
+    batchVersions.clear()
+    assert(perBatch.filter(_.nonEmpty).forall(_.size == 1),
+      s"maxVersionsPerBatch=1 must bound every micro-batch to one " +
+        s"version, got ${perBatch.toSeq}")
+    assert(perBatch.filter(_.nonEmpty).length >= 2,
+      "the backlog spans two versions — AvailableNow must have drained " +
+        "it as multiple rate-limited batches")
     // the table keeps moving while the stream is down; the checkpoint
     // resumes at version 3 and delivers ONLY (3..5] — including through
     // a compact (invisible) and an upsert (attributed)
