@@ -1090,6 +1090,18 @@ object TxLog {
       parentEntries: Option[Seq[FileEntry]] = None): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
+    // drop STALE version-pinned attribution markers (`kv:cdc_*` whose
+    // pinned version is not THIS commit): readChanges reads version v's
+    // marker from manifest v itself — a copy carried forward by the note
+    // set serves nothing and, for `cdc_files`, over-protects its change
+    // dir from vacuum for as long as ANY later manifest survives instead
+    // of exactly as long as manifest v does
+    val notesOut = notes.filterNot { n =>
+      n.startsWith("kv:cdc_") && {
+        val pin = n.drop(n.indexOf(':', 3) + 1).takeWhile(_.isDigit)
+        pin.nonEmpty && pin.toLong != next
+      }
+    }
     def entryLine(prefix: String, e: FileEntry): String =
       renderEntry(prefix, e, withPart = partMeta.nonEmpty)
     val fLines: Seq[String] = parentEntries match {
@@ -1117,7 +1129,7 @@ object TxLog {
       schemaJson.map("s\t" + _).toSeq ++
       mapping.toSeq.sorted.map { case (p, l) => s"m\t$p\t$l" } ++
       retired.toSeq.sorted.map("x\t" + _) ++
-      fLines ++ notes.toSeq.sorted.map("n\t" + _) :+ "commit")
+      fLines ++ notesOut.toSeq.sorted.map("n\t" + _) :+ "commit")
       .mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))

@@ -162,6 +162,35 @@ class CdfSpec extends SparkSpec {
     assert(TxLog.readChanges(spark, root, 2L, 4L).count() === 3L * matched.count())
   }
 
+  test("change files age out with their manifest: carried-forward marker " +
+      "copies are stripped, pruneHistory + vacuum reclaims the dir") {
+    val root = freshRoot("age")
+    import spark.implicits._
+    TxLog.init(spark, root, (0L until 100L).map(k => (k, s"v$k")).toDF("id", "s"))
+    TxLog.setProperties(root, Map("change_feed" -> "true"))
+    TxLog.updateWhere(spark, root, col("id") % 10 === 0,
+      Seq("s" -> lit("U")))                                   // v3 + cdc dir
+    TxLog.appendOnce(spark, root, "b",
+      Seq((500L, "x")).toDF("id", "s"))                       // v4
+    // the marker lives in manifest v3 ONLY — later manifests must not
+    // carry a stale copy (it would over-protect the dir forever)
+    assert(TxLog.kvOf(TxLog.snapshot(root).get.notes).get("cdc_files").isEmpty,
+      "a stale cdc_files copy must not ride forward in the note set")
+    // while v3 is retained the dir is protected and the feed reads it
+    TxLog.vacuum(root, graceMs = 0L)
+    assert(TxLog.readChanges(spark, root, 2L, 3L).count() === 20L)
+    def cdcDirs() = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty)
+      .count(d => d.isDirectory && d.getName.startsWith("cdc-"))
+    assert(cdcDirs() === 1)
+    // prune v3 away: the dir loses its last reference and vacuum takes it
+    TxLog.pruneHistory(root, keepLast = 1)
+    TxLog.vacuum(root, graceMs = 0L)
+    assert(cdcDirs() === 0,
+      "an unreferenced change dir must reclaim with its pruned manifest")
+    assert(TxLog.read(spark, root).count() === 101L)
+  }
+
   test("maintenance rewrites (compact / OPTIMIZE z-order) are INVISIBLE " +
       "to the change feed") {
     val root = freshRoot("noop")
