@@ -252,7 +252,7 @@ class TxLogModelSpec extends SparkSpec {
 
     (1 to 12).foreach { i =>
       val cur = history.last
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // tuple-scoped merge
           val batch = kv(1 + rnd.nextInt(6))
           TxLog.upsertPartitioned(spark, root, toPartDf(batch, "v"), "id",
@@ -280,6 +280,26 @@ class TxLogModelSpec extends SparkSpec {
           val m = 2 + rnd.nextInt(5)
           TxLog.deleteMoR(spark, root, col("id") % m === 0 && col("id") =!= 1L)
           commit(cur.filter { case (k, _) => k % m != 0 || k == 1L })
+        case 6 => // conditional MERGE on the hive layout: update matched
+          // evens, delete matched odds (key 1 protected), insert new keys
+          // ≡ 0 (mod 3) — the partial path's stagePartitioned restage and
+          // the whole path's overwrite both land here depending on stats
+          val batch = kv(1 + rnd.nextInt(6))
+          TxLog.mergeInto(spark, root, toPartDf(batch, "v"), "id",
+            matched = Seq(
+              TxLog.MergeClause(Some(col("id") % 2 === 0),
+                TxLog.MergeUpdate()),
+              TxLog.MergeClause(Some(col("id") =!= 1L), TxLog.MergeDelete)),
+            notMatched = Seq(TxLog.MergeClause(
+              Some(col("src.id") % 3 === 0), TxLog.MergeInsert)))
+          commit(cur.flatMap { case (k, v) =>
+            if (batch.contains(k)) {
+              if (k % 2 == 0) Some(k -> batch(k))
+              else if (k != 1L) None
+              else Some(k -> v)
+            } else Some(k -> v)
+          } ++ batch.filter { case (k, _) =>
+            !cur.contains(k) && k % 3 == 0 })
       }
       assert(TxLog.currentVersion(root) === history.size.toLong,
         s"op#$i: version diverged")
