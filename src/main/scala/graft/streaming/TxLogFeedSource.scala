@@ -32,7 +32,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * diff — the stream never stalls on a rewrite.
   *
   * `startingVersion` (default: the table's current version at stream
-  * start, i.e. only NEW commits flow) anchors the first batch.
+  * start, i.e. only NEW commits flow) anchors the first batch;
+  * `startingTimestamp` (exclusive with it) resolves the anchor through
+  * the manifests' exact commit-time headers instead.
   * RETENTION: the range a restarted query re-reads must still be
   * retained — run [[TxLog.pruneHistory]] behind the slowest consumer's
   * checkpoint, the standard CDC-retention trade.
@@ -77,7 +79,19 @@ private[streaming] object TxLogFeedSource {
     val maxV = p.get("maxversionsperbatch").map(_.toLong)
     maxV.foreach(n => require(n >= 1,
       s"txlog-feed: maxVersionsPerBatch must be >= 1, got $n"))
-    Opts(root, mode, p.get("startingversion").map(_.toLong), maxV)
+    val sv = p.get("startingversion").map(_.toLong)
+    // startingTimestamp resolves through the manifests' exact `t` commit
+    // headers (versionAt): the stream starts AFTER the newest version
+    // published at-or-before the timestamp — its changes are already
+    // reflected in state a consumer bootstrapped "as of" that time
+    val st = p.get("startingtimestamp").map(_.toLong)
+    require(sv.isEmpty || st.isEmpty,
+      "txlog-feed: startingVersion and startingTimestamp are exclusive")
+    val anchor = sv.orElse(st.map(ts =>
+      graft.operators.TxLog.versionAt(root, ts).getOrElse(
+        throw new IllegalArgumentException(
+          s"txlog-feed: no version published at or before $ts in $root"))))
+    Opts(root, mode, anchor, maxV)
   }
 
   /** The stream's fixed schema: the table's CURRENT logical schema,

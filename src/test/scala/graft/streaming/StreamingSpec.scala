@@ -659,5 +659,17 @@ class StreamingSpec extends SparkSpec {
     val wantA = TxLog.readAppended(spark, root2, 1L)
       .select("id").as[Long].collect().sorted
     assert(gotA === wantA && gotA.length === 30)
+    // startingTimestamp anchors through the exact manifest commit headers:
+    // v1's own timestamp resolves to "start after v1" — same 30 rows
+    val t1 = TxLog.history(root2).find(_.version == 1L).get.timestampMs.get
+    val qt = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root2).option("mode", "appends")
+      .option("startingTimestamp", t1.toString).load()
+      .writeStream.format("memory").queryName("txappts")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt-appts")
+      .trigger(Trigger.AvailableNow()).start()
+    qt.awaitTermination(120000)
+    assert(spark.table("txappts").count() === 30L)
   }
 }
