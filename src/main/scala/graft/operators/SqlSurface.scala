@@ -48,9 +48,9 @@ object SqlSurface {
     *   SELECT ... FROM txlog.`<root>` [VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>] ...
     *   DELETE FROM txlog.`<root>` WHERE <predicate>
     *   UPDATE txlog.`<root>` SET col = <expr>[, ...] WHERE <predicate>
-    *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn>
+    *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn> [AND <targetScope>]
     *     [WHEN MATCHED [AND <cond>] THEN {UPDATE SET * | UPDATE SET c = <expr>[, ...] | DELETE}]...
-    *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]...
+    *     [WHEN NOT MATCHED [AND <cond>] THEN {INSERT * | INSERT (c[, ...]) VALUES (<expr>[, ...])}]...
     *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN {UPDATE SET c = <expr>[, ...] | DELETE}]...
     *   OPTIMIZE txlog.`<root>` [TARGET <n>] [ZORDER BY (<col>[, ...])]
     *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
@@ -240,6 +240,10 @@ object SqlSurface {
     private val ActUpdate = "(?is)^UPDATE\\s+SET\\s+(.+)$".r
     private val ActDelete = "(?is)^DELETE$".r
     private val ActInsert = "(?is)^INSERT\\s*\\*$".r
+    // column list is bare identifiers (no parens), so the first close
+    // paren ends it; the VALUES exprs are comma-split paren-aware
+    private val ActInsertCols =
+      "(?is)^INSERT\\s*\\(([^)]+)\\)\\s*VALUES\\s*\\((.+)\\)\\s*$".r
 
     /** Full conditional-MERGE parse (Delta's MERGE grammar, reduced to
       * the single-key equi-join this surface speaks):
@@ -256,7 +260,7 @@ object SqlSurface {
       * scoping. */
     private object MergeStmt {
       def unapply(stmt: String): Option[(String, String, String, String,
-          Seq[TxLog.MergeClause], Seq[TxLog.MergeClause],
+          Option[String], Seq[TxLog.MergeClause], Seq[TxLog.MergeClause],
           Seq[TxLog.MergeClause])] = {
         val m = MergeHead.findFirstMatchIn(stmt).getOrElse(return None)
         val root = m.group(1)
@@ -275,10 +279,27 @@ object SqlSurface {
         require(depth == 0, "MERGE: unbalanced parens in USING subquery")
         val source = stmt.substring(start, i - 1)
         stmt.substring(i) match {
-          case MergeTail(alias, key, whenText) =>
-            val (mt, nm, ns) = parseWhenClauses(whenText)
+          case MergeTail(alias, key, tail) =>
+            // `ON key AND <targetScope>`: everything between the key and
+            // the first top-level WHEN is the optional scope predicate —
+            // the Delta merge-condition shape (a predicate on the TARGET
+            // row bounding which files/rows the merge may touch)
+            val cuts = topKeywordAll(tail, "WHEN")
+            val cut = cuts.headOption.getOrElse(tail.length)
+            val pre = tail.substring(0, cut).trim
+            val scope =
+              if (pre.isEmpty) None
+              else {
+                require(pre.toLowerCase(java.util.Locale.ROOT)
+                  .startsWith("and") &&
+                  (pre.length == 3 || !Character.isLetterOrDigit(pre.charAt(3))),
+                  s"MERGE: expected AND <targetScope> or WHEN after ON $key, " +
+                    s"got: $pre")
+                Some(pre.substring(3).trim)
+              }
+            val (mt, nm, ns) = parseWhenClauses(tail.substring(cut))
             Some((root, source, Option(alias).getOrElse("src"), key,
-              mt, nm, ns))
+              scope, mt, nm, ns))
           case bad => throw new IllegalArgumentException(
             s"MERGE: expected [alias] ON <key> [WHEN ...], got: $bad")
         }
@@ -305,6 +326,9 @@ object SqlSurface {
         val action = seg.substring(thenAt + "THEN".length).trim match {
           case ActDelete() => TxLog.MergeDelete
           case ActInsert() => TxLog.MergeInsert
+          case ActInsertCols(colList, exprList) => TxLog.MergeInsertCols(
+            splitTop(colList, ',').map(_.trim),
+            splitTop(exprList, ',').map(e => expr(e)))
           case ActUpdateAll() => TxLog.MergeUpdate()
           case ActUpdate(setList) => TxLog.MergeUpdate(
             splitTop(setList, ',').map {
@@ -356,17 +380,19 @@ object SqlSurface {
         }
         val v = TxLog.updateWhere(spark, root, expr(pred), assignments)
         spark.range(1).select(lit(v).as("version"))
-      case MergeStmt(root, source, alias, key, matched, notMatched, bySource) =>
+      case MergeStmt(root, source, alias, key, scope, matched, notMatched,
+          bySource) =>
         // the USING subquery goes back through TxSql: it may itself
         // reference txlog tables (including THIS one, pinned at an
         // earlier version — self-referential backfills)
         val src = sql(spark, source)
         val v =
-          if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty)
+          if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty &&
+            scope.isEmpty)
             // no WHEN clauses: the keyed last-write-wins upsert shorthand
             TxLog.upsert(spark, root, src, key)
           else TxLog.mergeInto(spark, root, src, key, matched, notMatched,
-            bySource, srcAlias = alias)
+            bySource, srcAlias = alias, targetScope = scope.map(s => expr(s)))
         spark.range(1).select(lit(v).as("version"))
       case Optimize(root, target, zorderCols) =>
         val t = Option(target).map(_.toInt).getOrElse(8)
@@ -973,7 +999,13 @@ object SqlSurface {
         |                  AND doc_id % 9 = 1)
         |       UNION ALL
         |       SELECT doc_id + 2000000, 'N' || CAST(doc_id AS VARCHAR)
-        |       FROM base WHERE doc_id < 40 AND (doc_id + 2000000) % 3 = 0)
+        |       FROM base WHERE doc_id < 40 AND (doc_id + 2000000) % 3 = 0),
+        |v5 AS (SELECT doc_id, text FROM v4
+        |       UNION ALL
+        |       SELECT doc_id + 3000000,
+        |              CASE WHEN doc_id % 2 = 0 THEN NULL
+        |                   ELSE 'I' || CAST(doc_id + 3000000 AS VARCHAR) END
+        |       FROM base WHERE doc_id < 25)
         |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
         |FROM base
@@ -989,6 +1021,10 @@ object SqlSurface {
         |SELECT 4, CAST(count(*) AS BIGINT),
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
         |FROM v4
+        |UNION ALL
+        |SELECT 5, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
+        |FROM v5
         |ORDER BY version""".stripMargin) { (s, dir) =>
       val root = TxLog.freshRoot(dir, "txlog-dml")
       TxLog.init(s, root, Tables.documents(s, dir).select("doc_id", "text")) // v1
@@ -1018,7 +1054,23 @@ object SqlSurface {
            |WHEN NOT MATCHED BY SOURCE AND doc_id % 9 = 1 THEN DELETE""".stripMargin)
       require(cm.head.getLong(0) == 4L,
         "conditional MERGE did not publish version 4")
-      (1 to 4).map { v =>
+      // v5: the column-list INSERT form — `INSERT (cols) VALUES (exprs)`
+      // with target-type casts; clause order picks the first matching
+      // NOT-MATCHED clause, and an un-listed column defaults to NULL
+      // (the standard-SQL defaulted-column shape)
+      val il = TxSql.sql(s,
+        s"""MERGE INTO txlog.`$root` USING (
+           |  SELECT doc_id + 3000000 AS doc_id
+           |  FROM txlog.`$root` VERSION AS OF 1 WHERE doc_id < 25
+           |) s ON doc_id
+           |WHEN NOT MATCHED AND s.doc_id % 2 = 0
+           |  THEN INSERT (doc_id) VALUES (s.doc_id)
+           |WHEN NOT MATCHED
+           |  THEN INSERT (doc_id, text)
+           |       VALUES (s.doc_id, 'I' || CAST(s.doc_id AS STRING))""".stripMargin)
+      require(il.head.getLong(0) == 5L,
+        "column-list INSERT MERGE did not publish version 5")
+      (1 to 5).map { v =>
         TxSql.sql(s,
           s"""SELECT $v AS version, CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT) AS ck

@@ -117,6 +117,12 @@ object TxLog {
     * per-top-level-column [[ColStat]]. */
   final case class FileStats(rows: Long, cols: Map[String, ColStat])
 
+  /** The VERSION-PINNED change-attribution marker keys ([[writeCdcFiles]]
+    * contract). Exactly these keys get the stale-copy strip at publish;
+    * user properties in the `cdc_` namespace are ordinary kv notes. */
+  private val CdcMarkerKeys: Seq[String] =
+    Seq("cdc_noop", "cdc_full", "cdc_files", "cdc_rowlevel")
+
   /** One pinned table version: the manifest's data files (relative to
     * root), its accumulated note set (effectively-once tags), the
     * table's partition column, if any (with its committed DataType —
@@ -458,6 +464,17 @@ object TxLog {
     ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
   private[graft] val logListings: ThreadLocal[java.lang.Long] =
     ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
+  /** Data-staging invocations on this thread — the spec hook proving a
+    * CAS loser REBASED instead of re-running its rewrite job (a recompute
+    * re-stages; a rebase republishes the already-staged files). */
+  private[graft] val dataStages: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
+  /** Test-only race injector: fired (once — the hook clears itself or
+    * the spec swaps it) immediately before a rebasable publish attempt,
+    * ON the writer's thread, so a spec can deterministically interleave
+    * a winning commit between a writer's job and its CAS. Never set
+    * outside tests. */
+  @volatile private[graft] var testRacePublishHook: Option[String => Unit] = None
 
   private def parseManifest(p: Path): Option[Manifest] = {
     if (!Files.isRegularFile(p)) return None
@@ -566,6 +583,21 @@ object TxLog {
     while (Files.exists(manifestPath(root, v + 1))) v += 1
     v
   }
+
+  /** Oldest retained COMPLETE version — None on an empty log. What a
+    * typed retention refusal names: a stream consumer recovering from a
+    * checkpoint that [[pruneHistory]] has since swept past is told the
+    * earliest offset it could legally restart from. */
+  def earliestVersion(root: String): Option[Long] =
+    allVersions(root).find(v => parseManifest(manifestPath(root, v)).isDefined)
+
+  /** A snapshot's LOGICAL schema — the committed physical file schema
+    * surfaced under its column-mapping names. None on adopted /
+    * pre-schema manifests (reads there fall back to parquet inference).
+    * What the streaming source's per-version schema-evolution admission
+    * compares against its pinned stream schema. */
+  def logicalSchemaOf(snap: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    snap.schemaJson.map(j => logicalSchema(parseSchema(j), snap.mapping))
 
   /** One retained commit, as surfaced by [[history]]. */
   final case class HistoryEntry(version: Long, timestampMs: Option[Long],
@@ -679,10 +711,34 @@ object TxLog {
     * with the columns riding IN the files ([[partDataInFiles]]) — read
     * as ONE explicit-file relation; legacy partitioned layouts fall back
     * to the per-partition literal-attach union. */
+  /** Deep-relax nullability for SCAN schemas: a parquet file can always
+    * contain nulls, so a committed schema that claims non-nullable must
+    * never reach a scan — whole-stage codegen trusts the claim, skips
+    * the null check, and reads garbage zeros (silent corruption; Spark's
+    * own file sources force `asNullable` for exactly this reason, the
+    * manifest-fed relation must too). Metadata comparisons (vintage
+    * checks, additive gates) keep the committed schema verbatim. */
+  private def relaxNullability(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(relaxNullability(a.elementType), containsNull = true)
+      case m: MapType => MapType(relaxNullability(m.keyType),
+        relaxNullability(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private def readEntriesOf(spark: SparkSession, root: String, snap: Snapshot,
-      entries: Seq[FileEntry],
-      schema: Option[org.apache.spark.sql.types.StructType],
-      keepPos: Boolean = false): DataFrame =
+      entries0: Seq[FileEntry],
+      schema0: Option[org.apache.spark.sql.types.StructType],
+      keepPos: Boolean = false): DataFrame = {
+    val entries = entries0
+    val schema = schema0.map(s =>
+      relaxNullability(s).asInstanceOf[org.apache.spark.sql.types.StructType])
     if (snap.partCols.isEmpty || partDataInFiles(snap.partCols, schema)) {
       val needDv = keepPos || entries.exists(_.dv.isDefined)
       // merge-on-read deletion vectors: materialize the scan's file path
@@ -727,6 +783,7 @@ object TxLog {
         "deletion vectors on a legacy partition layout")
       readGroups(spark, root, entries, snap.partCols, schema)
     }
+  }
 
   /** Bookkeeping columns for deletion-vector application: the scan's
     * normalized absolute file path and in-file row index (Spark's hidden
@@ -756,7 +813,21 @@ object TxLog {
     * a lake that accumulated hundreds of millions of undeleted positions
     * should compact, not broadcast). System-property override
     * (`graft.dv.broadcastRows`) exists so the fallback plan is testable
-    * without staging millions of positions. */
+    * without staging millions of positions.
+    *
+    * THIS CONSTANT IS LOAD-BEARING AT SCALE in a second place: the MoR
+    * writers publish each commit's positions through `repartition(1)` so
+    * the sidecar is ONE parquet file (a manifest entry points at exactly
+    * one sidecar path). That single task is deliberate and bounded BY
+    * THIS BUDGET — 4M (f, p) rows ≈ tens of MB through one task, a
+    * rounding error next to the COW rewrite the MoR commit avoided.
+    * A delete whose position count would blow past the budget is the
+    * signal MoR is the wrong tool for that statement: the read-side
+    * fallback above (shuffle anti-join) keeps correctness, and the
+    * write-side answer is copy-on-write or compaction (DvSpec pins the
+    * above-budget fallback plan). Raising the budget without revisiting
+    * the single-file publish would silently turn the sidecar write into
+    * a driver-adjacent bottleneck. */
   private[operators] def DvBroadcastRows: Long =
     sys.props.get("graft.dv.broadcastRows").map(_.toLong)
       .getOrElse(4L * 1000 * 1000)
@@ -950,6 +1021,7 @@ object TxLog {
     * file-less — [[read]] needs a schema source). */
   private def stageData(spark: SparkSession, root: String,
       df: DataFrame): Seq[FileEntry] = {
+    dataStages.set(dataStages.get + 1L)
     val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = s"$root/$dirName"
     df.write.mode("overwrite").parquet(abs)
@@ -1034,6 +1106,7 @@ object TxLog {
   private def stagePartitioned(spark: SparkSession, root: String, df: DataFrame,
       partCols: Seq[String], keepInFiles: Boolean,
       placeholderIfEmpty: Boolean = true): Seq[FileEntry] = {
+    dataStages.set(dataStages.get + 1L)
     val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = s"$root/$dirName"
     val (toWrite, byCols) =
@@ -1090,14 +1163,17 @@ object TxLog {
       parentEntries: Option[Seq[FileEntry]] = None): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
-    // drop STALE version-pinned attribution markers (`kv:cdc_*` whose
-    // pinned version is not THIS commit): readChanges reads version v's
-    // marker from manifest v itself — a copy carried forward by the note
-    // set serves nothing and, for `cdc_files`, over-protects its change
-    // dir from vacuum for as long as ANY later manifest survives instead
-    // of exactly as long as manifest v does
+    // drop STALE version-pinned attribution markers (the four exact
+    // marker KEYS — never a prefix match, so a user property that merely
+    // lives in the `cdc_` namespace with a numeric-leading value, e.g.
+    // `cdc_retention_days=30`, is NOT swept) whose pinned version is not
+    // THIS commit: readChanges reads version v's marker from manifest v
+    // itself — a copy carried forward by the note set serves nothing
+    // and, for `cdc_files`, over-protects its change dir from vacuum for
+    // as long as ANY later manifest survives instead of exactly as long
+    // as manifest v does
     val notesOut = notes.filterNot { n =>
-      n.startsWith("kv:cdc_") && {
+      CdcMarkerKeys.exists(k => n.startsWith(s"kv:$k:")) && {
         val pin = n.drop(n.indexOf(':', 3) + 1).takeWhile(_.isDigit)
         pin.nonEmpty && pin.toLong != next
       }
@@ -1144,6 +1220,112 @@ object TxLog {
       maybeCheckpoint(root, next, entries)
       next
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** LOGICAL CONFLICT DETECTION + COMMIT REBASE for an optimistic
+    * read-modify-write writer that lost the publish CAS (the Delta
+    * conflict-checker shape): the loser's intended commit is
+    * `parent \ victims ∪ staged` — `victims` the parent entries its job
+    * read and superseded, `staged` the replacement files ALREADY ON
+    * DISK. When the interleaved winners are logically disjoint (see
+    * [[rebaseConflict]]), the staged output is still exactly what a
+    * serial run against the fresh snapshot would produce, so the loser
+    * REBASES — recomputes carried-by-reference entries from the fresh
+    * snapshot and republishes — without re-running the rewrite job. At
+    * 100 TB that is the difference between a lost CAS costing one
+    * manifest write and costing hours of recompute: a MERGE racing a
+    * disjoint append retries in milliseconds. A genuine overlap rethrows
+    * ConcurrentModificationException so the caller's [[withRetry]] loop
+    * recomputes from scratch — correctness never rides on the rebase.
+    *
+    * `readConjuncts`: a predicate bound on every row OUTSIDE `victims`
+    * the job's output logically depends on (a merge's key-range ∧ scope
+    * conjuncts) — an interleaved file that could hold a matching row is
+    * a conflict. None = the job read the whole table (only metadata-only
+    * interleavings rebase). `notesFn`/`cdcKv` re-derive the commit's
+    * note set against the WINNER's notes and the ACTUAL commit version —
+    * a version-pinned attribution marker re-pins without rewriting its
+    * change dir (the dir's rows are version-free; `_commit_version` is
+    * attached at read from the manifest pin). */
+  private def publishRmw(root: String, parent: Snapshot,
+      victims: Seq[FileEntry], staged: Seq[FileEntry],
+      readConjuncts: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
+      notesFn: Set[String] => Set[String],
+      cdcKv: Long => Map[String, String],
+      schemaJson: Option[String],
+      maxRebases: Int = 5): Long = {
+    val victimPaths = victims.map(_.path).toSet
+    var snap = parent
+    var rebases = 0
+    while (true) {
+      val carried = snap.entries.filterNot(e => victimPaths(e.path))
+      try {
+        testRacePublishHook.foreach { h =>
+          testRacePublishHook = None
+          h(root)
+        }
+        return publish(root, snap.version, carried ++ staged, snap.partCols,
+          kvMerge(notesFn(snap.notes), cdcKv(snap.version + 1)),
+          schemaJson, snap.mapping, snap.retired,
+          parentEntries = Some(snap.entries))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          rebases += 1
+          if (rebases > maxRebases) throw e
+          val fresh = snapshot(root).getOrElse(throw e)
+          rebaseConflict(parent, fresh, victims, readConjuncts) match {
+            case Some(why) =>
+              throw new java.util.ConcurrentModificationException(
+                s"txlog $root: commit rebased off version ${parent.version} " +
+                  s"conflicts with interleaved commits ($why); recompute")
+            case None => snap = fresh // disjoint: republish, job NOT re-run
+          }
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Why the loser's staged commit CANNOT rebase onto `fresh` — None
+    * when every premise its job ran under still holds there:
+    * table metadata (schema, mapping, retired set, partitioning, CHECK
+    * constraints) unchanged; every victim entry present in `fresh` with
+    * IDENTICAL entry identity (path + partition + size + stats + dv — a
+    * winner that rewrote, removed, or MoR-deleted from a victim changes
+    * it); and no interleaved entry (new path or changed identity) could
+    * hold a row matching `readConjuncts` under the fresh snapshot's
+    * stats. A dv-only change to a NON-victim file whose stats still
+    * exclude the conjuncts passes — fewer rows can't create a match. */
+  private def rebaseConflict(parent: Snapshot, fresh: Snapshot,
+      victims: Seq[FileEntry],
+      readConjuncts: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+      : Option[String] = {
+    if (fresh.schemaJson != parent.schemaJson)
+      return Some("committed schema changed")
+    if (fresh.mapping != parent.mapping || fresh.retired != parent.retired)
+      return Some("column mapping changed")
+    if (fresh.partCols != parent.partCols)
+      return Some("partitioning changed")
+    if (constraintsOf(fresh.notes) != constraintsOf(parent.notes))
+      return Some("CHECK constraints changed")
+    val freshByPath = fresh.entries.map(e => e.path -> e).toMap
+    val gone = victims.filterNot(v => freshByPath.get(v.path).contains(v))
+    if (gone.nonEmpty)
+      return Some(s"${gone.size} victim file(s) rewritten or removed")
+    val parentSet = parent.entries.toSet
+    val interlopers = fresh.entries.filterNot(parentSet)
+    if (interlopers.isEmpty) return None
+    readConjuncts match {
+      case None => Some(s"${interlopers.size} interleaved file(s) under a " +
+        "whole-table read")
+      case Some(cs) if cs.isEmpty =>
+        Some(s"${interlopers.size} interleaved file(s) under an unprunable " +
+          "read predicate")
+      case Some(cs) =>
+        val hot = interlopers.filter(entryCouldMatch(fresh, cs))
+        if (hot.isEmpty) None
+        else Some(s"${hot.size} interleaved file(s) may hold rows in the " +
+          "commit's read range")
+    }
   }
 
   /** Create a table (version 1) from `df`. Throws the retryable
@@ -1676,13 +1858,20 @@ object TxLog {
   case object MergeDelete extends MergeAction
   /** `INSERT *` — the source row under the target schema. */
   case object MergeInsert extends MergeAction
+  /** `INSERT (cols) VALUES (exprs)` — the standard-SQL column-list
+    * insert real pipelines use for defaulted columns: each named target
+    * column takes its expression (cast to the target type, evaluated in
+    * the NOT-MATCHED scope where only the source struct is non-NULL),
+    * every unnamed column NULL. */
+  final case class MergeInsertCols(cols: Seq[String], exprs: Seq[Column])
+      extends MergeAction
   final case class MergeClause(cond: Option[Column], action: MergeAction)
 
   /** CONDITIONAL keyed MERGE — the full reconciliation shape
     * ([[upsert]] is the `UPDATE SET * / INSERT *` shorthand):
     *
     *   WHEN MATCHED [AND cond] THEN UPDATE SET … | DELETE
-    *   WHEN NOT MATCHED [AND cond] THEN INSERT *
+    *   WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
     *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … | DELETE
     *
     * SCOPING: conditions and assignment expressions see the TARGET row's
@@ -1693,60 +1882,111 @@ object TxLog {
     * target columns. Unmatched-by-every-clause rows carry unchanged
     * (matched / by-source categories) or are ignored (not-matched).
     *
+    * `targetScope` (SQL: `ON key AND <scope>`) bounds the merge to the
+    * TARGET rows satisfying the predicate — the partition/key-range
+    * reconciliation shape: out-of-scope rows pass through untouched, and
+    * files whose stats provably hold no in-scope row carry BY REFERENCE,
+    * so a BY-SOURCE reconciliation over one partition inspects that
+    * partition's files, not the table. The standard Delta caveat
+    * applies: a source row whose key matches only OUT-of-scope target
+    * rows is NOT MATCHED (it inserts) — scope on a predicate the key
+    * functionally determines, or expect SQL's answer.
+    *
+    * The SOURCE is MATERIALIZED ONCE (localCheckpoint) before anything
+    * reads it: the multi-match check, the key-range pruning agg, the
+    * join, the change-file write and every CAS retry all see the same
+    * immutable rows — a non-deterministic source (rand(), a subquery
+    * over a concurrently-changing table) cannot desync the pruned file
+    * set from the join. Source keys must match at most one in-scope
+    * target key (checked — SQL MERGE's multi-match error, scoped to
+    * rows that can actually multi-match: NULL-keyed and non-matching
+    * duplicate source rows legally fall to NOT MATCHED).
+    *
     * The plan is ONE full-outer hash join on the key plus a projection —
     * the SQL-MERGE minimum; at 100 TB the join shuffles both sides once
-    * on the key and everything downstream is narrow. Source keys must be
-    * unique (checked — SQL MERGE's multi-match error). Commits one
-    * copy-on-write overwrite version, `cdc_full`-attributed. */
-  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+    * on the key and everything downstream is narrow. Commits one
+    * copy-on-write version; change attribution follows [[cdcKvFor]]:
+    * exact commit-time change files (`cdc_files`) when the table sets
+    * `change_feed=true`, the coarse `cdc_full` marker otherwise. A
+    * partial merge that loses the publish CAS to a logically DISJOINT
+    * commit (an append outside the key range, a metadata commit) rebases
+    * and republishes via [[publishRmw]] without re-running the merge
+    * job; only a genuine overlap recomputes. */
+  def mergeInto(spark: SparkSession, root: String, source0: DataFrame,
       key: String, matched: Seq[MergeClause] = Seq.empty,
       notMatched: Seq[MergeClause] = Seq.empty,
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
-      srcAlias: String = "src", note: String = ""): Long = {
-    require(source.columns.exists(_.equalsIgnoreCase(key)),
+      srcAlias: String = "src", note: String = "",
+      targetScope: Option[Column] = None): Long = {
+    require(source0.columns.exists(_.equalsIgnoreCase(key)),
       s"mergeInto: source lacks key column $key")
-    matched.foreach(c => require(c.action != MergeInsert,
-      "mergeInto: WHEN MATCHED takes UPDATE or DELETE"))
-    notMatched.foreach(c => require(c.action == MergeInsert,
-      "mergeInto: WHEN NOT MATCHED takes INSERT *"))
-    notMatchedBySource.foreach(c => require(c.action != MergeInsert,
-      "mergeInto: WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE"))
-    val dup = source.groupBy(col(key)).count()
-      .filter(col("count") > 1).limit(1).count() > 0
-    require(!dup, s"mergeInto: source has duplicate $key values — SQL " +
-      "MERGE requires at most one source row per target row")
-    // the source's key range: one scalar agg, computed once (the source
-    // is fixed across CAS retries) — what lets footer stats prune the
-    // candidate file set below
+    matched.foreach(c => require(c.action match {
+      case MergeUpdate(_) | MergeDelete => true; case _ => false
+    }, "mergeInto: WHEN MATCHED takes UPDATE or DELETE"))
+    notMatched.foreach(c => require(c.action match {
+      case MergeInsert | MergeInsertCols(_, _) => true; case _ => false
+    }, "mergeInto: WHEN NOT MATCHED takes INSERT * or INSERT (cols) VALUES"))
+    notMatchedBySource.foreach(c => require(c.action match {
+      case MergeUpdate(_) | MergeDelete => true; case _ => false
+    }, "mergeInto: WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE"))
+    notMatched.map(_.action).foreach {
+      case MergeInsertCols(cs, es) =>
+        require(cs.nonEmpty && cs.size == es.size,
+          s"mergeInto: INSERT names ${cs.size} column(s) but VALUES has " +
+            s"${es.size} expression(s)")
+        require(cs.map(_.toLowerCase).distinct.size == cs.size,
+          s"mergeInto: duplicate column in INSERT list $cs")
+      case _ => ()
+    }
+    // materialize the source once — see scaladoc. localCheckpoint pins
+    // the computed partitions in the block store and truncates lineage,
+    // so re-evaluation is impossible by construction (the cached copy is
+    // reclaimed by the ContextCleaner when the frame goes out of scope).
+    val source = source0.localCheckpoint(true)
+    // the source's key range: one scalar agg over the materialized
+    // source — what lets footer stats prune the candidate file set below
     val keyRange: Option[Column] = scala.util.Try {
       val r = source.agg(min(col(key)), max(col(key))).head()
       if (r.isNullAt(0)) None
       else Some(col(key) >= lit(r.get(0)) && col(key) <= lit(r.get(1)))
     }.toOption.flatten
+    def conjunctsOf(c: Column): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      scala.util.Try(Stats.splitConjuncts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(spark, c)))
+        .getOrElse(Seq.empty)
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"mergeInto on uninitialized txlog $root"))
       // STATS-PRUNED PARTIAL MERGE (the Delta MERGE file-pruning shape):
-      // without NOT-MATCHED-BY-SOURCE clauses, a file whose footer stats
-      // exclude the source's whole key range provably holds no matching
-      // row — matched and not-matched resolve against the CANDIDATE
-      // files alone, so only those rewrite and everything else carries
-      // by reference. A day's batch merged into a key-clustered 100 TB
-      // table rewrites that day's files, not the table. BY-SOURCE
-      // clauses inspect every target row, so they keep the whole-table
-      // path; so does an unprunable table (no stats → all candidates).
-      val conjuncts =
+      // the conjuncts bound every target row the merge can touch — the
+      // scope ∧ the source key range without BY-SOURCE clauses (a file
+      // excluding both provably holds no matching row), the scope alone
+      // with them (BY-SOURCE inspects every IN-SCOPE row regardless of
+      // key), nothing for an unscoped BY-SOURCE merge or an unprunable
+      // table (no stats → all candidates). Matched, not-matched and
+      // by-source then resolve against the CANDIDATE files alone, so
+      // only those rewrite and everything else carries by reference: a
+      // day's batch merged into a key-clustered 100 TB table rewrites
+      // that day's files, not the table.
+      val scopeConjuncts = targetScope.map(conjunctsOf)
+      val rangeConjuncts =
         if (notMatchedBySource.nonEmpty) Seq.empty
-        else keyRange.map(c => scala.util.Try(Stats.splitConjuncts(
-          org.apache.spark.sql.graftbridge.Bridge.expression(spark, c)))
-          .getOrElse(Seq.empty)).getOrElse(Seq.empty)
+        else keyRange.map(conjunctsOf).getOrElse(Seq.empty)
+      val conjuncts = scopeConjuncts.getOrElse(Seq.empty) ++ rangeConjuncts
       val (rewriteEntries, carried) =
         snap.entries.partition(entryCouldMatch(snap, conjuncts))
-      val usePartial = notMatchedBySource.isEmpty && carried.nonEmpty
-      val target =
+      val usePartial = carried.nonEmpty
+      val targetAll =
         if (usePartial) readVersionSubset(spark, root, snap, rewriteEntries)
         else read(spark, root, snap.version)
-      val cols = target.columns.toSeq
+      // row-level scope split within the candidate files: out-of-scope
+      // rows (predicate FALSE or NULL — SQL condition-not-true) pass
+      // through untouched; the merge sees only the in-scope rows
+      val target = targetScope.map(sc =>
+        targetAll.filter(coalesce(sc, lit(false)))).getOrElse(targetAll)
+      val passThrough = targetScope.map(sc =>
+        targetAll.filter(!coalesce(sc, lit(false))))
+      val cols = targetAll.columns.toSeq
       require(!cols.exists(_.equalsIgnoreCase(srcAlias)),
         s"mergeInto: target column $srcAlias collides with the source " +
           "alias — pass a different srcAlias")
@@ -1755,6 +1995,24 @@ object TxLog {
       if (needsAll) cols.foreach(c =>
         require(source.columns.exists(_.equalsIgnoreCase(c)),
           s"mergeInto: SET * / INSERT * needs source column $c"))
+      notMatched.map(_.action).foreach {
+        case MergeInsertCols(cs, _) => cs.foreach(c =>
+          require(cols.exists(_.equalsIgnoreCase(c)),
+            s"mergeInto: INSERT column $c is not a target column"))
+        case _ => ()
+      }
+      // SQL MERGE's multi-match refusal, scoped to rows that can
+      // actually multi-match: duplicate source keys among the keys
+      // PRESENT in the (in-scope) target. NULL-keyed source rows never
+      // match anything (legal — they fall to NOT MATCHED), and duplicate
+      // keys that only fire NOT MATCHED are standard MERGE's legal
+      // multi-row INSERT.
+      val dup = source.select(col(key))
+        .join(target.select(col(key)).distinct(), Seq(key), "left_semi")
+        .groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count() > 0
+      require(!dup, s"mergeInto: multiple source rows match one target " +
+        s"$key — SQL MERGE refuses a multi-match")
       // ONE full-outer join: target columns ride bare, the source row as
       // a single struct column (no name collisions, and the presence
       // test is one null check per side)
@@ -1765,16 +2023,22 @@ object TxLog {
       // so NULL-keyed target rows fall to NOT MATCHED BY SOURCE and
       // NULL-keyed source rows to NOT MATCHED
       val j = t.join(s, col(key) === col(s"$srcAlias.$key"), "full_outer")
-      val keepTarget = struct(cols.map(col).toIndexedSeq: _*)
+      // the ONE row type every CASE branch casts to — NULLABLE in every
+      // field: branches mix never-null target structs, null-able source
+      // casts, a whole-row NULL (DELETE) and NULL defaults (column-list
+      // INSERT), and a branch type that CLAIMS non-nullable while another
+      // branch yields null lets codegen skip the null check and read
+      // garbage zeros (silent corruption, found by the InsertCols spec)
       val rowType = org.apache.spark.sql.types.StructType(
-        target.schema.fields)
+        target.schema.fields.map(_.copy(nullable = true)))
+      val keepTarget = struct(cols.map(col).toIndexedSeq: _*).cast(rowType)
       val dropRow = lit(null).cast(rowType)
       // cast each source field to the target type: SET * / INSERT * may
       // bring a widable vintage (int batch into a long column) and every
       // CASE branch must carry the identical struct type
       val srcRow = struct(cols.map(c =>
         col(s"$srcAlias.$c").cast(target.schema(c).dataType).as(c))
-        .toIndexedSeq: _*)
+        .toIndexedSeq: _*).cast(rowType)
       def actionRow(a: MergeAction): Column = a match {
         case MergeDelete => dropRow
         case MergeInsert => srcRow
@@ -1784,7 +2048,13 @@ object TxLog {
             case Some((_, e)) => e.cast(target.schema(c).dataType).as(c)
             case None => col(c).as(c)
           }
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq: _*).cast(rowType)
+        case MergeInsertCols(cs, es) => struct(cols.map { c =>
+          cs.zip(es).find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, e)) => e.cast(target.schema(c).dataType).as(c)
+            case None => lit(null).cast(target.schema(c).dataType).as(c)
+          }
+        }.toIndexedSeq: _*).cast(rowType)
       }
       def chain(clauses: Seq[MergeClause], default: Column,
           render: MergeAction => Column): Column =
@@ -1798,9 +2068,11 @@ object TxLog {
           .when(col("__tgt_present").isNull,
             chain(notMatched, dropRow, actionRow))
           .otherwise(chain(notMatchedBySource, keepTarget, actionRow))
-      val out = j.select(rowExpr.as("__row"))
+      val merged = j.select(rowExpr.as("__row"))
         .filter(col("__row").isNotNull)
         .select(cols.map(c => col(s"__row.$c").as(c)).toIndexedSeq: _*)
+      // out-of-scope candidate-file rows ride around the join untouched
+      val out = passThrough.map(merged.unionByName(_)).getOrElse(merged)
       // PRECISE change rows (change_feed tables): re-derive which clause
       // fired per row — fired UPDATE emits pre(delete)+post(insert),
       // fired DELETE the pre-image, fired INSERT the post-image; rows no
@@ -1809,7 +2081,7 @@ object TxLog {
         val noMark = lit(null).cast("string")
         def mark(a: MergeAction): Column = a match {
           case MergeDelete => lit("d")
-          case MergeInsert => lit("i")
+          case MergeInsert | MergeInsertCols(_, _) => lit("i")
           case _ => lit("u")
         }
         val markExpr =
@@ -1843,11 +2115,21 @@ object TxLog {
             stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
               keepInFiles = inFiles, placeholderIfEmpty = false)
           else stageData(spark, root, physDf)
-        Some(publish(root, snap.version, carried ++ staged, snap.partCols,
-          kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
-            cdcKvFor(root, snap.notes, snap.version + 1, changes)),
-          Some(physPrev.json), snap.mapping, snap.retired,
-          parentEntries = Some(snap.entries)))
+        // change files write ONCE; a rebased publish re-pins the marker
+        // to the actual commit version without rewriting the dir (the
+        // rows are version-free — _commit_version attaches at read)
+        val cdcDir =
+          if (wantsChangeFiles(snap.notes)) Some(writeCdcFiles(root, changes))
+          else None
+        Some(publishRmw(root, snap,
+          victims = rewriteEntries, staged = staged,
+          readConjuncts = Some(conjuncts),
+          notesFn = ns => if (note.isEmpty) ns else ns + note,
+          cdcKv = v => cdcDir match {
+            case Some(d) => Map("cdc_files" -> s"$v:$d")
+            case None => Map("cdc_full" -> v.toString)
+          },
+          schemaJson = Some(physPrev.json)))
       }
     }.get
   }

@@ -542,6 +542,62 @@ object Upsert {
         .withColumn("pruned_carry", lit(prunedCarry))
     },
 
+    // S25: PREDICATE-SCOPED BY-SOURCE MERGE (SQL `ON key AND scope`) —
+    // the partition-reconciliation shape: the source holds the DESIRED
+    // state of the upper key range, so WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE sweeps in-scope rows absent from it, MATCHED updates, NOT
+    // MATCHED inserts — and the OUT-of-scope file never participates:
+    // its entry carries byte-identical into the new manifest (verdict
+    // boolean under the hash). Without the scope, any BY-SOURCE clause
+    // is a whole-table pass; with it, reconciling one partition of a
+    // 100 TB table inspects that partition's files. The oracle restates
+    // the scoped MERGE as a CTE with the scope folded into each clause.
+    QueryDef("s25_scoped_merge",
+      """WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+        |v AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < (SELECT mid FROM m)
+        |  UNION ALL
+        |  SELECT doc_id, 'S:' || text FROM documents
+        |  WHERE doc_id >= (SELECT mid FROM m) AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, 'P' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 15)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       TRUE AS scoped_carry
+        |FROM v""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "smerge-table")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+      TxLog.init(s, root, docs.filter(col("doc_id") < mid).coalesce(1))
+      TxLog.appendOnce(s, root, "hi",
+        docs.filter(col("doc_id") >= mid).coalesce(1))
+      val before = TxLog.snapshot(root).get
+      SqlSurface.TxSql.sql(s,
+        s"""MERGE INTO txlog.`$root` USING (
+           |  SELECT doc_id, 'S:' || text AS text
+           |  FROM txlog.`$root` VERSION AS OF 2
+           |  WHERE doc_id >= $mid AND doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 4000000 AS doc_id,
+           |         'P' || CAST(doc_id AS STRING) AS text
+           |  FROM txlog.`$root` VERSION AS OF 2 WHERE doc_id < 15
+           |) s ON doc_id AND doc_id >= $mid
+           |WHEN MATCHED THEN UPDATE SET text = s.text
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val after = TxLog.snapshot(root).get
+      val low = before.entries.head
+      val scopedCarry = after.entries.map(e => (e.path, e.size))
+        .contains((low.path, low.size))
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"))
+        .withColumn("scoped_carry", lit(scopedCarry))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

@@ -4,9 +4,39 @@ import graft.operators.TxLog
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Typed refusal when a mid-stream schema change (rename, retype, drop)
+  * makes the pinned stream schema unable to represent a version's rows:
+  * the batch ends at the last admissible version and the NEXT trigger
+  * fails with this — restart the query (new checkpoint or a fresh
+  * startingVersion) against the evolved schema. Never a silent misbind:
+  * a renamed column surfacing NULL under its old name, or an old name
+  * reading another column's data, is data corruption a long-running sync
+  * consumer would fold into its state. */
+final class TxLogStreamSchemaChangedException(
+    val root: String, val version: Long, detail: String)
+    extends IllegalStateException(
+      s"txlog-feed($root): version $version changed the table schema in a " +
+        s"way the stream's pinned schema cannot represent ($detail) — " +
+        "restart the streaming query to adopt the new schema")
+
+/** Typed refusal when a recovering consumer's next offset precedes the
+  * oldest retained manifest ([[TxLog.pruneHistory]] ran past the
+  * checkpoint): the feed for versions at or below the prune floor is
+  * unrecoverable, so the only honest answers are this error or a wrong
+  * empty batch — and a wrong empty batch silently loses changes. Names
+  * the earliest version a fresh query could legally start from. */
+final class TxLogStreamRetentionException(
+    val root: String, val offset: Long, val earliest: Option[Long])
+    extends IllegalStateException(
+      s"txlog-feed($root): checkpointed offset $offset is no longer " +
+        s"retained (history was pruned); earliest retained version is " +
+        s"${earliest.map(_.toString).getOrElse("<none>")} — restart the " +
+        "query from a retained startingVersion (the skipped range's " +
+        "changes are unrecoverable from the log)")
 
 /** STRUCTURED STREAMING SOURCE over a transaction-log table — the read
   * half of the streaming story ([[TxLog.streamingSink]] is the write
@@ -37,16 +67,35 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * the manifests' exact commit-time headers instead.
   * RETENTION: the range a restarted query re-reads must still be
   * retained — run [[TxLog.pruneHistory]] behind the slowest consumer's
-  * checkpoint, the standard CDC-retention trade.
+  * checkpoint, the standard CDC-retention trade. A checkpoint that
+  * falls behind the prune floor gets a TYPED refusal
+  * ([[TxLogStreamRetentionException]], naming the earliest retained
+  * version) — never a wrong-empty batch that would silently skip the
+  * pruned range's changes.
   *
-  * SCHEMA is fixed at stream start (the Structured Streaming contract).
-  * A column rename/drop committed mid-stream makes the next batch's
-  * select fail loudly — restart the query against the new logical
-  * schema, exactly the [[TxLog.streamingSink]] contract on the write
-  * side. At 100 TB this source moves only each batch's CHANGED rows
-  * (O(feed), never O(table)): the per-version cost model is
-  * readChanges' — appended files read once, MoR deletes read exactly
-  * the victim positions. */
+  * SCHEMA is pinned at stream start (the Structured Streaming
+  * contract), and every micro-batch range is ADMITTED version by
+  * version against that pin:
+  *
+  *  - ADDITIVE evolution (a commit appends new columns; every pinned
+  *    name keeps its type) is tolerated: the batch projects each
+  *    version onto the pinned schema, so the new columns stay invisible
+  *    until the query restarts — the documented Delta-source behavior.
+  *  - Old-vintage versions MISSING pinned columns (a backfilling
+  *    `startingVersion` predating a column add) surface them as NULL —
+  *    exactly the value those rows have under the evolved schema.
+  *  - A RENAME / RETYPE / DROP (any change the pin cannot represent:
+  *    a mapping or retired-set change, a shared name with a different
+  *    type, a post-pin column removal) ends the batch at the last
+  *    admissible version; the next trigger raises the typed
+  *    [[TxLogStreamSchemaChangedException]] — restart required, never a
+  *    silent misbind.
+  *
+  * At 100 TB this source moves only each batch's CHANGED rows (O(feed),
+  * never O(table)): the per-version cost model is readChanges' —
+  * appended files read once, MoR deletes read exactly the victim
+  * positions — and the admission check itself is O(versions) manifest
+  * header parses, no data I/O. */
 class TxLogFeedProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "txlog-feed"
 
@@ -112,6 +161,15 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
   private val start0: Long =
     o.startingVersion.getOrElse(TxLog.currentVersion(o.root))
 
+  // the schema-evolution pin: the snapshot CURRENT at stream start —
+  // admission compares every batch version's committed logical schema +
+  // mapping against this. None of it re-resolves per trigger.
+  private val pin: TxLog.Snapshot = TxLog.snapshot(o.root).getOrElse(
+    throw new IllegalStateException(
+      s"txlog-feed(${o.root}): no committed version — the table must " +
+        "exist before a stream can read it"))
+  private val pinLogical: Option[StructType] = TxLog.logicalSchemaOf(pin)
+
   override val schema: StructType = TxLogFeedSource.schemaFor(spark, o)
 
   private def versionOf(x: org.apache.spark.sql.connector.read.streaming.Offset): Long =
@@ -121,6 +179,66 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
       // is the bare number
       case other => other.json.trim.toLong
     }
+
+  /** Why version `v` cannot be represented under the pinned stream
+    * schema — None when it can. Adopted / pre-schema vintages (either
+    * side lacking a committed schema) skip the check: inference governs
+    * there, exactly as it does for batch reads. */
+  private def inadmissible(v: Long, sv: TxLog.Snapshot): Option[String] = {
+    val lvOpt = TxLog.logicalSchemaOf(sv)
+    (pinLogical, lvOpt) match {
+      case (Some(lp), Some(lv)) =>
+        if (sv.mapping != pin.mapping || sv.retired != pin.retired)
+          Some("column rename (mapping change) relative to the pinned schema")
+        else {
+          val byName = lv.fields.map(f => f.name.toLowerCase -> f).toMap
+          val retyped = lp.fields.find(f =>
+            byName.get(f.name.toLowerCase).exists(_.dataType != f.dataType))
+          val dropped =
+            if (v <= pin.version) None // old vintage: missing = pre-add, NULL
+            else lp.fields.find(f => !byName.contains(f.name.toLowerCase))
+          retyped.map(f => s"column ${f.name} retyped to " +
+              byName(f.name.toLowerCase).dataType.simpleString)
+            .orElse(dropped.map(f => s"column ${f.name} dropped"))
+        }
+      case _ => None
+    }
+  }
+
+  // versions ≤ this have passed admission — latestOffset re-walks only
+  // the new suffix each trigger (manifest header parses, no data I/O)
+  @volatile private var admittedThrough: Long = start0
+
+  /** Cap `end` at the last admissible version in (from, end]; throw the
+    * typed schema error when from+1 itself refuses (no progress is
+    * possible — the contract is a loud restart, not a stall). */
+  private def admit(from: Long, end: Long): Long = {
+    var v = math.max(from, admittedThrough)
+    while (v < end) {
+      val next = v + 1
+      val sv = TxLog.snapshot(o.root, next).getOrElse(
+        throw new TxLogStreamRetentionException(o.root, next,
+          TxLog.earliestVersion(o.root)))
+      inadmissible(next, sv) match {
+        case Some(why) =>
+          if (next == from + 1)
+            throw new TxLogStreamSchemaChangedException(o.root, next, why)
+          return v
+        case None => v = next
+      }
+    }
+    if (v > admittedThrough) admittedThrough = v
+    v
+  }
+
+  /** Typed retention gate: the batch floor's manifest must still exist —
+    * readChanges resolves each version against its parent, so a pruned
+    * floor would otherwise surface as an untyped internal error (or,
+    * worse, a fresh-start fallback that silently skips the range). */
+  private def requireRetained(from: Long): Unit =
+    if (from > 0 && TxLog.snapshot(o.root, from).isEmpty)
+      throw new TxLogStreamRetentionException(o.root, from,
+        TxLog.earliestVersion(o.root))
 
   // ADMISSION CONTROL (the FileStreamSource pattern): `latestOffset`
   // replaces getOffset as the engine's next-end oracle, which lets the
@@ -144,34 +262,86 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val from = Option(start).map(versionOf).getOrElse(start0)
+    requireRetained(from)
     val avail = availableCeiling.getOrElse(TxLog.currentVersion(o.root))
     val end = o.maxVersionsPerBatch match {
       case Some(n) if avail - from > n => from + n
       case _ => avail
     }
-    if (end <= from) null else LongOffset(end)
+    val admitted = if (end <= from) from else admit(from, end)
+    if (admitted <= from) null else LongOffset(admitted)
   }
 
-  override def getOffset: Option[Offset] = {
-    // kept for the plain v1 path; with SupportsAdmissionControl the
-    // engine drives latestOffset instead
-    Option(latestOffset(null,
+  // the last end this source handed the engine — what the legacy plain-v1
+  // getOffset path advances from, so a rate-limited backlog drains
+  // batch-by-batch there too instead of pinning at start0+n forever (on
+  // the admission-control path the engine drives latestOffset and this
+  // is only ever read as a start fallback)
+  @volatile private var lastEnd: Long = start0
+
+  override def getOffset: Option[Offset] =
+    Option(latestOffset(LongOffset(lastEnd),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
       .map(v => LongOffset(versionOf(v)))
+
+  /** A schema-correct streaming frame that raises `err` only IF
+    * EXECUTED. getBatch's gates must be lazy: at restart the engine
+    * replays the LAST COMMITTED batch's getBatch purely to restore
+    * source state and discards the frame unexecuted — that range was
+    * already delivered, and it legally references one version BEFORE the
+    * checkpoint offset (its floor) and the PREVIOUS schema pin, so an
+    * eager gate would brick every legal resume after a prune or a
+    * schema change. A genuinely re-executed batch (the crash-replay of
+    * an UNCOMMITTED range) evaluates the frame and gets the same typed
+    * error the live path raises. */
+  private def failingBatch(err: Throwable): DataFrame = {
+    val e = err // local capture: the task closure must not drag the source in
+    val rdd = spark.sparkContext.parallelize(Seq(1), 1)
+      .mapPartitions[org.apache.spark.sql.Row](_ => throw e)
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(
+      spark.createDataFrame(rdd, schema))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(start0)
     val to = versionOf(end)
+    lastEnd = math.max(lastEnd, to)
+    // checkpoint-replayed ranges bypass latestOffset: re-run the typed
+    // gates here, LAZILY (see failingBatch) — recovery failures surface
+    // as the same loud contracts as live ones exactly when the range is
+    // genuinely re-executed
+    if (from > 0 && TxLog.snapshot(o.root, from).isEmpty)
+      return failingBatch(new TxLogStreamRetentionException(o.root, from,
+        TxLog.earliestVersion(o.root)))
+    var v = from + 1
+    while (v <= to) {
+      TxLog.snapshot(o.root, v) match {
+        case None =>
+          return failingBatch(new TxLogStreamRetentionException(o.root, v,
+            TxLog.earliestVersion(o.root)))
+        case Some(sv) =>
+          val bad = inadmissible(v, sv)
+          if (bad.isDefined)
+            return failingBatch(
+              new TxLogStreamSchemaChangedException(o.root, v, bad.get))
+      }
+      v += 1
+    }
     val batch =
       if (o.mode == "appends") TxLog.readAppended(spark, o.root, from, to)
       else TxLog.readChanges(spark, o.root, from, to)
-    // align to the declared schema (feed frames union by name and may
-    // reorder), then re-tag as a streaming frame — a v1 Source must hand
-    // MicroBatchExecution an isStreaming plan; the rows still compute
-    // distributed from the batch plan's RDD, nothing materializes here
-    org.apache.spark.sql.graftbridge.Bridge.asStreaming(
-      batch.select(schema.fieldNames.map(col).toSeq: _*))
+    // project onto the pinned schema EXPLICITLY: additive evolution's new
+    // columns drop (invisible until restart), pinned columns an
+    // old-vintage version lacks surface as typed NULL — never a
+    // resolution error from a bare select. Then re-tag as a streaming
+    // frame — a v1 Source must hand MicroBatchExecution an isStreaming
+    // plan; the rows still compute distributed from the batch plan's
+    // RDD, nothing materializes here.
+    val have = batch.columns.map(_.toLowerCase).toSet
+    val aligned = batch.select(schema.fields.map(f =>
+      if (have(f.name.toLowerCase)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(aligned)
   }
 
   override def stop(): Unit = ()

@@ -294,4 +294,30 @@ class CdfSpec extends SparkSpec {
     assert(feed.columns.contains("_change_type") &&
       feed.columns.contains("_commit_version"))
   }
+
+  test("stale-marker strip matches the four exact marker keys only: a " +
+      "user property in the cdc_ namespace survives later commits") {
+    val root = freshRoot("cdcns")
+    import spark.implicits._
+    TxLog.init(spark, root, docs)
+    // a numeric-leading user value under a cdc_-prefixed key — NOT one
+    // of the four attribution markers; the old prefix-match strip would
+    // have silently deleted it at the next publish
+    TxLog.setProperties(root, Map("cdc_retention_days" -> "30"))
+    TxLog.appendOnce(spark, root, "b1",
+      Seq((9000001L, "x")).toDF("doc_id", "text"))
+    TxLog.updateWhere(spark, root, col("doc_id") === 9000001L,
+      Seq("text" -> lit("y"))) // rewrite commit: exercises the strip
+    val kv = TxLog.kvOf(TxLog.snapshot(root).get.notes)
+    assert(kv.get("cdc_retention_days").contains("30"),
+      s"user cdc_-namespace property was swept: $kv")
+    // the REAL markers still strip: the update's own marker is pinned to
+    // its version and no stale copy rides into later manifests
+    TxLog.appendOnce(spark, root, "b2",
+      Seq((9000002L, "z")).toDF("doc_id", "text"))
+    val kv2 = TxLog.kvOf(TxLog.snapshot(root).get.notes)
+    assert(!kv2.contains("cdc_full") && !kv2.contains("cdc_files"),
+      s"stale attribution marker carried forward: $kv2")
+    assert(kv2.get("cdc_retention_days").contains("30"))
+  }
 }

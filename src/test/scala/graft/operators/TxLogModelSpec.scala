@@ -455,4 +455,130 @@ class TxLogModelSpec extends SparkSpec {
     assert(net === expected,
       "replaying the change feed over the base must reproduce the table")
   }
+
+  // ------------------------------------------- CAS-loss commit rebase
+
+  /** Two key-clustered files so the partial merge prunes: ids [0,100)
+    * in one, [1000,1100) in the other; change_feed ON so the merge
+    * writes exact change files — the rebase must RE-PIN the version
+    * marker without rewriting the dir. Returns the root (v3 current). */
+  private def clusteredTable(tag: String): String = {
+    val root = freshRoot(tag)
+    val lo = (0L until 100L).map(k => (k, s"v$k")).toDF("id", "s").coalesce(1)
+    val hi = (1000L until 1100L).map(k => (k, s"v$k")).toDF("id", "s").coalesce(1)
+    TxLog.init(spark, root, lo)
+    TxLog.appendOnce(spark, root, "hi", hi)
+    TxLog.setProperties(root, Map("change_feed" -> "true"))
+    root
+  }
+
+  /** The merge under race: updates ids 1000..1009 (upper file only). */
+  private def mergeUpper(root: String): Long =
+    TxLog.mergeInto(spark, root,
+      (1000L until 1010L).map(k => (k, s"M$k")).toDF("id", "s"),
+      "id",
+      matched = Seq(TxLog.MergeClause(None,
+        TxLog.MergeUpdate(Seq("s" -> col("src.s"))))),
+      notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)))
+
+  test("CAS loss to a DISJOINT append: the merge REBASES — no job re-run, " +
+      "serializable outcome") {
+    val root = clusteredTable("rebase-disjoint")
+    // interleave an append OUTSIDE the merge's key range between the
+    // merge's staging and its publish — the loser must rebase: republish
+    // its already-staged files onto the winner's snapshot WITHOUT
+    // re-running the rewrite job (staging count is the job proxy: a
+    // recompute re-stages, a rebase does not)
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "interleaved",
+        (5000L until 5010L).map(k => (k, s"A$k")).toDF("id", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      val v = mergeUpper(root)
+      val stages = TxLog.dataStages.get.longValue
+      // exactly TWO stagings on this thread: the merge's own output and
+      // the hook's append (which staged inside the hook) — a recomputing
+      // loser would stage a third
+      assert(stages === 2L,
+        s"expected 2 data stagings (merge + interleaved append), got $stages")
+      // the merge committed AFTER the interleaved append
+      assert(v === 5L, s"merge should publish v5 after the winner's v4, got $v")
+    } finally TxLog.testRacePublishHook = None
+    // serializable outcome: both the winner's rows and the merge's
+    // updates are present, nothing lost
+    val got = tableState(root).data
+    val expected = ((0L until 100L) ++ (1000L until 1100L)).map(k =>
+      k -> (if (k >= 1000L && k < 1010L) s"M$k" else s"v$k")).toMap ++
+      (5000L until 5010L).map(k => k -> s"A$k").toMap
+    assert(got === expected)
+    // attribution survived the rebase: the marker re-pinned to the real
+    // commit version, so the exact change files surface — only the 10
+    // updated rows, never the rewrite churn
+    val feed = TxLog.readChanges(spark, root, 4L, 5L)
+      .filter(col("_change_type") === "insert").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed === (1000L until 1010L).map(k => k -> s"M$k").toMap)
+  }
+
+  test("CAS loss to an OVERLAPPING commit: genuine conflict — the merge " +
+      "recomputes against the fresh snapshot, result still serializable") {
+    val root = clusteredTable("rebase-overlap")
+    // the interleaved append lands INSIDE the merge's key range: its
+    // rows must be visible to the merge's NOT-MATCHED resolution, so a
+    // rebase would be WRONG — the loser must re-run the job
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "interleaved",
+        Seq((1005L, "X1005"), (2000L, "X2000")).toDF("id", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      val v = mergeUpper(root)
+      val stages = TxLog.dataStages.get.longValue
+      // merge staged TWICE (first attempt + recompute) plus the hook's
+      // append: the conflict was detected and the job re-ran
+      assert(stages === 3L,
+        s"expected 3 data stagings (merge, append, merge recompute), got $stages")
+      assert(v === 5L)
+    } finally TxLog.testRacePublishHook = None
+    // serial order is append-then-merge: the appended 1005 duplicate row
+    // is MATCHED by the merge (both 1005 rows update — the merge's
+    // full-outer join hits every matching target row), 2000 untouched
+    val got = TxLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val base = ((0L until 100L) ++ (1000L until 1100L)).map(k =>
+      (k, if (k >= 1000L && k < 1010L) s"M$k" else s"v$k"))
+    val expected = (base ++ Seq((1005L, "M1005"), (2000L, "X2000"))).sorted
+    assert(got === expected)
+  }
+
+  test("CAS loss to a metadata-only commit under a whole-table merge: " +
+      "BY-SOURCE path recomputes (no rebase premise), outcome serializable") {
+    val root = clusteredTable("rebase-meta")
+    // a BY-SOURCE merge reads the whole table (readConjuncts = empty ⇒
+    // carried empty ⇒ full COW path, plain withRetry recompute) — this
+    // pins that the classic path still serializes under the same hook
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.setProperties(r, Map("owner" -> "race"))
+    }
+    // the hook fires on the REBASABLE publish path only — a full-path
+    // merge must never reach it (reaching it would mean the whole-table
+    // read took the rebase shortcut, which has no valid premise there)
+    try {
+      val v = TxLog.mergeInto(spark, root,
+        (1000L until 1005L).map(k => (k, s"R$k")).toDF("id", "s"),
+        "id",
+        matched = Seq(TxLog.MergeClause(None,
+          TxLog.MergeUpdate(Seq("s" -> col("src.s"))))),
+        notMatchedBySource = Seq(TxLog.MergeClause(
+          Some(col("id") >= 5000L), TxLog.MergeDelete)))
+      assert(v === 4L)
+      assert(TxLog.testRacePublishHook.isDefined,
+        "whole-table merge must take the recompute path, not publishRmw")
+    } finally TxLog.testRacePublishHook = None
+    val got = tableState(root).data
+    val expected = ((0L until 100L) ++ (1000L until 1100L)).map(k =>
+      k -> (if (k >= 1000L && k < 1005L) s"R$k" else s"v$k")).toMap
+    assert(got === expected)
+  }
 }

@@ -196,6 +196,102 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.read(spark, root).count() === 2000L)
   }
 
+  test("scoped MERGE (ON key AND scope): BY-SOURCE reconciliation only " +
+      "inspects in-scope files; out-of-scope files carry byte-identical") {
+    val root = freshRoot("cmscope")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      (0L until 1000L).map(k => (k, s"v$k")).toDF("id", "s").coalesce(1))
+    TxLog.appendOnce(spark, root, "b",
+      (1000L until 2000L).map(k => (k, s"v$k")).toDF("id", "s").coalesce(1))
+    val before = TxLog.snapshot(root).get
+    val lowFile = before.entries.head
+    // reconcile the UPPER range to the source: in-scope rows absent from
+    // the source delete, matched rows update, new keys insert — and the
+    // low file (provably out of scope by its stats) must carry, which an
+    // unscoped BY-SOURCE merge can never do
+    TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT id, 'S' || CAST(id AS STRING) AS s FROM VALUES (1000),
+         |    (1001), (1002) AS t(id)
+         |  UNION ALL SELECT 5000, 'N5000'
+         |  UNION ALL SELECT 3, 'OUT'
+         |) src ON id AND id >= 1000
+         |WHEN MATCHED THEN UPDATE SET s = src.s
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val after = TxLog.snapshot(root).get
+    assert(after.entries.map(e => (e.path, e.size)).contains(
+      (lowFile.path, lowFile.size)),
+      "the out-of-scope file must carry byte-identical through a scoped " +
+        "BY-SOURCE merge")
+    val got = TxLog.read(spark, root)
+    // in scope: 1000-1002 updated, everything else ≥1000 deleted, 5000
+    // inserted. Out of scope: 0..999 untouched — INCLUDING id=3, whose
+    // source row matched only an out-of-scope target row and therefore
+    // fell to NOT MATCHED and INSERTED (the documented `ON key AND scope`
+    // SQL footgun: both id=3 rows now exist)
+    assert(got.filter(col("id") >= 1000L).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1000L, "S1000"), (1001L, "S1001"), (1002L, "S1002"),
+        (5000L, "N5000")))
+    assert(got.filter(col("id") < 1000L).count() === 1001L)
+    assert(got.filter(col("id") === 3L).orderBy("s").collect()
+      .map(_.getString(1)).toSeq === Seq("OUT", "v3"),
+      "a source key matching only out-of-scope rows inserts (SQL answer)")
+    // scope composes with MATCHED-only merges too: row-level split —
+    // a matched key OUTSIDE the scope stays untouched
+    TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT 1000 AS id, 'T' AS s UNION ALL SELECT 5 AS id, 'T' AS s
+         |) src ON id AND id >= 1000
+         |WHEN MATCHED THEN UPDATE SET s = src.s""".stripMargin)
+    assert(TxLog.read(spark, root).filter(col("id") === 1000L)
+      .head().getString(1) === "T")
+    assert(TxLog.read(spark, root).filter(col("id") === 5L)
+      .head().getString(1) === "v5",
+      "a matched key outside the scope must stay untouched")
+  }
+
+  test("MERGE column-list INSERT: INSERT (cols) VALUES (exprs) casts to " +
+      "target types, defaults unlisted columns to NULL, validates arity") {
+    val root = freshRoot("cmins")
+    import spark.implicits._
+    TxLog.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "n"))
+    TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT 3 AS id, 'c' AS s UNION ALL SELECT 4 AS id, 'd' AS s
+         |) src ON id
+         |WHEN NOT MATCHED AND src.id % 2 = 0
+         |  THEN INSERT (id) VALUES (src.id)
+         |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id, upper(src.s))""".stripMargin)
+    val got = TxLog.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    // id=4 (even) hits the FIRST clause: only id set, s and n NULL;
+    // id=3 the second: s = upper('c'), n NULL; the int source id CAST
+    // to the bigint target key on both paths
+    assert(got.toSeq === Seq((1L, "a", 10), (2L, "b", 20), (3L, "C", -1),
+      (4L, "-", -1)))
+    // malformed forms refuse loudly
+    intercept[IllegalArgumentException] {
+      TxSql.sql(spark,
+        s"""MERGE INTO txlog.`$root` USING (SELECT 9 AS id) src ON id
+           |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id)""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      TxSql.sql(spark,
+        s"""MERGE INTO txlog.`$root` USING (SELECT 9 AS id) src ON id
+           |WHEN NOT MATCHED THEN INSERT (nope) VALUES (src.id)""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      TxSql.sql(spark,
+        s"""MERGE INTO txlog.`$root` USING (SELECT 9 AS id) src ON id
+           |WHEN MATCHED THEN INSERT (id) VALUES (src.id)""".stripMargin)
+    }
+  }
+
   test("conditional MERGE on a PARTITIONED table: partial path restages " +
       "hive partitions, partition columns survive") {
     val root = freshRoot("cmpart")
@@ -254,7 +350,8 @@ class TxSqlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
     // id=3 deleted (v>0), id=2 survives (NULL cond), id=1 updated
     assert(rows.toSeq === Seq((1L, 100), (2L, -1)))
-    // duplicate source keys refuse (SQL MERGE multi-match error)
+    // duplicate source keys that MATCH a target row refuse (SQL MERGE's
+    // multi-match error — two source rows would hit the same target row)
     val ex = intercept[IllegalArgumentException] {
       TxSql.sql(spark,
         s"""MERGE INTO txlog.`$root` USING (
@@ -262,7 +359,25 @@ class TxSqlSpec extends SparkSpec {
            |) ON id
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(ex.getMessage.contains("duplicate"))
+    assert(ex.getMessage.contains("multi-match"))
+    // ...but the refusal is scoped to actual multi-MATCHES, standard
+    // MERGE semantics: duplicate NULL-keyed source rows match nothing
+    // (legal), and duplicate keys absent from the target only fire NOT
+    // MATCHED — the legal multi-row INSERT
+    TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT * FROM VALUES (CAST(NULL AS BIGINT), 7),
+         |                       (CAST(NULL AS BIGINT), 8),
+         |                       (90, 90), (90, 91) AS t(id, v)
+         |) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = TxLog.read(spark, root).orderBy("id", "v").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1)))
+    // both NULL-keyed rows and both key-90 rows inserted; 1/2 untouched
+    assert(after.toSeq === Seq((-1L, 7), (-1L, 8), (1L, 100), (2L, -1),
+      (90L, 90), (90L, 91)))
   }
 
   test("OPTIMIZE and VACUUM statements: compaction with metadata no-op, grace-windowed sweep") {

@@ -672,4 +672,160 @@ class StreamingSpec extends SparkSpec {
     qt.awaitTermination(120000)
     assert(spark.table("txappts").count() === 30L)
   }
+
+  /** Drain one AvailableNow pass of the txlog feed into a driver buffer,
+    * returning (rows as (id, commitVersion), delivered column names).
+    * Shared by the schema-evolution and retention pins below. */
+  private def drainFeed(root: String, ckpt: String)
+      : (Seq[(Long, Long)], Seq[String]) = {
+    import spark.implicits._
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    @volatile var cols: Seq[String] = Seq.empty
+    val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("startingVersion", "1").load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          cols = b.columns.toSeq
+          b.select(col("id"), col("_commit_version"))
+            .as[(Long, Long)].collect().foreach(buf.add)
+          ()
+      }.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    (buf.toArray(Array.empty[(Long, Long)]).toSeq.sorted, cols)
+  }
+
+  /** Root cause of a failed streaming query, unwrapped to the deepest
+    * non-null cause (the engine wraps source errors in
+    * StreamingQueryException layers). */
+  private def rootCause(t: Throwable): Throwable =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).reduceLeft((_, c) => c)
+
+  test("txlog stream source schema evolution: additive commits flow " +
+      "under the pinned schema; a rename raises the typed restart error") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-evo-${System.nanoTime()}"
+    val ckpt = s"/root/repo/target/stream-evo-ck-${System.nanoTime()}"
+    TxLog.init(spark, root,
+      (0L until 10L).map(k => (k, s"v$k")).toDF("id", "s"))
+    // a CONTINUOUSLY RUNNING query — the pin predates every evolution
+    // below (an AvailableNow restart would re-pin the current schema,
+    // which is exactly the restart contract, not the mid-stream one)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    @volatile var cols: Seq[String] = Seq.empty
+    val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("startingVersion", "1").load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) cols = b.columns.toSeq
+          b.select(col("id"), col("_commit_version"))
+            .as[(Long, Long)].collect().foreach(buf.add)
+          ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      // v2: plain append flows
+      TxLog.appendOnce(spark, root, "b1",
+        (10L until 20L).map(k => (k, s"v$k")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(buf.toArray(Array.empty[(Long, Long)]).toSeq.sorted ===
+        (10L until 20L).map((_, 2L)))
+      // v3: ADDITIVE evolution mid-stream — the appended batch brings a
+      // new column the running stream's pin lacks: rows still flow, the
+      // new column stays invisible until restart (documented)
+      TxLog.appendOnce(spark, root, "b2",
+        (20L until 25L).map(k => (k, s"v$k", k * 2)).toDF("id", "s", "extra"))
+      q.processAllAvailable()
+      assert(buf.toArray(Array.empty[(Long, Long)]).toSeq.sorted ===
+        ((10L until 20L).map((_, 2L)) ++ (20L until 25L).map((_, 3L))))
+      assert(cols.contains("s") && !cols.contains("extra"),
+        "additive evolution must stay invisible under the pinned schema")
+      // v4: RENAME mid-stream — the running query must fail with the
+      // TYPED restart-required error, never misbind the old name
+      TxLog.renameColumn(spark, root, "s", "body")
+      TxLog.appendOnce(spark, root, "b3",
+        (25L until 30L).map(k => (k, s"v$k", k * 2)).toDF("id", "body", "extra"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(120000)
+      }
+      val cause = rootCause(ex)
+      assert(cause.isInstanceOf[TxLogStreamSchemaChangedException],
+        s"expected the typed schema-changed refusal, got $cause")
+      assert(cause.getMessage.contains("restart"))
+    } finally if (q.isActive) q.stop()
+    // the loud-restart contract is recoverable: a restarted query (fresh
+    // pin = post-rename schema) resumes from the SAME checkpoint and
+    // reads the remaining range under the new name — versions after the
+    // rename are admissible against the new pin (the memory sink cannot
+    // recover a checkpoint, so the restart drains through foreachBatch)
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    @volatile var cols2: Seq[String] = Seq.empty
+    val q2 = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("startingVersion", "1").load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) cols2 = b.columns.toSeq
+          b.select(col("id"), col("_commit_version"))
+            .as[(Long, Long)].collect().foreach(buf2.add)
+          ()
+      }.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(!q2.isActive)
+    assert(cols2.contains("body") && !cols2.contains("s"))
+    assert(cols2.contains("extra"))
+    assert(buf2.toArray(Array.empty[(Long, Long)]).toSeq.map(_._1).sorted ===
+      (25L until 30L))
+  }
+
+  test("txlog stream source retention: a checkpoint behind the prune " +
+      "floor gets the typed refusal naming the earliest version; " +
+      "within-retention resume is exact") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    def build(tag: String): (String, String) = {
+      val root = s"/root/repo/target/stream-ret-$tag-${System.nanoTime()}"
+      val ckpt = s"/root/repo/target/stream-ret-ck-$tag-${System.nanoTime()}"
+      TxLog.init(spark, root,
+        (0L until 10L).map(k => (k, s"v$k")).toDF("id", "s"))
+      TxLog.appendOnce(spark, root, "b1",
+        (10L until 15L).map(k => (k, s"v$k")).toDF("id", "s"))
+      val (rows, _) = drainFeed(root, ckpt) // checkpoint now at v2
+      assert(rows.map(_._1) === (10L until 15L))
+      // the table keeps moving while the consumer is down
+      TxLog.appendOnce(spark, root, "b2",
+        (15L until 18L).map(k => (k, s"v$k")).toDF("id", "s"))
+      TxLog.appendOnce(spark, root, "b3",
+        (18L until 20L).map(k => (k, s"v$k")).toDF("id", "s"))
+      (root, ckpt)
+    }
+    // CONTROL: prune WITHIN retention (checkpoint floor v2 survives) —
+    // resume delivers exactly (2..4], indistinguishable from no prune
+    val (rootOk, ckptOk) = build("ok")
+    TxLog.pruneHistory(rootOk, keepLast = 3) // keeps v2, v3, v4
+    val (rowsOk, _) = drainFeed(rootOk, ckptOk)
+    assert(rowsOk === ((15L until 18L).map((_, 3L)) ++
+      (18L until 20L).map((_, 4L))).sorted)
+    // REFUSAL: prune PAST the checkpoint (only v4 retained) — the resumed
+    // query must fail with the typed retention error naming the earliest
+    // retained version, never deliver a wrong-empty or partial batch
+    val (rootBad, ckptBad) = build("bad")
+    TxLog.pruneHistory(rootBad, keepLast = 1) // v2/v3 manifests gone
+    val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", rootBad).option("startingVersion", "1").load()
+      .writeStream.foreachBatch {
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ()
+      }.option("checkpointLocation", ckptBad)
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+      q.processAllAvailable()
+    }
+    val cause = rootCause(ex)
+    assert(cause.isInstanceOf[TxLogStreamRetentionException],
+      s"expected the typed retention refusal, got $cause")
+    assert(cause.getMessage.contains("earliest retained version is 4"))
+  }
 }
