@@ -1253,6 +1253,9 @@ object TxLog {
       notesFn: Set[String] => Set[String],
       cdcKv: Long => Map[String, String],
       schemaJson: Option[String],
+      mapping: Option[Map[String, String]] = None,
+      retired: Option[Set[String]] = None,
+      interloperHot: Option[FileEntry => Boolean] = None,
       maxRebases: Int = 5): Long = {
     val victimPaths = victims.map(_.path).toSet
     var snap = parent
@@ -1266,14 +1269,16 @@ object TxLog {
         }
         return publish(root, snap.version, carried ++ staged, snap.partCols,
           kvMerge(notesFn(snap.notes), cdcKv(snap.version + 1)),
-          schemaJson, snap.mapping, snap.retired,
+          schemaJson, mapping.getOrElse(snap.mapping),
+          retired.getOrElse(snap.retired),
           parentEntries = Some(snap.entries))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           rebases += 1
           if (rebases > maxRebases) throw e
           val fresh = snapshot(root).getOrElse(throw e)
-          rebaseConflict(parent, fresh, victims, readConjuncts) match {
+          rebaseConflict(parent, fresh, victims, readConjuncts,
+            interloperHot) match {
             case Some(why) =>
               throw new java.util.ConcurrentModificationException(
                 s"txlog $root: commit rebased off version ${parent.version} " +
@@ -1297,7 +1302,8 @@ object TxLog {
     * exclude the conjuncts passes — fewer rows can't create a match. */
   private def rebaseConflict(parent: Snapshot, fresh: Snapshot,
       victims: Seq[FileEntry],
-      readConjuncts: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+      readConjuncts: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
+      interloperHot: Option[FileEntry => Boolean] = None)
       : Option[String] = {
     if (fresh.schemaJson != parent.schemaJson)
       return Some("committed schema changed")
@@ -1314,17 +1320,26 @@ object TxLog {
     val parentSet = parent.entries.toSet
     val interlopers = fresh.entries.filterNot(parentSet)
     if (interlopers.isEmpty) return None
-    readConjuncts match {
-      case None => Some(s"${interlopers.size} interleaved file(s) under a " +
-        "whole-table read")
-      case Some(cs) if cs.isEmpty =>
-        Some(s"${interlopers.size} interleaved file(s) under an unprunable " +
-          "read predicate")
-      case Some(cs) =>
-        val hot = interlopers.filter(entryCouldMatch(fresh, cs))
+    interloperHot match {
+      case Some(isHot) =>
+        // caller-supplied admission (e.g. partition-tag membership for
+        // the partition-scoped upsert) — used INSTEAD of stats conjuncts
+        val hot = interlopers.filter(isHot)
         if (hot.isEmpty) None
-        else Some(s"${hot.size} interleaved file(s) may hold rows in the " +
-          "commit's read range")
+        else Some(s"${hot.size} interleaved file(s) inside the commit's " +
+          "write scope")
+      case None => readConjuncts match {
+        case None => Some(s"${interlopers.size} interleaved file(s) under a " +
+          "whole-table read")
+        case Some(cs) if cs.isEmpty =>
+          Some(s"${interlopers.size} interleaved file(s) under an unprunable " +
+            "read predicate")
+        case Some(cs) =>
+          val hot = interlopers.filter(entryCouldMatch(fresh, cs))
+          if (hot.isEmpty) None
+          else Some(s"${hot.size} interleaved file(s) may hold rows in the " +
+            "commit's read range")
+      }
     }
   }
 
@@ -2272,17 +2287,31 @@ object TxLog {
           val afterCounts = tupleCounts(merged)
           val fresh = stagePartitioned(spark, root, physDf, partCols,
             keepInFiles = inFiles, placeholderIfEmpty = keep.isEmpty)
-          publish(root, snap.version, keep ++ fresh,
-            snap.partCols,
-            kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
-              cdcKvFor(root, snap.notes, snap.version + 1,
+          // change files write ONCE; a rebased publish re-pins the marker
+          val cdcDir =
+            if (wantsChangeFiles(snap.notes))
+              Some(writeCdcFiles(root,
                 current.join(batch.select(key), Seq(key), "left_semi")
                   .withColumn("_change_type", lit("delete"))
                   .unionByName(
                     batch.withColumn("_change_type", lit("insert")),
-                    allowMissingColumns = true))),
-            Some(nextPhys.json), nextMapping, snap.retired,
-            parentEntries = Some(snap.entries))
+                    allowMissingColumns = true)))
+            else None
+          // CAS loss to a commit outside the touched partitions (an
+          // append/upsert of OTHER partitions, a metadata commit)
+          // rebases — the write scope is exact partition membership, so
+          // the interloper test is the entry's partition tag, not stats
+          publishRmw(root, snap,
+            victims = rewrite, staged = fresh,
+            readConjuncts = None,
+            notesFn = ns => if (note.isEmpty) ns else ns + note,
+            cdcKv = v => cdcDir match {
+              case Some(d) => Map("cdc_files" -> s"$v:$d")
+              case None => Map("cdc_full" -> v.toString)
+            },
+            schemaJson = Some(nextPhys.json),
+            mapping = Some(nextMapping),
+            interloperHot = Some(e => touchedTags.contains(e.part)))
           Some(touched.sortBy(partName).map { pv =>
             PartStats(partName(pv), beforeCounts.getOrElse(pv, 0L),
               afterCounts.getOrElse(pv, 0L), batchCounts.getOrElse(pv, 0L))
@@ -2368,13 +2397,25 @@ object TxLog {
             stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
               keepInFiles = inFiles, placeholderIfEmpty = false)
           else stageData(spark, root, physDf)
-        Some(publish(root, snap.version, carried ++ staged, snap.partCols,
-          kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
-            cdcKvFor(root, snap.notes, snap.version + 1,
-              candLogical.filter(victim <=> lit(true))
-                .withColumn("_change_type", lit("delete")))),
-          Some(physPrev.json), snap.mapping, snap.retired,
-          parentEntries = Some(snap.entries)))
+        // change files write ONCE; a rebased publish re-pins the marker
+        val cdcDir =
+          if (wantsChangeFiles(snap.notes))
+            Some(writeCdcFiles(root, candLogical.filter(victim <=> lit(true))
+              .withColumn("_change_type", lit("delete"))))
+          else None
+        // CAS loss to a logically disjoint commit (an append whose rows
+        // cannot match the delete predicate, a metadata commit) REBASES
+        // instead of re-running the rewrite — same shape as the partial
+        // MERGE (see publishRmw)
+        Some(publishRmw(root, snap,
+          victims = rewrite, staged = staged,
+          readConjuncts = Some(conjuncts),
+          notesFn = ns => if (note.isEmpty) ns else ns + note,
+          cdcKv = v => cdcDir match {
+            case Some(d) => Map("cdc_files" -> s"$v:$d")
+            case None => Map("cdc_full" -> v.toString)
+          },
+          schemaJson = Some(physPrev.json)))
       }
     }.get
 
@@ -3212,12 +3253,23 @@ object TxLog {
               stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
                 keepInFiles = inFiles, placeholderIfEmpty = false)
             else stageData(spark, root, physDf)
-          Some(publish(root, snap.version, carried ++ staged, snap.partCols,
-            kvMerge(if (note.isEmpty) snap.notes else snap.notes + note,
-              cdcKvFor(root, snap.notes, snap.version + 1,
-                changesOf(candLogical))),
-            Some(physPrev.json), snap.mapping, snap.retired,
-            parentEntries = Some(snap.entries)))
+          // change files write ONCE; a rebased publish re-pins the marker
+          val cdcDir =
+            if (wantsChangeFiles(snap.notes))
+              Some(writeCdcFiles(root, changesOf(candLogical)))
+            else None
+          // CAS loss to a logically disjoint commit rebases instead of
+          // re-running the rewrite — same shape as the partial MERGE
+          // and DELETE (see publishRmw)
+          Some(publishRmw(root, snap,
+            victims = rewrite, staged = staged,
+            readConjuncts = Some(conjuncts),
+            notesFn = ns => if (note.isEmpty) ns else ns + note,
+            cdcKv = v => cdcDir match {
+              case Some(d) => Map("cdc_files" -> s"$v:$d")
+              case None => Map("cdc_full" -> v.toString)
+            },
+            schemaJson = Some(physPrev.json)))
         }
       }
     }.get

@@ -552,6 +552,99 @@ class TxLogModelSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("CAS loss on pruned COW DELETE / UPDATE: a disjoint append " +
+      "rebases (no re-stage), an overlapping one recomputes — both " +
+      "serializable, change attribution re-pins") {
+    val root = clusteredTable("rebase-dml") // v3, change_feed on
+    // DELETE raced by a DISJOINT append: rebase — one staging for the
+    // delete's survivors plus the interloper's own
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "interleaved",
+        (6000L until 6010L).map(k => (k, s"A$k")).toDF("id", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      val v = TxLog.delete(spark, root,
+        col("id") >= 1050L && col("id") < 1060L)
+      assert(TxLog.dataStages.get.longValue === 2L,
+        "disjoint-raced DELETE must rebase, not re-stage")
+      assert(v === 5L)
+    } finally TxLog.testRacePublishHook = None
+    // the delete's exact change files survived the rebase re-pin
+    val delFeed = TxLog.readChanges(spark, root, 4L, 5L)
+    assert(delFeed.filter(col("_change_type") === "delete").count() === 10L)
+    assert(delFeed.filter(col("_change_type") === "insert").count() === 0L)
+    // UPDATE raced by an OVERLAPPING append (a row inside the update's
+    // key range): genuine conflict — recompute, and the serial order
+    // append-then-update means the interloper row updates too
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "interleaved2",
+        Seq((1005L, "X1005")).toDF("id", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      val v = TxLog.updateWhere(spark, root,
+        col("id") >= 1000L && col("id") < 1010L,
+        Seq("s" -> concat(lit("U"), col("s"))))
+      assert(TxLog.dataStages.get.longValue === 3L,
+        "overlap-raced UPDATE must detect the conflict and recompute")
+      assert(v === 7L)
+    } finally TxLog.testRacePublishHook = None
+    val got = TxLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val expected = ((0L until 100L).map(k => (k, s"v$k")) ++
+      (1000L until 1100L).filterNot(k => k >= 1050L && k < 1060L).map(k =>
+        (k, if (k >= 1000L && k < 1010L) s"Uv$k" else s"v$k")) ++
+      Seq((1005L, "UX1005")) ++
+      (6000L until 6010L).map(k => (k, s"A$k"))).sorted
+    assert(got === expected)
+  }
+
+  test("CAS loss on a partition-scoped upsert: an interleaved commit to " +
+      "ANOTHER partition rebases; the SAME partition recomputes") {
+    val root = freshRoot("rebase-part")
+    TxLog.initPartitioned(spark, root,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (10L, "c", "p2"), (11L, "d", "p2"))
+        .toDF("id", "s", "part"), Seq("part"), "")
+    // DISJOINT: upsert into p1 raced by an append into p2 — the write
+    // scope is exact partition membership, so the loser rebases
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "il",
+        Seq((12L, "e", "p2")).toDF("id", "s", "part"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      TxLog.upsertPartitioned(spark, root,
+        Seq((1L, "A", "p1"), (3L, "f", "p1")).toDF("id", "s", "part"),
+        "id", "part")
+      assert(TxLog.dataStages.get.longValue === 2L,
+        "other-partition race must rebase the partition-scoped upsert")
+    } finally TxLog.testRacePublishHook = None
+    def state(): Map[Long, (String, String)] =
+      TxLog.read(spark, root).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(state() === Map(1L -> ("A", "p1"), 2L -> ("b", "p1"),
+      3L -> ("f", "p1"), 10L -> ("c", "p2"), 11L -> ("d", "p2"),
+      12L -> ("e", "p2")))
+    // OVERLAP: upsert into p2 raced by an append into p2 — conflict,
+    // recompute; the serial order append-then-upsert keeps the
+    // interloper row through the anti-join
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "il2",
+        Seq((13L, "g", "p2")).toDF("id", "s", "part"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      TxLog.upsertPartitioned(spark, root,
+        Seq((10L, "C", "p2")).toDF("id", "s", "part"), "id", "part")
+      assert(TxLog.dataStages.get.longValue === 3L,
+        "same-partition race must recompute the partition-scoped upsert")
+    } finally TxLog.testRacePublishHook = None
+    assert(state() === Map(1L -> ("A", "p1"), 2L -> ("b", "p1"),
+      3L -> ("f", "p1"), 10L -> ("C", "p2"), 11L -> ("d", "p2"),
+      12L -> ("e", "p2"), 13L -> ("g", "p2")))
+  }
+
   test("CAS loss to a metadata-only commit under a whole-table merge: " +
       "BY-SOURCE path recomputes (no rebase premise), outcome serializable") {
     val root = clusteredTable("rebase-meta")
