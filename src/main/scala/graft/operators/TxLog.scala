@@ -3477,10 +3477,27 @@ object TxLog {
           if (snap.files.size <= target && !snap.entries.exists(_.dv.isDefined))
             Some(snap.version)
           else {
-            val packed = read(spark, root, snap.version).coalesce(target)
-            // row-preserving rewrite: the change feed skips it outright
-            Some(commitOverwriteNotes(spark, root, packed, snap.version,
-              ns => ns + "compact", v => Map("cdc_noop" -> v.toString)))
+            // PHYSICAL-level rewrite (matching the partitioned path):
+            // survivors read dv-applied under PHYSICAL names, so the
+            // mapping/retired layers carry through unchanged — compact
+            // no longer materializes logical names the way an overwrite
+            // commit deliberately does. Row-preserving: the change feed
+            // skips it outright (cdc_noop).
+            val packed = readEntriesOf(spark, root, snap, snap.entries,
+              snap.schemaJson.map(parseSchema)).coalesce(target)
+            val staged = stageData(spark, root, packed)
+            // compaction's output depends ONLY on its victims — ANY
+            // interleaved commit whose files leave the victims untouched
+            // rebases (the interloper simply stays unpacked): a nightly
+            // OPTIMIZE racing a stream of appends costs one manifest
+            // retry, never a re-run of the rewrite
+            Some(publishRmw(root, snap,
+              victims = snap.entries, staged = staged,
+              readConjuncts = None,
+              notesFn = ns => ns + "compact",
+              cdcKv = v => Map("cdc_noop" -> v.toString),
+              schemaJson = snap.schemaJson,
+              interloperHot = Some(_ => false)))
           }
         case pcs =>
           val byPart = snap.entries.groupBy(_.part)
@@ -3517,14 +3534,16 @@ object TxLog {
               placeholderIfEmpty = keep.isEmpty)
             // physical-level compaction: files restaged under their
             // PHYSICAL columns (readGroups is not mapping-applied here),
-            // so the mapping/retired layers carry through unchanged
-            Some(publish(root, snap.version, keep ++ fresh,
-              pcs,
-              kvMerge(snap.notes + "compact",
-                Map("cdc_noop" -> (snap.version + 1).toString)),
-              snap.schemaJson,
-              snap.mapping, snap.retired,
-              parentEntries = Some(snap.entries)))
+            // so the mapping/retired layers carry through unchanged.
+            // Output depends only on the fragmented partitions' files —
+            // any interleaved commit that leaves them untouched rebases.
+            Some(publishRmw(root, snap,
+              victims = rewrite, staged = fresh,
+              readConjuncts = None,
+              notesFn = ns => ns + "compact",
+              cdcKv = v => Map("cdc_noop" -> v.toString),
+              schemaJson = snap.schemaJson,
+              interloperHot = Some(_ => false)))
           }
       }
     }.get

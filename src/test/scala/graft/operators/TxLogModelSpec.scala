@@ -645,6 +645,96 @@ class TxLogModelSpec extends SparkSpec {
       12L -> ("e", "p2"), 13L -> ("g", "p2")))
   }
 
+  test("concurrent mergeInto/upsertPartitioned/delete writers on disjoint " +
+      "partitions: serializable outcome through REAL races (rebase or " +
+      "recompute, never corruption)") {
+    val root = freshRoot("rebase-conc")
+    TxLog.initPartitioned(spark, root,
+      ((0L until 100L).map(k => (k, s"v$k", "p1")) ++
+        (1000L until 1100L).map(k => (k, s"v$k", "p2")))
+        .toDF("id", "s", "part"), Seq("part"), "")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // writer A owns p1: scoped merge, pruned delete, scoped merge — every
+    // candidate set is provably p1-only, so every CAS loss to writer B is
+    // a REBASE opportunity (and a conflict-check correctness trial)
+    val a = Future {
+      TxLog.mergeInto(spark, root,
+        (0L until 10L).map(k => (k, s"A$k", "p1")).toDF("id", "s", "part"),
+        "id",
+        matched = Seq(TxLog.MergeClause(None,
+          TxLog.MergeUpdate(Seq("s" -> col("src.s"))))),
+        targetScope = Some(col("part") === "p1"))
+      TxLog.delete(spark, root, col("part") === "p1" && col("id") % 10 === 5)
+      TxLog.mergeInto(spark, root,
+        (200L until 205L).map(k => (k, s"N$k", "p1")).toDF("id", "s", "part"),
+        "id",
+        notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)),
+        targetScope = Some(col("part") === "p1"))
+    }
+    // writer B owns p2: partition-scoped upserts + a pruned delete
+    val b = Future {
+      TxLog.upsertPartitioned(spark, root,
+        (1000L until 1010L).map(k => (k, s"B$k", "p2")).toDF("id", "s", "part"),
+        "id", "part")
+      TxLog.delete(spark, root, col("part") === "p2" && col("id") >= 1090L)
+      TxLog.upsertPartitioned(spark, root,
+        (1100L until 1105L).map(k => (k, s"C$k", "p2")).toDF("id", "s", "part"),
+        "id", "part")
+    }
+    Await.result(a, 5.minutes)
+    Await.result(b, 5.minutes)
+    // disjoint key/partition spaces commute: ONE expected final state
+    // under every serialization, every interleaving, rebase or recompute
+    val got = TxLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val expected = (
+      (0L until 100L).filterNot(k => k % 10 == 5).map(k =>
+        (k, if (k < 10) s"A$k" else s"v$k", "p1")) ++
+      (200L until 205L).map(k => (k, s"N$k", "p1")) ++
+      (1000L until 1090L).map(k =>
+        (k, if (k < 1010L) s"B$k" else s"v$k", "p2")) ++
+      (1100L until 1105L).map(k => (k, s"C$k", "p2"))).sorted
+    assert(got === expected,
+      "concurrent scoped writers must serialize to the disjoint-union state")
+    // six commits landed (each exactly once) on top of init
+    assert(TxLog.currentVersion(root) === 7L)
+  }
+
+  test("CAS loss on compact: ANY disjoint interleaved commit rebases — " +
+      "the maintenance rewrite runs once, mapping and cdc_noop survive") {
+    val root = freshRoot("rebase-compact")
+    TxLog.init(spark, root,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("id", "s").repartition(8))
+    // column mapping in play: the physical-level compact must CARRY it
+    // (the old overwrite-path compact materialized logical names)
+    TxLog.renameColumn(spark, root, "s", "body")
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "il",
+        Seq((500L, "x")).toDF("id", "body"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      val v = TxLog.compact(spark, root, targetFiles = 2)
+      assert(TxLog.dataStages.get.longValue === 2L,
+        "append-raced compact must rebase (the rewrite runs once)")
+      assert(v === 4L) // init 1, rename 2, interloper append 3, compact 4
+    } finally TxLog.testRacePublishHook = None
+    val snap = TxLog.snapshot(root).get
+    assert(snap.mapping.nonEmpty, "compact must carry the column mapping")
+    // the interloper's file simply stays unpacked next to the bins
+    val got = TxLog.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "body"))
+    assert(got.count() === 101L)
+    assert(got.filter(col("id") === 500L).head().getString(1) === "x")
+    assert(got.filter(col("id") < 100L).count() === 100L)
+    // maintenance stays invisible to the feed: the cdc_noop marker
+    // re-pinned to the actual commit version through the rebase
+    assert(TxLog.readChanges(spark, root, 3L, 4L).count() === 0L)
+  }
+
   test("CAS loss to a metadata-only commit under a whole-table merge: " +
       "BY-SOURCE path recomputes (no rebase premise), outcome serializable") {
     val root = clusteredTable("rebase-meta")
