@@ -1256,6 +1256,7 @@ object TxLog {
       mapping: Option[Map[String, String]] = None,
       retired: Option[Set[String]] = None,
       interloperHot: Option[FileEntry => Boolean] = None,
+      partCols: Option[Seq[(String, org.apache.spark.sql.types.DataType)]] = None,
       maxRebases: Int = 5): Long = {
     val victimPaths = victims.map(_.path).toSet
     var snap = parent
@@ -1267,7 +1268,8 @@ object TxLog {
           testRacePublishHook = None
           h(root)
         }
-        return publish(root, snap.version, carried ++ staged, snap.partCols,
+        return publish(root, snap.version, carried ++ staged,
+          partCols.getOrElse(snap.partCols),
           kvMerge(notesFn(snap.notes), cdcKv(snap.version + 1)),
           schemaJson, mapping.getOrElse(snap.mapping),
           retired.getOrElse(snap.retired),
@@ -1842,8 +1844,14 @@ object TxLog {
     * the new version. Concurrent upserters serialize via CAS retry. (For
     * partitioned tables this rewrites the WHOLE table —
     * [[upsertPartitioned]] is the partition-scoped form.) */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame, key: String,
-      note: String = ""): Long =
+  def upsert(spark: SparkSession, root: String, batch0: DataFrame, key: String,
+      note: String = ""): Long = {
+    // materialize the batch ONCE (the mergeInto discipline): the
+    // anti-join's key set, the staged union and the change rows must see
+    // the SAME rows — a non-deterministic batch evaluated independently
+    // by each could keep a row whose key it also failed to anti-join
+    // out, committing a duplicate key in one attempt
+    val batch = batch0.localCheckpoint(true)
     withRetry(root) {
       case None =>
         Some(init(spark, root, batch, note))
@@ -1861,6 +1869,7 @@ object TxLog {
               .unionByName(batch.withColumn("_change_type", lit("insert")),
                 allowMissingColumns = true))))
     }.get
+  }
 
   /** One conditional-MERGE clause: `cond` (None = unconditional) gates
     * `action` for its category; within a category the FIRST clause whose
@@ -3613,8 +3622,37 @@ object TxLog {
         .sortWithinPartitions((lead ++ keys): _*)
         .drop(zc)
       // row-preserving layout rewrite: the change feed skips it outright
-      Some(commitOverwriteNotes(spark, root, ordered, snap.version,
-        ns => ns + "cluster", v => Map("cdc_noop" -> v.toString)))
+      // (cdc_noop). The commit keeps the overwrite SHAPE — every file
+      // replaced, schema recommitted from the ordered frame, mapping
+      // materialized, adopted layouts upgraded — but publishes through
+      // publishRmw so a CAS loss to a disjoint commit REBASES when that
+      // is provably safe: no column mapping in play (a carried
+      // physical-named interloper would misread under the materialized
+      // logical schema) and the parent already on the single-relation
+      // layout (a carried legacy hive file lacks its partition column
+      // in-file and would surface NULL under the upgraded schema).
+      // Otherwise any interloper conflicts and the rewrite recomputes —
+      // exactly the pre-r14 behavior.
+      enforceConstraints(spark, ordered, snap.notes, "cluster")
+      partNames.foreach(pc => requireStablePartType(ordered, pc, "cluster"))
+      val staged =
+        if (partNames.nonEmpty)
+          stagePartitioned(spark, root, ordered, partNames, keepInFiles = true)
+        else stageData(spark, root, ordered)
+      val rebaseSafe = snap.mapping.isEmpty && snap.retired.isEmpty &&
+        (snap.partCols.isEmpty ||
+          partDataInFiles(snap.partCols, snap.schemaJson.map(parseSchema)))
+      Some(publishRmw(root, snap,
+        victims = snap.entries, staged = staged,
+        readConjuncts = None,
+        notesFn = ns => ns + "cluster",
+        cdcKv = v => Map("cdc_noop" -> v.toString),
+        schemaJson = Some(fileSchemaJson(ordered, Seq.empty)),
+        mapping = Some(Map.empty), retired = Some(Set.empty),
+        interloperHot =
+          if (rebaseSafe) Some((_: FileEntry) => false) else None,
+        partCols = Some(partNames.map(pc =>
+          (pc, ordered.schema(pc).dataType)))))
     }.get
 
   private val ZBits = 8 // 256 rank buckets per clustered dimension

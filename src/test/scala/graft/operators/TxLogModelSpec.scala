@@ -735,6 +735,51 @@ class TxLogModelSpec extends SparkSpec {
     assert(TxLog.readChanges(spark, root, 3L, 4L).count() === 0L)
   }
 
+  test("CAS loss on z-order cluster: a disjoint append rebases on a " +
+      "modern layout; a mapped table recomputes (carried physical names " +
+      "would misread)") {
+    val root = freshRoot("rebase-cluster")
+    TxLog.init(spark, root,
+      (0L until 1000L).map(k => (k, k % 7, s"v$k")).toDF("id", "m", "s")
+        .repartition(8))
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "il",
+        Seq((5000L, 9L, "x")).toDF("id", "m", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      val v = TxLog.cluster(spark, root, Seq("id", "m"), targetFiles = 4)
+      assert(TxLog.dataStages.get.longValue === 2L,
+        "append-raced cluster on a modern unmapped layout must rebase")
+      assert(v === 3L) // init 1, interloper append 2, cluster 3
+    } finally TxLog.testRacePublishHook = None
+    val got = TxLog.read(spark, root)
+    assert(got.count() === 1001L)
+    assert(got.filter(col("id") === 5000L).count() === 1L)
+    // layout rewrite invisible to the feed through the rebase re-pin
+    assert(TxLog.readChanges(spark, root, 2L, 3L).count() === 0L)
+    // MAPPED table: the cluster overwrite materializes logical names, so
+    // a carried physical-named interloper would misread — must recompute
+    val root2 = freshRoot("rebase-cluster-map")
+    TxLog.init(spark, root2,
+      (0L until 200L).map(k => (k, s"v$k")).toDF("id", "s").repartition(4))
+    TxLog.renameColumn(spark, root2, "s", "body")
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "il2",
+        Seq((900L, "y")).toDF("id", "body"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      TxLog.cluster(spark, root2, Seq("id"), targetFiles = 2)
+      assert(TxLog.dataStages.get.longValue === 3L,
+        "append-raced cluster on a MAPPED table must recompute")
+    } finally TxLog.testRacePublishHook = None
+    val got2 = TxLog.read(spark, root2)
+    assert(got2.columns.toSeq === Seq("id", "body"))
+    assert(got2.count() === 201L)
+    assert(got2.filter(col("id") === 900L).head().getString(1) === "y")
+  }
+
   test("CAS loss to a metadata-only commit under a whole-table merge: " +
       "BY-SOURCE path recomputes (no rebase premise), outcome serializable") {
     val root = clusteredTable("rebase-meta")
