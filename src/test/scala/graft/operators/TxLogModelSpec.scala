@@ -780,6 +780,31 @@ class TxLogModelSpec extends SparkSpec {
     assert(got2.filter(col("id") === 900L).head().getString(1) === "y")
   }
 
+  test("CAS loss to an interleaved ADD CONSTRAINT: the rebase premise " +
+      "breaks (staged rows were never validated against it) — recompute, " +
+      "and the new constraint gates the merge output") {
+    val root = clusteredTable("rebase-chk")
+    // the interloper adds a CHECK the merge's staged output VIOLATES:
+    // a rebase would publish unvalidated rows past the constraint, so
+    // the conflict check must refuse and the recompute must hit the
+    // constraint gate loudly
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.addConstraint(spark, r, "no_m_prefix", "s NOT LIKE 'M%'")
+    }
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        mergeUpper(root) // stages s = "M<k>" rows — violates the new CHECK
+      }
+      assert(ex.getMessage.contains("no_m_prefix"),
+        s"expected the CHECK gate to fire on recompute, got: ${ex.getMessage}")
+    } finally TxLog.testRacePublishHook = None
+    // nothing committed: the table is the interloper's version exactly
+    val got = tableState(root).data
+    val expected = ((0L until 100L) ++ (1000L until 1100L))
+      .map(k => k -> s"v$k").toMap
+    assert(got === expected, "the refused merge must leave no trace")
+  }
+
   test("CAS loss to a metadata-only commit under a whole-table merge: " +
       "BY-SOURCE path recomputes (no rebase premise), outcome serializable") {
     val root = clusteredTable("rebase-meta")

@@ -780,6 +780,45 @@ class StreamingSpec extends SparkSpec {
       (25L until 30L))
   }
 
+  test("txlog stream source APPENDS mode: the schema admission applies " +
+      "there too — additive flows projected, a rename refuses typed") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-evo-app-${System.nanoTime()}"
+    val ckpt = s"/root/repo/target/stream-evo-app-ck-${System.nanoTime()}"
+    TxLog.init(spark, root,
+      (0L until 5L).map(k => (k, s"v$k")).toDF("id", "s"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    @volatile var cols: Seq[String] = Seq.empty
+    val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("mode", "appends")
+      .option("startingVersion", "1").load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) cols = b.columns.toSeq
+          b.select(col("id")).as[Long].collect()
+            .foreach(v => buf.add(java.lang.Long.valueOf(v)))
+          ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      TxLog.appendOnce(spark, root, "b1",
+        (5L until 10L).map(k => (k, s"v$k", k)).toDF("id", "s", "extra"))
+      q.processAllAvailable()
+      assert(buf.toArray(Array.empty[java.lang.Long]).toSeq.map(_.longValue)
+        .sorted === (5L until 10L))
+      assert(cols.contains("s") && !cols.contains("extra"),
+        "appends mode must project additive evolution onto the pin too")
+      TxLog.renameColumn(spark, root, "s", "body")
+      TxLog.appendOnce(spark, root, "b2",
+        Seq((10L, "x", 1L)).toDF("id", "body", "extra"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(120000)
+      }
+      assert(rootCause(ex).isInstanceOf[TxLogStreamSchemaChangedException])
+    } finally if (q.isActive) q.stop()
+  }
+
   test("txlog stream source retention: a checkpoint behind the prune " +
       "floor gets the typed refusal naming the earliest version; " +
       "within-retention resume is exact") {
