@@ -1745,19 +1745,50 @@ object TxLog {
 
   /** [[commitAppend]] with a note-set TRANSFORM instead of a single added
     * tag — what lets [[appendOnceMonotone]] REPLACE its high-water note
-    * in the same atomic publish as the data. */
+    * in the same atomic publish as the data.
+    *
+    * When the caller passes a `staged` box (the retrying appenders do),
+    * the batch stages AT MOST ONCE per vintage across CAS retries: a
+    * loser whose layout/constraint vintage still matches republishes its
+    * already-written files on the fresh snapshot — manifest work only,
+    * never a re-run of the batch write job (the append twin of
+    * [[publishRmw]]'s rebase; an append has no read premise, so vintage
+    * match IS the whole rebase check). A vintage miss (interleaved
+    * schema/mapping/partitioning/CHECK-constraint change) restages —
+    * [[stageAppend]] re-runs every gate, including constraint
+    * enforcement against the NEW note set — and the orphaned prior
+    * directory ages out via [[vacuum]] like any CAS loser's. Reuse is
+    * also the stronger correctness choice for a non-deterministic batch:
+    * the rows that commit are the rows that were checked, once. */
   private def commitAppendNotes(spark: SparkSession, root: String, df: DataFrame,
       expected: Long, notesFn: Set[String] => Set[String],
-      preStaged: Option[StagedAppend] = None): Long = {
+      staged: Option[StagedBox] = None): Long = {
     val snap = snapshot(root, expected).getOrElse(
       throw new IllegalStateException(s"append to uninitialized txlog $root"))
-    val st = preStaged.filter(_.vintage == vintageOf(snap))
-      .getOrElse(stageAppend(spark, root, df, snap))
+    val st = staged.flatMap(_.st).filter(_.vintage == vintageOf(snap))
+      .getOrElse {
+        val s = stageAppend(spark, root, df, snap)
+        staged.foreach(_.st = Some(s))
+        s
+      }
+    // test-only race injector (same firing point as publishRmw's): a
+    // spec interleaves a winning commit between the staging decision and
+    // this publish to pin the stage-once retry contract
+    testRacePublishHook.foreach { h =>
+      testRacePublishHook = None
+      h(root)
+    }
     publish(root, expected, snap.entries ++ st.entries,
       snap.partCols,
       notesFn(snap.notes),
       Some(st.nextPhysJson), st.nextMapping, snap.retired,
       parentEntries = Some(snap.entries))
+  }
+
+  /** Mutable staged-batch memo a retrying appender threads through its
+    * [[withRetry]] attempts — the mechanism behind stage-once appends. */
+  private final class StagedBox(init: Option[StagedAppend]) {
+    var st: Option[StagedAppend] = init
   }
 
   /** A batch staged for a later append: its (invisible) data-file
@@ -1769,11 +1800,18 @@ object TxLog {
   final case class StagedAppend(entries: Seq[FileEntry],
       nextPhysJson: String, nextMapping: Map[String, String], vintage: String)
 
-  /** The layout facts a staged batch depends on — any change invalidates
-    * a pre-stage (schema pin, column mapping, retired set, partitioning). */
+  /** The facts a staged batch depends on — any change invalidates a
+    * pre-stage (schema pin, column mapping, retired set, partitioning,
+    * and the CHECK-constraint set). Constraints are vintage because
+    * enforcement runs at STAGE time ([[stageAppend]]): a batch staged
+    * before an interleaved `addConstraint` was never validated against
+    * it, so reusing those files would publish unchecked rows — the
+    * vintage miss forces a restage, whose gates see the new note set. */
   private def vintageOf(snap: Snapshot): String =
     s"${snap.schemaJson}|${snap.mapping.toSeq.sorted}|" +
-      s"${snap.retired.toSeq.sorted}|${snap.partCols}"
+      s"${snap.retired.toSeq.sorted}|${snap.partCols}|" +
+      snap.notes.filter(_.startsWith(s"kv:$ChkPrefix")).toSeq.sorted
+        .mkString(";")
 
   /** Stage `df` for an append against `snap`'s layout vintage WITHOUT
     * publishing — what lets a multi-action writer (the streaming sig
@@ -3314,13 +3352,14 @@ object TxLog {
   def appendOnce(spark: SparkSession, root: String, tag: String,
       df: DataFrame, kv: Map[String, String] = Map.empty): Boolean = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $tag")
+    val staged = new StagedBox(None)
     withRetry(root) {
       case Some(snap) if snap.notes(tag) => Some(false)
       case None =>
         initWith(spark, root, df, Seq.empty, kvMerge(Set(tag), kv)); Some(true)
       case Some(snap) =>
         commitAppendNotes(spark, root, df, snap.version,
-          ns => kvMerge(ns + tag, kv))
+          ns => kvMerge(ns + tag, kv), Some(staged))
         Some(true)
     }.get
   }
@@ -3392,6 +3431,7 @@ object TxLog {
       kvFn: Option[Snapshot] => Map[String, String],
       preStaged: Option[StagedAppend] = None): Boolean = {
     require(prefix.matches("[A-Za-z0-9_-]+"), s"unsafe note prefix: $prefix")
+    val staged = new StagedBox(preStaged)
     withRetry(root) {
       case None =>
         initWith(spark, root, df, Seq.empty,
@@ -3406,7 +3446,7 @@ object TxLog {
             n.startsWith(s"hw:$prefix:") ||
               (n.startsWith(s"$prefix-") && scala.util.Try(
                 n.stripPrefix(s"$prefix-").toLong).toOption.exists(_ <= id))
-          } + s"hw:$prefix:$id", kvFn(Some(snap))), preStaged)
+          } + s"hw:$prefix:$id", kvFn(Some(snap))), Some(staged))
         Some(true)
     }.get
   }

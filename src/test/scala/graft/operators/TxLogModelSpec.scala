@@ -834,4 +834,103 @@ class TxLogModelSpec extends SparkSpec {
       k -> (if (k >= 1000L && k < 1005L) s"R$k" else s"v$k")).toMap
     assert(got === expected)
   }
+
+  test("append CAS loser reuses its staged batch: stage-once retry, " +
+      "manifest work only") {
+    val root = freshRoot("append-rebase")
+    TxLog.init(spark, root,
+      (0L until 50L).map(k => (k, s"v$k")).toDF("id", "s"))
+    // interleave a winning append between the loser's staging and its
+    // publish: the loser's layout vintage still matches, so the retry
+    // must republish the ALREADY-written files — a restage would mean
+    // the most common writer re-runs its batch job on every CAS loss
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "il",
+        Seq((500L, "x")).toDF("id", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      assert(TxLog.appendOnce(spark, root, "batch-a",
+        (100L until 110L).map(k => (k, s"a$k")).toDF("id", "s")))
+      val stages = TxLog.dataStages.get.longValue
+      // exactly TWO stagings: the loser's single stage and the hook's
+      // interleaved append — a recomputing loser would stage a third
+      assert(stages === 2L,
+        s"expected 2 data stagings (append + interloper), got $stages")
+      assert(TxLog.currentVersion(root) === 3L)
+    } finally TxLog.testRacePublishHook = None
+    val got = tableState(root).data
+    val expected = (0L until 50L).map(k => k -> s"v$k").toMap ++
+      (100L until 110L).map(k => k -> s"a$k").toMap + (500L -> "x")
+    assert(got === expected, "stage-once retry must lose no rows")
+  }
+
+  test("interleaved ADD CONSTRAINT invalidates the staged append: the " +
+      "vintage miss forces a restage whose gates see the new CHECK") {
+    // violating batch: staged BEFORE the constraint existed, so a naive
+    // reuse would publish rows the constraint never validated — the
+    // retry must restage and the stage-time gate must refuse loudly
+    val bad = freshRoot("append-chk-bad")
+    TxLog.init(spark, bad,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("id", "s"))
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.addConstraint(spark, r, "nonneg", "id >= 0")
+    }
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        TxLog.appendOnce(spark, bad, "neg",
+          Seq((-5L, "bad")).toDF("id", "s"))
+      }
+      assert(ex.getMessage.contains("nonneg"),
+        s"expected the CHECK gate on restage, got: ${ex.getMessage}")
+    } finally TxLog.testRacePublishHook = None
+    assert(TxLog.currentVersion(bad) === 2L,
+      "the refused append must leave only the constraint commit")
+    assert(tableState(bad).data ===
+      (0L until 20L).map(k => k -> s"v$k").toMap)
+
+    // satisfying batch: same race, the restage re-validates clean and
+    // the append commits — two stagings (the constraint commit is
+    // metadata + an aggregate pass, it stages no data)
+    val ok = freshRoot("append-chk-ok")
+    TxLog.init(spark, ok,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("id", "s"))
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.addConstraint(spark, r, "nonneg", "id >= 0")
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      assert(TxLog.appendOnce(spark, ok, "pos",
+        Seq((7L, "ok")).toDF("id", "s")))
+      assert(TxLog.dataStages.get.longValue === 2L,
+        "constraint-raced append must restage exactly once")
+      assert(TxLog.currentVersion(ok) === 3L)
+    } finally TxLog.testRacePublishHook = None
+    assert(tableState(ok).data ===
+      (0L until 20L).map(k => k -> s"v$k").toMap + (7L -> "ok"))
+  }
+
+  test("a pre-staged batch staged before an ADD CONSTRAINT never " +
+      "publishes unchecked rows (the SigIndex preStaged path)") {
+    val root = freshRoot("prestage-chk")
+    TxLog.init(spark, root,
+      (0L until 10L).map(k => (k, s"v$k")).toDF("id", "s"))
+    val snap = TxLog.snapshot(root).get
+    // stage against the pre-constraint snapshot — enforcement runs HERE,
+    // against a note set with no CHECK yet
+    val staged = TxLog.stageAppend(spark, root,
+      Seq((-1L, "bad")).toDF("id", "s"), snap)
+    TxLog.addConstraint(spark, root, "nonneg", "id >= 0")
+    // the commit must NOT reuse the stale pre-stage: constraint notes
+    // are vintage, so this restages and the gate refuses
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.appendOnceMonotoneKv(spark, root, "feed", 1L,
+        Seq((-1L, "bad")).toDF("id", "s"), _ => Map.empty,
+        preStaged = Some(staged))
+    }
+    assert(ex.getMessage.contains("nonneg"))
+    assert(tableState(root).data ===
+      (0L until 10L).map(k => k -> s"v$k").toMap,
+      "the stale pre-stage must never become visible")
+  }
 }
