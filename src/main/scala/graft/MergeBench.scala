@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   * own stage) and never re-running the merge job — and (b) an
   * OVERLAPPING append — a genuine conflict, detected, recomputed
   * (one extra staging). Walls + thread-local stage counts recorded.
+  * The `append_race` section is the stage-once twin for plain appends:
+  * a multi-file append raced by an interleaved small append republishes
+  * its already-staged files (stages = its own 1 + the interloper's 1),
+  * never re-running the batch write job.
   *
   * Single-shot walls (each merge commits a version); run on a quiet
   * host, adjudicate outliers by re-run. scripts/run_merge_bench.sh. */
@@ -142,13 +146,47 @@ object MergeBench {
     val (rebaseSec, rebaseStages) = racedMerge("disjoint")
     val (recomputeSec, recomputeStages) = racedMerge("overlap")
 
+    // Append CAS-loss economics (the stage-once retry): a 2M-row append
+    // raced by an interleaved small append must cost ≈ its uncontended
+    // wall plus the interloper's own staging — the loser republishes its
+    // already-written files, never re-running the batch write job
+    def racedAppend(raced: Boolean): (Double, Long) = {
+      val tag = if (raced) "raced" else "plain"
+      val root = s"/root/repo/target/append-race-$tag-${System.nanoTime()}"
+      TxLog.init(spark, root, fixture(nR, clustered = true))
+      TxLog.testRacePublishHook =
+        if (!raced) None
+        else Some { r =>
+          TxLog.appendOnce(spark, r, "interloper",
+            spark.range(9000000L, 9000010L).toDF("id")
+              .withColumn("payload", lit("RACE")))
+        }
+      TxLog.dataStages.set(0L)
+      val batch = spark.range(10000000L, 10000000L + nR).toDF("id")
+        .withColumn("payload", concat(
+          md5(col("id").cast("string").cast("binary")),
+          md5((col("id") + 1).cast("string").cast("binary")),
+          md5((col("id") + 2).cast("string").cast("binary"))))
+        .repartition(math.max(2L, nR / rowsPerFile).toInt, col("id"))
+      val (_, sec) = timed(TxLog.appendOnce(spark, root, "big", batch))
+      val stages = TxLog.dataStages.get.longValue
+      TxLog.testRacePublishHook = None
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      (sec, stages)
+    }
+    val (appPlainSec, appPlainStages) = racedAppend(raced = false)
+    val (appRebaseSec, appRebaseStages) = racedAppend(raced = true)
+
     val json =
       s"""{"metric":"merge_bench","rows_per_file":$rowsPerFile,""" +
         s""""touched_keys":50100,"sizes":[${perSize.mkString(",")}],""" +
         s""""race":{"rows":$nR,""" +
         s""""uncontended_sec":${fmt(plainSec)},"uncontended_stages":$plainStages,""" +
         s""""rebase_sec":${fmt(rebaseSec)},"rebase_stages":$rebaseStages,""" +
-        s""""recompute_sec":${fmt(recomputeSec)},"recompute_stages":$recomputeStages}}"""
+        s""""recompute_sec":${fmt(recomputeSec)},"recompute_stages":$recomputeStages},""" +
+        s""""append_race":{"rows":$nR,""" +
+        s""""uncontended_sec":${fmt(appPlainSec)},"uncontended_stages":$appPlainStages,""" +
+        s""""rebase_sec":${fmt(appRebaseSec)},"rebase_stages":$appRebaseStages}}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

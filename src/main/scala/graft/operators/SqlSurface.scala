@@ -52,7 +52,7 @@ object SqlSurface {
     *     [WHEN MATCHED [AND <cond>] THEN {UPDATE SET * | UPDATE SET c = <expr>[, ...] | DELETE}]...
     *     [WHEN NOT MATCHED [AND <cond>] THEN {INSERT * | INSERT (c[, ...]) VALUES (<expr>[, ...])}]...
     *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN {UPDATE SET c = <expr>[, ...] | DELETE}]...
-    *   OPTIMIZE txlog.`<root>` [TARGET <n>] [ZORDER BY (<col>[, ...])]
+    *   OPTIMIZE txlog.`<root>` [TARGET <n>] [ZORDER BY (<col>[, ...]) [INCREMENTAL]]
     *   VACUUM txlog.`<root>` [RETAIN <n> HOURS]
     *   RESTORE txlog.`<root>` TO {VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>}
     *   DESCRIBE HISTORY txlog.`<root>`
@@ -96,7 +96,7 @@ object SqlSurface {
       "(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s*\\(".r
     private val Optimize =
       ("(?is)^\\s*OPTIMIZE\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+TARGET\\s+(\\d+))?" +
-        "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
+        "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)(\\s+INCREMENTAL)?)?\\s*;?\\s*$").r
     private val Vacuum =
       "(?is)^\\s*VACUUM\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
     private val Restore =
@@ -394,11 +394,15 @@ object SqlSurface {
           else TxLog.mergeInto(spark, root, src, key, matched, notMatched,
             bySource, srcAlias = alias, targetScope = scope.map(s => expr(s)))
         spark.range(1).select(lit(v).as("version"))
-      case Optimize(root, target, zorderCols) =>
+      case Optimize(root, target, zorderCols, incremental) =>
         val t = Option(target).map(_.toInt).getOrElse(8)
         // ZORDER BY (c1, c2, ...) routes to the multi-dimensional
-        // clustering rewrite; bare OPTIMIZE stays bin-pack compaction
+        // clustering rewrite (INCREMENTAL folds only the unsorted tail);
+        // bare OPTIMIZE stays bin-pack compaction
         val v = Option(zorderCols) match {
+          case Some(cs) if Option(incremental).isDefined =>
+            TxLog.clusterIncremental(spark, root,
+              splitTop(cs, ',').map(_.trim), t)
           case Some(cs) =>
             TxLog.cluster(spark, root, splitTop(cs, ',').map(_.trim), t)
           case None => TxLog.compact(spark, root, t)

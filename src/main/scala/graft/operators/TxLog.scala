@@ -1020,9 +1020,10 @@ object TxLog {
     * the schema-bearing empty part file exists (a manifest must never be
     * file-less — [[read]] needs a schema source). */
   private def stageData(spark: SparkSession, root: String,
-      df: DataFrame): Seq[FileEntry] = {
+      df: DataFrame, dirPrefix: String = "c-"): Seq[FileEntry] = {
     dataStages.set(dataStages.get + 1L)
-    val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+    val dirName =
+      s"data/$dirPrefix${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = s"$root/$dirName"
     df.write.mode("overwrite").parquet(abs)
     def parts = Option(new java.io.File(abs).listFiles()).getOrElse(Array.empty)
@@ -1105,9 +1106,11 @@ object TxLog {
     * all-null value tuple, so it always decodes cleanly. */
   private def stagePartitioned(spark: SparkSession, root: String, df: DataFrame,
       partCols: Seq[String], keepInFiles: Boolean,
-      placeholderIfEmpty: Boolean = true): Seq[FileEntry] = {
+      placeholderIfEmpty: Boolean = true,
+      dirPrefix: String = "c-"): Seq[FileEntry] = {
     dataStages.set(dataStages.get + 1L)
-    val dirName = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+    val dirName =
+      s"data/$dirPrefix${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = s"$root/$dirName"
     val (toWrite, byCols) =
       if (keepInFiles) {
@@ -3621,28 +3624,10 @@ object TxLog {
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"cluster on uninitialized txlog $root"))
-      require(cols.nonEmpty, "cluster: need at least one clustering column")
-      require(cols.size <= 7,
-        "cluster: at most 7 clustering columns (63-bit z-value)")
       val target = targetFiles.max(1)
       val src = read(spark, root, snap.version)
-      val missing = cols.filterNot(c => src.columns.exists(_.equalsIgnoreCase(c)))
-      require(missing.isEmpty, s"cluster: no such column(s): ${missing.mkString(", ")}")
-      cols.foreach { c =>
-        val dt = src.schema.find(_.name.equalsIgnoreCase(c)).get.dataType
-        require(dt match {
-          case _: org.apache.spark.sql.types.NumericType |
-               org.apache.spark.sql.types.StringType |
-               org.apache.spark.sql.types.DateType |
-               org.apache.spark.sql.types.TimestampType |
-               org.apache.spark.sql.types.TimestampNTZType |
-               org.apache.spark.sql.types.BooleanType => true
-          case _ => false
-        }, s"cluster: $c ($dt) is not an orderable scalar clustering key")
-      }
       val partNames = snap.partCols.map(_._1)
-      require(!cols.exists(c => partNames.exists(_.equalsIgnoreCase(c))),
-        "cluster: partition columns already prune exactly — cluster on data columns")
+      validateClusterCols(src, partNames, cols)
       val zc = "__graft_z"
       val lead = partNames.map(col)
       val keys =
@@ -3675,10 +3660,14 @@ object TxLog {
       // exactly the pre-r14 behavior.
       enforceConstraints(spark, ordered, snap.notes, "cluster")
       partNames.foreach(pc => requireStablePartType(ordered, pc, "cluster"))
+      // the output dirs carry the clustering signature in their names
+      // (`c-z<sig>-`): [[clusterIncremental]] recognizes already-sorted
+      // generations from the paths alone
       val staged =
         if (partNames.nonEmpty)
-          stagePartitioned(spark, root, ordered, partNames, keepInFiles = true)
-        else stageData(spark, root, ordered)
+          stagePartitioned(spark, root, ordered, partNames, keepInFiles = true,
+            dirPrefix = zDirPrefix(cols))
+        else stageData(spark, root, ordered, dirPrefix = zDirPrefix(cols))
       val rebaseSafe = snap.mapping.isEmpty && snap.retired.isEmpty &&
         (snap.partCols.isEmpty ||
           partDataInFiles(snap.partCols, snap.schemaJson.map(parseSchema)))
@@ -3693,6 +3682,125 @@ object TxLog {
           if (rebaseSafe) Some((_: FileEntry) => false) else None,
         partCols = Some(partNames.map(pc =>
           (pc, ordered.schema(pc).dataType)))))
+    }.get
+
+  /** Shared [[cluster]]/[[clusterIncremental]] gate: orderable scalar
+    * data columns only, at most 7 (63-bit z-value). */
+  private def validateClusterCols(src: DataFrame, partNames: Seq[String],
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "cluster: need at least one clustering column")
+    require(cols.size <= 7,
+      "cluster: at most 7 clustering columns (63-bit z-value)")
+    val missing = cols.filterNot(c => src.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty, s"cluster: no such column(s): ${missing.mkString(", ")}")
+    cols.foreach { c =>
+      val dt = src.schema.find(_.name.equalsIgnoreCase(c)).get.dataType
+      require(dt match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }, s"cluster: $c ($dt) is not an orderable scalar clustering key")
+    }
+    require(!cols.exists(c => partNames.exists(_.equalsIgnoreCase(c))),
+      "cluster: partition columns already prune exactly — cluster on data columns")
+  }
+
+  /** Staging-directory prefix for a cluster commit's output: `c-` keeps
+    * every existing sweep (vacuum, checkpoint refs) working unchanged,
+    * and the `z<sig>-` infix is unambiguous — plain staging suffixes are
+    * UUID hex, which never contains 'z'. The signature hashes the
+    * LOGICAL clustering column set, so "is this file already laid out
+    * for these columns" is answerable from the manifest path alone. */
+  private def zDirPrefix(cols: Seq[String]): String = {
+    val sig = cols.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(" ")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    s"c-z$hex-"
+  }
+
+  /** INCREMENTAL clustering maintenance — [[cluster]]'s O(unsorted tail)
+    * form, for tables too large to rewrite on every OPTIMIZE: cluster
+    * commits stage their output into self-describing `c-z<sig>-`
+    * directories, so the files NOT yet laid out for `cols` (appends,
+    * upserts, merge/DML rewrites that landed since the last cluster run)
+    * are recognizable from their manifest paths alone — no marker
+    * versions, no snapshot diffs, no retention interaction, and
+    * race-proof: a file appended DURING a cluster publish simply stays
+    * unsorted and is folded by the next run. Each run reads exactly that
+    * tail (deletion vectors applied — folding a DV'd unsorted file also
+    * purges its sidecar) and writes ONE new sorted generation, an
+    * LSM-flavored layout: several sorted runs, each with tight per-file
+    * footer intervals on every clustered column, so the [[Stats]]-fed
+    * skipping prunes within every generation; quality-only, correctness
+    * always comes from the footer stats themselves. PHYSICAL-level
+    * rewrite (the [[compact]] discipline): column mapping, the schema
+    * pin and partitioning carry through untouched, so it composes with
+    * renames; the change feed skips it outright (`cdc_noop`); a CAS loss
+    * to ANY commit that leaves the tail untouched rebases. A table never
+    * fully clustered folds ALL its files (bootstrap is the same
+    * operation); a table with no unsorted tail returns its current
+    * version without committing — repeated maintenance costs a manifest
+    * read. Periodic full [[cluster]] runs remain the "major compaction"
+    * that collapses accumulated generations into one. */
+  def clusterIncremental(spark: SparkSession, root: String, cols: Seq[String],
+      targetFiles: Int = 8): Long =
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"clusterIncremental on uninitialized txlog $root"))
+      val partNames = snap.partCols.map(_._1)
+      validateClusterCols(read(spark, root, snap.version), partNames, cols)
+      val target = targetFiles.max(1)
+      val zPrefix = s"data/${zDirPrefix(cols)}"
+      val victims = snap.entries.filterNot(_.path.startsWith(zPrefix))
+      if (victims.isEmpty) Some(snap.version)
+      else {
+        // the tail reads PHYSICAL (mapping carries, exactly compact's
+        // rewrite level), so the clustering keys translate logical →
+        // physical for the frame's column names
+        val logToPhys = snap.mapping.map(_.swap)
+        val physCols = cols.map(c =>
+          logToPhys.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c))
+        val src = readEntriesOf(spark, root, snap, victims,
+          snap.schemaJson.map(parseSchema))
+        val rows = victims.flatMap(_.stats.map(_.rows)).sum match {
+          case 0L => src.count()
+          case n => n
+        }
+        val zc = "__graft_z"
+        val lead = partNames.map(col)
+        val keys =
+          if (physCols.size == 1) physCols.map(col)
+          else Seq(col(zc))
+        val framed =
+          if (physCols.size == 1) src
+          else src.withColumn(zc, zValue(src, physCols, rows))
+        val ordered = framed
+          .repartitionByRange(target, (lead ++ keys): _*)
+          .sortWithinPartitions((lead ++ keys): _*)
+          .drop(zc)
+        val staged =
+          if (partNames.nonEmpty)
+            stagePartitioned(spark, root, ordered, partNames,
+              keepInFiles =
+                partDataInFiles(snap.partCols, snap.schemaJson.map(parseSchema)),
+              dirPrefix = zDirPrefix(cols))
+          else stageData(spark, root, ordered, dirPrefix = zDirPrefix(cols))
+        // output depends only on the tail: ANY interleaved commit that
+        // leaves the victims untouched rebases (its files just join the
+        // next run's tail)
+        Some(publishRmw(root, snap,
+          victims = victims, staged = staged,
+          readConjuncts = None,
+          notesFn = ns => ns + "cluster",
+          cdcKv = v => Map("cdc_noop" -> v.toString),
+          schemaJson = snap.schemaJson,
+          interloperHot = Some(_ => false)))
+      }
     }.get
 
   private val ZBits = 8 // 256 rank buckets per clustered dimension

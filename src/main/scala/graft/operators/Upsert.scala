@@ -598,6 +598,58 @@ object Upsert {
         .withColumn("scoped_carry", lit(scopedCarry))
     },
 
+    // S26: INCREMENTAL Z-ORDER MAINTENANCE (`OPTIMIZE ... ZORDER BY ...
+    // INCREMENTAL`) — the O(unsorted tail) layout pass a 100 TB table can
+    // actually run nightly: after a full cluster, an appended tail folds
+    // into ONE new sorted generation while every previously-sorted file
+    // carries BYTE IDENTICAL (verdict boolean under the hash); the fold
+    // is invisible to the change feed (cdc_noop) and footer-stat pruning
+    // stays live across generations (the m-band count reads through
+    // readWhere, certified against the oracle's direct count).
+    QueryDef("s26_incremental_cluster",
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS m, text FROM documents),
+        |t AS (SELECT doc_id + 4000000 AS doc_id,
+        |             (doc_id + 4000000) % 97 AS m,
+        |             'T' || CAST(doc_id AS VARCHAR) AS text
+        |      FROM documents WHERE doc_id < 200),
+        |v AS (SELECT * FROM d UNION ALL SELECT * FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST((SELECT count(*) FROM v WHERE m < 5) AS BIGINT) AS m_band,
+        |       TRUE AS gen_carried, TRUE AS all_sorted, TRUE AS feed_silent
+        |FROM v""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "zinc-table")
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 97).as("m"), col("text"))
+      TxLog.init(s, root, d.repartition(4))
+      TxLog.cluster(s, root, Seq("doc_id", "m"), targetFiles = 8)
+      val tail = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          ((col("doc_id") + 4000000L) % 97).as("m"),
+          concat(lit("T"), col("doc_id").cast("string")).as("text"))
+      TxLog.appendOnce(s, root, "tail", tail)
+      val pre = TxLog.snapshot(root).get
+      val preZ = pre.entries.filter(_.path.startsWith("data/c-z"))
+        .map(e => (e.path, e.size)).toSet
+      val v = SqlSurface.TxSql.sql(s,
+        s"OPTIMIZE txlog.`$root` TARGET 4 ZORDER BY (doc_id, m) INCREMENTAL")
+        .head().getLong(0)
+      val after = TxLog.snapshot(root).get
+      val genCarried = preZ.nonEmpty &&
+        preZ.subsetOf(after.entries.map(e => (e.path, e.size)).toSet)
+      val allSorted = after.entries.forall(_.path.startsWith("data/c-z"))
+      val feedSilent = TxLog.readChanges(s, root, v - 1, v).count() == 0L
+      val mBand = TxLog.readWhere(s, root, "m < 5").count()
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck"))
+        .withColumn("m_band", lit(mBand))
+        .withColumn("gen_carried", lit(genCarried))
+        .withColumn("all_sorted", lit(allSorted))
+        .withColumn("feed_silent", lit(feedSilent))
+    },
+
     // S8: targeted delete under the differential gate — every doc_id ≡ 0
     // (mod 13) is forgotten; the oracle states the surviving table
     // directly, so the hash match certifies the victims are gone AND

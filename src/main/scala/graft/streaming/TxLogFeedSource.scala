@@ -64,7 +64,11 @@ final class TxLogStreamRetentionException(
   * `startingVersion` (default: the table's current version at stream
   * start, i.e. only NEW commits flow) anchors the first batch;
   * `startingTimestamp` (exclusive with it) resolves the anchor through
-  * the manifests' exact commit-time headers instead.
+  * the manifests' exact commit-time headers instead. Rate limiting:
+  * `maxVersionsPerBatch` bounds each micro-batch's version count,
+  * `maxBytesPerBatch` its newly-referenced data bytes (manifest footer
+  * sizes, soft-capped at one version minimum — the Delta
+  * `maxBytesPerTrigger` shape); both compose, versions first.
   * RETENTION: the range a restarted query re-reads must still be
   * retained — run [[TxLog.pruneHistory]] behind the slowest consumer's
   * checkpoint, the standard CDC-retention trade. A checkpoint that
@@ -114,7 +118,8 @@ class TxLogFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
 private[streaming] object TxLogFeedSource {
   final case class Opts(root: String, mode: String,
-      startingVersion: Option[Long], maxVersionsPerBatch: Option[Long])
+      startingVersion: Option[Long], maxVersionsPerBatch: Option[Long],
+      maxBytesPerBatch: Option[Long])
 
   /** DataFrameReader options are caller-cased: normalize keys once. */
   def opts(parameters: Map[String, String]): Opts = {
@@ -128,6 +133,9 @@ private[streaming] object TxLogFeedSource {
     val maxV = p.get("maxversionsperbatch").map(_.toLong)
     maxV.foreach(n => require(n >= 1,
       s"txlog-feed: maxVersionsPerBatch must be >= 1, got $n"))
+    val maxB = p.get("maxbytesperbatch").map(_.toLong)
+    maxB.foreach(n => require(n >= 1,
+      s"txlog-feed: maxBytesPerBatch must be >= 1, got $n"))
     val sv = p.get("startingversion").map(_.toLong)
     // startingTimestamp resolves through the manifests' exact `t` commit
     // headers (versionAt): the stream starts AFTER the newest version
@@ -140,7 +148,7 @@ private[streaming] object TxLogFeedSource {
       graft.operators.TxLog.versionAt(root, ts).getOrElse(
         throw new IllegalArgumentException(
           s"txlog-feed: no version published at or before $ts in $root"))))
-    Opts(root, mode, anchor, maxV)
+    Opts(root, mode, anchor, maxV, maxB)
   }
 
   /** The stream's fixed schema: the table's CURRENT logical schema,
@@ -257,6 +265,32 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  /** Cap `end` so the versions in (from, end] together reference at most
+    * `budget` NEW data-file bytes (footer sizes from the manifests — no
+    * data I/O), always admitting at least one version: offsets are
+    * versions, so a single commit larger than the budget still flows as
+    * one batch (the Delta `maxBytesPerTrigger` soft-cap shape). The
+    * metric is the bytes of files first referenced at each version —
+    * exactly what an appends-mode batch reads, and the dominant term of
+    * a changes-mode one (MoR deletes read only victim positions). */
+  private def byteCap(from: Long, end: Long, budget: Long): Long = {
+    var prevPaths: Set[String] = TxLog.snapshot(o.root, from)
+      .map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
+    var acc = 0L
+    var v = from
+    while (v < end) {
+      val next = v + 1
+      val sv = TxLog.snapshot(o.root, next).getOrElse(return v)
+      val added = sv.entries.iterator
+        .filterNot(e => prevPaths(e.path)).flatMap(_.size).sum
+      if (v > from && acc + added > budget) return v
+      acc += added
+      prevPaths = sv.entries.map(_.path).toSet
+      v = next
+    }
+    end
+  }
+
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
@@ -264,9 +298,13 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
     val from = Option(start).map(versionOf).getOrElse(start0)
     requireRetained(from)
     val avail = availableCeiling.getOrElse(TxLog.currentVersion(o.root))
-    val end = o.maxVersionsPerBatch match {
+    val end0 = o.maxVersionsPerBatch match {
       case Some(n) if avail - from > n => from + n
       case _ => avail
+    }
+    val end = o.maxBytesPerBatch match {
+      case Some(b) if end0 > from => byteCap(from, end0, b)
+      case _ => end0
     }
     val admitted = if (end <= from) from else admit(from, end)
     if (admitted <= from) null else LongOffset(admitted)

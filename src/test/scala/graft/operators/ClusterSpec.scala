@@ -130,6 +130,131 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("clusterIncremental folds ONLY the unsorted tail into a new " +
+      "sorted generation; sorted generations carry byte-identical") {
+    val root = freshRoot("inc")
+    val big = spark.range(4000).toDF("doc_id")
+      .select(col("doc_id"), (col("doc_id") % 97).as("m"),
+        md5(col("doc_id").cast("string").cast("binary")).as("text"))
+    TxLog.init(spark, root, big)
+    TxLog.cluster(spark, root, Seq("doc_id", "m"), targetFiles = 8)
+    // an unsorted tail lands: two appends, one of them MoR-deleted from
+    // (folding a DV'd tail file must apply AND purge the sidecar)
+    def tail(a: Long, b: Long) = spark.range(a, b).toDF("doc_id")
+      .select(col("doc_id"), (col("doc_id") % 97).as("m"),
+        md5(col("doc_id").cast("string").cast("binary")).as("text"))
+    TxLog.appendOnce(spark, root, "t1", tail(4000, 4500))
+    TxLog.appendOnce(spark, root, "t2", tail(4500, 5000))
+    TxLog.deleteMoR(spark, root, col("doc_id") >= 4900)
+    val pre = TxLog.snapshot(root).get
+    val preZ = pre.entries.filter(_.path.startsWith("data/c-z"))
+      .map(e => (e.path, e.size)).toSet
+    val preTail = pre.entries.filterNot(_.path.startsWith("data/c-z"))
+    assert(preZ.nonEmpty && preTail.nonEmpty)
+    assert(preTail.exists(_.dv.isDefined),
+      "fixture must include a DV'd tail file")
+    val before = checksum(TxLog.read(spark, root))
+    val v = TxLog.clusterIncremental(spark, root, Seq("doc_id", "m"),
+      targetFiles = 4)
+    assert(v === pre.version + 1)
+    val after = TxLog.snapshot(root).get
+    // the sorted generation carried by reference, byte-identical
+    assert(preZ.subsetOf(after.entries.map(e => (e.path, e.size)).toSet),
+      "the previous sorted generation must carry untouched")
+    // the tail is gone: everything now lives in sorted generations,
+    // and the fold purged the tail's deletion vector
+    assert(after.entries.forall(_.path.startsWith("data/c-z")))
+    assert(after.entries.filterNot(e => preZ((e.path, e.size)))
+      .forall(_.dv.isEmpty))
+    assert(checksum(TxLog.read(spark, root)) === before)
+    // the new generation's footer intervals prune on BOTH dimensions
+    val (k, t) = TxLog.pruneEntries(spark, after, "m < 5")
+    assert(k.size <= t / 2, s"m band kept ${k.size}/$t across generations")
+    assert(TxLog.readWhere(spark, root, "m < 5").count() ===
+      TxLog.read(spark, root).filter(col("m") < 5).count())
+    // layout maintenance is invisible to the change feed
+    assert(TxLog.readChanges(spark, root, v - 1, v).count() === 0L)
+    // no unsorted tail → metadata-only no-op
+    assert(TxLog.clusterIncremental(spark, root, Seq("doc_id", "m")) === v)
+    // a DIFFERENT column set is a different signature: those files are
+    // all tail again (generations are per-clustering, never shared)
+    val v2 = TxLog.clusterIncremental(spark, root, Seq("m"))
+    assert(v2 === v + 1)
+    assert(checksum(TxLog.read(spark, root)) === before)
+  }
+
+  test("clusterIncremental is the bootstrap too, composes with column " +
+      "mapping, and routes through OPTIMIZE ... INCREMENTAL") {
+    val root = freshRoot("inc-map")
+    TxLog.init(spark, root, fixture)
+    // bootstrap: never fully clustered → the whole table is the tail
+    val v1 = TxLog.clusterIncremental(spark, root, Seq("doc_id", "m"),
+      targetFiles = 8)
+    assert(TxLog.snapshot(root).get.entries
+      .forall(_.path.startsWith("data/c-z")))
+    // a rename puts column mapping in play; the next incremental is a
+    // PHYSICAL rewrite — mapping carries, logical names keep working
+    TxLog.renameColumn(spark, root, "text", "body")
+    TxLog.appendOnce(spark, root, "t1",
+      spark.range(100000, 100500).toDF("doc_id")
+        .select(col("doc_id"), (col("doc_id") % 97).as("m"),
+          md5(col("doc_id").cast("string").cast("binary")).as("body")))
+    val before = TxLog.read(spark, root).agg(
+      count(lit(1)), sum((col("doc_id") + 1) * col("m")),
+      sum(length(col("body")))).head().toSeq
+    val v2 = SqlSurface.TxSql.sql(spark,
+      s"OPTIMIZE txlog.`$root` TARGET 4 ZORDER BY (doc_id, m) INCREMENTAL")
+      .head().getLong(0)
+    assert(v2 > v1 + 1) // rename committed in between
+    val snap = TxLog.snapshot(root).get
+    assert(snap.mapping.nonEmpty, "incremental cluster must carry the mapping")
+    assert(snap.entries.forall(_.path.startsWith("data/c-z")))
+    assert(TxLog.read(spark, root).columns.toSeq ===
+      Seq("doc_id", "m", "body"))
+    assert(TxLog.read(spark, root).agg(
+      count(lit(1)), sum((col("doc_id") + 1) * col("m")),
+      sum(length(col("body")))).head().toSeq === before)
+  }
+
+  test("clusterIncremental on a partitioned table: partition tags " +
+      "survive the fold and compose with clustered-column pruning") {
+    val root = freshRoot("inc-part")
+    val docs = fixture.withColumn("lang",
+      concat(lit("l"), (col("doc_id") % 3).cast("string")))
+    docs.write.partitionBy("lang").parquet(root)
+    TxLog.adopt(spark, root, Some("lang"))
+    TxLog.cluster(spark, root, Seq("doc_id", "m"), targetFiles = 4)
+    // a tail lands in every partition
+    val tail = spark.range(100000, 100900).toDF("doc_id")
+      .select(col("doc_id"), (col("doc_id") % 97).as("m"),
+        md5(col("doc_id").cast("string").cast("binary")).as("text"),
+        concat(lit("l"), (col("doc_id") % 3).cast("string")).as("lang"))
+    TxLog.appendOnce(spark, root, "t1", tail)
+    val pre = TxLog.snapshot(root).get
+    val preZ = pre.entries.filter(_.path.startsWith("data/c-z"))
+      .map(e => (e.path, e.size)).toSet
+    val before = checksum(TxLog.read(spark, root))
+    val v = TxLog.clusterIncremental(spark, root, Seq("doc_id", "m"),
+      targetFiles = 4)
+    assert(v === pre.version + 1)
+    val after = TxLog.snapshot(root).get
+    assert(after.partCols.map(_._1) === Seq("lang"))
+    assert(preZ.subsetOf(after.entries.map(e => (e.path, e.size)).toSet))
+    assert(after.entries.forall(_.path.startsWith("data/c-z")))
+    // every folded file carries a decodable partition tag
+    assert(after.entries.forall(_.part.isDefined))
+    assert(checksum(TxLog.read(spark, root)) === before)
+    // partition + clustered-column predicates compose in one prune
+    val (k, t) = TxLog.pruneEntries(spark, after,
+      "lang = 'l1' AND doc_id >= 100000")
+    assert(k.nonEmpty && k.size < t,
+      s"partition+range prune kept ${k.size}/$t")
+    assert(k.forall(_.part.exists(_.contains("l1"))))
+    assert(TxLog.readWhere(spark, root,
+      "lang = 'l1' AND doc_id >= 100000").count() ===
+      tail.filter(col("lang") === "l1").count())
+  }
+
   test("cluster handles null-bearing and string keys") {
     val root = freshRoot("nulls")
     val df = fixture

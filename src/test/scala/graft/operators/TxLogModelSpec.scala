@@ -684,8 +684,17 @@ class TxLogModelSpec extends SparkSpec {
         (1100L until 1105L).map(k => (k, s"C$k", "p2")).toDF("id", "s", "part"),
         "id", "part")
     }
+    // writer C: plain appends minting a third partition — every CAS loss
+    // is a stage-once republish trial (appends have no read premise)
+    val c = Future {
+      TxLog.appendOnce(spark, root, "app1",
+        (2000L until 2005L).map(k => (k, s"E$k", "p3")).toDF("id", "s", "part"))
+      TxLog.appendOnce(spark, root, "app2",
+        (2005L until 2010L).map(k => (k, s"E$k", "p3")).toDF("id", "s", "part"))
+    }
     Await.result(a, 5.minutes)
     Await.result(b, 5.minutes)
+    Await.result(c, 5.minutes)
     // disjoint key/partition spaces commute: ONE expected final state
     // under every serialization, every interleaving, rebase or recompute
     val got = TxLog.read(spark, root).collect()
@@ -696,11 +705,12 @@ class TxLogModelSpec extends SparkSpec {
       (200L until 205L).map(k => (k, s"N$k", "p1")) ++
       (1000L until 1090L).map(k =>
         (k, if (k < 1010L) s"B$k" else s"v$k", "p2")) ++
-      (1100L until 1105L).map(k => (k, s"C$k", "p2"))).sorted
+      (1100L until 1105L).map(k => (k, s"C$k", "p2")) ++
+      (2000L until 2010L).map(k => (k, s"E$k", "p3"))).sorted
     assert(got === expected,
       "concurrent scoped writers must serialize to the disjoint-union state")
-    // six commits landed (each exactly once) on top of init
-    assert(TxLog.currentVersion(root) === 7L)
+    // eight commits landed (each exactly once) on top of init
+    assert(TxLog.currentVersion(root) === 9L)
   }
 
   test("CAS loss on compact: ANY disjoint interleaved commit rebases — " +
@@ -833,6 +843,44 @@ class TxLogModelSpec extends SparkSpec {
     val expected = ((0L until 100L) ++ (1000L until 1100L)).map(k =>
       k -> (if (k >= 1000L && k < 1005L) s"R$k" else s"v$k")).toMap
     assert(got === expected)
+  }
+
+  test("CAS loss on clusterIncremental: ANY interleaved commit leaving " +
+      "the tail untouched rebases; the interloper's file is simply the " +
+      "NEXT run's tail") {
+    val root = freshRoot("rebase-cluster-inc")
+    TxLog.init(spark, root,
+      (0L until 1000L).map(k => (k, k % 7, s"v$k")).toDF("id", "m", "s")
+        .repartition(4))
+    TxLog.cluster(spark, root, Seq("id", "m"), targetFiles = 4)
+    TxLog.appendOnce(spark, root, "tail",
+      (5000L until 5100L).map(k => (k, k % 7, s"t$k")).toDF("id", "m", "s"))
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "il",
+        Seq((9000L, 1L, "x")).toDF("id", "m", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      val v = TxLog.clusterIncremental(spark, root, Seq("id", "m"),
+        targetFiles = 2)
+      assert(TxLog.dataStages.get.longValue === 2L,
+        "append-raced incremental cluster must rebase (the fold runs once)")
+      assert(v === 5L) // init 1, cluster 2, tail 3, interloper 4, fold 5
+    } finally TxLog.testRacePublishHook = None
+    val got = TxLog.read(spark, root)
+    assert(got.count() === 1101L)
+    // the raced interloper's file stayed unsorted — exactly the next
+    // incremental run's victim set (and nothing else)
+    val snap = TxLog.snapshot(root).get
+    val tail = snap.entries.filterNot(_.path.startsWith("data/c-z"))
+    assert(tail.size === 1, s"expected 1 unsorted interloper file, got $tail")
+    val v2 = TxLog.clusterIncremental(spark, root, Seq("id", "m"))
+    assert(v2 === 6L)
+    assert(TxLog.snapshot(root).get.entries
+      .forall(_.path.startsWith("data/c-z")))
+    assert(TxLog.read(spark, root).count() === 1101L)
+    assert(TxLog.readChanges(spark, root, 4L, 5L).count() === 0L,
+      "the rebased fold must stay invisible to the change feed")
   }
 
   test("append CAS loser reuses its staged batch: stage-once retry, " +

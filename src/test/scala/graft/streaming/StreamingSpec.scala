@@ -819,6 +819,66 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("txlog stream source maxBytesPerBatch: newly-referenced bytes " +
+      "bound each micro-batch, soft-capped at one version minimum") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-bytes-${System.nanoTime()}"
+    TxLog.init(spark, root,
+      (0L until 10L).map(k => (k, s"v$k")).toDF("id", "s"))
+    // two tiny appends (a few KB each) and one large one (hundreds of KB)
+    TxLog.appendOnce(spark, root, "small1",
+      Seq((100L, "a")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root, "small2",
+      Seq((101L, "b")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root, "big",
+      (1000L until 201000L).map(k => (k, s"x$k$k$k")).toDF("id", "s")
+        .repartition(2))
+    val want = TxLog.readChanges(spark, root, 1L, 4L)
+      .select(col("id"), col("_commit_version"))
+      .as[(Long, Long)].collect().sorted
+    val batchVersions =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def drain(tag: String, budget: Long): Seq[Set[Long]] = {
+      batchVersions.clear(); buf.clear()
+      val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+        .option("root", root).option("startingVersion", "1")
+        .option("maxBytesPerBatch", budget.toString).load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val rows = b.select(col("id"), col("_commit_version"))
+              .as[(Long, Long)].collect()
+            rows.foreach(buf.add)
+            batchVersions.add(rows.map(_._2).toSet)
+            ()
+        }.option("checkpointLocation",
+          s"/root/repo/target/stream-bytes-ck-$tag-${System.nanoTime()}")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      assert(buf.toArray(Array.empty[(Long, Long)]).sorted === want,
+        s"byte-capped drain ($tag) must deliver the exact change feed")
+      batchVersions.toArray(Array.empty[Set[Long]]).toSeq.filter(_.nonEmpty)
+    }
+    // budget=1 byte: every version exceeds it alone, so the soft cap
+    // (at least one version per batch) must yield one version per batch
+    val one = drain("one", 1L)
+    assert(one.forall(_.size == 1) && one.flatten.toSet === Set(2L, 3L, 4L),
+      s"budget=1 must deliver one version per micro-batch, got $one")
+    // budget=64KB: the two tiny appends group into one batch, the large
+    // one exceeds the budget and lands alone
+    val mid = drain("mid", 64L * 1024)
+    assert(mid === Seq(Set(2L, 3L), Set(4L)),
+      s"64KB budget must group the small versions and isolate the big " +
+        s"one, got $mid")
+    // effectively-unbounded budget: the whole backlog is one batch
+    val all = drain("all", Long.MaxValue / 2)
+    assert(all === Seq(Set(2L, 3L, 4L)),
+      s"an unbounded budget must drain the backlog in one batch, got $all")
+  }
+
   test("txlog stream source retention: a checkpoint behind the prune " +
       "floor gets the typed refusal naming the earliest version; " +
       "within-retention resume is exact") {
