@@ -46,6 +46,9 @@ object SqlSurface {
     * shapes (the Delta SQL core, reduced):
     *
     *   SELECT ... FROM txlog.`<root>` [VERSION AS OF <n> | TIMESTAMP AS OF <epochMs>] ...
+    *   CREATE [OR REPLACE] TABLE txlog.`<root>` [PARTITIONED BY (<col>[, ...])] AS <select>
+    *   INSERT INTO txlog.`<root>` <select>
+    *   INSERT OVERWRITE txlog.`<root>` <select>
     *   DELETE FROM txlog.`<root>` WHERE <predicate>
     *   UPDATE txlog.`<root>` SET col = <expr>[, ...] WHERE <predicate>
     *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn> [AND <targetScope>]
@@ -94,6 +97,15 @@ object SqlSurface {
     // quote/paren-aware keyword scanner below
     private val MergeHead =
       "(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s*\\(".r
+    // ingest DDL/DML: the trailing <select> re-enters TxSql (it may
+    // reference txlog tables, incl. version pins)
+    private val InsertInto =
+      "(?is)^\\s*INSERT\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+(.+?)\\s*;?\\s*$".r
+    private val InsertOver =
+      "(?is)^\\s*INSERT\\s+OVERWRITE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+(.+?)\\s*;?\\s*$".r
+    private val CreateAs =
+      ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+txlog\\s*\\.\\s*`([^`]+)`" +
+        "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
     private val Optimize =
       ("(?is)^\\s*OPTIMIZE\\s+txlog\\s*\\.\\s*`([^`]+)`(?:\\s+TARGET\\s+(\\d+))?" +
         "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)(\\s+INCREMENTAL)?)?\\s*;?\\s*$").r
@@ -364,6 +376,44 @@ object SqlSurface {
     }
 
     def sql(spark: SparkSession, stmt: String): DataFrame = stmt match {
+      case InsertInto(root, select) =>
+        val v = TxLog.insertInto(spark, root, sql(spark, select))
+        spark.range(1).select(lit(v).as("version"))
+      case InsertOver(root, select) =>
+        val v = TxLog.insertOverwrite(spark, root, sql(spark, select))
+        spark.range(1).select(lit(v).as("version"))
+      case CreateAs(orReplace, root, partList, select) =>
+        val df = sql(spark, select)
+        val parts = Option(partList)
+          .map(splitTop(_, ',').map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+        // CREATE refuses an existing table loudly (ensureUninitialized);
+        // OR REPLACE routes to replaceTable — the note ledger RESETS,
+        // the Delta OR-REPLACE shape (INSERT OVERWRITE is the
+        // properties-carrying replace)
+        val v =
+          if (Option(orReplace).isEmpty) {
+            if (TxLog.snapshot(root).isDefined)
+              throw new IllegalStateException(
+                s"CREATE TABLE: txlog table $root already exists — use " +
+                  "CREATE OR REPLACE TABLE (ledger reset) or INSERT " +
+                  "OVERWRITE (data replace, metadata carried)")
+            parts match {
+              case Seq() => TxLog.init(spark, root, df)
+              case ps => TxLog.initPartitioned(spark, root, df, ps, "")
+            }
+          }
+          else parts match {
+            case Seq() => TxLog.replaceTable(spark, root, df)
+            case Seq(p) => TxLog.replaceTable(spark, root, df, Some(p))
+            case ps if TxLog.snapshot(root).isEmpty =>
+              TxLog.initPartitioned(spark, root, df, ps, "")
+            case ps => throw new IllegalArgumentException(
+              "CREATE OR REPLACE over an EXISTING table supports at most " +
+                s"one partition column (asked for $ps) — partition layout " +
+                "is fixed at creation")
+          }
+        spark.range(1).select(lit(v).as("version"))
       case Delete(root, pred) =>
         val v = TxLog.delete(spark, root, expr(pred))
         spark.range(1).select(lit(v).as("version"))
@@ -967,6 +1017,51 @@ object SqlSurface {
            |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT)
            |FROM txlog.`$root` TIMESTAMP AS OF $now
            |ORDER BY version""".stripMargin)
+    },
+
+    // SQL5: the INGEST lifecycle as STATEMENTS — CREATE TABLE AS SELECT
+    // (v1), INSERT INTO (v2, transactional append with stage-once CAS
+    // retries), INSERT OVERWRITE (v3, data replace with the metadata
+    // life carried). The after-insert checksum certifies the append
+    // landed exactly; the final state certifies the overwrite replaced
+    // everything; the version columns certify the statements chained
+    // 1→2→3 (CREATE refuses existing, INSERT refuses missing — the loud
+    // contracts are spec-pinned in TxSqlSpec).
+    QueryDef("sql5_sql_ingest",
+      """WITH ins AS (SELECT doc_id, text FROM documents),
+        |fin AS (SELECT doc_id, 'O:' || text AS text FROM documents
+        |        WHERE doc_id % 5 = 0)
+        |SELECT CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_after_insert,
+        |       CAST((SELECT sum((doc_id + 1) * octet_length(encode(text)))
+        |             FROM ins) AS BIGINT) AS ck_after_insert,
+        |       CAST(count(*) AS BIGINT) AS n_final,
+        |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck_final,
+        |       1 AS created_v, 2 AS insert_v, 3 AS overwrite_v
+        |FROM fin""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "sql-ingest")
+      val docs = s"$dir/documents.parquet"
+      val v1 = TxSql.sql(s, s"CREATE TABLE txlog.`$root` AS " +
+        s"SELECT doc_id, text FROM parquet.`$docs` WHERE doc_id % 2 = 0")
+        .head.getLong(0)
+      val v2 = TxSql.sql(s, s"INSERT INTO txlog.`$root` " +
+        s"SELECT doc_id, text FROM parquet.`$docs` WHERE doc_id % 2 = 1")
+        .head.getLong(0)
+      val ai = TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long")).head()
+      val v3 = TxSql.sql(s, s"INSERT OVERWRITE txlog.`$root` " +
+        s"SELECT doc_id, 'O:' || text AS text FROM parquet.`$docs` " +
+        "WHERE doc_id % 5 = 0").head.getLong(0)
+      TxLog.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_final"),
+          sum((col("doc_id") + 1) * length(col("text").cast("binary")))
+            .cast("long").as("ck_final"))
+        .select(lit(ai.getLong(0)).as("n_after_insert"),
+          lit(ai.getLong(1)).as("ck_after_insert"),
+          col("n_final"), col("ck_final"),
+          lit(v1.toInt).as("created_v"), lit(v2.toInt).as("insert_v"),
+          lit(v3.toInt).as("overwrite_v"))
     },
 
     // SQL4: the full DML surface as STATEMENTS — UPDATE (copy-on-write,

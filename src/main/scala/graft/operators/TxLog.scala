@@ -1701,11 +1701,14 @@ object TxLog {
     val partCols = snap0.toSeq.flatMap(_.partCols.map(_._1))
     val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
     partCols.foreach(pc => requireStablePartType(df, pc, "commitOverwrite"))
-    // CHECK constraints validate the replacing frame (covers upsert,
-    // whole-table UPDATE, replaceTable; row-preserving maintenance
-    // rewrites — compact, cluster — re-validate rows that already
-    // passed, a no-op beyond one aggregate over data they read anyway)
-    enforceConstraints(spark, df, prevNotes, "commitOverwrite")
+    // CHECK constraints validate the replacing frame — against the
+    // RESULTING note set, not the parent's: a caller whose notesFn drops
+    // a constraint (replaceTable / CREATE OR REPLACE resetting the
+    // ledger) must not have the new content gated by the constraint the
+    // commit itself removes; every carrying caller (upsert, whole-table
+    // UPDATE, INSERT OVERWRITE, maintenance rewrites) enforces exactly
+    // as before
+    enforceConstraints(spark, df, notesFn(prevNotes), "commitOverwrite")
     // overwrite replaces EVERY file — the upgrade point where a legacy
     // or adopted partitioned table flips to the single-relation layout
     val entries =
@@ -1879,6 +1882,43 @@ object TxLog {
     }
     None // unreachable
   }
+
+  /** Plain transactional append — SQL `INSERT INTO txlog.<root>
+    * <select>`. No idempotence ledger: re-running the statement appends
+    * again (SQL semantics; effectively-once sinks use [[appendOnce]] /
+    * [[appendOnceMonotone]]). Stage-once across CAS retries: a loser
+    * whose layout/constraint vintage still matches republishes its
+    * already-written files — manifest work only. Refuses an
+    * uninitialized table (CREATE TABLE ... AS SELECT first — an
+    * implicit create here would silently mint a table on a typo'd
+    * path). */
+  def insertInto(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val staged = new StagedBox(None)
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"INSERT INTO uninitialized txlog $root — " +
+          "CREATE TABLE ... AS SELECT first"))
+      Some(commitAppendNotes(spark, root, df, snap.version, identity,
+        Some(staged)))
+    }.get
+  }
+
+  /** Whole-table data replace — SQL `INSERT OVERWRITE txlog.<root>
+    * <select>`: the new version's rows are the select's alone while the
+    * table's metadata life CARRIES (properties, CHECK constraints —
+    * enforced against the replacing frame — partitioning, accumulated
+    * tags). Contrast [[replaceTable]], which resets the note ledger for
+    * derived-table rebuilds, and SQL `CREATE OR REPLACE TABLE`, which
+    * routes there (the Delta contrast: OR REPLACE resets properties,
+    * INSERT OVERWRITE keeps them). `cdc_full` attribution: the feed
+    * sees removed live rows as deletes, the new frame as inserts. */
+  def insertOverwrite(spark: SparkSession, root: String, df: DataFrame): Long =
+    withRetry(root) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"INSERT OVERWRITE uninitialized txlog $root — " +
+          "CREATE TABLE ... AS SELECT first"))
+      Some(commitOverwrite(spark, root, df, snap.version))
+    }.get
 
   /** Keyed last-write-wins MERGE as one transactional commit: survivors
     * (anti-join) ∪ batch, published as a full overwrite version. Returns

@@ -583,4 +583,92 @@ class TxSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("WHERE"))
   }
+
+  test("CREATE TABLE AS / INSERT INTO: the SQL ingest path — versioned " +
+      "appends, loud refusals on existing/missing tables") {
+    val root = freshRoot("ctas")
+    val v1 = TxSql.sql(spark,
+      s"CREATE TABLE txlog.`$root` AS SELECT id AS doc_id, id % 7 AS m " +
+        "FROM range(100)").head.getLong(0)
+    assert(v1 === 1L)
+    // CREATE over an existing table refuses (no silent replace)
+    intercept[IllegalStateException] {
+      TxSql.sql(spark, s"CREATE TABLE txlog.`$root` AS SELECT 1 AS doc_id")
+    }
+    val v2 = TxSql.sql(spark,
+      s"INSERT INTO txlog.`$root` SELECT id AS doc_id, id % 7 AS m " +
+        "FROM range(100, 150)").head.getLong(0)
+    assert(v2 === 2L)
+    assert(TxLog.read(spark, root).count() === 150L)
+    // the select may reference txlog tables, including version pins —
+    // self-append of the table's own v1
+    TxSql.sql(spark, s"INSERT INTO txlog.`$root` " +
+      s"SELECT doc_id + 1000 AS doc_id, m FROM txlog.`$root` " +
+      "VERSION AS OF 1 WHERE doc_id < 10")
+    assert(TxLog.read(spark, root).count() === 160L)
+    // INSERT INTO a missing table refuses (a typo'd path must not mint
+    // a fresh table)
+    intercept[IllegalStateException] {
+      TxSql.sql(spark,
+        s"INSERT INTO txlog.`$root-nope` SELECT 1 AS doc_id")
+    }
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY lands a partitioned table whose " +
+      "tags prune") {
+    val root = freshRoot("ctas-part")
+    TxSql.sql(spark,
+      s"CREATE TABLE txlog.`$root` PARTITIONED BY (lang) AS " +
+        "SELECT id AS doc_id, concat('l', CAST(id % 3 AS STRING)) AS lang " +
+        "FROM range(90)")
+    val snap = TxLog.snapshot(root).get
+    assert(snap.partCols.map(_._1) === Seq("lang"))
+    val (k, t) = TxLog.pruneEntries(spark, snap, "lang = 'l1'")
+    assert(k.nonEmpty && k.size < t)
+    assert(TxSql.sql(spark,
+      s"SELECT count(*) AS n FROM txlog.`$root` WHERE lang = 'l1'")
+      .head.getLong(0) === 30L)
+  }
+
+  test("INSERT OVERWRITE carries the table's metadata life (constraints " +
+      "enforced, properties kept); CREATE OR REPLACE resets it") {
+    val root = freshRoot("over")
+    TxSql.sql(spark,
+      s"CREATE TABLE txlog.`$root` AS SELECT id AS doc_id FROM range(10)")
+    TxSql.sql(spark, s"ALTER TABLE txlog.`$root` ADD CONSTRAINT nonneg " +
+      "CHECK (doc_id >= 0)")
+    TxSql.sql(spark, s"ALTER TABLE txlog.`$root` SET TBLPROPERTIES " +
+      "('owner' = 'ingest')")
+    // a violating overwrite refuses — the constraint survived the replace
+    intercept[IllegalArgumentException] {
+      TxSql.sql(spark, s"INSERT OVERWRITE txlog.`$root` " +
+        "SELECT id - 5 AS doc_id FROM range(6)")
+    }
+    val vOk = TxSql.sql(spark, s"INSERT OVERWRITE txlog.`$root` " +
+      "SELECT id + 100 AS doc_id FROM range(4)").head.getLong(0)
+    val snap = TxLog.snapshot(root).get
+    assert(snap.version === vOk)
+    assert(TxLog.read(spark, root).count() === 4L)
+    assert(TxLog.constraintsOf(snap.notes).contains("nonneg"),
+      "INSERT OVERWRITE must keep CHECK constraints")
+    assert(TxLog.kvOf(snap.notes).get("owner") === Some("ingest"),
+      "INSERT OVERWRITE must keep table properties")
+    // the feed attributes the replace exactly (cdc_full): old rows out,
+    // new rows in
+    val feed = TxLog.readChanges(spark, root, vOk - 1, vOk)
+    assert(feed.filter(col("_change_type") === "delete").count() === 10L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 4L)
+    // CREATE OR REPLACE is the ledger RESET (the Delta OR-REPLACE shape)
+    TxSql.sql(spark, s"CREATE OR REPLACE TABLE txlog.`$root` AS " +
+      "SELECT id - 50 AS doc_id FROM range(3)")
+    val snap2 = TxLog.snapshot(root).get
+    assert(TxLog.constraintsOf(snap2.notes).isEmpty,
+      "CREATE OR REPLACE must reset constraints")
+    assert(TxLog.read(spark, root).count() === 3L)
+    // OR REPLACE on a missing root is a plain create
+    val root2 = freshRoot("over2")
+    TxSql.sql(spark, s"CREATE OR REPLACE TABLE txlog.`$root2` AS " +
+      "SELECT 1 AS doc_id")
+    assert(TxLog.read(spark, root2).count() === 1L)
+  }
 }
