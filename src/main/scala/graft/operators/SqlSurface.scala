@@ -391,23 +391,37 @@ object SqlSurface {
         // OR REPLACE routes to replaceTable — the note ledger RESETS,
         // the Delta OR-REPLACE shape (INSERT OVERWRITE is the
         // properties-carrying replace)
+        // a create losing the init race to a concurrent CREATE throws
+        // the internal retryable CME (ensureUninitialized) — surface the
+        // same loud already-exists contract as the pre-check, never a
+        // "concurrent modification" a SQL caller can't act on
+        def alreadyExists(): Nothing = throw new IllegalStateException(
+          s"CREATE TABLE: txlog table $root already exists — use " +
+            "CREATE OR REPLACE TABLE (ledger reset) or INSERT " +
+            "OVERWRITE (data replace, metadata carried)")
         val v =
           if (Option(orReplace).isEmpty) {
-            if (TxLog.snapshot(root).isDefined)
-              throw new IllegalStateException(
-                s"CREATE TABLE: txlog table $root already exists — use " +
-                  "CREATE OR REPLACE TABLE (ledger reset) or INSERT " +
-                  "OVERWRITE (data replace, metadata carried)")
-            parts match {
+            if (TxLog.snapshot(root).isDefined) alreadyExists()
+            try parts match {
               case Seq() => TxLog.init(spark, root, df)
               case ps => TxLog.initPartitioned(spark, root, df, ps, "")
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                alreadyExists()
             }
           }
           else parts match {
             case Seq() => TxLog.replaceTable(spark, root, df)
             case Seq(p) => TxLog.replaceTable(spark, root, df, Some(p))
             case ps if TxLog.snapshot(root).isEmpty =>
-              TxLog.initPartitioned(spark, root, df, ps, "")
+              try TxLog.initPartitioned(spark, root, df, ps, "")
+              catch {
+                case _: java.util.ConcurrentModificationException =>
+                  throw new IllegalStateException(
+                    s"CREATE OR REPLACE: txlog table $root appeared " +
+                      "concurrently, and replacing an EXISTING table " +
+                      s"supports at most one partition column (asked for $ps)")
+              }
             case ps => throw new IllegalArgumentException(
               "CREATE OR REPLACE over an EXISTING table supports at most " +
                 s"one partition column (asked for $ps) — partition layout " +

@@ -1816,6 +1816,14 @@ object TxLog {
   private def vintageOf(snap: Snapshot): String =
     s"${snap.schemaJson}|${snap.mapping.toSeq.sorted}|" +
       s"${snap.retired.toSeq.sorted}|${snap.partCols}|" +
+      // table EMPTINESS is vintage too: stagePartitioned's
+      // schema-bearing placeholder decision (placeholderIfEmpty =
+      // snap.entries.isEmpty) is baked into the staged batch — reusing
+      // a stage after an interleaved commit flipped emptiness would
+      // publish a file-less manifest (batch staged empty against a
+      // non-empty table, interloper emptied it) or a phantom all-null
+      // placeholder (staged against an empty table, interloper filled it)
+      s"${snap.entries.isEmpty}|" +
       snap.notes.filter(_.startsWith(s"kv:$ChkPrefix")).toSeq.sorted
         .mkString(";")
 
@@ -3668,24 +3676,13 @@ object TxLog {
       val src = read(spark, root, snap.version)
       val partNames = snap.partCols.map(_._1)
       validateClusterCols(src, partNames, cols)
-      val zc = "__graft_z"
-      val lead = partNames.map(col)
-      val keys =
-        if (cols.size == 1) cols.map(col)
-        else Seq(col(zc))
       // row count for the sample fraction: exact from manifest stats when
       // present (zero I/O), one count scan on stat-less legacy tables
       val rows = snap.entries.flatMap(_.stats.map(_.rows)).sum match {
         case 0L => src.count()
         case n => n
       }
-      val framed =
-        if (cols.size == 1) src
-        else src.withColumn(zc, zValue(src, cols, rows))
-      val ordered = framed
-        .repartitionByRange(target, (lead ++ keys): _*)
-        .sortWithinPartitions((lead ++ keys): _*)
-        .drop(zc)
+      val ordered = zOrderFrame(src, cols, partNames, rows, target)
       // row-preserving layout rewrite: the change feed skips it outright
       // (cdc_noop). The commit keeps the overwrite SHAPE — every file
       // replaced, schema recommitted from the ordered frame, mapping
@@ -3747,6 +3744,26 @@ object TxLog {
     }
     require(!cols.exists(c => partNames.exists(_.equalsIgnoreCase(c))),
       "cluster: partition columns already prune exactly — cluster on data columns")
+  }
+
+  /** The ONE layout recipe both [[cluster]] and [[clusterIncremental]]
+    * write with (a shared definition, so the full and incremental
+    * layouts can never silently diverge): z-frame `src` on `keyCols`
+    * (interleaved rank-bucket z-value when multi-column, the bare
+    * column when single), range-partition to `target` files with the
+    * partition columns leading — which also satisfies the hive writer's
+    * required ordering — and sort within tasks. */
+  private def zOrderFrame(src: DataFrame, keyCols: Seq[String],
+      partNames: Seq[String], rows: Long, target: Int): DataFrame = {
+    val zc = "__graft_z"
+    val lead = partNames.map(col)
+    val keys = if (keyCols.size == 1) keyCols.map(col) else Seq(col(zc))
+    val framed =
+      if (keyCols.size == 1) src
+      else src.withColumn(zc, zValue(src, keyCols, rows))
+    framed.repartitionByRange(target, (lead ++ keys): _*)
+      .sortWithinPartitions((lead ++ keys): _*)
+      .drop(zc)
   }
 
   /** Staging-directory prefix for a cluster commit's output: `c-` keeps
@@ -3811,18 +3828,7 @@ object TxLog {
           case 0L => src.count()
           case n => n
         }
-        val zc = "__graft_z"
-        val lead = partNames.map(col)
-        val keys =
-          if (physCols.size == 1) physCols.map(col)
-          else Seq(col(zc))
-        val framed =
-          if (physCols.size == 1) src
-          else src.withColumn(zc, zValue(src, physCols, rows))
-        val ordered = framed
-          .repartitionByRange(target, (lead ++ keys): _*)
-          .sortWithinPartitions((lead ++ keys): _*)
-          .drop(zc)
+        val ordered = zOrderFrame(src, physCols, partNames, rows, target)
         val staged =
           if (partNames.nonEmpty)
             stagePartitioned(spark, root, ordered, partNames,

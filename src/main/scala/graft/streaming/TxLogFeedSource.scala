@@ -265,6 +265,26 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  // bytes of data files first referenced at each version — manifests
+  // are immutable, so each version's value is computed once ever (the
+  // byteCap walk would otherwise re-parse the same manifests and
+  // rebuild O(entries) path sets on every trigger)
+  private val addedBytesMemo =
+    scala.collection.concurrent.TrieMap.empty[Long, Long]
+
+  private def addedBytesAt(v: Long): Long =
+    addedBytesMemo.getOrElseUpdate(v, {
+      val sv = TxLog.snapshot(o.root, v).getOrElse(
+        throw new TxLogStreamRetentionException(o.root, v,
+          TxLog.earliestVersion(o.root)))
+      val prevPaths: Set[String] =
+        if (v <= 1) Set.empty
+        else TxLog.snapshot(o.root, v - 1)
+          .map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
+      sv.entries.iterator
+        .filterNot(e => prevPaths(e.path)).flatMap(_.size).sum
+    })
+
   /** Cap `end` so the versions in (from, end] together reference at most
     * `budget` NEW data-file bytes (footer sizes from the manifests — no
     * data I/O), always admitting at least one version: offsets are
@@ -272,21 +292,18 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
     * one batch (the Delta `maxBytesPerTrigger` soft-cap shape). The
     * metric is the bytes of files first referenced at each version —
     * exactly what an appends-mode batch reads, and the dominant term of
-    * a changes-mode one (MoR deletes read only victim positions). */
+    * a changes-mode one (MoR deletes read only victim positions). A
+    * missing manifest in the range raises the same TYPED retention
+    * error the plain admission path does — a silent `return` here would
+    * stall the query forever instead of the loud restart contract. */
   private def byteCap(from: Long, end: Long, budget: Long): Long = {
-    var prevPaths: Set[String] = TxLog.snapshot(o.root, from)
-      .map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
     var acc = 0L
     var v = from
     while (v < end) {
-      val next = v + 1
-      val sv = TxLog.snapshot(o.root, next).getOrElse(return v)
-      val added = sv.entries.iterator
-        .filterNot(e => prevPaths(e.path)).flatMap(_.size).sum
+      val added = addedBytesAt(v + 1)
       if (v > from && acc + added > budget) return v
       acc += added
-      prevPaths = sv.entries.map(_.path).toSet
-      v = next
+      v += 1
     }
     end
   }

@@ -879,6 +879,29 @@ class StreamingSpec extends SparkSpec {
       s"an unbounded budget must drain the backlog in one batch, got $all")
   }
 
+  test("maxBytesPerBatch composes with retention: a byte-capped walk " +
+      "over a pruned range raises the typed error, never a silent stall") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-bytes-ret-${System.nanoTime()}"
+    TxLog.init(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root, "b1", Seq((2L, "b")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root, "b2", Seq((3L, "c")).toDF("id", "s"))
+    TxLog.pruneHistory(root, keepLast = 1)
+    // a consumer anchored below the prune floor with a byte budget: the
+    // byteCap walk hits the pruned manifest FIRST — it must raise the
+    // same typed retention contract the plain admission path does (a
+    // silent cap at the gap would return "no progress" forever)
+    val src = new TxLogFeedSource(spark,
+      TxLogFeedSource.Opts(root, "changes", Some(0L), None, Some(1024L)))
+    val ex = intercept[TxLogStreamRetentionException] {
+      src.latestOffset(null,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(ex.earliest === Some(3L),
+      s"refusal must name the earliest retained version, got ${ex.earliest}")
+  }
+
   test("txlog stream source retention: a checkpoint behind the prune " +
       "floor gets the typed refusal naming the earliest version; " +
       "within-retention resume is exact") {
