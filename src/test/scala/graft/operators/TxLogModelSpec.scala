@@ -56,7 +56,7 @@ class TxLogModelSpec extends SparkSpec {
     var monotoneId = -1L
     val opLog = scala.collection.mutable.ListBuffer.empty[String]
     (1 to ops).foreach { i =>
-      val opKind = rnd.nextInt(10)
+      val opKind = rnd.nextInt(11)
       opLog += s"v${model.version + 1}=op$opKind"
       val cur = model.current
       opKind match {
@@ -145,6 +145,15 @@ class TxLogModelSpec extends SparkSpec {
           } ++ batch.filter { case (k, _) =>
             !cur.data.contains(k) && k % 3 == 0 }
           model.commit(MState(merged, cur.valueCol))
+        case 10 => // incremental z-order fold: content-preserving layout
+          // maintenance; commits a version only when an unsorted tail
+          // exists — composed with renames (physical rewrite under
+          // mapping), MoR deletes (folding purges the tail's DVs),
+          // restores (generations time travel), everything above
+          val before = TxLog.currentVersion(root)
+          val after = TxLog.clusterIncremental(spark, root, Seq("id"),
+            targetFiles = 2)
+          if (after != before) model.commit(cur)
       }
       assert(TxLog.currentVersion(root) === model.version,
         s"seed=$seed op#$i kind=$opKind: version diverged")
@@ -252,7 +261,7 @@ class TxLogModelSpec extends SparkSpec {
 
     (1 to 12).foreach { i =>
       val cur = history.last
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // tuple-scoped merge
           val batch = kv(1 + rnd.nextInt(6))
           TxLog.upsertPartitioned(spark, root, toPartDf(batch, "v"), "id",
@@ -300,6 +309,12 @@ class TxLogModelSpec extends SparkSpec {
             } else Some(k -> v)
           } ++ batch.filter { case (k, _) =>
             !cur.contains(k) && k % 3 == 0 })
+        case 7 => // incremental z-fold WITHIN partitions: hive layout,
+          // partition tags re-derived and checked on every read-back
+          val before = TxLog.currentVersion(root)
+          if (TxLog.clusterIncremental(spark, root, Seq("id"),
+              targetFiles = 2) != before)
+            commit(cur)
       }
       assert(TxLog.currentVersion(root) === history.size.toLong,
         s"op#$i: version diverged")
