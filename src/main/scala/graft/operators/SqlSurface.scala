@@ -410,23 +410,12 @@ object SqlSurface {
                 alreadyExists()
             }
           }
-          else parts match {
-            case Seq() => TxLog.replaceTable(spark, root, df)
-            case Seq(p) => TxLog.replaceTable(spark, root, df, Some(p))
-            case ps if TxLog.snapshot(root).isEmpty =>
-              try TxLog.initPartitioned(spark, root, df, ps, "")
-              catch {
-                case _: java.util.ConcurrentModificationException =>
-                  throw new IllegalStateException(
-                    s"CREATE OR REPLACE: txlog table $root appeared " +
-                      "concurrently, and replacing an EXISTING table " +
-                      s"supports at most one partition column (asked for $ps)")
-              }
-            case ps => throw new IllegalArgumentException(
-              "CREATE OR REPLACE over an EXISTING table supports at most " +
-                s"one partition column (asked for $ps) — partition layout " +
-                "is fixed at creation")
-          }
+          else
+            // create-or-replace at any partition arity: a fresh root
+            // creates, an existing one replaces (layout must match —
+            // partition columns are fixed at creation, refused loudly
+            // inside replaceTablePartitioned otherwise)
+            TxLog.replaceTablePartitioned(spark, root, df, parts)
         spark.range(1).select(lit(v).as("version"))
       case Delete(root, pred) =>
         val v = TxLog.delete(spark, root, expr(pred))

@@ -1388,15 +1388,24 @@ object TxLog {
     * the plain-directory index layouts used to have). */
   def replaceTable(spark: SparkSession, root: String, df: DataFrame,
       partCol: Option[String] = None, note: String = "",
+      kv: Map[String, String] = Map.empty): Long =
+    replaceTablePartitioned(spark, root, df, partCol.toSeq, note, kv)
+
+  /** [[replaceTable]] for MULTI-column partitioned layouts — the same
+    * create-or-replace commit, requiring the existing table's partition
+    * columns to match exactly (partition layout is fixed at creation;
+    * the replace rewrites every file but keeps the layout contract). */
+  def replaceTablePartitioned(spark: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String], note: String = "",
       kv: Map[String, String] = Map.empty): Long = {
     val base = kvMerge(if (note.isEmpty) Set.empty[String] else Set(note), kv)
     withRetry(root) {
       case None =>
-        Some(initWith(spark, root, df, partCol.toSeq, base))
+        Some(initWith(spark, root, df, partCols, base))
       case Some(snap) =>
-        require(snap.partCols.map(_._1) == partCol.toSeq,
+        require(snap.partCols.map(_._1) == partCols,
           s"replaceTable($root): table is partitioned on " +
-            s"${snap.partCols.map(_._1)}, caller asked for $partCol — " +
+            s"${snap.partCols.map(_._1)}, caller asked for $partCols — " +
             "partition layout is fixed at creation")
         Some(commitOverwriteNotes(spark, root, df, snap.version, _ => base))
     }.get

@@ -671,4 +671,29 @@ class TxSqlSpec extends SparkSpec {
       "SELECT 1 AS doc_id")
     assert(TxLog.read(spark, root2).count() === 1L)
   }
+
+  test("CREATE OR REPLACE at multi-column partition arity: same layout " +
+      "replaces, a different layout refuses") {
+    val root = freshRoot("over-mc")
+    def sel(n: Int) =
+      s"SELECT id AS doc_id, concat('l', CAST(id % 2 AS STRING)) AS lang, " +
+        s"CAST(id % 3 AS INT) AS day FROM range($n)"
+    TxSql.sql(spark, s"CREATE OR REPLACE TABLE txlog.`$root` " +
+      s"PARTITIONED BY (lang, day) AS ${sel(60)}")
+    assert(TxLog.snapshot(root).get.partCols.map(_._1) === Seq("lang", "day"))
+    // same layout: replaces content, keeps the two-column partitioning
+    TxSql.sql(spark, s"CREATE OR REPLACE TABLE txlog.`$root` " +
+      s"PARTITIONED BY (lang, day) AS ${sel(12)}")
+    val snap = TxLog.snapshot(root).get
+    assert(snap.partCols.map(_._1) === Seq("lang", "day"))
+    assert(TxLog.read(spark, root).count() === 12L)
+    val (k, t) = TxLog.pruneEntries(spark, snap, "lang = 'l1' AND day = 0")
+    assert(k.nonEmpty && k.size < t)
+    // a DIFFERENT partition layout refuses loudly (fixed at creation)
+    val ex = intercept[IllegalArgumentException] {
+      TxSql.sql(spark, s"CREATE OR REPLACE TABLE txlog.`$root` " +
+        s"PARTITIONED BY (lang) AS ${sel(5)}")
+    }
+    assert(ex.getMessage.contains("fixed at creation"))
+  }
 }
