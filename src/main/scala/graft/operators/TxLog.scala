@@ -3038,28 +3038,34 @@ object TxLog {
     * that touch only NEW partitions) are append-only by construction. */
   def readAppended(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
-    val from = snapshot(root, fromVersion).getOrElse(
-      throw new IllegalArgumentException(
-        s"readAppended: version $fromVersion is not retained at $root"))
+    // fromVersion 0 is the GENESIS baseline (nothing yet) — what a
+    // stream anchored at startingVersion=earliest on an unpruned log
+    // replays: every retained file is "appended since nothing"
+    val fromEntries: Seq[FileEntry] =
+      if (fromVersion == 0L) Seq.empty
+      else snapshot(root, fromVersion).getOrElse(
+        throw new IllegalArgumentException(
+          s"readAppended: version $fromVersion is not retained at $root"))
+        .entries
     val to = snapshot(root, toVersion).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    require(to.version >= from.version,
+    require(to.version >= fromVersion,
       s"readAppended: $toVersion precedes $fromVersion")
-    val fromPaths = from.entries.map(_.path).toSet
+    val fromPaths = fromEntries.map(_.path).toSet
     val removed = fromPaths -- to.entries.map(_.path).toSet
     require(removed.isEmpty,
-      s"readAppended: versions ${from.version}..${to.version} removed or " +
+      s"readAppended: versions $fromVersion..${to.version} removed or " +
         s"rewrote ${removed.size} file(s) — not an append-only range " +
         "(use read + a keyed diff for rewrite ranges)")
     // merge-on-read deletes leave paths in place but change the entry's
     // deletion vector — just as much a non-append as a rewrite. A file
     // both ADDED and dv'd inside the range carries a dv with no `from`
     // counterpart; catch both shapes.
-    val fromDv = from.entries.map(e => e.path -> e.dv).toMap
+    val fromDv = fromEntries.map(e => e.path -> e.dv).toMap
     val dvChanged = to.entries.filter(e =>
       fromDv.get(e.path).map(_ != e.dv).getOrElse(e.dv.isDefined))
     require(dvChanged.isEmpty,
-      s"readAppended: versions ${from.version}..${to.version} changed the " +
+      s"readAppended: versions $fromVersion..${to.version} changed the " +
         s"deletion vector of ${dvChanged.size} file(s) — a delete landed in " +
         "the range; not append-only (use read + a keyed diff)")
     val added = to.entries.filterNot(e => fromPaths(e.path))
@@ -3111,12 +3117,18 @@ object TxLog {
       toVersion: Long = -1L): DataFrame = {
     val to = snapshot(root, toVersion).getOrElse(
       throw new IllegalStateException(s"no committed version at $root")).version
-    require(snapshot(root, fromVersion).isDefined,
+    // fromVersion 0 is the GENESIS baseline: version 1's "parent" is the
+    // empty table, so its files flow as plain inserts — the
+    // startingVersion=earliest replay on an unpruned log
+    require(fromVersion == 0L || snapshot(root, fromVersion).isDefined,
       s"readChanges: version $fromVersion is not retained at $root")
     require(to >= fromVersion, s"readChanges: $toVersion precedes $fromVersion")
     val frames = ((fromVersion + 1) to to).flatMap { v =>
-      val prev = snapshot(root, v - 1).getOrElse(throw new IllegalStateException(
-        s"readChanges: version ${v - 1} is not retained at $root"))
+      val prevOpt: Option[Snapshot] =
+        if (v == 1L) None
+        else Some(snapshot(root, v - 1).getOrElse(
+          throw new IllegalStateException(
+            s"readChanges: version ${v - 1} is not retained at $root")))
       val cur = snapshot(root, v).get
       val kv = kvOf(cur.notes)
       def tag(df: DataFrame, t: String): DataFrame = df
@@ -3134,10 +3146,11 @@ object TxLog {
           Seq(spark.read.parquet(s"$root/$dir")
             .withColumn("_commit_version", lit(v)))
         case None =>
-          val prevByPath = prev.entries.map(e => e.path -> e).toMap
+          val prevEntries = prevOpt.map(_.entries).getOrElse(Seq.empty)
+          val prevByPath = prevEntries.map(e => e.path -> e).toMap
           val curByPath = cur.entries.map(e => e.path -> e).toMap
           val added = cur.entries.filterNot(e => prevByPath.contains(e.path))
-          val removed = prev.entries.filterNot(e => curByPath.contains(e.path))
+          val removed = prevEntries.filterNot(e => curByPath.contains(e.path))
           // `cdc_rowlevel` (updateMoR) certifies the commit's added files
           // hold ONLY post-image rows; `cdc_full` certifies removed files'
           // live rows are pre-image deletes and added files post-image
@@ -3160,7 +3173,9 @@ object TxLog {
             else Some(tag(readVersionSubset(spark, root, cur, added), "insert"))
           val dropDeletes =
             if (removed.isEmpty) None
-            else Some(tag(readVersionSubset(spark, root, prev, removed), "delete"))
+            // removed.nonEmpty implies a real parent (genesis removes nothing)
+            else Some(tag(readVersionSubset(spark, root, prevOpt.get, removed),
+              "delete"))
           val dvFrames = changedDv.flatMap { case (pe, ce) =>
             val oldPos = entryPositions(spark, root, pe)
             val newPos = entryPositions(spark, root, ce)

@@ -62,9 +62,11 @@ final class TxLogStreamRetentionException(
   * diff — the stream never stalls on a rewrite.
   *
   * `startingVersion` (default: the table's current version at stream
-  * start, i.e. only NEW commits flow) anchors the first batch;
-  * `startingTimestamp` (exclusive with it) resolves the anchor through
-  * the manifests' exact commit-time headers instead. Rate limiting:
+  * start, i.e. only NEW commits flow; the keywords `earliest` — replay
+  * everything still retained — and `latest` are accepted, the Delta
+  * source shapes) anchors the first batch; `startingTimestamp`
+  * (exclusive with it) resolves the anchor through the manifests'
+  * exact commit-time headers instead. Rate limiting:
   * `maxVersionsPerBatch` bounds each micro-batch's version count,
   * `maxBytesPerBatch` its newly-referenced data bytes (manifest footer
   * sizes, soft-capped at one version minimum — the Delta
@@ -136,7 +138,19 @@ private[streaming] object TxLogFeedSource {
     val maxB = p.get("maxbytesperbatch").map(_.toLong)
     maxB.foreach(n => require(n >= 1,
       s"txlog-feed: maxBytesPerBatch must be >= 1, got $n"))
-    val sv = p.get("startingversion").map(_.toLong)
+    // "earliest" = replay everything still retained (anchor one BELOW
+    // the earliest manifest so the first batch includes it); "latest" =
+    // the default only-new-commits behavior, accepted for symmetry
+    // (the Delta source's keyword shapes)
+    val sv = p.get("startingversion").map {
+      case s if s.equalsIgnoreCase("earliest") =>
+        graft.operators.TxLog.earliestVersion(root).getOrElse(
+          throw new IllegalArgumentException(
+            s"txlog-feed: no committed version at $root")) - 1L
+      case s if s.equalsIgnoreCase("latest") =>
+        graft.operators.TxLog.currentVersion(root)
+      case s => s.toLong
+    }
     // startingTimestamp resolves through the manifests' exact `t` commit
     // headers (versionAt): the stream starts AFTER the newest version
     // published at-or-before the timestamp — its changes are already

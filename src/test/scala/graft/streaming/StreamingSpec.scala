@@ -879,6 +879,41 @@ class StreamingSpec extends SparkSpec {
       s"an unbounded budget must drain the backlog in one batch, got $all")
   }
 
+  test("startingVersion keywords: earliest replays the retained history, " +
+      "latest delivers only new commits") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-kw-${System.nanoTime()}"
+    TxLog.init(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.appendOnce(spark, root, "b1", Seq((2L, "b")).toDF("id", "s"))
+    def drainKw(kw: String, appendFirst: Boolean): Seq[Long] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+        .option("root", root).option("mode", "appends")
+        .option("startingVersion", kw).load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            b.select(col("id")).as[Long].collect()
+              .foreach(v => buf.add(java.lang.Long.valueOf(v)))
+            ()
+        }.option("checkpointLocation",
+          s"/root/repo/target/stream-kw-ck-$kw-${System.nanoTime()}")
+        .start()
+      try {
+        if (appendFirst)
+          TxLog.appendOnce(spark, root, s"n-$kw",
+            Seq((100L, "n")).toDF("id", "s"))
+        q.processAllAvailable()
+      } finally q.stop()
+      buf.toArray(Array.empty[java.lang.Long]).toSeq.map(_.longValue).sorted
+    }
+    // earliest: the whole retained history flows (init + append)
+    assert(drainKw("earliest", appendFirst = false) === Seq(1L, 2L))
+    // latest: only the commit that lands AFTER stream start flows
+    assert(drainKw("latest", appendFirst = true) === Seq(100L))
+  }
+
   test("maxBytesPerBatch composes with retention: a byte-capped walk " +
       "over a pruned range raises the typed error, never a silent stall") {
     import graft.operators.TxLog
