@@ -1398,6 +1398,12 @@ object TxLog {
   def replaceTablePartitioned(spark: SparkSession, root: String,
       df: DataFrame, partCols: Seq[String], note: String = "",
       kv: Map[String, String] = Map.empty): Long = {
+    // same gates as initPartitioned (the create leg routes through
+    // initWith, which doesn't re-check them)
+    require(partCols.map(_.toLowerCase(java.util.Locale.ROOT))
+        .distinct.size == partCols.size,
+      s"replaceTable: duplicate partition columns in $partCols")
+    partCols.foreach(pc => requireStablePartType(df, pc, "replaceTable"))
     val base = kvMerge(if (note.isEmpty) Set.empty[String] else Set(note), kv)
     withRetry(root) {
       case None =>
@@ -3041,20 +3047,49 @@ object TxLog {
     // fromVersion 0 is the GENESIS baseline (nothing yet) — what a
     // stream anchored at startingVersion=earliest on an unpruned log
     // replays: every retained file is "appended since nothing"
-    val fromEntries: Seq[FileEntry] =
-      if (fromVersion == 0L) Seq.empty
-      else snapshot(root, fromVersion).getOrElse(
+    val fromSnap: Option[Snapshot] =
+      if (fromVersion == 0L) None
+      else Some(snapshot(root, fromVersion).getOrElse(
         throw new IllegalArgumentException(
-          s"readAppended: version $fromVersion is not retained at $root"))
-        .entries
+          s"readAppended: version $fromVersion is not retained at $root")))
+    val fromEntries = fromSnap.map(_.entries).getOrElse(Seq.empty)
+    // compare RESOLVED versions (snapshot treats negatives as "current"):
+    // the raw-arg compare would let readAppended(-1, olderV) slip past
+    // the precedes refusal and silently return an empty frame
+    val fromV = fromSnap.map(_.version).getOrElse(0L)
     val to = snapshot(root, toVersion).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    require(to.version >= fromVersion,
+    require(to.version >= fromV,
       s"readAppended: $toVersion precedes $fromVersion")
+    // GENESIS replay must verify the WHOLE history is append-only: with
+    // an empty baseline the endpoint diff below cannot see a file added
+    // AND rewritten inside (0, to] — a COW delete would silently surface
+    // as "appends" of the survivor file. Walk the manifests (header
+    // parses, no data I/O): paths must only accumulate and no entry may
+    // ever carry or change a deletion vector.
+    if (fromVersion == 0L) {
+      var prevPaths = Set.empty[String]
+      (1L to to.version).foreach { v =>
+        val sv = snapshot(root, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"readAppended: version $v is not retained at $root — a " +
+              "genesis (fromVersion 0) replay needs the full history"))
+        val paths = sv.entries.map(_.path).toSet
+        val rem = prevPaths -- paths
+        require(rem.isEmpty,
+          s"readAppended: version $v removed or rewrote ${rem.size} " +
+            "file(s) — not an append-only history (use readChanges for " +
+            "rewrite ranges)")
+        require(sv.entries.forall(_.dv.isEmpty),
+          s"readAppended: version $v carries deletion vectors — a delete " +
+            "landed in the history; not append-only (use readChanges)")
+        prevPaths = paths
+      }
+    }
     val fromPaths = fromEntries.map(_.path).toSet
     val removed = fromPaths -- to.entries.map(_.path).toSet
     require(removed.isEmpty,
-      s"readAppended: versions $fromVersion..${to.version} removed or " +
+      s"readAppended: versions $fromV..${to.version} removed or " +
         s"rewrote ${removed.size} file(s) — not an append-only range " +
         "(use read + a keyed diff for rewrite ranges)")
     // merge-on-read deletes leave paths in place but change the entry's
@@ -3065,7 +3100,7 @@ object TxLog {
     val dvChanged = to.entries.filter(e =>
       fromDv.get(e.path).map(_ != e.dv).getOrElse(e.dv.isDefined))
     require(dvChanged.isEmpty,
-      s"readAppended: versions $fromVersion..${to.version} changed the " +
+      s"readAppended: versions $fromV..${to.version} changed the " +
         s"deletion vector of ${dvChanged.size} file(s) — a delete landed in " +
         "the range; not append-only (use read + a keyed diff)")
     val added = to.entries.filterNot(e => fromPaths(e.path))
@@ -3129,7 +3164,12 @@ object TxLog {
         else Some(snapshot(root, v - 1).getOrElse(
           throw new IllegalStateException(
             s"readChanges: version ${v - 1} is not retained at $root")))
-      val cur = snapshot(root, v).get
+      // a genesis (fromVersion 0) anchor bypasses the head require, so a
+      // pruned history must refuse HERE with the same typed message —
+      // never an untyped None.get
+      val cur = snapshot(root, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"readChanges: version $v is not retained at $root"))
       val kv = kvOf(cur.notes)
       def tag(df: DataFrame, t: String): DataFrame = df
         .withColumn("_change_type", lit(t))

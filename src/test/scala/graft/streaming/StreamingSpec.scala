@@ -901,6 +901,10 @@ class StreamingSpec extends SparkSpec {
           s"/root/repo/target/stream-kw-ck-$kw-${System.nanoTime()}")
         .start()
       try {
+        // force source creation (the anchor resolves in createSource on
+        // the stream thread) BEFORE any post-start append — otherwise
+        // `latest` could resolve after the append and race the assertion
+        q.processAllAvailable()
         if (appendFirst)
           TxLog.appendOnce(spark, root, s"n-$kw",
             Seq((100L, "n")).toDF("id", "s"))
