@@ -3034,11 +3034,15 @@ object TxLog {
     * (inclusive, default latest) — exactly the frames a downstream
     * incremental consumer (near-dup index append, rollup fold, feature
     * backfill) wants to process per cycle without rescanning the table.
-    * Resolved purely from the two manifests: the files present in `to`
-    * but not in `from`, read under `to`'s schema pin and column mapping.
-    * Refuses LOUDLY when the range removed or rewrote any file (an
-    * overwrite/upsert/delete landed inside it) — those semantics need a
-    * row-level diff the caller must opt into, not a silent wrong answer.
+    * Resolved from the manifests alone: the files present in `to` but
+    * not in `from`, read under `to`'s schema pin and column mapping.
+    * Refuses LOUDLY when ANY version in the range removed or rewrote a
+    * file or touched a deletion vector (an overwrite/upsert/delete
+    * landed inside it) — verified per version, not just at the
+    * endpoints, so a file added and rewritten strictly INSIDE the range
+    * refuses too instead of surfacing its survivors as "appends". Those
+    * semantics need a row-level diff the caller must opt into
+    * ([[readChanges]]), not a silent wrong answer.
     * Streaming-sink tables ([[streamingSink]], [[appendOnceMonotone]],
     * [[commitAppend]], partition-minting [[upsertPartitioned]] batches
     * that touch only NEW partitions) are append-only by construction. */
@@ -3061,29 +3065,45 @@ object TxLog {
       throw new IllegalStateException(s"no committed version at $root"))
     require(to.version >= fromV,
       s"readAppended: $toVersion precedes $fromVersion")
-    // GENESIS replay must verify the WHOLE history is append-only: with
-    // an empty baseline the endpoint diff below cannot see a file added
-    // AND rewritten inside (0, to] — a COW delete would silently surface
-    // as "appends" of the survivor file. Walk the manifests (header
-    // parses, no data I/O): paths must only accumulate and no entry may
-    // ever carry or change a deletion vector.
-    if (fromVersion == 0L) {
-      var prevPaths = Set.empty[String]
-      (1L to to.version).foreach { v =>
-        val sv = snapshot(root, v).getOrElse(
-          throw new IllegalArgumentException(
-            s"readAppended: version $v is not retained at $root — a " +
-              "genesis (fromVersion 0) replay needs the full history"))
+    // The append-only proof must hold PER VERSION, not just at the
+    // endpoints: a file added at v and rewritten (COW delete/update) or
+    // fully dropped at v' with fromV < v < v' <= to is invisible to the
+    // endpoint diff below — absent from BOTH baselines — so the range
+    // would silently surface the rewrite's survivor file as "appends"
+    // while the delete itself vanished. That blind spot was first closed
+    // for genesis (fromVersion 0) replays, where the baseline is empty;
+    // the same class survives on every other multi-version range
+    // (reachable from appends-mode stream batches whenever
+    // maxVersionsPerBatch or a catch-up batch spans >1 version), so the
+    // walk now covers them all. Manifest header parses only, no data
+    // I/O: paths may only accumulate, a pre-existing entry's deletion
+    // vector may never change, and a newborn file may not carry one.
+    // Single-step ranges skip the walk — there the endpoint diff IS the
+    // per-version check.
+    if (to.version - fromV > 1) {
+      var prevDv: Map[String, Option[(String, Long)]] =
+        fromEntries.map(e => e.path -> e.dv).toMap
+      ((fromV + 1) to to.version).foreach { v =>
+        val sv =
+          if (v == to.version) to
+          else snapshot(root, v).getOrElse(
+            throw new IllegalArgumentException(
+              s"readAppended: version $v is not retained at $root — an " +
+                s"append-only proof over ($fromV, ${to.version}] needs " +
+                "every manifest in the range"))
         val paths = sv.entries.map(_.path).toSet
-        val rem = prevPaths -- paths
-        require(rem.isEmpty,
-          s"readAppended: version $v removed or rewrote ${rem.size} " +
-            "file(s) — not an append-only history (use readChanges for " +
+        val rem = prevDv.keysIterator.filterNot(paths).size
+        require(rem == 0,
+          s"readAppended: version $v removed or rewrote $rem " +
+            "file(s) — not an append-only range (use readChanges for " +
             "rewrite ranges)")
-        require(sv.entries.forall(_.dv.isEmpty),
-          s"readAppended: version $v carries deletion vectors — a delete " +
-            "landed in the history; not append-only (use readChanges)")
-        prevPaths = paths
+        val dvBad = sv.entries.count(e =>
+          prevDv.get(e.path).map(_ != e.dv).getOrElse(e.dv.isDefined))
+        require(dvBad == 0,
+          s"readAppended: version $v changed or introduced the deletion " +
+            s"vector of $dvBad file(s) — a delete landed in the range; " +
+            "not append-only (use readChanges)")
+        prevDv = sv.entries.map(e => e.path -> e.dv).toMap
       }
     }
     val fromPaths = fromEntries.map(_.path).toSet

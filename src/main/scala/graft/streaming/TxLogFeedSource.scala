@@ -64,7 +64,13 @@ final class TxLogStreamRetentionException(
   * `startingVersion` (default: the table's current version at stream
   * start, i.e. only NEW commits flow; the keywords `earliest` — replay
   * everything still retained — and `latest` are accepted, the Delta
-  * source shapes) anchors the first batch; `startingTimestamp`
+  * source shapes) anchors the first batch. On a PRUNED log `earliest`
+  * still works (the Delta contract after log cleanup): the earliest
+  * retained version e has no parent manifest to diff against, so the
+  * first batch delivers e's SNAPSHOT as inserts (`_commit_version` e —
+  * the earliest replayable truth) and later versions flow normally;
+  * an explicit numeric anchor below the prune floor keeps the strict
+  * typed-retention refusal; `startingTimestamp`
   * (exclusive with it) resolves the anchor through the manifests'
   * exact commit-time headers instead. Rate limiting:
   * `maxVersionsPerBatch` bounds each micro-batch's version count,
@@ -121,7 +127,12 @@ class TxLogFeedProvider extends StreamSourceProvider with DataSourceRegister {
 private[streaming] object TxLogFeedSource {
   final case class Opts(root: String, mode: String,
       startingVersion: Option[Long], maxVersionsPerBatch: Option[Long],
-      maxBytesPerBatch: Option[Long])
+      maxBytesPerBatch: Option[Long],
+      // the anchor is SYNTHETIC: `startingVersion=earliest` resolved on
+      // a PRUNED log (earliest retained e > 1), so the anchor e-1 has no
+      // manifest by construction — the first batch synthesizes snapshot
+      // e as inserts instead of diffing against the missing parent
+      anchorSynth: Boolean = false)
 
   /** DataFrameReader options are caller-cased: normalize keys once. */
   def opts(parameters: Map[String, String]): Opts = {
@@ -141,12 +152,23 @@ private[streaming] object TxLogFeedSource {
     // "earliest" = replay everything still retained (anchor one BELOW
     // the earliest manifest so the first batch includes it); "latest" =
     // the default only-new-commits behavior, accepted for symmetry
-    // (the Delta source's keyword shapes)
+    // (the Delta source's keyword shapes). On a PRUNED log (earliest
+    // retained e > 1) the anchor e-1 has no manifest, so its diff is
+    // uncomputable: the keyword still works — the Delta-source contract
+    // after log cleanup — by marking the anchor SYNTHETIC; the first
+    // batch delivers snapshot e itself as inserts (`_commit_version` e:
+    // the pre-e history is unrecoverable, so e's full state IS the
+    // earliest replayable truth) and versions after e flow normally.
+    // An explicit NUMERIC startingVersion keeps the strict contract:
+    // an unretained anchor refuses with the typed retention error.
+    var synth = false
     val sv = p.get("startingversion").map {
       case s if s.equalsIgnoreCase("earliest") =>
-        graft.operators.TxLog.earliestVersion(root).getOrElse(
+        val e = graft.operators.TxLog.earliestVersion(root).getOrElse(
           throw new IllegalArgumentException(
-            s"txlog-feed: no committed version at $root")) - 1L
+            s"txlog-feed: no committed version at $root"))
+        if (e > 1L) synth = true
+        e - 1L
       case s if s.equalsIgnoreCase("latest") =>
         graft.operators.TxLog.currentVersion(root)
       case s => s.toLong
@@ -162,7 +184,7 @@ private[streaming] object TxLogFeedSource {
       graft.operators.TxLog.versionAt(root, ts).getOrElse(
         throw new IllegalArgumentException(
           s"txlog-feed: no version published at or before $ts in $root"))))
-    Opts(root, mode, anchor, maxV, maxB)
+    Opts(root, mode, anchor, maxV, maxB, anchorSynth = synth)
   }
 
   /** The stream's fixed schema: the table's CURRENT logical schema,
@@ -256,11 +278,25 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
   /** Typed retention gate: the batch floor's manifest must still exist —
     * readChanges resolves each version against its parent, so a pruned
     * floor would otherwise surface as an untyped internal error (or,
-    * worse, a fresh-start fallback that silently skips the range). */
-  private def requireRetained(from: Long): Unit =
-    if (from > 0 && TxLog.snapshot(o.root, from).isEmpty)
-      throw new TxLogStreamRetentionException(o.root, from,
-        TxLog.earliestVersion(o.root))
+    * worse, a fresh-start fallback that silently skips the range). The
+    * two manifest-less floors get the equivalent check on the version
+    * they actually anchor: genesis (from 0) requires version 1 retained
+    * (a pruned prefix makes the replay unrecoverable), and a synthetic
+    * `earliest` anchor requires its snapshot version from+1 retained (a
+    * further prune moved the earliest truth past it) — so the retention
+    * refusal is uniformly TYPED, never an internal reader error. */
+  private def requireRetained(from: Long): Unit = {
+    val probe: Option[Long] =
+      if (from == start0 && o.anchorSynth) Some(from + 1)
+      else if (from == 0L) {
+        if (TxLog.earliestVersion(o.root).exists(_ > 1L)) Some(1L) else None
+      } else Some(from)
+    probe.foreach { v =>
+      if (TxLog.snapshot(o.root, v).isEmpty)
+        throw new TxLogStreamRetentionException(o.root, v,
+          TxLog.earliestVersion(o.root))
+    }
+  }
 
   // ADMISSION CONTROL (the FileStreamSource pattern): `latestOffset`
   // replaces getOffset as the engine's next-end oracle, which lets the
@@ -291,10 +327,19 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
       val sv = TxLog.snapshot(o.root, v).getOrElse(
         throw new TxLogStreamRetentionException(o.root, v,
           TxLog.earliestVersion(o.root)))
+      // the baseline is EMPTY (count every file of v) only where the
+      // contract says so: genesis, and the synthetic `earliest` anchor's
+      // own snapshot version — which the first batch really does deliver
+      // in full. Anywhere else a missing v-1 manifest is a genuine prune
+      // hole in a walk that is contiguous from a retained floor: raise
+      // the typed retention error rather than silently inflating the
+      // estimate (an inflated batch would under-fill triggers forever).
       val prevPaths: Set[String] =
-        if (v <= 1) Set.empty
+        if (v <= 1 || (o.anchorSynth && v == start0 + 1)) Set.empty
         else TxLog.snapshot(o.root, v - 1)
-          .map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
+          .map(_.entries.map(_.path).toSet).getOrElse(
+            throw new TxLogStreamRetentionException(o.root, v - 1,
+              TxLog.earliestVersion(o.root)))
       sv.entries.iterator
         .filterNot(e => prevPaths(e.path)).flatMap(_.size).sum
     })
@@ -378,10 +423,20 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
     // checkpoint-replayed ranges bypass latestOffset: re-run the typed
     // gates here, LAZILY (see failingBatch) — recovery failures surface
     // as the same loud contracts as live ones exactly when the range is
-    // genuinely re-executed
-    if (from > 0 && TxLog.snapshot(o.root, from).isEmpty)
-      return failingBatch(new TxLogStreamRetentionException(o.root, from,
-        TxLog.earliestVersion(o.root)))
+    // genuinely re-executed. The manifest-less floors (genesis, the
+    // synthetic earliest anchor) probe the version they actually anchor,
+    // mirroring requireRetained — uniformly typed, never a reader error.
+    val synthFloor = from == start0 && o.anchorSynth
+    val floorProbe: Option[Long] =
+      if (synthFloor) Some(from + 1)
+      else if (from == 0L) {
+        if (TxLog.earliestVersion(o.root).exists(_ > 1L)) Some(1L) else None
+      } else Some(from)
+    floorProbe.foreach { v =>
+      if (TxLog.snapshot(o.root, v).isEmpty)
+        return failingBatch(new TxLogStreamRetentionException(o.root, v,
+          TxLog.earliestVersion(o.root)))
+    }
     var v = from + 1
     while (v <= to) {
       TxLog.snapshot(o.root, v) match {
@@ -397,7 +452,29 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
       v += 1
     }
     val batch =
-      if (o.mode == "appends") TxLog.readAppended(spark, o.root, from, to)
+      if (synthFloor) {
+        // first batch of a pruned-log `earliest` stream: the anchor's
+        // parent manifest is gone, so version from+1 cannot be diffed —
+        // deliver its SNAPSHOT as the initial state (inserts tagged with
+        // its own commit version: the pre-prune history is
+        // unrecoverable, so this is the earliest replayable truth), then
+        // the rest of the range through the normal readers
+        val e = from + 1
+        val snap = TxLog.read(spark, o.root, e)
+        if (o.mode == "appends") {
+          if (to > e)
+            snap.unionByName(TxLog.readAppended(spark, o.root, e, to),
+              allowMissingColumns = true)
+          else snap
+        } else {
+          val ins = snap.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(e))
+          if (to > e)
+            ins.unionByName(TxLog.readChanges(spark, o.root, e, to),
+              allowMissingColumns = true)
+          else ins
+        }
+      } else if (o.mode == "appends") TxLog.readAppended(spark, o.root, from, to)
       else TxLog.readChanges(spark, o.root, from, to)
     // project onto the pinned schema EXPLICITLY: additive evolution's new
     // columns drop (invisible until restart), pinned columns an

@@ -245,11 +245,49 @@ class DvSpec extends SparkSpec {
       TxLog.readAppended(spark, root, 3L).count()
     }
     // a file added AND FULLY deleted inside the range nets out of both
-    // manifests — the feed returns exactly the zero surviving rows (the
-    // same net-out a COW rewrite of an intra-range append produces)
+    // ENDPOINT manifests — exactly the shape the per-version walk exists
+    // for: a delete landed in the range, so the range refuses loudly
+    // (delivering the net-out silently would hide that the history is
+    // not append-only; same contract as the genesis walk and the Delta
+    // source without ignoreChanges)
     TxLog.appendOnce(spark, root, "b3", Seq((6L, "f")).toDF("id", "s"))
     TxLog.deleteMoR(spark, root, col("id") === 6L)
-    assert(TxLog.readAppended(spark, root, 5L).count() === 0L)
+    val exNet = intercept[IllegalArgumentException] {
+      TxLog.readAppended(spark, root, 5L)
+    }
+    assert(exNet.getMessage.contains("removed or rewrote") ||
+      exNet.getMessage.contains("deletion vector"))
+    // the single-step suffix after the delete is clean again
+    val cur = TxLog.currentVersion(root)
+    assert(TxLog.readAppended(spark, root, cur, cur).count() === 0L)
+  }
+
+  test("readAppended refuses a COW rewrite strictly inside a multi-version range") {
+    // the non-genesis blind spot: append@v2 then COW-delete@v3 — the
+    // rewritten file is in NEITHER endpoint manifest, so an endpoint
+    // diff would silently deliver the survivor file's rows while the
+    // delete vanished. The per-version walk refuses.
+    val root = freshRoot("feed-cow")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a")).toDF("id", "s")) // v1
+    TxLog.appendOnce(spark, root, "b1",
+      Seq((2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1)) // v2
+    TxLog.delete(spark, root, col("id") === 2L) // v3: COW rewrite of b1's file
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.readAppended(spark, root, 1L, 3L)
+    }
+    assert(ex.getMessage.contains("removed or rewrote"))
+    // each single step still answers exactly: (1,2] is the clean append
+    assert(TxLog.readAppended(spark, root, 1L, 2L).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // and (2,3] refuses on its own endpoint diff (file b1 removed)
+    intercept[IllegalArgumentException] {
+      TxLog.readAppended(spark, root, 2L, 3L)
+    }
+    // genesis replay over the same history refuses too (unchanged)
+    intercept[IllegalArgumentException] {
+      TxLog.readAppended(spark, root, 0L)
+    }
   }
 
   test("column mapping composes: rename, MoR delete via the new name, drop") {

@@ -989,4 +989,95 @@ class StreamingSpec extends SparkSpec {
       s"expected the typed retention refusal, got $cause")
     assert(cause.getMessage.contains("earliest retained version is 4"))
   }
+
+  test("startingVersion=earliest on a PRUNED log: the first batch " +
+      "synthesizes the earliest snapshot as inserts, later commits flow") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-earliest-pruned-${System.nanoTime()}"
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v1
+    TxLog.appendOnce(spark, root, "b1", Seq((3L, "c")).toDF("id", "s")) // v2
+    TxLog.delete(spark, root, col("id") === 1L) // v3 (COW rewrite)
+    TxLog.pruneHistory(root, keepLast = 1) // only v3 retained
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("startingVersion", "earliest").load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select(col("id"), col("_change_type"), col("_commit_version"))
+            .as[(Long, String, Long)].collect().foreach(buf.add)
+          ()
+      }.option("checkpointLocation",
+        s"/root/repo/target/stream-earliest-pruned-ck-${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // snapshot v3 = {2, 3}, delivered as inserts tagged with v3 itself —
+    // the pre-prune history (including the delete of id 1) is
+    // unrecoverable, so the earliest replayable truth is v3's state
+    assert(buf.toArray(Array.empty[(Long, String, Long)]).toSeq.sorted ===
+      Seq((2L, "insert", 3L), (3L, "insert", 3L)))
+    // a commit landing AFTER the synthesized batch flows normally
+    TxLog.appendOnce(spark, root, "b2", Seq((4L, "d")).toDF("id", "s")) // v4
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q2 = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("startingVersion", "earliest").load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select(col("id"), col("_change_type"), col("_commit_version"))
+            .as[(Long, String, Long)].collect().foreach(buf2.add)
+          ()
+      }.option("checkpointLocation",
+        s"/root/repo/target/stream-earliest-pruned-ck2-${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(buf2.toArray(Array.empty[(Long, String, Long)]).toSeq.sorted ===
+      Seq((2L, "insert", 3L), (3L, "insert", 3L), (4L, "insert", 4L)))
+    // the STRICT contract survives for explicit numeric anchors: an
+    // unretained startingVersion refuses with the typed retention error
+    val src = new TxLogFeedSource(spark,
+      TxLogFeedSource.Opts(root, "changes", Some(1L), None, None))
+    intercept[TxLogStreamRetentionException] {
+      src.latestOffset(null,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    // and a genesis anchor (startingVersion 0) on the pruned log gets
+    // the SAME typed refusal from the plain admission path — not an
+    // untyped reader error out of the batch internals
+    val src0 = new TxLogFeedSource(spark,
+      TxLogFeedSource.Opts(root, "changes", Some(0L), None, None))
+    val ex0 = intercept[TxLogStreamRetentionException] {
+      src0.latestOffset(null,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(ex0.earliest === Some(3L))
+  }
+
+  test("appends-mode stream: a multi-version batch straddling an " +
+      "intra-range COW rewrite refuses loudly (no silent survivor rows)") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val root = s"/root/repo/target/stream-straddle-${System.nanoTime()}"
+    TxLog.init(spark, root, Seq((1L, "a")).toDF("id", "s")) // v1
+    TxLog.appendOnce(spark, root, "b1",
+      Seq((2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1)) // v2
+    TxLog.delete(spark, root, col("id") === 2L) // v3: COW rewrite of v2's file
+    // one catch-up batch spans (1, 3] — the per-version append-only walk
+    // must refuse (an endpoint diff would deliver the survivor file's
+    // rows as "appends" while the delete vanished)
+    val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("mode", "appends")
+      .option("startingVersion", "1").load()
+      .writeStream.foreachBatch {
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ()
+      }.option("checkpointLocation",
+        s"/root/repo/target/stream-straddle-ck-${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+      q.processAllAvailable()
+    }
+    val cause = rootCause(ex)
+    assert(cause.getMessage.contains("removed or rewrote"),
+      s"expected the append-only refusal, got $cause")
+  }
 }
