@@ -86,6 +86,56 @@ object SchemaEvolution {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum((col("doc_id") + 1) * length(col("text").cast("binary"))).cast("long").as("ck"))
         .orderBy("lang_read")
+    },
+
+    // S27: TYPE WIDENING on append — the transactional-log form of
+    // evolve-on-read for WIDTH, not just presence: the table starts with
+    // an int id and a float score, a later batch brings bigint ids past
+    // the int ceiling and double scores; the commit widens the SCHEMA
+    // only (old parquet vintages stay int32/float on disk, the scan
+    // upcasts them per file — Spark 4's parquet-reader widening). The
+    // checksum certifies both vintages' payloads under the one wide
+    // schema, and the filtered leg (`id` past the int ceiling) crosses
+    // the mixed int32/int64 footer-stats domain the pruner compares in.
+    // Score values are exact in every width (small ints + .25), so the
+    // float→double certification is equality, not tolerance.
+    QueryDef("s27_type_widening",
+      """WITH g1 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |                   CAST(CAST(doc_id % 97 AS FLOAT) AS DOUBLE) AS score,
+        |                   text
+        |            FROM documents WHERE doc_id < 250),
+        |     g2 AS (SELECT doc_id + 3000000000 AS id,
+        |                   CAST(doc_id % 97 AS DOUBLE) + 0.25 AS score,
+        |                   text
+        |            FROM documents WHERE doc_id >= 250),
+        |     u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(sum(CAST(score * 4 AS BIGINT)) AS BIGINT) AS score_ck,
+        |       CAST(sum(CASE WHEN id >= 3000000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_wide
+        |FROM u""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "txlog-widen")
+      val docs = Tables.documents(s, dir)
+      TxLog.init(s, root, docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").cast("int").as("id"),
+          (col("doc_id") % 97).cast("float").as("score"), col("text"))) // v1
+      TxLog.commitAppend(s, root, docs.filter(col("doc_id") >= 250)
+        .select((col("doc_id") + 3000000000L).as("id"),
+          ((col("doc_id") % 97).cast("double") + 0.25).as("score"),
+          col("text")), expected = 1L) // v2: widens id→bigint, score→double
+      val t = TxLog.read(s, root)
+      require(t.schema("id").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        t.schema("score").dataType ==
+          org.apache.spark.sql.types.DoubleType,
+        "append did not widen the committed schema")
+      t.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum((col("id") + 1) * length(col("text").cast("binary")))
+          .cast("long").as("ck"),
+        sum((col("score") * 4).cast("long")).cast("long").as("score_ck"),
+        sum(when(col("id") >= 3000000000L, 1L).otherwise(0L))
+          .cast("long").as("n_wide"))
     }
   )
 }

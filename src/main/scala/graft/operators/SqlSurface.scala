@@ -51,7 +51,7 @@ object SqlSurface {
     *   INSERT OVERWRITE txlog.`<root>` <select>
     *   DELETE FROM txlog.`<root>` WHERE <predicate>
     *   UPDATE txlog.`<root>` SET col = <expr>[, ...] WHERE <predicate>
-    *   MERGE INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn> [AND <targetScope>]
+    *   MERGE [WITH SCHEMA EVOLUTION] INTO txlog.`<root>` USING (<select>) [alias] ON <keyColumn> [AND <targetScope>]
     *     [WHEN MATCHED [AND <cond>] THEN {UPDATE SET * | UPDATE SET c = <expr>[, ...] | DELETE}]...
     *     [WHEN NOT MATCHED [AND <cond>] THEN {INSERT * | INSERT (c[, ...]) VALUES (<expr>[, ...])}]...
     *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN {UPDATE SET c = <expr>[, ...] | DELETE}]...
@@ -95,8 +95,11 @@ object SqlSurface {
     // balanced-paren scan (a regex would bind the close paren inside a
     // WHEN clause's parenthesized condition), WHEN clauses by the
     // quote/paren-aware keyword scanner below
+    // `MERGE WITH SCHEMA EVOLUTION INTO` is the Delta SQL opt-in for
+    // additive source columns evolving the target in the same commit
     private val MergeHead =
-      "(?is)^\\s*MERGE\\s+INTO\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s*\\(".r
+      ("(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+" +
+        "txlog\\s*\\.\\s*`([^`]+)`\\s+USING\\s*\\(").r
     // ingest DDL/DML: the trailing <select> re-enters TxSql (it may
     // reference txlog tables, incl. version pins)
     private val InsertInto =
@@ -273,9 +276,10 @@ object SqlSurface {
     private object MergeStmt {
       def unapply(stmt: String): Option[(String, String, String, String,
           Option[String], Seq[TxLog.MergeClause], Seq[TxLog.MergeClause],
-          Seq[TxLog.MergeClause])] = {
+          Seq[TxLog.MergeClause], Boolean)] = {
         val m = MergeHead.findFirstMatchIn(stmt).getOrElse(return None)
-        val root = m.group(1)
+        val evolve = m.group(1) != null
+        val root = m.group(2)
         val spans = quotedSpans(stmt)
         var i = m.end
         var depth = 1
@@ -311,7 +315,7 @@ object SqlSurface {
               }
             val (mt, nm, ns) = parseWhenClauses(tail.substring(cut))
             Some((root, source, Option(alias).getOrElse("src"), key,
-              scope, mt, nm, ns))
+              scope, mt, nm, ns, evolve))
           case bad => throw new IllegalArgumentException(
             s"MERGE: expected [alias] ON <key> [WHEN ...], got: $bad")
         }
@@ -434,18 +438,28 @@ object SqlSurface {
         val v = TxLog.updateWhere(spark, root, expr(pred), assignments)
         spark.range(1).select(lit(v).as("version"))
       case MergeStmt(root, source, alias, key, scope, matched, notMatched,
-          bySource) =>
+          bySource, evolve) =>
         // the USING subquery goes back through TxSql: it may itself
         // reference txlog tables (including THIS one, pinned at an
         // earlier version — self-referential backfills)
         val src = sql(spark, source)
         val v =
           if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty &&
-            scope.isEmpty)
+            scope.isEmpty && !evolve)
             // no WHEN clauses: the keyed last-write-wins upsert shorthand
             TxLog.upsert(spark, root, src, key)
+          else if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty &&
+            scope.isEmpty)
+            // the shorthand WITH SCHEMA EVOLUTION: the same last-write-
+            // wins semantics spelled as explicit clauses so the evolved
+            // columns flow through SET * / INSERT *
+            TxLog.mergeInto(spark, root, src, key,
+              matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
+              notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)),
+              srcAlias = alias, schemaEvolution = true)
           else TxLog.mergeInto(spark, root, src, key, matched, notMatched,
-            bySource, srcAlias = alias, targetScope = scope.map(s => expr(s)))
+            bySource, srcAlias = alias, targetScope = scope.map(s => expr(s)),
+            schemaEvolution = evolve)
         spark.range(1).select(lit(v).as("version"))
       case Optimize(root, target, zorderCols, incremental) =>
         val t = Option(target).map(_.toInt).getOrElse(8)
@@ -1107,7 +1121,13 @@ object SqlSurface {
         |       SELECT doc_id + 3000000,
         |              CASE WHEN doc_id % 2 = 0 THEN NULL
         |                   ELSE 'I' || CAST(doc_id + 3000000 AS VARCHAR) END
-        |       FROM base WHERE doc_id < 25)
+        |       FROM base WHERE doc_id < 25),
+        |e6 AS (SELECT doc_id, 'E' || CAST(doc_id AS VARCHAR) AS text,
+        |              CAST(doc_id % 100 AS BIGINT) AS score
+        |       FROM base WHERE doc_id % 11 = 0),
+        |v6 AS (SELECT doc_id, text, CAST(NULL AS BIGINT) AS score FROM v5
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM e6)
+        |       UNION ALL SELECT doc_id, text, score FROM e6)
         |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT) AS ck
         |FROM base
@@ -1127,6 +1147,12 @@ object SqlSurface {
         |SELECT 5, CAST(count(*) AS BIGINT),
         |       CAST(sum((doc_id + 1) * octet_length(encode(text))) AS BIGINT)
         |FROM v5
+        |UNION ALL
+        |SELECT 6, CAST(count(*) AS BIGINT),
+        |       CAST(sum((doc_id + 1) *
+        |                (octet_length(encode(text)) + coalesce(score, 0)))
+        |            AS BIGINT)
+        |FROM v6
         |ORDER BY version""".stripMargin) { (s, dir) =>
       val root = TxLog.freshRoot(dir, "txlog-dml")
       TxLog.init(s, root, Tables.documents(s, dir).select("doc_id", "text")) // v1
@@ -1172,12 +1198,34 @@ object SqlSurface {
            |       VALUES (s.doc_id, 'I' || CAST(s.doc_id AS STRING))""".stripMargin)
       require(il.head.getLong(0) == 5L,
         "column-list INSERT MERGE did not publish version 5")
+      // v6: MERGE WITH SCHEMA EVOLUTION — the source carries a column
+      // the target lacks (`score`); the opt-in widens the schema in the
+      // same commit: matched rows take text+score from the source,
+      // not-matched insert whole, every untouched row surfaces score
+      // as NULL (evolve-on-read over the carried files)
+      val ev = TxSql.sql(s,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO txlog.`$root` USING (
+           |  SELECT doc_id, 'E' || CAST(doc_id AS STRING) AS text,
+           |         CAST(doc_id % 100 AS BIGINT) AS score
+           |  FROM txlog.`$root` VERSION AS OF 1 WHERE doc_id % 11 = 0
+           |) s ON doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(ev.head.getLong(0) == 6L,
+        "schema-evolving MERGE did not publish version 6")
       (1 to 5).map { v =>
         TxSql.sql(s,
           s"""SELECT $v AS version, CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(sum((doc_id + 1) * octet_length(text)) AS BIGINT) AS ck
              |FROM txlog.`$root` VERSION AS OF $v""".stripMargin)
-      }.reduce(_ unionByName _).orderBy("version")
+      }.reduce(_ unionByName _)
+        .unionByName(TxSql.sql(s,
+          s"""SELECT 6 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum((doc_id + 1) *
+             |                (octet_length(text) + coalesce(score, 0)))
+             |            AS BIGINT) AS ck
+             |FROM txlog.`$root` VERSION AS OF 6""".stripMargin))
+        .orderBy("version")
     }
   )
 }

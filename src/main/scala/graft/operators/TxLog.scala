@@ -1521,6 +1521,27 @@ object TxLog {
     org.apache.spark.sql.types.StructType(
       df.schema.filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))).json
 
+  /** Safe metadata-only type WIDENINGS (the Delta type-widening set,
+    * restricted to pairs the Spark 4 parquet readers natively upcast at
+    * scan time — pinned by SchemaEvolutionSpec): the integral chain
+    * byte→short→int→long, and float→double. A table whose committed
+    * column widens keeps every old parquet vintage narrow on disk; the
+    * scan schema is the wide type and the readers upcast per file, so
+    * the evolution costs one manifest line, never a rewrite.
+    * `private[graft]`: the stream source's schema admission reuses the
+    * relation to keep pre-widening vintages readable under a
+    * post-widening pin. */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 0; case ShortType => 1; case IntegerType => 2
+      case LongType => 3; case _ => -1
+    }
+    (from == FloatType && to == DoubleType) ||
+      (rank(from) >= 0 && rank(to) >= 0 && rank(from) < rank(to))
+  }
+
   /** Additive-evolution gate for commits that MIX old files with new ones
     * (append, partition-scoped merge): every committed LOGICAL field must
     * keep its name and type — columns may be ADDED, never dropped or
@@ -1528,9 +1549,12 @@ object TxLog {
     * are not batch operations but explicit metadata-only commits
     * ([[renameColumn]]/[[dropColumn]], the column-mapping layer).
     * Overwrite-commits replace every file, so they may change schema
-    * freely. */
+    * freely. `allowWidening` (the plain-append path) additionally admits
+    * a batch field in the same compare domain at a different safe width
+    * ([[widens]] either way): a WIDER batch widens the committed type, a
+    * NARROWER one upcasts at stage time — both resolved by the caller. */
   private def requireAdditive(prevJson: Option[String], nextJson: String,
-      op: String): Unit =
+      op: String, allowWidening: Boolean = false): Unit =
     prevJson.foreach { pj =>
       import org.apache.spark.sql.types.{DataType, StructType}
       val prev = DataType.fromJson(pj).asInstanceOf[StructType]
@@ -1539,7 +1563,9 @@ object TxLog {
         // case-insensitive name match — Spark resolves columns
         // case-insensitively by default, so a batch it would read and
         // union fine must not be rejected on letter case
-        require(next.find(_.name.equalsIgnoreCase(f.name)).exists(_.dataType == f.dataType),
+        require(next.find(_.name.equalsIgnoreCase(f.name)).exists(nf =>
+          nf.dataType == f.dataType || (allowWidening &&
+            (widens(f.dataType, nf.dataType) || widens(nf.dataType, f.dataType)))),
           s"$op: schema not additive — committed field ${f.name}: " +
             s"${f.dataType.simpleString} is missing or retyped in the incoming batch")
       }
@@ -1860,9 +1886,11 @@ object TxLog {
     // — partition columns in the files iff the committed schema carries
     // them — so old and new files stay schema-uniform
     val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
-    requireAdditive(Some(logicalSchema(physPrev, snap.mapping).json),
+    val prevLogical = logicalSchema(physPrev, snap.mapping)
+    requireAdditive(Some(prevLogical.json),
       fileSchemaJson(df,
-        if (inFiles) Seq.empty else snap.partCols.map(_._1)), "commitAppend")
+        if (inFiles) Seq.empty else snap.partCols.map(_._1)), "commitAppend",
+      allowWidening = true)
     // appended files mix with the snapshot's — each batch partition
     // column must carry the committed type (same stability rule as
     // upsertPartitioned; a retyped partition column would stage hive
@@ -1877,8 +1905,40 @@ object TxLog {
     // append gate): a violating batch stages nothing and publishes
     // nothing — streaming sinks surface the error and retry the batch
     enforceConstraints(spark, df, snap.notes, "commitAppend")
+    // TYPE WIDENING, both directions (requireAdditive admitted them):
+    // a batch column NARROWER than the committed field upcasts at stage
+    // time — staged files never regress below the committed width; a
+    // batch column WIDER than the committed field widens the COMMITTED
+    // schema instead (metadata-only: old vintages stay narrow on disk
+    // and the scan upcasts them per file — how a corpus id outgrows int
+    // without a table rewrite)
+    val prevByName = prevLogical.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    val dfWide = df.schema.fields.foldLeft(df) { (d, bf) =>
+      prevByName.get(bf.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(pf) if widens(bf.dataType, pf.dataType) =>
+          d.withColumn(bf.name, col(bf.name).cast(pf.dataType))
+        case _ => d
+      }
+    }
+    val widenedCommit: Map[String, org.apache.spark.sql.types.DataType] =
+      df.schema.fields.toSeq.flatMap { bf =>
+        prevByName.get(bf.name.toLowerCase(java.util.Locale.ROOT)).collect {
+          case pf if widens(pf.dataType, bf.dataType) =>
+            pf.name.toLowerCase(java.util.Locale.ROOT) -> bf.dataType
+        }
+      }.toMap
     // the batch arrives LOGICAL; files store PHYSICAL names
-    val (physDf, nextPhys, nextMapping) = toPhysical(df, snap, physPrev)
+    val (physDf, nextPhys0, nextMapping) = toPhysical(dfWide, snap, physPrev)
+    val nextPhys =
+      if (widenedCommit.isEmpty) nextPhys0
+      else org.apache.spark.sql.types.StructType(nextPhys0.fields.map { f =>
+        widenedCommit.get(snap.mapping.getOrElse(f.name, f.name)
+            .toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(w) => f.copy(dataType = w)
+          case None => f
+        }
+      })
     val entries =
       if (snap.partCols.nonEmpty)
         stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
@@ -2039,13 +2099,26 @@ object TxLog {
     * partial merge that loses the publish CAS to a logically DISJOINT
     * commit (an append outside the key range, a metadata commit) rebases
     * and republishes via [[publishRmw]] without re-running the merge
-    * job; only a genuine overlap recomputes. */
+    * job; only a genuine overlap recomputes.
+    *
+    * `schemaEvolution` (opt-in; the Delta `autoMerge` shape): a source
+    * carrying ADDITIVE new columns widens the target schema IN THE SAME
+    * COMMIT — the new columns append at the end (the [[toPhysical]]
+    * additive discipline: fresh physical names minted under column
+    * mapping, never resurrecting retired ones), rows from carried files
+    * surface them as NULL (the evolve-on-read semantics every additive
+    * append already has), and `UPDATE SET *` / `INSERT *` write them
+    * from the source. Committed columns keep the batch gate: a source
+    * missing or retyping a target column refuses exactly as before,
+    * with or without the opt-in. Without it the committed schema stays
+    * authoritative and extra source columns are simply out of scope. */
   def mergeInto(spark: SparkSession, root: String, source0: DataFrame,
       key: String, matched: Seq[MergeClause] = Seq.empty,
       notMatched: Seq[MergeClause] = Seq.empty,
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
       srcAlias: String = "src", note: String = "",
-      targetScope: Option[Column] = None): Long = {
+      targetScope: Option[Column] = None,
+      schemaEvolution: Boolean = false): Long = {
     require(source0.columns.exists(_.equalsIgnoreCase(key)),
       s"mergeInto: source lacks key column $key")
     matched.foreach(c => require(c.action match {
@@ -2110,17 +2183,33 @@ object TxLog {
       // row-level scope split within the candidate files: out-of-scope
       // rows (predicate FALSE or NULL — SQL condition-not-true) pass
       // through untouched; the merge sees only the in-scope rows
-      val target = targetScope.map(sc =>
+      val target0 = targetScope.map(sc =>
         targetAll.filter(coalesce(sc, lit(false)))).getOrElse(targetAll)
-      val passThrough = targetScope.map(sc =>
+      val passThrough0 = targetScope.map(sc =>
         targetAll.filter(!coalesce(sc, lit(false))))
-      val cols = targetAll.columns.toSeq
-      require(!cols.exists(_.equalsIgnoreCase(srcAlias)),
+      val cols0 = targetAll.columns.toSeq
+      require(!cols0.exists(_.equalsIgnoreCase(srcAlias)),
         s"mergeInto: target column $srcAlias collides with the source " +
           "alias — pass a different srcAlias")
+      // OPT-IN SCHEMA EVOLUTION: additive source columns widen the
+      // in-flight target frame (NULL under the old vintage — exactly
+      // what carried files will surface at read time) so every branch
+      // below resolves against the EVOLVED schema; committed columns
+      // keep their types (per-field casts below refuse incompatibles
+      // the same way the append gate does)
+      val extras: Seq[org.apache.spark.sql.types.StructField] =
+        if (!schemaEvolution) Seq.empty
+        else source.schema.fields.toSeq
+          .filterNot(f => cols0.exists(_.equalsIgnoreCase(f.name)))
+          .map(_.copy(nullable = true))
+      def widen(df: DataFrame): DataFrame = extras.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val target = widen(target0)
+      val passThrough = passThrough0.map(widen)
+      val cols = cols0 ++ extras.map(_.name)
       val needsAll = (matched.map(_.action) ++ notMatched.map(_.action))
         .exists { case MergeUpdate(Seq()) | MergeInsert => true; case _ => false }
-      if (needsAll) cols.foreach(c =>
+      if (needsAll) cols0.foreach(c =>
         require(source.columns.exists(_.equalsIgnoreCase(c)),
           s"mergeInto: SET * / INSERT * needs source column $c"))
       notMatched.map(_.action).foreach {
@@ -2231,12 +2320,16 @@ object TxLog {
           ns => if (note.isEmpty) ns else ns + note,
           v => cdcKvFor(root, snap.notes, v, changes)))
       else {
-        // partial publish under the UNCHANGED schema + mapping (the
+        // partial publish under the carried schema + mapping (the
         // deleteCow/updateWhere mixed-commit shape): candidates rewrite
-        // merged, every pruned file carries by reference
+        // merged, every pruned file carries by reference. With schema
+        // evolution in play toPhysical appends the new columns to the
+        // committed physical schema (fresh physical names under
+        // mapping) — the exact additive-append commit shape, so carried
+        // old-vintage files surface them as NULL
         enforceConstraints(spark, out, snap.notes, "mergeInto")
         val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
-        val (physDf, _, _) = toPhysical(out, snap, physPrev)
+        val (physDf, physNext, mapNext) = toPhysical(out, snap, physPrev)
         val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
         val staged =
           if (snap.partCols.nonEmpty)
@@ -2257,7 +2350,7 @@ object TxLog {
             case Some(d) => Map("cdc_files" -> s"$v:$d")
             case None => Map("cdc_full" -> v.toString)
           },
-          schemaJson = Some(physPrev.json)))
+          schemaJson = Some(physNext.json), mapping = Some(mapNext)))
       }
     }.get
   }
@@ -3779,7 +3872,12 @@ object TxLog {
       // in-file and would surface NULL under the upgraded schema).
       // Otherwise any interloper conflicts and the rewrite recomputes —
       // exactly the pre-r14 behavior.
-      enforceConstraints(spark, ordered, snap.notes, "cluster")
+      // row-preserving maintenance NEVER re-validates constraints: every
+      // row was certified when it entered (the append/merge/update/DML
+      // gates) or when the constraint landed ([[addConstraint]] validates
+      // the whole table before committing) — one discipline shared with
+      // [[compact]] and [[clusterIncremental]], and it keeps OPTIMIZE
+      // free of an O(table) validation aggregate it doesn't need
       partNames.foreach(pc => requireStablePartType(ordered, pc, "cluster"))
       // the output dirs carry the clustering signature in their names
       // (`c-z<sig>-`): [[clusterIncremental]] recognizes already-sorted
@@ -3873,8 +3971,10 @@ object TxLog {
     * versions, no snapshot diffs, no retention interaction, and
     * race-proof: a file appended DURING a cluster publish simply stays
     * unsorted and is folded by the next run. Each run reads exactly that
-    * tail (deletion vectors applied — folding a DV'd unsorted file also
-    * purges its sidecar) and writes ONE new sorted generation, an
+    * tail — PLUS any sorted-generation file that acquired a deletion
+    * vector since it was laid out (a MoR delete on a c-z file): folding
+    * it applies and purges the sidecar, so DV'd dead rows never persist
+    * across maintenance runs — and writes ONE new sorted generation, an
     * LSM-flavored layout: several sorted runs, each with tight per-file
     * footer intervals on every clustered column, so the [[Stats]]-fed
     * skipping prunes within every generation; quality-only, correctness
@@ -3884,20 +3984,41 @@ object TxLog {
     * renames; the change feed skips it outright (`cdc_noop`); a CAS loss
     * to ANY commit that leaves the tail untouched rebases. A table never
     * fully clustered folds ALL its files (bootstrap is the same
-    * operation); a table with no unsorted tail returns its current
+    * operation); a table with no foldable victims returns its current
     * version without committing — repeated maintenance costs a manifest
-    * read. Periodic full [[cluster]] runs remain the "major compaction"
-    * that collapses accumulated generations into one. */
+    * read. `maxGenerations` bounds the LSM shape: when a fold would
+    * leave more than that many sorted generations, the run PROMOTES
+    * itself to a full [[cluster]] of the same columns — the major
+    * compaction, automated, so per-predicate skipping quality cannot
+    * degrade unboundedly under months of nightly folds (the promotion
+    * check reads the snapshot it is about to fold; a commit racing the
+    * decision at worst defers the promotion one run). Like [[cluster]]
+    * and [[compact]], a fold never re-validates CHECK constraints: rows
+    * are certified at ingest and at [[addConstraint]] time. */
   def clusterIncremental(spark: SparkSession, root: String, cols: Seq[String],
-      targetFiles: Int = 8): Long =
+      targetFiles: Int = 8, maxGenerations: Int = 4): Long = {
+    require(maxGenerations >= 1,
+      s"clusterIncremental: maxGenerations must be >= 1, got $maxGenerations")
+    val zPrefix = s"data/${zDirPrefix(cols)}"
+    def victimsOf(snap: Snapshot): Seq[FileEntry] = snap.entries.filter(e =>
+      !e.path.startsWith(zPrefix) || e.dv.isDefined)
+    // generation = one staging directory of sorted output (full and
+    // incremental runs each write exactly one); count the ones a fold
+    // would CARRY — if the fold's own output would push past the bound,
+    // run the major compaction instead
+    def keptGenerations(snap: Snapshot): Int = snap.entries.iterator
+      .filter(e => e.path.startsWith(zPrefix) && e.dv.isEmpty)
+      .map(_.path.split('/')(1)).toSet.size
+    val promote = snapshot(root).exists(s =>
+      victimsOf(s).nonEmpty && keptGenerations(s) >= maxGenerations)
+    if (promote) return cluster(spark, root, cols, targetFiles)
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"clusterIncremental on uninitialized txlog $root"))
       val partNames = snap.partCols.map(_._1)
       validateClusterCols(read(spark, root, snap.version), partNames, cols)
       val target = targetFiles.max(1)
-      val zPrefix = s"data/${zDirPrefix(cols)}"
-      val victims = snap.entries.filterNot(_.path.startsWith(zPrefix))
+      val victims = victimsOf(snap)
       if (victims.isEmpty) Some(snap.version)
       else {
         // the tail reads PHYSICAL (mapping carries, exactly compact's
@@ -3932,6 +4053,7 @@ object TxLog {
           interloperHot = Some(_ => false)))
       }
     }.get
+  }
 
   private val ZBits = 8 // 256 rank buckets per clustered dimension
 

@@ -236,8 +236,15 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
           Some("column rename (mapping change) relative to the pinned schema")
         else {
           val byName = lv.fields.map(f => f.name.toLowerCase -> f).toMap
+          // a vintage field NARROWER than the pin in a safe widening
+          // domain (int under a bigint pin: the vintage predates a type
+          // widening) is representable — the batch projection upcasts.
+          // A vintage WIDER than the pin is not (rows would truncate):
+          // typed refusal, restart re-pins the wide schema.
           val retyped = lp.fields.find(f =>
-            byName.get(f.name.toLowerCase).exists(_.dataType != f.dataType))
+            byName.get(f.name.toLowerCase).exists(vf =>
+              vf.dataType != f.dataType &&
+                !graft.operators.TxLog.widens(vf.dataType, f.dataType)))
           val dropped =
             if (v <= pin.version) None // old vintage: missing = pre-add, NULL
             else lp.fields.find(f => !byName.contains(f.name.toLowerCase))
@@ -485,7 +492,9 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
     // RDD, nothing materializes here.
     val have = batch.columns.map(_.toLowerCase).toSet
     val aligned = batch.select(schema.fields.map(f =>
-      if (have(f.name.toLowerCase)) col(f.name)
+      // the cast is a no-op on same-typed columns and the admitted
+      // upcast on pre-widening vintages (int rows under a bigint pin)
+      if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     org.apache.spark.sql.graftbridge.Bridge.asStreaming(aligned)
   }

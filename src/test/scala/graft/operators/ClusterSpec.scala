@@ -272,4 +272,73 @@ class ClusterSpec extends SparkSpec {
     assert(TxLog.readWhere(spark, root, "tag < 't005'").count() ===
       df.filter(col("tag") < "t005").count())
   }
+
+  /** Distinct sorted-generation directories in the current manifest. */
+  private def generations(root: String): Int =
+    TxLog.snapshot(root).get.entries.iterator
+      .filter(_.path.startsWith("data/c-z"))
+      .map(_.path.split('/')(1)).toSet.size
+
+  test("clusterIncremental folds a sorted-generation file that acquired " +
+      "a deletion vector (DV purged, dead rows reclaimed, no full rewrite)") {
+    val root = freshRoot("inc-dv")
+    TxLog.init(spark, root, fixture)
+    TxLog.cluster(spark, root, Seq("doc_id", "m"), targetFiles = 6)
+    // a MoR delete lands ON a sorted file: the layout is untouched but
+    // the entry now carries a sidecar — path-prefix victim selection
+    // alone would never fold it (no unsorted tail → no-op forever)
+    TxLog.deleteMoR(spark, root, col("doc_id") % 11 === 0)
+    val pre = TxLog.snapshot(root).get
+    val dvd = pre.entries.filter(_.dv.isDefined)
+    assert(dvd.nonEmpty && dvd.forall(_.path.startsWith("data/c-z")),
+      "fixture must put the DV on sorted-generation files")
+    val untouched = pre.entries.filter(_.dv.isEmpty)
+      .map(e => (e.path, e.size)).toSet
+    val before = checksum(TxLog.read(spark, root))
+    val v = TxLog.clusterIncremental(spark, root, Seq("doc_id", "m"),
+      targetFiles = 4)
+    assert(v === pre.version + 1, "the DV'd sorted files must be victims")
+    val after = TxLog.snapshot(root).get
+    // DV-less sorted files carry by reference; the DV'd ones restage
+    // with the sidecar applied and purged
+    assert(untouched.subsetOf(after.entries.map(e => (e.path, e.size)).toSet))
+    assert(after.entries.forall(_.dv.isEmpty), "the fold must purge DVs")
+    assert(checksum(TxLog.read(spark, root)) === before)
+    // nothing left to fold: metadata-only no-op
+    assert(TxLog.clusterIncremental(spark, root, Seq("doc_id", "m")) === v)
+  }
+
+  test("maxGenerations bounds the LSM shape: the fold that would exceed " +
+      "it promotes to a full cluster (major compaction), exactly at the bound") {
+    val root = freshRoot("inc-gen")
+    def batch(a: Long, b: Long) = spark.range(a, b).toDF("doc_id")
+      .select(col("doc_id"), (col("doc_id") % 97).as("m"),
+        md5(col("doc_id").cast("string").cast("binary")).as("text"))
+    TxLog.init(spark, root, batch(0, 2000))
+    // bootstrap fold → generation 1; two more appends+folds → 2, 3
+    (1 to 3).foreach { i =>
+      if (i > 1) TxLog.appendOnce(spark, root, s"t$i",
+        batch(2000L * (i - 1), 2000L * i))
+      TxLog.clusterIncremental(spark, root, Seq("doc_id", "m"),
+        targetFiles = 8, maxGenerations = 3)
+      assert(generations(root) === i,
+        s"run $i must land as its own generation")
+    }
+    val preEntries = TxLog.snapshot(root).get.entries
+      .map(e => (e.path, e.size)).toSet
+    // run 4 would leave 4 generations > bound 3: it must promote to a
+    // FULL cluster — one generation, every file restaged
+    TxLog.appendOnce(spark, root, "t4", batch(6000, 8000))
+    TxLog.clusterIncremental(spark, root, Seq("doc_id", "m"),
+      targetFiles = 8, maxGenerations = 3)
+    assert(generations(root) === 1,
+      "the bounded fold must collapse to one generation")
+    val after = TxLog.snapshot(root).get
+    assert(!after.entries.exists(e => preEntries((e.path, e.size))),
+      "the major compaction restages everything")
+    assert(checksum(TxLog.read(spark, root)) === checksum(batch(0, 8000)))
+    // skipping quality holds after the compaction: both dimensions prune
+    val (k, t) = TxLog.pruneEntries(spark, after, "m < 10")
+    assert(k.size < t, s"m band kept ${k.size}/$t after the compaction")
+  }
 }

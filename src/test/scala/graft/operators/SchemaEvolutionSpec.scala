@@ -22,4 +22,46 @@ class SchemaEvolutionSpec extends SparkSpec {
     // no generation lost any rows
     assert(df.count() === Tables.documents(spark, sf).count())
   }
+
+  test("type widening on append: a wider batch widens the committed " +
+      "schema (old vintages upcast at scan), a narrower batch upcasts " +
+      "at stage time, unsafe retypes still refuse") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, DoubleType, FloatType}
+    val root = s"/root/repo/target/widen-${System.nanoTime()}"
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score")) // v1
+    assert(TxLog.read(spark, root).schema("id").dataType === IntegerType)
+    assert(TxLog.read(spark, root).schema("score").dataType === FloatType)
+    // WIDER batch: the committed schema widens (metadata-only — v1's
+    // int32/float files stay on disk and upcast per file at scan)
+    TxLog.commitAppend(spark, root,
+      Seq((3000000000L, 3.5)).toDF("id", "score"), expected = 1L) // v2
+    val t = TxLog.read(spark, root)
+    assert(t.schema("id").dataType === LongType)
+    assert(t.schema("score").dataType === DoubleType)
+    assert(t.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3000000000L, 3.5)))
+    // NARROWER batch into the now-wide column: upcasts at stage time —
+    // staged files never regress below the committed width
+    TxLog.commitAppend(spark, root,
+      Seq((7, 7.25f)).toDF("id", "score"), expected = 2L) // v3
+    val t2 = TxLog.read(spark, root)
+    assert(t2.schema("id").dataType === LongType)
+    assert(t2.filter(col("id") === 7L).head.getDouble(1) === 7.25)
+    assert(t2.count() === 4L)
+    // time travel: v1 keeps its own narrow committed schema
+    assert(TxLog.read(spark, root, 1L).schema("id").dataType === IntegerType)
+    // an unsafe retype (string into a numeric column) refuses unchanged
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, root,
+        Seq(("x", 1.0)).toDF("id", "score"), expected = 3L)
+    }
+    // the change feed reads exactly across the widening boundary (the
+    // union coerces pre-widening versions up)
+    val ch = TxLog.readChanges(spark, root, 1L, 3L)
+    assert(ch.schema("id").dataType === LongType)
+    assert(ch.filter(col("_change_type") === "insert").count() === 2L)
+  }
+
 }

@@ -342,4 +342,38 @@ class StatsSpec extends SparkSpec {
     val (kept, total) = TxLog.pruneEntries(spark, snap, s"doc_id >= ${hi - 5}")
     assert(kept.size < total)
   }
+
+  test("stats pruning across type-widened vintages: int32 and int64 " +
+      "footers compare in one integral domain, floats and doubles in " +
+      "one fractional domain") {
+    import spark.implicits._
+    val root = freshRoot("widen")
+    // v1: int ids 0..999, float scores — footer bounds recorded from
+    // int32/float pages
+    TxLog.init(spark, root,
+      (0 until 1000).map(i => (i, i.toFloat / 2)).toDF("id", "score")
+        .repartition(4))
+    // v2: bigint ids past the int ceiling — the commit widens the schema
+    TxLog.commitAppend(spark, root,
+      (0L until 100L).map(i => (i + 3000000000L, i.toDouble))
+        .toDF("id", "score"), expected = 1L)
+    val snap = TxLog.snapshot(root).get
+    // a predicate past the int ceiling keeps ONLY the wide vintage's
+    // files: the int32 footers' bounds must decode and compare in the
+    // same integral domain as the int64 literal (a width-blind compare
+    // would keep or drop wrongly)
+    val (kWide, total) = TxLog.pruneEntries(spark, snap, "id >= 3000000000")
+    assert(kWide.nonEmpty && kWide.size < total,
+      s"wide predicate kept ${kWide.size}/$total")
+    assert(TxLog.readWhere(spark, root, "id >= 3000000000").count() === 100L)
+    // and a predicate inside the narrow range drops the wide files
+    val (kNarrow, _) = TxLog.pruneEntries(spark, snap, "id < 500")
+    assert(kNarrow.size < total, s"narrow predicate kept ${kNarrow.size}/$total")
+    assert(TxLog.readWhere(spark, root, "id < 500").count() === 500L)
+    // fractional domain: float footers vs a double literal
+    val (kScore, _) = TxLog.pruneEntries(spark, snap, "score >= 499.9")
+    assert(kScore.size < total, s"score predicate kept ${kScore.size}/$total")
+    assert(TxLog.readWhere(spark, root, "score >= 499.9").count() ===
+      TxLog.read(spark, root).filter(col("score") >= 499.9).count())
+  }
 }

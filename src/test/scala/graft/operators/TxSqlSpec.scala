@@ -292,6 +292,66 @@ class TxSqlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: additive source columns evolve the " +
+      "target in the same commit; without the opt-in the committed " +
+      "schema stays authoritative; constraints gate the evolved images") {
+    val root = freshRoot("emerge")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    // WITHOUT the opt-in: the extra source column is out of scope — the
+    // merge lands under the committed schema, nothing widens
+    TxSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` USING (
+         |  SELECT * FROM VALUES (1, 'A', 10) AS t(id, s, score)
+         |) src ON id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("id", "s"))
+    // OPTED IN: the new column widens the schema in the same commit —
+    // matched rows take it from the source, untouched rows surface NULL
+    // (the evolve-on-read semantics of every additive commit)
+    val res = TxSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO txlog.`$root` USING (
+         |  SELECT * FROM VALUES (2, 'B', CAST(20 AS BIGINT)),
+         |                       (9, 'n', CAST(90 AS BIGINT)) AS t(id, s, score)
+         |) src ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(res.head.getLong(0) === 3L)
+    assert(TxLog.read(spark, root).columns.toSeq === Seq("id", "s", "score"))
+    val rows = TxLog.read(spark, root).orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "A", -1L), (2L, "B", 20L), (3L, "c", -1L),
+      (9L, "n", 90L)))
+    // time travel: the pre-evolution version keeps its own schema
+    assert(TxLog.read(spark, root, 2L).columns.toSeq === Seq("id", "s"))
+    // CHECK constraints still gate evolved post-images
+    TxLog.addConstraint(spark, root, "score_cap",
+      "score IS NULL OR score < 100") // v4
+    intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, root,
+        Seq((9L, "z", 500L)).toDF("id", "s", "score"), "id",
+        matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
+        schemaEvolution = true)
+    }
+    // evolution composes with column mapping: rename, then evolve again —
+    // the new column gets a fresh physical name, logical reads are exact
+    TxLog.renameColumn(spark, root, "s", "txt") // v5
+    TxLog.mergeInto(spark, root,
+      Seq((3L, "C", 33L, "x3")).toDF("id", "txt", "score", "tag"), "id",
+      matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
+      notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)),
+      schemaEvolution = true) // v6
+    assert(TxLog.read(spark, root).columns.toSeq ===
+      Seq("id", "txt", "score", "tag"))
+    val rows2 = TxLog.read(spark, root).orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        Option(r.getString(3)).getOrElse("-"))).toSeq
+    assert(rows2 === Seq((1L, "A", -1L, "-"), (2L, "B", 20L, "-"),
+      (3L, "C", 33L, "x3"), (9L, "n", 90L, "-")))
+  }
+
   test("conditional MERGE on a PARTITIONED table: partial path restages " +
       "hive partitions, partition columns survive") {
     val root = freshRoot("cmpart")

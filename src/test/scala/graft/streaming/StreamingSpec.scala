@@ -1080,4 +1080,54 @@ class StreamingSpec extends SparkSpec {
     assert(cause.getMessage.contains("removed or rewrote"),
       s"expected the append-only refusal, got $cause")
   }
+
+  test("type widening vs the stream pin: pre-widening vintages upcast " +
+      "under a post-widening pin; a widening AFTER the pin raises the " +
+      "typed restart error") {
+    import graft.operators.TxLog
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val root = s"/root/repo/target/widen-stream-${System.nanoTime()}"
+    TxLog.init(spark, root, Seq((1, "a")).toDF("id", "s")) // v1: int id
+    TxLog.commitAppend(spark, root,
+      Seq((3000000000L, "b")).toDF("id", "s"), expected = 1L) // v2: widens
+    // pin is v2's wide schema; the replay range includes narrow v1 —
+    // admission upcasts instead of refusing the old vintage
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+      .option("root", root).option("startingVersion", "0").load()
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          assert(b.schema("id").dataType === LongType)
+          b.select(col("id")).as[Long].collect()
+            .foreach(v => buf.add(java.lang.Long.valueOf(v)))
+          ()
+      }.option("checkpointLocation",
+        s"/root/repo/target/widen-stream-ck-${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(buf.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      .sorted.toSeq === Seq(1L, 3000000000L))
+    // the inverse cannot be represented (wide rows under a narrow pin
+    // would truncate): the typed restart contract, unchanged
+    val root2 = s"/root/repo/target/widen-stream2-${System.nanoTime()}"
+    TxLog.init(spark, root2, Seq((1, "a")).toDF("id", "s"))
+    val src2 = new TxLogFeedSource(spark,
+      TxLogFeedSource.Opts(root2, "changes", Some(0L), None, None))
+    TxLog.commitAppend(spark, root2,
+      Seq((3000000000L, "b")).toDF("id", "s"), expected = 1L)
+    // first trigger: the batch ends at the last admissible version (v1)
+    val allAvail =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    val end1 = src2.latestOffset(null, allAvail)
+    assert(end1.json.trim.toLong === 1L,
+      "the batch must end before the widening commit")
+    // next trigger: v2 itself refuses — the typed restart contract
+    val ex = intercept[TxLogStreamSchemaChangedException] {
+      src2.latestOffset(
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L),
+        allAvail)
+    }
+    assert(ex.getMessage.contains("retyped"))
+  }
 }
