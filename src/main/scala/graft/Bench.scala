@@ -43,6 +43,23 @@ object Bench {
     val defs = (SparkEntry.allDefs ++ SparkEntry.benchOnlyDefs)
       .filter(d => only.forall(_.contains(d.name)))
 
+    // HOST-HEALTH CANARY: a fixed, data-free, codegen'd workload whose
+    // wall time depends only on the host's available CPU — measured at
+    // suite start and end so a contended host SELF-REPORTS in the JSON
+    // line instead of costing a manual drift adjudication. Reading rule
+    // (documented in DIAG): canary_sec > ~1.5x its committed value in a
+    // clean-run artifact → treat every exceedance/drifter in this line
+    // as suspect and re-run on a quiet host before adjudicating.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4000000000L, 1L, cpus.toInt)
+        .selectExpr("sum((id * 31) % 1000003) AS s") // ANSI-safe: no overflow
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // JIT warm; discarded
+    val canaryStart = (1 to 3).map(_ => canaryOnce()).min
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       defs.foreach { d =>
@@ -158,8 +175,9 @@ object Bench {
       .map { case (k, v, a) =>
         s"""{"q":"$k","sec":${fmt(v)},"anchor":${fmt(a)},"ratio":${fmt(v / a)}}""" }
       .mkString("[", ",", "]")
+    val canaryEnd = (1 to 3).map(_ => canaryOnce()).min
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"budget_exceeded":$exceeded,"baseline_queries":${baseline.size},"anchor_ratio":${fmt(anchorRatio)},"anchor_queries":${shared.size},"anchor_drifters":$drifters,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},"queries":$qs,"failed":$failed,"budget_exceeded":$exceeded,"baseline_queries":${baseline.size},"anchor_ratio":${fmt(anchorRatio)},"anchor_queries":${shared.size},"anchor_drifters":$drifters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -156,6 +156,13 @@ object StreamBench {
       s"$base/sig-idx", s"$base/pairs", s"$base/ingest-chk")
     ingestQ.awaitTermination(600000)
     println(report("sig_ingest", ingestQ, (System.nanoTime() - t1) / 1e9))
+    // per-phase p50s (SigIndex.ingestBatch telemetry): which phase of
+    // the probe-then-append loop moved, measured — the d15/sig_ingest
+    // drift adjudication line. Phases overlap by design, so their sum
+    // may exceed the batch wall.
+    println(operators.SigIndex.phaseP50s().toSeq.sortBy(_._1)
+      .map { case (k, (p50, n)) => s""""$k":{"p50_sec":${fmt(p50)},"n":$n}""" }
+      .mkString("""{"stream":"sig_ingest_phases",""", ",", "}"))
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     spark.stop()

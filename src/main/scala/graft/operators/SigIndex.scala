@@ -424,13 +424,44 @@ object SigIndex {
     *      leaves NO committed version — the replay simply bootstraps
     *      again (same publish, same content).
     */
+  /** Per-phase wall-time telemetry for [[ingestBatch]] — the sig_ingest
+    * drift adjudication wants a MEASUREMENT of which phase got slow, not
+    * another inference. Phases OVERLAP by design (the disjointness
+    * count, the stage and the probe run concurrently), so phase sums
+    * legitimately exceed the batch wall: each series answers "which
+    * phase moved", never "where did the wall go". Negligible overhead
+    * (a nanoTime pair and a queue add per phase per batch); StreamBench
+    * drains it after the ingest run via [[phaseP50s]]. */
+  private val phaseTimes =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]]()
+
+  private def timedPhase[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f
+    finally phaseTimes.computeIfAbsent(name, _ =>
+        new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]())
+      .add(java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9))
+  }
+
+  /** Drain the phase telemetry: name → (p50 seconds, samples). */
+  def phaseP50s(): Map[String, (Double, Int)] = {
+    import scala.jdk.CollectionConverters._
+    val out = phaseTimes.asScala.toMap.map { case (k, q) =>
+      val xs = q.asScala.map(_.doubleValue).toSeq.sorted
+      k -> (if (xs.isEmpty) 0.0 else xs(xs.size / 2), xs.size)
+    }
+    phaseTimes.clear()
+    out
+  }
+
   private[operators] def ingestBatch(s: SparkSession, idx: String,
       pairsSink: String, batch: DataFrame, batchId: Long): Unit = {
     val root = tableRoot(idx)
     if (TxLog.highWaterOf(root, "batch").exists(_ >= batchId)) return // replayed: done
     val b = batch.select("doc_id", "text").cache()
     try {
-      val snapOpt = TxLog.snapshot(root)
+      val snapOpt = timedPhase("snapshot_pin")(TxLog.snapshot(root))
       if (snapOpt.isEmpty) {
         // pairs partition FIRST (the replay invariant: a committed
         // high-water implies its pairs are on disk — so nothing may
@@ -467,10 +498,12 @@ object SigIndex {
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
           val cntsF = Future {
-            bandsAt(s, idx, snap.version)
-              .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
-              .agg(count_distinct(col("doc_id")).as("ovl"))
-              .crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
+            timedPhase("disjointness") {
+              bandsAt(s, idx, snap.version)
+                .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
+                .agg(count_distinct(col("doc_id")).as("ovl"))
+                .crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
+            }
           }
           // the ACTION-3 batch rows STAGE concurrently too — staged files
           // are invisible until a manifest references them (an abandoned
@@ -478,12 +511,16 @@ object SigIndex {
           // PUBLISH has to wait for the pairs write and the overlap gate
           val rows = indexRows(sh, nb, parts = 8)
           val stagedF = Future {
-            TxLog.stageAppend(s, tableRoot(idx), rows, snap)
+            timedPhase("stage") {
+              TxLog.stageAppend(s, tableRoot(idx), rows, snap)
+            }
           }
-          val (pairs, cand) = probePinned(s, idx, snap.version, sh, Some(nb))
-          try pairs.write.mode("overwrite")
-            .parquet(s"$pairsSink/batch_id=$batchId")
-          finally cand.unpersist()
+          timedPhase("probe_pairs") {
+            val (pairs, cand) = probePinned(s, idx, snap.version, sh, Some(nb))
+            try pairs.write.mode("overwrite")
+              .parquet(s"$pairsSink/batch_id=$batchId")
+            finally cand.unpersist()
+          }
           val cnts = Await.result(cntsF, Duration.Inf)
           if (cnts.getAs[Long]("ovl") != 0L) {
             val dir = new org.apache.hadoop.fs.Path(s"$pairsSink/batch_id=$batchId")
@@ -501,12 +538,15 @@ object SigIndex {
           // make this commit publish a count computed from a version it
           // didn't read — the stale-kv hazard commitAppendKv documents.
           val batchN = cnts.getAs[Long]("n")
-          TxLog.appendOnceMonotoneKv(s, root, "batch", batchId, rows,
-            kvFn = fresh => Map("n" -> (TxLog.kvOf(fresh.getOrElse(
-              throw new IllegalStateException(
-                s"ingestBatch($idx): index vanished mid-commit")).notes)("n")
-              .toLong + batchN).toString),
-            preStaged = Some(Await.result(stagedF, Duration.Inf)))
+          val staged = Await.result(stagedF, Duration.Inf)
+          timedPhase("publish_cas") {
+            TxLog.appendOnceMonotoneKv(s, root, "batch", batchId, rows,
+              kvFn = fresh => Map("n" -> (TxLog.kvOf(fresh.getOrElse(
+                throw new IllegalStateException(
+                  s"ingestBatch($idx): index vanished mid-commit")).notes)("n")
+                .toLong + batchN).toString),
+              preStaged = Some(staged))
+          }
           ()
         } finally { nb.unpersist(); sh.unpersist() }
       }
