@@ -87,10 +87,44 @@ object ClusterBench {
       line
     }
 
+    // ---- GENERATION POLICY: repeated nightly folds on ONE table,
+    // through the maxGenerations promotion. Certifies (a) skipping
+    // quality — the files a second-dimension band probe keeps — stays
+    // bounded as sorted generations accumulate, and (b) the fold that
+    // would exceed the bound promotes to the full rewrite (the automated
+    // LSM major compaction) and resets the generation count to 1.
+    val genSection = {
+      val n = 2000000L
+      val maxGen = 4
+      val root = s"/root/repo/target/cluster-bench-gen-${System.nanoTime()}"
+      TxLog.init(spark, root, frame(0L, n).repartition(8, col("id")))
+      def generations: Int = TxLog.snapshot(root).get.entries.iterator
+        .filter(_.path.startsWith("data/c-z"))
+        .map(_.path.split('/')(1)).toSet.size
+      val folds = (1 to 6).map { k =>
+        if (k > 1) TxLog.appendOnce(spark, root, s"tail-$k",
+          frame(200000000L + k * tailRows, 200000000L + (k + 1) * tailRows))
+        val (_, sec) = timed(TxLog.clusterIncremental(spark, root,
+          Seq("id", "m"), targetFiles = 4, maxGenerations = maxGen))
+        val (kept, total) = {
+          val (kk, t) = TxLog.pruneEntries(spark,
+            TxLog.snapshot(root).get, "m < 5")
+          (kk.size, t)
+        }
+        val line = s"""{"fold":$k,"generations":$generations,""" +
+          s""""fold_sec":${fmt(sec)},"band_kept":$kept,"band_total":$total}"""
+        println(s"[cluster-bench] $line")
+        line
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s""""generation_policy":{"rows":$n,"max_generations":$maxGen,""" +
+        s""""folds":[${folds.mkString(",")}]}"""
+    }
+
     val json =
       s"""{"metric":"cluster_bench","tail_rows":$tailRows,""" +
         s""""rows_per_file":$rowsPerFile,""" +
-        s""""sizes":[${perSize.mkString(",")}]}"""
+        s""""sizes":[${perSize.mkString(",")}],$genSection}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

@@ -160,9 +160,11 @@ object StreamBench {
     // the probe-then-append loop moved, measured — the d15/sig_ingest
     // drift adjudication line. Phases overlap by design, so their sum
     // may exceed the batch wall.
-    println(operators.SigIndex.phaseP50s().toSeq.sortBy(_._1)
+    val phaseBody = operators.SigIndex.phaseP50s().toSeq.sortBy(_._1)
       .map { case (k, (p50, n)) => s""""$k":{"p50_sec":${fmt(p50)},"n":$n}""" }
-      .mkString("""{"stream":"sig_ingest_phases",""", ",", "}"))
+      .mkString(",")
+    println(s"""{"stream":"sig_ingest_phases"""" +
+      (if (phaseBody.isEmpty) "}" else s",$phaseBody}"))
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     spark.stop()

@@ -430,25 +430,36 @@ object SigIndex {
     * count, the stage and the probe run concurrently), so phase sums
     * legitimately exceed the batch wall: each series answers "which
     * phase moved", never "where did the wall go". Negligible overhead
-    * (a nanoTime pair and a queue add per phase per batch); StreamBench
-    * drains it after the ingest run via [[phaseP50s]]. */
+    * (a nanoTime pair and a bounded-buffer add per phase per batch);
+    * StreamBench drains it after the ingest run via [[phaseP50s]].
+    * Process-global and single-consumer by design (a diagnostic, not an
+    * API): buffers cap at the newest [[PhaseCap]] samples so a resident
+    * ingest query never grows it unboundedly, and concurrent ingests in
+    * one JVM mix their samples — run the bench alone, as its script
+    * does. */
+  private val PhaseCap = 4096
   private val phaseTimes =
     new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]]()
+      java.util.ArrayDeque[Double]]()
 
   private def timedPhase[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     try f
-    finally phaseTimes.computeIfAbsent(name, _ =>
-        new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]())
-      .add(java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9))
+    finally {
+      val q = phaseTimes.computeIfAbsent(name,
+        _ => new java.util.ArrayDeque[Double]())
+      q.synchronized {
+        q.addLast((System.nanoTime() - t0) / 1e9)
+        while (q.size > PhaseCap) q.pollFirst()
+      }
+    }
   }
 
   /** Drain the phase telemetry: name → (p50 seconds, samples). */
   def phaseP50s(): Map[String, (Double, Int)] = {
     import scala.jdk.CollectionConverters._
     val out = phaseTimes.asScala.toMap.map { case (k, q) =>
-      val xs = q.asScala.map(_.doubleValue).toSeq.sorted
+      val xs = q.synchronized(q.asScala.toSeq).sorted
       k -> (if (xs.isEmpty) 0.0 else xs(xs.size / 2), xs.size)
     }
     phaseTimes.clear()

@@ -450,9 +450,14 @@ object SqlSurface {
             TxLog.upsert(spark, root, src, key)
           else if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty &&
             scope.isEmpty)
-            // the shorthand WITH SCHEMA EVOLUTION: the same last-write-
-            // wins semantics spelled as explicit clauses so the evolved
-            // columns flow through SET * / INSERT *
+            // the shorthand WITH SCHEMA EVOLUTION spells last-write-wins
+            // as explicit clauses so evolved columns flow through
+            // SET * / INSERT * — with STANDARD-MERGE semantics, which
+            // differ from the plain shorthand's upsert in two ways a
+            // caller adding the keyword must expect: duplicate source
+            // keys that match a target key refuse (SQL MERGE's
+            // multi-match error; the upsert tolerates them), and the
+            // table must already exist (the upsert would mint it)
             TxLog.mergeInto(spark, root, src, key,
               matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
               notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)),

@@ -2202,6 +2202,10 @@ object TxLog {
         else source.schema.fields.toSeq
           .filterNot(f => cols0.exists(_.equalsIgnoreCase(f.name)))
           .map(_.copy(nullable = true))
+      extras.foreach(f => require(
+        !f.name.equalsIgnoreCase(srcAlias) && !f.name.startsWith("__"),
+        s"mergeInto: cannot evolve column ${f.name} — collides with the " +
+          "source alias or the merge's reserved __-prefixed internals"))
       def widen(df: DataFrame): DataFrame = extras.foldLeft(df)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
       val target = widen(target0)
@@ -3414,6 +3418,16 @@ object TxLog {
       val target = snapshot(root, toVersion).getOrElse(
         throw new IllegalArgumentException(
           s"restore: version $toVersion is not retained at $root"))
+      // CHECK constraints gate the RESURRECTED content: restore carries
+      // the CURRENT note ledger (constraints survive the rollback) while
+      // re-referencing OLD files — rows that predate an ADD CONSTRAINT
+      // and were deleted before it validated would otherwise come back
+      // uncertified, and no later path re-validates (maintenance
+      // rewrites deliberately never do — rows are certified exactly
+      // where they ENTER, and a restore is an entry point)
+      if (target.entries.nonEmpty && constraintsOf(cur.notes).nonEmpty)
+        enforceConstraints(spark, readSnapshot(spark, root, target),
+          cur.notes, "restore")
       // a restore's manifest diff IS its exact logical change: files the
       // rollback removes are pre-image deletes, files it brings back are
       // post-image inserts, carried entries are untouched rows — so the

@@ -236,15 +236,20 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
           Some("column rename (mapping change) relative to the pinned schema")
         else {
           val byName = lv.fields.map(f => f.name.toLowerCase -> f).toMap
-          // a vintage field NARROWER than the pin in a safe widening
-          // domain (int under a bigint pin: the vintage predates a type
-          // widening) is representable — the batch projection upcasts.
-          // A vintage WIDER than the pin is not (rows would truncate):
-          // typed refusal, restart re-pins the wide schema.
+          // an OLD-vintage field NARROWER than the pin in a safe
+          // widening domain (int under a bigint pin: the vintage
+          // predates a type widening) is representable — the batch
+          // projection upcasts. Everything else refuses: a vintage
+          // WIDER than the pin would truncate, and a POST-pin commit at
+          // a different width — even a narrower one an upcast could
+          // read — is a genuine schema change the pinned consumer must
+          // learn about loudly (the r14 typed-restart contract), never
+          // have silently papered over.
           val retyped = lp.fields.find(f =>
             byName.get(f.name.toLowerCase).exists(vf =>
               vf.dataType != f.dataType &&
-                !graft.operators.TxLog.widens(vf.dataType, f.dataType)))
+                !(v <= pin.version &&
+                  graft.operators.TxLog.widens(vf.dataType, f.dataType))))
           val dropped =
             if (v <= pin.version) None // old vintage: missing = pre-add, NULL
             else lp.fields.find(f => !byName.contains(f.name.toLowerCase))
@@ -291,10 +296,17 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
     * (a pruned prefix makes the replay unrecoverable), and a synthetic
     * `earliest` anchor requires its snapshot version from+1 retained (a
     * further prune moved the earliest truth past it) — so the retention
-    * refusal is uniformly TYPED, never an internal reader error. */
-  private def requireRetained(from: Long): Unit = {
+    * refusal is uniformly TYPED, never an internal reader error.
+    * `isFirst` = the engine passed NO start offset, i.e. this is the
+    * stream's very first batch (or its checkpoint replay) — the ONLY
+    * place the synthetic floor may apply: a LATER batch whose floor
+    * happens to equal a freshly re-resolved anchor (crash-replay of an
+    * uncommitted range after a further prune re-anchored `earliest`)
+    * must take the strict path, else already-delivered rows would
+    * silently re-deliver as the synthesized snapshot. */
+  private def requireRetained(from: Long, isFirst: Boolean): Unit = {
     val probe: Option[Long] =
-      if (from == start0 && o.anchorSynth) Some(from + 1)
+      if (isFirst && o.anchorSynth) Some(from + 1)
       else if (from == 0L) {
         if (TxLog.earliestVersion(o.root).exists(_ > 1L)) Some(1L) else None
       } else Some(from)
@@ -379,7 +391,7 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val from = Option(start).map(versionOf).getOrElse(start0)
-    requireRetained(from)
+    requireRetained(from, isFirst = Option(start).isEmpty)
     val avail = availableCeiling.getOrElse(TxLog.currentVersion(o.root))
     val end0 = o.maxVersionsPerBatch match {
       case Some(n) if avail - from > n => from + n
@@ -401,7 +413,10 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
   @volatile private var lastEnd: Long = start0
 
   override def getOffset: Option[Offset] =
-    Option(latestOffset(LongOffset(lastEnd),
+    // a null start = "no batch handed out yet" — the same first-batch
+    // signal the admission-control path reads from Option(start)
+    Option(latestOffset(
+      if (lastEnd == start0) null else LongOffset(lastEnd),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
       .map(v => LongOffset(versionOf(v)))
 
@@ -433,7 +448,11 @@ class TxLogFeedSource(spark: SparkSession, o: TxLogFeedSource.Opts)
     // genuinely re-executed. The manifest-less floors (genesis, the
     // synthetic earliest anchor) probe the version they actually anchor,
     // mirroring requireRetained — uniformly typed, never a reader error.
-    val synthFloor = from == start0 && o.anchorSynth
+    // FIRST batch only (start == None): a crash-replayed LATER range
+    // whose floor equals a freshly re-resolved anchor (prune advanced
+    // `earliest` between sessions) must refuse on its pruned floor, not
+    // re-deliver the snapshot as duplicates
+    val synthFloor = start.isEmpty && o.anchorSynth
     val floorProbe: Option[Long] =
       if (synthFloor) Some(from + 1)
       else if (from == 0L) {

@@ -159,4 +159,27 @@ class ConstraintSpec extends SparkSpec {
     assert(TxLog.appendOnce(spark, root, "after-drop",
       Seq((-2L, "now fine")).toDF("doc_id", "text")))
   }
+
+  test("RESTORE is an entry point: resurrected rows are gated by the " +
+      "carried constraints (no uncertified rows through a rollback)") {
+    val root = freshRoot("restore-gate")
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((-1L, "bad"), (5L, "ok")).toDF("id", "s")) // v1
+    TxLog.delete(spark, root, col("id") < 0) // v2: the violator is gone
+    // validates the CURRENT table (only id=5) — passes
+    TxLog.addConstraint(spark, root, "pos_id", "id >= 0") // v3
+    // rolling back to v1 would resurrect id=-1 UNDER the live constraint
+    // (restore carries the current note ledger): refuse loudly — no
+    // later path re-validates (maintenance rewrites deliberately never
+    // do), so the rollback itself is where certification must happen
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, root, 1L)
+    }
+    assert(ex.getMessage.contains("pos_id"))
+    // a restore whose content satisfies the constraints still works
+    TxLog.appendOnce(spark, root, "b", Seq((7L, "new")).toDF("id", "s")) // v4
+    TxLog.restore(spark, root, 2L) // v5: back to {5} — valid
+    assert(TxLog.read(spark, root).select("id").as[Long].collect()
+      .sorted.toSeq === Seq(5L))
+  }
 }

@@ -1129,5 +1129,69 @@ class StreamingSpec extends SparkSpec {
         allAvail)
     }
     assert(ex.getMessage.contains("retyped"))
+    // a post-pin NARROWING (overwrite retypes bigint → int) refuses the
+    // same way — an upcast could read it, but a post-pin width change is
+    // a schema change the pinned consumer must learn about loudly
+    val root3 = s"/root/repo/target/widen-stream3-${System.nanoTime()}"
+    TxLog.init(spark, root3, Seq((3000000000L, "a")).toDF("id", "s"))
+    val src3 = new TxLogFeedSource(spark,
+      TxLogFeedSource.Opts(root3, "changes", Some(0L), None, None))
+    TxLog.commitOverwrite(spark, root3,
+      Seq((1, "b")).toDF("id", "s"), expected = 1L) // narrows id to int
+    assert(src3.latestOffset(null, allAvail).json.trim.toLong === 1L,
+      "the batch must end before the narrowing commit")
+    intercept[TxLogStreamSchemaChangedException] {
+      src3.latestOffset(
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L),
+        allAvail)
+    }
+  }
+
+  test("synthetic earliest floor applies ONLY to the stream's first " +
+      "batch: a re-anchored floor with a start offset refuses typed, " +
+      "and a checkpoint restart never re-synthesizes the snapshot") {
+    import graft.operators.TxLog
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import spark.implicits._
+    val allAvail =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    val root = s"/root/repo/target/stream-synthfloor-${System.nanoTime()}"
+    TxLog.init(spark, root, Seq((1L, "a")).toDF("id", "s")) // v1
+    TxLog.appendOnce(spark, root, "b2", Seq((2L, "b")).toDF("id", "s")) // v2
+    TxLog.appendOnce(spark, root, "b3", Seq((3L, "c")).toDF("id", "s")) // v3
+    TxLog.pruneHistory(root, keepLast = 1) // earliest = 3 → synth anchor 2
+    val src = new TxLogFeedSource(spark,
+      TxLogFeedSource.Opts(root, "changes", Some(2L), None, None,
+        anchorSynth = true))
+    // null start (the true first trigger): the synthetic floor applies
+    assert(src.latestOffset(null, allAvail).json.trim.toLong === 3L)
+    // the SAME floor arriving as a checkpointed offset (the crash-replay
+    // of a later uncommitted range after a further prune re-anchored
+    // `earliest`) must take the strict path: typed retention refusal,
+    // never a duplicate snapshot delivery
+    intercept[TxLogStreamRetentionException] {
+      src.latestOffset(LongOffset(2L), allAvail)
+    }
+    // end-to-end: a checkpointed earliest stream RESTARTS from its
+    // committed offset — no re-synthesis, no duplicates
+    val ckpt = s"/root/repo/target/stream-synthfloor-ck-${System.nanoTime()}"
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.TxLogFeedProvider")
+        .option("root", root).option("startingVersion", "earliest").load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.select(col("id")).as[Long].collect()
+              .foreach(v => buf.add(java.lang.Long.valueOf(v)))
+            ()
+        }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drainOnce() // snapshot v3 = {1,2,3} as inserts
+    TxLog.appendOnce(spark, root, "b4", Seq((4L, "d")).toDF("id", "s")) // v4
+    drainOnce() // restart: only (3,4] flows
+    assert(buf.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      .sorted.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 }
