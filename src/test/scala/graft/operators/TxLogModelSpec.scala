@@ -996,4 +996,144 @@ class TxLogModelSpec extends SparkSpec {
       (0L until 10L).map(k => k -> s"v$k").toMap,
       "the stale pre-stage must never become visible")
   }
+
+  // ---------------------------------------------------------------
+  // SCHEMA-EVOLUTION MACHINE: the r15 tier (type widening on append,
+  // evolving MERGE, rename, restore) composed randomly — the model
+  // tracks values AND the schema (id width, value-column name, the
+  // evolved score column), and the table must match both after every
+  // op and under time travel to every retained version. This is where
+  // cross-feature bugs would hide: a restore across a widening, an
+  // evolving merge after a rename, a widen-append onto an evolved
+  // schema.
+  // ---------------------------------------------------------------
+
+  /** One modeled version of the evolving table. `score` is None for
+    * rows that predate the column (they read as NULL). */
+  private final case class EState(data: Map[Long, (String, Option[Long])],
+      valueCol: String, idWide: Boolean, hasScore: Boolean)
+
+  private def longOf(a: Any): Long = a match {
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+  }
+
+  private def eState(root: String, v: Long = -1L): EState = {
+    val df = TxLog.read(spark, root, v)
+    val vc = df.columns.find(c => c == "s" || c == "t").get
+    val hasScore = df.columns.contains("score")
+    val idWide =
+      df.schema("id").dataType == org.apache.spark.sql.types.LongType
+    val data = df.collect().map { r =>
+      val score =
+        if (!hasScore) None
+        else Option(r.getAs[Any]("score")).map(longOf)
+      longOf(r.getAs[Any]("id")) -> (r.getAs[String](vc), score)
+    }.toMap
+    EState(data, vc, idWide, hasScore)
+  }
+
+  private def runEvolutionSequence(seed: Long, ops: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val root = freshRoot(s"evo$seed")
+    var history = Vector.empty[EState]
+    def cur = history.last
+    var fresh = 1000L
+    def freshKeys(n: Int): Seq[Long] = {
+      val ks = (0 until n).map(j => fresh + j)
+      fresh += n
+      ks
+    }
+    /** A batch frame matching the CURRENT schema (id width, value-column
+      * name, score presence) — what a well-behaved producer sends. */
+    def frameFor(rows: Map[Long, (String, Option[Long])],
+        wideIds: Boolean, withScore: Boolean, vc: String) = {
+      val base =
+        if (withScore)
+          rows.toSeq.map { case (k, (v, sc)) => (k, v, sc.map(Long.box).orNull) }
+            .toDF("id", vc, "score")
+            .withColumn("score", col("score").cast("long"))
+        else rows.toSeq.map { case (k, (v, _)) => (k, v) }.toDF("id", vc)
+      if (wideIds) base.withColumn("id", col("id").cast("long"))
+      else base.withColumn("id", col("id").cast("int"))
+    }
+
+    val init = Map(1L -> ("seed", Option.empty[Long]),
+      2L -> ("b", Option.empty[Long]))
+    TxLog.init(spark, root, frameFor(init, wideIds = false,
+      withScore = false, vc = "s"))
+    history = history :+ EState(init, "s", idWide = false, hasScore = false)
+
+    val opLog = scala.collection.mutable.ListBuffer.empty[String]
+    (1 to ops).foreach { i =>
+      val kind = rnd.nextInt(6)
+      opLog += s"v${history.size + 1}=op$kind"
+      val c = cur
+      kind match {
+        case 0 => // schema-conform append, fresh keys
+          val rows = freshKeys(1 + rnd.nextInt(3)).map(k =>
+            k -> (s"a$k", if (c.hasScore) Some(k % 100) else None)).toMap
+          TxLog.commitAppend(spark, root,
+            frameFor(rows, c.idWide, c.hasScore, c.valueCol),
+            expected = TxLog.currentVersion(root))
+          history = history :+ c.copy(data = c.data ++ rows)
+        case 1 => // WIDENING append: long ids — widens a narrow table's
+          // committed id type in the same commit (no-op widening when
+          // already wide: just a plain append)
+          val rows = freshKeys(1 + rnd.nextInt(2)).map(k =>
+            k -> (s"w$k", if (c.hasScore) Some(k % 50) else None)).toMap
+          TxLog.commitAppend(spark, root,
+            frameFor(rows, wideIds = true, c.hasScore, c.valueCol),
+            expected = TxLog.currentVersion(root))
+          history = history :+
+            c.copy(data = c.data ++ rows, idWide = true)
+        case 2 => // EVOLVING MERGE: the batch carries `score`; the first
+          // one widens the schema with it, later ones update through it
+          val existing = rnd.shuffle(c.data.keys.toSeq)
+            .take(1 + rnd.nextInt(2))
+          val batch = (existing ++ freshKeys(1)).map(k =>
+            k -> (s"e$k", Some(k % 97))).toMap
+          TxLog.mergeInto(spark, root,
+            frameFor(batch, c.idWide, withScore = true, c.valueCol), "id",
+            matched = Seq(TxLog.MergeClause(None, TxLog.MergeUpdate())),
+            notMatched = Seq(TxLog.MergeClause(None, TxLog.MergeInsert)),
+            schemaEvolution = true)
+          history = history :+ EState(c.data ++ batch, c.valueCol,
+            c.idWide, hasScore = true)
+        case 3 => // metadata-only rename of the value column
+          val next = if (c.valueCol == "s") "t" else "s"
+          TxLog.renameColumn(spark, root, c.valueCol, next)
+          history = history :+ c.copy(valueCol = next)
+        case 4 => // restore: schema AND content roll back together
+          val target = 1 + rnd.nextInt(history.size)
+          TxLog.restore(spark, root, target.toLong)
+          history = history :+ history(target - 1)
+        case 5 => // predicate delete (key 1 protected)
+          val m = 2 + rnd.nextInt(4)
+          TxLog.delete(spark, root, col("id") % m === 0 && col("id") =!= 1L)
+          history = history :+ c.copy(data = c.data.filter {
+            case (k, _) => k % m != 0 || k == 1L })
+      }
+      assert(TxLog.currentVersion(root) === history.size.toLong,
+        s"seed=$seed op#$i kind=$kind: version diverged " +
+          s"(ops: ${opLog.mkString(", ")})")
+      assert(eState(root) === cur,
+        s"seed=$seed op#$i kind=$kind: state diverged " +
+          s"(ops: ${opLog.mkString(", ")})")
+    }
+
+    // time travel: every version's CONTENT and SCHEMA (width, value
+    // name, score presence) match its model state
+    (1 to history.size).foreach { v =>
+      assert(eState(root, v.toLong) === history(v - 1),
+        s"seed=$seed: version $v diverged under time travel " +
+          s"(ops: ${opLog.mkString(", ")})")
+    }
+  }
+
+  test("seeded schema-evolution machine: widening appends, evolving " +
+      "merges, renames and restores compose (content AND schema modeled)") {
+    runEvolutionSequence(seed = 7L, ops = 12)
+    runEvolutionSequence(seed = 2024L, ops = 12)
+  }
 }
