@@ -1136,4 +1136,32 @@ class TxLogModelSpec extends SparkSpec {
     runEvolutionSequence(seed = 7L, ops = 12)
     runEvolutionSequence(seed = 2024L, ops = 12)
   }
+
+  test("a narrow append racing a WIDENING interloper: the CAS loser's " +
+      "stale-width stage is invalidated, the retry lands upcast") {
+    val root = freshRoot("widen-race")
+    TxLog.init(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("id", "s")) // int id
+    // between the loser's staging (int files, int committed schema) and
+    // its publish, a WIDENING append lands (bigint id): the loser's
+    // layout vintage no longer matches — reusing the narrow stage would
+    // regress the committed width on its files; the retry must restage
+    // under the evolved schema (upcast at stage time)
+    TxLog.testRacePublishHook = Some { r =>
+      TxLog.appendOnce(spark, r, "wide",
+        Seq((3000000000L, "w")).toDF("id", "s"))
+    }
+    try {
+      TxLog.dataStages.set(0L)
+      assert(TxLog.appendOnce(spark, root, "narrow",
+        Seq((7, "n")).toDF("id", "s")))
+    } finally TxLog.testRacePublishHook = None
+    val t = TxLog.read(spark, root)
+    assert(t.schema("id").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "the widening must survive the race")
+    assert(t.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (7L, "n"), (3000000000L, "w")))
+  }
 }
