@@ -64,4 +64,28 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(ch.filter(col("_change_type") === "insert").count() === 2L)
   }
 
+  test("type widening composes with column mapping: a RENAMED column " +
+      "widens (the physical field retypes under its mapped name)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = s"/root/repo/target/widen-map-${System.nanoTime()}"
+    import spark.implicits._
+    TxLog.init(spark, root, Seq((1, "a")).toDF("id", "s")) // v1: int id
+    TxLog.renameColumn(spark, root, "id", "key") // v2: mapping in play
+    assert(TxLog.read(spark, root).schema("key").dataType === IntegerType)
+    // the batch speaks the LOGICAL name at the wide type: the committed
+    // physical field (still named `id` in the files) must retype
+    TxLog.commitAppend(spark, root,
+      Seq((3000000000L, "b")).toDF("key", "s"), expected = 2L) // v3
+    val t = TxLog.read(spark, root)
+    assert(t.columns.toSeq === Seq("key", "s"))
+    assert(t.schema("key").dataType === LongType)
+    assert(t.orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (3000000000L, "b")))
+    // and a narrow batch under the mapped wide column upcasts at stage
+    TxLog.commitAppend(spark, root,
+      Seq((7, "c")).toDF("key", "s"), expected = 3L)
+    assert(TxLog.read(spark, root).count() === 3L)
+    assert(TxLog.read(spark, root).schema("key").dataType === LongType)
+  }
 }
