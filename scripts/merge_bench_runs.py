@@ -42,10 +42,18 @@ drifters = sorted(
      if k in anchor and v / anchor[k] > 1.25 and v - anchor[k] > 0.3),
     key=lambda d: -d["ratio"])[:10]
 
+# min over PRESENT, non-negative canaries only: one run missing the field
+# must not poison the merged health signal to -1 (-1 means "no run
+# carried a canary"); per-run values ride alongside for adjudication
+def canary_min(field):
+    vals = [r[field] for r in runs if r.get(field, -1) >= 0]
+    return min(vals) if vals else -1
+
 merged = {
     "metric": "total", "value": round(total, 3), "unit": "sec",
-    "canary_sec": min(r.get("canary_sec", -1) for r in runs),
-    "canary_end_sec": min(r.get("canary_end_sec", -1) for r in runs),
+    "canary_sec": canary_min("canary_sec"),
+    "canary_end_sec": canary_min("canary_end_sec"),
+    "canary_per_run": [round(r.get("canary_sec", -1), 3) for r in runs],
     "runs_merged": len(runs),
     "queries": {k: round(v, 3) for k, v in qs.items()},
     "failed": failed, "budget_exceeded": exceeded,

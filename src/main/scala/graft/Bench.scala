@@ -122,9 +122,11 @@ object Bench {
     // state). Bounded extra cost, targeted exactly at the noise victims;
     // fast in-budget queries (the overwhelming majority) stay single-pass.
     val retryAboveSec = 5.0
-    val results = defs.map { d =>
-      val budget = baseline.get(d.name).map(b => math.max(b * budgetTol, budgetFloorSec))
-      def over(t: Double) = budget.fold(t > retryAboveSec)(t > _)
+    def budgetOf(name: String): Option[Double] =
+      baseline.get(name).map(b => math.max(b * budgetTol, budgetFloorSec))
+    def overBudget(name: String, t: Double): Boolean =
+      budgetOf(name).fold(t > retryAboveSec)(t > _)
+    val results0 = defs.map { d =>
       val (t1, ok1) = timeOnce(d)
       var t = t1
       var ok = ok1
@@ -132,12 +134,31 @@ object Bench {
       // a retry only counts toward the min when it SUCCEEDED — a crashed
       // re-run's short time-to-failure must not masquerade as a fast run
       // (and a query that crashes on re-run is flaky: demote to failed)
-      while (ok && over(t) && reps < 3) {
+      while (ok && overBudget(d.name, t) && reps < 3) {
         val (t2, ok2) = timeOnce(d)
         if (ok2) t = math.min(t, t2) else ok = false
         reps += 1
       }
-      (d.name, t, ok, budget)
+      (d.name, t, ok)
+    }
+    // DEFERRED SELF-HEAL PASS: a contention wave inflates whichever query
+    // it lands on AND that query's immediate retries, so in-place min-of-3
+    // can't save a victim of a multi-minute wave. Queries still over
+    // budget after the whole suite get ONE more run here — by now the
+    // wave has usually passed — and any exceedance that SURVIVES carries
+    // a canary measured at its final timing, so the artifact line
+    // self-adjudicates per exceedance (elevated canary → host, healthy
+    // canary → code) instead of costing a manual drift investigation.
+    val results = results0.map { case (name, t0, ok0) =>
+      if (!ok0 || !overBudget(name, t0)) (name, t0, ok0, budgetOf(name), -1.0)
+      else {
+        val d = defs.find(_.name == name).get
+        val (t2, ok2) = timeOnce(d)
+        val ok = ok0 && ok2
+        val t = if (ok2) math.min(t0, t2) else t0
+        val canary = if (ok && overBudget(name, t)) canaryOnce() else -1.0
+        (name, t, ok, budgetOf(name), canary)
+      }
     }
 
     // Locale-pinned formatting: JVM-default locales with comma decimals
@@ -147,18 +168,18 @@ object Bench {
     // driver gets a machine-readable failure signal instead of a
     // time-to-crash silently inflating the metric.
     val qs = results
-      .map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+      .map { case (k, v, ok, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val exceeded = results
-      .collect { case (k, v, true, Some(b)) if v > b =>
-        s"""{"q":"$k","sec":${fmt(v)},"budget":${fmt(b)}}""" }
+      .collect { case (k, v, true, Some(b), can) if v > b =>
+        s"""{"q":"$k","sec":${fmt(v)},"budget":${fmt(b)},"canary":${fmt(can)}}""" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     // anchor ratio over the SHARED query set (new queries don't dilute it)
     val shared = results.collect {
-      case (k, v, true, _) if anchor.contains(k) => (v, anchor(k))
+      case (k, v, true, _, _) if anchor.contains(k) => (v, anchor(k))
     }
     val anchorRatio =
       if (shared.isEmpty) -1.0 else shared.map(_._1).sum / shared.map(_._2).sum
@@ -169,7 +190,7 @@ object Bench {
     // 10 by ratio. Adjudication rule: a listed query gets a min-of-3
     // re-run; a measured cause or a "noise" verdict lands in DIAG_rN.md.
     val drifters = results.collect {
-      case (k, v, true, _) if anchor.get(k).exists(a =>
+      case (k, v, true, _, _) if anchor.get(k).exists(a =>
         v / a > 1.25 && v - a > 0.3) => (k, v, anchor(k))
     }.sortBy { case (_, v, a) => -(v / a) }.take(10)
       .map { case (k, v, a) =>

@@ -101,22 +101,26 @@ object ClusterBench {
       def generations: Int = TxLog.snapshot(root).get.entries.iterator
         .filter(_.path.startsWith("data/c-z"))
         .map(_.path.split('/')(1)).toSet.size
-      val folds = (1 to 6).map { k =>
-        if (k > 1) TxLog.appendOnce(spark, root, s"tail-$k",
-          frame(200000000L + k * tailRows, 200000000L + (k + 1) * tailRows))
-        val (_, sec) = timed(TxLog.clusterIncremental(spark, root,
-          Seq("id", "m"), targetFiles = 4, maxGenerations = maxGen))
-        val (kept, total) = {
-          val (kk, t) = TxLog.pruneEntries(spark,
-            TxLog.snapshot(root).get, "m < 5")
-          (kk.size, t)
+      // try/finally: a fold failure must not strand the multi-million-row
+      // bench table under target/ (it accumulates across failed runs)
+      val folds =
+        try (1 to 6).map { k =>
+          if (k > 1) TxLog.appendOnce(spark, root, s"tail-$k",
+            frame(200000000L + k * tailRows, 200000000L + (k + 1) * tailRows))
+          val (_, sec) = timed(TxLog.clusterIncremental(spark, root,
+            Seq("id", "m"), targetFiles = 4, maxGenerations = maxGen))
+          val (kept, total) = {
+            val (kk, t) = TxLog.pruneEntries(spark,
+              TxLog.snapshot(root).get, "m < 5")
+            (kk.size, t)
+          }
+          val line = s"""{"fold":$k,"generations":$generations,""" +
+            s""""fold_sec":${fmt(sec)},"band_kept":$kept,"band_total":$total}"""
+          println(s"[cluster-bench] $line")
+          line
         }
-        val line = s"""{"fold":$k,"generations":$generations,""" +
-          s""""fold_sec":${fmt(sec)},"band_kept":$kept,"band_total":$total}"""
-        println(s"[cluster-bench] $line")
-        line
-      }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        finally org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(root))
       s""""generation_policy":{"rows":$n,"max_generations":$maxGen,""" +
         s""""folds":[${folds.mkString(",")}]}"""
     }

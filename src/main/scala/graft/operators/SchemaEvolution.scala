@@ -120,10 +120,13 @@ object SchemaEvolution {
       TxLog.init(s, root, docs.filter(col("doc_id") < 250)
         .select(col("doc_id").cast("int").as("id"),
           (col("doc_id") % 97).cast("float").as("score"), col("text"))) // v1
+      // widening is OPT-IN per table (the Delta enableTypeWidening
+      // shape): without the property the wide batch below refuses
+      TxLog.setProperties(root, Map("type_widening" -> "true")) // v2
       TxLog.commitAppend(s, root, docs.filter(col("doc_id") >= 250)
         .select((col("doc_id") + 3000000000L).as("id"),
           ((col("doc_id") % 97).cast("double") + 0.25).as("score"),
-          col("text")), expected = 1L) // v2: widens id→bigint, score→double
+          col("text")), expected = 2L) // v3: widens id→bigint, score→double
       val t = TxLog.read(s, root)
       require(t.schema("id").dataType ==
         org.apache.spark.sql.types.LongType &&
@@ -134,6 +137,62 @@ object SchemaEvolution {
         sum((col("id") + 1) * length(col("text").cast("binary")))
           .cast("long").as("ck"),
         sum((col("score") * 4).cast("long")).cast("long").as("score_ck"),
+        sum(when(col("id") >= 3000000000L, 1L).otherwise(0L))
+          .cast("long").as("n_wide"))
+    },
+
+    // S28: TYPE WIDENING through the KEYED-UPSERT path — the common
+    // real-world widening shape (an id column outgrowing int arrives in
+    // an hourly upsert, not a plain append). The table starts int-keyed
+    // and partitioned by lang; a later upsert batch UPDATES some rows
+    // and INSERTS bigint ids past the int ceiling under the same
+    // `type_widening` opt-in s27 exercises on append. Untouched
+    // partitions' files stay int32 on disk (only touched partitions
+    // restage — the upsert's partition-scoped rewrite), so the checksum
+    // certifies evolve-on-read across MIXED vintages under the widened
+    // pin, exactly the 100 TB shape (one partition's rewrite, not a
+    // table rewrite, for a schema width change).
+    QueryDef("s28_upsert_widening",
+      """WITH upd AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |                    text || ' UPSERTED' AS text, lang
+        |             FROM documents
+        |             WHERE doc_id < 300 AND doc_id % 5 = 0 AND lang IN ('en', 'de')),
+        |     ins AS (SELECT doc_id + 3000000000 AS id, text, lang
+        |             FROM documents WHERE doc_id >= 300 AND lang IN ('en', 'de')),
+        |     survivors AS (SELECT CAST(doc_id AS BIGINT) AS id, text, lang
+        |                   FROM documents
+        |                   WHERE doc_id < 300
+        |                     AND NOT (doc_id % 5 = 0 AND lang IN ('en', 'de'))),
+        |     u AS (SELECT * FROM survivors UNION ALL
+        |           SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((id + 1) * octet_length(encode(text))) AS BIGINT) AS ck,
+        |       CAST(sum(CASE WHEN id >= 3000000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_wide
+        |FROM u""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "txlog-widen-upsert")
+      val docs = Tables.documents(s, dir)
+      TxLog.initPartitioned(s, root, docs.filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("int").as("id"), col("text"), col("lang")),
+        "lang") // v1: int ids
+      TxLog.setProperties(root, Map("type_widening" -> "true")) // v2
+      // the batch touches only the en/de partitions: es/fr/zh files stay
+      // int32 on disk and upcast at scan under the widened pin
+      val touchedLang = col("lang").isin("en", "de")
+      val batch = docs
+        .filter(col("doc_id") < 300 && col("doc_id") % 5 === 0 && touchedLang)
+        .select(col("doc_id").cast("bigint").as("id"),
+          concat(col("text"), lit(" UPSERTED")).as("text"), col("lang"))
+        .unionByName(docs.filter(col("doc_id") >= 300 && touchedLang)
+          .select((col("doc_id") + 3000000000L).as("id"), col("text"),
+            col("lang")))
+      TxLog.upsertPartitioned(s, root, batch, key = "id", partCol = "lang") // v3
+      val t = TxLog.read(s, root)
+      require(t.schema("id").dataType == org.apache.spark.sql.types.LongType,
+        "upsert did not widen the committed schema")
+      t.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum((col("id") + 1) * length(col("text").cast("binary")))
+          .cast("long").as("ck"),
         sum(when(col("id") >= 3000000000L, 1L).otherwise(0L))
           .cast("long").as("n_wide"))
     }

@@ -276,17 +276,41 @@ object SigIndex {
         .filter(col("_r") === 1 && col("_change_type") === "insert")
         .drop("_r", "_change_type", "_commit_version")
       // forget EVERY touched doc_id (absent ones are no-ops and don't
-      // decrement — forget's present-check), then append the net
-      // survivors: updated docs re-enter disjoint, netted-out docs never
-      // re-enter. The touched set stays a DATAFRAME end to end — a
-      // rebuild-sized feed never lands on the driver
+      // decrement — the present-check), and re-state the net survivors:
+      // updated docs re-enter under their post-image shingles,
+      // netted-out docs never re-enter. The touched set stays a
+      // DATAFRAME end to end — a rebuild-sized feed never lands on the
+      // driver. With survivors the fold is ONE atomic commit
+      // (TxLog.replaceKeysMoR): no reader-visible window where touched
+      // docs are missing, no replay-tag ledger (sync_v advances with
+      // the fold itself), one manifest publish instead of two.
       val touched = feed.select("doc_id").distinct()
       if (lastIns.isEmpty)
         forget(s, idx, touched, extraKv = Map("sync_v" -> to.toString))
       else {
-        forget(s, idx, touched, extraKv = Map.empty)
-        append(lastIns, idx, tag = s"sync-$to",
-          extraKv = Map("sync_v" -> to.toString))
+        val b = lastIns.cache()
+        val sh = Dedup.shingles(b).cache()
+        val keys = touched.cache()
+        try {
+          val rows = indexRows(sh,
+            Dedup.signatureBands(Dedup.minhashSignature(sh)), parts = 8)
+          TxLog.replaceKeysMoR(s, tableRoot(idx), "doc_id", keys, rows,
+            kvFn = snap => {
+              // count maintenance per CAS attempt, against the snapshot
+              // the commit publishes over: n' = n - touched∩indexed +
+              // survivors (survivor ids were all vectored out in this
+              // same commit, so the re-adds are disjoint by construction)
+              val prev = TxLog.kvOf(snap.notes).getOrElse("n",
+                throw new IllegalStateException(
+                  s"$idx: committed table has no kv:n")).toLong
+              val present = bandsAt(s, idx, snap.version)
+                .join(keys, Seq("doc_id"), "left_semi")
+                .select("doc_id").distinct().count()
+              Map("n" -> (prev - present + b.count()).toString,
+                "sync_v" -> to.toString)
+            })
+          ()
+        } finally { keys.unpersist(); sh.unpersist(); b.unpersist() }
       }
     } finally feed.unpersist()
   }
@@ -321,6 +345,17 @@ object SigIndex {
           val prev = TxLog.kvOf(snap.notes).getOrElse("n",
             throw new IllegalStateException(s"$idx: committed table has no kv:n"))
             .toLong
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          // the batch STAGES concurrently with the gate (the ingestBatch
+          // overlap): staged files are invisible until the publish
+          // references them, so a gate refusal or a CAS loss leaves only
+          // an unreferenced vacuumable dir — and the attempt pays
+          // max(stage, gate), not their sum
+          val rows = indexRows(sh,
+            Dedup.signatureBands(Dedup.minhashSignature(sh)), parts = 8)
+          val stagedF = Future(TxLog.stageAppend(s, root, rows, snap))
           // disjointness + batch count in ONE action: the overlap side is
           // a map-only semi-join of the pinned band scan against the
           // broadcast batch ids (never corpus × batch), cross-joined with
@@ -333,10 +368,10 @@ object SigIndex {
           val cnts = ovlAgg.crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
           require(cnts.getAs[Long]("ovl") == 0L,
             s"append overlaps ${cnts.getAs[Long]("ovl")} indexed doc_ids")
-          val rows = indexRows(sh,
-            Dedup.signatureBands(Dedup.minhashSignature(sh)), parts = 8)
+          val staged = Await.result(stagedF, Duration.Inf)
           Some(TxLog.commitAppendKv(s, root, rows, snap.version, t,
-            Map("n" -> (prev + cnts.getAs[Long]("n")).toString) ++ extraKv))
+            Map("n" -> (prev + cnts.getAs[Long]("n")).toString) ++ extraKv,
+            preStaged = Some(staged)))
       }
       ()
     } finally { sh.unpersist(); b.unpersist() }
@@ -344,11 +379,13 @@ object SigIndex {
 
   /** Near-dup pairs (old_id, new_id, jaccard ≥ [[Dedup.Tau]]) between the
     * persisted corpus and a new batch, without touching non-candidate
-    * corpus documents. The result leans on two internal caches (batch
-    * shingles + candidate pairs) that live until the session's cache is
-    * cleared — the harness's per-query clearCache convention. Long-lived
-    * callers that materialize the result themselves should use
-    * [[probeWithHandles]] and unpersist (streaming ingest does). */
+    * corpus documents. EAGER in its candidate job (one map-only scan of
+    * the pinned band table, collected); the returned frame is the lazy
+    * verification plan. The result leans on the cached batch shingles,
+    * which live until the session's cache is cleared — the harness's
+    * per-query clearCache convention. Long-lived callers that
+    * materialize the result themselves should use [[probeWithHandles]]
+    * and unpersist (streaming ingest does). */
   def probe(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame =
     probeWithHandles(s, idx, newDocs)._1
 
@@ -357,53 +394,129 @@ object SigIndex {
   def probeWithHandles(s: SparkSession, idx: String,
       newDocs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val nsh = Dedup.shingles(newDocs).cache()
-    val (pairs, cand) = probePinned(s, idx,
-      TxLog.currentVersion(tableRoot(idx)), nsh)
-    (pairs, Seq(nsh, cand))
+    val v = TxLog.currentVersion(tableRoot(idx))
+    val (cand, _) = candidatesPinned(s, idx, v,
+      Dedup.signatureBands(Dedup.minhashSignature(nsh)), None)
+    (verifyPairs(s, idx, v, nsh, cand), Seq(nsh))
   }
 
-  /** The probe core, against a PINNED snapshot version and pre-cached
-    * batch shingles.
+  /** The probe's output schema — shared by the verification plan's
+    * empty-candidate short-circuit and the bootstrap batch's schema-only
+    * pairs partition, so every `pairsSink` partition unions cleanly. */
+  private val PairsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("old_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("new_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("jaccard",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def emptyPairs(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      PairsSchema)
+
+  /** Candidate (old_id, new_id) pairs of the pinned snapshot vs the
+    * batch's LSH bands — ONE job: a map-only scan of the band table
+    * joined against the broadcast batch bands, deduped, COLLECTED.
     *
-    * Scale shape: the NEW-batch side of every join against persisted
-    * state is explicitly broadcast — a probe batch is broadcast-sized by
-    * contract (one crawl micro-batch vs the whole corpus), so the
-    * candidate join and the postings semi-join are MAP-ONLY scans of the
-    * index with zero index-side shuffle. Without the hints Spark
-    * shuffle-joins both sides (batch stats are unknown behind the
-    * aggregation), which re-shuffles the entire persisted index on every
-    * micro-batch — the asymptotic killer for a 100 TB corpus probed by
-    * kilodoc batches. Returns (pairs, candidate-cache). */
-  private def probePinned(s: SparkSession, idx: String, version: Long,
-      nsh: DataFrame, nb: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val nbands = nb.getOrElse(Dedup.signatureBands(Dedup.minhashSignature(nsh)))
-      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
-    val cand = bandsAt(s, idx, version)
-      .select(col("band"), col("bh"), col("doc_id").as("old_id"))
-      .join(broadcast(nbands), Seq("band", "bh"))
-      .select("old_id", "new_id").distinct().cache()
-    // only candidate documents' postings leave the index — and the
-    // candidate-id set is broadcast for the same map-only reason
-    val oldSh = postingsAt(s, idx, version)
-      .join(broadcast(cand.select(col("old_id").as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-    val both = oldSh.unionByName(nsh)
-    val pairs = Dedup.exactJaccard(both,
-        cand.select(col("old_id").as("a_id"), col("new_id").as("b_id")))
+    * Scale shape: the batch side is broadcast-sized by contract (one
+    * crawl micro-batch vs the whole corpus), so the scan has zero
+    * index-side shuffle, and the collected candidate set is bounded by
+    * the batch's band collisions — the same bound the previous
+    * broadcast(cand) form placed on driver memory, now paid once
+    * instead of per-downstream-consumer. Without the broadcast hint
+    * Spark shuffle-joins both sides (batch stats are unknown behind the
+    * aggregation), re-shuffling the entire persisted index per
+    * micro-batch — the asymptotic killer at 100 TB.
+    *
+    * `batchIds`, when given, fuses the ingest DISJOINTNESS gate into the
+    * same scan as an `observe` metric (band rows whose doc_id is already
+    * in the batch) — the gate that used to cost a second full band scan
+    * per micro-batch rides this one for free. CollectMetrics is an
+    * optimizer barrier, so the candidate join's (band, bh) filter cannot
+    * be pushed below the count. Returns (pairs, overlapping band rows).
+    */
+  private def candidatesPinned(s: SparkSession, idx: String, version: Long,
+      nbands: DataFrame, batchIds: Option[DataFrame])
+      : (Array[(Long, Long)], Long) = {
+    val nb = nbands.select(col("band"), col("bh"), col("doc_id").as("new_id"))
+    val scan0 = bandsAt(s, idx, version)
+    val obs = batchIds.map(_ => org.apache.spark.sql.Observation())
+    val scan = (batchIds, obs) match {
+      case (Some(ids), Some(ob)) =>
+        scan0.join(broadcast(ids.select(col("doc_id"))
+            .withColumn("ovl", lit(1))), Seq("doc_id"), "left_outer")
+          .observe(ob, sum(coalesce(col("ovl"), lit(0))).as("ovl_rows"))
+          .drop("ovl")
+      case _ => scan0
+    }
+    val cand = scan.select(col("band"), col("bh"), col("doc_id").as("old_id"))
+      .join(broadcast(nb), Seq("band", "bh"))
+      .select("old_id", "new_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ovl = obs.fold(0L)(_.get("ovl_rows") match {
+      case null => 0L
+      case n: Number => n.longValue()
+    })
+    (cand, ovl)
+  }
+
+  /** The probe's verification plan: exact shingle Jaccard for the
+    * collected candidate pairs, against the PINNED postings.
+    *
+    * One exchange total. The candidate ids are a local relation (no
+    * job to build their broadcast), the postings scan is pruned twice —
+    * an `IN` literal when the candidate set is small enough for
+    * row-group skipping, plus the broadcast left-semi join that carries
+    * the general case — and the batch shingles join BROADCAST onto the
+    * candidate postings (batch-bounded by contract), so intersection
+    * and |old| sizes fall out of a single map-side pass + one grouped
+    * aggregation. The old shape (union + shuffled self-join + three
+    * shuffled size joins, Dedup.exactJaccard) paid ~6 exchanges on
+    * candidate-bounded data; at micro-batch scale the fixed per-stage
+    * latency dominated the whole probe (the d15 drift). */
+  private def verifyPairs(s: SparkSession, idx: String, version: Long,
+      nsh: DataFrame, cand: Array[(Long, Long)]): DataFrame = {
+    if (cand.isEmpty) return emptyPairs(s)
+    import s.implicits._
+    val pairsDf = cand.toSeq.toDF("doc_id", "new_id") // doc_id = old side
+    val oldIds = cand.map(_._1).distinct.toSeq
+    val pruned0 = postingsAt(s, idx, version)
+    val pruned = if (oldIds.size <= 1000)
+      pruned0.where(col("doc_id").isin(oldIds: _*)) else pruned0
+    val oldPost = pruned.join(broadcast(oldIds.toDF("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val newSh = nsh.select(col("doc_id").as("new_id"), col("g"),
+      lit(1).as("hit"))
+    val nbSizes = nsh.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      .select(col("doc_id").as("new_id"), col("nb"))
+    // fan each candidate-old posting out to its pairs (broadcast, map
+    // side), mark shingles the new doc shares (broadcast left join —
+    // shingles are distinct per doc, so at most one match per row):
+    // count(*) per pair = |sh(old)|, count(hit) = |sh(old) ∩ sh(new)|
+    oldPost
+      .join(broadcast(pairsDf), Seq("doc_id"))
+      .join(broadcast(newSh), Seq("new_id", "g"), "left_outer")
+      .groupBy("doc_id", "new_id")
+      .agg(count(lit(1)).as("na"), count(col("hit")).as("c"))
+      .join(broadcast(nbSizes), Seq("new_id"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= Dedup.Tau)
-      .select(col("a_id").as("old_id"), col("b_id").as("new_id"),
+      .select(col("doc_id").as("old_id"), col("new_id"),
         round(col("jac"), 6).cast("double").as("jaccard"))
-    (pairs, cand)
   }
 
   /** One streaming-ingest micro-batch, IDEMPOTENT under at-least-once
     * replay (foreachBatch re-delivers a batch whenever the checkpoint
-    * commit didn't land). Three Spark actions per batch — the fused
-    * disjointness/count job, the pairs write, and the single txlog
-    * append; the first two run CONCURRENTLY (independent job trees over
-    * the same pinned snapshot — the batch pays max, not sum, of their
-    * latencies), the commit strictly after both. Every crash/abort
-    * point replays cleanly:
+    * commit didn't land). Per-batch Spark actions: the candidate scan
+    * (with the disjointness gate fused in as an observe metric — one
+    * pass over the band table serves both), the pairs verification
+    * write, and the single txlog append; the data stage and the batch
+    * count run CONCURRENTLY with the candidate scan (independent job
+    * trees over the same pinned snapshot — the batch pays max, not sum,
+    * of their latencies), the commit strictly after all. Every
+    * crash/abort point replays cleanly:
     *
     *   1. a batch at or under the index's `hw:batch:` high-water was
     *      FULLY processed by a previous attempt — skip everything (its
@@ -479,12 +592,8 @@ object SigIndex {
         // publish before the pairs write, including the bootstrap). The
         // bootstrap has no corpus to pair against, so the schema row is
         // constructed directly instead of probing the not-yet-built index.
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("old_id", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("new_id", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
-          .write.mode("overwrite").parquet(s"$pairsSink/batch_id=$batchId")
+        emptyPairs(s).write.mode("overwrite")
+          .parquet(s"$pairsSink/batch_id=$batchId")
         build(b, idx, hwBatchId = Some(batchId))
       } else {
         val snap = snapOpt.get
@@ -495,60 +604,59 @@ object SigIndex {
         // and without the cache each consumer re-runs it
         val nb = Dedup.signatureBands(Dedup.minhashSignature(sh)).cache()
         try {
-          // ACTIONS 1+2 OVERLAPPED — the disjointness/count job (a
-          // map-only semi-join of the pinned band scan against the
-          // broadcast batch ids) runs CONCURRENTLY with the pairs
-          // write: neither depends on the other's result, both pin the
-          // same pre-batch snapshot, and the scheduler interleaves the
-          // two job trees instead of paying their latencies in series.
-          // The disjointness REQUIRE still gates the only visible
-          // effect (the ACTION-3 commit); a rejected batch deletes its
-          // half-written pairs partition before throwing, so a fatal
-          // overlap abort leaves nothing behind.
+          // OVERLAPPED job trees — the data STAGE (invisible until a
+          // manifest references it; an abandoned stage is a vacuumable
+          // CAS-loser dir) and the batch count run CONCURRENTLY with the
+          // candidate scan: none depends on another's result, all pin
+          // the same pre-batch snapshot, and the scheduler interleaves
+          // the trees instead of paying their latencies in series. The
+          // disjointness gate rides the candidate scan itself as an
+          // observe metric (candidatesPinned) — the second full band
+          // scan the gate used to cost is gone.
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
-          val cntsF = Future {
-            timedPhase("disjointness") {
-              bandsAt(s, idx, snap.version)
-                .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
-                .agg(count_distinct(col("doc_id")).as("ovl"))
-                .crossJoin(b.agg(count(lit(1)).as("n"))).collect()(0)
-            }
-          }
-          // the ACTION-3 batch rows STAGE concurrently too — staged files
-          // are invisible until a manifest references them (an abandoned
-          // stage is a vacuumable CAS-loser dir), so only the manifest
-          // PUBLISH has to wait for the pairs write and the overlap gate
           val rows = indexRows(sh, nb, parts = 8)
           val stagedF = Future {
             timedPhase("stage") {
               TxLog.stageAppend(s, tableRoot(idx), rows, snap)
             }
           }
-          timedPhase("probe_pairs") {
-            val (pairs, cand) = probePinned(s, idx, snap.version, sh, Some(nb))
-            try pairs.write.mode("overwrite")
-              .parquet(s"$pairsSink/batch_id=$batchId")
-            finally cand.unpersist()
+          val nF = Future(b.count())
+          val (cand, ovlRows) = timedPhase("probe_candidates") {
+            candidatesPinned(s, idx, snap.version, nb,
+              Some(b.select("doc_id")))
           }
-          val cnts = Await.result(cntsF, Duration.Inf)
-          if (cnts.getAs[Long]("ovl") != 0L) {
+          if (ovlRows != 0L) {
+            // failure path (can afford a second job): an exact
+            // overlapping-doc count for the message, and clear any pairs
+            // partition a previous crashed attempt of this batch left —
+            // the gate now fires BEFORE this attempt's pairs write, so
+            // only a replay can have one on disk. The concurrently
+            // staged data dir stays behind unreferenced (invisible;
+            // TxLog.vacuum collects it), same as any crashed append.
+            val ovlDocs = bandsAt(s, idx, snap.version)
+              .join(broadcast(b.select("doc_id")), Seq("doc_id"), "left_semi")
+              .agg(count_distinct(col("doc_id"))).head().getLong(0)
             val dir = new org.apache.hadoop.fs.Path(s"$pairsSink/batch_id=$batchId")
             scala.util.Try(
               dir.getFileSystem(s.sparkContext.hadoopConfiguration)
                 .delete(dir, true))
             throw new IllegalArgumentException(
               s"ingestBatch($idx): batch $batchId overlaps " +
-                s"${cnts.getAs[Long]("ovl")} indexed doc_ids")
+                s"$ovlDocs indexed doc_ids")
           }
-          // ACTION 3 — one atomic append: rows + count + high-water.
-          // The advanced count derives from the snapshot the commit is
-          // CAS'd against (kvFn runs per retry attempt): a concurrent
-          // SigIndex.append interleaving with the stream can no longer
-          // make this commit publish a count computed from a version it
-          // didn't read — the stale-kv hazard commitAppendKv documents.
-          val batchN = cnts.getAs[Long]("n")
+          timedPhase("probe_pairs") {
+            verifyPairs(s, idx, snap.version, sh, cand)
+              .write.mode("overwrite").parquet(s"$pairsSink/batch_id=$batchId")
+          }
+          // ONE atomic append: rows + count + high-water. The advanced
+          // count derives from the snapshot the commit is CAS'd against
+          // (kvFn runs per retry attempt): a concurrent SigIndex.append
+          // interleaving with the stream can no longer make this commit
+          // publish a count computed from a version it didn't read —
+          // the stale-kv hazard commitAppendKv documents.
+          val batchN = Await.result(nF, Duration.Inf)
           val staged = Await.result(stagedF, Duration.Inf)
           timedPhase("publish_cas") {
             TxLog.appendOnceMonotoneKv(s, root, "batch", batchId, rows,

@@ -907,7 +907,7 @@ object TxLog {
       // exact under merge-on-read deletes, one manifest read, no data I/O
       val rs = es.map(_.liveRows)
       (t, es.size, if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None)
-    }.sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+    }.sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
   }
 
   /** [[readPruned]] convenience for single-column tables: keep exactly
@@ -1549,12 +1549,18 @@ object TxLog {
     * are not batch operations but explicit metadata-only commits
     * ([[renameColumn]]/[[dropColumn]], the column-mapping layer).
     * Overwrite-commits replace every file, so they may change schema
-    * freely. `allowWidening` (the plain-append path) additionally admits
-    * a batch field in the same compare domain at a different safe width
-    * ([[widens]] either way): a WIDER batch widens the committed type, a
-    * NARROWER one upcasts at stage time — both resolved by the caller. */
+    * freely. `allowUpcast` (every batch path) admits a batch field
+    * NARROWER than the committed width — it upcasts at stage time and
+    * the committed schema never moves (the Delta store-assignment
+    * shape: int rows may always land in a long column). `allowWidening`
+    * admits the reverse — a WIDER batch that RETYPES the committed
+    * schema — and is OPT-IN per table via the `type_widening` property
+    * (the Delta `enableTypeWidening` shape): a producer bug that casts
+    * a column wider must not silently retype the table and
+    * force-restart every pinned streaming consumer. */
   private def requireAdditive(prevJson: Option[String], nextJson: String,
-      op: String, allowWidening: Boolean = false): Unit =
+      op: String, allowWidening: Boolean = false,
+      allowUpcast: Boolean = false): Unit =
     prevJson.foreach { pj =>
       import org.apache.spark.sql.types.{DataType, StructType}
       val prev = DataType.fromJson(pj).asInstanceOf[StructType]
@@ -1563,13 +1569,25 @@ object TxLog {
         // case-insensitive name match — Spark resolves columns
         // case-insensitively by default, so a batch it would read and
         // union fine must not be rejected on letter case
-        require(next.find(_.name.equalsIgnoreCase(f.name)).exists(nf =>
-          nf.dataType == f.dataType || (allowWidening &&
-            (widens(f.dataType, nf.dataType) || widens(nf.dataType, f.dataType)))),
+        val nfOpt = next.find(_.name.equalsIgnoreCase(f.name))
+        val gatedWide = !allowWidening &&
+          nfOpt.exists(nf => widens(f.dataType, nf.dataType))
+        require(nfOpt.exists(nf =>
+          nf.dataType == f.dataType ||
+            (allowWidening && widens(f.dataType, nf.dataType)) ||
+            (allowUpcast && widens(nf.dataType, f.dataType))),
           s"$op: schema not additive — committed field ${f.name}: " +
-            s"${f.dataType.simpleString} is missing or retyped in the incoming batch")
+            s"${f.dataType.simpleString} is missing or retyped in the " +
+            "incoming batch" + (if (gatedWide)
+              " (a safely wider batch needs the table's type_widening " +
+                "property set to true)" else ""))
       }
     }
+
+  /** The `type_widening` table property: opt-in for wider batches to
+    * retype the committed schema on append/upsert. */
+  private def wideningEnabled(snap: Snapshot): Boolean =
+    kvOf(snap.notes).get("type_widening").contains("true")
 
   /** The LOGICAL schema of a snapshot: the committed physical schema with
     * the mapping's renames applied. What [[read]] returns and what
@@ -1786,9 +1804,11 @@ object TxLog {
     * ([[appendOnce]]'s kv merge alone can't promise that — its retry
     * keeps the caller's stale values.) */
   def commitAppendKv(spark: SparkSession, root: String, df: DataFrame,
-      expected: Long, tag: String, kv: Map[String, String]): Long =
+      expected: Long, tag: String, kv: Map[String, String],
+      preStaged: Option[StagedAppend] = None): Long =
     commitAppendNotes(spark, root, df, expected,
-      ns => kvMerge(if (tag.isEmpty) ns else ns + tag, kv))
+      ns => kvMerge(if (tag.isEmpty) ns else ns + tag, kv),
+      preStaged.map(ps => new StagedBox(Some(ps))))
 
   /** [[commitAppend]] with a note-set TRANSFORM instead of a single added
     * tag — what lets [[appendOnceMonotone]] REPLACE its high-water note
@@ -1890,7 +1910,7 @@ object TxLog {
     requireAdditive(Some(prevLogical.json),
       fileSchemaJson(df,
         if (inFiles) Seq.empty else snap.partCols.map(_._1)), "commitAppend",
-      allowWidening = true)
+      allowWidening = wideningEnabled(snap), allowUpcast = true)
     // appended files mix with the snapshot's — each batch partition
     // column must carry the committed type (same stability rule as
     // upsertPartitioned; a retyped partition column would stage hive
@@ -2471,9 +2491,17 @@ object TxLog {
         // retyped column and slip it past the committed-type compare.
         val physPrev = parseSchema(effectiveSchemaJson(spark, root, snap))
         val inFiles = partDataInFiles(snap.partCols, Some(physPrev))
+        // type widening rides the same opt-in as commitAppend: a WIDER
+        // batch (under the table's type_widening property) retypes the
+        // committed schema — the union below coerces kept rows up and
+        // `nextPhys` derives from the merged (wide) frame; a NARROWER
+        // batch upcasts to the committed width through the same union.
+        // The common real-world widening arrives through exactly this
+        // keyed-upsert path (an id column outgrowing int mid-feed).
         requireAdditive(Some(logicalSchema(physPrev, snap.mapping).json),
           fileSchemaJson(batch, if (inFiles) Seq.empty else partCols),
-          "upsertPartitioned")
+          "upsertPartitioned",
+          allowWidening = wideningEnabled(snap), allowUpcast = true)
         // CHECK constraints validate the incoming batch (survivors are
         // existing rows that already passed at their own commit)
         enforceConstraints(spark, batch, snap.notes, "upsertPartitioned")
@@ -2493,7 +2521,23 @@ object TxLog {
         val merged = current.join(batch.select(key), Seq(key), "left_anti")
           .unionByName(batch, allowMissingColumns = true).cache()
         try {
-          val (physDf, nextPhys, nextMapping) = toPhysical(merged, snap, physPrev)
+          val (physDf, nextPhys0, nextMapping) = toPhysical(merged, snap, physPrev)
+          // committed-schema WIDENING (gated by requireAdditive above):
+          // toPhysical keeps existing fields at the committed width, but
+          // a wider batch coerced the merged union up — the published
+          // schema must match the staged files' width or the pin would
+          // read wide files under a narrow schema (stageAppend's
+          // widenedCommit fix-up, the upsert twin). Gate-off tables
+          // never reach here wide: the batch was refused or upcast.
+          val nextPhys = org.apache.spark.sql.types.StructType(
+            nextPhys0.fields.map { pf =>
+              val logical = snap.mapping.getOrElse(pf.name, pf.name)
+              merged.schema.fields.find(_.name.equalsIgnoreCase(logical)) match {
+                case Some(mf) if widens(pf.dataType, mf.dataType) =>
+                  pf.copy(dataType = mf.dataType)
+                case _ => pf
+              }
+            })
           val afterCounts = tupleCounts(merged)
           val fresh = stagePartitioned(spark, root, physDf, partCols,
             keepInFiles = inFiles, placeholderIfEmpty = keep.isEmpty)
@@ -2770,9 +2814,41 @@ object TxLog {
       selectVictims = df => df.join(k, df(keyCol) === k(keyCol), "left_semi"))
   }
 
+  /** ATOMIC keyed replace, merge-on-read: ONE commit deletion-vectors
+    * every live row whose `keyCol` appears in `keys` AND appends `adds`
+    * as new files — the "re-state these documents" primitive an
+    * incremental index fold wants. The two-commit form (deleteMoRKeys
+    * then commitAppend) leaves a window where readers see the corpus
+    * WITHOUT the touched keys and pays two manifest publishes plus a
+    * replay-tag ledger for the crash between them; here there is no
+    * window, no partial state to replay around, and the adds STAGE
+    * concurrently with the victim-position jobs (staged files are
+    * invisible until the manifest references them, so an abort leaves
+    * only a vacuumable orphan). All append gates run on `adds` at stage
+    * time (additive schema, widening, CHECK constraints). `adds` rows
+    * whose keys are in `keys` cannot double-state: their prior rows are
+    * vectored out in the same manifest. */
+  def replaceKeysMoR(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame, adds: DataFrame, note: String = "",
+      kvFn: Snapshot => Map[String, String] = _ => Map.empty): Long = {
+    require(keys.columns.exists(_.equalsIgnoreCase(keyCol)),
+      s"replaceKeysMoR: keys frame lacks column $keyCol")
+    val k = keys.select(col(keyCol)).distinct()
+    val pruneWith = scala.util.Try {
+      val r = k.agg(min(col(keyCol)), max(col(keyCol))).head()
+      if (r.isNullAt(0)) lit(true)
+      else col(keyCol) >= lit(r.get(0)) && col(keyCol) <= lit(r.get(1))
+    }.getOrElse(lit(true))
+    deleteMoRImpl(spark, root, note, kvFn,
+      pruneWith = pruneWith,
+      selectVictims = df => df.join(k, df(keyCol) === k(keyCol), "left_semi"),
+      adds = Some(adds))
+  }
+
   private def deleteMoRImpl(spark: SparkSession, root: String,
       note: String, kvFn: Snapshot => Map[String, String],
-      pruneWith: Column, selectVictims: DataFrame => DataFrame): Long =
+      pruneWith: Column, selectVictims: DataFrame => DataFrame,
+      adds: Option[DataFrame] = None): Long =
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(
         throw new IllegalStateException(s"delete on uninitialized txlog $root"))
@@ -2788,12 +2864,31 @@ object TxLog {
         org.apache.spark.sql.graftbridge.Bridge.expression(spark, pruneWith)))
         .getOrElse(Seq.empty)
       val cand = snap.entries.filter(entryCouldMatch(snap, conjuncts))
+      // replaceKeysMoR adds stage CONCURRENTLY with the victim-position
+      // jobs below — staged files are invisible until the publish, so a
+      // refusal/CAS loss strands only a vacuumable orphan dir; all
+      // append gates (additive schema, widening, constraints) run
+      // inside stageAppend, per attempt
+      val stagedAddsF = adds.map { a =>
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future(stageAppend(spark, root, a, snap))
+      }
+      def stagedAdds(): Option[StagedAppend] = stagedAddsF.map(f =>
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
       def notesOut: Set[String] = kvMerge(
         if (note.isEmpty) snap.notes else snap.notes + note, kvFn(snap))
-      def bump(): Long = publish(root, snap.version, snap.entries,
-        snap.partCols, notesOut,
-        snap.schemaJson, snap.mapping, snap.retired,
-        parentEntries = Some(snap.entries))
+      def publishWith(entries: Seq[FileEntry]): Long =
+        stagedAdds() match {
+          case None => publish(root, snap.version, entries, snap.partCols,
+            notesOut, snap.schemaJson, snap.mapping, snap.retired,
+            parentEntries = Some(snap.entries))
+          case Some(st) => publish(root, snap.version,
+            entries ++ st.entries, snap.partCols, notesOut,
+            Some(st.nextPhysJson), st.nextMapping, snap.retired,
+            parentEntries = Some(snap.entries))
+        }
+      def bump(): Long = publishWith(snap.entries)
       if (cand.isEmpty) Some(bump())
       else {
         val physPrev = schema.get
@@ -2854,10 +2949,7 @@ object TxLog {
               case Some(c) => e.copy(dv = Some((dvFile, c)))
               case None => e
             })
-          Some(publish(root, snap.version, entries, snap.partCols,
-            notesOut,
-            snap.schemaJson, snap.mapping, snap.retired,
-            parentEntries = Some(snap.entries)))
+          Some(publishWith(entries))
         }
       }
     }.get
@@ -3143,6 +3235,20 @@ object TxLog {
     * Streaming-sink tables ([[streamingSink]], [[appendOnceMonotone]],
     * [[commitAppend]], partition-minting [[upsertPartitioned]] batches
     * that touch only NEW partitions) are append-only by construction. */
+  /** Once-ever memo of CLEAN append-only steps: (root, v) present ⟺
+    * version v was verified to neither remove/rewrite a file, change a
+    * deletion vector, nor add a dv-born file relative to v-1. Manifests
+    * are immutable and a live root never reuses a version number
+    * (deleting a table directory and re-initializing the same path
+    * invalidates the whole process — the same assumption the feed
+    * source's addedBytesMemo makes), so the verdict never goes stale.
+    * Refusals are NOT memoized: a dirty range throws with fresh context
+    * every time (and is terminal for its caller anyway). Wholesale
+    * clear past the cap bounds a pathological many-tables process. */
+  private val appendStepMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
+  private val AppendStepMemoCap = 1 << 16
+
   def readAppended(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
     // fromVersion 0 is the GENESIS baseline (nothing yet) — what a
@@ -3178,29 +3284,46 @@ object TxLog {
     // Single-step ranges skip the walk — there the endpoint diff IS the
     // per-version check.
     if (to.version - fromV > 1) {
-      var prevDv: Map[String, Option[(String, Long)]] =
-        fromEntries.map(e => e.path -> e.dv).toMap
+      // each STEP (v-1 → v) is a pure function of two immutable
+      // manifests, so a clean verdict memoizes per (root, v) — the
+      // TrieMap below. A consumer tailing a high-commit-rate table
+      // re-walks its catch-up range on every batch; without the memo
+      // every walk re-parses every manifest in the range (the feed
+      // source's addedBytesMemo closed the same hole on its side).
       ((fromV + 1) to to.version).foreach { v =>
-        val sv =
-          if (v == to.version) to
-          else snapshot(root, v).getOrElse(
-            throw new IllegalArgumentException(
-              s"readAppended: version $v is not retained at $root — an " +
-                s"append-only proof over ($fromV, ${to.version}] needs " +
-                "every manifest in the range"))
-        val paths = sv.entries.map(_.path).toSet
-        val rem = prevDv.keysIterator.filterNot(paths).size
-        require(rem == 0,
-          s"readAppended: version $v removed or rewrote $rem " +
-            "file(s) — not an append-only range (use readChanges for " +
-            "rewrite ranges)")
-        val dvBad = sv.entries.count(e =>
-          prevDv.get(e.path).map(_ != e.dv).getOrElse(e.dv.isDefined))
-        require(dvBad == 0,
-          s"readAppended: version $v changed or introduced the deletion " +
-            s"vector of $dvBad file(s) — a delete landed in the range; " +
-            "not append-only (use readChanges)")
-        prevDv = sv.entries.map(e => e.path -> e.dv).toMap
+        if (!appendStepMemo.contains((root, v))) {
+          val sv =
+            if (v == to.version) to
+            else snapshot(root, v).getOrElse(
+              throw new IllegalArgumentException(
+                s"readAppended: version $v is not retained at $root — an " +
+                  s"append-only proof over ($fromV, ${to.version}] needs " +
+                  "every manifest in the range"))
+          val prevDv: Map[String, Option[(String, Long)]] =
+            (if (v - 1 == fromV) fromEntries
+             else if (v <= 1) Seq.empty
+             else snapshot(root, v - 1).getOrElse(
+               throw new IllegalArgumentException(
+                 s"readAppended: version ${v - 1} is not retained at $root " +
+                   s"— an append-only proof over ($fromV, ${to.version}] " +
+                   "needs every manifest in the range"))
+               .entries).map(e => e.path -> e.dv).toMap
+          val paths = sv.entries.map(_.path).toSet
+          val rem = prevDv.keysIterator.filterNot(paths).size
+          require(rem == 0,
+            s"readAppended: version $v removed or rewrote $rem " +
+              "file(s) — not an append-only range (use readChanges for " +
+              "rewrite ranges)")
+          val dvBad = sv.entries.count(e =>
+            prevDv.get(e.path).map(_ != e.dv).getOrElse(e.dv.isDefined))
+          require(dvBad == 0,
+            s"readAppended: version $v changed or introduced the deletion " +
+              s"vector of $dvBad file(s) — a delete landed in the range; " +
+              "not append-only (use readChanges)")
+          if (appendStepMemo.size >= AppendStepMemoCap) appendStepMemo.clear()
+          appendStepMemo.putIfAbsent((root, v), true)
+          ()
+        }
       }
     }
     val fromPaths = fromEntries.map(_.path).toSet
@@ -3333,18 +3456,41 @@ object TxLog {
             // removed.nonEmpty implies a real parent (genesis removes nothing)
             else Some(tag(readVersionSubset(spark, root, prevOpt.get, removed),
               "delete"))
-          val dvFrames = changedDv.flatMap { case (pe, ce) =>
-            val oldPos = entryPositions(spark, root, pe)
-            val newPos = entryPositions(spark, root, ce)
-            val grown = newPos.exceptAll(oldPos)
-            val shrunk = oldPos.exceptAll(newPos)
-            // rows read from the file RAW (dv stripped) at the positions
-            Seq(
-              Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), grown), "delete")),
-              if (pe.dv.isEmpty) None
-              else Some(tag(rowsAtPositions(spark, root, cur, Seq(ce), shrunk),
-                "insert"))).flatten
-          }
+          // ALL of the version's dv-changed files diff as ONE frame pair:
+          // positions carry (f, p), so the except and the row fetch key on
+          // the file column — per-file frames (2 exceptAll + a pruned scan
+          // each) made the feed plan O(changed files) unions of shuffly
+          // subplans, and a MoR delete touching every file of a table put
+          // the whole feed read on that cliff
+          val dvFrames =
+            if (changedDv.isEmpty) Seq.empty
+            else {
+              def posOf(es: Seq[FileEntry]): DataFrame = {
+                // one scan per SIDECAR, not per entry — a commit-wide
+                // delete records every file's positions in one sidecar
+                val bySidecar = es.flatMap(e => e.dv.map(d => d._1 -> e.path))
+                  .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+                if (bySidecar.isEmpty) {
+                  import spark.implicits._
+                  Seq.empty[(String, Long)].toDF("f", "p")
+                } else bySidecar.map { case (sc, paths) =>
+                  readFiles(spark, Seq(s"$root/$sc"), Some(DvSidecarSchema))
+                    .filter(col("f").isin(paths: _*))
+                }.reduce(_ unionByName _)
+              }
+              val oldPos = posOf(changedDv.map(_._1))
+              val newPos = posOf(changedDv.map(_._2))
+              val grown = newPos.exceptAll(oldPos)
+              val shrunk = oldPos.exceptAll(newPos)
+              val ces = changedDv.map(_._2)
+              // rows read from the files RAW (dv stripped) at the positions
+              Seq(
+                Some(tag(rowsAtPositions(spark, root, cur, ces, grown),
+                  "delete")),
+                if (changedDv.forall(_._1.dv.isEmpty)) None
+                else Some(tag(rowsAtPositions(spark, root, cur, ces, shrunk),
+                  "insert"))).flatten
+            }
           inserts.toSeq ++ dropDeletes.toSeq ++ dvFrames
       }
     }
@@ -3424,10 +3570,26 @@ object TxLog {
       // and were deleted before it validated would otherwise come back
       // uncertified, and no later path re-validates (maintenance
       // rewrites deliberately never do — rows are certified exactly
-      // where they ENTER, and a restore is an entry point)
-      if (target.entries.nonEmpty && constraintsOf(cur.notes).nonEmpty)
-        enforceConstraints(spark, readSnapshot(spark, root, target),
-          cur.notes, "restore")
+      // where they ENTER, and a restore is an entry point). Scoped to
+      // what actually RE-SURFACES, derived from the same manifest diff
+      // the CDC attribution uses: files present in target but absent
+      // from current, plus shared files whose deletion vector differs
+      // (a shrunk vector re-surfaces hidden rows — validated as the
+      // file's full target-dv live content, a sound bounded
+      // over-approximation). A restore that only undoes appends
+      // resurrects nothing and pays NO table scan.
+      if (constraintsOf(cur.notes).nonEmpty) {
+        val curByPath = cur.entries.map(e => e.path -> e).toMap
+        val resurfaced = target.entries.filter(e =>
+          curByPath.get(e.path) match {
+            case None => true // file comes back whole
+            case Some(c) => c.dv != e.dv // vector moved: rows may re-surface
+          })
+        if (resurfaced.nonEmpty)
+          enforceConstraints(spark,
+            readVersionSubset(spark, root, target, resurfaced),
+            cur.notes, "restore")
+      }
       // a restore's manifest diff IS its exact logical change: files the
       // rollback removes are pre-image deletes, files it brings back are
       // post-image inserts, carried entries are untouched rows — so the
@@ -3969,7 +4131,7 @@ object TxLog {
     * LOGICAL clustering column set, so "is this file already laid out
     * for these columns" is answerable from the manifest path alone. */
   private def zDirPrefix(cols: Seq[String]): String = {
-    val sig = cols.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(" ")
+    val sig = cols.map(_.toLowerCase(java.util.Locale.ROOT)).mkString("\u0000")
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes(StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString

@@ -517,4 +517,43 @@ class DvSpec extends SparkSpec {
     assert(got.filter(col("text") === "UPDATED").count() ===
       want.filter(col("text") === "UPDATED").count())
   }
+
+  test("replaceKeysMoR: keyed delete + append land in ONE version, equal to the two-commit form") {
+    import spark.implicits._
+    val root = freshRoot("replace")
+    TxLog.init(spark, root, docs.repartition(4))
+    val v0 = TxLog.currentVersion(root)
+    // re-state docs %5==0 with edited text, and mint one brand-new id
+    val keys = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      .unionByName(Seq(999999L).toDF("doc_id"))
+    val adds = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" RESTATED")))
+      .unionByName(Seq((999999L, "fresh", "en")).toDF("doc_id", "text", "lang"))
+    val v = TxLog.replaceKeysMoR(spark, root, "doc_id", keys, adds,
+      kvFn = _ => Map("mark" -> "1"))
+    // atomicity: exactly one version advanced, kv landed with it
+    assert(v === v0 + 1)
+    assert(TxLog.currentVersion(root) === v0 + 1)
+    assert(TxLog.kvOf(TxLog.snapshot(root).get.notes).get("mark") === Some("1"))
+    // content: identical to delete-then-append run on a twin table
+    val twin = freshRoot("replace-twin")
+    TxLog.init(spark, twin, docs.repartition(4))
+    TxLog.deleteMoRKeys(spark, twin, "doc_id", keys)
+    TxLog.commitAppend(spark, twin, adds, TxLog.currentVersion(twin))
+    val got = TxLog.read(spark, root).orderBy("doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    val want = TxLog.read(spark, twin).orderBy("doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(TxLog.read(spark, root)
+      .filter(col("text").endsWith("RESTATED")).count() ===
+      docs.filter(col("doc_id") % 5 === 0).count())
+    // no key matches at all: still one commit, adds still land
+    val v2 = TxLog.replaceKeysMoR(spark, root, "doc_id",
+      Seq(-1L).toDF("doc_id"),
+      Seq((888888L, "only-add", "en")).toDF("doc_id", "text", "lang"))
+    assert(v2 === v + 1)
+    assert(TxLog.read(spark, root)
+      .filter(col("doc_id") === 888888L).count() === 1L)
+  }
 }

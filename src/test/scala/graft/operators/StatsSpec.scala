@@ -353,10 +353,11 @@ class StatsSpec extends SparkSpec {
     TxLog.init(spark, root,
       (0 until 1000).map(i => (i, i.toFloat / 2)).toDF("id", "score")
         .repartition(4))
-    // v2: bigint ids past the int ceiling — the commit widens the schema
+    TxLog.setProperties(root, Map("type_widening" -> "true")) // v2: opt-in
+    // v3: bigint ids past the int ceiling — the commit widens the schema
     TxLog.commitAppend(spark, root,
       (0L until 100L).map(i => (i + 3000000000L, i.toDouble))
-        .toDF("id", "score"), expected = 1L)
+        .toDF("id", "score"), expected = 2L)
     val snap = TxLog.snapshot(root).get
     // a predicate past the int ceiling keeps ONLY the wide vintage's
     // files: the int32 footers' bounds must decode and compare in the

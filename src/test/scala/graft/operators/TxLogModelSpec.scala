@@ -1063,6 +1063,11 @@ class TxLogModelSpec extends SparkSpec {
     TxLog.init(spark, root, frameFor(init, wideIds = false,
       withScore = false, vc = "s"))
     history = history :+ EState(init, "s", idWide = false, hasScore = false)
+    // the machine's widening appends (op1) need the per-table opt-in;
+    // the property commit is its own version with an UNCHANGED model
+    // state (metadata-only)
+    TxLog.setProperties(root, Map("type_widening" -> "true"))
+    history = history :+ history.last
 
     val opLog = scala.collection.mutable.ListBuffer.empty[String]
     (1 to ops).foreach { i =>
@@ -1142,6 +1147,7 @@ class TxLogModelSpec extends SparkSpec {
     val root = freshRoot("widen-race")
     TxLog.init(spark, root,
       Seq((1, "a"), (2, "b")).toDF("id", "s")) // int id
+    TxLog.setProperties(root, Map("type_widening" -> "true"))
     // between the loser's staging (int files, int committed schema) and
     // its publish, a WIDENING append lands (bigint id): the loser's
     // layout vintage no longer matches — reusing the narrow stage would

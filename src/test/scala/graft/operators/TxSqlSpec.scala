@@ -756,4 +756,47 @@ class TxSqlSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("fixed at creation"))
   }
+
+  test("CHECK constraints gate type-WIDENED post-images (append and upsert)") {
+    import spark.implicits._
+    val root = freshRoot("widen-chk")
+    TxLog.init(spark, root, Seq((1, "en")).toDF("id", "lang"))
+    TxLog.setProperties(root, Map("type_widening" -> "true"))
+    TxLog.addConstraint(spark, root, "id_cap", "id < 4000000000")
+    // a widened batch VIOLATING the constraint refuses at stage time —
+    // nothing commits, the committed schema does not widen
+    val vBefore = TxLog.currentVersion(root)
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, root,
+        Seq((5000000000L, "de")).toDF("id", "lang"), expected = vBefore)
+    }
+    assert(TxLog.currentVersion(root) === vBefore)
+    assert(TxLog.read(spark, root).schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "a refused widening batch must not retype the table")
+    // a widened batch INSIDE the constraint commits and widens
+    TxLog.commitAppend(spark, root,
+      Seq((3000000000L, "de")).toDF("id", "lang"), expected = vBefore)
+    assert(TxLog.read(spark, root).schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // same gate through the keyed-upsert path on a partitioned twin
+    val root2 = freshRoot("widen-chk-up")
+    TxLog.initPartitioned(spark, root2,
+      Seq((1, "x", "en")).toDF("id", "v", "lang"), "lang")
+    TxLog.setProperties(root2, Map("type_widening" -> "true"))
+    TxLog.addConstraint(spark, root2, "id_cap", "id < 4000000000")
+    val v2 = TxLog.currentVersion(root2)
+    intercept[IllegalArgumentException] {
+      TxLog.upsertPartitioned(spark, root2,
+        Seq((5000000000L, "w", "en")).toDF("id", "v", "lang"),
+        key = "id", partCol = "lang")
+    }
+    assert(TxLog.currentVersion(root2) === v2)
+    TxLog.upsertPartitioned(spark, root2,
+      Seq((3000000000L, "w", "en")).toDF("id", "v", "lang"),
+      key = "id", partCol = "lang")
+    assert(TxLog.read(spark, root2).schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(TxLog.read(spark, root2).count() === 2L)
+  }
 }

@@ -1089,8 +1089,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val root = s"/root/repo/target/widen-stream-${System.nanoTime()}"
     TxLog.init(spark, root, Seq((1, "a")).toDF("id", "s")) // v1: int id
+    TxLog.setProperties(root, Map("type_widening" -> "true")) // v2: opt-in
     TxLog.commitAppend(spark, root,
-      Seq((3000000000L, "b")).toDF("id", "s"), expected = 1L) // v2: widens
+      Seq((3000000000L, "b")).toDF("id", "s"), expected = 2L) // v3: widens
     // pin is v2's wide schema; the replay range includes narrow v1 —
     // admission upcasts instead of refusing the old vintage
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
@@ -1111,21 +1112,23 @@ class StreamingSpec extends SparkSpec {
     // the inverse cannot be represented (wide rows under a narrow pin
     // would truncate): the typed restart contract, unchanged
     val root2 = s"/root/repo/target/widen-stream2-${System.nanoTime()}"
-    TxLog.init(spark, root2, Seq((1, "a")).toDF("id", "s"))
+    TxLog.init(spark, root2, Seq((1, "a")).toDF("id", "s")) // v1
+    TxLog.setProperties(root2, Map("type_widening" -> "true")) // v2
     val src2 = new TxLogFeedSource(spark,
       TxLogFeedSource.Opts(root2, "changes", Some(0L), None, None))
     TxLog.commitAppend(spark, root2,
-      Seq((3000000000L, "b")).toDF("id", "s"), expected = 1L)
-    // first trigger: the batch ends at the last admissible version (v1)
+      Seq((3000000000L, "b")).toDF("id", "s"), expected = 2L) // v3: widens
+    // first trigger: the batch ends at the last admissible version (v2)
     val allAvail =
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
     val end1 = src2.latestOffset(null, allAvail)
-    assert(end1.json.trim.toLong === 1L,
+    assert(end1.json.trim.toLong === 2L,
       "the batch must end before the widening commit")
-    // next trigger: v2 itself refuses — the typed restart contract
+    // next trigger: the widening version itself refuses — the typed
+    // restart contract
     val ex = intercept[TxLogStreamSchemaChangedException] {
       src2.latestOffset(
-        org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L),
         allAvail)
     }
     assert(ex.getMessage.contains("retyped"))
