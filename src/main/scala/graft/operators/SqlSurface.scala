@@ -61,6 +61,8 @@ object SqlSurface {
     *   DESCRIBE HISTORY txlog.`<root>`
     *   DESCRIBE DETAIL txlog.`<root>`
     *   DESCRIBE CHANGES txlog.`<root>` FROM <v> [TO <v>]
+    *   DESCRIBE STATS txlog.`<root>`
+    *   ANALYZE TABLE txlog.`<root>` COMPUTE STATISTICS [FOR COLUMNS <col>[, ...]]
     *   SHOW PARTITIONS txlog.`<root>`
     *   ALTER TABLE txlog.`<root>` SET TBLPROPERTIES ('k' = 'v'[, ...])
     *   ALTER TABLE txlog.`<root>` ADD CONSTRAINT <name> CHECK (<expr>)
@@ -126,6 +128,11 @@ object SqlSurface {
       "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
     private val ShowParts =
       "(?is)^\\s*SHOW\\s+PARTITIONS\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
+    private val Analyze =
+      ("(?is)^\\s*ANALYZE\\s+TABLE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+COMPUTE\\s+" +
+        "STATISTICS(?:\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_,\\s]+))?\\s*;?\\s*$").r
+    private val DescStats =
+      "(?is)^\\s*DESCRIBE\\s+STATS\\s+txlog\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$".r
     private val AlterProps =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+txlog\\s*\\.\\s*`([^`]+)`\\s+SET\\s+" +
         "TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
@@ -549,6 +556,15 @@ object SqlSurface {
           .toDF("version", "timestamp_ms", "n_files", "size_bytes",
             "n_rows", "part_cols", "fields", "n_notes",
             "dv_files", "dv_rows")
+      case Analyze(root, colList) =>
+        // column stats as table properties in one metadata commit —
+        // exact rows/nulls/min/max, HLL NDV (see TxLog.analyzeTable)
+        val cols = Option(colList).map(_.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        val v = TxLog.analyzeTable(spark, root, cols)
+        spark.range(1).select(lit(v).as("version"))
+      case DescStats(root) =>
+        TxLog.describeStats(spark, root)
       case ShowParts(root) =>
         // per-partition census from the manifest's value tags + footer
         // stats — zero data I/O, zero directory listing (the hive-path
@@ -1044,6 +1060,47 @@ object SqlSurface {
     // headers. The oracle restates each version's table from the
     // immutable source, so a hash match certifies that the SQL path hits
     // the same snapshot-isolated versions as the API path.
+    // STATS1: the ANALYZE TABLE surface under the differential gate —
+    // stats land as kv properties in one metadata commit and read back
+    // via DESCRIBE STATS. nulls/min/max are EXACT and hash-compared;
+    // NDV is the HLL estimate every engine's ANALYZE stores (exact NDV
+    // at 100 TB is a full shuffle per column), so it is certified as a
+    // tolerance VERDICT against the exact count (the a11/a12 pattern:
+    // deterministic per dataset — same hashes, same estimate — so the
+    // boolean is stable, not flaky).
+    QueryDef("stats1_analyze",
+      """SELECT 'doc_id' AS col_name,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |       CAST(min(doc_id) AS VARCHAR) AS vmin,
+        |       CAST(max(doc_id) AS VARCHAR) AS vmax,
+        |       TRUE AS ndv_close
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang',
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       min(lang), max(lang), TRUE
+        |FROM documents
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "txlog-analyze")
+      TxLog.init(s, root,
+        Tables.documents(s, dir).select("doc_id", "text", "lang"))
+      TxSql.sql(s, s"ANALYZE TABLE txlog.`$root` COMPUTE STATISTICS " +
+        "FOR COLUMNS doc_id, lang")
+      val exact = Tables.documents(s, dir).agg(
+        count_distinct(col("doc_id")).as("x_doc_id"),
+        count_distinct(col("lang")).as("x_lang")).head()
+      import s.implicits._
+      val exactDf = Seq(("doc_id", exact.getAs[Long]("x_doc_id")),
+        ("lang", exact.getAs[Long]("x_lang"))).toDF("col_name", "x")
+      TxSql.sql(s, s"DESCRIBE STATS txlog.`$root`")
+        .withColumnRenamed("column", "col_name")
+        .join(exactDf, "col_name")
+        .select(col("col_name"), col("nulls"), col("vmin"), col("vmax"),
+          (abs(col("ndv") - col("x")) <=
+            greatest(lit(1L), (col("x") / 10))).as("ndv_close"))
+        .orderBy("col_name")
+    },
+
     QueryDef("sql3_txlog_sql",
       """WITH survivors AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0)
         |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,

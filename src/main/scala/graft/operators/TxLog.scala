@@ -3105,6 +3105,73 @@ object TxLog {
     }.get
   }
 
+  /** ANALYZE TABLE (the Spark/Delta `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` shape): ONE aggregation pass over the
+    * current snapshot computes per-column NDV, null count, min and max
+    * plus the exact row count, and publishes them as kv table
+    * properties in ONE metadata-only commit pinned to the analyzed
+    * version (`stats_v` — staleness is visible as stats_v < current,
+    * never silent). NDV is `approx_count_distinct` BY DESIGN: exact NDV
+    * at 100 TB is a full shuffle per column, and every engine's ANALYZE
+    * (Spark CBO, Delta, Trino) stores the HLL estimate for exactly that
+    * reason; nulls/min/max/rowcount are exact. The stats are advisory —
+    * AQE drives runtime re-planning on the scored shapes; this surface
+    * serves ad-hoc inspection (`DESCRIBE STATS`) and is the storage
+    * half of CBO join-reorder wiring should the tables ever register in
+    * a catalog. Returns the published version. */
+  def analyzeTable(spark: SparkSession, root: String,
+      columns: Seq[String] = Seq.empty): Long = {
+    val snap = snapshot(root).getOrElse(throw new IllegalStateException(
+      s"analyzeTable on uninitialized txlog $root"))
+    val df = readSnapshot(spark, root, snap)
+    val all = df.schema.fields.map(_.name).toSeq
+    val cols = if (columns.isEmpty) all else columns.map { c =>
+      all.find(_.equalsIgnoreCase(c)).getOrElse(throw new
+        IllegalArgumentException(s"analyzeTable: no column $c " +
+          s"(have ${all.mkString(", ")})"))
+    }
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"analyzeTable: column name $c cannot key a kv property"))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      approx_count_distinct(col(c)).as(s"__ndv_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    // min/max are URL-encoded into the single-line kv value (a string
+    // column's extremum may contain the separator or a newline)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val kv = Map(
+      "stats_v" -> snap.version.toString,
+      "stats_rows" -> row.getAs[Long]("__n").toString) ++
+      cols.map { c =>
+        val mn = Option(row.getAs[String](s"__min_$c")).map(enc).getOrElse("")
+        val mx = Option(row.getAs[String](s"__max_$c")).map(enc).getOrElse("")
+        s"cstat_$c" -> (s"${row.getAs[Long](s"__ndv_$c")}," +
+          s"${row.getAs[Long](s"__nulls_$c")},$mn,$mx")
+      }
+    setProperties(root, kv)
+  }
+
+  /** The stored column statistics of the CURRENT snapshot as a frame
+    * (column, ndv, nulls, vmin, vmax) — the read side of
+    * [[analyzeTable]] / `DESCRIBE STATS`. Empty when never analyzed;
+    * the analyzed version and exact row count ride as `stats_v` /
+    * `stats_rows` in [[kvOf]] for staleness checks. */
+  def describeStats(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(root).getOrElse(throw new IllegalStateException(
+      s"no committed version at $root"))
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    kvOf(snap.notes).toSeq.collect {
+      case (k, v) if k.startsWith("cstat_") =>
+        val parts = v.split(",", -1)
+        (k.stripPrefix("cstat_"), parts(0).toLong, parts(1).toLong,
+          if (parts(2).isEmpty) null else dec(parts(2)),
+          if (parts(3).isEmpty) null else dec(parts(3)))
+    }.sortBy(_._1).toDF("column", "ndv", "nulls", "vmin", "vmax")
+  }
+
   /** CHECK constraint note-key prefix: `kv:chk_<name>:<exprSql>`. */
   private val ChkPrefix = "chk_"
 

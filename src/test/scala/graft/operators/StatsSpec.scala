@@ -377,4 +377,46 @@ class StatsSpec extends SparkSpec {
     assert(TxLog.readWhere(spark, root, "score >= 499.9").count() ===
       TxLog.read(spark, root).filter(col("score") >= 499.9).count())
   }
+
+  test("ANALYZE TABLE: one metadata commit stores exact rows/nulls/min/max " +
+      "+ HLL ndv, DESCRIBE STATS reads them back, re-analyze replaces") {
+    import spark.implicits._
+    val root = freshRoot("analyze")
+    TxLog.init(spark, root,
+      (Seq((1, "a"), (2, "b"), (3, "b")) :+ ((4, null.asInstanceOf[String])))
+        .toDF("id", "s"))
+    val v = TxLog.analyzeTable(spark, root) // all columns
+    assert(v === 2L, "stats are one metadata-only commit")
+    val kv = TxLog.kvOf(TxLog.snapshot(root).get.notes)
+    assert(kv("stats_v") === "1", "stats pin the ANALYZED version")
+    assert(kv("stats_rows") === "4")
+    val st = TxLog.describeStats(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(st("id") === ((4L, 0L, "1", "4")))
+    // HLL ndv exact at tiny cardinality; null excluded from ndv/min/max
+    assert(st("s") === ((2L, 1L, "a", "b")))
+    // re-analyze after an append REPLACES (kv merge semantics) and
+    // advances the pin
+    TxLog.commitAppend(spark, root,
+      Seq((9, "z")).toDF("id", "s"), expected = 2L)
+    TxLog.analyzeTable(spark, root, Seq("id"))
+    val kv2 = TxLog.kvOf(TxLog.snapshot(root).get.notes)
+    assert(kv2("stats_v") === "3")
+    assert(kv2("stats_rows") === "5")
+    val st2 = TxLog.describeStats(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(st2("id") === "9")
+    assert(st2.contains("s"), "unanalyzed columns keep their prior stats")
+    // SQL verbs round-trip; a missing column refuses loudly
+    import SqlSurface.TxSql
+    TxSql.sql(spark, s"ANALYZE TABLE txlog.`$root` COMPUTE STATISTICS " +
+      "FOR COLUMNS s")
+    assert(TxSql.sql(spark, s"DESCRIBE STATS txlog.`$root`")
+      .filter(col("column") === "s").head().getString(4) === "z")
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.analyzeTable(spark, root, Seq("nope"))
+    }
+    assert(ex.getMessage.contains("no column nope"))
+  }
 }
