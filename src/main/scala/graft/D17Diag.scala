@@ -50,24 +50,19 @@ object D17Diag {
     t("updateMoR")(TxLog.updateMoR(spark, corpusRoot, col("doc_id") % 11 === 1,
       Seq("text" -> concat(col("text"), lit(" EDITED")))))
     t("compact")(TxLog.compact(spark, corpusRoot, targetFiles = 4))
-    // sync, phased by hand (mirrors SigIndex.sync/foldFeed)
+    // sync phases. The feed-read cost is measured on a DIAGNOSTIC
+    // readChanges (same range sync will fold); the fold itself runs as
+    // production code — SigIndex.sync → foldFeed → ONE atomic
+    // TxLog.replaceKeysMoR commit (the r16 shape: DV-forget touched keys
+    // + append restatements in the same manifest) — so the "sync" phase
+    // here times exactly what d17 executes, feed read included again.
     val from = 1L
     val to = TxLog.currentVersion(corpusRoot)
-    val feed = t("readChanges plan")(
+    val feed = t("readChanges plan (diag)")(
       TxLog.readChanges(spark, corpusRoot, from, to).cache())
-    t("feed materialize")(println("  feed=" + feed.count()))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(col("_commit_version").desc,
-        when(col("_change_type") === "insert", 0).otherwise(1))
-    val lastIns = feed.withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 1 && col("_change_type") === "insert")
-      .drop("_r", "_change_type", "_commit_version")
-    t("lastIns isEmpty")(println("  empty=" + lastIns.isEmpty))
-    val touched = feed.select("doc_id").distinct()
-    t("forget")(SigIndex.forget(spark, idx, touched, extraKv = Map.empty))
-    t("append")(SigIndex.append(lastIns, idx, tag = s"sync-$to",
-      extraKv = Map("sync_v" -> to.toString)))
+    t("feed materialize (diag)")(println("  feed=" + feed.count()))
     feed.unpersist()
+    t("sync (atomic fold, prod path)")(SigIndex.sync(spark, idx, corpusRoot))
     t("probe+write")(SigIndex.probe(spark, idx,
         docs.filter(col("doc_id") % 3 === 2))
       .orderBy("old_id", "new_id")

@@ -440,6 +440,24 @@ object SigIndex {
       nbands: DataFrame, batchIds: Option[DataFrame])
       : (Array[(Long, Long)], Long) = {
     val nb = nbands.select(col("band"), col("bh"), col("doc_id").as("new_id"))
+    // AQE EMPTY-RELATION GUARD (observation-hang hazard): an EMPTY
+    // broadcast side — an empty replayed batch, or every doc under 3
+    // words so the batch has zero bands — lets AQE's empty-relation
+    // propagation collapse the candidate join and PRUNE the observed
+    // scan subtree; the Observation below would then never complete and
+    // its await would hang the ingest forever (CollectMetrics blocks
+    // filter pushdown, NOT runtime empty propagation). Empty bands ⟹
+    // no candidates by definition; the disjointness gate falls back to
+    // its standalone map-only semi-join job for this degenerate shape
+    // only. The isEmpty probe is a limit-1 job on the caller's CACHED
+    // bands frame — pennies, and only paid on the gated (ingest) path.
+    if (batchIds.isDefined && nb.isEmpty) {
+      val ovl = batchIds.fold(0L)(ids =>
+        bandsAt(s, idx, version)
+          .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
+            "left_semi").count())
+      return (Array.empty, ovl)
+    }
     val scan0 = bandsAt(s, idx, version)
     val obs = batchIds.map(_ => org.apache.spark.sql.Observation())
     val scan = (batchIds, obs) match {
@@ -486,9 +504,20 @@ object SigIndex {
       pruned0.where(col("doc_id").isin(oldIds: _*)) else pruned0
     val oldPost = pruned.join(broadcast(oldIds.toDF("doc_id")),
       Seq("doc_id"), "left_semi")
-    val newSh = nsh.select(col("doc_id").as("new_id"), col("g"),
+    // the broadcast NEW side carries only CANDIDATE new docs' shingles —
+    // the driver already holds the candidate ids, so the same
+    // isin/semi-join pruning the postings side gets applies here too:
+    // the broadcast is candidate-bounded, not batch-bounded (a batch of
+    // long documents would otherwise broadcast every shingle of every
+    // doc, candidates or not — a memory cliff the old shuffled plan
+    // didn't have)
+    val newIds = cand.map(_._2).distinct.toSeq
+    val nshCand = (if (newIds.size <= 1000)
+      nsh.where(col("doc_id").isin(newIds: _*)) else nsh)
+      .join(broadcast(newIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
+    val newSh = nshCand.select(col("doc_id").as("new_id"), col("g"),
       lit(1).as("hit"))
-    val nbSizes = nsh.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val nbSizes = nshCand.groupBy("doc_id").agg(count(lit(1)).as("nb"))
       .select(col("doc_id").as("new_id"), col("nb"))
     // fan each candidate-old posting out to its pairs (broadcast, map
     // side), mark shingles the new doc shares (broadcast left join —

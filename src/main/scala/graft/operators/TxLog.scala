@@ -1166,6 +1166,12 @@ object TxLog {
       parentEntries: Option[Seq[FileEntry]] = None): Long = {
     Files.createDirectories(logDir(root))
     val next = expected + 1
+    // a GENESIS publish means this root is a fresh (or re-created) log:
+    // any append-step verdicts memoized for a previous incarnation of
+    // the same path are stale — drop them before version numbers start
+    // repeating (the harness's freshRoot really does delete + re-init
+    // fixed paths inside one JVM, so this is not hypothetical)
+    if (next == 1L) invalidateAppendSteps(root)
     // drop STALE version-pinned attribution markers (the four exact
     // marker KEYS — never a prefix match, so a user property that merely
     // lives in the `cdc_` namespace with a numeric-leading value, e.g.
@@ -3305,16 +3311,27 @@ object TxLog {
   /** Once-ever memo of CLEAN append-only steps: (root, v) present ⟺
     * version v was verified to neither remove/rewrite a file, change a
     * deletion vector, nor add a dv-born file relative to v-1. Manifests
-    * are immutable and a live root never reuses a version number
-    * (deleting a table directory and re-initializing the same path
-    * invalidates the whole process — the same assumption the feed
-    * source's addedBytesMemo makes), so the verdict never goes stale.
-    * Refusals are NOT memoized: a dirty range throws with fresh context
-    * every time (and is terminal for its caller anyway). Wholesale
-    * clear past the cap bounds a pathological many-tables process. */
+    * are immutable and a LIVE log never reuses a version number, so a
+    * verdict only goes stale when the whole table directory is deleted
+    * and the path re-initialized — every in-library path to that state
+    * flows through a GENESIS publish (version 1), which
+    * [[invalidateAppendSteps]] hooks (and [[freshRoot]] belt-and-braces
+    * on delete); an EXTERNAL rm of a directory this process then reads
+    * WITHOUT re-initializing is outside the contract (the feed source's
+    * addedBytesMemo makes the same assumption). Refusals are NOT
+    * memoized: a dirty range throws with fresh context every time (and
+    * is terminal for its caller anyway). Wholesale clear past the cap
+    * bounds a pathological many-tables process. */
   private val appendStepMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
   private val AppendStepMemoCap = 1 << 16
+
+  /** Drop every memoized append-step verdict for `root` — called when a
+    * path's version numbering can restart (genesis publish; explicit
+    * table-directory delete). */
+  private def invalidateAppendSteps(root: String): Unit =
+    appendStepMemo.keysIterator.filter(_._1 == root)
+      .foreach(appendStepMemo.remove)
 
   def readAppended(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
@@ -4502,6 +4519,9 @@ object TxLog {
   private[operators] def freshRoot(dir: String, tag: String): String = {
     val root = s"/root/repo/target/graft-maint/${new java.io.File(dir).getName}/$tag"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // this path's next incarnation restarts version numbering — stale
+    // append-step verdicts must not certify the new log's ranges
+    invalidateAppendSteps(root)
     root
   }
 

@@ -158,6 +158,41 @@ class SigIndexSpec extends SparkSpec {
     assert(SigIndex.bands(spark, dir).count() === bandsBefore)
   }
 
+  test("ingest of a ZERO-SHINGLE batch neither hangs nor miscounts " +
+      "(AQE empty-relation guard), and its overlap gate still fires") {
+    import spark.implicits._
+    val tag = System.nanoTime()
+    val idx = s"/root/repo/target/sigidx-short-$tag"
+    val sink = s"/root/repo/target/sigidx-short-pairs-$tag"
+    val b0 = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+    SigIndex.ingestBatch(spark, idx, sink, b0, 0L) // bootstrap
+    val n0 = SigIndex.indexedCount(idx).get
+    // every doc under 3 words → zero shingles, zero bands: the fused
+    // observe metric's scan subtree would be PRUNED by AQE empty-relation
+    // propagation (empty broadcast side) — without the fallback gate the
+    // ingest hangs forever awaiting the observation
+    val shorties = Seq((900001L, "hi"), (900002L, "a b"))
+      .toDF("doc_id", "text")
+    SigIndex.ingestBatch(spark, idx, sink, shorties, 1L)
+    assert(SigIndex.indexedCount(idx) === Some(n0 + 2),
+      "zero-shingle docs still count toward kv:n")
+    assert(spark.read.parquet(s"$sink/batch_id=1").count() === 0L,
+      "pairs partition exists with the right schema, zero rows")
+    // an EMPTY replayed batch takes the same guard path: completes, no-ops
+    SigIndex.ingestBatch(spark, idx, sink,
+      b0.limit(0).select("doc_id", "text"), 2L)
+    assert(SigIndex.indexedCount(idx) === Some(n0 + 2))
+    // and a zero-shingle batch whose ids OVERLAP the corpus still
+    // rejects — the fallback disjointness job covers the degenerate
+    // shape the fused metric cannot
+    intercept[IllegalArgumentException] {
+      SigIndex.ingestBatch(spark, idx, sink,
+        Seq((1L, "too short")).toDF("doc_id", "text"), 3L)
+    }
+    assert(SigIndex.indexedCount(idx) === Some(n0 + 2),
+      "rejected batch must not advance the count")
+  }
+
   test("a batch sharing no shingles with the corpus probes to empty") {
     import spark.implicits._
     val dir = s"/root/repo/target/sigidx-disj-${System.nanoTime()}"
