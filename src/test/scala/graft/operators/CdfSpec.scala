@@ -51,6 +51,39 @@ class CdfSpec extends SparkSpec {
     assert(feed.select("_commit_version").distinct().head().getLong(0) === 2L)
   }
 
+  test("replaceKeysMoR: ONE commit reads as pre-image deletes + " +
+      "post-image inserts (textbook CDC, no attribution marker needed)") {
+    import spark.implicits._
+    val root = freshRoot("replace")
+    TxLog.init(spark, root, docs.repartition(4))
+    // atomically re-state every %5 doc with edited text + mint one new id
+    val keys = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      .unionByName(Seq(990001L).toDF("doc_id"))
+    val adds = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" V2")))
+      .unionByName(Seq((990001L, "fresh")).toDF("doc_id", "text"))
+    TxLog.replaceKeysMoR(spark, root, "doc_id", keys, adds)
+    val feed = TxLog.readChanges(spark, root, 1L)
+    val replaced = docs.filter(col("doc_id") % 5 === 0)
+    // deletes = exactly the DV'd pre-images; inserts = exactly the adds
+    val dels = feed.filter(col("_change_type") === "delete")
+    val ins = feed.filter(col("_change_type") === "insert")
+    assert(dels.count() === replaced.count())
+    assert(ins.count() === replaced.count() + 1)
+    assert(dels.filter(col("text").endsWith(" V2")).count() === 0L,
+      "deletes carry PRE-images")
+    assert(ins.filter(col("doc_id") =!= 990001L)
+      .filter(!col("text").endsWith(" V2")).count() === 0L,
+      "inserts carry POST-images")
+    assert(feed.select("_commit_version").distinct().head().getLong(0) === 2L,
+      "the whole replace is ONE feed version")
+    // and a downstream index sync folds it exactly (the d17 machinery):
+    // no attribution marker is needed because the commit's added files
+    // hold only post-image rows and its removals are dv position diffs
+    val kv = TxLog.kvOf(TxLog.snapshot(root).get.notes)
+    assert(!kv.contains("cdc_full"), "no coarse marker on the MoR replace")
+  }
+
   test("mixed range: appends then a delete hitting both vintages") {
     val root = freshRoot("mixed")
     import spark.implicits._
