@@ -4269,12 +4269,19 @@ object TxLog {
     def keptGenerations(snap: Snapshot): Int = snap.entries.iterator
       .filter(e => e.path.startsWith(zPrefix) && e.dv.isEmpty)
       .map(_.path.split('/')(1)).toSet.size
-    val promote = snapshot(root).exists(s =>
-      victimsOf(s).nonEmpty && keptGenerations(s) >= maxGenerations)
-    if (promote) return cluster(spark, root, cols, targetFiles)
     withRetry(root) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"clusterIncremental on uninitialized txlog $root"))
+      // promotion decided INSIDE the CAS attempt, against the very
+      // snapshot the fold would commit over — the old outside-the-loop
+      // check could defer promotion a run, or promote against a stale
+      // view, when a commit raced it (the r15 review note). A promoted
+      // attempt delegates to the full cluster, whose own retry loop
+      // re-reads; a fold attempt that loses its CAS re-enters here and
+      // RE-DECIDES against the fresh snapshot.
+      if (victimsOf(snap).nonEmpty && keptGenerations(snap) >= maxGenerations)
+        Some(cluster(spark, root, cols, targetFiles))
+      else {
       val partNames = snap.partCols.map(_._1)
       validateClusterCols(read(spark, root, snap.version), partNames, cols)
       val target = targetFiles.max(1)
@@ -4311,6 +4318,7 @@ object TxLog {
           cdcKv = v => Map("cdc_noop" -> v.toString),
           schemaJson = snap.schemaJson,
           interloperHot = Some(_ => false)))
+      }
       }
     }.get
   }
