@@ -356,6 +356,11 @@ object SigIndex {
           val rows = indexRows(sh,
             Dedup.signatureBands(Dedup.minhashSignature(sh)), parts = 8)
           val stagedF = Future(TxLog.stageAppend(s, root, rows, snap))
+          // a gate refusal below abandons the stage — sound (the orphan
+          // dir is unreferenced, vacuum reclaims it) but otherwise a
+          // silent swallow of staging errors; surface them
+          stagedF.failed.foreach(e => System.err.println(
+            s"graft.SigIndex: abandoned append stage at $root failed: $e"))
           // disjointness + batch count in ONE action: the overlap side is
           // a map-only semi-join of the pinned band scan against the
           // broadcast batch ids (never corpus × batch), cross-joined with

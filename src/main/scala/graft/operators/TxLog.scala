@@ -1977,8 +1977,27 @@ object TxLog {
   /** Retry loop for optimistic writers: `attempt` receives the fresh
     * latest snapshot (None for an uninitialized table) and either commits
     * (Some(newVersion)) or declines (None → the whole op returns None,
-    * e.g. an already-folded tag). CAS losers re-read and retry. */
-  def withRetry[T](root: String, maxAttempts: Int = 5)(
+    * e.g. an already-folded tag). CAS losers re-read and retry.
+    *
+    * Liveness: a loser backs off exponentially with full jitter before
+    * re-reading (base 25 ms doubling to a 2 s cap — the first retry is
+    * immediate, since on an idle table a single stale read is the common
+    * case and a sleep there only adds latency). Without the backoff, N
+    * writers spinning at full speed re-collide on every round and a
+    * writer can exhaust its whole budget losing back-to-back races on a
+    * loaded JVM — the flake a 5-attempt no-sleep loop showed under
+    * 4-writer contention. 40 attempts × the backoff schedule gives a
+    * worst-case patience of ~75 s of sleep plus the attempts' own work,
+    * in the spirit of Delta's minutes-scale commit retries; retries stay
+    * cheap because staged data files are reused across attempts
+    * (stage-once — a retry is manifest work only). */
+  /** Default CAS-attempt budget for [[withRetry]]. 40 attempts under
+    * the capped-exponential backoff is ~75 s of worst-case patience —
+    * far past the point where contention is the explanation and
+    * something is actually wrong with the table. */
+  val DefaultCommitAttempts: Int = 40
+
+  def withRetry[T](root: String, maxAttempts: Int = DefaultCommitAttempts)(
       attempt: Option[Snapshot] => Option[T]): Option[T] = {
     var i = 0
     while (true) {
@@ -1987,6 +2006,14 @@ object TxLog {
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (i >= maxAttempts) throw e
+          if (i > 1) {
+            // full jitter: uniform in [0, min(cap, base * 2^(i-2))] —
+            // desynchronizes writers that lost the same race
+            val ceil = math.min(2000L, 25L << math.min(i - 2, 30))
+            val ms = java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(ceil + 1)
+            if (ms > 0) Thread.sleep(ms)
+          }
       }
     }
     None // unreachable
@@ -2758,6 +2785,68 @@ object TxLog {
   final class MoRUnsupportedException(msg: String)
       extends IllegalArgumentException(msg)
 
+  /** Publish a MoR commit's position frame as the ONE-file sidecar a
+    * manifest entry points at, enforcing the [[DvBroadcastRows]] budget
+    * AT WRITE TIME. The `repartition(1)` publish is deliberately a
+    * single task — bounded by the budget, that is tens of MB — but
+    * nothing used to refuse past it: a huge MoR delete silently funneled
+    * multi-GB through one task (and then cost the read side a shuffled
+    * anti-join forever after). Now the budget is a gate:
+    *
+    *  - FREE upper bound first: every candidate file's manifest row
+    *    count (victims ≤ live rows ≤ rows) plus the carried prior
+    *    positions. Under budget → write directly, zero extra jobs —
+    *    the common case pays nothing for the guard.
+    *  - Otherwise ONE exact count over the (two-column) position frame,
+    *    persisted so the subsequent write reuses it. Past the budget →
+    *    typed [[MoRUnsupportedException]]: a statement vectoring this
+    *    many rows should rewrite files, not defer them — and the typed
+    *    refusal means property-routed SQL DELETE/UPDATE callers fall
+    *    back to copy-on-write automatically, while direct deleteMoR /
+    *    updateMoR callers get the loud refusal with guidance.
+    *
+    * Returns (sidecar rel path, per-file position counts) — the counts
+    * are read back from the written file, validating the publish. */
+  private def writeDvSidecar(spark: SparkSession, root: String,
+      allPos: DataFrame, cand: Seq[FileEntry], priorRows: Long,
+      opName: String): (String, Map[String, Long]) = {
+    val budget = DvBroadcastRows
+    val upperBound: Option[Long] =
+      if (cand.forall(_.stats.isDefined)) Some(cand.map(_.stats.get.rows).sum + priorRows)
+      else None
+    val (toWrite, cached) =
+      if (upperBound.exists(_ <= budget)) (allPos, false)
+      else {
+        val c = allPos.persist()
+        val n = c.count()
+        if (n > budget) {
+          c.unpersist()
+          throw new MoRUnsupportedException(
+            s"$opName: $n deletion-vector positions exceed the single-file " +
+              s"sidecar budget ($budget) — a statement deleting this much " +
+              "should rewrite files, not vector them: use the copy-on-write " +
+              "path (delete()/updateWhere), or compact() to purge accumulated " +
+              "vectors first")
+        }
+        (c, true)
+      }
+    val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}"
+    try toWrite.repartition(1).write.mode("overwrite").parquet(s"$root/$dvDir")
+    finally if (cached) toWrite.unpersist()
+    val dvFile = Option(new java.io.File(s"$root/$dvDir").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq match {
+      case Seq(one) => s"$dvDir/${one.getName}"
+      case other => throw new IllegalStateException(
+        s"$opName: expected one sidecar file, found ${other.size}")
+    }
+    val counts = readFiles(spark, Seq(s"$root/$dvFile"),
+      Some(DvSidecarSchema))
+      .groupBy("f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (dvFile, counts)
+  }
+
   /** Prior DV positions a MoR commit must carry forward: each touched
     * entry's positions read from ITS OWN sidecar only. Reading every
     * distinct prior sidecar semi-joined against the FULL candidate path
@@ -2877,7 +2966,14 @@ object TxLog {
       // inside stageAppend, per attempt
       val stagedAddsF = adds.map { a =>
         import scala.concurrent.ExecutionContext.Implicits.global
-        scala.concurrent.Future(stageAppend(spark, root, a, snap))
+        val f = scala.concurrent.Future(stageAppend(spark, root, a, snap))
+        // a refusal (gate, budget) or CAS loss below abandons this
+        // future — correct (the orphan dir is unreferenced and
+        // vacuumable) but a silent swallow of staging errors otherwise;
+        // surface them
+        f.failed.foreach(e => System.err.println(
+          s"graft.TxLog: abandoned replaceKeysMoR stage at $root failed: $e"))
+        f
       }
       def stagedAdds(): Option[StagedAppend] = stagedAddsF.map(f =>
         scala.concurrent.Await.result(f,
@@ -2919,24 +3015,13 @@ object TxLog {
         val allPos =
           if (prior.isEmpty) victims
           else victims.unionByName(carryPriorDvPositions(spark, root, prior))
-        val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}"
-        allPos.repartition(1).write.mode("overwrite").parquet(s"$root/$dvDir")
-        val dvFile = Option(new java.io.File(s"$root/$dvDir").listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq match {
-          case Seq(one) => s"$dvDir/${one.getName}"
-          case other => throw new IllegalStateException(
-            s"deleteMoR: expected one sidecar file, found ${other.size}")
-        }
-        val counts = readFiles(spark, Seq(s"$root/$dvFile"),
-          Some(DvSidecarSchema))
-          .groupBy("f").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (dvFile, counts) =
+          writeDvSidecar(spark, root, allPos, cand, priorRows, "deleteMoR")
         if (counts.values.sum == priorRows) {
           // zero new victims: metadata-only bump; the staged sidecar is a
           // CAS-loser-shaped orphan, reclaimed by vacuum
           org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(s"$root/$dvDir"))
+            new java.io.File(s"$root/$dvFile").getParentFile)
           Some(bump())
         } else {
           val next = snap.entries.flatMap { e =>
@@ -3046,22 +3131,11 @@ object TxLog {
           val allPos =
             if (prior.isEmpty) newPos
             else newPos.unionByName(carryPriorDvPositions(spark, root, prior))
-          val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(12)}"
-          allPos.repartition(1).write.mode("overwrite").parquet(s"$root/$dvDir")
-          val dvFile = Option(new java.io.File(s"$root/$dvDir").listFiles())
-            .getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq match {
-            case Seq(one) => s"$dvDir/${one.getName}"
-            case other => throw new IllegalStateException(
-              s"updateMoR: expected one sidecar file, found ${other.size}")
-          }
-          val counts = readFiles(spark, Seq(s"$root/$dvFile"),
-            Some(DvSidecarSchema))
-            .groupBy("f").count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val (dvFile, counts) =
+            writeDvSidecar(spark, root, allPos, cand, priorRows, "updateMoR")
           if (counts.values.sum == priorRows) {
             org.apache.commons.io.FileUtils.deleteQuietly(
-              new java.io.File(s"$root/$dvDir"))
+              new java.io.File(s"$root/$dvFile").getParentFile)
             Some(bump())
           } else {
             enforceConstraints(spark, updated, snap.notes, "updateMoR")

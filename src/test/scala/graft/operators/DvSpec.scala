@@ -452,6 +452,113 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("WRITE-TIME sidecar budget: an above-budget MoR delete refuses " +
+      "(no single-task sidecar write); property-routed delete() lands COW") {
+    val root = freshRoot("dvbudget")
+    TxLog.init(spark, root, docs.repartition(4))
+    val total = docs.count()
+    def dvDirs() = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty).filter(f =>
+        f.isDirectory && f.getName.startsWith("dv-")).map(_.getName).toSet
+    val prev = sys.props.get("graft.dv.broadcastRows")
+    try {
+      sys.props("graft.dv.broadcastRows") = "10"
+      // under budget: victims ≤ 10 → the MoR path proceeds (the exact
+      // count ran, since the free upper bound — whole-table rows — is
+      // past the budget at this setting)
+      val ids = docs.orderBy("doc_id").limit(5)
+        .collect().map(_.getLong(0)).toSet
+      TxLog.deleteMoR(spark, root, col("doc_id").isin(ids.toSeq: _*))
+      assert(dvDirs().size === 1)
+      assert(TxLog.read(spark, root).count() === total - 5)
+      // above budget: a direct deleteMoR REFUSES — typed, loud, and
+      // with zero sidecar dirs minted (the gate fires before any write)
+      val before = dvDirs()
+      val e = intercept[TxLog.MoRUnsupportedException] {
+        TxLog.deleteMoR(spark, root, col("doc_id") % 2 === 0)
+      }
+      assert(e.getMessage.contains("sidecar budget"))
+      assert(dvDirs() === before,
+        "a budget refusal must not leave a staged sidecar dir")
+      assert(TxLog.read(spark, root).count() === total - 5)
+      // property-routed: the same statement through delete() lands as
+      // copy-on-write — committed, correct, and still no new sidecar
+      TxLog.setProperties(root, Map("delete_mode" -> "mor"))
+      val v = TxLog.delete(spark, root, col("doc_id") % 2 === 0)
+      assert(v > 0)
+      assert(dvDirs() === before)
+      val want = docs.filter(col("doc_id") % 2 =!= 0)
+        .filter(!col("doc_id").isin(ids.toSeq: _*))
+      assert(TxLog.read(spark, root).count() === want.count())
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.dv.broadcastRows") = v
+        case None => sys.props.remove("graft.dv.broadcastRows")
+      }
+    }
+  }
+
+  test("aborted MoR attempts strand only vacuumable orphans: " +
+      "listing-then-vacuum leaves exactly the manifest-referenced dirs") {
+    val root = freshRoot("dvorphan")
+    import spark.implicits._
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "s")
+    TxLog.init(spark, root, base.repartition(3))
+    def dataDirs() = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    val committed = dataDirs()
+    // abort #1 — the WRITE-TIME budget refusal fires while the adds
+    // staging future is in flight (replaceKeysMoR stages concurrently
+    // with the victim jobs): the staged add-dir is the mid-commit orphan
+    val prev = sys.props.get("graft.dv.broadcastRows")
+    try {
+      sys.props("graft.dv.broadcastRows") = "0"
+      intercept[TxLog.MoRUnsupportedException] {
+        TxLog.replaceKeysMoR(spark, root, "id", Seq(1L, 2L, 3L).toDF("id"),
+          Seq((1L, "r1"), (2L, "r2")).toDF("id", "s"))
+      }
+    } finally prev match {
+      case Some(v) => sys.props("graft.dv.broadcastRows") = v
+      case None => sys.props.remove("graft.dv.broadcastRows")
+    }
+    // the abandoned staging job finishes in the background (its files
+    // are invisible — no manifest references them); wait for its
+    // _SUCCESS marker so the sweep below races nothing
+    val deadline = System.currentTimeMillis() + 60000L
+    def orphanSettled(): Boolean = (dataDirs() -- committed).nonEmpty &&
+      (dataDirs() -- committed).forall(d =>
+        new java.io.File(s"$root/data/$d/_SUCCESS").isFile)
+    while (!orphanSettled() && System.currentTimeMillis() < deadline)
+      Thread.sleep(100L)
+    assert(orphanSettled(), "the aborted replaceKeysMoR never staged")
+    // abort #2 — a writer that exhausts its CAS budget mid-commit,
+    // leaving BOTH a staged add-dir and a written dv sidecar dir behind
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.withRetry[Long](root, maxAttempts = 1) { snapOpt =>
+        val snap = snapOpt.get
+        TxLog.stageAppend(spark, root,
+          Seq((9001L, "x")).toDF("id", "s"), snap)
+        Seq(("somefile", 0L)).toDF("f", "p").repartition(1)
+          .write.parquet(s"$root/data/dv-abortedattempt")
+        throw new java.util.ConcurrentModificationException(
+          "synthetic CAS exhaustion mid-commit")
+      }
+    }
+    val strandedN = (dataDirs() -- committed).size
+    assert(strandedN >= 3, s"expected ≥3 orphan dirs, saw $strandedN")
+    // the sweep: every orphan reclaimed, nothing referenced touched
+    assert(TxLog.vacuum(root, graceMs = 0L) === strandedN)
+    val referenced = TxLog.snapshot(root).get.entries.flatMap(e =>
+      e.path.split("/").init.mkString("/") +:
+        e.dv.map(_._1.split("/").init.mkString("/")).toSeq)
+      .map(_.stripPrefix("data/")).toSet
+    assert(dataDirs() === referenced,
+      "post-vacuum listing must be exactly the manifest-referenced dirs")
+    assert(dataDirs() === committed)
+    assert(TxLog.read(spark, root).count() === 200L)
+    assert(TxLog.vacuum(root, graceMs = 0L) === 0)
+  }
+
   test("delete_mode=mor on a pre-manifest (adopted) table falls back to " +
       "copy-on-write; direct deleteMoR refuses with the typed exception") {
     val root = freshRoot("adoptfb")

@@ -471,6 +471,40 @@ class TxLogModelSpec extends SparkSpec {
       "replaying the change feed over the base must reproduce the table")
   }
 
+  /** Liveness pin for the retry loop itself: a writer that loses MANY
+    * consecutive CAS races — more than the pre-backoff 5-attempt cap
+    * ever allowed — still commits, because the budget is deep and each
+    * loss backs off instead of spinning. And the budget is a hard wall:
+    * exactly maxAttempts attempts run before the CME escapes. */
+  test("withRetry outlasts a long CAS-loss streak and walls at the budget") {
+    val root = freshRoot("retrylive")
+    TxLog.init(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    // 8 straight losses (old cap was 5) then success — must commit
+    var calls = 0
+    val got = TxLog.withRetry[Int](root) { snapOpt =>
+      calls += 1
+      if (calls <= 8)
+        throw new java.util.ConcurrentModificationException(
+          s"synthetic CAS loss #$calls")
+      assert(snapOpt.isDefined)
+      Some(42)
+    }
+    assert(got === Some(42) && calls === 9,
+      "a writer outlasting maxAttempts-1 losses must still commit")
+    // the default budget is deep — a regression back to single-digit
+    // attempts re-introduces the contention flake
+    assert(TxLog.DefaultCommitAttempts >= 20)
+    // exhaustion: the budget is exact, and the CME escapes past it
+    var calls2 = 0
+    val cme = intercept[java.util.ConcurrentModificationException] {
+      TxLog.withRetry[Int](root, maxAttempts = 3) { _ =>
+        calls2 += 1
+        throw new java.util.ConcurrentModificationException("always lose")
+      }
+    }
+    assert(calls2 === 3 && cme.getMessage.contains("always lose"))
+  }
+
   // ------------------------------------------- CAS-loss commit rebase
 
   /** Two key-clustered files so the partial merge prunes: ids [0,100)
