@@ -1051,6 +1051,57 @@ object SqlSurface {
         .orderBy("depth")
     },
 
+    // SQL6: the GENUINE `WITH RECURSIVE` surface under the driver gate —
+    // sql2's closed-form rewrite certifies the rollup cheaply, but the
+    // declarative recursion (Spark 4's UnionLoop iterative execution)
+    // deserves its own oracled row, not just a sf0.001 unit test: this
+    // runs the same ancestor-chain walk as an actual recursive CTE
+    // through the raised-recursion-limit session. ~25 iterations (one
+    // per taxonomy level, each a narrow map over the previous frontier)
+    // — fixed job-tree latency, so its budget is learned generously;
+    // the capability being exercised is data-dependent iteration, the
+    // one plan shape the closed form cannot stand in for.
+    QueryDef("sql6_recursive_cte",
+      """WITH RECURSIVE rev AS (
+        |  SELECT l_partkey AS node,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
+        |  FROM lineitem GROUP BY l_partkey),
+        |walk(node, anc) AS (
+        |  SELECT node, node + 1 FROM rev
+        |  UNION ALL
+        |  SELECT node, anc // 2 FROM walk WHERE anc > 1),
+        |agg AS (
+        |  SELECT w.anc AS anc, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(sum(r.ck) AS BIGINT) AS rev_ck
+        |  FROM walk w JOIN rev r ON w.node = r.node GROUP BY w.anc)
+        |SELECT CAST(length(format('{:b}', anc)) - 1 AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev_ck) AS BIGINT) AS rev_ck,
+        |       CAST(sum(((anc % 251) + 1) * (rev_ck % 1000003)) AS BIGINT) AS mix
+        |FROM agg GROUP BY 1 ORDER BY depth""".stripMargin) { (s, dir) =>
+      val sq = recursionSession(s)
+      Tables.lineitem(sq, dir).createOrReplaceTempView("lineitem_sql6_rcte")
+      sq.sql("""WITH RECURSIVE rev AS (
+        |  SELECT l_partkey AS node,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
+        |  FROM lineitem_sql6_rcte GROUP BY l_partkey),
+        |walk(node, anc) AS (
+        |  SELECT node, node + 1 FROM rev
+        |  UNION ALL
+        |  SELECT node, anc DIV 2 FROM walk WHERE anc > 1),
+        |agg AS (
+        |  SELECT w.anc AS anc, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(sum(r.ck) AS BIGINT) AS rev_ck
+        |  FROM walk w JOIN rev r ON w.node = r.node GROUP BY w.anc)
+        |SELECT CAST(length(bin(anc)) - 1 AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev_ck) AS BIGINT) AS rev_ck,
+        |       CAST(sum(((anc % 251) + 1) * (rev_ck % 1000003)) AS BIGINT) AS mix
+        |FROM agg GROUP BY 1 ORDER BY depth""".stripMargin)
+    },
+
     // SQL3: the transactional tier driven through the SQL frontend — the
     // engine's DELETE and time travel reachable as STATEMENTS, not just
     // API calls. v1 = init; v2 = `DELETE FROM txlog.... WHERE ...` (the
