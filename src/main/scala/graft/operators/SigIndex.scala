@@ -408,6 +408,18 @@ object SigIndex {
   /** The probe's output schema — shared by the verification plan's
     * empty-candidate short-circuit and the bootstrap batch's schema-only
     * pairs partition, so every `pairsSink` partition unions cleanly. */
+  /** Shingle-row budget for verifyPairs' broadcast NEW side (each row is
+    * one word-5-gram STRING, ~50-100 B serialized — the default ~1M rows
+    * keeps the broadcast under ~100 MB). Past it the verification takes
+    * the shuffled exactJaccard plan instead: strictly more exchanges,
+    * but no broadcast/driver memory cliff on a batch of very long
+    * documents with many band collisions. System-property override
+    * (`graft.sigindex.broadcastShingleRows`) so the fallback plan is
+    * testable without staging a million shingles. */
+  private[operators] def BroadcastShingleRows: Long =
+    sys.props.get("graft.sigindex.broadcastShingleRows").map(_.toLong)
+      .getOrElse(1L << 20)
+
   private val PairsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("old_id",
       org.apache.spark.sql.types.LongType),
@@ -520,6 +532,35 @@ object SigIndex {
     val nshCand = (if (newIds.size <= 1000)
       nsh.where(col("doc_id").isin(newIds: _*)) else nsh)
       .join(broadcast(newIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
+    // SIZE GUARD on the broadcast side: the bound so far is candidate
+    // DOC count, not shingle VOLUME — a batch of very long documents
+    // with many band collisions could push the newSh broadcast past
+    // driver/executor memory where the old shuffled plan degraded
+    // gracefully. Two tiers, so the common micro-batch pays NOTHING:
+    // first a FREE upper bound — the whole batch-shingle frame's plan
+    // statistics (for the ingest path's cached, already-materialized
+    // shingles this is the exact in-memory bytes; for a cold frame, a
+    // conservative estimate) — and only when that says the cliff is
+    // plausible, ONE exact candidate-shingle count (a job the huge batch
+    // amortizes trivially). Past the budget the verification falls back
+    // to the shuffled exactJaccard plan — more exchanges, no memory
+    // cliff. Same answers either way (SigIndexSpec pins it).
+    val budget = BroadcastShingleRows
+    val ubRows = // in-memory bytes / ~64 B per (long, short-string) row
+      nsh.queryExecution.optimizedPlan.stats.sizeInBytes / 64
+    val tooBig = ubRows > budget && {
+      val exact = nshCand.agg(count(lit(1))).head().getLong(0)
+      exact > budget
+    }
+    if (tooBig) {
+      val allSh = oldPost.select(col("doc_id"), col("g"))
+        .unionByName(nshCand.select(col("doc_id"), col("g")))
+      return Dedup.exactJaccard(allSh,
+          pairsDf.select(col("doc_id").as("a_id"), col("new_id").as("b_id")))
+        .filter(col("jac") >= Dedup.Tau)
+        .select(col("a_id").as("old_id"), col("b_id").as("new_id"),
+          round(col("jac"), 6).cast("double").as("jaccard"))
+    }
     val newSh = nshCand.select(col("doc_id").as("new_id"), col("g"),
       lit(1).as("hit"))
     val nbSizes = nshCand.groupBy("doc_id").agg(count(lit(1)).as("nb"))

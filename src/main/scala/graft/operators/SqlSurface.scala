@@ -593,7 +593,35 @@ object SqlSurface {
                   s"txlog $root has no version published at or before $ts"))
             }).getOrElse(-1L)
           val view = s"txlog_v_${java.util.UUID.randomUUID().toString.take(8)}"
-          TxLog.read(spark, root, version).createOrReplaceTempView(view)
+          val snap = TxLog.snapshot(root, version).getOrElse(
+            throw new IllegalStateException(s"no committed version at $root" +
+              (if (version >= 0) s" (asked for $version)" else "")))
+          val df = TxLog.readSnapshot(spark, root, snap)
+          // ANALYZE-stats-informed broadcast decision (the classic CBO
+          // stats-below-threshold shape): a txlog relation's native size
+          // estimate is its COMPRESSED on-disk bytes, which can sit over
+          // autoBroadcastJoinThreshold for a dim whose exact analyzed
+          // row count proves it broadcastable — fresh stats flip such a
+          // join to broadcast at plan time instead of waiting for an AQE
+          // runtime re-plan (and on a pre-AQE-materialization shape,
+          // never getting one). Freshness is an entry-fingerprint match
+          // (TxLog.freshStatsRows): any data-changing commit since the
+          // ANALYZE — append, delete, vectors, compact — silently
+          // disables the hint rather than planning on stale counts. The
+          // row width is Catalyst's per-type defaultSize (what
+          // Statistics(rowCount) planning uses) — a deliberate estimate,
+          // only ever compared against the same threshold Spark compares
+          // its own size estimates to.
+          val hinted = TxLog.freshStatsRows(snap) match {
+            case Some(rows) =>
+              val width = 8L +
+                df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+              val thresh = org.apache.spark.sql.internal.SQLConf.get
+                .autoBroadcastJoinThreshold
+              if (thresh > 0 && rows * width <= thresh) broadcast(df) else df
+            case None => df
+          }
+          hinted.createOrReplaceTempView(view)
           created += view
           scala.util.matching.Regex.quoteReplacement(view)
         }})
@@ -1150,6 +1178,33 @@ object SqlSurface {
           (abs(col("ndv") - col("x")) <=
             greatest(lit(1L), (col("x") / 10))).as("ndv_close"))
         .orderBy("col_name")
+    },
+
+    // STATS2: the CONSUMER of stats1's storage — a dim-fact join through
+    // the SQL frontend where the txlog dim was ANALYZEd, so the frontend
+    // sizes it from the stored exact row count and plans the join
+    // broadcast (SqlSurfaceSpec pins the plan flip both ways: fresh
+    // stats → BroadcastHashJoin, data-staled stats → no hint). The
+    // oracle certifies the joined RESULTS over the same source rows —
+    // the stats path must never change answers, only plans.
+    QueryDef("stats2_stats_broadcast_join",
+      """SELECT s.s_nationkey AS nation,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey
+        |ORDER BY nation""".stripMargin) { (s, dir) =>
+      val root = TxLog.freshRoot(dir, "txlog-statsbc")
+      TxLog.init(s, root, Tables.supplier(s, dir))
+      TxSql.sql(s, s"ANALYZE TABLE txlog.`$root` COMPUTE STATISTICS")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      TxSql.sql(s,
+        s"""SELECT s.s_nationkey AS nation,
+           |       CAST(count(*) AS BIGINT) AS n_items,
+           |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ck
+           |FROM lineitem l JOIN txlog.`$root` s ON l.l_suppkey = s.s_suppkey
+           |GROUP BY s.s_nationkey
+           |ORDER BY nation""".stripMargin)
     },
 
     QueryDef("sql3_txlog_sql",

@@ -2922,7 +2922,19 @@ object TxLog {
     * only a vacuumable orphan). All append gates run on `adds` at stage
     * time (additive schema, widening, CHECK constraints). `adds` rows
     * whose keys are in `keys` cannot double-state: their prior rows are
-    * vectored out in the same manifest. */
+    * vectored out in the same manifest.
+    *
+    * DETERMINISM REQUIREMENT on `keys`: the frame is evaluated more than
+    * once (the eager min/max range conjunct for file pruning here, the
+    * per-attempt victim semi-join inside the retry loop, and the
+    * caller's kvFn may re-derive from it) — a NON-deterministic keys
+    * frame (rand-sampled, re-read from mutating storage, an evicted
+    * cache recomputing differently) can make the pruning range exclude
+    * files holding keys a later evaluation selects, leaving stale rows
+    * alive while `adds` re-states them. Callers with any doubt must
+    * materialize first (`keys.localCheckpoint()` — the mergeInto
+    * discipline) or pass a frame derived from immutable inputs; the
+    * internal fold caller pins its keys frame for exactly this reason. */
   def replaceKeysMoR(spark: SparkSession, root: String, keyCol: String,
       keys: DataFrame, adds: DataFrame, note: String = "",
       kvFn: Snapshot => Map[String, String] = _ => Map.empty): Long = {
@@ -3223,6 +3235,7 @@ object TxLog {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val kv = Map(
       "stats_v" -> snap.version.toString,
+      "stats_fp" -> entriesFp(snap),
       "stats_rows" -> row.getAs[Long]("__n").toString) ++
       cols.map { c =>
         val mn = Option(row.getAs[String](s"__min_$c")).map(enc).getOrElse("")
@@ -3231,6 +3244,38 @@ object TxLog {
           s"${row.getAs[Long](s"__nulls_$c")},$mn,$mx")
       }
     setProperties(root, kv)
+  }
+
+  /** Data fingerprint of a snapshot — the sorted entry paths plus their
+    * deletion-vector pointers, hashed. Metadata-only commits (property
+    * sets, constraint adds, the ANALYZE publish itself) carry the entry
+    * list forward unchanged, so the fingerprint is STABLE across them,
+    * while any commit that changes what a read returns (append, delete,
+    * MoR vectors, compact, restore) changes it. This is what makes
+    * ANALYZE stats usable at PLAN time: `stats_v < current` alone cannot
+    * distinguish "stale because data changed" from "newer metadata
+    * commit" — the fingerprint can. */
+  private def entriesFp(snap: Snapshot): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    snap.entries
+      .map(e => e.path + e.dv.map(d => s"#${d._1}:${d._2}").getOrElse(""))
+      .sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The EXACT analyzed row count of `snap`, provided the stats are
+    * FRESH — recorded over the same data the snapshot reads (entry
+    * fingerprint match; see [[entriesFp]]). None when never analyzed,
+    * analyzed before the fingerprint existed, or any data-changing
+    * commit landed since the ANALYZE. This is the plan-time CONSUMER
+    * side of [[analyzeTable]]: the SQL frontend sizes txlog relations
+    * with it (an analyzed dim under the broadcast threshold joins
+    * broadcast even when its on-disk bytes alone would not qualify). */
+  def freshStatsRows(snap: Snapshot): Option[Long] = {
+    val kv = kvOf(snap.notes)
+    kv.get("stats_fp").filter(_ == entriesFp(snap))
+      .flatMap(_ => kv.get("stats_rows"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
   }
 
   /** The stored column statistics of the CURRENT snapshot as a frame
@@ -3395,7 +3440,18 @@ object TxLog {
     * addedBytesMemo makes the same assumption). Refusals are NOT
     * memoized: a dirty range throws with fresh context every time (and
     * is terminal for its caller anyway). Wholesale clear past the cap
-    * bounds a pathological many-tables process. */
+    * bounds a pathological many-tables process.
+    *
+    * ACCEPTED process-history dependence: a range whose INTERIOR
+    * manifest was pruned AFTER its step was memoized still succeeds in
+    * this JVM (the proof came from immutable manifests — it is sound
+    * forever), while a fresh process, unable to re-derive it, raises the
+    * typed 'not retained' refusal for the same call. Both outcomes are
+    * correct; the asymmetry is the price of not forcing interior
+    * manifests to outlive their proofs. Callers that need
+    * process-portable behavior should retain the interior manifests
+    * (pruneHistory keepLast covering their read window) — then the two
+    * paths agree. */
   private val appendStepMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
   private val AppendStepMemoCap = 1 << 16
@@ -4287,7 +4343,19 @@ object TxLog {
     * and the `z<sig>-` infix is unambiguous — plain staging suffixes are
     * UUID hex, which never contains 'z'. The signature hashes the
     * LOGICAL clustering column set, so "is this file already laid out
-    * for these columns" is answerable from the manifest path alone. */
+    * for these columns" is answerable from the manifest path alone.
+    *
+    * SIGNATURE VINTAGE (r16): the column separator changed from ' ' to
+    * NUL (a column name may contain a space; NUL cannot appear in one),
+    * which changes the MD5 prefix for the SAME column list. A layout
+    * clustered by a pre-r16 build therefore reads as UNCLUSTERED to
+    * victimsOf/keptGenerations and the next clusterIncremental re-folds
+    * it from scratch — a one-time full re-cluster, never a correctness
+    * issue (generation membership only gates which files get re-sorted).
+    * All of this library's persisted layouts are transient bench/test
+    * tables, so no transition shim recognizes the old signature; a
+    * deployment with long-lived clustered tables upgrading across this
+    * boundary should expect that one full OPTIMIZE-equivalent cost. */
   private def zDirPrefix(cols: Seq[String]): String = {
     val sig = cols.map(_.toLowerCase(java.util.Locale.ROOT)).mkString("\u0000")
     val hex = java.security.MessageDigest.getInstance("MD5")

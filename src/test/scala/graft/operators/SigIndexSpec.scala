@@ -202,6 +202,28 @@ class SigIndexSpec extends SparkSpec {
     assert(SigIndex.probe(spark, dir, alien).count() === 0)
   }
 
+  test("past the shingle-broadcast budget the probe falls back to the " +
+      "shuffled exactJaccard plan — identical pairs either way") {
+    val dir = s"/root/repo/target/sigidx-shguard-${System.nanoTime()}"
+    SigIndex.build(docs.filter(col("doc_id") % 3 =!= 2), dir)
+    val probeBatch = docs.filter(col("doc_id") % 3 === 2)
+    def run() = SigIndex.probe(spark, dir, probeBatch)
+      .orderBy("old_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val normal = run()
+    val prev = sys.props.get("graft.sigindex.broadcastShingleRows")
+    val guarded = try {
+      sys.props("graft.sigindex.broadcastShingleRows") = "0"
+      run()
+    } finally prev match {
+      case Some(v) => sys.props("graft.sigindex.broadcastShingleRows") = v
+      case None => sys.props.remove("graft.sigindex.broadcastShingleRows")
+    }
+    assert(guarded === normal,
+      "the size-guard fallback plan must change exchanges, not answers")
+    assert(normal.nonEmpty, "fixture must produce candidate pairs")
+  }
+
   test("probe plan prunes the postings scan behind a semi join (non-candidates never leave the index)") {
     val dir = s"/root/repo/target/sigidx-plan-${System.nanoTime()}"
     SigIndex.build(docs.filter(col("doc_id") % 5 =!= 0), dir)

@@ -799,4 +799,63 @@ class TxSqlSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
     assert(TxLog.read(spark, root2).count() === 2L)
   }
+
+  test("ANALYZE stats drive the plan: fresh stats flip a dim-fact join " +
+      "to broadcast, metadata commits keep them fresh, data commits stale them") {
+    val root = freshRoot("statsbc")
+    import spark.implicits._
+    // dim whose ON-DISK bytes exceed the (test-scale) broadcast
+    // threshold — incompressible md5-derived payload — while its exact
+    // row count x defaultSize row width sits under it: precisely the
+    // gap the ANALYZE-informed decision exists for
+    def blob(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 8).map { j =>
+        md.reset(); md.update(s"$i:$j".getBytes)
+        md.digest().map("%02x".format(_)).mkString
+      }.mkString // 256 incompressible chars
+    }
+    val dim = (0L until 1500L).map(i => (i, blob(i))).toDF("k", "payload")
+    TxLog.init(spark, root, dim.repartition(2))
+    val fact = spark.range(0L, 20000L).select(
+      (col("id") % 1500L).as("k"), (col("id") * 7L).as("m"))
+    fact.createOrReplaceTempView("statsbc_fact")
+    val q = s"""SELECT f.k AS k, count(*) AS n, sum(f.m) AS sm
+               |FROM statsbc_fact f JOIN txlog.`$root` d ON f.k = d.k
+               |GROUP BY f.k""".stripMargin
+    def planOf(): String = TxSql.sql(spark, q).queryExecution
+      .executedPlan.toString
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // sanity: the dim really is over the threshold on disk (else this
+      // test would pass vacuously off Spark's own size estimate)
+      assert(TxLog.snapshot(root).get.entries.flatMap(_.size).sum > 65536L)
+      // un-analyzed: sized by file bytes -> over threshold -> no broadcast
+      val before = planOf()
+      assert(!before.contains("BroadcastHashJoin"),
+        s"un-analyzed dim must not broadcast:\n$before")
+      val want = TxSql.sql(spark, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      // ANALYZE: 1500 rows x 36 B ~ 54 KB <= 64 KB -> broadcast hint
+      TxSql.sql(spark, s"ANALYZE TABLE txlog.`$root` COMPUTE STATISTICS")
+      val after = planOf()
+      assert(after.contains("BroadcastHashJoin"),
+        s"fresh-stats dim must broadcast:\n$after")
+      // the flip changes the plan, never the answer
+      val got = TxSql.sql(spark, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got === want)
+      // a metadata-only commit (property set) does NOT stale the stats:
+      // the entry fingerprint, not the version number, is the freshness
+      TxLog.setProperties(root, Map("owner" -> "teamx"))
+      assert(planOf().contains("BroadcastHashJoin"),
+        "metadata commit must not stale fresh stats")
+      // a DATA commit does: planning on the old row count would be wrong
+      TxLog.insertInto(spark, root, Seq((9999L, "late")).toDF("k", "payload"))
+      val staled = planOf()
+      assert(!staled.contains("BroadcastHashJoin"),
+        s"data-staled stats must not hint:\n$staled")
+    }
+  }
 }
