@@ -763,13 +763,15 @@ object TxLog {
       if (schema.isDefined && entries.nonEmpty && entries.forall(_.size.isDefined))
         org.apache.spark.sql.graftbridge.Bridge.manifestParquetRelation(spark,
           entries.map(e => (s"$root/${e.path}", e.size.get)), schema.get,
+          sizeHint = statsSizeHint(snap, schema.get,
+            entries.flatMap(_.size).sum),
           // AUTOMATIC skipping: the physical scan hands its pushed-down
           // filters (resolved, physical column names) back to the file
           // index at planning; footer stats drop files that cannot
           // match. Every txlog read + filter skips — no readWhere
           // opt-in needed (readWhere still prunes at RELATION-BUILD
           // time, which additionally shrinks driver-side plan state).
-          filters => {
+          judge = filters => {
             val conjuncts = filters.flatMap(Stats.splitConjuncts)
             val matched = entries.map(entryCouldMatch(snap, conjuncts))
             i => matched(i)
@@ -3277,6 +3279,26 @@ object TxLog {
       .flatMap(_ => kv.get("stats_rows"))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
   }
+
+  /** Plan-time size estimate for a manifest-fed relation when FRESH
+    * ANALYZE stats exist: exact row count × Catalyst defaultSize row
+    * width. Returned ONLY when it SHRINKS the estimate below the summed
+    * compressed file bytes (`fileBytes` — the subset actually being
+    * read, so a pruned read never inherits a whole-table figure larger
+    * than its own files): the hint may flip a join TO broadcast on
+    * stats evidence, never suppress a broadcast the file sizes already
+    * justify. Consumed by the DataFrame path through
+    * `FileIndex.sizeInBytes` — the SQL frontend's explicit hint and
+    * this relation-level estimate always agree (same rows, same width,
+    * same threshold). */
+  private def statsSizeHint(snap: Snapshot,
+      schema: org.apache.spark.sql.types.StructType,
+      fileBytes: Long): Option[Long] =
+    freshStatsRows(snap).flatMap { rows =>
+      val width = 8L + schema.fields.map(_.dataType.defaultSize.toLong).sum
+      val est = rows * width
+      if (est > 0 && est < fileBytes) Some(est) else None
+    }
 
   /** The stored column statistics of the CURRENT snapshot as a frame
     * (column, ndv, nulls, vmin, vmax) — the read side of

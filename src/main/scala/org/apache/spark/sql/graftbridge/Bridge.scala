@@ -46,11 +46,20 @@ object Bridge {
     * O(files) metadata I/O per query that a 10⁵-file table pays in
     * minutes and an index probe pays in seconds. This is the Delta/
     * Iceberg read shape — the log is the file index. */
+  /** `sizeHint`: an OVERRIDE for the relation's plan-time size estimate
+    * (bytes). Without it the estimate is the summed COMPRESSED file
+    * lengths — what every file-source relation reports — which can
+    * overstate the in-memory footprint of a dim whose exact analyzed
+    * row count is known (the transaction log's ANALYZE stats). The hint
+    * feeds `FileIndex.sizeInBytes`, so Spark's own join planning
+    * (broadcast threshold, AQE initial plan) consumes it with no custom
+    * rule — the Delta `TahoeFileIndex` stats shape. */
   def manifestParquetRelation(spark: SparkSession,
       files: Seq[(String, Long)],
       schema: org.apache.spark.sql.types.StructType,
       judge: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
-        => Int => Boolean = _ => _ => true): DataFrame = {
+        => Int => Boolean = _ => _ => true,
+      sizeHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.execution.datasources._
     import org.apache.hadoop.fs.{FileStatus, Path}
     val statuses = files.map { case (p, len) =>
@@ -84,7 +93,7 @@ object Bridge {
       }
       override def inputFiles: Array[String] = files.map(_._1).toArray
       override def refresh(): Unit = ()
-      override def sizeInBytes: Long = files.map(_._2).sum
+      override def sizeInBytes: Long = sizeHint.getOrElse(files.map(_._2).sum)
       override def partitionSchema: org.apache.spark.sql.types.StructType =
         new org.apache.spark.sql.types.StructType()
     }

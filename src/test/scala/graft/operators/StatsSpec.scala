@@ -419,4 +419,46 @@ class StatsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("no column nope"))
   }
+
+  test("fresh ANALYZE stats shrink the relation's size estimate: the " +
+      "DataFrame path flips a dim-fact join to broadcast, data commits revert it") {
+    val root = freshRoot("szhint")
+    import spark.implicits._
+    // on-disk bytes over the (test-scale) threshold — incompressible
+    // payload — while rows x defaultSize width sits under it
+    def blob(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 8).map { j =>
+        md.reset(); md.update(s"sz$i:$j".getBytes)
+        md.digest().map("%02x".format(_)).mkString
+      }.mkString
+    }
+    TxLog.init(spark, root,
+      (0L until 1500L).map(i => (i, blob(i))).toDF("k", "payload").repartition(2))
+    val fact = spark.range(0L, 20000L).select(
+      (col("id") % 1500L).as("k"), (col("id") * 3L).as("m"))
+    def planOf(): String = fact.join(TxLog.read(spark, root), Seq("k"))
+      .groupBy("k").count().queryExecution.executedPlan.toString
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536",
+      "spark.sql.adaptive.enabled" -> "false") {
+      assert(TxLog.snapshot(root).get.entries.flatMap(_.size).sum > 65536L)
+      val before = planOf()
+      assert(!before.contains("BroadcastHashJoin"),
+        s"un-analyzed relation must size by file bytes:\n$before")
+      val want = fact.join(TxLog.read(spark, root), Seq("k")).groupBy("k")
+        .count().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      TxLog.analyzeTable(spark, root)
+      val after = planOf()
+      assert(after.contains("BroadcastHashJoin"),
+        s"fresh stats must shrink the estimate under the threshold:\n$after")
+      val got = fact.join(TxLog.read(spark, root), Seq("k")).groupBy("k")
+        .count().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got === want, "the size hint changes plans, never answers")
+      // data commit stales the fingerprint -> back to file-byte sizing
+      TxLog.insertInto(spark, root, Seq((9999L, "late")).toDF("k", "payload"))
+      assert(!planOf().contains("BroadcastHashJoin"),
+        "a data commit must revert the relation to file-byte sizing")
+    }
+  }
 }
