@@ -70,6 +70,18 @@ object Graph {
   val PrEps = 4000000L
   val PrCap = 20
 
+  /** Symmetrize a directed bipartite pair set in ONE pass: explode each
+    * (src, dst) row into both directions instead of `union(e0, e0.swap)`
+    * — an uncached union evaluates the (join + distinct) subtree once per
+    * branch (guide §2.4; stage-profiled on g1 at sf0.1). The output is a
+    * SET whenever `e0` is distinct: the branches cannot collide because
+    * packed ids give src even parity and dst odd. */
+  private def symmetrize(e0: DataFrame): DataFrame =
+    e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** One PageRank sweep: contributions along edges, damped update.
     * `ew` = (src, dst, deg) cached edge list; `r` = (id, r) ranks. */
   private def sweep(ew: DataFrame, nodes: DataFrame, r: DataFrame): DataFrame = {
@@ -82,16 +94,46 @@ object Graph {
 
   /** The supplier↔customer PageRank graph: (src, dst, deg) edge list with
     * out-degrees, plus the node set — built once, cached (shared by g1
-    * and g1b). */
+    * and g1b).
+    *
+    * r17 optimization (guide §2.3/§2.4, stage-profiled): the former
+    * `e0.union(e0.swap)` + `groupBy(src)` + `join(outd)` build evaluated
+    * the lineitem⋈orders+distinct subtree once per union branch AND once
+    * more per branch under the out-degree aggregate (column pruning gives
+    * the two consumers different canonical scans, so exchange reuse never
+    * fires — 4 evaluations, ~2.2 s of the 5.1 s stage total at sf0.1).
+    * Now: both edge directions come from ONE pass over the distinct pair
+    * set (explode of a 2-struct array), and the out-degree is a window
+    * count over the SAME exchange that lays the edge table out by `src` —
+    * one subtree evaluation, two exchanges total in the build.
+    *
+    * The explicit Par.spread partitioning is also what the SWEEPS reuse:
+    * the cached edge table comes out hash-partitioned by `src` and
+    * sorted within partitions (WindowExec's required sort), so each
+    * per-iteration join consumes it with NO re-exchange and NO re-sort —
+    * previously every sweep paid Exchange+Sort over the full edge table
+    * (guide §2.4 "two operations keyed the same way share one
+    * exchange"). Per-sweep shuffle work drops to the rank-table side
+    * (n rows) plus the contribution aggregation (the one shuffle a
+    * PageRank sweep fundamentally requires). */
   private def prGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e0 = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_orderkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ew = edges.join(outd, "src").select("src", "dst", "deg").cache()
+    // plain keyed repartition, NOT Par.spread: the per-sweep work is
+    // bytes-bound integer arithmetic (no expensive per-row kernel), so the
+    // exchange should stay AQE-COALESCABLE — partition count then tracks
+    // the measured edge bytes (advisory size) instead of a pinned
+    // 2×cores, which at sf0.1 over-partitioned a 7.7 MB edge table into
+    // 64 micro-tasks per sweep and defeated map-side partial aggregation
+    // (64 × |nodes| partial rows shuffled per sweep instead of ~|nodes|).
+    // At 100 TB the same rule yields thousands of partitions — the
+    // scale-adaptive sizing the optimization brief asks for.
+    val ew = symmetrize(e0).repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .cache()
     val nodes = ew.select(col("src").as("id")).distinct().cache()
     (ew, nodes)
   }
@@ -336,8 +378,10 @@ object Graph {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().cache()
+      // symmetrize in one pass (already a set — parity-disjoint branches
+      // over a distinct pair set; the former union+distinct re-derived
+      // the join subtree per branch and re-deduped 2m rows)
+      val edges = symmetrize(e0).cache()
       var visited = s.range(1).select(lit(BfsSource).cast("long").as("id"),
         lit(0).as("hop")).cache()
       var frontier = visited.select("id")
@@ -401,8 +445,7 @@ object Graph {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().cache()
+      val edges = symmetrize(e0).cache() // one pass; set by parity (see g3)
       lpa(edges, LpaRounds).groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy("sz")
         .agg(count(lit(1)).as("n_comms"), sum("lbl").as("lbl_ck"))
