@@ -22,6 +22,12 @@ object Par {
   def spread(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(2 * df.sparkSession.sparkContext.defaultParallelism, keys: _*)
 
+  /** The partition count [[rangeWithOffsets]] range-partitions into —
+    * exposed so downstream per-`__pid` exchanges can pin the SAME count
+    * (more buckets than distinct pids is waste; fewer serializes). */
+  def prefixParts(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism * 2
+
   /** Distributed exclusive-prefix machinery shared by
     * Curation.packSequences and Windows.globalOrdinal: range-repartition
     * `df` on `order`, attach the partition id, and compute each
@@ -47,7 +53,7 @@ object Par {
   def rangeWithOffsets(df: DataFrame, order: Seq[Column], weight: Column)
       : (DataFrame, DataFrame) = {
     val s = df.sparkSession
-    val parts = s.sparkContext.defaultParallelism * 2
+    val parts = prefixParts(df)
     val p = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
@@ -69,7 +75,7 @@ object Par {
   def rangeWithOffsetsAndMax(df: DataFrame, order: Seq[Column], weight: Column,
       value: Column): (DataFrame, DataFrame) = {
     val s = df.sparkSession
-    val parts = s.sparkContext.defaultParallelism * 2
+    val parts = prefixParts(df)
     val p = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()

@@ -123,7 +123,13 @@ object StocksParity {
       // cached: blockRolling consumes the ordinal twice (base + carry);
       // on 5.6M rows the uncached form repeats the range shuffle + rank
       // window. Freed by the harnesses' per-query clearCache.
-      val ord = Windows.globalOrdinal(t, series).cache()
+      // SLIMMED to the four columns the rolling window touches (guide
+      // §2.3 project-before-the-exchange): the full-width cache made the
+      // blockRolling branches shuttle ~460 MB of in-memory columns per
+      // run where ~120 MB suffices — date/volume/open end their life at
+      // the ordinal sort.
+      val ord = Windows.globalOrdinal(t, series)
+        .select("__ord", "close", "low", "high").cache()
       val win = Windows.blockRolling(ord, "__ord", frameEnd = 9,
         blockSize = 65536) { (u, w) =>
         u.withColumn("ws", sum(floor(col("close") * 100).cast("long")).over(w))

@@ -69,7 +69,18 @@ object Windows {
     // returned by rangeWithOffsets directly in long-lived sessions
     val (p, offDf) = Par.rangeWithOffsets(df, order, lit(1L))
     val w = Window.partitionBy("__pid").orderBy(order: _*)
-    p.join(broadcast(offDf), Seq("__pid"))
+    // EXPLICIT __pid exchange, pinned at the range-partition count: left
+    // to EnsureRequirements the exchange lands at spark.sql.shuffle
+    // .partitions and AQE's parallelism-first coalescing then merges it
+    // by COMPRESSED bytes — on highly compressible series (the stocks
+    // table dictionary-encodes to ~0.6 B/row) that collapsed the window
+    // sort to ~3 tasks, serializing a multi-million-row sort (guide §2.5:
+    // cheap bytes, expensive rows — measured 1.6 s/3 tasks on stk5).
+    // Partition count beyond the number of distinct __pid values cannot
+    // help (hash on the key can't split one pid), so the pin equals the
+    // range partitioning's own count — scale-adaptive by construction.
+    p.repartition(Par.prefixParts(df), col("__pid"))
+      .join(broadcast(offDf), Seq("__pid"))
       .withColumn("__ord", row_number().over(w).cast("long") + col("__off") - 1L)
       .drop("__pid", "__off")
   }
@@ -89,7 +100,9 @@ object Windows {
     // (for the ordinal) and the exclusive prefix max
     val (p, offDf) = Par.rangeWithOffsetsAndMax(df, order, lit(1L), value)
     val w = Window.partitionBy("__pid").orderBy(order: _*)
-    p.join(broadcast(offDf), Seq("__pid"))
+    // pinned __pid exchange — same rationale as globalOrdinal above
+    p.repartition(Par.prefixParts(df), col("__pid"))
+      .join(broadcast(offDf), Seq("__pid"))
       .withColumn("__ord", row_number().over(w).cast("long") + col("__off") - 1L)
       .withColumn("__runmax", greatest(
         max(value).over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -237,7 +250,10 @@ object Windows {
       // cached: blockRolling consumes the ordinal TWICE (base + carry
       // branches of the union) — uncached, the range shuffle + rank
       // window run twice. Freed by the harnesses' per-query clearCache.
-      val ord = globalOrdinal(li(s, dir), series).cache()
+      // Slimmed to the consumed columns (stk3 discipline, guide §2.3).
+      val ord = globalOrdinal(li(s, dir), series)
+        .select("__ord", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .cache()
       val res = blockRolling(ord, "__ord", frameEnd = 9, blockSize = 4096) { (u, w) =>
         u.withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
           .withColumn("wn", count(lit(1)).over(w))
@@ -300,8 +316,11 @@ object Windows {
           ckStruct("w3_rolling_max", floor(col("mx") * 100).cast("long")).as("s2"))
         .select(explode(array(col("s0"), col("s1"), col("s2"))).as("e"))
         .select("e.*")
-      // cached for the base+carry double-consumption inside blockRolling
-      val w8 = blockRolling(globalOrdinal(t, series).cache(), "__ord",
+      // cached for the base+carry double-consumption inside blockRolling;
+      // slimmed to the consumed columns (stk3 discipline, guide §2.3)
+      val w8 = blockRolling(globalOrdinal(t, series)
+          .select("__ord", "l_orderkey", "l_linenumber", "l_extendedprice")
+          .cache(), "__ord",
         frameEnd = 9, blockSize = 4096) { (u, win) =>
         u.withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(win))
           .withColumn("wn", count(lit(1)).over(win))
