@@ -193,7 +193,14 @@ object Aggregates {
     QueryDef("a11_approx_percentile_tol",
       """SELECT l_returnflag, TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      li(s, dir)
+      // spread: 3 scan splits otherwise build the exact-percentile count
+      // maps near-serially (measured 0.9 s on 3 tasks); hashing on the
+      // value column keeps the partial buffers balanced. The sketch's
+      // merge order shifts with partitioning, but within_tol has ±0.05
+      // rank slack vs the sketch's ~1e-3 guarantee — and the oracle gate
+      // re-certifies the booleans.
+      Par.spread(li(s, dir).select("l_returnflag", "l_extendedprice"),
+          col("l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap"),
@@ -201,6 +208,9 @@ object Aggregates {
           percentile(col("l_extendedprice"), lit(0.55)).as("hi"))
         .select(col("l_returnflag"),
           (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_tol"))
+        // fence: the 3-row verdict otherwise re-runs the percentile
+        // final-merge inside the sort's range sampler (measured 2x 0.5 s)
+        .transform(Par.sortFence(_, col("l_returnflag")))
         .orderBy("l_returnflag")
     },
 

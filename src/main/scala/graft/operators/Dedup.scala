@@ -873,8 +873,12 @@ object Dedup {
     * bits (d4) leave `v2` unused and Catalyst prunes it. */
   def simhashVotes(d: DataFrame, nBits: Int = 32): DataFrame = {
     require(nBits == 32 || nBits == 64, s"unsupported SimHash width $nBits")
-    val tok = d
-      .repartition(col("doc_id")) // parallelize past the single input file
+    // spread (explicit count, not bare repartition): the doc_id hash also
+    // SATISFIES the groupBy's distribution below, so the votes aggregate
+    // collapses into this stage with no second exchange — and the pinned
+    // count keeps AQE from coalescing the cheap-bytes/expensive-rows
+    // 64-sum merge onto one task (measured: 0.66 s single-task final agg)
+    val tok = Par.spread(d, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
       .withColumn("v", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
@@ -915,10 +919,16 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val bits = SimHashBits / nBlocks
     val mask = (1L << bits) - 1
-    val blocks = f.select(col("doc_id"), col("fp"),
+    // spread on the join keys: the two self-join branches are the SAME
+    // subtree, so this explicit exchange canonicalizes identically on
+    // both sides and ReuseExchange computes the fingerprint lineage
+    // (d4b: the 64-sum votes aggregation) ONCE — without it the planner
+    // broadcasts one side and each branch re-runs the whole lineage
+    // (measured: two ~0.5 s duplicate aggregation stages per run)
+    val blocks = Par.spread(f.select(col("doc_id"), col("fp"),
       posexplode(array((0 until nBlocks).map(b =>
         shiftright(col("fp"), b * bits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("blk", "bv")))
+        .as(Seq("blk", "bv"))), col("blk"), col("bv"))
     blocks.select(col("blk"), col("bv"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
       .join(blocks.select(col("blk"), col("bv"), col("doc_id").as("b_id"), col("fp").as("b_fp")),
         Seq("blk", "bv"))

@@ -22,6 +22,29 @@ object Par {
   def spread(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(2 * df.sparkSession.sparkContext.defaultParallelism, keys: _*)
 
+  /** Materialization fence under a deterministic final ORDER BY.
+    *
+    * A global sort's range exchange SAMPLES its child to compute the
+    * partition bounds — a separate job that re-executes the child's full
+    * lineage down to the nearest exchange / cached relation. When the
+    * operators between that boundary and the sort are expensive (a
+    * 32-lag window pass, a percentile-buffer merge) the sampling pass
+    * silently re-runs them, doubling the query (measured on w12_ema: two
+    * 15-task, ~1.3 s window stages reading the same 18 MB exchange; on
+    * a11: the percentile final-merge twice). Interposing one hash
+    * exchange on the (small) pre-sort result gives the sampler a
+    * materialized shuffle to read instead. Only worth it when the fenced
+    * frame is orders of magnitude cheaper to re-shuffle than its lineage
+    * is to re-run — grouped/filtered outputs, not raw scans.
+    *
+    * The keyed repartition reuses [[spread]]'s explicit pinned count so
+    * the exchange can neither be AQE-coalesced into the serial regime
+    * nor elided by the planner when the child already happens to be
+    * hash-partitioned on the same keys with the session default count
+    * (w12's agg rides the window's l_suppkey exchange — a default-count
+    * fence there would be a no-op). */
+  def sortFence(df: DataFrame, keys: Column*): DataFrame = spread(df, keys: _*)
+
   /** The partition count [[rangeWithOffsets]] range-partitions into —
     * exposed so downstream per-`__pid` exchanges can pin the SAME count
     * (more buckets than distinct pids is waste; fewer serializes). */

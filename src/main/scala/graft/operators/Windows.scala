@@ -570,6 +570,10 @@ object Windows {
           sum(expr("ema div 4294967296")).as("s_hi"),
           sum(col("ema") % lit(4294967296L)).as("s_lo"),
           sum(((col("rn") % 251) + 1) * (col("ema") % 1000003L)).as("mix"))
+        // fence: the agg output rides the window's l_suppkey exchange, so
+        // without it the final sort's range sampler re-runs the whole
+        // 32-lag window pass (measured: 2x ~1.3 s stages)
+        .transform(Par.sortFence(_, col("l_suppkey")))
         .orderBy("l_suppkey")
     }
   )
