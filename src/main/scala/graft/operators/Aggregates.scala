@@ -147,14 +147,29 @@ object Aggregates {
     QueryDef("a8_approx_distinct",
       """SELECT l_returnflag, TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      li(s, dir)
+      // explicit distinct-pairs form of mixing countDistinct with a
+      // non-distinct agg: the built-in rewrite's middle (flag, partkey)
+      // exchange AQE-coalesced its cheap bytes onto 2 tasks while the
+      // scan's 3 splits bounded the partial pass (measured: 2x ~0.63 s
+      // near-serial stages). Deduping on a pinned spread exchange keeps
+      // both stages at full width, and one exchange drops outright.
+      // Results are identical: count over the deduped pairs IS the exact
+      // distinct, and an HLL sketch is duplicate-insensitive (registers
+      // are maxes over hashed values), so approx_part matches bit-exact.
+      Par.spread(li(s, dir).select("l_returnflag", "l_partkey"),
+          col("l_returnflag"), col("l_partkey"))
+        .distinct()
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
-          countDistinct(col("l_partkey")).as("exact_part"))
+          count(col("l_partkey")).as("exact_part"))
         .select(col("l_returnflag"),
           (abs(col("approx_part") - col("exact_part")) <=
             col("exact_part") * 0.05).as("within_tol"))
+        // fence: the HLL merge is interpreted (its 411-word buffer is past
+        // the codegen field cap), so replaying it in the sort sampler is
+        // the single most expensive stage here (measured 2x ~0.55 s)
+        .transform(Par.sortFence(_, col("l_returnflag")))
         .orderBy("l_returnflag")
     },
 

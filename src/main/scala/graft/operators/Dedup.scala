@@ -499,6 +499,9 @@ object Dedup {
         .filter(col("jac") >= 0.3)
         .select(col("a_id"), col("b_id"),
           round(col("jac"), 6).cast("double").as("jaccard"))
+        // fence: the sort sampler otherwise replays the pair aggregation
+        // + size joins above their exchange (Par.sortFence scaladoc)
+        .transform(Par.sortFence(_, col("a_id"), col("b_id")))
         .orderBy("a_id", "b_id")
     },
 
@@ -533,6 +536,7 @@ object Dedup {
         .filter(col("cont") >= 0.8)
         .select(col("a_id"), col("b_id"),
           round(col("cont"), 6).cast("double").as("containment"))
+        .transform(Par.sortFence(_, col("a_id"), col("b_id")))
         .orderBy("a_id", "b_id")
     },
 
@@ -591,6 +595,7 @@ object Dedup {
         .filter(col("wj") >= 0.3)
         .select(col("a_id"), col("b_id"),
           round(col("wj"), 6).cast("double").as("wjac"))
+        .transform(Par.sortFence(_, col("a_id"), col("b_id")))
         .orderBy("a_id", "b_id")
     },
 
@@ -747,6 +752,9 @@ object Dedup {
       base.join(spans, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"), col("kept_fp"))
+        // fence: the replayed chunk is the per-doc collect_list + md5
+        // final aggregation — the most expensive thing to run twice here
+        .transform(Par.sortFence(_, col("doc_id")))
         .orderBy("doc_id")
     },
 

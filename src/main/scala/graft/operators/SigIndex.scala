@@ -795,6 +795,9 @@ object SigIndex {
       val idx = pathFor(dir)
       buildLock.synchronized { if (!isFresh(old, idx)) build(old, idx) }
       probe(s, idx, docs.filter(col("doc_id") % 5 === 0))
+        // fence: keep the sort sampler off the verification plan's
+        // broadcast-join tail (Par.sortFence scaladoc)
+        .transform(Par.sortFence(_, col("old_id"), col("new_id")))
         .orderBy("old_id", "new_id")
     },
 
@@ -873,6 +876,7 @@ object SigIndex {
     TxLog.compact(s, corpusRoot, targetFiles = 4)
     syncVia(s, idx, corpusRoot)
     probe(s, idx, docs.filter(col("doc_id") % 3 === 2))
+      .transform(Par.sortFence(_, col("old_id"), col("new_id")))
       .orderBy("old_id", "new_id")
   }
 }
