@@ -37,13 +37,18 @@ object Par {
     * frame is orders of magnitude cheaper to re-shuffle than its lineage
     * is to re-run — grouped/filtered outputs, not raw scans.
     *
-    * The keyed repartition reuses [[spread]]'s explicit pinned count so
-    * the exchange can neither be AQE-coalesced into the serial regime
-    * nor elided by the planner when the child already happens to be
-    * hash-partitioned on the same keys with the session default count
-    * (w12's agg rides the window's l_suppkey exchange — a default-count
-    * fence there would be a no-op). */
-  def sortFence(df: DataFrame, keys: Column*): DataFrame = spread(df, keys: _*)
+    * ROUND-ROBIN on purpose, not keyed: a keyed fence whose (keys,
+    * count) happen to match the child's existing hash partitioning is
+    * planned away as redundant — exactly what happened when w12's
+    * window exchange moved to the same spread count, silently bringing
+    * the double window pass back. RoundRobinPartitioning is never
+    * satisfied by a child, so the fence always materializes; row
+    * placement is deterministic (sortBeforeRepartition), and the final
+    * sort fully determines output order — every fenced query sorts on
+    * key columns its grouping/dedup made unique. The `keys` parameter
+    * is kept for call-site documentation of that sort key. */
+  def sortFence(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(prefixParts(df))
 
   /** The partition count [[rangeWithOffsets]] range-partitions into —
     * exposed so downstream per-`__pid` exchanges can pin the SAME count

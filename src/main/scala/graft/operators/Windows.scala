@@ -145,6 +145,16 @@ object Windows {
 
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
 
+  /** lineitem pre-spread on l_suppkey for the per-supplier window family:
+    * the explicit hash(l_suppkey, 2x cores) SATISFIES the windows'
+    * required distribution, so EnsureRequirements adds no second
+    * exchange — and unlike the ENSURE_REQUIREMENTS exchange it replaces,
+    * AQE cannot coalesce it by (compressed, dictionary-friendly) bytes
+    * onto 2-3 near-serial tasks (measured on w5's sibling stage: 0.6 s
+    * on 3 tasks for a 600k-row window pass). */
+  private def liSupp(s: SparkSession, dir: String) =
+    Par.spread(li(s, dir), col("l_suppkey"))
+
   // Time axis within each supplier's series: ship date, tie-broken all the
   // way to a total order (verified unique at sf0.001/0.01/0.1).
   private val series = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
@@ -176,7 +186,7 @@ object Windows {
         |FROM lineitem
         |${dumpSql("l_suppkey, l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
       val w = rolling(bySupp, series, 0, 9)
-      dump(li(s, dir)
+      dump(liSupp(s, dir)
         .withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
         .withColumn("wn", count(lit(1)).over(w))
         .select(idCols :+
@@ -190,7 +200,7 @@ object Windows {
         |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS roll_min
         |FROM lineitem
         |${dumpSql("l_suppkey, l_orderkey, l_linenumber, roll_min")}""".stripMargin) { (s, dir) =>
-      dump(li(s, dir)
+      dump(liSupp(s, dir)
         .select(idCols :+
           min("l_extendedprice").over(rolling(bySupp, series, 0, 9)).as("roll_min"): _*))
     },
@@ -204,7 +214,7 @@ object Windows {
         |         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS roll_max
         |FROM lineitem
         |${dumpSql("l_suppkey, l_orderkey, l_linenumber, roll_max")}""".stripMargin) { (s, dir) =>
-      dump(li(s, dir)
+      dump(liSupp(s, dir)
         .select(idCols :+
           max("l_extendedprice").over(rolling(bySupp, series, 0, 9)).as("roll_max"): _*))
     },
@@ -344,7 +354,7 @@ object Windows {
         |         delta ASC NULLS FIRST LIMIT $DumpK""".stripMargin) { (s, dir) =>
       // lag/lead ignore the frame; only the partition+order spec matters.
       val wo = Window.partitionBy(bySupp: _*).orderBy(series: _*)
-      dump(li(s, dir)
+      dump(liSupp(s, dir)
         .select(idCols ++ Seq(
           lag("l_extendedprice", 1).over(wo).as("prev_price"),
           lead("l_extendedprice", 1).over(wo).as("next_price"),
@@ -389,7 +399,7 @@ object Windows {
         |FROM lineitem
         |${dumpSql("l_suppkey, l_orderkey, l_linenumber, n_in_range, min_in_range")}""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity")).rangeBetween(-5, 0)
-      dump(li(s, dir)
+      dump(liSupp(s, dir)
         .select(idCols ++ Seq(
           count(lit(1)).over(w).as("n_in_range"),
           min("l_extendedprice").over(w).as("min_in_range")): _*))
@@ -407,7 +417,7 @@ object Windows {
         |FROM lineitem
         |${dumpSql("l_suppkey, l_orderkey, l_linenumber, cum_qty, cum_n")}""".stripMargin) { (s, dir) =>
       val w = rolling(bySupp, series, Window.unboundedPreceding, Window.currentRow)
-      dump(li(s, dir)
+      dump(liSupp(s, dir)
         .select(idCols ++ Seq(
           sum(col("l_quantity").cast("long")).over(w).as("cum_qty"),
           count(lit(1)).over(w).as("cum_n")): _*))
@@ -451,7 +461,7 @@ object Windows {
       val den = lagCols.map { case (wt, c) =>
         when(c.isNotNull, wt.toLong).otherwise(0L)
       }.reduce(_ + _)
-      dump(li(s, dir)
+      dump(liSupp(s, dir)
         .select(idCols ++ Seq(num.as("wma_num"), den.as("wma_den")): _*)
         .withColumn("wma",
           (expr("wma_num * 100 div wma_den") / 10000.0).cast("double")))
@@ -486,7 +496,7 @@ object Windows {
     }) { (s, dir) =>
       val w = rolling(bySupp, series, -9, 0)
       val cents = round(col("l_extendedprice") * 100).cast("long")
-      val base = li(s, dir)
+      val base = liSupp(s, dir)
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("sm", sum(cents).over(w))
         .withColumn("s2", sum(cents * cents).over(w))
@@ -557,11 +567,23 @@ object Windows {
     }) { (s, dir) =>
       val wSpec = Window.partitionBy(bySupp: _*).orderBy(series: _*)
       val cents = round(col("l_extendedprice") * 100).cast("long")
-      val ema = (0 until 32).map { j =>
-        val term = if (j == 0) cents else lag(cents, j).over(wSpec)
-        term * lit(1L << (31 - j))
+      // LANE-PACKED lags (§4 expression work): cents fit 24 bits, so
+      // pk(t) = c(t)·2^32 + c(t-1) carries two history positions per
+      // column and 15 even-offset lags of pk cover all 32 positions with
+      // HALF the window frames (each distinct lag offset is its own
+      // frame in WindowExec; 33 frames → 18 measured as the stage's
+      // bottleneck). Exact: lanes never carry (c < 2^32), weights are
+      // the same powers of two, and pk's lag(c,1) makes ema null exactly
+      // iff rn < 32 — the identical full-history window as the 32-lag
+      // form (the declared SQL is unchanged and the oracle re-certifies).
+      val pk = shiftleft(cents, 32) + lag(cents, 1).over(wSpec)
+      val ema = (0 until 16).map { j =>
+        val term = if (j == 0) col("pk") else lag(col("pk"), 2 * j).over(wSpec)
+        shiftright(term, 32) * lit(1L << (31 - 2 * j)) +
+          term.bitwiseAND(lit(0xFFFFFFFFL)) * lit(1L << (30 - 2 * j))
       }.reduce(_ + _)   // null-propagating: non-null ⇔ full 32-row history
-      li(s, dir)
+      liSupp(s, dir)
+        .withColumn("pk", pk)
         .withColumn("rn", row_number().over(wSpec))
         .withColumn("ema", ema)
         .filter(col("ema").isNotNull)
