@@ -140,10 +140,16 @@ object SrpLsh {
     val s = e.sparkSession
     val bandStructs = (0 until Bands).map(bi =>
       struct(lit(bi).as("bi"), band(col("fp"), bi).as("bval")))
-    val bands = fingerprints(e)
+    // spread on the join keys (the d4b banded-self-join shape): both
+    // branches of the band join canonicalize onto this one exchange, so
+    // ReuseExchange computes the 64-plane fingerprint lineage ONCE and
+    // the join runs at pinned width instead of a broadcast branch
+    // re-deriving the fingerprints per side
+    val bands = Par.spread(fingerprints(e)
       .select(col("vec_id"), col("embedding"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("vec_id"), col("embedding"),
-        col("bs.bi").as("bi"), col("bs.bval").as("bval"))
+        col("bs.bi").as("bi"), col("bs.bval").as("bval")),
+      col("bi"), col("bval"))
     // the band join's INPUT is n·Bands narrow rows; its output (the
     // candidate pairs, with a duplicate per extra shared band) feeds the
     // codegen'd cosine + filter directly — no shuffle between them, and
