@@ -299,14 +299,19 @@ object SigIndex {
               // count maintenance per CAS attempt, against the snapshot
               // the commit publishes over: n' = n - touched∩indexed +
               // survivors (survivor ids were all vectored out in this
-              // same commit, so the re-adds are disjoint by construction)
+              // same commit, so the re-adds are disjoint by construction).
+              // Both scalars ride ONE job (the append-gate crossJoin
+              // shape): two sequential count actions here were pure
+              // fixed latency on every CAS attempt.
               val prev = TxLog.kvOf(snap.notes).getOrElse("n",
                 throw new IllegalStateException(
                   s"$idx: committed table has no kv:n")).toLong
-              val present = bandsAt(s, idx, snap.version)
+              val cnts = bandsAt(s, idx, snap.version)
                 .join(keys, Seq("doc_id"), "left_semi")
-                .select("doc_id").distinct().count()
-              Map("n" -> (prev - present + b.count()).toString,
+                .agg(count_distinct(col("doc_id")).as("present"))
+                .crossJoin(b.agg(count(lit(1)).as("nb"))).collect()(0)
+              Map("n" -> (prev - cnts.getAs[Long]("present") +
+                cnts.getAs[Long]("nb")).toString,
                 "sync_v" -> to.toString)
             })
           ()
