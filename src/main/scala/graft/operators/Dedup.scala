@@ -922,21 +922,29 @@ object Dedup {
     * fingerprint splits into `maxHamming + 1` blocks and docs sharing any
     * (block index, block value) bucket pair up — pigeonhole: a qualifying
     * pair agrees on at least one block. Keyed equi-join, never all-pairs;
-    * DedupSpec pins candidate sparsity on a 10× corpus. */
-  def simhashCandidates(f: DataFrame, maxHamming: Int): DataFrame = {
+    * DedupSpec pins candidate sparsity on a 10× corpus.
+    *
+    * `sharedExchange` picks the self-join's materialization: `true`
+    * spreads the block frame on the join keys so both branches
+    * canonicalize onto ONE reused exchange — the right shape when the
+    * fingerprint lineage is a corpus-scale aggregation (d4b's 64-sum
+    * votes pass otherwise executed once per branch, two ~0.5 s
+    * duplicate stages, one AQE-coalesced to a single task). `false`
+    * keeps the planner's broadcast of one branch — cheaper when the
+    * lineage is a small bounded fixture (mm5's 300 decoded images: the
+    * two branches run CONCURRENTLY, and three pinned exchanges are pure
+    * fixed cost at that size, +0.4 s measured). */
+  def simhashCandidates(f: DataFrame, maxHamming: Int,
+      sharedExchange: Boolean = true): DataFrame = {
     val nBlocks = maxHamming + 1
     val bits = SimHashBits / nBlocks
     val mask = (1L << bits) - 1
-    // spread on the join keys: the two self-join branches are the SAME
-    // subtree, so this explicit exchange canonicalizes identically on
-    // both sides and ReuseExchange computes the fingerprint lineage
-    // (d4b: the 64-sum votes aggregation) ONCE — without it the planner
-    // broadcasts one side and each branch re-runs the whole lineage
-    // (measured: two ~0.5 s duplicate aggregation stages per run)
-    val blocks = Par.spread(f.select(col("doc_id"), col("fp"),
+    val blocks0 = f.select(col("doc_id"), col("fp"),
       posexplode(array((0 until nBlocks).map(b =>
         shiftright(col("fp"), b * bits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("blk", "bv"))), col("blk"), col("bv"))
+        .as(Seq("blk", "bv")))
+    val blocks = if (sharedExchange)
+      Par.spread(blocks0, col("blk"), col("bv")) else blocks0
     blocks.select(col("blk"), col("bv"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
       .join(blocks.select(col("blk"), col("bv"), col("doc_id").as("b_id"), col("fp").as("b_fp")),
         Seq("blk", "bv"))
@@ -945,9 +953,11 @@ object Dedup {
 
   /** Banded candidates + exact `bit_count(xor)` verify for hamming ≤
     * `maxHamming` over ANY (doc_id, fp: LONG) fingerprint frame — the
-    * kernel text SimHash (d4b) and image dHash (mm5) share. */
-  def hammingPairs(f: DataFrame, maxHamming: Int): DataFrame =
-    simhashCandidates(f, maxHamming)
+    * kernel text SimHash (d4b) and image dHash (mm5) share; see
+    * [[simhashCandidates]] for the `sharedExchange` choice. */
+  def hammingPairs(f: DataFrame, maxHamming: Int,
+      sharedExchange: Boolean = true): DataFrame =
+    simhashCandidates(f, maxHamming, sharedExchange)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)

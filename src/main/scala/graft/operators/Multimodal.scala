@@ -843,16 +843,14 @@ object Multimodal {
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
-      // spread BEFORE the codec pass: the fixture union otherwise decodes
-      // (and ImageIO-encodes the near-copies) on the scan's 2 splits, and
-      // since the banded join now materializes the fingerprint lineage
-      // once instead of racing it per side, that serial stage is the
-      // critical path (measured 0.31 s on 2 tasks)
-      val f = dhash64(imageNearDupFixtures(s, dir)
-          .repartition(2 * s.sparkContext.defaultParallelism, col("media_id")))
-        .toDF()
+      // sharedExchange = false: the fingerprint lineage here is a
+      // 300-image bounded fixture — the planner's two concurrent
+      // broadcast branches beat three pinned exchanges of fixed cost
+      // (+0.4 s measured with the d4b shape; see simhashCandidates)
+      val f = dhash64(imageNearDupFixtures(s, dir)).toDF()
         .withColumnRenamed("media_id", "doc_id")
-      Dedup.hammingPairs(f, maxHamming = 3).orderBy("a_id", "b_id")
+      Dedup.hammingPairs(f, maxHamming = 3, sharedExchange = false)
+        .orderBy("a_id", "b_id")
     },
 
     // MM8: REAL JPEG decode — the LOSSY third format of the codec matrix
