@@ -528,8 +528,13 @@ object Windows {
         |       CAST(sum(((ord % 251) + 1) * c) AS BIGINT) AS ck
         |FROM o""".stripMargin
     }) { (s, dir) =>
+      // slimmed to the order key + checksum column before the ordinal
+      // machinery (stk3 discipline): the range exchange, the pinned
+      // cache, and the __pid exchange otherwise ship all 16 lineitem
+      // columns for a query that consumes two
       val base = li(s, dir)
         .withColumn("c", round(col("l_extendedprice") * 100).cast("long"))
+        .select((series :+ col("c")): _*)
       globalOrdinal(base, series)
         .agg(count(lit(1)).as("n"),
           sum(((col("__ord") % 251) + 1) * col("c")).as("ck"))
