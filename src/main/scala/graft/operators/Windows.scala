@@ -261,7 +261,10 @@ object Windows {
       // branches of the union) — uncached, the range shuffle + rank
       // window run twice. Freed by the harnesses' per-query clearCache.
       // Slimmed to the consumed columns (stk3 discipline, guide §2.3).
-      val ord = globalOrdinal(li(s, dir), series)
+      // slim BEFORE the ordinal call, not just before the cache: the
+      // prefix kernel pins its own full-width cache internally, so a
+      // select above it still range-shipped all 16 columns
+      val ord = globalOrdinal(li(s, dir).select(series: _*), series)
         .select("__ord", "l_orderkey", "l_linenumber", "l_extendedprice")
         .cache()
       val res = blockRolling(ord, "__ord", frameEnd = 9, blockSize = 4096) { (u, w) =>
@@ -304,7 +307,7 @@ object Windows {
         ckSql("w8_block_rolling", avgQv(globalOver))
       ).mkString("", "\nUNION ALL\n", "\nORDER BY win")
     }) { (s, dir) =>
-      val t = li(s, dir)
+      val t = liSupp(s, dir) // pinned window exchange (see liSupp)
       val wt = expr("(l_orderkey * 31 + l_linenumber) % 10007").cast("long")
       def ckStruct(tag: String, qv: Column): Column =
         struct(lit(tag).as("win"), count(lit(1)).as("n"),
@@ -328,7 +331,8 @@ object Windows {
         .select("e.*")
       // cached for the base+carry double-consumption inside blockRolling;
       // slimmed to the consumed columns (stk3 discipline, guide §2.3)
-      val w8 = blockRolling(globalOrdinal(t, series)
+      // slim before the ordinal call (its internal cache is full-width)
+      val w8 = blockRolling(globalOrdinal(li(s, dir).select(series: _*), series)
           .select("__ord", "l_orderkey", "l_linenumber", "l_extendedprice")
           .cache(), "__ord",
         frameEnd = 9, blockSize = 4096) { (u, win) =>
