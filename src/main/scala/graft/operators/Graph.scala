@@ -318,7 +318,15 @@ object Graph {
         |       CAST((SELECT count(*) FROM co) AS BIGINT) AS n_edges,
         |       CAST(tri.n AS BIGINT) AS n_triangles
         |FROM nod, tri""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      // spread the projected fact on the self-join key: the pair
+      // generation (≈order-width² fan-out + countDistinct partial) ran on
+      // the scan's 3 file splits (stage-profiled 1.19 s / 3 tasks at
+      // sf0.1 — guide §2.5 scan-split serialization), and the explicit
+      // hash(l_orderkey) exchange is shared by BOTH self-join branches
+      // (ReuseExchange) while satisfying the join's distribution
+      val li = Par.spread(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey"))
       val co = li.select(col("l_orderkey"), col("l_suppkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")), "l_orderkey")
         .filter(col("a") < col("b"))
