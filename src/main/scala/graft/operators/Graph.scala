@@ -92,6 +92,34 @@ object Graph {
         expr(s"CAST($PrTeleport + (85 * coalesce(s, 0)) div 100 AS BIGINT)").as("r"))
   }
 
+  /** [[sweep]] with the PREVIOUS rank carried through as `rp` — the g1b
+    * convergence loop's form. The update's left side is `prev` itself
+    * instead of `nodes` (identical id set: every sweep emits exactly one
+    * row per node, and r0 is built from `nodes`), so the per-sweep
+    * max-delta needs NO second join of two rank tables: the delta
+    * aggregate over (r, rp) IS the action that materializes the sweep —
+    * one job per sweep instead of two (r17 session 3; stage-profiled:
+    * the separate delta join cost a full extra pass + join over the
+    * persisted ranks per sweep, ~2 extra stages and one extra job each).
+    *
+    * LINEAGE-DEPTH HAZARD (the reason this was reverted once): `prev`
+    * appears TWICE here (contribution join + rp carry), so the logical
+    * plan DOUBLES per sweep — 2^j leaf copies after j sweeps since the
+    * last truncation. The g1b loop's every-5-sweeps localCheckpoint
+    * bounds j ≤ 5 (≤ 32 leaf copies, linear analysis cost); without it
+    * the unbounded doubling OOMs Catalyst near depth 10-12.
+    * GraphSpec's "sweepWithPrev lineage" test pins both the bound and
+    * the reset. Test-visible for exactly that spec. */
+  private[graft] def sweepWithPrev(ew: DataFrame, prev: DataFrame): DataFrame = {
+    val contrib = ew.join(prev, ew("src") === prev("id"))
+      .groupBy(ew("dst").as("cid")).agg(sum(expr("r div deg")).as("s"))
+    val p = prev.select(col("id"), col("r").as("rp"))
+    p.join(contrib, p("id") === contrib("cid"), "left")
+      .select(p("id"),
+        expr(s"CAST($PrTeleport + (85 * coalesce(s, 0)) div 100 AS BIGINT)").as("r"),
+        p("rp"))
+  }
+
   /** The supplier↔customer PageRank graph: (src, dst, deg) edge list with
     * out-degrees, plus the node set — built once, cached (shared by g1
     * and g1b).
@@ -131,10 +159,21 @@ object Graph {
     // (64 × |nodes| partial rows shuffled per sweep instead of ~|nodes|).
     // At 100 TB the same rule yields thousands of partitions — the
     // scale-adaptive sizing the optimization brief asks for.
+    // localCheckpoint, NOT cache (r18): both frames are re-referenced
+    // once or twice per sweep, and a CACHED frame's ANALYZED plan still
+    // carries its full lineage — at 2^j references between g1b's
+    // truncation points that is up to 31 inlined copies of the
+    // scan⋈orders+distinct+window tree per sweep, ~3 s of driver-side
+    // Catalyst analysis at sf0.1 (wall 7.9 s vs stage-sum 4.7 s).
+    // A localCheckpoint leaf (LogicalRDD) keeps the hash(src)
+    // partitioning and sort (Dataset.localCheckpoint preserves
+    // outputPartitioning/outputOrdering), so sweeps still consume it
+    // with no re-exchange — but every re-reference is a LEAF, and
+    // per-sweep analysis cost stops scaling with the build lineage.
     val ew = symmetrize(e0).repartition(col("src"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .cache()
-    val nodes = ew.select(col("src").as("id")).distinct().cache()
+      .localCheckpoint()
+    val nodes = ew.select(col("src").as("id")).distinct().localCheckpoint()
     (ew, nodes)
   }
 
@@ -234,16 +273,15 @@ object Graph {
         // the state — unlike a checkpoint its blocks FREE when
         // superseded (prev.unpersist below), so ~two rank tables plus
         // the periodic checkpoints stay materialized, not one per sweep
-        val stepped = sweep(ew, nodes, prev)
+        val stepped = sweepWithPrev(ew, prev)
         r = if ((k + 1) % 5 == 0) stepped.localCheckpoint() else stepped.persist()
-        // one aggregate per sweep: a keyed join of two n-row rank tables
-        // reduced to a single long on the driver (coalesce: an EMPTY
-        // graph's max-over-nothing is NULL, which must read as converged,
-        // not NPE). This action also materializes r, so releasing prev
-        // right after is safe (a later eviction recomputes from the
-        // nearest checkpoint).
-        delta = r.join(prev.withColumnRenamed("r", "rp"), "id")
-          .agg(coalesce(max(abs(col("r") - col("rp"))), lit(0L)))
+        // ONE job per sweep: the sweep output carries the previous rank
+        // as `rp`, so the max-delta aggregate over it is both the
+        // convergence probe and the action that materializes r (coalesce:
+        // an EMPTY graph's max-over-nothing is NULL, which must read as
+        // converged, not NPE). Releasing prev right after is safe (a
+        // later eviction recomputes from the nearest checkpoint).
+        delta = r.agg(coalesce(max(abs(col("r") - col("rp"))), lit(0L)))
           .collect()(0).getLong(0)
         prev.unpersist()
         k += 1
@@ -300,7 +338,15 @@ object Graph {
         |       CAST((SELECT count(*) FROM co) AS BIGINT) AS n_edges,
         |       CAST(tri.n AS BIGINT) AS n_triangles
         |FROM nod, tri""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      // spread the projected fact on the self-join key: the pair
+      // generation (≈order-width² fan-out + countDistinct partial) ran on
+      // the scan's 3 file splits (stage-profiled 1.19 s / 3 tasks at
+      // sf0.1 — guide §2.5 scan-split serialization), and the explicit
+      // hash(l_orderkey) exchange is shared by BOTH self-join branches
+      // (ReuseExchange) while satisfying the join's distribution
+      val li = Par.spread(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey"))
       val co = li.select(col("l_orderkey"), col("l_suppkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")), "l_orderkey")
         .filter(col("a") < col("b"))

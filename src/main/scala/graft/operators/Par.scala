@@ -13,14 +13,60 @@ import org.apache.spark.sql.functions._
   * md5, per-vector distance kernels) serializes onto 1-2 cores. Measured
   * on t7_winnowing at sf0.1: 3.1 s coalesced vs 0.9 s spread.
   *
-  * Pinning an explicit count (2× the cluster's core count) makes the
-  * exchange non-coalescable and keeps every core busy; it scales with the
-  * cluster (defaultParallelism on a 1000-executor cluster is the real
-  * core count, not a hardcoded 64).
+  * Pinning an explicit count makes the exchange non-coalescable and
+  * keeps every core busy. The count is `max(2 × defaultParallelism,
+  * leaf bytes / 64 MB)` — see [[parts]]: it scales with the cluster
+  * (defaultParallelism on a 1000-executor cluster is the real core
+  * count, not a hardcoded 64) AND with the data (a 100 TB input derives
+  * its count from its own size instead of freezing at the core count).
   */
 object Par {
+  /** Conf keys for the bytes-derived partition count (r18, optimization
+    * brief item 4): per-partition byte target and a hard ceiling on the
+    * derived count. The local defaults (64 MB, 2^18) keep sandbox plans
+    * byte-for-byte identical — every sandbox input is MBs, so the CPU
+    * floor always wins — while a warehouse-scale input drives the count
+    * from its own size through the SAME code path. */
+  private val TargetBytesKey = "spark.graft.parts.targetBytes"
+  private val MaxPartsKey = "spark.graft.parts.max"
+
+  /** Scale-adaptive, AQE-proof partition count:
+    * `max(2 × defaultParallelism, leafBytes / targetBytes)`.
+    *
+    * The CPU floor keeps cheap-bytes/expensive-rows stages (per-gram
+    * md5, per-vector kernels) on every core — disk bytes CANNOT see
+    * per-row CPU cost (t7's 600 KB of dictionary-packed docs cost 3.1 s
+    * when AQE coalesced them onto 2 tasks, 0.9 s spread), which is why
+    * the floor never adapts DOWN. The bytes term takes over when the
+    * input outgrows `2 × cores × 64 MB` — at 100 TB the count tracks
+    * data size instead of freezing at the core count.
+    *
+    * Bytes are the sum of the ANALYZED plan's LEAF relation sizes,
+    * deliberately NOT the frame's own sizeInBytes and NOT the optimized
+    * plan's leaves: without CBO a join's estimate is the PRODUCT of its
+    * children, so any post-join frame reports petabytes at megabyte
+    * scale — and the optimized plan re-imports that garbage through
+    * cache substitution (an unmaterialized InMemoryRelation is a leaf
+    * whose stats INHERIT its child's join-product estimate; measured:
+    * g2's ordinal exchange hit the 2^18 cap and ran 250 s at sf0.1).
+    * The analyzed plan's leaves are the raw scans — deterministic,
+    * cache-proof, and at worst an UNDER-estimate for fan-out plans,
+    * which degrades to the CPU floor, exactly the r17 behavior. Leaves
+    * that report the defaultSizeInBytes sentinel are skipped rather
+    * than poisoning the sum. */
+  private def parts(df: DataFrame): Int = {
+    val s = df.sparkSession
+    val cpu = 2 * s.sparkContext.defaultParallelism
+    val target = s.conf.get(TargetBytesKey, (64L << 20).toString).toLong
+    val cap = s.conf.get(MaxPartsKey, (1 << 18).toString).toInt
+    val unknown = BigInt(Long.MaxValue) / 2
+    val bytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).filter(_ < unknown).sum
+    math.max(cpu, (bytes / target).min(BigInt(cap)).toInt)
+  }
+
   def spread(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(2 * df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+    df.repartition(parts(df), keys: _*)
 
   /** Materialization fence under a deterministic final ORDER BY.
     *
@@ -48,13 +94,14 @@ object Par {
     * key columns its grouping/dedup made unique. The `keys` parameter
     * is kept for call-site documentation of that sort key. */
   def sortFence(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(prefixParts(df))
+    df.repartition(parts(df))
 
   /** The partition count [[rangeWithOffsets]] range-partitions into —
     * exposed so downstream per-`__pid` exchanges can pin the SAME count
-    * (more buckets than distinct pids is waste; fewer serializes). */
-  def prefixParts(df: DataFrame): Int =
-    df.sparkSession.sparkContext.defaultParallelism * 2
+    * (more buckets than distinct pids is waste; fewer serializes).
+    * Callers pass the SAME frame to both sites, so the bytes-derived
+    * count agrees by construction (same plan → same leaves → same sum). */
+  def prefixParts(df: DataFrame): Int = parts(df)
 
   /** Distributed exclusive-prefix machinery shared by
     * Curation.packSequences and Windows.globalOrdinal: range-repartition

@@ -145,4 +145,53 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L),
       s"sync 4-cycle evolution diverged: $got")
   }
+
+  test("sweepWithPrev lineage: plan doubles per sweep, the every-5 localCheckpoint " +
+      "bounds and resets it, and the fused delta matches the separate-join probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // 3-node directed cycle with out-degrees — the smallest graph where
+    // ranks keep changing for many sweeps is irrelevant here; this test
+    // is about PLAN SHAPE, not convergence.
+    val ew = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "deg").cache()
+    def nPlanNodes(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p => p }.size
+    var r = Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"), lit(Graph.PrUnit).as("r")).localCheckpoint()
+    // one sweep from a checkpoint leaf: the linear unit of plan growth
+    val base = nPlanNodes(Graph.sweepWithPrev(ew, r))
+    var prevRanks = r.collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    var sizes = Vector.empty[Int]
+    for (k <- 1 to 12) {
+      val prev = r
+      val stepped = Graph.sweepWithPrev(ew, prev)
+      r = if (k % 5 == 0) stepped.localCheckpoint() else stepped.persist()
+      sizes :+= nPlanNodes(r)
+      // the fused probe (aggregate over the carried rp) must equal the
+      // two-table join probe it replaced — computed here from collected
+      // ranks, i.e. an independent evaluation of max |r_k - r_{k-1}|
+      val fused = r.agg(coalesce(max(abs(col("r") - col("rp"))), lit(0L)))
+        .collect()(0).getLong(0)
+      val ranks = r.select("id", "r").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toMap
+      assert(ranks.keySet === prevRanks.keySet, s"sweep $k changed the id set")
+      val separate = ranks.map { case (id, rv) => math.abs(rv - prevRanks(id)) }.max
+      assert(fused === separate, s"sweep $k: fused delta $fused != join delta $separate")
+      prevRanks = ranks
+      prev.unpersist()
+    }
+    // prev appears twice per sweep, so the plan roughly doubles within a
+    // window: strictly growing between truncation points...
+    assert(sizes(1) > sizes(0) && sizes(2) > sizes(1) && sizes(3) > sizes(2),
+      s"expected within-window growth, got $sizes")
+    // ...and each every-5 localCheckpoint RESETS the depth (k=5 and k=10
+    // are leaf-rooted again, smaller than the k-1 plan before them)
+    assert(sizes(4) < sizes(3), s"k=5 checkpoint did not truncate: $sizes")
+    assert(sizes(9) < sizes(8), s"k=10 checkpoint did not truncate: $sizes")
+    // the g1b contract: ≤ 5 doublings between truncations ⇒ ≤ 2^5 leaf
+    // copies ⇒ a hard linear ceiling on analyzed-plan size at ANY sweep
+    assert(sizes.max <= 32 * base,
+      s"lineage exceeded the 2^5-leaf bound: max ${sizes.max}, unit $base")
+  }
 }
