@@ -1763,7 +1763,8 @@ object TxLog {
   private def commitOverwriteNotes(spark: SparkSession, root: String,
       df: DataFrame, expected: Long, notesFn: Set[String] => Set[String],
       cdcKv: Long => Map[String, String] =
-        v => Map("cdc_full" -> v.toString)): Long = {
+        v => Map("cdc_full" -> v.toString),
+      gate: () => Unit = () => ()): Long = {
     val snap0 = snapshot(root, expected)
     val partCols = snap0.toSeq.flatMap(_.partCols.map(_._1))
     val prevNotes = snap0.map(_.notes).getOrElse(Set.empty)
@@ -1776,12 +1777,28 @@ object TxLog {
     // UPDATE, INSERT OVERWRITE, maintenance rewrites) enforces exactly
     // as before
     enforceConstraints(spark, df, notesFn(prevNotes), "commitOverwrite")
+    // the change-file attribution can be a real write job (change_feed
+    // tables derive and write the precise pre/post-image rows); it
+    // depends only on the parent snapshot, so it runs CONCURRENTLY with
+    // the staging write below instead of after it (r18). An abandoned
+    // cdc dir (gate refusal) is an unreferenced data/cdc-* orphan,
+    // reclaimed by vacuum like any CAS loser's.
+    val cdcF = {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f = scala.concurrent.Future(cdcKv(expected + 1))
+      f.failed.foreach(e => System.err.println(
+        s"graft.TxLog: abandoned overwrite cdc attribution at $root failed: $e"))
+      f
+    }
     // overwrite replaces EVERY file — the upgrade point where a legacy
     // or adopted partitioned table flips to the single-relation layout
     val entries =
       if (partCols.nonEmpty)
         stagePartitioned(spark, root, df, partCols, keepInFiles = true)
       else stageData(spark, root, df)
+    // caller's pre-publish gate (mergeInto's concurrent multi-match
+    // refusal): fires after staging, strictly before anything is visible
+    gate()
     // CAS against exactly `expected` — anything else (e.g. latest-on-disk)
     // would publish OVER a concurrent writer's version this writer never
     // read: the textbook lost update. Overwrite replaces EVERY file, so
@@ -1791,7 +1808,8 @@ object TxLog {
     // adopted string-typed table upgrades to typed here).
     publish(root, expected, entries,
       partCols.map(pc => (pc, df.schema(pc).dataType)),
-      kvMerge(notesFn(prevNotes), cdcKv(expected + 1)),
+      kvMerge(notesFn(prevNotes), scala.concurrent.Await.result(cdcF,
+        scala.concurrent.duration.Duration.Inf)),
       Some(fileSchemaJson(df, Seq.empty)),
       parentEntries = snap0.map(_.entries))
   }
@@ -2283,12 +2301,26 @@ object TxLog {
       // match anything (legal — they fall to NOT MATCHED), and duplicate
       // keys that only fire NOT MATCHED are standard MERGE's legal
       // multi-row INSERT.
-      val dup = source.select(col(key))
-        .join(target.select(col(key)).distinct(), Seq(key), "left_semi")
-        .groupBy(col(key)).count()
-        .filter(col("count") > 1).limit(1).count() > 0
-      require(!dup, s"mergeInto: multiple source rows match one target " +
-        s"$key — SQL MERGE refuses a multi-match")
+      // SQL MERGE's multi-match refusal runs CONCURRENTLY with the
+      // result staging (r18): both derive from the same pinned inputs,
+      // and the refusal only has to fire BEFORE the publish — a refused
+      // attempt abandons its staged dir as a vacuumable orphan, exactly
+      // a CAS loser's. Previously this check was its own job in series
+      // ahead of the staging job on every MERGE commit.
+      val dupF = {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future {
+          source.select(col(key))
+            .join(target.select(col(key)).distinct(), Seq(key), "left_semi")
+            .groupBy(col(key)).count()
+            .filter(col("count") > 1).limit(1).count() > 0
+        }
+      }
+      def requireNoDup(): Unit = require(
+        !scala.concurrent.Await.result(dupF,
+          scala.concurrent.duration.Duration.Inf),
+        s"mergeInto: multiple source rows match one target " +
+          s"$key — SQL MERGE refuses a multi-match")
       // ONE full-outer join: target columns ride bare, the source row as
       // a single struct column (no name collisions, and the presence
       // test is one null check per side)
@@ -2377,7 +2409,8 @@ object TxLog {
       if (!usePartial)
         Some(commitOverwriteNotes(spark, root, out, snap.version,
           ns => if (note.isEmpty) ns else ns + note,
-          v => cdcKvFor(root, snap.notes, v, changes)))
+          v => cdcKvFor(root, snap.notes, v, changes),
+          gate = () => requireNoDup()))
       else {
         // partial publish under the carried schema + mapping (the
         // deleteCow/updateWhere mixed-commit shape): candidates rewrite
@@ -2401,6 +2434,7 @@ object TxLog {
         val cdcDir =
           if (wantsChangeFiles(snap.notes)) Some(writeCdcFiles(root, changes))
           else None
+        requireNoDup()
         Some(publishRmw(root, snap,
           victims = rewriteEntries, staged = staged,
           readConjuncts = Some(conjuncts),
@@ -2992,8 +3026,24 @@ object TxLog {
       def stagedAdds(): Option[StagedAppend] = stagedAddsF.map(f =>
         scala.concurrent.Await.result(f,
           scala.concurrent.duration.Duration.Inf))
-      def notesOut: Set[String] = kvMerge(
-        if (note.isEmpty) snap.notes else snap.notes + note, kvFn(snap))
+      // kvFn derives from the PINNED snapshot alone (it may run Spark
+      // jobs — the index fold's count maintenance does), so it runs
+      // CONCURRENTLY with the victim/sidecar jobs below instead of
+      // adding its own job to the attempt's sequential chain (r18; the
+      // d17 sync commit paid it in series). A kvFn failure surfaces at
+      // the pre-publish Await — still strictly before anything becomes
+      // visible; an attempt abandoned earlier (budget refusal, CAS loss)
+      // just drops the future's result.
+      val notesOutF = {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val f = scala.concurrent.Future(kvMerge(
+          if (note.isEmpty) snap.notes else snap.notes + note, kvFn(snap)))
+        f.failed.foreach(e => System.err.println(
+          s"graft.TxLog: abandoned MoR kvFn at $root failed: $e"))
+        f
+      }
+      def notesOut: Set[String] = scala.concurrent.Await.result(notesOutF,
+        scala.concurrent.duration.Duration.Inf)
       def publishWith(entries: Seq[FileEntry]): Long =
         stagedAdds() match {
           case None => publish(root, snap.version, entries, snap.partCols,
@@ -3145,6 +3195,31 @@ object TxLog {
           val allPos =
             if (prior.isEmpty) newPos
             else newPos.unionByName(carryPriorDvPositions(spark, root, prior))
+          // the replacement rows STAGE concurrently with the
+          // position/sidecar jobs (r18 — the replaceKeysMoR discipline):
+          // staged files are invisible until the publish references
+          // them, so the zero-new-victims bump path or a CAS loss
+          // strands only a vacuumable orphan dir. The CHECK-constraint
+          // gate runs inside the future, before any staging I/O, and a
+          // violation surfaces at the pre-publish Await (the bump path
+          // never publishes `updated` rows — with zero victims the
+          // frame is empty and cannot violate anything). The retype
+          // gate above stays synchronous so the property-routed
+          // copy-on-write fallback never pays staging.
+          val stagedF = {
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val f = scala.concurrent.Future {
+              enforceConstraints(spark, updated, snap.notes, "updateMoR")
+              val (physDf, _, _) = toPhysical(updated, snap, physPrev)
+              if (snap.partCols.nonEmpty)
+                stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
+                  keepInFiles = true, placeholderIfEmpty = false)
+              else stageData(spark, root, physDf)
+            }
+            f.failed.foreach(e => System.err.println(
+              s"graft.TxLog: abandoned updateMoR stage at $root failed: $e"))
+            f
+          }
           val (dvFile, counts) =
             writeDvSidecar(spark, root, allPos, cand, priorRows, "updateMoR")
           if (counts.values.sum == priorRows) {
@@ -3152,13 +3227,8 @@ object TxLog {
               new java.io.File(s"$root/$dvFile").getParentFile)
             Some(bump())
           } else {
-            enforceConstraints(spark, updated, snap.notes, "updateMoR")
-            val (physDf, _, _) = toPhysical(updated, snap, physPrev)
-            val staged =
-              if (snap.partCols.nonEmpty)
-                stagePartitioned(spark, root, physDf, snap.partCols.map(_._1),
-                  keepInFiles = true, placeholderIfEmpty = false)
-              else stageData(spark, root, physDf)
+            val staged = scala.concurrent.Await.result(stagedF,
+              scala.concurrent.duration.Duration.Inf)
             val next = snap.entries.flatMap { e =>
               counts.get(e.path) match {
                 case None => Some(e)
