@@ -427,23 +427,37 @@ object Graph {
       // symmetrize in one pass (already a set — parity-disjoint branches
       // over a distinct pair set; the former union+distinct re-derived
       // the join subtree per branch and re-deduped 2m rows)
-      val edges = symmetrize(e0).cache()
-      var visited = s.range(1).select(lit(BfsSource).cast("long").as("id"),
-        lit(0).as("hop")).cache()
-      var frontier = visited.select("id")
+      // localCheckpoint per round, NOT cache-and-union accumulation
+      // (r18): the former `visited = visited.union(next).cache()` pinned
+      // a FRESH cached copy of the whole union every round — cached
+      // partition counts grew 32, 64, 96, 128, 160 over the hops (a
+      // union of cached frames sums their pinned partitions, and AQE
+      // cannot coalesce InMemoryRelation reads), so the final job ran
+      // five near-empty wide stages of pure task overhead, plus
+      // re-analysis of the nested union plans (wall 3.3 s vs stage-sum
+      // 1.8 s at sf0.1). Now each round's frontier materializes once as
+      // a LogicalRDD leaf (one small eager job per hop — BFS is
+      // inherently round-synchronous anyway), `visited` is a lazy union
+      // of those leaves, and every per-round exchange is AQE-sized from
+      // actual bytes — scale-adaptive at 100 TB, 2 tasks at sf0.1.
+      val edges = symmetrize(e0).localCheckpoint()
+      val v0 = s.range(1).select(lit(BfsSource).cast("long").as("id"),
+        lit(0).as("hop")).localCheckpoint()
+      var rounds = Vector(v0)
+      var frontier = v0.select("id")
       for (k <- 1 to BfsHops) {
+        val visited = rounds.map(_.select("id")).reduce(_.union(_))
         val next = edges.join(frontier.withColumnRenamed("id", "fid"),
             col("src") === col("fid"))
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
-          .withColumn("hop", lit(k)).cache()
-        visited = visited.union(next).cache()
+          .withColumn("hop", lit(k)).localCheckpoint()
+        rounds :+= next
         frontier = next.select("id")
       }
-      val out = visited.groupBy("hop")
+      rounds.reduce(_.union(_)).groupBy("hop")
         .agg(count(lit(1)).as("n_nodes"), sum("id").as("id_ck"))
         .orderBy("hop")
-      out
     },
 
     // G4: community detection via DETERMINISTIC synchronous label
@@ -491,7 +505,10 @@ object Graph {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = symmetrize(e0).cache() // one pass; set by parity (see g3)
+      // localCheckpoint: referenced once per LPA round-job (lpa
+      // checkpoints each round), so a leaf beats re-analyzing the
+      // scan⋈scan+distinct+explode tree per round — the prGraph/g3 rule
+      val edges = symmetrize(e0).localCheckpoint() // one pass; set by parity
       lpa(edges, LpaRounds).groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy("sz")
         .agg(count(lit(1)).as("n_comms"), sum("lbl").as("lbl_ck"))
