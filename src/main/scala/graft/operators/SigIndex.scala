@@ -113,8 +113,17 @@ object SigIndex {
   /** [[build]] from a CORPUS transaction-log table, recording the corpus
     * version the index reflects as the `kv:sync_v` property — the
     * high-water [[sync]] advances. */
-  def buildFrom(s: SparkSession, corpusRoot: String, idx: String): Long = {
-    val v = TxLog.currentVersion(corpusRoot)
+  def buildFrom(s: SparkSession, corpusRoot: String, idx: String): Long =
+    buildFromVersion(s, corpusRoot, idx, TxLog.currentVersion(corpusRoot))
+
+  /** [[buildFrom]] PINNED to an explicit corpus version — what lets a
+    * caller overlap the index build with further corpus commits (guide
+    * §2.6 independent job trees: the build reads the pinned version's
+    * immutable files and writes a DIFFERENT txlog root, so it cannot
+    * contend with corpus writers; a later [[sync]] folds everything
+    * past `v` regardless of how the two interleaved). */
+  def buildFromVersion(s: SparkSession, corpusRoot: String, idx: String,
+      v: Long): Long = {
     build(TxLog.read(s, corpusRoot, v), idx,
       extraKv = Map("sync_v" -> v.toString))
     v
@@ -873,12 +882,27 @@ object SigIndex {
     val idx = s"${TxLog.freshRoot(dir, s"$tag-index")}"
     TxLog.init(s, corpusRoot,
       docs.filter(col("doc_id") % 3 === 0).repartition(4))
-    buildFrom(s, corpusRoot, idx)
+    val v1 = TxLog.currentVersion(corpusRoot)
+    // the index build and the corpus DML chain are INDEPENDENT job
+    // trees (guide §2.6): the build reads the PINNED v1 corpus (files
+    // immutable; compact doesn't vacuum) and writes the INDEX root,
+    // while append/delete/update/compact advance the CORPUS root — so
+    // they overlap, and the lifecycle pays max, not sum, of the two
+    // (~0.9 s at sf0.1). The final state is interleaving-independent:
+    // the index reflects exactly v1 (kv:sync_v = 1) and sync folds
+    // v2..v5 — the lifecycle's data-dependency graph, not its textual
+    // order. A build failure surfaces at the pre-sync Await.
+    val builtF = {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Future(buildFromVersion(s, corpusRoot, idx, v1))
+    }
     TxLog.appendOnce(s, corpusRoot, "b1", docs.filter(col("doc_id") % 3 === 1))
     TxLog.deleteMoR(s, corpusRoot, col("doc_id") % 7 === 0)
     TxLog.updateMoR(s, corpusRoot, col("doc_id") % 11 === 1,
       Seq("text" -> concat(col("text"), lit(" EDITED"))))
     TxLog.compact(s, corpusRoot, targetFiles = 4)
+    scala.concurrent.Await.result(builtF,
+      scala.concurrent.duration.Duration.Inf)
     syncVia(s, idx, corpusRoot)
     probe(s, idx, docs.filter(col("doc_id") % 3 === 2))
       .transform(Par.sortFence(_, col("old_id"), col("new_id")))
