@@ -242,9 +242,14 @@ object Dedup {
       val viaNbr = sym.join(labels, "u")
         .groupBy(col("v").as("u")).agg(min("lbl").as("nbrLbl"))
       // cached: it feeds both sides of the halving self-join below, and
-      // uncached the neighbor join + grouped min would run twice per round
+      // uncached the neighbor join + grouped min would run twice per round.
+      // The start-of-round label rides along as `old` (r18): the
+      // convergence count below then needs NO join against the previous
+      // generation — one corpus-sized equi-join of two cached frames per
+      // round replaced by a filter over the frame the count materializes
+      // anyway (guide §2.4 remove shuffles outright).
       val prop = labels.join(viaNbr, Seq("u"), "left")
-        .select(col("u"),
+        .select(col("u"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
         .cache()
       // pointer halving: every label is itself a node id, so in the same
@@ -258,7 +263,7 @@ object Dedup {
       val nextPlan = prop.join(
           prop.select(col("u").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
-        .select(col("u"),
+        .select(col("u"), col("old"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
       // truncate lineage EVERY round: the halving self-join embeds `prop`
       // twice, so an unchecked plan doubles per round (2^k growth between
@@ -274,8 +279,13 @@ object Dedup {
       // few cheap stages per round, bounded by MaxCcRounds — no analyzer
       // involvement.)
       val next = prop.sparkSession.createDataFrame(nextPlan.rdd, nextPlan.schema).cache()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
-        .filter(col("lbl") < col("old")).count()
+      // the count that materializes `next` IS the convergence probe:
+      // labels only ever decrease, so lbl < old ⟺ this round moved the
+      // node (old is the start-of-round label carried through the plan —
+      // no join against the superseded generation). `next` keeps the
+      // extra long column until it is superseded; the final select below
+      // drops it from the returned frame.
+      changed = next.filter(col("lbl") < col("old")).count()
       prop.unpersist()
       labels.unpersist() // superseded generation
       labels = next

@@ -120,16 +120,15 @@ object StocksParity {
       val t = Tables.stocksParquet(s)
       val series = Seq(col("date"), col("close"), col("volume"),
         col("open"), col("high"), col("low"))
-      // cached: blockRolling consumes the ordinal twice (base + carry);
-      // on 5.6M rows the uncached form repeats the range shuffle + rank
-      // window. Freed by the harnesses' per-query clearCache.
+      // UNCACHED (r18): one-pass blockRolling leaves the ordinal a
+      // single consumer, so the 140 MB cache (built only for the old
+      // base+carry double read) is gone — the ordinal streams straight
+      // into the block window's spread exchange.
       // SLIMMED to the four columns the rolling window touches (guide
-      // §2.3 project-before-the-exchange): the full-width cache made the
-      // blockRolling branches shuttle ~460 MB of in-memory columns per
-      // run where ~120 MB suffices — date/volume/open end their life at
-      // the ordinal sort.
+      // §2.3 project-before-the-exchange): date/volume/open end their
+      // life at the ordinal sort.
       val ord = Windows.globalOrdinal(t, series)
-        .select("__ord", "close", "low", "high").cache()
+        .select("__ord", "close", "low", "high")
       val win = Windows.blockRolling(ord, "__ord", frameEnd = 9,
         blockSize = 65536) { (u, w) =>
         u.withColumn("ws", sum(floor(col("close") * 100).cast("long")).over(w))

@@ -124,7 +124,21 @@ object Windows {
     *
     * `ordCol` must be DENSE (0,1,2,…) — precisely what [[globalOrdinal]]
     * produces — otherwise "next frameEnd rows" and "next frameEnd
-    * ordinals" diverge and boundary frames silently truncate. */
+    * ordinals" diverge and boundary frames silently truncate.
+    *
+    * ONE pass over `df` (r18): the former base ∪ carry union evaluated
+    * the input subtree once per branch — twice through the cached
+    * ordinal, or twice through the whole prefix kernel when uncached
+    * (guide §2.4; the prGraph symmetrize trick applied to the carry
+    * copy). Each row explodes into its own block plus, for the first
+    * `frameEnd` rows of a block, a carry copy into the previous block —
+    * the identical (row, block, carry) multiset. The block exchange is
+    * an explicit bytes-aware spread: left to EnsureRequirements it lands
+    * at spark.sql.shuffle.partitions and AQE coalesces it by COMPRESSED
+    * bytes — 19 tasks for stk3's 5.6M-row window pass (831 ms, the
+    * query's single biggest stage; cheap bytes, expensive rows — guide
+    * §2.5). Hash on `__blk` at any count satisfies the window's
+    * ClusteredDistribution, so no second exchange appears. */
   def blockRolling(df: DataFrame, ordCol: String, frameEnd: Int,
       blockSize: Long)(build: (DataFrame, WindowSpec) => DataFrame): DataFrame = {
     require(blockSize > frameEnd, "blockSize must exceed the frame length")
@@ -132,15 +146,18 @@ object Windows {
     // exact while ordinals stay below 2^53 — `div` keeps block assignment
     // exact by construction at any scale
     val blk = expr(s"`$ordCol` div ${blockSize}L").cast("long")
-    val base = df.withColumn("__blk", blk).withColumn("__carry", lit(false))
-    val carry = df.filter(pmod(col(ordCol), lit(blockSize)) < frameEnd)
-      .withColumn("__blk", blk - 1)
-      .filter(col("__blk") >= 0)
-      .withColumn("__carry", lit(true))
-    val u = base.unionByName(carry)
+    val own = struct(blk.as("__blk"), lit(false).as("__carry"))
+    val carried = struct((blk - 1).as("__blk"), lit(true).as("__carry"))
+    val u = df.select(col("*"), explode(
+        when(pmod(col(ordCol), lit(blockSize)) < frameEnd && blk > 0,
+          array(own, carried)).otherwise(array(own))).as("__bc"))
+      .withColumn("__blk", col("__bc.__blk"))
+      .withColumn("__carry", col("__bc.__carry"))
+      .drop("__bc")
     val w = Window.partitionBy("__blk").orderBy(col(ordCol))
       .rowsBetween(0, frameEnd)
-    build(u, w).filter(!col("__carry")).drop("__blk", "__carry")
+    build(Par.spread(u, col("__blk")), w)
+      .filter(!col("__carry")).drop("__blk", "__carry")
   }
 
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
@@ -257,16 +274,15 @@ object Windows {
         |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING))) / 10000.0 AS DOUBLE) AS mov_avg
         |FROM lineitem
         |${dumpSql("l_orderkey, l_linenumber, mov_avg")}""".stripMargin) { (s, dir) =>
-      // cached: blockRolling consumes the ordinal TWICE (base + carry
-      // branches of the union) — uncached, the range shuffle + rank
-      // window run twice. Freed by the harnesses' per-query clearCache.
+      // UNCACHED (r18): blockRolling is one-pass now, so the ordinal has
+      // a single consumer and streams straight into the block window —
+      // the former cache existed only for the base+carry double read.
       // Slimmed to the consumed columns (stk3 discipline, guide §2.3).
-      // slim BEFORE the ordinal call, not just before the cache: the
+      // slim BEFORE the ordinal call, not just before the select: the
       // prefix kernel pins its own full-width cache internally, so a
       // select above it still range-shipped all 16 columns
       val ord = globalOrdinal(li(s, dir).select(series: _*), series)
         .select("__ord", "l_orderkey", "l_linenumber", "l_extendedprice")
-        .cache()
       val res = blockRolling(ord, "__ord", frameEnd = 9, blockSize = 4096) { (u, w) =>
         u.withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(w))
           .withColumn("wn", count(lit(1)).over(w))
@@ -329,12 +345,13 @@ object Windows {
           ckStruct("w3_rolling_max", floor(col("mx") * 100).cast("long")).as("s2"))
         .select(explode(array(col("s0"), col("s1"), col("s2"))).as("e"))
         .select("e.*")
-      // cached for the base+carry double-consumption inside blockRolling;
+      // UNCACHED: one-pass blockRolling leaves the ordinal a single
+      // consumer (the cache served the old base+carry double read);
       // slimmed to the consumed columns (stk3 discipline, guide §2.3)
       // slim before the ordinal call (its internal cache is full-width)
       val w8 = blockRolling(globalOrdinal(li(s, dir).select(series: _*), series)
-          .select("__ord", "l_orderkey", "l_linenumber", "l_extendedprice")
-          .cache(), "__ord",
+          .select("__ord", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        "__ord",
         frameEnd = 9, blockSize = 4096) { (u, win) =>
         u.withColumn("ws", sum(round(col("l_extendedprice") * 100).cast("long")).over(win))
           .withColumn("wn", count(lit(1)).over(win))
