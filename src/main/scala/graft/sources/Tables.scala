@@ -61,15 +61,32 @@ object Tables {
     * reference's literal dataset becomes differentially hash-checkable.
     * Write-then-atomic-rename keeps the exists() fast-path from ever
     * seeing a half-written table. */
-  val StocksParquetDir = "/root/repo/target/stocks-parquet"
+  // -v2: 64 files (was a fixed coalesce(8)). The 18 distinct rows
+  // RLE-compress to ~150 KB/file, so BYTES never justified more files —
+  // but each file is ONE parquet row group, and a row group is the
+  // vectorized reader's parallelism quantum: 8 files capped every
+  // stk-query's 5.6M-row decode at 8 tasks (guide §2.5 cheap bytes /
+  // expensive rows, applied to the scan itself). 64 is ROW-derived
+  // (~88k rows per decode task for this FIXED 5,613,300-row reference
+  // dataset), not a local core count — the table never scales, so the
+  // right quantum is rows-per-task, and a session of any width ≤ 64
+  // decodes at full parallelism. NOT defaultParallelism: the fixture is
+  // created once per machine, and a narrow session (Verify at 8 cores)
+  // would freeze a narrow layout for every later wide session. The path
+  // bump forces stale 8-file fixtures on any machine to regenerate (the
+  // _SUCCESS fast-path can't see layout).
+  val StocksParquetDir = "/root/repo/target/stocks-parquet-v2"
   def ensureStocksParquet(spark: SparkSession): String = synchronized {
     val dir = new java.io.File(StocksParquetDir)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val tmp = new java.io.File(StocksParquetDir + ".tmp")
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File("/root/repo/target/stocks-parquet")) // pre-v2 layout
       stocksCsv(spark, ensureStocksCsv())
-        .coalesce(8) // 18 distinct rows RLE-compress to a few MB
+        .repartition(64) // round-robin: equal-row files; coalesce(64)
+                         // can't exceed the CSV read's own split count
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
       java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
